@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard tuning.
+  *
+  * Defaults are chosen for correctness-parity with external oracles
+  * (UTC session time zone, microsecond parquet timestamps) and for
+  * sane local-mode execution (shuffle partitions sized to cores, AQE
+  * on so skewed joins/partitions re-plan at runtime). On a real
+  * cluster the same settings hold: AQE + adaptive coalescing are the
+  * scale knobs, `shuffle.partitions` becomes a ceiling AQE trims.
+  */
+object GraftSession {
+
+  def builder(master: String = "local[*]", appName: String = "graft"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // Oracle parity: external readers (DuckDB/pyarrow) read INT64
+      // micros natively; INT96 is a deprecated legacy type.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // The driver's events table carries TIMESTAMP(NANOS); Spark only
+      // reads that as LongType via this conf (Tables.load converts).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

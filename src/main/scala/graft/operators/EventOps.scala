@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Relational semantics of the reference pipeline, as composable
+  * DataFrame transforms.
+  *
+  * Reference (all paths relative to
+  * `/root/reference/aws-snowflake-kinesis-airflow-pipeline/`):
+  *  - `user_events` view: `sql/create_snowflake_tables.sql:18-28`
+  *  - `daily_event_summary` CTAS: `sql/create_snowflake_tables.sql:31-39`,
+  *    refreshed at `dags/kinesis_to_snowflake_dag.py:51-59`
+  *  - dedup INSERT..SELECT..NOT IN: `airflow/dags/snowflake_data_pipeline.py:115-143`
+  *
+  * Everything here is a declarative plan: Catalyst pushes the filters
+  * and JSON-path projections into the parquet scan, splits the
+  * aggregates into partial/final, and plans the anti-join as broadcast
+  * when the build side is small. Nothing shuffles more than once.
+  */
+object EventOps {
+
+  /** `user_events` view (create_snowflake_tables.sql:18-28): project
+    * purchases with semi-structured field extraction. The reference's
+    * `data:product_id::VARCHAR` / `data:price::FLOAT` VARIANT paths map
+    * to `get_json_object` over the JSON `props` column — a codegen'd
+    * built-in, so the whole view stays inside one WholeStageCodegen.
+    */
+  def userEvents(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"),
+        col("ts").as("event_timestamp"),
+        col("user_id"),
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("prop_k"),
+        col("value").as("price"))
+
+  /** `daily_event_summary` (create_snowflake_tables.sql:31-39): daily
+    * tumbling aggregate, computed over raw data INCLUDING duplicates —
+    * the reference groups the landing table, not the deduped tier
+    * (SURVEY §7.5#4). Plain hash-aggregate: map-side partial combine,
+    * one shuffle on (event_date, event_type).
+    */
+  def dailySummary(events: DataFrame): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        min(col("ts")).as("first_event"),
+        max(col("ts")).as("last_event"))
+
+  /** Idempotent dedup insert (snowflake_data_pipeline.py:115-143):
+    * rows of `staging` whose key is non-null and absent from `target`.
+    *
+    * The reference uses `NOT IN (SELECT event_id FROM EVENTS)`. SQL
+    * `NOT IN` is null-aware: one NULL in the subquery yields zero rows.
+    * The reference's own DQ gate (lines 152-178) guarantees the target
+    * never holds NULL keys, so `left_anti` is behaviorally identical in
+    * steady state and strictly cheaper (no null-aware dual-condition
+    * join). For bit-exact NOT IN semantics use [[dedupInsertNotIn]].
+    *
+    * Scale: the build side is just the key column of the target —
+    * column-pruned at the scan. Catalyst broadcasts it when it fits
+    * under autoBroadcastJoinThreshold; otherwise a shuffled anti-join
+    * on the key, which AQE converts back to broadcast at runtime if
+    * the pruned side turns out small.
+    */
+  def dedupInsert(staging: DataFrame, target: DataFrame, key: String = "event_id"): DataFrame =
+    staging
+      .filter(col(key).isNotNull)
+      .join(target.select(key), Seq(key), "left_anti")
+
+  /** Bit-exact `NOT IN` rendition (null-aware anti join): returns no
+    * rows if `target` contains a NULL key — matching SQL semantics of
+    * snowflake_data_pipeline.py:142 exactly. Catalyst rewrites the
+    * `isin` subquery via RewritePredicateSubquery into a null-aware
+    * anti join; we express it with the literal condition.
+    */
+  def dedupInsertNotIn(staging: DataFrame, target: DataFrame, key: String = "event_id"): DataFrame = {
+    // left_anti with (k = tk OR tk IS NULL) is the null-aware anti join:
+    // a NULL on the build side matches every probe row -> empty result.
+    val t = target.select(col(key).as("__target_key"))
+    staging
+      .filter(col(key).isNotNull)
+      .join(t, col(key) === col("__target_key") || col("__target_key").isNull, "left_anti")
+  }
+
+  /** Ingest-time audit column (create_snowflake_tables.sql:14 default
+    * CURRENT_TIMESTAMP()): applied in the write path, since Spark
+    * appends don't auto-fill defaults. Excluded from oracle compares
+    * (non-deterministic by nature, SURVEY §7.5#3).
+    */
+  def withAuditColumns(df: DataFrame): DataFrame =
+    df.withColumn("inserted_at", current_timestamp())
+}
