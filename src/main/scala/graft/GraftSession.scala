@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Session factory with the engine's standard tuning.
+/** The single session factory — Verify, Bench and every test build on
+  * this so confs can never drift between entry points (round 1 died on
+  * exactly that drift: a hand-rolled session without `nanosAsLong`).
   *
   * Defaults are chosen for correctness-parity with external oracles
   * (UTC session time zone, microsecond parquet timestamps) and for
@@ -13,11 +15,17 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def builder(master: String = "local[*]", appName: String = "graft"): SparkSession.Builder =
+  /** Executor core count (`SPARK_GRAFT_CPUS`); also the default
+    * shuffle-partition count — one partition per core keeps every
+    * shuffle a single wave in local mode, and AQE coalesces below it.
+    */
+  def cores: Int = sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).getOrElse(32)
+
+  def builder(master: String = s"local[$cores]", appName: String = "graft"): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -14,8 +14,10 @@ import graft.operators.{DataQuality, EventOps}
   *
   * Determinism rules used throughout (so Spark and DuckDB hash-match):
   *  - every result is totally ordered by an ORDER BY on output columns;
-  *  - double-typed aggregates go through exact DECIMAL(38,6) sums and
-  *    are cast back to double, so summation order cannot perturb bits;
+  *  - timestamps are TIMESTAMP_NTZ end-to-end (Tables.load converts the
+  *    source nanos under a UTC session), so both engines see the same
+  *    naive values;
+  *  - order-sensitive double aggregates are either avoided or rounded;
   *  - no wall-clock audit columns in compared output (SURVEY §7.5#3).
   */
 object SparkEntry {

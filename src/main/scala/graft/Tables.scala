@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
@@ -20,11 +20,17 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark
-    // only reads via the nanosAsLong legacy conf (set in GraftSession /
-    // Verify / Bench). The values are µs-resolution, so converting the
-    // long nanos to a microsecond TimestampType is exact.
+    // only reads via the nanosAsLong legacy conf (set by GraftSession,
+    // the single session factory Verify/Bench/tests build on). The
+    // values are µs-resolution; `div` is integer division (Column./ is
+    // DOUBLE division and 1.7e18 ns exceeds double's 2^53 mantissa —
+    // rounding there cost round 1 every timestamp by 1 µs). The cast to
+    // TimestampNTZType (session tz is UTC, so the instant is preserved
+    // bit-exactly) matches the reference's TIMESTAMP_NTZ semantics and
+    // makes written parquet isAdjustedToUTC=false — the same naive
+    // timestamps the DuckDB oracle computes from the source table.
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
     else df
   }
 

@@ -72,19 +72,21 @@ object EventOps {
       .filter(col(key).isNotNull)
       .join(target.select(key), Seq(key), "left_anti")
 
-  /** Bit-exact `NOT IN` rendition (null-aware anti join): returns no
-    * rows if `target` contains a NULL key — matching SQL semantics of
-    * snowflake_data_pipeline.py:142 exactly. Catalyst rewrites the
-    * `isin` subquery via RewritePredicateSubquery into a null-aware
-    * anti join; we express it with the literal condition.
+  /** Bit-exact `NOT IN` rendition: returns no rows if `target`
+    * contains a NULL key — matching SQL semantics of
+    * snowflake_data_pipeline.py:142 exactly.
+    *
+    * NOT expressed as a single null-aware join condition: an OR at the
+    * top of the join predicate prevents Catalyst from extracting
+    * equi-keys, so it would plan a BroadcastNestedLoopJoin — O(n·m) at
+    * 100 TB. Instead probe for a build-side NULL once (a column-pruned
+    * scan with an early-out limit), then run the plain hash anti-join.
+    * Same semantics, hash-join plan.
     */
   def dedupInsertNotIn(staging: DataFrame, target: DataFrame, key: String = "event_id"): DataFrame = {
-    // left_anti with (k = tk OR tk IS NULL) is the null-aware anti join:
-    // a NULL on the build side matches every probe row -> empty result.
-    val t = target.select(col(key).as("__target_key"))
-    staging
-      .filter(col(key).isNotNull)
-      .join(t, col(key) === col("__target_key") || col("__target_key").isNull, "left_anti")
+    val buildHasNull = !target.where(col(key).isNull).limit(1).isEmpty
+    if (buildHasNull) staging.filter(col(key).isNotNull).limit(0)
+    else dedupInsert(staging, target, key)
   }
 
   /** Ingest-time audit column (create_snowflake_tables.sql:14 default

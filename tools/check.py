@@ -8,7 +8,7 @@ values hashed. Prints per-query PASS/FAIL.
 
 Usage: python3 tools/check.py <sfDir> <outDir>
 """
-import sys, os, json, math
+import sys, os, json, math, datetime
 import duckdb
 
 def canon(rows, cols):
@@ -24,6 +24,10 @@ def canon(rows, cols):
                     v = "NaN"
                 else:
                     v = repr(v)
+            elif isinstance(v, datetime.datetime) and v.tzinfo is not None:
+                # TIMESTAMPTZ vs naive TIMESTAMP: same instant, different
+                # str(); compare on the UTC wall clock.
+                v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
             vals.append(str(v))
         out.append(tuple(vals))
     out.sort()
