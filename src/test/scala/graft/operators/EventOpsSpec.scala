@@ -1,0 +1,93 @@
+package graft.operators
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.TimestampNTZType
+
+import graft.SparkSpec
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String): LocalDateTime = LocalDateTime.parse(s)
+
+  // (event_id, ts, user_id, event_type, value, props) — driver `events` shape
+  private def events: DataFrame = Seq(
+    (1L, t("2026-01-01T10:00:00"), 7L, "purchase", 19.99, """{"k": 3}"""),
+    (2L, t("2026-01-01T11:30:00"), 8L, "view", 0.0, """{"k": 5}"""),
+    (3L, t("2026-01-02T09:00:00"), 7L, "purchase", 29.99, """{"other": 1}"""),
+    (4L, t("2026-01-02T09:00:01"), 9L, "click", 0.0, null),
+    (5L, t("2026-01-02T23:59:59"), 7L, "purchase", 49.99, """{"k": 11}""")
+  ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("userEvents keeps only purchases and projects the envelope") {
+    val out = EventOps.userEvents(events).orderBy("event_id").collect()
+    assert(out.map(_.getAs[Long]("event_id")).toSeq == Seq(1L, 3L, 5L))
+    assert(out.head.getAs[Double]("price") == 19.99)
+  }
+
+  test("userEvents extracts JSON path; missing key and null props give NULL") {
+    val byId = EventOps.userEvents(events).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Any]("prop_k")).toMap
+    assert(byId(1L) == 3)
+    assert(byId(3L) == null) // props lacks $.k
+  }
+
+  test("dailySummary groups on (date, type), counts duplicates, min/max ts") {
+    // Duplicate row 1 — the reference aggregates the raw tier INCLUDING dups.
+    val withDup = events.unionAll(events.filter($"event_id" === 1L))
+    val out = EventOps.dailySummary(withDup).collect()
+      .map(r => (r.getAs[java.sql.Date]("event_date").toString, r.getAs[String]("event_type")) -> r).toMap
+
+    assert(out(("2026-01-01", "purchase")).getAs[Long]("event_count") == 2L)
+    val d2 = out(("2026-01-02", "purchase"))
+    assert(d2.getAs[Long]("event_count") == 2L)
+    assert(d2.getAs[LocalDateTime]("first_event") == t("2026-01-02T09:00:00"))
+    assert(d2.getAs[LocalDateTime]("last_event") == t("2026-01-02T23:59:59"))
+  }
+
+  test("dailySummary keeps ts as TIMESTAMP_NTZ (oracle parity)") {
+    val schema = EventOps.dailySummary(events).schema
+    assert(schema("first_event").dataType == TimestampNTZType)
+  }
+
+  test("dedupInsert drops already-loaded keys and null staging keys") {
+    val staging = Seq(
+      (Some(1L), "a"), (Some(2L), "b"), (None: Option[Long], "c"), (Some(9L), "d")
+    ).toDF("event_id", "payload")
+    val target = Seq(1L, 5L).toDF("event_id")
+    val out = EventOps.dedupInsert(staging, target).orderBy("event_id").collect()
+    assert(out.map(_.getAs[Long]("event_id")).toSeq == Seq(2L, 9L))
+  }
+
+  test("dedupInsert is idempotent: second pass inserts nothing") {
+    val staging = Seq((1L, "a"), (2L, "b")).toDF("event_id", "payload")
+    val empty = Seq.empty[(Long, String)].toDF("event_id", "payload")
+    val firstInsert = EventOps.dedupInsert(staging, empty)
+    assert(firstInsert.count() == 2L)
+    val afterLoad = empty.unionAll(firstInsert)
+    assert(EventOps.dedupInsert(staging, afterLoad).count() == 0L)
+  }
+
+  test("dedupInsertNotIn: NULL in target key yields zero rows (SQL NOT IN)") {
+    val staging = Seq((1L, "a"), (9L, "d")).toDF("event_id", "payload")
+    val target = Seq(Some(1L), None).toDF("event_id")
+    assert(EventOps.dedupInsertNotIn(staging, target).count() == 0L)
+  }
+
+  test("dedupInsertNotIn without build-side NULL matches dedupInsert and plans a hash join") {
+    val staging = Seq((1L, "a"), (2L, "b"), (9L, "d")).toDF("event_id", "payload")
+    val target = Seq(1L, 5L).toDF("event_id")
+    val out = EventOps.dedupInsertNotIn(staging, target)
+    assert(out.orderBy("event_id").collect().map(_.getAs[Long]("event_id")).toSeq == Seq(2L, 9L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
+  }
+
+  test("withAuditColumns appends inserted_at") {
+    val out = EventOps.withAuditColumns(events)
+    assert(out.columns.contains("inserted_at"))
+    assert(out.filter($"inserted_at".isNull).count() == 0L)
+  }
+}
