@@ -1,0 +1,43 @@
+package graft.sources
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hour-partitioned gzip-JSON landing sink (SURVEY §2 S5, P11) — the
+  * Firehose layout: `raw/year=YYYY/month=MM/day=DD/hour=HH/` gzip parts
+  * (`terraform/main.tf:191-213`: 5 MB/300 s buffers, GZIP, Hive-style
+  * prefix).
+  *
+  * Partition columns are derived from the event timestamp and written
+  * Hive-style, so Catalyst partition-prunes any later scan of the
+  * layout for free. Zero-padded month/day/hour match both Firehose's
+  * `!{timestamp:MM}` templating and the DAG's `%m` formatting
+  * (`airflow/dags/snowflake_data_pipeline.py:54`), keeping writer and
+  * reader path grammars identical.
+  */
+object PartitionedJsonSink {
+
+  /** Adds the four partition columns (zero-padded strings). */
+  def withHourPartitions(df: DataFrame, tsCol: String = "event_timestamp"): DataFrame =
+    df.withColumn("year", date_format(col(tsCol), "yyyy"))
+      .withColumn("month", date_format(col(tsCol), "MM"))
+      .withColumn("day", date_format(col(tsCol), "dd"))
+      .withColumn("hour", date_format(col(tsCol), "HH"))
+
+  /** S5: land `df` as gzip JSON under the Firehose layout. */
+  def write(df: DataFrame, root: String, tsCol: String = "event_timestamp"): Unit =
+    withHourPartitions(df, tsCol)
+      .write
+      .partitionBy("year", "month", "day", "hour")
+      .option("compression", "gzip")
+      .option("timestampNTZFormat", JsonIngest.TsFormat)
+      .mode("append")
+      .json(root)
+
+  /** P11: the hour-partition path for a given wall-clock hour — the
+    * DAG's `year=%Y/month=%m/day=%d/hour=%H` template. */
+  def hourPath(root: String, t: LocalDateTime): String =
+    f"$root/year=${t.getYear}%04d/month=${t.getMonthValue}%02d/day=${t.getDayOfMonth}%02d/hour=${t.getHour}%02d"
+}

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sources.JsonIngest
+
+/** Structured-Streaming ingest (SURVEY §2 S2, O1-O9): the engine-side
+  * replacement for Kinesis consumer + Firehose landing + hourly COPY.
+  *
+  * Reference behaviors and their principled upgrades:
+  *  - O1 offset management: the reference re-reads from TRIM_HORIZON
+  *    every run and discards `NextShardIterator`
+  *    (`scripts/kinesis_to_snowflake.py:24-43`) — at-least-once with
+  *    guaranteed redelivery. Here the checkpoint log gives exactly-once
+  *    file offsets; the downstream anti-join dedup stays anyway
+  *    (defense in depth, O6).
+  *  - O2 trigger: hourly Airflow schedule → `Trigger.AvailableNow`
+  *    (drain what exists, then stop — the scheduled-batch shape) or
+  *    `ProcessingTime` for a resident query.
+  *  - O8 retention: 24 h stream retention → `maxFileAge`.
+  *  - O9 tolerance: `ON_ERROR='CONTINUE'` → PERMISSIVE + corrupt column
+  *    (inherited from [[JsonIngest.StagingSchema]]).
+  *  - O4/O5 windowed aggregation + late data: the reference recomputes
+  *    daily summaries wholesale; the streaming-native form is a
+  *    watermarked tumbling window.
+  *
+  * Scale: the file source lists only new files per micro-batch
+  * (`maxFilesPerTrigger` bounds batch size); state for the windowed agg
+  * is per (window, type) — tiny. The landing layout's hour partitions
+  * keep listing O(new files), not O(history).
+  */
+object StreamIngest {
+
+  /** S2: micro-batch stream over the Firehose-style landing layout. */
+  def stream(
+      spark: SparkSession,
+      landingRoot: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      maxFileAge: Option[String] = None): DataFrame = {
+    var r = spark.readStream
+      .schema(JsonIngest.StagingSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "raw_data")
+      .option("timestampNTZFormat", JsonIngest.TsFormat)
+      .option("pathGlobFilter", "*.gz")
+      // hour partitions are directories; recurse rather than require a
+      // partition-glob in the caller's path
+      .option("recursiveFileLookup", "true")
+    maxFilesPerTrigger.foreach(n => r = r.option("maxFilesPerTrigger", n.toString))
+    maxFileAge.foreach(a => r = r.option("maxFileAge", a))
+    r.json(landingRoot)
+  }
+
+  /** O1/O2/O6: drain all available input exactly once per invocation,
+    * running `body` per micro-batch (typically Path B's dedup-insert
+    * stages). Restarting with the same checkpoint resumes after the
+    * last committed batch — already-processed files are never re-read.
+    */
+  def runAvailableNow(
+      source: DataFrame,
+      checkpointDir: String,
+      body: (DataFrame, Long) => Unit): StreamingQuery =
+    source.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(body)
+      .start()
+
+  /** O4/O5: watermarked tumbling-window counts by event type — the
+    * incremental form of `daily_event_summary` (window parameterized;
+    * the reference's is 1 day). Late rows beyond the watermark are
+    * dropped instead of recomputed — documented divergence from the
+    * reference's recompute-everything CTAS (SURVEY §2.6 O5).
+    */
+  def windowedCounts(
+      events: DataFrame,
+      window: String = "1 hour",
+      watermark: String = "2 hours",
+      tsCol: String = "event_timestamp"): DataFrame =
+    events
+      // Event-time watermarks require TimestampType; the envelope's NTZ
+      // converts instant-exactly under the UTC session. Window bounds
+      // are cast back so downstream output stays NTZ end-to-end.
+      .withColumn("__event_time", col(tsCol).cast("timestamp"))
+      .withWatermark("__event_time", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("__event_time"), window), col("event_type"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        min(col(tsCol)).as("first_event"),
+        max(col(tsCol)).as("last_event"))
+      .select(
+        col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("window.end").cast("timestamp_ntz").as("window_end"),
+        col("event_type"), col("event_count"), col("first_event"), col("last_event"))
+
+  /** A4: total input rows across a query's lifetime (the reference's
+    * client-side running counters / XCom metric). */
+  def totalInputRows(q: StreamingQuery): Long =
+    q.recentProgress.map(_.numInputRows).sum
+}

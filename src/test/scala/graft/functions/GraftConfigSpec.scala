@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftConfigSpec extends AnyFunSuite {
+
+  private val yaml =
+    """aws:
+      |  region: us-east-1  # comment
+      |  kinesis:
+      |    stream_name: data-stream
+      |    shard_count: 1
+      |snowflake:
+      |  warehouse: compute_wh
+      |airflow:
+      |  schedule_interval: "0 * * * *"  # Hourly
+      |""".stripMargin.linesIterator.toSeq
+
+  test("parses nested sections into dotted keys") {
+    val c = GraftConfig.parse(yaml)
+    assert(c("aws.region") == "us-east-1")
+    assert(c("aws.kinesis.stream_name") == "data-stream")
+    assert(c("aws.kinesis.shard_count") == "1")
+    assert(c("snowflake.warehouse") == "compute_wh")
+  }
+
+  test("strips comments outside quotes, keeps # inside quotes") {
+    val c = GraftConfig.parse(yaml)
+    assert(c("airflow.schedule_interval") == "0 * * * *")
+  }
+
+  test("missing key: get is None, apply throws") {
+    val c = GraftConfig.parse(yaml)
+    assert(c.get("nope").isEmpty)
+    intercept[NoSuchElementException](c("nope"))
+    assert(c.getOrElse("nope", "x") == "x")
+  }
+
+  test("secret resolution prefers env over config") {
+    val c = GraftConfig.parse(Seq("snowflake:", "  password: from_file"))
+    assert(c.secret("snowflake.password", Map.empty).contains("from_file"))
+    assert(c.secret("snowflake.password", Map("SNOWFLAKE_PASSWORD" -> "from_env"))
+      .contains("from_env"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.time.LocalDateTime
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.{EventGenerator, JsonIngest, PartitionedJsonSink}
+
+class StreamIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def landHour(root: String, nthHour: Int, n: Int, seed: Long): Unit =
+    PartitionedJsonSink.write(
+      EventGenerator.events(spark, n, seed, startEpochSeconds = 1735689600L + nthHour * 3600L),
+      root)
+
+  private def writeGz(path: String, lines: Seq[String]): Unit = {
+    val out = new GZIPOutputStream(Files.newOutputStream(Paths.get(path)))
+    out.write(lines.mkString("\n").getBytes)
+    out.close()
+  }
+
+  test("AvailableNow drains landed partitions incl. corrupt rows; checkpoint restart reads only new files") {
+    val root = Files.createTempDirectory("graft_stream").toString
+    val cp = Files.createTempDirectory("graft_cp").toString
+    landHour(root, 0, 60, seed = 1)
+    landHour(root, 1, 40, seed = 2)
+    // one malformed line, hand-landed in hour 1
+    val h1 = PartitionedJsonSink.hourPath(root, LocalDateTime.of(2025, 1, 1, 1, 0))
+    writeGz(s"$h1/manual-bad.json.gz", Seq("""{"event_id": broken"""))
+
+    var batches = List.empty[(Long, Long, Long)] // (batchId, parsed, corrupt)
+    def run(): Unit = {
+      val q = StreamIngest.runAvailableNow(
+        StreamIngest.stream(spark, root), cp,
+        (df, id) => {
+          val parsed = df.filter($"event_id".isNotNull).count()
+          val corrupt = JsonIngest.corruptCount(df)
+          batches ::= (id, parsed, corrupt)
+        })
+      q.awaitTermination(120000)
+    }
+
+    run()
+    assert(batches.map(_._2).sum == 100L, s"parsed rows: $batches")
+    assert(batches.map(_._3).sum == 1L, s"corrupt rows: $batches")
+
+    // restart with the same checkpoint: nothing new -> no reprocessing
+    val before = batches
+    run()
+    assert(batches.map(_._2).sum == 100L, "restart re-read already-committed files")
+
+    // land a new hour, restart: exactly the new rows arrive
+    landHour(root, 2, 25, seed = 3)
+    run()
+    assert(batches.map(_._2).sum == 125L, s"expected only the 25 new rows: $batches")
+    assert(batches.size > before.size)
+  }
+
+  test("windowedCounts: watermarked tumbling window over the stream (O4/O5)") {
+    val root = Files.createTempDirectory("graft_win").toString
+    val cp = Files.createTempDirectory("graft_wincp").toString
+    landHour(root, 0, 90, seed = 5) // 90 events over 90 s -> one 1-hour window
+    // append mode would only emit windows the watermark has closed —
+    // with a single AvailableNow drain nothing closes, so observe the
+    // running state via complete mode (the watermark is then advisory).
+    val q = StreamIngest.windowedCounts(StreamIngest.stream(spark, root))
+      .writeStream.format("memory").queryName("win_complete").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", cp)
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.table("win_complete").collect()
+    assert(rows.map(_.getAs[Long]("event_count")).sum == 90L)
+    // all events fall in the 00:00-01:00 window
+    assert(rows.forall(_.getAs[java.time.LocalDateTime]("window_start") ==
+      java.time.LocalDateTime.of(2025, 1, 1, 0, 0)))
+  }
+
+  test("totalInputRows sums progress metrics (A4)") {
+    val root = Files.createTempDirectory("graft_a4").toString
+    val cp = Files.createTempDirectory("graft_a4cp").toString
+    landHour(root, 0, 30, seed = 9)
+    // the body must run an action — an unconsumed micro-batch reads 0 rows
+    val q = StreamIngest.runAvailableNow(StreamIngest.stream(spark, root), cp, (df, _) => { df.count(); () })
+    q.awaitTermination(120000)
+    assert(StreamIngest.totalInputRows(q) == 30L)
+  }
+}
