@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{DataQuality, EventOps}
+import graft.operators.{DataQuality, EventOps, Similarity, TextDedup, TextStats}
 import graft.sources.{JsonIngest, PartitionedJsonSink}
 import graft.streaming.StreamIngest
 
@@ -282,12 +282,220 @@ object SparkEntry {
         |FROM curated GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
-  /** One per implemented operator from SURVEY.md §2. */
+  // ---------------------------------------------------------------
+  // LLM-data-pipeline surface (north star): dedup, similarity, text
+  // analysis over documents/embeddings. Dup fixtures plant copies with
+  // doc_id/vec_id + 100000; the corpus also carries its own near-dups.
+  // ---------------------------------------------------------------
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  private def docDupFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  private def embDupFixture(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select("vec_id", "embedding")
+    e.unionByName(e.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+  }
+
+  private val llmQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Text analysis: token/char counts, punct+stopword ratios, quality
+    // score, stopword-profile language id, bag-of-words fingerprint.
+    "doc_stats" -> ((s, dir) => TextStats.profile(docs(s, dir)).orderBy("doc_id")),
+
+    // Exact dedup: clusters of normalized-content duplicates…
+    "doc_exact_dup" -> ((s, dir) =>
+      TextDedup.exactDupClusters(docDupFixture(s, dir)).orderBy("content_hash")),
+
+    // …and the keep-lowest-id dedup of the same fixture.
+    "doc_dedup_exact" -> ((s, dir) =>
+      TextDedup.dedupExact(docDupFixture(s, dir)).select("doc_id").orderBy("doc_id")),
+
+    // Cross-engine-checkable MinHash signatures (md5 variant).
+    "doc_minhash_sig" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        concat_ws("|", TextDedup.minhashSignatureMd5(TextDedup.shingles(col("text"), 3), 8))
+          .as("minhash_sig"))
+        .orderBy("doc_id")),
+
+    // Full MinHash-LSH near-dup pipeline (banded candidates + true-
+    // Jaccard verify). Oracle is all-pairs DuckDB; parity holds because
+    // every qualifying pair in this corpus has j ≥ 0.9, where 32×2
+    // banding recall is 1 - (1-j²)³² ≈ 1 (miss prob < 1e-23).
+    "doc_neardup_minhash" -> ((s, dir) =>
+      TextDedup.nearDupPairsMinhash(docs(s, dir), numHashes = 64, bands = 32,
+        jaccardThreshold = 0.5)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")),
+
+    // SimHash near-dup (xxhash64-based — no SQL oracle; rows-only).
+    "doc_neardup_simhash" -> ((s, dir) =>
+      TextDedup.nearDupPairsSimhash(docs(s, dir), maxHamming = 3)
+        .orderBy("a_id", "b_id")),
+
+    // Exact top-3 cosine neighbors for the probe set (the ANN baseline).
+    "emb_top3_exact" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.topKExact(e, e.filter(col("vec_id") % 50 === 0), 3)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("probe_id", "rank")
+    }),
+
+    // Embedding near-dup via sign-LSH buckets + exact cosine verify.
+    // Planted identical copies share buckets deterministically.
+    "emb_neardup_cosine" -> ((s, dir) =>
+      Similarity.nearDupPairsCosine(embDupFixture(s, dir), 0.999)
+        .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("a_id", "b_id")),
+
+    // ANN path: LSH-bucketed top-3 (rows-only; recall characterized in
+    // SimilaritySpec against the exact baseline).
+    "emb_topk_lsh" -> ((s, dir) => {
+      val planted = embDupFixture(s, dir)
+      Similarity.topKLsh(planted, planted.filter(col("vec_id") >= 100000), 3, planes = 8)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("probe_id", "rank")
+    })
+  )
+
+  /** One per implemented operator from SURVEY.md §2 + the LLM-data surface. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    referenceQueries
+    referenceQueries ++ llmQueries
+
+  // DuckDB renditions of the LLM-ops queries. Expression shapes mirror
+  // the Spark plans 1:1 (same normalize/tokenize/round/CASE order) so
+  // double arithmetic is bit-identical.
+  private val docTokens =
+    """SELECT doc_id, text,
+      |       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |            ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |FROM documents""".stripMargin
+
+  private val docShingles =
+    """SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |       ELSE list_distinct(list_transform(range(1, len(toks)-1),
+      |                          i -> array_to_string(toks[i:i+2], ' '))) END AS s
+      |FROM (SELECT doc_id,
+      |             string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+      |      FROM documents)""".stripMargin
+
+  private val llmOracles: Map[String, String] = Map(
+    "doc_stats" -> {
+      val en = TextStats.Stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+      val hitCols = TextStats.Stopwords.map { case (lang, stops) =>
+        val l = stops.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(toks, w -> list_contains($l, w))) AS ${lang}_hits"
+      }.mkString(",\n       ")
+      val langCase = {
+        val langs = TextStats.Stopwords.map(_._1)
+        val whens = langs.zipWithIndex.map { case (lang, i) =>
+          val conds = (s"${lang}_hits > 0" +: langs.drop(i + 1).map(o => s"${lang}_hits >= ${o}_hits"))
+            .mkString(" AND ")
+          s"WHEN $conds THEN '$lang'"
+        }.mkString(" ")
+        s"CASE $whens ELSE 'und' END"
+      }
+      s"""WITH t AS ($docTokens),
+         |h AS (
+         |  SELECT doc_id, text, toks,
+         |       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+         |         / greatest(length(text), 1) AS punct_raw,
+         |       len(list_filter(toks, w -> list_contains($en, w)))::DOUBLE
+         |         / greatest(len(toks), 1) AS stop_raw,
+         |       $hitCols
+         |  FROM t)
+         |SELECT doc_id,
+         |       len(toks) AS token_count,
+         |       length(text) AS char_count,
+         |       CAST(ROUND(punct_raw, 6) AS DOUBLE) AS punct_ratio,
+         |       CAST(ROUND(stop_raw, 6) AS DOUBLE) AS stopword_ratio,
+         |       CAST(ROUND(least(len(toks) / 100.0, 1.0) * 0.4
+         |                  + (1.0 - punct_raw) * 0.3 + stop_raw * 0.3, 6) AS DOUBLE) AS quality_score,
+         |       $langCase AS predicted_lang,
+         |       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
+
+    "doc_exact_dup" ->
+      """WITH fixture AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+        |), h AS (
+        |  SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS content_hash, doc_id
+        |  FROM fixture)
+        |SELECT content_hash, COUNT(*) AS dup_count, MIN(doc_id) AS canonical_doc_id
+        |FROM h GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin,
+
+    "doc_dedup_exact" ->
+      """WITH fixture AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0)
+        |SELECT doc_id FROM fixture
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |  ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "doc_minhash_sig" ->
+      s"""WITH sh AS ($docShingles)
+         |SELECT doc_id,
+         |       array_to_string(list_transform(range(0, 8),
+         |         h -> list_aggregate(list_transform(s, x -> md5(h::VARCHAR || ':' || x)), 'min')),
+         |         '|') AS minhash_sig
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "doc_neardup_minhash" ->
+      s"""WITH sh AS ($docShingles)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       CAST(ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+         |                  / len(list_distinct(list_concat(a.s, b.s))), 6) AS DOUBLE) AS jaccard
+         |FROM sh a, sh b
+         |WHERE a.doc_id < b.doc_id
+         |  AND len(list_intersect(a.s, b.s))::DOUBLE
+         |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+         |ORDER BY 1, 2""".stripMargin,
+
+    "emb_top3_exact" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |probes AS (SELECT vec_id AS probe_id, v AS p FROM e WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT pr.probe_id, e.vec_id AS neighbor_id,
+        |         list_dot_product(pr.p, e.v)
+        |           / (sqrt(list_dot_product(pr.p, pr.p)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+        |  FROM probes pr, e WHERE e.vec_id <> pr.probe_id)
+        |SELECT probe_id, rank, neighbor_id, CAST(ROUND(sim, 6) AS DOUBLE) AS sim
+        |FROM (SELECT probe_id, neighbor_id, sim,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    "emb_neardup_cosine" ->
+      """WITH fixture AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 50 = 0)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       CAST(ROUND(list_dot_product(a.v, b.v)
+        |         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS DOUBLE) AS sim
+        |FROM fixture a, fixture b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_dot_product(a.v, b.v)
+        |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.999
+        |ORDER BY 1, 2""".stripMargin
+  )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops
+    * (xxhash64-based SimHash / sign-LSH top-k get rows-only checks;
+    * their semantics are unit-tested against planted fixtures). */
   def oracleSql: Map[String, String] =
-    referenceOracles
+    referenceOracles ++ llmOracles
 }

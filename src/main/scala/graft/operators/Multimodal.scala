@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (north-star surface): image/audio/video
+  * carried as opaque `binary` columns with typed metadata, processed
+  * by per-partition batch decoders.
+  *
+  * The Spark-side machinery here — schema, partition-batched iteration,
+  * decoder signature, feature layout — is real and tested. The actual
+  * media decode is STUBBED (no image/audio codecs in this container):
+  * [[StubDecoder]] produces deterministic fake features from the bytes,
+  * and [[realDecoder]] documents the intended production signature.
+  *
+  * Scale notes: media blobs dominate row size, so the decode runs as
+  * `mapPartitions` over rows already co-located by the scan — no
+  * shuffle, no driver transit, and the decoder amortizes any per-batch
+  * init (model load, codec context) across its partition. Metadata-only
+  * queries prune the binary column at the parquet scan and never touch
+  * the bytes.
+  */
+object Multimodal {
+
+  /** One media asset. `bytes` is the opaque payload; everything else is
+    * cheap typed metadata usable without decoding. */
+  val MediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),         // image | audio | video
+    StructField("format", StringType),       // e.g. jpeg, wav, mp4
+    StructField("width", IntegerType),       // images/video
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),    // audio/video
+    StructField("bytes", BinaryType)))
+
+  val FeatureDim = 16
+
+  /** A partition-batch decoder: bytes → fixed-dim feature vector.
+    * Implementations must be pure per input and safe to instantiate
+    * once per partition. */
+  trait Decoder extends Serializable {
+    def decode(kind: String, format: String, bytes: Array[Byte]): Array[Float]
+  }
+
+  /** Deterministic fake: features derived from byte content, so tests
+    * can assert exact plumbing behavior end-to-end. */
+  object StubDecoder extends Decoder {
+    def decode(kind: String, format: String, bytes: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < bytes.length) {
+        out(i % FeatureDim) += (bytes(i) & 0xFF) / 255.0f
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Production decoder stub — would bind an image/audio codec library
+    * (not present in this container). Kept to pin the intended
+    * signature; do not call. */
+  def realDecoder: Decoder = throw new NotImplementedError(
+    "media codecs unavailable in this environment; use StubDecoder or inject a Decoder")
+
+  /** Feature extraction: adds a `features` array<float> column, decoder
+    * run per partition. The partition iterator is consumed lazily —
+    * constant memory regardless of partition size. */
+  def withFeatures(media: DataFrame, decoder: Decoder = StubDecoder): DataFrame = {
+    val spark = media.sparkSession
+    val outSchema = StructType(media.schema.fields :+
+      StructField("features", ArrayType(FloatType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val kindIdx = media.schema.fieldIndex("kind")
+    val fmtIdx = media.schema.fieldIndex("format")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](bytesIdx)
+        val feats =
+          if (bytes == null) null
+          else decoder.decode(r.getString(kindIdx), r.getString(fmtIdx), bytes)
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling plan for video rows: one row per sampled frame
+    * index at `everyMs` spacing — pure plan-side explode; the decoder
+    * then fetches only sampled frames. */
+  def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame =
+    media.filter(col("kind") === "video" && col("duration_ms").isNotNull)
+      .select(col("media_id"), col("duration_ms"),
+        posexplode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))))
+      .withColumnRenamed("pos", "frame_no")
+      .withColumnRenamed("col", "frame_ts_ms")
+
+  /** Deterministic synthetic media table for tests/benchmarks. */
+  def syntheticMedia(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
+    val kinds = typedLit(Seq("image", "audio", "video"))
+    val formats = typedLit(Seq("jpeg", "wav", "mp4"))
+    spark.range(n).select(
+      col("id").as("media_id"),
+      element_at(kinds, pmod(xxhash64(col("id"), lit(seed)), lit(3)).cast("int") + 1).as("kind"),
+      element_at(formats, pmod(xxhash64(col("id"), lit(seed)), lit(3)).cast("int") + 1).as("format"),
+      when(pmod(xxhash64(col("id"), lit(seed)), lit(3)) === 0,
+        (pmod(xxhash64(col("id"), lit(seed), lit(1)), lit(1920)) + 1).cast("int")).as("width"),
+      when(pmod(xxhash64(col("id"), lit(seed)), lit(3)) === 0,
+        (pmod(xxhash64(col("id"), lit(seed), lit(2)), lit(1080)) + 1).cast("int")).as("height"),
+      when(pmod(xxhash64(col("id"), lit(seed)), lit(3)) =!= 0,
+        pmod(xxhash64(col("id"), lit(seed), lit(3)), lit(60000L)) + 1000L).as("duration_ms"),
+      sha2(concat(lit(seed), col("id")), 256).cast("binary").as("bytes"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (north-star surface) —
+  * brute-force exact scoring as the correctness baseline, and a
+  * random-hyperplane LSH bucketed path for scale.
+  *
+  * Dot products are sequential higher-order folds in DOUBLE
+  * (zip_with + aggregate), fully codegen'd — no UDFs, no per-row JVM
+  * boxing beyond the array access.
+  *
+  * Scale notes:
+  *  - [[topKExact]] is probe-broadcast × corpus-scan: one pass over the
+  *    corpus per batch of probes, partial top-k per partition via the
+  *    window, no corpus shuffle. Cost is O(|corpus|·|probes|·dim) FLOPs
+  *    — the right baseline, and the oracle for the ANN path.
+  *  - [[topKLsh]] buckets both sides on sign-pattern keys; only
+  *    same-bucket pairs are scored. Recall is tunable via number of
+  *    hyperplanes / probes-per-bucket (multi-probe = flipping one bit).
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors (cosine) for each probe vector, self
+    * excluded; ties broken by neighbor id. `probes` must be small
+    * enough to broadcast (it is hinted). */
+  def topKExact(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val p = broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb")))
+    val scored = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      .join(p, col("probe_id") =!= col("neighbor_id")) // BNLJ over the broadcast probes: the intended one-pass scan
+      .select(col("probe_id"), col("neighbor_id"),
+        cosine(col("p_emb"), col("c_emb")).as("sim"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * plane `p`, dimension `d`. */
+  private def planeComponent(p: Column, d: Column, seed: Long): Column =
+    (pmod(xxhash64(p, d, lit(seed)), lit(2000000L)) - lit(1000000L)).cast("double") / 1000000.0
+
+  /** Sign-pattern LSH bucket key from `planes` random hyperplanes. */
+  def lshBucket(emb: Column, planes: Int, seed: Long = 42L): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(planes - 1)), p => {
+        val d = dot(emb, transform(sequence(lit(0), size(emb) - 1), i => planeComponent(p, i, seed)))
+        struct(p.as("p"), (d > 0).as("bit"))
+      }),
+      lit(0L),
+      (acc, s) => acc +
+        when(s.getField("bit"), call_function("shiftleft", lit(1L), s.getField("p"))).otherwise(0L))
+
+  /** Approximate top-k: score only within matching LSH buckets.
+    * Probes with under-full buckets return fewer than k rows — the
+    * recall/coverage trade is the point of the ANN path. */
+  def topKLsh(corpus: DataFrame, probes: DataFrame, k: Int,
+              planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      lshBucket(col("embedding"), planes, seed).as("bucket"))
+    val p = broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+      lshBucket(col("embedding"), planes, seed).as("bucket")))
+    val scored = c.join(p, Seq("bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), cosine(col("p_emb"), col("c_emb")).as("sim"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** Near-duplicate embedding pairs: cosine ≥ threshold, bucketed by
+    * LSH so candidate generation is an equi-join, never all-pairs. */
+  def nearDupPairsCosine(vectors: DataFrame, threshold: Double,
+                         planes: Int = 8, seed: Long = 42L): DataFrame = {
+    val v = vectors.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), planes, seed).as("bucket"))
+    val a = v.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = v.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cosine(col("a_emb"), col("b_emb")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .groupBy("a_id", "b_id").agg(max("sim").as("sim"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for LLM training-data pipelines (north-star surface:
+  * language-ID, quality scoring, token counting, fingerprinting) over
+  * the `documents` table.
+  *
+  * Everything is a single narrow projection built from codegen'd
+  * built-ins (split/regexp/higher-order array functions) — per-row
+  * work, no shuffle, no UDFs. At 100 TB this runs at scan speed with
+  * column pruning down to (doc_id, text).
+  *
+  * The exact expression shapes are mirrored 1:1 in the DuckDB oracle
+  * SQL (SparkEntry), so every stat is cross-engine verified.
+  */
+object TextStats {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * language heuristic. Order matters: ties resolve to the earlier
+    * language (en > de > fr > es). */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "den", "von", "ist", "mit", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "en", "un", "une", "du", "que"),
+    "es" -> Seq("el", "los", "de", "y", "en", "un", "una", "que", "es", "no"))
+
+  /** Whitespace tokens of trimmed text; empty text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Non-alphanumeric, non-whitespace chars / total chars. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", "")) / greatest(length(text), lit(1))
+
+  def stopwordRatio(text: Column, stops: Seq[String]): Column = {
+    val t = tokens(text)
+    size(filter(t, w => w.isin(stops: _*))) / greatest(size(t), lit(1))
+  }
+
+  /** Composite quality heuristic in [0,1]: reward length (saturating at
+    * 100 tokens) and stopword density, penalize punctuation noise. */
+  def qualityScore(text: Column): Column =
+    least(tokenCount(text) / lit(100.0), lit(1.0)) * 0.4 +
+      (lit(1.0) - punctRatio(text)) * 0.3 +
+      stopwordRatio(text, Stopwords.head._2) * 0.3
+
+  /** Stopword-profile language ID with fixed-priority tie-break;
+    * 'und' (undetermined) when no profile hits. */
+  def langId(text: Column): Column = {
+    val hits = Stopwords.map { case (lang, stops) =>
+      lang -> size(filter(tokens(text), w => w.isin(stops: _*)))
+    }
+    // CASE chain in profile order: a language wins if its hits are
+    // positive and >= every later language's hits.
+    hits.zipWithIndex.reverse.foldLeft(lit("und")) { case (elseExpr, ((lang, h), i)) =>
+      val later = hits.drop(i + 1).map(_._2)
+      val cond = later.foldLeft(h > 0)((c, other) => c && h >= other)
+      when(cond, lit(lang)).otherwise(elseExpr)
+    }
+  }
+
+  /** Bag-of-words document fingerprint: md5 of the sorted distinct
+    * token set — invariant to word order and repetition (a cheap
+    * canonical form for shuffle-free exact-family dedup). */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** All stats as one projection over `docs`. */
+  def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      tokenCount(t).as("token_count"),
+      length(t).as("char_count"),
+      round(punctRatio(t), 6).as("punct_ratio"),
+      round(stopwordRatio(t, Stopwords.head._2), 6).as("stopword_ratio"),
+      round(qualityScore(t), 6).as("quality_score"),
+      langId(t).as("predicted_lang"),
+      fingerprint(t).as("fingerprint"))
+  }
+}

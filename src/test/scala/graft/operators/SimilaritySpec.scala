@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+  test("cosine on handmade vectors") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 1.0f), 4L, Array(2.0f, 2.0f)),
+      (5L, Array(1.0f, 0.0f), 6L, Array(-1.0f, 0.0f))
+    ).toDF("a_id", "a", "b_id", "b")
+      .select($"a_id", Similarity.cosine($"a", $"b").as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(df(1L) == 0.0)
+    assert(math.abs(df(3L) - 1.0) < 1e-12)
+    assert(df(5L) == -1.0)
+  }
+
+  test("topKExact: correct neighbors, self excluded, rank ordered") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val probes = vecs.filter($"vec_id" === 1L)
+    val out = Similarity.topKExact(vecs, probes, 3).orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L, 4L))
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    assert(!out.exists(_.getAs[Long]("neighbor_id") == 1L))
+  }
+
+  test("LSH bucket is deterministic and identical vectors share buckets") {
+    val planted = emb.unionByName(
+      emb.filter($"vec_id" % 50 === 0).select(($"vec_id" + 100000).as("vec_id"), $"embedding", $"label"))
+    val b = planted.select($"vec_id", Similarity.lshBucket($"embedding", 8).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    emb.filter($"vec_id" % 50 === 0).select("vec_id").collect().map(_.getLong(0))
+      .foreach(id => assert(b(id) == b(id + 100000), s"copy of $id landed in a different bucket"))
+  }
+
+  test("nearDupPairsCosine finds planted exact copies via bucketed join") {
+    val copies = emb.filter($"vec_id" % 50 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding", $"label")
+    val planted = emb.unionByName(copies)
+    val pairs = Similarity.nearDupPairsCosine(planted, threshold = 0.999)
+    val got = pairs.collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val expected = emb.filter($"vec_id" % 50 === 0).select("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000)).toSet
+    assert(expected.subsetOf(got), s"missed: ${expected.diff(got)}")
+
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"all-pairs plan:\n$plan")
+  }
+
+  test("topKLsh recovers planted near-identical neighbors for most probes") {
+    val copies = emb.filter($"vec_id" % 25 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding", $"label")
+    val planted = emb.unionByName(copies)
+    val probes = copies
+    val top1 = Similarity.topKLsh(planted, probes, 1, planes = 8)
+      .filter($"rank" === 1).collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val hits = probes.select("vec_id").collect().map(_.getLong(0))
+      .count(pid => top1.get(pid).contains(pid - 100000))
+    // identical copies always share a bucket, so every probe must find its twin
+    assert(hits == probes.count(), s"only $hits probes found their twin")
+  }
+}

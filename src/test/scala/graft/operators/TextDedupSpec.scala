@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs: DataFrame =
+    graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+  /** Original docs + near-identical copies (id+100000, a short tail
+    * appended) + one exact copy modulo case/whitespace (id+200000). */
+  private def planted: DataFrame = {
+    val near = docs.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 100000).as("doc_id"), concat($"text", lit(" tail token")).as("text"))
+    val exact = docs.filter($"doc_id" === 1)
+      .select(($"doc_id" + 200000).as("doc_id"), upper(concat(lit("  "), $"text")).as("text"))
+    docs.select("doc_id", "text").unionByName(near).unionByName(exact)
+  }
+
+  test("exact dedup finds case/whitespace-normalized duplicates, keeps min id") {
+    val clusters = TextDedup.exactDupClusters(planted).collect()
+    assert(clusters.length == 1)
+    assert(clusters.head.getAs[Long]("dup_count") == 2L)
+    assert(clusters.head.getAs[Long]("canonical_doc_id") == 1L)
+
+    val deduped = TextDedup.dedupExact(planted)
+    assert(deduped.count() == planted.count() - 1)
+    assert(deduped.filter($"doc_id" === 200001L).count() == 0)
+    assert(deduped.filter($"doc_id" === 1L).count() == 1)
+  }
+
+  test("shingles: distinct word n-grams; short text falls back to whole text") {
+    val sh = Seq((1L, "a b c d"), (2L, "x y")).toDF("doc_id", "text")
+      .select($"doc_id", TextDedup.shingles($"text", 3).as("sh"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    assert(sh(1L) == Seq("a b c", "b c d"))
+    assert(sh(2L) == Seq("x y"))
+  }
+
+  test("minhash LSH finds planted near-dups (and the corpus's own)") {
+    val pairs = TextDedup.nearDupPairsMinhash(planted, jaccardThreshold = 0.5)
+    val rows = pairs.collect()
+    val got = rows.map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val expected = docs.filter($"doc_id" % 5 === 0).select("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000)).toSet
+    // every planted near-pair found (tail barely moves 3-gram Jaccard on
+    // 100+-token docs), plus the exact dup pair (jaccard 1)
+    assert(got.intersect(expected) == expected, s"missed: ${expected.diff(got)}")
+    assert(got.contains((1L, 200001L)))
+    // the driver's synthetic corpus carries its OWN near-dup pairs
+    // (e.g. 474~498 at jaccard 0.989, verified against DuckDB) — they
+    // must be found too, and every reported pair clears the threshold
+    assert(got.contains((474L, 498L)))
+    assert(rows.forall(_.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("near-dup plans are bucketed joins, never cartesian") {
+    Seq(
+      TextDedup.nearDupPairsMinhash(planted),
+      TextDedup.nearDupPairsSimhash(planted)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"all-pairs plan:\n$plan")
+    }
+  }
+
+  test("simhash: near-identical docs within small hamming distance, unrelated far apart") {
+    val sigs = planted.select($"doc_id", TextDedup.simhash64($"text").as("sim"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sim")).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    val nearIds = docs.filter($"doc_id" % 5 === 0).select("doc_id").collect().map(_.getLong(0))
+    val avgNear = nearIds.map(id => ham(id, id + 100000)).sum.toDouble / nearIds.length
+    assert(avgNear <= 8.0, s"avg hamming of planted near-dups: $avgNear")
+    assert(ham(1L, 200001L) == 0) // case/space normalize to identical
+    // two different random docs should be far apart on average
+    val others = for (a <- nearIds.take(5); b <- nearIds.take(5) if a < b) yield ham(a, b)
+    assert(others.sum.toDouble / others.length > 10.0)
+  }
+
+  test("simhash LSH bucketing finds hamming<=3 pairs") {
+    val pairs = TextDedup.nearDupPairsSimhash(planted, maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Int]("hamming")))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 200001L && p._3 == 0))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token/char counts and ratios on handmade text") {
+    val df = Seq(
+      (1L, "the cat sat of the mat"),
+      (2L, ""),
+      (3L, "  spaced   out  "),
+      (4L, "no!! punct?? here,,")
+    ).toDF("doc_id", "text")
+    val p = TextStats.profile(df).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    assert(p(1L).getAs[Int]("token_count") == 6)
+    assert(p(1L).getAs[Double]("stopword_ratio") == 0.5) // the, of, the / 6
+    assert(p(2L).getAs[Int]("token_count") == 0)
+    assert(p(3L).getAs[Int]("token_count") == 2)
+    assert(p(4L).getAs[Double]("punct_ratio") == math.BigDecimal(6.0 / 19).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("language id picks the profile with most stopword hits; und when none") {
+    val df = Seq(
+      (1L, "the cat and the dog of it"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "le chat et la souris des les"),
+      (4L, "xyzzy qwerty")
+    ).toDF("doc_id", "text")
+    val out = TextStats.profile(df).collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "und"))
+  }
+
+  test("fingerprint is invariant to word order and repetition") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "gamma alpha beta beta"),
+      (3L, "alpha beta delta")
+    ).toDF("doc_id", "text")
+    val fp = TextStats.profile(df).collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint")).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("profile is a shuffle-free single projection") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val plan = TextStats.profile(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}
