@@ -68,49 +68,78 @@ object TextDedup {
     transform(sequence(lit(0), lit(numHashes - 1)),
       h => array_min(transform(sh, s => xxhash64(h, s))))
 
-  /** LSH band keys: the signature split into `bands` equal slices, each
-    * hashed to one bucket key. Docs sharing ANY band key are candidates. */
-  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+  /** Shingle strings hashed to longs, once. Downstream minhash families
+    * mix these 8-byte values instead of re-hashing UTF8 strings per
+    * family — hash the expensive thing exactly once. Keep this in its
+    * own projection so band lambdas reference the materialized
+    * attribute, not the expression. */
+  def hashShingles(sh: Column): Column = transform(sh, s => xxhash64(s))
+
+  /** LSH band keys from pre-hashed shingles: band `b` hashes the minima
+    * of its own `rowsPerBand` hash families. Each family is evaluated
+    * exactly once — deriving bands by slicing a shared signature column
+    * instead would re-evaluate the whole signature per band lambda
+    * (this exact shape cost round 2's first bench 484 s on 5 k docs). */
+  def bandKeys(hashedShingles: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"), xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)))).as("bucket")))
+      b => struct(b.as("band"),
+        xxhash64(concat_ws(",",
+          transform(sequence(b * rowsPerBand, (b + 1) * rowsPerBand - 1),
+            h => array_min(transform(hashedShingles, x => xxhash64(h, x)))))).as("bucket")))
+
+  /** All unordered id pairs (a < b) within one bucket's member list. */
+  private def bucketPairs(ids: Column): Column = {
+    val sorted = array_sort(ids)
+    flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + 2, size(sorted)), y => struct(x.as("a_id"), y.as("b_id")))))
+  }
 
   /** Candidate pairs from LSH banding, verified with TRUE Jaccard over
     * the shingle sets; pairs are distinct with left id < right id.
     *
-    * Plan shape: project (doc_id, shingles, sig) → explode bands
-    * (×`bands` rows) → shuffle on (band, bucket) → self-join within
-    * buckets → verify. The only quadratic term is within-bucket, which
-    * LSH keeps tiny for non-duplicate text.
+    * Plan shape, tuned so every expensive expression evaluates once:
+    *  1. project (doc_id, band keys) — the only pass that computes the
+    *     `numHashes` hash families; the exploded rows are slim
+    *     (doc_id, band, bucket), so the shuffle carries no text;
+    *  2. groupBy (band, bucket) → collect ids → in-bucket pair
+    *     expansion (no self-join: the banding subtree would be fully
+    *     re-evaluated per join branch) → distinct;
+    *  3. candidate pairs (tiny) broadcast-join back to a shingle
+    *     projection of the corpus, twice, for the exact-Jaccard verify.
+    * The only quadratic term is within-bucket, which LSH keeps tiny for
+    * non-duplicate text; a degenerate key (e.g. empty text) is capped
+    * by the banding itself only — callers dedup exact copies first.
     */
   def nearDupPairsMinhash(
       docs: DataFrame,
       textCol: String = "text",
       shingleN: Int = 3,
-      numHashes: Int = 64,
+      numHashes: Int = 32,
       bands: Int = 16,
       jaccardThreshold: Double = 0.8): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
 
-    val sigs = docs.select(
-      col("doc_id"),
-      shingles(col(textCol), shingleN).as("sh"),
-      minhashSignature(shingles(col(textCol), shingleN), numHashes).as("sig"))
+    val banded = docs
+      .select(col("doc_id"), hashShingles(shingles(col(textCol), shingleN)).as("hsh"))
+      .select(col("doc_id"), explode(bandKeys(col("hsh"), bands, rowsPerBand)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
 
-    val banded = sigs
-      .select(col("doc_id"), col("sh"), explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val candidates = banded
+      .groupBy("band", "bucket").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(bucketPairs(col("ids"))).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .distinct()
 
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
-
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("a_id") < col("b_id"))
+    val sh = docs.select(col("doc_id"), shingles(col(textCol), shingleN).as("sh"))
+    candidates
+      .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
           size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
       .filter(col("jaccard") >= jaccardThreshold)
-      .groupBy("a_id", "b_id").agg(max("jaccard").as("jaccard")) // distinct across bands
   }
 
   // ------------------------------------------------------------------
@@ -122,12 +151,14 @@ object TextDedup {
     * bit is 1 iff the sum is positive. One aggregate fold over the
     * token array — per-row, shuffle-free. */
   def simhash64(text: Column): Column = {
-    val toks = split(normalize(text), " ")
+    // hash each token to a long ONCE; the per-bit lambda then shifts a
+    // bound long instead of re-hashing the string 64 times
+    val toks = transform(split(normalize(text), " "), t => xxhash64(t))
     val counters = aggregate(
       toks,
       array_repeat(lit(0), 64),
-      (acc, t) => zip_with(acc, sequence(lit(0), lit(63)),
-        (c, i) => c + when(call_function("shiftright", xxhash64(t), i).bitwiseAND(1) === 1, 1).otherwise(-1)))
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (c, i) => c + when(call_function("shiftright", h, i).bitwiseAND(1) === 1, 1).otherwise(-1)))
     aggregate(
       zip_with(counters, sequence(lit(0), lit(63)), (c, i) => struct(c.as("c"), i.as("i"))),
       lit(0L),
@@ -138,28 +169,41 @@ object TextDedup {
   /** Near-dup pairs by SimHash hamming distance ≤ `maxHamming` (< 16):
     * bucket on each of the 4 16-bit chunks (pigeonhole guarantees a
     * collision for hamming ≤ 3 when probing all 4 chunk tables), verify
-    * with exact popcount of the XOR. */
+    * with exact popcount of the XOR.
+    *
+    * Same single-evaluation discipline as the MinHash path: the SimHash
+    * is computed once per doc, and buckets carry (doc_id, sig) structs
+    * through a groupBy instead of a self-join, so the signature subtree
+    * is never re-evaluated per branch. */
   def nearDupPairsSimhash(
       docs: DataFrame,
       textCol: String = "text",
       maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col("doc_id"), simhash64(col(textCol)).as("sim"))
-    val chunked = sigs.select(
-      col("doc_id"), col("sim"),
-      explode(transform(sequence(lit(0), lit(3)),
-        k => struct(k.as("chunk"),
-          call_function("shiftright", col("sim"), k * 16).bitwiseAND(0xFFFFL).as("key")))).as("ck"))
-      .select(col("doc_id"), col("sim"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+    val chunked = docs
+      .select(col("doc_id"), simhash64(col(textCol)).as("sim"))
+      .select(col("doc_id"), col("sim"),
+        explode(transform(sequence(lit(0), lit(3)),
+          k => struct(k.as("chunk"),
+            call_function("shiftright", col("sim"), k * 16).bitwiseAND(0xFFFFL).as("key")))).as("ck"))
+      .select(struct(col("doc_id"), col("sim")).as("m"),
+        col("ck.chunk").as("chunk"), col("ck.key").as("key"))
 
-    val a = chunked.select(col("chunk"), col("key"), col("doc_id").as("a_id"), col("sim").as("a_sim"))
-    val b = chunked.select(col("chunk"), col("key"), col("doc_id").as("b_id"), col("sim").as("b_sim"))
+    val pairs = chunked
+      .groupBy("chunk", "key").agg(collect_list("m").as("ms"))
+      .filter(size(col("ms")) > 1)
+      .select(explode(memberPairs(col("ms"))).as("p"))
+      .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
+        bit_count(col("p.a.sim").bitwiseXOR(col("p.b.sim"))).as("hamming"))
 
-    a.join(b, Seq("chunk", "key"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .groupBy("a_id", "b_id").agg(min("hamming").as("hamming"))
+    pairs.filter(col("hamming") <= maxHamming)
+      .groupBy("a_id", "b_id").agg(min("hamming").as("hamming")) // distinct across chunks
+  }
+
+  /** All unordered member pairs (by ascending doc_id) within a bucket. */
+  private def memberPairs(ms: Column): Column = {
+    val sorted = array_sort(ms) // struct sort: doc_id is the leading field
+    flatten(transform(sorted, (x, i) =>
+      transform(slice(sorted, i + 2, size(sorted)), y => struct(x.as("a"), y.as("b")))))
   }
 
   // ------------------------------------------------------------------
