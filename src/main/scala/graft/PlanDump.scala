@@ -1,0 +1,20 @@
+package graft
+import java.nio.file.{Files, Paths}
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val names = Seq("ref_user_events", "ref_daily_summary", "ref_dedup_insert",
+      "doc_neardup_minhash", "emb_top3_exact", "doc_stats", "ref_pipeline_summary")
+    val sb = new StringBuilder
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, dir)
+      sb.append(s"==== $n ====\n")
+      sb.append(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
+      sb.append("\n")
+    }
+    Files.writeString(Paths.get("/tmp/plans.txt"), sb.toString)
+    spark.stop()
+  }
+}

@@ -26,12 +26,24 @@ object PartitionedJsonSink {
       .withColumn("day", date_format(col(tsCol), "dd"))
       .withColumn("hour", date_format(col(tsCol), "HH"))
 
-  /** S5: land `df` as gzip JSON under the Firehose layout. */
-  def write(df: DataFrame, root: String, tsCol: String = "event_timestamp"): Unit =
+  /** S5: land `df` as gzip JSON under the Firehose layout.
+    *
+    * Rows are shuffled onto their hour partition before the write, so
+    * each hour directory gets ONE writer file instead of one per
+    * (task × hour) — a 32-task write across 720 busy hours would
+    * otherwise emit up to 23 k small files. (At the test SFs each hour
+    * holds only ~13 rows, so wall-time there is file-count-bound either
+    * way; the repartition is for hours with real volume.)
+    * `maxRecordsPerFile` is the Firehose buffer-size analog (O3): it
+    * re-splits an oversized hour into bounded files. */
+  def write(df: DataFrame, root: String, tsCol: String = "event_timestamp",
+            maxRecordsPerFile: Long = 5000000L): Unit =
     withHourPartitions(df, tsCol)
+      .repartition(col("year"), col("month"), col("day"), col("hour"))
       .write
       .partitionBy("year", "month", "day", "hour")
       .option("compression", "gzip")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .option("timestampNTZFormat", JsonIngest.TsFormat)
       .mode("append")
       .json(root)
