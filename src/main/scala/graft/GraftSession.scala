@@ -30,6 +30,8 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Native engine functions (vec_dot codegen expression et al.)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // Oracle parity: external readers (DuckDB/pyarrow) read INT64
       // micros natively; INT96 is a deprecated legacy type.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")

@@ -23,7 +23,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
+  /** Native codegen dot product (graft.functions.VecDot, registered by
+    * GraftExtensions): a tight primitive loop in whole-stage codegen. */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** The composable higher-order rendition — identical semantics,
+    * interpreted lambdas. Kept as the parity reference for VecDot. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -34,13 +40,17 @@ object Similarity {
 
   /** Exact top-k neighbors (cosine) for each probe vector, self
     * excluded; ties broken by neighbor id. `probes` must be small
-    * enough to broadcast (it is hinted). */
+    * enough to broadcast (it is hinted). Norms are computed once per
+    * vector in the per-side projections — the per-pair work is one dot
+    * product and one divide. */
   def topKExact(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val p = broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb")))
-    val scored = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val p = broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+      norm(col("embedding")).as("p_norm")))
+    val scored = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      norm(col("embedding")).as("c_norm"))
       .join(p, col("probe_id") =!= col("neighbor_id")) // BNLJ over the broadcast probes: the intended one-pass scan
       .select(col("probe_id"), col("neighbor_id"),
-        cosine(col("p_emb"), col("c_emb")).as("sim"))
+        (dot(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm"))).as("sim"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("probe_id", "rank", "neighbor_id", "sim")
@@ -55,7 +65,8 @@ object Similarity {
   def lshBucket(emb: Column, planes: Int, seed: Long = 42L): Column =
     aggregate(
       transform(sequence(lit(0), lit(planes - 1)), p => {
-        val d = dot(emb, transform(sequence(lit(0), size(emb) - 1), i => planeComponent(p, i, seed)))
+        // dotHof: the plane components are double, VecDot is float-strict
+        val d = dotHof(emb, transform(sequence(lit(0), size(emb) - 1), i => planeComponent(p, i, seed)))
         struct(p.as("p"), (d > 0).as("bit"))
       }),
       lit(0L),
@@ -68,12 +79,15 @@ object Similarity {
   def topKLsh(corpus: DataFrame, probes: DataFrame, k: Int,
               planes: Int = 8, seed: Long = 42L): DataFrame = {
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      norm(col("embedding")).as("c_norm"),
       lshBucket(col("embedding"), planes, seed).as("bucket"))
     val p = broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+      norm(col("embedding")).as("p_norm"),
       lshBucket(col("embedding"), planes, seed).as("bucket")))
     val scored = c.join(p, Seq("bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .select(col("probe_id"), col("neighbor_id"), cosine(col("p_emb"), col("c_emb")).as("sim"))
+      .select(col("probe_id"), col("neighbor_id"),
+        (dot(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm"))).as("sim"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("probe_id", "rank", "neighbor_id", "sim")
@@ -84,12 +98,14 @@ object Similarity {
   def nearDupPairsCosine(vectors: DataFrame, threshold: Double,
                          planes: Int = 8, seed: Long = 42L): DataFrame = {
     val v = vectors.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"),
       lshBucket(col("embedding"), planes, seed).as("bucket"))
-    val a = v.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val b = v.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val a = v.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_norm"))
+    val b = v.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_norm"))
     a.join(b, Seq("bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), cosine(col("a_emb"), col("b_emb")).as("sim"))
+      .select(col("a_id"), col("b_id"),
+        (dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm"))).as("sim"))
       .filter(col("sim") >= threshold)
       .groupBy("a_id", "b_id").agg(max("sim").as("sim"))
   }
