@@ -61,6 +61,10 @@ object SparkEntry {
     "ref_daily_summary" -> ((s, dir) =>
       EventOps.dailySummary(ev(s, dir)).orderBy("event_date", "event_type")),
 
+    // P6 via Spark 4 VARIANT: parse once, typed variant_get paths.
+    "ref_user_events_variant" -> ((s, dir) =>
+      EventOps.userEventsVariant(ev(s, dir)).orderBy("event_id")),
+
     // J1+P4: idempotent dedup insert — anti-join staging vs target
     "ref_dedup_insert" -> ((s, dir) =>
       EventOps.dedupInsert(stagingFixture(s, dir), targetFixture(s, dir))
@@ -192,6 +196,12 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS event_date, event_type,
         |       COUNT(*) AS event_count, MIN(ts) AS first_event, MAX(ts) AS last_event
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ref_user_events_variant" ->
+      """SELECT event_id, ts AS event_timestamp, user_id, event_type,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+        |       value AS price
+        |FROM events WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     "ref_dedup_insert" ->
       """WITH staging AS (
@@ -328,10 +338,10 @@ object SparkEntry {
 
     // Full MinHash-LSH near-dup pipeline (banded candidates + true-
     // Jaccard verify). Oracle is all-pairs DuckDB; parity holds because
-    // every qualifying pair in this corpus has j ≥ 0.9, where 32×2
-    // banding recall is 1 - (1-j²)³² ≈ 1 (miss prob < 1e-23).
+    // every qualifying pair in this corpus has j ≥ 0.9, where 16×2
+    // banding recall is 1 - (1-j²)¹⁶ ≈ 1 (miss prob ~3e-12).
     "doc_neardup_minhash" -> ((s, dir) =>
-      TextDedup.nearDupPairsMinhash(docs(s, dir), numHashes = 64, bands = 32,
+      TextDedup.nearDupPairsMinhash(docs(s, dir), numHashes = 32, bands = 16,
         jaccardThreshold = 0.5)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a_id", "b_id")),

@@ -89,6 +89,32 @@ object EventOps {
     else dedupInsert(staging, target, key)
   }
 
+  /** `user_events` with the payload as a true Spark 4 VARIANT — the
+    * closest rendition of Snowflake's `data:product_id::VARCHAR` /
+    * `data:price::FLOAT` path-extraction semantics
+    * (create_snowflake_tables.sql:24-25): `parse_json` once, typed
+    * `variant_get` paths after. Equivalent results to [[userEvents]];
+    * VARIANT's binary encoding beats re-parsing JSON text per path when
+    * several fields are extracted. */
+  def userEventsVariant(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "purchase")
+      .withColumn("v", parse_json(col("props")))
+      .select(
+        col("event_id"),
+        col("ts").as("event_timestamp"),
+        col("user_id"),
+        col("event_type"),
+        try_variant_get(col("v"), "$.k", "int").as("prop_k"),
+        col("value").as("price"))
+
+  /** Keyed partitioning (SURVEY §2.6 O7): the Kinesis partition-key
+    * semantics — co-locate all rows of a key so per-key processing
+    * (ordering, stateful ops) never crosses partitions. One hash
+    * shuffle; downstream per-key operators then shuffle nothing. */
+  def partitionByKey(df: DataFrame, key: String = "user_id"): DataFrame =
+    df.repartition(col(key))
+
   /** Ingest-time audit column (create_snowflake_tables.sql:14 default
     * CURRENT_TIMESTAMP()): applied in the write path, since Spark
     * appends don't auto-fill defaults. Excluded from oracle compares

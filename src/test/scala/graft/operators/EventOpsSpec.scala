@@ -85,6 +85,21 @@ class EventOpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
   }
 
+  test("userEventsVariant matches userEvents on the JSON payload (P6 via VARIANT)") {
+    val a = EventOps.userEvents(events).orderBy("event_id").collect().map(_.toString).toSeq
+    val b = EventOps.userEventsVariant(events).orderBy("event_id").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("partitionByKey co-locates every key in one partition (O7)") {
+    val df = EventOps.partitionByKey(events.repartition(4), "user_id")
+    import org.apache.spark.sql.functions.{countDistinct, spark_partition_id}
+    val spread = df.withColumn("pid", spark_partition_id())
+      .groupBy("user_id").agg(countDistinct("pid").as("n"))
+      .filter($"n" > 1).count()
+    assert(spread == 0L)
+  }
+
   test("withAuditColumns appends inserted_at") {
     val out = EventOps.withAuditColumns(events)
     assert(out.columns.contains("inserted_at"))
