@@ -80,6 +80,67 @@ class StreamIngestSpec extends SparkSpec {
       java.time.LocalDateTime.of(2025, 1, 1, 0, 0)))
   }
 
+  test("foreachBatch dedup-insert into the curated tier survives checkpoint loss without duplicates (O6)") {
+    val root = Files.createTempDirectory("graft_cur").toString
+    val curated = Files.createTempDirectory("graft_cur_out").toString + "/events"
+    landHour(root, 0, 40, seed = 11)
+
+    def insertBatch(df: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val parsed = df.filter($"event_id".isNotNull)
+        .select("event_id", "event_timestamp", "event_type", "user_id")
+      val target =
+        if (new java.io.File(curated).exists) spark.read.parquet(curated)
+        else parsed.limit(0)
+      graft.operators.EventOps
+        .dedupInsert(parsed.dropDuplicates("event_id"), target)
+        .write.mode("append").parquet(curated)
+    }
+
+    val cp1 = Files.createTempDirectory("graft_curcp1").toString
+    val q1 = StreamIngest.runAvailableNow(StreamIngest.stream(spark, root), cp1, insertBatch)
+    q1.awaitTermination(120000)
+    assert(spark.read.parquet(curated).count() == 40L)
+
+    // LOSE the checkpoint (fresh cp dir): the stream re-reads everything,
+    // but the anti-join keeps the curated tier exactly-once.
+    val cp2 = Files.createTempDirectory("graft_curcp2").toString
+    landHour(root, 1, 15, seed = 12)
+    val q2 = StreamIngest.runAvailableNow(StreamIngest.stream(spark, root), cp2, insertBatch)
+    q2.awaitTermination(120000)
+    val out = spark.read.parquet(curated)
+    assert(out.count() == 55L, s"duplicates after checkpoint loss: ${out.count()}")
+    assert(out.groupBy("event_id").count().filter($"count" > 1).count() == 0L)
+  }
+
+  test("maxFileAge ignores stale files discovered after the first batch (O8)") {
+    val root = Files.createTempDirectory("graft_age").toString
+    val cp = Files.createTempDirectory("graft_agecp").toString
+    landHour(root, 0, 20, seed = 13)
+
+    var rows = 0L
+    def drain(): Unit = {
+      val q = StreamIngest.runAvailableNow(
+        StreamIngest.stream(spark, root, maxFileAge = Some("24h")), cp,
+        (df, _) => { rows += df.count(); () })
+      q.awaitTermination(120000)
+    }
+    drain()
+    assert(rows == 20L) // first batch: everything is valid regardless of age
+
+    // a stale landing (mtime 72 h back) appearing later is outside the
+    // retention window and must be skipped; a fresh one is picked up
+    landHour(root, 1, 15, seed = 14)
+    val h1 = PartitionedJsonSink.hourPath(root, LocalDateTime.of(2025, 1, 1, 1, 0))
+    Files.walk(java.nio.file.Paths.get(h1)).iterator().forEachRemaining { p =>
+      if (p.toString.endsWith(".gz"))
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 72L * 3600 * 1000))
+    }
+    landHour(root, 2, 10, seed = 15)
+    drain()
+    assert(rows == 30L, s"stale landing should be outside maxFileAge; total rows $rows")
+  }
+
   test("totalInputRows sums progress metrics (A4)") {
     val root = Files.createTempDirectory("graft_a4").toString
     val cp = Files.createTempDirectory("graft_a4cp").toString
