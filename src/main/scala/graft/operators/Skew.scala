@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Manual skew mitigation for equi-joins.
+  *
+  * First line of defense is AQE's skew-join splitting (on in
+  * GraftSession); this utility is for the cases AQE can't fix — e.g. a
+  * hot key whose rows must still co-group, or a build side that's
+  * replicable. The left (skewed) side gets a deterministic salt in
+  * [0, saltFactor); the right side is replicated once per salt value;
+  * the join key becomes (key, salt), so the hot key's rows spread over
+  * `saltFactor` reducers instead of one.
+  *
+  * Cost model: right side grows ×saltFactor — use when |right| ≪ |left|
+  * and the hot key dominates a reducer. Salt is derived from the full
+  * row content (xxhash64 of the row struct), so it is deterministic
+  * under retries and independent of physical layout.
+  */
+object Skew {
+
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      saltFactor: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(saltFactor.toLong)))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+}

@@ -46,4 +46,17 @@ object Catalog {
 
   def tableExists(spark: SparkSession, name: String): Boolean =
     spark.catalog.tableExists(name)
+
+  /** Bucketed + sorted table for co-located joins: both sides of an
+    * equi-join bucketed on the same key with the same bucket count join
+    * with NO shuffle (SortMergeJoin reads matching buckets directly).
+    * This is the 100 TB shape for the curated `events` tier — the
+    * hourly dedup anti-join then never re-shuffles the multi-TB target,
+    * only the incoming batch. */
+  def ctasBucketed(df: DataFrame, name: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .option("overwriteSchema", "true")
+      .saveAsTable(name)
 }
