@@ -413,6 +413,8 @@ object SparkEntry {
         }.mkString(" ")
         s"CASE $whens ELSE 'und' END"
       }
+      // SQL string literal: double the single quotes; backslashes pass through
+      val bpe = TextStats.BpePattern.replace("'", "''")
       s"""WITH t AS ($docTokens),
          |h AS (
          |  SELECT doc_id, text, toks,
@@ -430,7 +432,11 @@ object SparkEntry {
          |       CAST(ROUND(least(len(toks) / 100.0, 1.0) * 0.4
          |                  + (1.0 - punct_raw) * 0.3 + stop_raw * 0.3, 6) AS DOUBLE) AS quality_score,
          |       $langCase AS predicted_lang,
-         |       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+         |       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
+         |       len(regexp_extract_all(text, '$bpe')) AS bpe_token_count,
+         |       CASE WHEN length(text) < 16 THEN md5(text)
+         |            ELSE list_aggregate(list_transform(range(1, length(text) - 14),
+         |                 i -> md5(substr(text, i, 16))), 'min') END AS rolling_fingerprint
          |FROM h ORDER BY doc_id""".stripMargin
     },
 

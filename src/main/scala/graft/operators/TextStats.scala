@@ -70,6 +70,23 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** BPE-ish token count: subword-style segmentation by regex —
+    * contraction suffixes, letter runs, digit runs, punctuation runs
+    * (the shape of GPT-2's pre-tokenizer, minus the byte-level step).
+    * A closer LLM-cost proxy than whitespace words; pure regexp_count,
+    * codegen'd. */
+  val BpePattern = "('(?:s|t|re|ve|m|ll|d))|( ?[\\p{L}]+)|( ?[\\p{N}]+)|( ?[^\\s\\p{L}\\p{N}]+)"
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpePattern))
+
+  /** Rolling-hash (winnowing-style) fingerprint: the lexicographic min
+    * of md5 over all char `w`-grams — robust to local edits anywhere
+    * outside the minimizing window; md5 keeps it oracle-checkable.
+    * Texts shorter than `w` hash whole. */
+  def rollingFingerprint(text: Column, w: Int = 16): Column =
+    when(length(text) < w, md5(text)).otherwise(
+      array_min(transform(sequence(lit(1), length(text) - (w - 1)),
+        i => md5(text.substr(i, lit(w))))))
+
   /** All stats as one projection over `docs`. */
   def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
@@ -81,6 +98,8 @@ object TextStats {
       round(stopwordRatio(t, Stopwords.head._2), 6).as("stopword_ratio"),
       round(qualityScore(t), 6).as("quality_score"),
       langId(t).as("predicted_lang"),
-      fingerprint(t).as("fingerprint"))
+      fingerprint(t).as("fingerprint"),
+      bpeTokenCount(t).as("bpe_token_count"),
+      rollingFingerprint(t).as("rolling_fingerprint"))
   }
 }

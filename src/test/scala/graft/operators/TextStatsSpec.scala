@@ -45,6 +45,31 @@ class TextStatsSpec extends SparkSpec {
     assert(fp(1L) != fp(3L))
   }
 
+  test("BPE-ish token count segments contractions, digits, punct runs") {
+    val df = Seq((1L, "it's 42 cats!"), (2L, ""), (3L, "hello")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextStats.bpeTokenCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("n")).toMap
+    // "it" | "'s" | " 42" | " cats" | "!"
+    assert(out(1L) == 5)
+    assert(out(2L) == 0)
+    assert(out(3L) == 1)
+  }
+
+  test("rolling fingerprint is the min md5 over char 16-grams; short text hashes whole") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    val expected = (0 to text.length - 16).map { i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(text.substring(i, i + 16).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }.min
+    val df = Seq((1L, text), (2L, "short")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextStats.rollingFingerprint($"text").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == expected)
+    assert(out(2L) == java.security.MessageDigest.getInstance("MD5")
+      .digest("short".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
   test("profile is a shuffle-free single projection") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val plan = TextStats.profile(docs).queryExecution.executedPlan.toString
