@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.sources.JsonIngest
 
@@ -99,4 +99,53 @@ object StreamIngest {
     * client-side running counters / XCom metric). */
   def totalInputRows(q: StreamingQuery): Long =
     q.recentProgress.map(_.numInputRows).sum
+
+  /** Per-user custom state (A4 × O7, streaming-native): running event
+    * and purchase counts per user via `flatMapGroupsWithState` — the
+    * Spark tool for state the built-in aggs can't express (here:
+    * emit-on-update with a per-key idle timeout that expires abandoned
+    * users' state, bounding the store).
+    *
+    * Scale: state is two longs per active user, hash-partitioned by
+    * user (the Kinesis partition-key semantics); the timeout bounds the
+    * store to users active within `idleTimeout`.
+    */
+  def runningUserCounts(
+      events: DataFrame,
+      idleTimeout: String = "30 minutes"): Dataset[UserCounts] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id").cast("string").as("user_id"), col("event_type").cast("string").as("event_type"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserCounts, UserCounts](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (userId, rows, state) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator(last.copy(expired = true))
+          } else {
+            val prev = state.getOption.getOrElse(UserCounts(userId, 0L, 0L, expired = false))
+            var events = prev.eventCount
+            var purchases = prev.purchaseCount
+            rows.foreach { case (_, tpe) =>
+              events += 1
+              if (tpe == "purchase") purchases += 1
+            }
+            val next = UserCounts(userId, events, purchases, expired = false)
+            state.update(next)
+            state.setTimeoutDuration(idleTimeout)
+            Iterator(next)
+          }
+      }
+  }
 }
+
+/** Running per-user counters (streaming custom state). `expired` marks
+  * the terminal record emitted when a user's state times out. */
+final case class UserCounts(
+    user_id: String,
+    eventCount: Long,
+    purchaseCount: Long,
+    expired: Boolean)
