@@ -373,6 +373,16 @@ object SparkEntry {
       Similarity.topKLsh(planted, planted.filter(col("vec_id") >= 100000), 3, planes = 8)
         .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
         .orderBy("probe_id", "rank")
+    }),
+
+    // ANN path #2: IVF with a k-means-lite coarse quantizer (rows-only;
+    // twin-recall proven in SimilaritySpec).
+    "emb_topk_ivf" -> ((s, dir) => {
+      val planted = embDupFixture(s, dir)
+      val cents = Similarity.trainCentroids(planted, k = 8, iters = 2)
+      Similarity.topKIvf(planted, planted.filter(col("vec_id") >= 100000), 3, cents, nprobe = 2)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("probe_id", "rank")
     })
   )
 

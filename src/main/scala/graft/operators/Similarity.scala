@@ -93,6 +93,86 @@ object Similarity {
       .select("probe_id", "rank", "neighbor_id", "sim")
   }
 
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN: k-means-lite coarse quantizer
+  // ------------------------------------------------------------------
+
+  /** Per-centroid cosine-rank scores (norm of the row vector omitted —
+    * constant across candidates). Centroids ship as literals (k × dim
+    * floats — driver-side small by construction); per-row cost is k
+    * native dot products. */
+  private def centroidScores(emb: Column, cents: Array[Array[Float]]): Column = {
+    val centsLit = typedLit(cents.map(_.toSeq).toSeq)
+    val normsLit = typedLit(cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum)).toSeq)
+    transform(sequence(lit(0), lit(cents.length - 1)),
+      i => dot(emb, element_at(centsLit, i + 1)) / element_at(normsLit, i + 1))
+  }
+
+  /** Index of the max-score centroid; ties resolve to the lowest index
+    * (array_position returns the first occurrence). */
+  private def argmaxCentroid(emb: Column, cents: Array[Array[Float]]): Column = {
+    val scored = centroidScores(emb, cents)
+    (array_position(scored, array_max(scored)) - 1).cast("int")
+  }
+
+  /** The `nprobe` nearest centroid indices for a probe vector:
+    * zip scores with indices, ascending struct sort, take the tail. */
+  private def topCentroids(emb: Column, cents: Array[Array[Float]], nprobe: Int): Column = {
+    val scored = zip_with(centroidScores(emb, cents),
+      sequence(lit(0), lit(cents.length - 1)), (s, i) => struct(s.as("s"), i.as("i")))
+    transform(
+      slice(array_sort(scored), lit(math.max(cents.length - nprobe + 1, 1)), lit(nprobe)),
+      x => x.getField("i"))
+  }
+
+  /** Deterministic k-means-lite: seeded hash-ordered init, `iters`
+    * Lloyd rounds. Centroids return to the driver (k × dim — tiny);
+    * each round is one assignment pass + one per-dimension mean
+    * aggregation over the corpus. Empty clusters keep their previous
+    * centroid. */
+  def trainCentroids(vectors: DataFrame, k: Int, iters: Int = 2, seed: Long = 42L): Array[Array[Float]] = {
+    var cents = vectors
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+      .limit(k).select("embedding")
+      .collect().map(_.getSeq[Float](0).toArray)
+    val dim = cents.head.length
+    for (_ <- 1 to iters) {
+      val means = vectors
+        .select(argmaxCentroid(col("embedding"), cents).as("cid"), posexplode(col("embedding")))
+        .groupBy("cid", "pos").agg(avg("col").as("m"))
+        .collect()
+        .groupBy(_.getAs[Int]("cid"))
+        .map { case (cid, rows) =>
+          val arr = new Array[Float](dim)
+          rows.foreach(r => arr(r.getAs[Int]("pos")) = r.getAs[Double]("m").toFloat)
+          cid -> arr
+        }
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
+    }
+    cents
+  }
+
+  /** IVF approximate top-k: corpus rows score only against probes whose
+    * `nprobe` nearest centroids include the row's centroid — an
+    * equi-join on centroid id. Recall/cost tune via k-centroids ×
+    * nprobe; the exact baseline is [[topKExact]]. */
+  def topKIvf(corpus: DataFrame, probes: DataFrame, k: Int,
+              cents: Array[Array[Float]], nprobe: Int = 2): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      norm(col("embedding")).as("c_norm"),
+      argmaxCentroid(col("embedding"), cents).as("cid"))
+    val p = broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+      norm(col("embedding")).as("p_norm"),
+      explode(topCentroids(col("embedding"), cents, nprobe)).as("cid")))
+    val scored = c.join(p, Seq("cid"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        (dot(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm"))).as("sim"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "sim")
+  }
+
   /** Near-duplicate embedding pairs: cosine ≥ threshold, bucketed by
     * LSH so candidate generation is an equi-join, never all-pairs. */
   def nearDupPairsCosine(vectors: DataFrame, threshold: Double,

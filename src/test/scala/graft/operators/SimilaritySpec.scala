@@ -59,6 +59,23 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"all-pairs plan:\n$plan")
   }
 
+  test("IVF: identical copies share a centroid and are always found; recall beats chance") {
+    val copies = emb.filter($"vec_id" % 25 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding", $"label")
+    val planted = emb.unionByName(copies)
+    val cents = Similarity.trainCentroids(planted, k = 8, iters = 2)
+    assert(cents.length == 8 && cents.forall(_.length == 64))
+
+    val top1 = Similarity.topKIvf(planted, copies, 1, cents, nprobe = 2)
+      .filter($"rank" === 1).collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val probeIds = copies.select("vec_id").collect().map(_.getLong(0))
+    // a copy is bit-identical to its twin -> same argmax centroid -> the
+    // twin is always in the probed cell and wins rank 1
+    val hits = probeIds.count(pid => top1.get(pid).contains(pid - 100000))
+    assert(hits == probeIds.length, s"only $hits/${probeIds.length} twins found")
+  }
+
   test("topKLsh recovers planted near-identical neighbors for most probes") {
     val copies = emb.filter($"vec_id" % 25 === 0)
       .select(($"vec_id" + 100000).as("vec_id"), $"embedding", $"label")
