@@ -27,8 +27,10 @@ object Catalog {
     spark.sql(s"CREATE TABLE IF NOT EXISTS $name (${schema.toDDL}) USING PARQUET")
 
   /** S9: CTAS full refresh — rebuild the table from the query result. */
-  def ctasOverwrite(df: DataFrame, name: String): Unit =
+  def ctasOverwrite(df: DataFrame, name: String): Unit = {
     df.write.mode("overwrite").option("overwriteSchema", "true").saveAsTable(name)
+    df.sparkSession.catalog.refreshTable(name)
+  }
 
   /** S10: CREATE OR REPLACE VIEW. */
   def createOrReplaceView(df: DataFrame, name: String): Unit =
@@ -41,6 +43,10 @@ object Catalog {
     val aligned = df.select(cols.map(df.col): _*)
     val n = aligned.count()
     aligned.write.mode("append").saveAsTable(name)
+    // The write may run on a DIFFERENT session than readers (foreachBatch
+    // hands out a micro-batch session clone): drop `spark`'s cached
+    // relation so its next read sees the new files.
+    spark.catalog.refreshTable(name)
     n
   }
 

@@ -16,6 +16,11 @@ object SparkSpec {
   lazy val session: SparkSession = {
     val s = GraftSession.builder("local[4]", "graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // fresh warehouse per test JVM: a managed-table DIRECTORY from a
+      // previous run outlives the in-memory catalog and would make
+      // CREATE TABLE fail with LOCATION_ALREADY_EXISTS
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
