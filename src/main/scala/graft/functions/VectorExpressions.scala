@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native codegen dot product over `array<float>` embeddings.
@@ -72,14 +73,102 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native hashed word n-gram shingles: distinct 64-bit hashes of the
+  * token n-grams, computed by chaining per-token XXH64 values — no
+  * n-gram STRINGS are ever built (the concat_ws/array_distinct shape
+  * spent more time building shingle strings than hashing them: 4 s of
+  * the sf0.1 minhash query). Fewer than `n` tokens hash the whole
+  * token list as one shingle, mirroring TextDedup.shingles' fallback.
+  *
+  * Output order is the first-occurrence order of distinct hashes; all
+  * consumers (minhash minima, set intersections) are order-blind.
+  */
+case class ShingleHashes(tokens: Expression, n: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = tokens
+  override def right: Expression = n
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (tokens.dataType, n.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if n.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "shingle_hashes requires (array<string>, foldable int)")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override def nullable: Boolean = tokens.nullable
+
+  @transient private lazy val gram: Int = n.eval().asInstanceOf[Int]
+
+  override def nullSafeEval(t: Any, nv: Any): Any =
+    ShingleHashes.compute(t.asInstanceOf[ArrayData], nv.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // the companion object's compute gets a static forwarder on the class
+    nullSafeCodeGen(ctx, ev, (tok, _) =>
+      s"${ev.value} = graft.functions.ShingleHashes.compute($tok, $gram);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ShingleHashes =
+    copy(tokens = newLeft, n = newRight)
+}
+
+object ShingleHashes {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private final val Seed = 42L
+
+  private def hashToken(s: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
+
+  /** Distinct chained-hash values of the token n-grams. */
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val t = tokens.numElements()
+    val th = new Array[Long](t)
+    var i = 0
+    while (i < t) {
+      th(i) = if (tokens.isNullAt(i)) Seed else hashToken(tokens.getUTF8String(i))
+      i += 1
+    }
+    val count = if (t < n) 1 else t - n + 1
+    val window = if (t < n) t else n
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    i = 0
+    while (i < count) {
+      var h = Seed
+      var j = 0
+      while (j < window) {
+        h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(th(i + j), h)
+        j += 1
+      }
+      out.add(h)
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
 /** Session extensions registering the engine's native functions; wired
-  * by GraftSession via `spark.sql.extensions`, so `vec_dot` is callable
-  * from SQL and `call_function` on every session. */
+  * by GraftSession via `spark.sql.extensions`, so `vec_dot` and
+  * `shingle_hashes` are callable from SQL and `call_function` on every
+  * session. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => ShingleHashes(children.head, children(1))))
   }
 }

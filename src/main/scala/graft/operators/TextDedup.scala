@@ -75,6 +75,13 @@ object TextDedup {
     * attribute, not the expression. */
   def hashShingles(sh: Column): Column = transform(sh, s => xxhash64(s))
 
+  /** Native fast path: distinct hashed word n-grams straight from the
+    * token array (graft.functions.ShingleHashes codegen expression) —
+    * no shingle STRINGS are built at all. Profiling showed string
+    * construction, not hashing, dominated the composable shape. */
+  def hashedShingles(text: Column, n: Int): Column =
+    call_function("shingle_hashes", split(normalize(text), " "), lit(n))
+
   /** LSH band keys from pre-hashed shingles: band `b` hashes the minima
     * of its own `rowsPerBand` hash families. Each family is evaluated
     * exactly once — deriving bands by slicing a shared signature column
@@ -121,7 +128,7 @@ object TextDedup {
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
 
     val banded = docs
-      .select(col("doc_id"), hashShingles(shingles(col(textCol), shingleN)).as("hsh"))
+      .select(col("doc_id"), hashedShingles(col(textCol), shingleN).as("hsh"))
       .select(col("doc_id"), explode(bandKeys(col("hsh"), bands, rowsPerBand)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
 
@@ -132,7 +139,9 @@ object TextDedup {
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .distinct()
 
-    val sh = docs.select(col("doc_id"), shingles(col(textCol), shingleN).as("sh"))
+    // exact Jaccard over the HASHED shingle sets: identical counts to
+    // string sets up to 64-bit collisions (~|sh|²/2⁶⁵ per doc — nil)
+    val sh = docs.select(col("doc_id"), hashedShingles(col(textCol), shingleN).as("sh"))
     candidates
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))

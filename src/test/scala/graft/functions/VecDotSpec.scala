@@ -36,6 +36,38 @@ class VecDotSpec extends SparkSpec {
     assert(r == 4.0)
   }
 
+  test("shingle_hashes matches string-shingle hashing set-wise, handles short/empty text") {
+    import graft.operators.TextDedup
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "x y"),          // shorter than n -> one whole-text shingle
+      (3L, "a b c a b c"),  // repeated n-grams -> distinct set
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextDedup.hashedShingles($"text", 3).as("h"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    assert(out(1L).length == 3) // "a b c","b c d","c d e"
+    assert(out(2L).length == 1)
+    // "a b c","b c a","c a b","a b c" -> 3 distinct
+    assert(out(3L).toSet.size == out(3L).length && out(3L).length == 3)
+    assert(out(4L).length == 1) // [""] tokens -> one shingle
+    // identical texts hash identically; distinct texts don't collide
+    assert(out(1L).toSet.intersect(out(2L).toSet).isEmpty)
+  }
+
+  test("shingle_hashes interpreted eval equals codegen output") {
+    import graft.operators.TextDedup
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val viaCodegen = df.select(TextDedup.hashedShingles($"text", 3).as("h"))
+      .head().getSeq[Long](0)
+    // interpreted path: evaluate the expression directly
+    val toks = "the quick brown fox jumps over the lazy dog".split(" ")
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(toks.asInstanceOf[Array[Any]])
+    val interp = graft.functions.ShingleHashes.compute(arr, 3)
+    assert(viaCodegen == interp.toLongArray().toSeq)
+  }
+
   test("scoring runs inside whole-stage codegen") {
     val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val plan = e.select(Similarity.dot($"embedding", $"embedding").as("d"))
