@@ -156,6 +156,68 @@ object ShingleHashes {
   }
 }
 
+/** Native 64-bit SimHash over a token array — bit-for-bit identical to
+  * the composable fold (`xxhash64(token)` per token with seed 42, ±1
+  * per bit position, sign threshold), but one tight loop instead of
+  * 64 interpreted lambda evaluations per token. */
+case class SimHash64(tokens: Expression) extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def child: Expression = tokens
+
+  override def checkInputDataTypes(): TypeCheckResult = tokens.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<string>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(t: Any): Any =
+    SimHash64.compute(t.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, tok => s"graft.functions.SimHash64.compute($tok)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(tokens = newChild)
+}
+
+object SimHash64 {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private final val Seed = 42L
+
+  def compute(tokens: ArrayData): Long = {
+    val counters = new Array[Int](64)
+    val t = tokens.numElements()
+    var i = 0
+    while (i < t) {
+      // xxhash64(token) semantics: null hashes to the seed (pass-through)
+      val h =
+        if (tokens.isNullAt(i)) Seed
+        else {
+          val s = tokens.getUTF8String(i)
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
+        }
+      var b = 0
+      while (b < 64) {
+        counters(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
 /** Session extensions registering the engine's native functions; wired
   * by GraftSession via `spark.sql.extensions`, so `vec_dot` and
   * `shingle_hashes` are callable from SQL and `call_function` on every
@@ -170,5 +232,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => ShingleHashes(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
   }
 }

@@ -157,11 +157,15 @@ object TextDedup {
 
   /** 64-bit SimHash over the token multiset: per bit position, sum +1
     * for tokens whose hash has the bit set, -1 otherwise; the result
-    * bit is 1 iff the sum is positive. One aggregate fold over the
-    * token array — per-row, shuffle-free. */
-  def simhash64(text: Column): Column = {
-    // hash each token to a long ONCE; the per-bit lambda then shifts a
-    // bound long instead of re-hashing the string 64 times
+    * bit is 1 iff the sum is positive. Native codegen expression
+    * (graft.functions.SimHash64) — per-row, shuffle-free. */
+  def simhash64(text: Column): Column =
+    call_function("simhash64", split(normalize(text), " "))
+
+  /** The composable higher-order rendition of [[simhash64]] — bit-
+    * identical results, interpreted lambdas. Parity reference for the
+    * native expression. */
+  def simhash64Hof(text: Column): Column = {
     val toks = transform(split(normalize(text), " "), t => xxhash64(t))
     val counters = aggregate(
       toks,

@@ -68,6 +68,15 @@ class VecDotSpec extends SparkSpec {
     assert(viaCodegen == interp.toLongArray().toSeq)
   }
 
+  test("native simhash64 is bit-identical to the higher-order fold") {
+    import graft.operators.TextDedup
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val both = docs.select(
+      TextDedup.simhash64($"text").as("native"),
+      TextDedup.simhash64Hof($"text").as("hof"))
+    assert(both.filter($"native" =!= $"hof").count() == 0)
+  }
+
   test("scoring runs inside whole-stage codegen") {
     val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val plan = e.select(Similarity.dot($"embedding", $"embedding").as("d"))
