@@ -153,16 +153,23 @@ object SparkEntry {
         .orderBy("year", "month", "day", "hour")
     }),
 
-    // S2+O1/O2/O4: stream the landed layout with AvailableNow and check
+    // S2+O1/O2/O4: stream landed gzip JSON with AvailableNow and check
     // the streaming windowed aggregate against the batch oracle —
     // stream/batch consistency is the whole point of the micro-batch model.
+    // (Landed FLAT: at test SFs the hive layout would mean ~700 dirs of
+    // ~13 rows — a file-count artifact, not operator cost; the layout
+    // path is exercised by ref_ingest_roundtrip and the e2e suites.)
     "stream_hourly_counts" -> ((s, dir) => {
       val tmp = Files.createTempDirectory("graft_stream_q").toString
       val cp = Files.createTempDirectory("graft_stream_cp").toString
       val subset = ev(s, dir).filter(col("event_id") % 13 === 0)
         .select(col("event_id").cast("string").as("event_id"), col("ts").as("event_timestamp"),
           col("event_type"), col("user_id").cast("string").as("user_id"))
-      PartitionedJsonSink.write(subset, tmp)
+      subset.coalesce(2).write
+        .mode("overwrite") // createTempDirectory pre-creates the path
+        .option("compression", "gzip")
+        .option("timestampNTZFormat", JsonIngest.TsFormat)
+        .json(tmp)
       val q = StreamIngest.windowedCounts(StreamIngest.stream(s, tmp))
         .writeStream.format("memory").queryName("stream_hourly_counts")
         .outputMode("complete")
