@@ -11,6 +11,10 @@ class TablesSpec extends SparkSpec {
     assert(df.filter(df("ts").isNull).count() == 0)
   }
 
+  test("driver smoke contract: entry() returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("registerAll exposes every driver table as a temp view") {
     Tables.registerAll(spark, "/root/testdata/sf0.001")
     assert(spark.sql("SELECT COUNT(*) FROM lineitem").head().getLong(0) > 0)

@@ -36,6 +36,12 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(c.getOrElse("nope", "x") == "x")
   }
 
+  test("load reads a config file from disk") {
+    val p = java.nio.file.Files.createTempFile("graft_cfg", ".yaml")
+    java.nio.file.Files.writeString(p, "aws:\n  region: eu-west-1\n")
+    assert(GraftConfig.load(p.toString)("aws.region") == "eu-west-1")
+  }
+
   test("secret resolution prefers env over config") {
     val c = GraftConfig.parse(Seq("snowflake:", "  password: from_file"))
     assert(c.secret("snowflake.password", Map.empty).contains("from_file"))
