@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{DataQuality, EventOps, Similarity, TextDedup, TextStats}
+import graft.operators.{Analytics, DataQuality, EventOps, Similarity, TextDedup, TextStats}
 import graft.sources.{JsonIngest, PartitionedJsonSink}
 import graft.streaming.StreamIngest
 
@@ -393,9 +393,80 @@ object SparkEntry {
     })
   )
 
-  /** One per implemented operator from SURVEY.md §2 + the LLM-data surface. */
+  // ---------------------------------------------------------------
+  // Analytical breadth over the TPC-H-ish star schema: multi-way
+  // joins, agg-over-join, top-k, per-group ranking. DECIMAL aggregates
+  // keep the oracle compare exact (no FP accumulation-order drift).
+  // ---------------------------------------------------------------
+
+  private def t(s: SparkSession, dir: String)(name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val analyticsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> ((s, dir) =>
+      Analytics.pricingSummary(t(s, dir)("lineitem"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q3_shipping_priority" -> ((s, dir) =>
+      Analytics.shippingPriority(t(s, dir)("customer"), t(s, dir)("orders"), t(s, dir)("lineitem"))),
+
+    "q5_local_supplier" -> ((s, dir) =>
+      Analytics.localSupplierVolume(
+        t(s, dir)("region"), t(s, dir)("nation"), t(s, dir)("customer"),
+        t(s, dir)("orders"), t(s, dir)("lineitem"), t(s, dir)("supplier"))
+        .orderBy("n_name")),
+
+    "q_top_order_per_customer" -> ((s, dir) =>
+      Analytics.topOrderPerCustomer(t(s, dir)("customer"), t(s, dir)("orders"))
+        .orderBy("c_custkey"))
+  )
+
+  private val analyticsOracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(CAST(l_quantity AS DECIMAL(12,4))) AS sum_qty,
+        |       SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS sum_base_price,
+        |       SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |           * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))) AS sum_disc_price,
+        |       COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |           * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |       SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |           * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))) AS revenue
+        |FROM region, nation, customer, orders, lineitem, supplier
+        |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+        |  AND c_nationkey = n_nationkey AND o_custkey = c_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_top_order_per_customer" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |       CAST(o_totalprice AS DECIMAL(20,4)) AS top_order_price
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_totalprice DESC, o_orderkey) = 1
+        |ORDER BY c_custkey""".stripMargin
+  )
+
+  /** One per implemented operator from SURVEY.md §2 + the LLM-data
+    * surface + the analytical star-schema breadth. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    referenceQueries ++ llmQueries
+    referenceQueries ++ llmQueries ++ analyticsQueries
 
   // DuckDB renditions of the LLM-ops queries. Expression shapes mirror
   // the Spark plans 1:1 (same normalize/tokenize/round/CASE order) so
@@ -530,5 +601,5 @@ object SparkEntry {
     * (xxhash64-based SimHash / sign-LSH top-k get rows-only checks;
     * their semantics are unit-tested against planted fixtures). */
   def oracleSql: Map[String, String] =
-    referenceOracles ++ llmOracles
+    referenceOracles ++ llmOracles ++ analyticsOracles
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytical queries over the TPC-H-ish star schema — the relational
+  * breadth beyond the reference's event pipeline: multi-way joins with
+  * broadcast dimensions, aggregation over joins, top-k after join,
+  * per-group ranking.
+  *
+  * Determinism discipline for the oracle gate: every money/quantity
+  * aggregate runs over DECIMAL casts, so sums are EXACT and immune to
+  * floating-point accumulation order (doubles would drift between
+  * Spark's partial-agg tree and DuckDB's sequential sum).
+  *
+  * Scale notes: dimension tables (region/nation/customer/supplier at
+  * these ratios) broadcast under AQE; the fact-table scans carry the
+  * pushed date/segment filters; every aggregate is partial/final. At
+  * 100 TB the same plans hold — the only shuffles are on group keys.
+  */
+object Analytics {
+
+  // Pinned-precision DECIMAL casts: both engines then derive the same
+  // result scales (mult scale 4+4=8, sums keep operand scale), so
+  // aggregates are exact AND stringify identically for the oracle.
+  private def dec12(c: String) = col(c).cast("decimal(12,4)")
+  private def oneMinusDisc =
+    (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)")).cast("decimal(8,4)")
+  private def discounted = dec12("l_extendedprice") * oneMinusDisc
+
+  /** Q1-style pricing summary: scan-filter-aggregate over the largest
+    * fact table. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec12("l_quantity")).as("sum_qty"),
+        sum(dec12("l_extendedprice")).as("sum_base_price"),
+        sum(discounted).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** Q3-style shipping priority: 3-way join, revenue agg, top 10. */
+  def shippingPriority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                       segment: String = "BUILDING", cutoff: String = "1998-03-15"): DataFrame =
+    customer.filter(col("c_mktsegment") === segment)
+      .join(orders.filter(col("o_orderdate") < lit(cutoff)),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem.filter(col("l_shipdate") > lit(cutoff)),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(discounted).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** Q5-style local-supplier volume: 6-way join through the full star,
+    * revenue by nation, only orders whose supplier and customer share a
+    * nation. */
+  def localSupplierVolume(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                          orders: DataFrame, lineitem: DataFrame, supplier: DataFrame,
+                          regionName: String = "ASIA",
+                          from: String = "1996-01-01", until: String = "1997-01-01"): DataFrame =
+    region.filter(col("r_name") === regionName)
+      .join(nation, col("n_regionkey") === col("r_regionkey"))
+      .join(customer, col("c_nationkey") === col("n_nationkey"))
+      .join(orders.filter(col("o_orderdate") >= lit(from) && col("o_orderdate") < lit(until)),
+        col("o_custkey") === col("c_custkey"))
+      .join(lineitem, col("l_orderkey") === col("o_orderkey"))
+      .join(supplier,
+        col("s_suppkey") === col("l_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(discounted).as("revenue"))
+
+  /** Per-customer top order by value: ranking window after a join. */
+  def topOrderPerCustomer(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(20,4)").as("top_order_price"))
+  }
+}
