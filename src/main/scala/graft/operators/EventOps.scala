@@ -82,6 +82,11 @@ object EventOps {
     * 100 TB. Instead probe for a build-side NULL once (a column-pruned
     * scan with an early-out limit), then run the plain hash anti-join.
     * Same semantics, hash-join plan.
+    *
+    * NOTE: the NULL probe is an EAGER Spark job at call time, and it
+    * snapshots the target's null-key state then — if the target mutates
+    * between construction and execution of the returned plan, re-call
+    * this function rather than reusing the DataFrame.
     */
   def dedupInsertNotIn(staging: DataFrame, target: DataFrame, key: String = "event_id"): DataFrame = {
     val buildHasNull = !target.where(col(key).isNull).limit(1).isEmpty

@@ -89,7 +89,8 @@ object Multimodal {
     * index at `everyMs` spacing — pure plan-side explode; the decoder
     * then fetches only sampled frames. */
   def sampleFrames(media: DataFrame, everyMs: Long = 1000L): DataFrame =
-    media.filter(col("kind") === "video" && col("duration_ms").isNotNull)
+    media.filter(col("kind") === "video" && col("duration_ms").isNotNull &&
+        col("duration_ms") > 0) // sequence(0, -1) throws on zero-length clips
       .select(col("media_id"), col("duration_ms"),
         posexplode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))))
       .withColumnRenamed("pos", "frame_no")

@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join types where replicating the right side is sound: the right
+    * side's multiplicity never reaches the output unmatched. Right/full
+    * outer joins would emit saltFactor-1 spurious null-padded rows per
+    * right row. */
+  private val SupportedJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti")
+
   def saltedJoin(
       left: DataFrame,
       right: DataFrame,
@@ -27,6 +34,8 @@ object Skew {
       saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor > 0, "saltFactor must be positive")
+    require(SupportedJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/left_semi/left_anti, not $joinType")
     val salted = left.withColumn("__salt",
       pmod(xxhash64(struct(left.columns.map(col): _*)), lit(saltFactor.toLong)))
     val replicated = right.withColumn("__salt",

@@ -40,14 +40,18 @@ object Catalog {
     * column list are by-name too). Returns rows appended. */
   def insertAppend(spark: SparkSession, name: String, df: DataFrame): Long = {
     val cols = spark.table(name).columns
-    val aligned = df.select(cols.map(df.col): _*)
-    val n = aligned.count()
-    aligned.write.mode("append").saveAsTable(name)
-    // The write may run on a DIFFERENT session than readers (foreachBatch
-    // hands out a micro-batch session clone): drop `spark`'s cached
-    // relation so its next read sees the new files.
-    spark.catalog.refreshTable(name)
-    n
+    // cache across the count + write so the input plan (often a dedup
+    // anti-join) executes once, not twice
+    val aligned = df.select(cols.map(df.col): _*).persist()
+    try {
+      val n = aligned.count()
+      aligned.write.mode("append").saveAsTable(name)
+      // The write may run on a DIFFERENT session than readers (foreachBatch
+      // hands out a micro-batch session clone): drop `spark`'s cached
+      // relation so its next read sees the new files.
+      spark.catalog.refreshTable(name)
+      n
+    } finally aligned.unpersist()
   }
 
   def tableExists(spark: SparkSession, name: String): Boolean =

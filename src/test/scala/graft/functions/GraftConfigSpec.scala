@@ -29,6 +29,17 @@ class GraftConfigSpec extends AnyFunSuite {
     assert(c("airflow.schedule_interval") == "0 * * * *")
   }
 
+  test("a bare # inside a value is data, not a comment (YAML rules)") {
+    val c = GraftConfig.parse(Seq(
+      "auth:",
+      "  password: pa#ss  # real comment",
+      "  url: http://h/page#frag",
+      "  note: it's #1"))
+    assert(c("auth.password") == "pa#ss")
+    assert(c("auth.url") == "http://h/page#frag")
+    assert(c("auth.note") == "it's") // ' #1' is whitespace-preceded -> comment
+  }
+
   test("missing key: get is None, apply throws") {
     val c = GraftConfig.parse(yaml)
     assert(c.get("nope").isEmpty)

@@ -29,6 +29,15 @@ class VecDotSpec extends SparkSpec {
     assert(withNullElem.head().isNullAt(0))
   }
 
+  test("mismatched dimensions yield null (matching the fold), both eval paths") {
+    val viaSql = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT), CAST(3.0 AS FLOAT)), array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)))")
+    assert(viaSql.head().isNullAt(0))
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val both = df.select(Similarity.dot($"a", $"b").as("n"), Similarity.dotHof($"a", $"b").as("h")).head()
+    assert(both.isNullAt(0) && both.isNullAt(1))
+  }
+
   test("vec_dot is callable from SQL via the session extension") {
     val r = spark.sql(
       "SELECT vec_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT)))")

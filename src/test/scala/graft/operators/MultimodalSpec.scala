@@ -34,6 +34,12 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("sampleFrames tolerates zero-duration clips") {
+    val media = Multimodal.syntheticMedia(spark, 50)
+      .withColumn("duration_ms", when($"kind" === "video", lit(0L)).otherwise($"duration_ms"))
+    assert(Multimodal.sampleFrames(media).count() == 0L) // no crash, no frames
+  }
+
   test("sampleFrames explodes one row per sampled timestamp") {
     val media = Multimodal.syntheticMedia(spark, 200)
     val videos = media.filter($"kind" === "video" && $"duration_ms".isNotNull)

@@ -25,6 +25,12 @@ class SkewSpec extends SparkSpec {
     assert(spread > 1L, s"hot key still on one partition")
   }
 
+  test("right/full outer joins are rejected (replication would fabricate rows)") {
+    val df = Seq((1L, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException](Skew.saltedJoin(df, df, "k", 4, "right_outer"))
+    intercept[IllegalArgumentException](Skew.saltedJoin(df, df, "k", 4, "full"))
+  }
+
   test("left joins preserve unmatched rows under salting") {
     val left = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val right = Seq((1L, "x")).toDF("k", "name")

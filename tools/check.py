@@ -45,6 +45,11 @@ def main(sf_dir, out_dir):
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_skip = 0
+    # a query that crashed in Verify leaves no result dir: that is a
+    # FAIL, not a silent shrink of the gate
+    for name in sorted(set(oracles) - set(names)):
+        print(f"FAIL  {name}: declared oracle but no Verify output (query crashed?)")
+        n_fail += 1
     for name in names:
         got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
         got = canon(got_rel.fetchall(), got_rel.columns)
