@@ -424,7 +424,23 @@ object SparkEntry {
 
     "q_top_order_per_customer" -> ((s, dir) =>
       Analytics.topOrderPerCustomer(t(s, dir)("customer"), t(s, dir)("orders"))
-        .orderBy("c_custkey"))
+        .orderBy("c_custkey")),
+
+    // Hierarchical totals: ROLLUP over (day, type) — subtotal + grand
+    // total rows carry NULL group keys in both engines.
+    "ref_summary_rollup" -> ((s, dir) =>
+      ev(s, dir)
+        .rollup(to_date(col("ts")).as("event_date"), col("event_type"))
+        .agg(count(lit(1)).as("event_count"))
+        .orderBy(asc_nulls_first("event_date"), asc_nulls_first("event_type"))),
+
+    // Exact distinct aggregation (two-phase distinct-agg plan).
+    "ref_daily_distinct_users" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .agg(countDistinct(col("user_id")).as("distinct_users"),
+          count(lit(1)).as("event_count"))
+        .orderBy("event_date"))
   )
 
   private val analyticsOracles: Map[String, String] = Map(
@@ -466,7 +482,18 @@ object SparkEntry {
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |QUALIFY row_number() OVER (PARTITION BY o_custkey
         |                           ORDER BY o_totalprice DESC, o_orderkey) = 1
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    "ref_summary_rollup" ->
+      """SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS event_count
+        |FROM events GROUP BY ROLLUP (1, 2)
+        |ORDER BY event_date ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+
+    "ref_daily_distinct_users" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |       COUNT(DISTINCT user_id) AS distinct_users,
+        |       COUNT(*) AS event_count
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** One per implemented operator from SURVEY.md §2 + the LLM-data
