@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Analytics, DataQuality, EventOps, Similarity, TextDedup, TextStats}
+import graft.operators.{Analytics, AsofJoin, DataQuality, EventOps, Similarity, TextDedup, TextStats}
 import graft.sources.{JsonIngest, PartitionedJsonSink}
 import graft.streaming.StreamIngest
 
@@ -434,6 +434,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("event_count"))
         .orderBy(asc_nulls_first("event_date"), asc_nulls_first("event_type"))),
 
+    // As-of join (custom operator — Spark lacks it): each view event
+    // picks up the user's most recent prior-or-equal purchase. One
+    // keyed shuffle + window; DuckDB's native ASOF LEFT JOIN oracles it.
+    "ref_asof_last_purchase" -> ((s, dir) => {
+      val e = ev(s, dir)
+      AsofJoin.asofBackward(
+        e.filter(col("event_type") === "view").select("event_id", "user_id", "ts"),
+        e.filter(col("event_type") === "purchase"),
+        key = "user_id", ts = "ts", payload = Seq("value"), suffix = "_p")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value_p").as("purchase_price"))
+        .orderBy("event_id")
+    }),
+
     // Exact distinct aggregation (two-phase distinct-agg plan).
     "ref_daily_distinct_users" -> ((s, dir) =>
       ev(s, dir)
@@ -488,6 +501,13 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS event_count
         |FROM events GROUP BY ROLLUP (1, 2)
         |ORDER BY event_date ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+
+    "ref_asof_last_purchase" ->
+      """SELECT v.event_id, v.user_id, v.ts, p.value AS purchase_price
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON v.user_id = p.user_id AND v.ts >= p.ts
+        |ORDER BY v.event_id""".stripMargin,
 
     "ref_daily_distinct_users" ->
       """SELECT CAST(ts AS DATE) AS event_date,

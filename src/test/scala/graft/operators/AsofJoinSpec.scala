@@ -1,0 +1,44 @@
+package graft.operators
+
+import java.time.LocalDateTime
+
+import graft.SparkSpec
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = LocalDateTime.parse(s)
+
+  test("backward as-of: latest right at or before each left ts, null when none") {
+    val quotes = Seq( // (key, ts, price)
+      ("A", t("2026-01-01T10:00:00"), 1.0),
+      ("A", t("2026-01-01T10:05:00"), 2.0),
+      ("B", t("2026-01-01T10:02:00"), 9.0)
+    ).toDF("sym", "ts", "price")
+    val trades = Seq(
+      ("A", t("2026-01-01T09:59:00"), 100L), // before any quote -> null
+      ("A", t("2026-01-01T10:00:00"), 101L), // tie -> matches 1.0 (>= semantics)
+      ("A", t("2026-01-01T10:04:59"), 102L),
+      ("A", t("2026-01-01T10:06:00"), 103L),
+      ("B", t("2026-01-01T10:03:00"), 104L)
+    ).toDF("sym", "ts", "trade_id")
+
+    val out = AsofJoin.asofBackward(trades, quotes, "sym", "ts", Seq("price"))
+      .collect().map(r => r.getAs[Long]("trade_id") -> Option(r.getAs[Any]("price_right"))).toMap
+    assert(out(100L).isEmpty)
+    assert(out(101L).contains(1.0))
+    assert(out(102L).contains(1.0))
+    assert(out(103L).contains(2.0))
+    assert(out(104L).contains(9.0))
+  }
+
+  test("plan is one keyed shuffle + window, no nested-loop join") {
+    val quotes = Seq(("A", t("2026-01-01T10:00:00"), 1.0)).toDF("sym", "ts", "price")
+    val trades = Seq(("A", t("2026-01-01T10:01:00"), 1L)).toDF("sym", "ts", "trade_id")
+    val plan = AsofJoin.asofBackward(trades, quotes, "sym", "ts", Seq("price"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range explosion:\n$plan")
+    assert(plan.contains("Window"), s"expected window plan:\n$plan")
+  }
+}
