@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Analytics, AsofJoin, DataQuality, EventOps, Similarity, TextDedup, TextStats}
+import graft.operators.{Analytics, AsofJoin, DataQuality, EventOps, RangeJoin, Similarity, TextDedup, TextStats}
 import graft.sources.{JsonIngest, PartitionedJsonSink}
 import graft.streaming.StreamIngest
 
@@ -447,6 +447,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Range join (custom operator): views inside the 30-minute window
+    // after a same-user purchase — bucketed equi-join, never a
+    // nested-loop inequality join. DuckDB plans the oracle's plain
+    // inequality predicates with its native IEJoin.
+    "ref_range_promo_views" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      val windows = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"),
+          col("event_id").as("purchase_id"))
+      RangeJoin.pointInInterval(views, windows, "ts", "w_start", "w_end",
+        keys = Seq("user_id"), bucketWidthSec = 1800L)
+        .select(col("view_id"), col("purchase_id"))
+        .orderBy("view_id", "purchase_id")
+    }),
+
     // Exact distinct aggregation (two-phase distinct-agg plan).
     "ref_daily_distinct_users" -> ((s, dir) =>
       ev(s, dir)
@@ -508,6 +526,14 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON v.user_id = p.user_id AND v.ts >= p.ts
         |ORDER BY v.event_id""".stripMargin,
+
+    "ref_range_promo_views" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND v.ts >= p.ts AND v.ts < p.ts + INTERVAL 30 MINUTE
+        |ORDER BY 1, 2""".stripMargin,
 
     "ref_daily_distinct_users" ->
       """SELECT CAST(ts AS DATE) AS event_date,
