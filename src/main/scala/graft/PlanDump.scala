@@ -6,7 +6,8 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     val names = Seq("ref_user_events", "ref_daily_summary", "ref_dedup_insert",
-      "doc_neardup_minhash", "emb_top3_exact", "doc_stats", "ref_pipeline_summary")
+      "doc_neardup_minhash", "emb_top3_exact", "doc_stats", "ref_pipeline_summary",
+      "ref_asof_last_purchase", "ref_range_promo_views", "q5_local_supplier")
     val sb = new StringBuilder
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, dir)

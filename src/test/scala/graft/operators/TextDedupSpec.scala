@@ -58,6 +58,22 @@ class TextDedupSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("jaccard") >= 0.5))
   }
 
+  test("minhash signature similarity estimates true jaccard") {
+    import org.apache.spark.sql.functions._
+    // two near-identical docs: signature agreement ratio ~ jaccard
+    val pair = docs.filter($"doc_id" === 474 || $"doc_id" === 498) // known j=0.989 pair
+      .select(TextDedup.minhashSignature(TextDedup.shingles($"text", 3), 128).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    val agree = pair(0).zip(pair(1)).count { case (a, b) => a == b } / 128.0
+    assert(agree > 0.9, s"estimated jaccard $agree for a 0.989 pair")
+
+    val far = docs.filter($"doc_id" === 0 || $"doc_id" === 1)
+      .select(TextDedup.minhashSignature(TextDedup.shingles($"text", 3), 128).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    val agreeFar = far(0).zip(far(1)).count { case (a, b) => a == b } / 128.0
+    assert(agreeFar < 0.3, s"unrelated docs estimated at $agreeFar")
+  }
+
   test("near-dup plans are bucketed joins, never cartesian") {
     Seq(
       TextDedup.nearDupPairsMinhash(planted),
