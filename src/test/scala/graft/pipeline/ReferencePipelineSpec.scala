@@ -52,6 +52,33 @@ class ReferencePipelineSpec extends SparkSpec with BeforeAndAfterEach {
     assert(spark.table(ReferencePipeline.EventsTable).count() == 100L)
   }
 
+  test("path B's DQ gate fails the run when the curated tier is corrupt (C5)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_pb_dq").toString
+    PartitionedJsonSink.write(
+      EventGenerator.events(spark, 20, seed = 61, startEpochSeconds = 1735689600L), root)
+    val hourDir = PartitionedJsonSink.hourPath(root, LocalDateTime.of(2025, 1, 1, 0, 0))
+
+    // seed the curated tier with a pre-existing duplicate pair — the
+    // run's own checks must then fail at evaluate_dq, not earlier
+    val dup = Seq(("dup-id", java.time.LocalDateTime.parse("2025-01-01T00:00:00"), "view", "user_1"))
+      .toDF("event_id", "event_timestamp", "event_type", "user_id")
+      .withColumn("data", org.apache.spark.sql.functions.lit(null).cast(
+        graft.sources.JsonIngest.DataSchema))
+      .withColumn("device_id", org.apache.spark.sql.functions.lit(null).cast("string"))
+      .withColumn("app_version", org.apache.spark.sql.functions.lit(null).cast("string"))
+      .withColumn("os_version", org.apache.spark.sql.functions.lit(null).cast("string"))
+      .withColumn("ip_address", org.apache.spark.sql.functions.lit(null).cast("string"))
+      .withColumn("location", org.apache.spark.sql.functions.lit(null).cast("string"))
+      .withColumn("inserted_at", org.apache.spark.sql.functions.current_timestamp())
+    graft.plans.Catalog.ctasOverwrite(dup.unionAll(dup), ReferencePipeline.EventsTable)
+
+    val ex = intercept[PipelineFailedException](ReferencePipeline.pathB(spark, hourDir))
+    assert(ex.report.stages.last.stage == "evaluate_dq")
+    assert(ex.report.metrics("duplicate_count") == 1L)
+    assert(ex.getCause.getMessage.contains("Data quality check failed"))
+  }
+
   test("path B fails the availability stage when the partition is empty") {
     val root = Files.createTempDirectory("graft_pb_empty").toString
     val ex = intercept[PipelineFailedException] {
