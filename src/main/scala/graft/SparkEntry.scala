@@ -509,7 +509,7 @@ object SparkEntry {
 
     "q_top_order_per_customer" ->
       """SELECT c_custkey, c_name, o_orderkey,
-        |       CAST(o_totalprice AS DECIMAL(20,4)) AS top_order_price
+        |       o_totalprice AS top_order_price
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |QUALIFY row_number() OVER (PARTITION BY o_custkey
         |                           ORDER BY o_totalprice DESC, o_orderkey) = 1

@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
-  // Pinned-precision DECIMAL casts: both engines then derive the same
-  // result scales (mult scale 4+4=8, sums keep operand scale), so
-  // aggregates are exact AND stringify identically for the oracle.
+  // Pinned-precision DECIMAL casts keep the aggregates exact, and the
+  // FINAL result columns are cast to DuckDB's widened sum types
+  // (SUM(DECIMAL) → DECIMAL(38,s) there; Spark widens only to
+  // (p+10,s)) so the gate's type-inclusive hash matches bit-for-bit.
   private def dec12(c: String) = col(c).cast("decimal(12,4)")
   private def oneMinusDisc =
     (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)")).cast("decimal(8,4)")
@@ -36,9 +37,9 @@ object Analytics {
       .filter(col("l_shipdate") <= lit("1998-09-01"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec12("l_quantity")).as("sum_qty"),
-        sum(dec12("l_extendedprice")).as("sum_base_price"),
-        sum(discounted).as("sum_disc_price"),
+        sum(dec12("l_quantity")).cast("decimal(38,4)").as("sum_qty"),
+        sum(dec12("l_extendedprice")).cast("decimal(38,4)").as("sum_base_price"),
+        sum(discounted).cast("decimal(38,8)").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
   /** Q3-style shipping priority: 3-way join, revenue agg, top 10. */
@@ -50,7 +51,7 @@ object Analytics {
       .join(lineitem.filter(col("l_shipdate") > lit(cutoff)),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(discounted).as("revenue"))
+      .agg(sum(discounted).cast("decimal(38,8)").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
 
@@ -70,7 +71,7 @@ object Analytics {
       .join(supplier,
         col("s_suppkey") === col("l_suppkey") && col("s_nationkey") === col("c_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(discounted).as("revenue"))
+      .agg(sum(discounted).cast("decimal(38,8)").as("revenue"))
 
   /** Per-customer top order by value: ranking window after a join. */
   def topOrderPerCustomer(customer: DataFrame, orders: DataFrame): DataFrame = {
@@ -81,6 +82,9 @@ object Analytics {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
-        col("o_totalprice").cast("decimal(20,4)").as("top_order_price"))
+        // raw DOUBLE passthrough — this is a single row's value (no
+        // accumulation), so no decimal canonicalization is needed and
+        // the bits match the oracle's identity projection exactly
+        col("o_totalprice").as("top_order_price"))
   }
 }

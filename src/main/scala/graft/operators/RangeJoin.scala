@@ -28,21 +28,30 @@ object RangeJoin {
       endCol: String,
       keys: Seq[String],
       bucketWidthSec: Long = 3600L): DataFrame = {
-    val b = lit(bucketWidthSec)
-    def epoch(c: String) = col(c).cast("timestamp").cast("long")
+    // bucket at MICROSECOND resolution: epoch-second truncation would
+    // drop the final bucket of any interval whose end has fractional
+    // seconds and whose floor-second lands on a bucket boundary,
+    // silently losing points in the trailing sub-second window
+    val b = lit(bucketWidthSec * 1000000L)
+    def micros(c: String) = unix_micros(col(c).cast("timestamp"))
 
-    val p = points.withColumn("__bucket", floor(epoch(ptCol) / b))
+    // explicit aliases: both inputs often descend from the same scan
+    // (self-joins), and df(col) disambiguation alone can degrade to a
+    // trivially-true predicate under lineage changes
+    val p = points.withColumn("__bucket", floor(micros(ptCol) / b)).alias("__rj_p")
     val i = intervals
       .withColumn("__bucket",
-        explode(sequence(floor(epoch(startCol) / b),
+        explode(sequence(floor(micros(startCol) / b),
           // end is exclusive: an interval ending exactly on a bucket
           // boundary does not reach into the next bucket
-          floor((epoch(endCol) - 1) / b))))
+          floor((micros(endCol) - 1) / b))))
+      .alias("__rj_i")
 
-    val joined = p
-      .join(i, keys.map(k => p(k) === i(k)).reduce(_ && _) && p("__bucket") === i("__bucket"))
-      .filter(p(ptCol) >= i(startCol) && p(ptCol) < i(endCol))
-    (keys.map(i(_)) :+ i("__bucket") :+ p("__bucket"))
-      .foldLeft(joined)((d, c) => d.drop(c))
+    def pc(c: String) = col(s"__rj_p.$c")
+    def ic(c: String) = col(s"__rj_i.$c")
+    p.join(i, keys.map(k => pc(k) === ic(k)).reduce(_ && _) && pc("__bucket") === ic("__bucket"))
+      .filter(pc(ptCol) >= ic(startCol) && pc(ptCol) < ic(endCol))
+      .select(points.columns.map(pc) ++
+        intervals.columns.filterNot(keys.contains).map(ic): _*)
   }
 }

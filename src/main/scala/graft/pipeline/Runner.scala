@@ -56,7 +56,13 @@ final class Runner(
           metrics = metrics ++ stage.body(metrics)
           done = true
         } catch {
-          case e: Throwable =>
+          // fatal JVM errors (OOM, linkage) and interrupts must NOT be
+          // swallowed into a retry — rethrow; interrupts also restore
+          // the thread's interrupt flag
+          case e: InterruptedException =>
+            Thread.currentThread().interrupt()
+            throw e
+          case scala.util.control.NonFatal(e) =>
             lastError = e
             if (attempt <= retry.retries && retry.delayMillis > 0) Thread.sleep(retry.delayMillis)
         }

@@ -32,6 +32,38 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(104L).contains(9.0))
   }
 
+  test("matched right row's NULL payload stays NULL (no stale fallback) and multi-column payloads stay atomic") {
+    // quote at 10:02 has a null bid but a real venue; ASOF semantics
+    // return THAT row's values — never 10:00's bid with 10:02's venue
+    val quotes = Seq(
+      ("A", t("2026-01-01T10:00:00"), Option(1.0), Option("X")),
+      ("A", t("2026-01-01T10:02:00"), None, Option("Y")),
+      ("A", t("2026-01-01T10:04:00"), Option(3.0), None)
+    ).toDF("sym", "ts", "bid", "venue")
+    val trades = Seq(
+      ("A", t("2026-01-01T10:03:00"), 1L), // matches the null-bid row
+      ("A", t("2026-01-01T10:05:00"), 2L)  // matches the null-venue row
+    ).toDF("sym", "ts", "trade_id")
+
+    val out = AsofJoin.asofBackward(trades, quotes, "sym", "ts", Seq("bid", "venue"))
+      .collect().map(r => r.getAs[Long]("trade_id") ->
+        ((Option(r.getAs[Any]("bid_right")), Option(r.getAs[Any]("venue_right"))))).toMap
+    assert(out(1L) == ((None, Some("Y"))), s"expected matched row's NULL bid, got ${out(1L)}")
+    assert(out(2L) == ((Some(3.0), None)), s"expected matched row's NULL venue, got ${out(2L)}")
+  }
+
+  test("tie-break orders by the raw column type (string ids stay deterministic)") {
+    // two quotes at the SAME (key, ts): the greater string id wins
+    val quotes = Seq(
+      ("A", t("2026-01-01T10:00:00"), 1.0, "q-b"),
+      ("A", t("2026-01-01T10:00:00"), 2.0, "q-a")
+    ).toDF("sym", "ts", "price", "qid")
+    val trades = Seq(("A", t("2026-01-01T10:00:00"), 1L)).toDF("sym", "ts", "trade_id")
+    val out = AsofJoin.asofBackward(trades, quotes, "sym", "ts", Seq("price"),
+      tieBreak = Some("qid")).collect()
+    assert(out.head.getAs[Double]("price_right") == 1.0) // "q-b" sorts last
+  }
+
   test("plan is one keyed shuffle + window, no nested-loop join") {
     val quotes = Seq(("A", t("2026-01-01T10:00:00"), 1.0)).toDF("sym", "ts", "price")
     val trades = Seq(("A", t("2026-01-01T10:01:00"), 1L)).toDF("sym", "ts", "trade_id")

@@ -30,6 +30,23 @@ class RangeJoinSpec extends SparkSpec {
       (5L, "other"), (6L, "long")))
   }
 
+  test("sub-second interval ends on a bucket boundary keep their trailing bucket") {
+    // end = 11:00:00.5: floor-second 11:00:00 is a whole bucket
+    // multiple, but the interval still reaches 500ms into the 11:00
+    // bucket — second-truncated bucketing would drop point 2
+    val intervals = Seq(
+      ("u", t("2026-01-01T10:30:00"), t("2026-01-01T11:00:00.500"), "i1")
+    ).toDF("user", "start", "end", "tag")
+    val points = Seq(
+      ("u", t("2026-01-01T10:59:59.900"), 1L), // in the 10:00 bucket
+      ("u", t("2026-01-01T11:00:00.400"), 2L), // trailing sub-second window
+      ("u", t("2026-01-01T11:00:00.500"), 3L)  // exclusive end -> no match
+    ).toDF("user", "ts", "pid")
+    val out = RangeJoin.pointInInterval(points, intervals, "ts", "start", "end", Seq("user"))
+      .select("pid").as[Long].collect().toSet
+    assert(out == Set(1L, 2L), s"trailing sub-second bucket lost: $out")
+  }
+
   test("plan is an equi-join on (key, bucket), not a nested loop") {
     val intervals = Seq(("u", t("2026-01-01T10:00:00"), t("2026-01-01T11:00:00"))).toDF("user", "start", "end")
     val points = Seq(("u", t("2026-01-01T10:30:00"), 1L)).toDF("user", "ts", "pid")
