@@ -355,9 +355,22 @@ object SparkEntry {
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a_id", "b_id")),
 
-    // SimHash near-dup (xxhash64-based — no SQL oracle; rows-only).
+    // Cross-engine-checkable SimHash signatures (md5 variant, emitted
+    // as a 64-char bit string MSB-first).
+    "doc_simhash_sig" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        lpad(bin(TextDedup.simhash64Md5(col("text"))), 64, "0").as("simhash_bits"))
+        .orderBy("doc_id")),
+
+    // SimHash near-dup on the md5 signature: the Spark plan is the
+    // chunked-LSH pipeline (pigeonhole bucketing is EXACT for
+    // hamming ≤ 3 of 4 chunks, recall 1 by construction), so the
+    // all-pairs DuckDB oracle matches it row-for-row. The xxhash64
+    // signature stays the production kernel, parity-tested in-suite.
     "doc_neardup_simhash" -> ((s, dir) =>
-      TextDedup.nearDupPairsSimhash(docs(s, dir), maxHamming = 3)
+      TextDedup.nearDupPairsSimhash(docs(s, dir), maxHamming = 3,
+        sigFn = TextDedup.simhash64Md5)
         .orderBy("a_id", "b_id")),
 
     // Exact top-3 cosine neighbors for the probe set (the ANN baseline).
@@ -379,23 +392,33 @@ object SparkEntry {
         .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
         .orderBy("a_id", "b_id")),
 
-    // ANN path: LSH-bucketed top-3 (rows-only; recall characterized in
+    // ANN path: LSH-bucketed top-3 on md5-derived hyperplanes — the
+    // ENTIRE approximate path (bucket assignment, candidate join,
+    // ranking) is replicated in the DuckDB oracle, so this is a full
+    // cross-engine check, not a rows-only smoke. The xxhash64 planes
+    // stay the production kernel (recall characterized in
     // SimilaritySpec against the exact baseline).
     "emb_topk_lsh" -> ((s, dir) => {
       val planted = embDupFixture(s, dir)
-      Similarity.topKLsh(planted, planted.filter(col("vec_id") >= 100000), 3, planes = 8)
+      Similarity.topKLsh(planted, planted.filter(col("vec_id") >= 100000), 3, planes = 8,
+        bucketOf = Similarity.lshBucketMd5(_, 8))
         .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
         .orderBy("probe_id", "rank")
     }),
 
-    // ANN path #2: IVF with a k-means-lite coarse quantizer (rows-only;
-    // twin-recall proven in SimilaritySpec).
+    // ANN path #2: IVF with a k-means-lite coarse quantizer, gated on
+    // the provable recall property: each planted probe's identical twin
+    // shares its argmax centroid (identical vector), so IVF rank-1 MUST
+    // equal brute-force exact rank-1 — which DuckDB computes from first
+    // principles over the fixture. Full top-3 recall is characterized
+    // in SimilaritySpec.
     "emb_topk_ivf" -> ((s, dir) => {
       val planted = embDupFixture(s, dir)
       val cents = Similarity.trainCentroids(planted, k = 8, iters = 2)
       Similarity.topKIvf(planted, planted.filter(col("vec_id") >= 100000), 3, cents, nprobe = 2)
-        .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
-        .orderBy("probe_id", "rank")
+        .filter(col("rank") === 1)
+        .select(col("probe_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("probe_id")
     })
   )
 
@@ -564,6 +587,26 @@ object SparkEntry {
       |             string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
       |      FROM documents)""".stripMargin
 
+  // md5-SimHash signatures as 64-char bit strings, MSB-first: output
+  // position pos (0-based) carries bit j = 63-pos, where bit j of a
+  // token hash is bit (j % 4) of hex digit (16 - j/4) of md5(token) —
+  // the exact mapping simhash64Md5 uses.
+  private val simhashSigs = {
+    val digit = "(CASE WHEN ascii(substr(h, CAST(16 - ((63 - p) // 4) AS INT), 1)) >= 97 " +
+      "THEN ascii(substr(h, CAST(16 - ((63 - p) // 4) AS INT), 1)) - 87 " +
+      "ELSE ascii(substr(h, CAST(16 - ((63 - p) // 4) AS INT), 1)) - 48 END)"
+    s"""SELECT doc_id,
+       |  array_to_string(list_transform(range(0, 64), p ->
+       |    CASE WHEN list_sum(list_transform(hxs, h ->
+       |      CASE WHEN ($digit >> ((63 - p) % 4)) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+       |    THEN '1' ELSE '0' END), '') AS sig
+       |FROM (SELECT doc_id,
+       |        list_transform(
+       |          string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
+       |          t -> substr(md5(t), 1, 16)) AS hxs
+       |      FROM documents)""".stripMargin
+  }
+
   private val llmOracles: Map[String, String] = Map(
     "doc_stats" -> {
       val en = TextStats.Stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -646,6 +689,24 @@ object SparkEntry {
          |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
 
+    "doc_simhash_sig" ->
+      s"""WITH sigs AS ($simhashSigs)
+         |SELECT doc_id, sig AS simhash_bits FROM sigs ORDER BY doc_id""".stripMargin,
+
+    // All-pairs hamming over the md5 signatures: matches the Spark
+    // chunked-LSH plan exactly because 4-chunk pigeonhole bucketing has
+    // recall 1 at hamming <= 3.
+    "doc_neardup_simhash" ->
+      s"""WITH sigs AS ($simhashSigs)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       CAST(len(list_filter(range(1, 65),
+         |                i -> substr(a.sig, CAST(i AS INT), 1) <> substr(b.sig, CAST(i AS INT), 1))) AS INT) AS hamming
+         |FROM sigs a, sigs b
+         |WHERE a.doc_id < b.doc_id
+         |  AND len(list_filter(range(1, 65),
+         |          i -> substr(a.sig, CAST(i AS INT), 1) <> substr(b.sig, CAST(i AS INT), 1))) <= 3
+         |ORDER BY 1, 2""".stripMargin,
+
     "emb_top3_exact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |probes AS (SELECT vec_id AS probe_id, v AS p FROM e WHERE vec_id % 50 = 0),
@@ -672,13 +733,66 @@ object SparkEntry {
         |WHERE a.vec_id < b.vec_id
         |  AND list_dot_product(a.v, b.v)
         |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.999
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Full replica of the md5-plane LSH ANN path: same plane
+    // derivation, bucket assignment, candidate join, and ranking as
+    // Similarity.lshBucketMd5/topKLsh.
+    "emb_topk_lsh" ->
+      """WITH dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+        |planes AS (
+        |  SELECT p, list_transform(range(0, (SELECT dim FROM dims)), d ->
+        |      CAST(CAST('0x' || substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 8) AS BIGINT) AS DOUBLE)
+        |        / 2147483648.0 - 1.0) AS plane
+        |  FROM range(0, 8) t(p)),
+        |fixture AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 50 = 0),
+        |bucketed AS (
+        |  SELECT vec_id, v,
+        |    (SELECT SUM(CASE WHEN list_dot_product(f.v, pl.plane) > 0
+        |                THEN 1::BIGINT << CAST(pl.p AS INT) ELSE 0 END) FROM planes pl) AS bucket
+        |  FROM fixture f),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |         list_dot_product(p.v, c.v)
+        |           / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |  FROM bucketed p JOIN bucketed c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+        |  WHERE p.vec_id >= 100000)
+        |SELECT probe_id, rank, neighbor_id, CAST(ROUND(sim, 6) AS DOUBLE) AS sim
+        |FROM (SELECT probe_id, neighbor_id, sim,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    // IVF twin-recall gate: brute-force exact rank-1 over the fixture.
+    // Each probe's identical twin shares its argmax centroid, so the
+    // IVF candidate set always contains the true nearest neighbor and
+    // IVF rank-1 == exact rank-1 by construction.
+    "emb_topk_ivf" ->
+      """WITH fixture AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 50 = 0),
+        |probes AS (SELECT vec_id AS probe_id, v AS p FROM fixture WHERE vec_id >= 100000),
+        |scored AS (
+        |  SELECT pr.probe_id, c.vec_id AS neighbor_id,
+        |         list_dot_product(pr.p, c.v)
+        |           / (sqrt(list_dot_product(pr.p, pr.p)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |  FROM probes pr, fixture c WHERE c.vec_id <> pr.probe_id)
+        |SELECT probe_id, neighbor_id, CAST(ROUND(sim, 6) AS DOUBLE) AS sim
+        |FROM (SELECT probe_id, neighbor_id, sim,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |WHERE rank = 1 ORDER BY probe_id""".stripMargin
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops
-    * (xxhash64-based SimHash / sign-LSH top-k get rows-only checks;
-    * their semantics are unit-tested against planted fixtures). */
+    * the same parquet tables. Every query has an oracle: the
+    * xxhash64-based kernels (SimHash, sign-LSH) gate through their
+    * md5-derived twins, and IVF gates through its provable twin-recall
+    * property. */
   def oracleSql: Map[String, String] =
     referenceOracles ++ llmOracles ++ analyticsOracles
 }

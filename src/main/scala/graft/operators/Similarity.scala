@@ -73,17 +73,41 @@ object Similarity {
       (acc, s) => acc +
         when(s.getField("bit"), call_function("shiftleft", lit(1L), s.getField("p"))).otherwise(0L))
 
+  /** Cross-engine plane component: md5-derived uniform in [-1, 1) —
+    * first 8 hex digits of md5("p:d") scaled. Same distribution as
+    * [[planeComponent]] but expressible identically in DuckDB, so the
+    * whole LSH bucket assignment is oracle-checkable. */
+  private def planeComponentMd5(p: Column, d: Column): Column =
+    (conv(substring(md5(concat(p.cast("string"), lit(":"), d.cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") / 2147483648.0) - 1.0
+
+  /** Sign-pattern LSH bucket from md5-derived hyperplanes — the
+    * DuckDB-replicable twin of [[lshBucket]] (the xxhash64 path stays
+    * the production kernel). */
+  def lshBucketMd5(emb: Column, planes: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(planes - 1)), p => {
+        val d = dotHof(emb, transform(sequence(lit(0), size(emb) - 1), i => planeComponentMd5(p, i)))
+        struct(p.as("p"), (d > 0).as("bit"))
+      }),
+      lit(0L),
+      (acc, s) => acc +
+        when(s.getField("bit"), call_function("shiftleft", lit(1L), s.getField("p"))).otherwise(0L))
+
   /** Approximate top-k: score only within matching LSH buckets.
     * Probes with under-full buckets return fewer than k rows — the
     * recall/coverage trade is the point of the ANN path. */
   def topKLsh(corpus: DataFrame, probes: DataFrame, k: Int,
-              planes: Int = 8, seed: Long = 42L): DataFrame = {
+              planes: Int = 8, seed: Long = 42L,
+              bucketOf: Column => Column = null): DataFrame = {
+    val bucket: Column => Column =
+      if (bucketOf == null) lshBucket(_, planes, seed) else bucketOf
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
       norm(col("embedding")).as("c_norm"),
-      lshBucket(col("embedding"), planes, seed).as("bucket"))
+      bucket(col("embedding")).as("bucket"))
     val p = broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
       norm(col("embedding")).as("p_norm"),
-      lshBucket(col("embedding"), planes, seed).as("bucket")))
+      bucket(col("embedding")).as("bucket")))
     val scored = c.join(p, Seq("bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),

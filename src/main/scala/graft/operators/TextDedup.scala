@@ -191,9 +191,10 @@ object TextDedup {
   def nearDupPairsSimhash(
       docs: DataFrame,
       textCol: String = "text",
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      sigFn: Column => Column = simhash64): DataFrame = {
     val chunked = docs
-      .select(col("doc_id"), simhash64(col(textCol)).as("sim"))
+      .select(col("doc_id"), sigFn(col(textCol)).as("sim"))
       .select(col("doc_id"), col("sim"),
         explode(transform(sequence(lit(0), lit(3)),
           k => struct(k.as("chunk"),
@@ -230,4 +231,33 @@ object TextDedup {
   def minhashSignatureMd5(sh: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       h => array_min(transform(sh, s => md5(concat(h.cast("string"), lit(":"), s)))))
+
+  /** Cross-engine SimHash: the per-token 64-bit hash is the first 16
+    * hex digits of md5(token) read big-endian — bit j (j=0 is the LSB)
+    * is bit (j % 4) of hex digit (16 - j/4, 1-based from the left).
+    * Same majority vote and result type as [[simhash64]], so it drops
+    * straight into [[nearDupPairsSimhash]] via `sigFn` — the
+    * [[minhashSignatureMd5]] oracle trick applied to SimHash (the
+    * xxhash64 path stays the production kernel). */
+  def simhash64Md5(text: Column): Column = {
+    val hexes = transform(split(normalize(text), " "), t => substring(md5(t), 1, 16))
+    def hexDigitVal(ch: Column) = {
+      val a = ascii(ch)
+      when(a >= 97, a - 87).otherwise(a - 48)
+    }
+    def bitOf(hx: Column, j: Column) = {
+      val digit = hexDigitVal(call_function("substring", hx, lit(16) - floor(j / 4).cast("int"), lit(1)))
+      call_function("shiftright", digit, j % 4).bitwiseAND(1)
+    }
+    val counters = aggregate(
+      hexes,
+      array_repeat(lit(0), 64),
+      (acc, hx) => zip_with(acc, sequence(lit(0), lit(63)),
+        (c, j) => c + when(bitOf(hx, j) === 1, 1).otherwise(-1)))
+    aggregate(
+      zip_with(counters, sequence(lit(0), lit(63)), (c, j) => struct(c.as("c"), j.as("j"))),
+      lit(0L),
+      (acc, p) => acc +
+        when(p.getField("c") > 0, call_function("shiftleft", lit(1L), p.getField("j"))).otherwise(0L))
+  }
 }
