@@ -73,6 +73,28 @@ object Similarity {
       (acc, s) => acc +
         when(s.getField("bit"), call_function("shiftleft", lit(1L), s.getField("p"))).otherwise(0L))
 
+  /** Banded (multi-table) sign-LSH keys: `bands` independent tables of
+    * `planesPerBand` hyperplanes each (plane index = band·r + p), as an
+    * array of (band, bucket) structs — the MinHash-banding structure
+    * applied to hyperplane LSH. Bucket space scales as bands · 2^r
+    * (vs 2^planes for one table), so bucket occupancy — and with it
+    * the within-bucket candidate join — stays sub-quadratic as the
+    * corpus grows; recall is governed by the band count. The sign bits
+    * are evaluated exactly once per vector. */
+  def lshBandKeys(emb: Column, bands: Int, planesPerBand: Int, seed: Long = 42L): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+        aggregate(
+          transform(sequence(lit(0), lit(planesPerBand - 1)), p => {
+            val d = dotHof(emb, transform(sequence(lit(0), size(emb) - 1),
+              i => planeComponent(b * planesPerBand + p, i, seed)))
+            struct(p.as("p"), (d > 0).as("bit"))
+          }),
+          lit(0L),
+          (acc, s) => acc +
+            when(s.getField("bit"), call_function("shiftleft", lit(1L), s.getField("p")))
+              .otherwise(0L)).as("bucket")))
+
   /** Cross-engine plane component: md5-derived uniform in [-1, 1) —
     * first 8 hex digits of md5("p:d") scaled. Same distribution as
     * [[planeComponent]] but expressible identically in DuckDB, so the
@@ -197,20 +219,79 @@ object Similarity {
       .select("probe_id", "rank", "neighbor_id", "sim")
   }
 
-  /** Near-duplicate embedding pairs: cosine ≥ threshold, bucketed by
-    * LSH so candidate generation is an equi-join, never all-pairs. */
+  /** Slim (vec_id, band, bucket) rows — one pass evaluates all sign
+    * bits; nothing downstream shuffles embeddings. */
+  private def lshBanded(vectors: DataFrame, bands: Int, planesPerBand: Int, seed: Long): DataFrame =
+    vectors
+      .select(col("vec_id"), explode(lshBandKeys(col("embedding"), bands, planesPerBand, seed)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+
+  /** The dropped-bucket METRIC for [[nearDupPairsCosine]]: one row per
+    * skipped (band, bucket) with its member count. */
+  def skippedBucketsCosine(vectors: DataFrame, bands: Int = 8, planesPerBand: Int = 12,
+                           seed: Long = 42L,
+                           maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
+    TextDedup.oversized(lshBanded(vectors, bands, planesPerBand, seed),
+      Seq("band", "bucket"), maxBucketSize)
+
+  /** Near-duplicate embedding pairs: cosine ≥ threshold over banded
+    * sign-LSH candidates, verified with the exact cosine — identical
+    * vectors agree on EVERY band, so recall on exact-copy pairs is 1
+    * regardless of banding parameters.
+    *
+    * Same bounded-candidate discipline as the text near-dup paths:
+    * slim banded rows, per-bucket pre-count keeping [2, maxBucketSize]
+    * members (hot degenerate buckets skipped — observable via
+    * [[skippedBucketsCosine]]), in-bucket pair expansion, distinct,
+    * then ONE join back to the vectors per side for the exact verify. */
   def nearDupPairsCosine(vectors: DataFrame, threshold: Double,
-                         planes: Int = 8, seed: Long = 42L): DataFrame = {
-    val v = vectors.select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"),
-      lshBucket(col("embedding"), planes, seed).as("bucket"))
-    val a = v.select(col("bucket"), col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_norm"))
-    val b = v.select(col("bucket"), col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_norm"))
-    a.join(b, Seq("bucket"))
-      .filter(col("a_id") < col("b_id"))
+                         bands: Int = 8, planesPerBand: Int = 12, seed: Long = 42L,
+                         maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+    val banded = lshBanded(vectors, bands, planesPerBand, seed)
+    val useful = banded
+      .groupBy("band", "bucket").agg(count(lit(1)).as("member_count"))
+      .filter(col("member_count").between(2, maxBucketSize))
+    val candidates = banded
+      .join(useful.select("band", "bucket"), Seq("band", "bucket"))
+      .groupBy("band", "bucket").agg(collect_list("vec_id").as("ids"))
+      .select(explode(TextDedup.bucketPairs(col("ids"))).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .distinct()
+
+    val v = vectors.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    candidates
+      .join(v.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"), col("nrm").as("a_norm")), Seq("a_id"))
+      .join(v.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("nrm").as("b_norm")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         (dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm"))).as("sim"))
       .filter(col("sim") >= threshold)
-      .groupBy("a_id", "b_id").agg(max("sim").as("sim"))
+  }
+
+  /** Banded (multi-table) approximate top-k: candidates are neighbors
+    * sharing ANY band bucket with the probe — recall rises with the
+    * band count while per-band bucket occupancy stays low (bands · 2^r
+    * keys). Candidate (probe, neighbor) pairs are deduped on the slim
+    * id pair BEFORE scoring, so each pair is scored exactly once. */
+  def topKLshBanded(corpus: DataFrame, probes: DataFrame, k: Int,
+                    bands: Int = 16, planesPerBand: Int = 6, seed: Long = 42L): DataFrame = {
+    val c = lshBanded(corpus.select(col("vec_id"), col("embedding")), bands, planesPerBand, seed)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val p = broadcast(
+      lshBanded(probes.select(col("vec_id"), col("embedding")), bands, planesPerBand, seed)
+        .withColumnRenamed("vec_id", "probe_id"))
+    val candidates = c.join(p, Seq("band", "bucket"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select("probe_id", "neighbor_id").distinct()
+
+    val cv = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      norm(col("embedding")).as("c_norm"))
+    val pv = broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+      norm(col("embedding")).as("p_norm")))
+    val scored = candidates.join(cv, Seq("neighbor_id")).join(pv, Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        (dot(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm"))).as("sim"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "sim")
   }
 }

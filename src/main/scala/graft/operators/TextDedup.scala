@@ -95,11 +95,51 @@ object TextDedup {
             h => array_min(transform(hashedShingles, x => xxhash64(h, x)))))).as("bucket")))
 
   /** All unordered id pairs (a < b) within one bucket's member list. */
-  private def bucketPairs(ids: Column): Column = {
+  private[operators] def bucketPairs(ids: Column): Column = {
     val sorted = array_sort(ids)
     flatten(transform(sorted, (x, i) =>
       transform(slice(sorted, i + 2, size(sorted)), y => struct(x.as("a_id"), y.as("b_id")))))
   }
+
+  /** Slim (doc_id, band, bucket) rows — the ONE pass that evaluates the
+    * `numHashes` hash families; everything downstream shuffles no text. */
+  private def mhBanded(docs: DataFrame, textCol: String, shingleN: Int,
+                       numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+    docs
+      .select(col("doc_id"), hashedShingles(col(textCol), shingleN).as("hsh"))
+      .select(col("doc_id"), explode(bandKeys(col("hsh"), bands, rowsPerBand)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+  }
+
+  /** Buckets whose membership exceeds the cap — per-bucket member
+    * counts as a plain map-side-combined aggregate. */
+  private[operators] def oversized(keyed: DataFrame, keys: Seq[String], maxBucketSize: Int): DataFrame =
+    keyed.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("member_count"))
+      .filter(col("member_count") > maxBucketSize)
+
+  /** The dropped-bucket METRIC for [[nearDupPairsMinhash]]: one row per
+    * skipped (band, bucket) with its member count. Run/log it alongside
+    * the pairs query — the cap must never truncate silently. */
+  def skippedBucketsMinhash(
+      docs: DataFrame,
+      textCol: String = "text",
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    oversized(mhBanded(docs, textCol, shingleN, numHashes, bands),
+      Seq("band", "bucket"), maxBucketSize)
+
+  /** Default candidate-bucket cap: bounds the per-bucket aggregation
+    * buffer at ~80 KB of ids and the in-bucket pair expansion at
+    * ~5·10⁷ — an executor-safe ceiling with headroom over any bucket a
+    * working LSH scheme should produce. A bucket past the cap means a
+    * degenerate key family (empty text, boilerplate); emitting its
+    * O(m²) "pairs" would be dedup noise anyway. */
+  val DefaultMaxBucketSize: Int = 10000
 
   /** Candidate pairs from LSH banding, verified with TRUE Jaccard over
     * the shingle sets; pairs are distinct with left id < right id.
@@ -108,14 +148,17 @@ object TextDedup {
     *  1. project (doc_id, band keys) — the only pass that computes the
     *     `numHashes` hash families; the exploded rows are slim
     *     (doc_id, band, bucket), so the shuffle carries no text;
-    *  2. groupBy (band, bucket) → collect ids → in-bucket pair
+    *  2. per-bucket member COUNTS (map-side combined), keeping only
+    *     buckets in [2, maxBucketSize] — singletons (the vast majority)
+    *     never reach the collect, and degenerate hot buckets (empty
+    *     text, boilerplate families) are excluded BEFORE the buffer
+    *     exists, so per-bucket memory is bounded by construction;
+    *     skipped buckets are observable via [[skippedBucketsMinhash]];
+    *  3. groupBy (band, bucket) → collect ids → in-bucket pair
     *     expansion (no self-join: the banding subtree would be fully
     *     re-evaluated per join branch) → distinct;
-    *  3. candidate pairs (tiny) broadcast-join back to a shingle
+    *  4. candidate pairs (tiny) broadcast-join back to a shingle
     *     projection of the corpus, twice, for the exact-Jaccard verify.
-    * The only quadratic term is within-bucket, which LSH keeps tiny for
-    * non-duplicate text; a degenerate key (e.g. empty text) is capped
-    * by the banding itself only — callers dedup exact copies first.
     */
   def nearDupPairsMinhash(
       docs: DataFrame,
@@ -123,18 +166,17 @@ object TextDedup {
       shingleN: Int = 3,
       numHashes: Int = 32,
       bands: Int = 16,
-      jaccardThreshold: Double = 0.8): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
+      jaccardThreshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val banded = mhBanded(docs, textCol, shingleN, numHashes, bands)
 
-    val banded = docs
-      .select(col("doc_id"), hashedShingles(col(textCol), shingleN).as("hsh"))
-      .select(col("doc_id"), explode(bandKeys(col("hsh"), bands, rowsPerBand)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val useful = banded
+      .groupBy("band", "bucket").agg(count(lit(1)).as("member_count"))
+      .filter(col("member_count").between(2, maxBucketSize))
 
     val candidates = banded
+      .join(useful.select("band", "bucket"), Seq("band", "bucket"))
       .groupBy("band", "bucket").agg(collect_list("doc_id").as("ids"))
-      .filter(size(col("ids")) > 1)
       .select(explode(bucketPairs(col("ids"))).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .distinct()
@@ -179,21 +221,10 @@ object TextDedup {
         when(p.getField("c") > 0, call_function("shiftleft", lit(1L), p.getField("i"))).otherwise(0L))
   }
 
-  /** Near-dup pairs by SimHash hamming distance ≤ `maxHamming` (< 16):
-    * bucket on each of the 4 16-bit chunks (pigeonhole guarantees a
-    * collision for hamming ≤ 3 when probing all 4 chunk tables), verify
-    * with exact popcount of the XOR.
-    *
-    * Same single-evaluation discipline as the MinHash path: the SimHash
-    * is computed once per doc, and buckets carry (doc_id, sig) structs
-    * through a groupBy instead of a self-join, so the signature subtree
-    * is never re-evaluated per branch. */
-  def nearDupPairsSimhash(
-      docs: DataFrame,
-      textCol: String = "text",
-      maxHamming: Int = 3,
-      sigFn: Column => Column = simhash64): DataFrame = {
-    val chunked = docs
+  /** Slim ((doc_id, sig), chunk, key) rows — the one pass that computes
+    * the SimHash signature. */
+  private def shChunked(docs: DataFrame, textCol: String, sigFn: Column => Column): DataFrame =
+    docs
       .select(col("doc_id"), sigFn(col(textCol)).as("sim"))
       .select(col("doc_id"), col("sim"),
         explode(transform(sequence(lit(0), lit(3)),
@@ -202,9 +233,41 @@ object TextDedup {
       .select(struct(col("doc_id"), col("sim")).as("m"),
         col("ck.chunk").as("chunk"), col("ck.key").as("key"))
 
+  /** The dropped-bucket METRIC for [[nearDupPairsSimhash]]: one row per
+    * skipped (chunk, key) with its member count. */
+  def skippedBucketsSimhash(
+      docs: DataFrame,
+      textCol: String = "text",
+      sigFn: Column => Column = simhash64,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    oversized(shChunked(docs, textCol, sigFn), Seq("chunk", "key"), maxBucketSize)
+
+  /** Near-dup pairs by SimHash hamming distance ≤ `maxHamming` (< 16):
+    * bucket on each of the 4 16-bit chunks (pigeonhole guarantees a
+    * collision for hamming ≤ 3 when probing all 4 chunk tables), verify
+    * with exact popcount of the XOR.
+    *
+    * Same single-evaluation and bounded-bucket discipline as the
+    * MinHash path: the SimHash is computed once per doc, buckets carry
+    * (doc_id, sig) structs through a groupBy instead of a self-join,
+    * and a pre-count keeps only buckets in [2, maxBucketSize] so one
+    * degenerate signature family can never OOM an executor; skipped
+    * buckets are observable via [[skippedBucketsSimhash]]. */
+  def nearDupPairsSimhash(
+      docs: DataFrame,
+      textCol: String = "text",
+      maxHamming: Int = 3,
+      sigFn: Column => Column = simhash64,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val chunked = shChunked(docs, textCol, sigFn)
+
+    val useful = chunked
+      .groupBy("chunk", "key").agg(count(lit(1)).as("member_count"))
+      .filter(col("member_count").between(2, maxBucketSize))
+
     val pairs = chunked
+      .join(useful.select("chunk", "key"), Seq("chunk", "key"))
       .groupBy("chunk", "key").agg(collect_list("m").as("ms"))
-      .filter(size(col("ms")) > 1)
       .select(explode(memberPairs(col("ms"))).as("p"))
       .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
         bit_count(col("p.a.sim").bitwiseXOR(col("p.b.sim"))).as("hamming"))

@@ -76,6 +76,37 @@ class SimilaritySpec extends SparkSpec {
     assert(hits == probeIds.length, s"only $hits/${probeIds.length} twins found")
   }
 
+  test("banded LSH: recall vs exact baseline at least matches one 8-plane table, plan stays equi-join") {
+    val probes = emb.filter($"vec_id" % 25 === 0)
+    val exact = Similarity.topKExact(emb, probes, 3).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val single = recallOf(Similarity.topKLsh(emb, probes, 3, planes = 8))
+    // 16 bands × 6 planes: band count drives recall while per-band
+    // bucket space (2^6 × 16 keys) keeps occupancy low — measured 0.65
+    // vs 0.05 for the single 256-bucket table on this corpus
+    val banded = recallOf(Similarity.topKLshBanded(emb, probes, 3, bands = 16, planesPerBand = 6))
+    assert(banded > single, s"banded recall $banded <= single-table $single")
+    assert(banded >= 0.5, s"banded recall $banded unreasonably low")
+
+    val plan = Similarity.topKLshBanded(emb, probes, 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs plan:\n$plan")
+  }
+
+  test("cosine near-dup: degenerate identical family is capped and reported") {
+    val one = emb.filter($"vec_id" === 0).select("embedding").collect().head.getSeq[Float](0)
+    val degenerate = spark.range(3000).select($"id".as("vec_id"), typedLit(one).as("embedding"))
+    val pairs = Similarity.nearDupPairsCosine(degenerate, threshold = 0.999, maxBucketSize = 100)
+    assert(pairs.limit(1).collect().isEmpty, "degenerate bucket leaked pairs")
+    val skipped = Similarity.skippedBucketsCosine(degenerate, maxBucketSize = 100).collect()
+    assert(skipped.length == 8 && skipped.forall(_.getAs[Long]("member_count") == 3000L),
+      s"expected all 8 band buckets hot: ${skipped.mkString(",")}")
+  }
+
   test("topKLsh recovers planted near-identical neighbors for most probes") {
     val copies = emb.filter($"vec_id" % 25 === 0)
       .select(($"vec_id" + 100000).as("vec_id"), $"embedding", $"label")

@@ -98,6 +98,31 @@ class TextDedupSpec extends SparkSpec {
     assert(others.sum.toDouble / others.length > 10.0)
   }
 
+  test("degenerate bucket families are capped, reported, and never expand O(m²)") {
+    // 5k identical docs: every banding scheme maps them into the same
+    // buckets — uncapped, that is a 12.5M-pair expansion from single
+    // aggregation buffers
+    val degenerate = spark.range(5000).select($"id".as("doc_id"), lit("same text every time").as("text"))
+      .unionByName(Seq((900001L, "a genuinely unique document about gardens"),
+        (900002L, "a genuinely unique document about gardens and ponds")).toDF("doc_id", "text"))
+
+    val mhPairs = TextDedup.nearDupPairsMinhash(degenerate, jaccardThreshold = 0.5, maxBucketSize = 100)
+    val mhGot = mhPairs.collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    // the hot family is skipped, the genuine near-pair still found
+    assert(!mhGot.exists(p => p._1 < 5000 && p._2 < 5000), s"degenerate pairs leaked: $mhGot")
+    assert(mhGot.contains((900001L, 900002L)), s"genuine pair lost to the cap: $mhGot")
+    val mhSkipped = TextDedup.skippedBucketsMinhash(degenerate, maxBucketSize = 100).collect()
+    assert(mhSkipped.nonEmpty && mhSkipped.forall(_.getAs[Long]("member_count") == 5000L),
+      s"skipped-bucket metric: ${mhSkipped.mkString(",")}")
+
+    val shPairs = TextDedup.nearDupPairsSimhash(degenerate, maxHamming = 3, maxBucketSize = 100)
+    val shGot = shPairs.collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(!shGot.exists(p => p._1 < 5000 && p._2 < 5000), s"degenerate pairs leaked: $shGot")
+    val shSkipped = TextDedup.skippedBucketsSimhash(degenerate, maxBucketSize = 100).collect()
+    assert(shSkipped.length == 4 && shSkipped.forall(_.getAs[Long]("member_count") == 5000L),
+      s"expected all 4 chunk buckets hot: ${shSkipped.mkString(",")}")
+  }
+
   test("simhash LSH bucketing finds hamming<=3 pairs") {
     val pairs = TextDedup.nearDupPairsSimhash(planted, maxHamming = 3)
       .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Int]("hamming")))
