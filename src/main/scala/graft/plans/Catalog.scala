@@ -1,5 +1,7 @@
 package graft.plans
 
+import org.apache.hadoop.fs.Path
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
@@ -26,11 +28,46 @@ object Catalog {
   def ensureTable(spark: SparkSession, name: String, schema: StructType): Unit =
     spark.sql(s"CREATE TABLE IF NOT EXISTS $name (${schema.toDDL}) USING PARQUET")
 
-  /** S9: CTAS full refresh — rebuild the table from the query result. */
+  /** S9: CTAS full refresh, published ATOMICALLY: the result lands in a
+    * fresh versioned parquet directory and the name is then flipped to
+    * it with one `CREATE OR REPLACE VIEW` — a single catalog metadata
+    * operation, so a concurrent reader resolves either the previous
+    * snapshot or the new one, never a missing or half-written table
+    * (Snowflake's CTAS is atomic, `sql/create_snowflake_tables.sql:31-39`;
+    * Delta/Iceberg would give this transactionally, neither is on the
+    * classpath, so the swap is done by hand). The previous version is
+    * recent versions are retained through the flip — a reader already
+    * bound to one can finish its scan — and pruned by later refreshes. */
   def ctasOverwrite(df: DataFrame, name: String): Unit = {
-    df.write.mode("overwrite").option("overwriteSchema", "true").saveAsTable(name)
-    df.sparkSession.catalog.refreshTable(name)
+    val spark = df.sparkSession
+    val base = new Path(new Path(spark.conf.get("spark.sql.warehouse.dir")), s"${name}__versions")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def versions: Seq[Long] =
+      if (!fs.exists(base)) Seq.empty
+      else fs.listStatus(base).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v")).flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
+    val next = versions.foldLeft(0L)(math.max) + 1
+    val path = new Path(base, s"v$next")
+    df.write.mode("errorifexists").parquet(path.toString)
+
+    // one-time migration: a legacy refresh (or an external writer) left
+    // a TABLE under this name — a view cannot replace it in place
+    if (spark.catalog.tableExists(name) &&
+        spark.catalog.getTable(name).tableType != "VIEW")
+      spark.sql(s"DROP TABLE $name")
+    spark.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM parquet.`${path.toString}`")
+    spark.catalog.refreshTable(name)
+
+    versions.filter(_ < next - 2).foreach(v => fs.delete(new Path(base, s"v$v"), true))
   }
+
+  /** DROP for a name that may be a table or a view (ctasOverwrite
+    * publishes views; ensureTable/insertAppend make tables). */
+  def dropIfExists(spark: SparkSession, name: String): Unit =
+    if (spark.catalog.tableExists(name)) {
+      if (spark.catalog.getTable(name).tableType == "VIEW") spark.sql(s"DROP VIEW IF EXISTS $name")
+      else spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
 
   /** S10: CREATE OR REPLACE VIEW. */
   def createOrReplaceView(df: DataFrame, name: String): Unit =

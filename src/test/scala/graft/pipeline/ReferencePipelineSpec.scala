@@ -13,7 +13,7 @@ class ReferencePipelineSpec extends SparkSpec with BeforeAndAfterEach {
   override def beforeEach(): Unit =
     Seq(ReferencePipeline.RawTable, ReferencePipeline.StagingTable,
       ReferencePipeline.EventsTable, ReferencePipeline.SummaryTable)
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      .foreach(t => graft.plans.Catalog.dropIfExists(spark, t))
 
   test("path A: load raw + refresh summary; rerun appends (at-least-once raw tier)") {
     val batch = EventGenerator.jsonLines(EventGenerator.events(spark, 100))
@@ -71,7 +71,10 @@ class ReferencePipelineSpec extends SparkSpec with BeforeAndAfterEach {
       .withColumn("ip_address", org.apache.spark.sql.functions.lit(null).cast("string"))
       .withColumn("location", org.apache.spark.sql.functions.lit(null).cast("string"))
       .withColumn("inserted_at", org.apache.spark.sql.functions.current_timestamp())
-    graft.plans.Catalog.ctasOverwrite(dup.unionAll(dup), ReferencePipeline.EventsTable)
+    // seed via the append path — the curated tier is a TABLE (the
+    // pipeline appends to it); ctasOverwrite now publishes views
+    graft.plans.Catalog.ensureTable(spark, ReferencePipeline.EventsTable, dup.schema)
+    graft.plans.Catalog.insertAppend(spark, ReferencePipeline.EventsTable, dup.unionAll(dup))
 
     val ex = intercept[PipelineFailedException](ReferencePipeline.pathB(spark, hourDir))
     assert(ex.report.stages.last.stage == "evaluate_dq")

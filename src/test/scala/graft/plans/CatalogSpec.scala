@@ -9,8 +9,36 @@ import graft.operators.EventOps
 class CatalogSpec extends SparkSpec with BeforeAndAfterAll {
 
   override def afterAll(): Unit =
-    Seq("cat_t1", "cat_view_src", "ev_bucketed", "staging_bucketed")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq("cat_t1", "cat_view_src", "ev_bucketed", "staging_bucketed", "cat_atomic")
+      .foreach(t => Catalog.dropIfExists(spark, t))
+
+  test("ctasOverwrite publishes atomically: a looping reader never sees a missing or partial table") {
+    import spark.implicits._
+    import java.util.concurrent.atomic.AtomicReference
+    Catalog.dropIfExists(spark, "cat_atomic")
+    def snap(n: Int) = spark.range(n * 1000L).select($"id", lit(n).as("gen"))
+    Catalog.ctasOverwrite(snap(1), "cat_atomic")
+
+    val failure = new AtomicReference[Throwable]()
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop && failure.get() == null) {
+        try {
+          val rows = spark.table("cat_atomic").groupBy("gen").count().collect()
+          // a consistent snapshot: exactly one generation, complete
+          assert(rows.length == 1, s"mixed snapshot: ${rows.mkString(",")}")
+          val gen = rows.head.getAs[Int]("gen")
+          val cnt = rows.head.getAs[Long]("count")
+          assert(cnt == gen * 1000L, s"partial snapshot: gen $gen with $cnt rows")
+        } catch { case t: Throwable => failure.set(t) }
+      }
+    })
+    reader.start()
+    try for (g <- 2 to 6) Catalog.ctasOverwrite(snap(g), "cat_atomic")
+    finally { stop = true; reader.join(30000) }
+    assert(failure.get() == null, s"reader observed: ${failure.get()}")
+    assert(spark.table("cat_atomic").count() == 6000L)
+  }
 
   test("ensureTable is idempotent; insertAppend aligns by name") {
     import spark.implicits._

@@ -12,7 +12,7 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterEach {
 
   override def beforeEach(): Unit =
     Seq(StreamingPipeline.RawTable, StreamingPipeline.EventsTable, StreamingPipeline.SummaryTable)
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      .foreach(t => graft.plans.Catalog.dropIfExists(spark, t))
 
   test("continuous ingest: raw append, curated dedup, summary refresh, DQ gate per batch") {
     val root = Files.createTempDirectory("graft_sp").toString
@@ -40,5 +40,22 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     assert(spark.table(StreamingPipeline.RawTable).count() == 250L) // 100 + 50 + re-landed 100
     assert(spark.table(StreamingPipeline.EventsTable).count() == 150L) // deduped
     assert(reports.head.metrics("duplicate_count") == 0L && reports.head.metrics("incomplete_count") == 0L)
+
+    // the incremental summary equals the full recompute over raw_data
+    // (counts INCLUDE raw-tier duplicates — reference semantics)
+    val summarizedAll = spark.table(StreamingPipeline.SummaryTable)
+      .agg(org.apache.spark.sql.functions.sum("event_count")).head().getLong(0)
+    assert(summarizedAll == 250L, s"incremental summary drifted: $summarizedAll")
+  }
+
+  test("per-batch summary merge reads the batch + the published summary, never all of raw_data") {
+    import org.apache.spark.sql.functions._
+    val batchRaw = graft.sources.EventGenerator.events(spark, 10, seed = 7)
+      .select(col("event_id").cast("string").as("event_id"),
+        col("event_timestamp"), col("event_type"), col("user_id").cast("string").as("user_id"))
+    val plan = StreamingPipeline.mergedSummary(spark, batchRaw)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains(StreamingPipeline.RawTable),
+      s"summary refresh still scans the raw tier:\n$plan")
   }
 }
