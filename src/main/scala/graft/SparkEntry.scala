@@ -153,6 +153,24 @@ object SparkEntry {
         .orderBy("year", "month", "day", "hour")
     }),
 
+    // S6 open envelope: land wire lines carrying a key the staging
+    // schema never declared (`session_id`), PERMISSIVE-read them back,
+    // and extract the undeclared key from the preserved raw payload —
+    // the reference's VARIANT-staging fidelity, oracle-checked.
+    "ref_open_envelope" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_open").toString
+      val lines = ev(s, dir).filter(col("event_id") % 17 === 0)
+        .select(to_json(struct(
+          col("event_id"), col("ts").as("event_timestamp"), col("event_type"), col("user_id"),
+          concat(lit("s-"), col("event_id")).as("session_id")),
+          Map("timestampNTZFormat" -> JsonIngest.TsFormat)).as("value"))
+      lines.coalesce(1).write.mode("overwrite").option("compression", "gzip").text(tmp)
+      JsonIngest.readJson(s, tmp)
+        .select(col("event_id").cast("long").as("event_id"),
+          get_json_object(col("raw_payload"), "$.session_id").as("session_id"))
+        .orderBy("event_id")
+    }),
+
     // S2+O1/O2/O4: stream landed gzip JSON with AvailableNow and check
     // the streaming windowed aggregate against the batch oracle —
     // stream/batch consistency is the whole point of the micro-batch model.
@@ -273,6 +291,10 @@ object SparkEntry {
         |       COUNT(*) AS n
         |FROM events WHERE event_id % 11 = 0
         |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    "ref_open_envelope" ->
+      """SELECT event_id, 's-' || CAST(event_id AS VARCHAR) AS session_id
+        |FROM events WHERE event_id % 17 = 0 ORDER BY event_id""".stripMargin,
 
     "stream_hourly_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start,

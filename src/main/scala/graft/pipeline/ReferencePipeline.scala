@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{DataQuality, EventOps}
 import graft.plans.Catalog
-import graft.sources.JsonIngest
+import graft.sources.{EventSource, FileEventSource, JsonIngest}
 
 /** The reference's two ingestion pipelines, wired onto [[Runner]].
   *
@@ -70,10 +70,11 @@ object ReferencePipeline {
     * dedup + DQ gate. `hourDir` is a `year=/month=/day=/hour=` path
     * (PartitionedJsonSink.hourPath). */
   def pathB(spark: SparkSession, hourDir: String,
-            notify: PipelineReport => Unit = _ => ()): PipelineReport = {
+            notify: PipelineReport => Unit = _ => (),
+            source: EventSource = FileEventSource()): PipelineReport = {
     val stages = Seq(
       Stage("check_data_availability") { _ =>
-        require(JsonIngest.partitionAvailable(spark, hourDir), s"no .gz data under $hourDir")
+        require(source.available(spark, hourDir), s"no data available under $hourDir")
         Map.empty
       },
       Stage("create_staging_table") { _ =>
@@ -81,7 +82,7 @@ object ReferencePipeline {
         Map.empty
       },
       Stage("copy_to_staging") { _ =>
-        val staged = JsonIngest.readJson(spark, hourDir)
+        val staged = source.readBatch(spark, hourDir)
         // per-batch staging: the scan is one hour partition, so a full
         // refresh of staging is the COPY semantics without load history
         // (FORCE=TRUE re-loads are the reference's declared behavior)

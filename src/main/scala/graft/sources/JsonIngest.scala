@@ -61,14 +61,29 @@ object JsonIngest {
   /** S6/O9: batch scan of one partition directory (or a whole root) of
     * gzip JSON — PERMISSIVE, malformed lines land whole in `raw_data`
     * with every parsed column NULL, matching `ON_ERROR='CONTINUE'`.
-    */
+    *
+    * Open-envelope fidelity: every row ALSO carries its raw line as
+    * `raw_payload`, so keys the staging schema never declared survive
+    * and stay queryable (`get_json_object(raw_payload, '$.key')`) —
+    * the reference's VARIANT staging keeps undeclared keys the same way
+    * (`airflow/dags/snowflake_data_pipeline.py:86-87`). Implemented as
+    * a text scan + `from_json` projection: one read, schema-on-read at
+    * scan speed, partition discovery unchanged. */
   def readJson(spark: SparkSession, path: String, globGz: Boolean = true): DataFrame = {
     val r = spark.read
-      .schema(StagingSchema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "raw_data")
-      .option("timestampNTZFormat", TsFormat)
-    (if (globGz) r.option("pathGlobFilter", "*.gz") else r).json(path)
+    val txt = (if (globGz) r.option("pathGlobFilter", "*.gz") else r).text(path)
+    val opts = Map(
+      "mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> "raw_data",
+      "timestampNTZFormat" -> TsFormat)
+    val partCols = txt.columns.filterNot(_ == "value").map(col)
+    txt
+      // the line reader surfaces blank lines; the JSON reader skips
+      // them — they are empty input, not corrupt records
+      .filter(length(trim(col("value"))) > 0)
+      .select(from_json(col("value"), StagingSchema, opts).as("e") +:
+        col("value").as("raw_payload") +: partCols: _*)
+      .select(col("e.*") +: col("raw_payload") +: partCols: _*)
   }
 
   /** Corrupt-row metric (O9): rows the PERMISSIVE reader could not

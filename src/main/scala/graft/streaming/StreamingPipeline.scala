@@ -58,9 +58,10 @@ object StreamingPipeline {
       spark: SparkSession,
       landingRoot: String,
       checkpointDir: String,
-      notify: PipelineReport => Unit = _ => ()): StreamingQuery =
+      notify: PipelineReport => Unit = _ => (),
+      source: graft.sources.EventSource = graft.sources.FileEventSource()): StreamingQuery =
     StreamIngest.runAvailableNow(
-      StreamIngest.stream(spark, landingRoot), checkpointDir,
+      source.stream(spark, landingRoot), checkpointDir,
       (batch, batchId) => { runBatch(spark, batch, batchId, notify); () })
 
   private[streaming] def runBatch(

@@ -63,6 +63,23 @@ class JsonIngestSpec extends SparkSpec {
     assert(corrupt == "{not valid json")
   }
 
+  test("open envelope: undeclared keys survive in raw_payload and stay queryable") {
+    val dir = Files.createTempDirectory("graft_open_env").toString
+    // a VALID record carrying keys the staging schema never declared
+    val line = """{"event_id":"e-1","event_timestamp":"2026-01-01T00:00:00.000000",""" +
+      """"event_type":"view","user_id":"user_1","session_id":"sess-42","ab_test":"variant-b"}"""
+    Files.write(java.nio.file.Paths.get(s"$dir/part-000.json"), line.getBytes)
+
+    val staged = JsonIngest.readJson(spark, dir, globGz = false)
+    val row = staged.select($"event_id", $"raw_data",
+      get_json_object($"raw_payload", "$.session_id").as("session_id"),
+      get_json_object($"raw_payload", "$.ab_test").as("ab_test")).head()
+    assert(row.getAs[String]("event_id") == "e-1") // parsed normally
+    assert(row.getAs[String]("raw_data") == null)  // NOT corrupt
+    assert(row.getAs[String]("session_id") == "sess-42")
+    assert(row.getAs[String]("ab_test") == "variant-b")
+  }
+
   test("partitionAvailable sees .gz files only") {
     val dir = Files.createTempDirectory("graft_avail").toString
     assert(!JsonIngest.partitionAvailable(spark, dir))
