@@ -220,6 +220,59 @@ object SimHash64 {
     }
     out
   }
+
+  /** Majority vote over PRE-hashed tokens (`array<bigint>`): the inner
+    * loop of [[compute]] with the hashing factored out, so callers may
+    * substitute any 64-bit token hash (the md5-derived oracle variant)
+    * while the ±1-per-bit fold stays a native loop. Null hashes count
+    * as the seed, mirroring xxhash64's null pass-through. */
+  def computeFromHashes(hashes: ArrayData): Long = {
+    val counters = new Array[Int](64)
+    val t = hashes.numElements()
+    var i = 0
+    while (i < t) {
+      val h = if (hashes.isNullAt(i)) Seed else hashes.getLong(i)
+      var b = 0
+      while (b < 64) {
+        counters(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** Native SimHash majority vote over pre-hashed tokens — see
+  * [[SimHash64.computeFromHashes]]. */
+case class SimHash64FromHashes(hashes: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def child: Expression = hashes
+
+  override def checkInputDataTypes(): TypeCheckResult = hashes.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64_hashes requires array<bigint>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64_hashes"
+
+  override def nullSafeEval(t: Any): Any =
+    SimHash64.computeFromHashes(t.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h => s"graft.functions.SimHash64.computeFromHashes($h)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64FromHashes =
+    copy(hashes = newChild)
 }
 
 /** Session extensions registering the engine's native functions; wired
@@ -240,5 +293,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64_hashes"),
+      new ExpressionInfo(classOf[SimHash64FromHashes].getName, "simhash64_hashes"),
+      (children: Seq[Expression]) => SimHash64FromHashes(children.head)))
   }
 }

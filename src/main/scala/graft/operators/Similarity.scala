@@ -74,26 +74,34 @@ object Similarity {
         when(s.getField("bit"), call_function("shiftleft", lit(1L), s.getField("p"))).otherwise(0L))
 
   /** Banded (multi-table) sign-LSH keys: `bands` independent tables of
-    * `planesPerBand` hyperplanes each (plane index = band·r + p), as an
-    * array of (band, bucket) structs — the MinHash-banding structure
-    * applied to hyperplane LSH. Bucket space scales as bands · 2^r
-    * (vs 2^planes for one table), so bucket occupancy — and with it
-    * the within-bucket candidate join — stays sub-quadratic as the
-    * corpus grows; recall is governed by the band count. The sign bits
-    * are evaluated exactly once per vector. */
-  def lshBandKeys(emb: Column, bands: Int, planesPerBand: Int, seed: Long = 42L): Column =
+    * `planesPerBand` hyperplanes each, as an array of (band, bucket)
+    * structs — the MinHash-banding structure applied to hyperplane LSH.
+    * Bucket space scales as bands · 2^r (vs 2^planes for one table), so
+    * bucket occupancy — and with it the within-bucket candidate join —
+    * stays sub-quadratic as the corpus grows; recall is governed by the
+    * band count.
+    *
+    * The hyperplanes are a seeded driver-side literal matrix
+    * (bands·r·dim floats — a few KB shipped once in the plan), and each
+    * sign bit is ONE native vec_dot — no per-row component hashing, no
+    * interpreted lambdas in the hot path. */
+  def lshBandKeys(emb: Column, bands: Int, planesPerBand: Int, dim: Int,
+                  seed: Long = 42L): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes: Seq[Seq[Float]] =
+      Seq.fill(bands * planesPerBand)(Seq.fill(dim)(rng.nextFloat() * 2f - 1f))
+    val planesLit = typedLit(planes)
     transform(sequence(lit(0), lit(bands - 1)), b =>
       struct(b.as("band"),
         aggregate(
-          transform(sequence(lit(0), lit(planesPerBand - 1)), p => {
-            val d = dotHof(emb, transform(sequence(lit(0), size(emb) - 1),
-              i => planeComponent(b * planesPerBand + p, i, seed)))
-            struct(p.as("p"), (d > 0).as("bit"))
-          }),
+          transform(sequence(lit(0), lit(planesPerBand - 1)), p =>
+            struct(p.as("p"),
+              (dot(emb, element_at(planesLit, b * planesPerBand + p + 1)) > 0).as("bit"))),
           lit(0L),
           (acc, s) => acc +
             when(s.getField("bit"), call_function("shiftleft", lit(1L), s.getField("p")))
               .otherwise(0L)).as("bucket")))
+  }
 
   /** Cross-engine plane component: md5-derived uniform in [-1, 1) —
     * first 8 hex digits of md5("p:d") scaled. Same distribution as
@@ -220,11 +228,19 @@ object Similarity {
   }
 
   /** Slim (vec_id, band, bucket) rows — one pass evaluates all sign
-    * bits; nothing downstream shuffles embeddings. */
+    * bits; nothing downstream shuffles embeddings. The dimension peek
+    * is one row (the plane matrix is a plan-time literal). */
   private def lshBanded(vectors: DataFrame, bands: Int, planesPerBand: Int, seed: Long): DataFrame =
-    vectors
-      .select(col("vec_id"), explode(lshBandKeys(col("embedding"), bands, planesPerBand, seed)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    vectors.select(size(col("embedding"))).limit(1).collect().headOption match {
+      case None => // empty corpus: empty keyed frame with the right schema
+        vectors.select(col("vec_id"), lit(0).as("band"), lit(0L).as("bucket")).where(lit(false))
+      case Some(r) =>
+        val dim = r.getInt(0)
+        vectors
+          .select(col("vec_id"),
+            explode(lshBandKeys(col("embedding"), bands, planesPerBand, dim, seed)).as("bk"))
+          .select(col("vec_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    }
 
   /** The dropped-bucket METRIC for [[nearDupPairsCosine]]: one row per
     * skipped (band, bucket) with its member count. */

@@ -303,24 +303,16 @@ object TextDedup {
     * [[minhashSignatureMd5]] oracle trick applied to SimHash (the
     * xxhash64 path stays the production kernel). */
   def simhash64Md5(text: Column): Column = {
-    val hexes = transform(split(normalize(text), " "), t => substring(md5(t), 1, 16))
-    def hexDigitVal(ch: Column) = {
-      val a = ascii(ch)
-      when(a >= 97, a - 87).otherwise(a - 48)
-    }
-    def bitOf(hx: Column, j: Column) = {
-      val digit = hexDigitVal(call_function("substring", hx, lit(16) - floor(j / 4).cast("int"), lit(1)))
-      call_function("shiftright", digit, j % 4).bitwiseAND(1)
-    }
-    val counters = aggregate(
-      hexes,
-      array_repeat(lit(0), 64),
-      (acc, hx) => zip_with(acc, sequence(lit(0), lit(63)),
-        (c, j) => c + when(bitOf(hx, j) === 1, 1).otherwise(-1)))
-    aggregate(
-      zip_with(counters, sequence(lit(0), lit(63)), (c, j) => struct(c.as("c"), j.as("j"))),
-      lit(0L),
-      (acc, p) => acc +
-        when(p.getField("c") > 0, call_function("shiftleft", lit(1L), p.getField("j"))).otherwise(0L))
+    // one md5 per token, assembled into the big-endian 64-bit value of
+    // the first 16 hex digits (two 32-bit conv halves — conv of all 16
+    // would overflow signed long); the ±1-per-bit majority vote runs in
+    // the native simhash64_hashes kernel
+    val tok64 = transform(split(normalize(text), " "), t => {
+      val hex = md5(t)
+      val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+      val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+      call_function("shiftleft", hi, lit(32)).bitwiseOR(lo)
+    })
+    call_function("simhash64_hashes", tok64)
   }
 }
