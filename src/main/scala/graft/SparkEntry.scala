@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Analytics, AsofJoin, DataQuality, EventOps, RangeJoin, Similarity, TextDedup, TextStats}
+import graft.operators.{Analytics, AsofJoin, DataQuality, EventOps, Multimodal, RangeJoin, Similarity, TextDedup, TextStats}
 import graft.sources.{JsonIngest, PartitionedJsonSink}
 import graft.streaming.StreamIngest
 
@@ -395,6 +395,34 @@ object SparkEntry {
         sigFn = TextDedup.simhash64Md5)
         .orderBy("a_id", "b_id")),
 
+    // Multimodal plumbing, gated end-to-end: opaque binary payloads
+    // (md5 hex bytes — ASCII, so both engines see identical octets)
+    // through the mapPartitions feature extractor. The StubDecoder
+    // folds byte/255f into 16 float slots; emitting round(f*255) as an
+    // INT recovers the exact byte sums regardless of float-vs-double
+    // accumulation width, so the oracle is arithmetic-exact.
+    "mm_features" -> ((s, dir) => {
+      val media = docs(s, dir).select(
+        col("doc_id").as("media_id"), lit("image").as("kind"), lit("raw").as("format"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        md5(col("text")).cast("binary").as("bytes"))
+      Multimodal.withFeatures(media)
+        .select(col("media_id"), posexplode(col("features")))
+        .select(col("media_id"), col("pos").as("slot"),
+          round(col("col") * 255, 0).cast("int").as("byte_sum"))
+        .orderBy("media_id", "slot")
+    }),
+
+    // Video frame-sampling plan (pure plan-side explode; the decoder
+    // would fetch only sampled frames).
+    "mm_frame_sample" -> ((s, dir) => {
+      val media = docs(s, dir).select(col("doc_id").as("media_id"), lit("video").as("kind"),
+        ((col("doc_id") % 5000) + 1000).as("duration_ms"))
+      Multimodal.sampleFrames(media, everyMs = 1000L)
+        .select("media_id", "frame_no", "frame_ts_ms").orderBy("media_id", "frame_no")
+    }),
+
     // Exact top-3 cosine neighbors for the probe set (the ANN baseline).
     "emb_top3_exact" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -728,6 +756,23 @@ object SparkEntry {
          |  AND len(list_filter(range(1, 65),
          |          i -> substr(a.sig, CAST(i AS INT), 1) <> substr(b.sig, CAST(i AS INT), 1))) <= 3
          |ORDER BY 1, 2""".stripMargin,
+
+    // byte_sum recovers StubDecoder's per-slot fold exactly: slot k of
+    // the 32-byte md5-hex payload accumulates bytes k and k+16.
+    "mm_features" ->
+      """WITH slots AS (SELECT unnest(range(0, 16)) AS slot)
+        |SELECT doc_id AS media_id, CAST(s.slot AS INT) AS slot,
+        |       ascii(substr(md5(text), CAST(s.slot + 1 AS INT), 1))
+        |         + ascii(substr(md5(text), CAST(s.slot + 17 AS INT), 1)) AS byte_sum
+        |FROM documents, slots s
+        |ORDER BY 1, 2""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id, unnest(range(0, (doc_id % 5000) + 1000, 1000)) AS ts
+        |  FROM documents)
+        |SELECT doc_id AS media_id, CAST(ts // 1000 AS INT) AS frame_no, ts AS frame_ts_ms
+        |FROM f ORDER BY 1, 2""".stripMargin,
 
     "emb_top3_exact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
