@@ -6,8 +6,10 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"
     val names = Seq("ref_user_events", "ref_daily_summary", "ref_dedup_insert",
-      "doc_neardup_minhash", "emb_top3_exact", "doc_stats", "ref_pipeline_summary",
-      "ref_asof_last_purchase", "ref_range_promo_views", "q5_local_supplier")
+      "doc_neardup_minhash", "doc_neardup_simhash", "emb_top3_exact", "emb_topk_lsh",
+      "emb_neardup_cosine", "doc_stats", "ref_pipeline_summary",
+      "ref_asof_last_purchase", "ref_range_promo_views", "q5_local_supplier",
+      "mm_features", "ref_open_envelope")
     val sb = new StringBuilder
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, dir)
@@ -15,7 +17,7 @@ object PlanDump {
       sb.append(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
       sb.append("\n")
     }
-    Files.writeString(Paths.get("/tmp/plans.txt"), sb.toString)
+    Files.writeString(Paths.get(args.headOption.getOrElse("/tmp/plans.txt")), sb.toString)
     spark.stop()
   }
 }
