@@ -33,24 +33,31 @@ import graft.sources.JsonIngest
   */
 object StreamIngest {
 
-  /** S2: micro-batch stream over the Firehose-style landing layout. */
+  /** S2: micro-batch stream over the Firehose-style landing layout.
+    * Same open-envelope shape as the batch scan ([[JsonIngest.readJson]]):
+    * a line stream + `from_json` projection, every row carrying its raw
+    * line as `raw_payload` so schema-undeclared keys survive. */
   def stream(
       spark: SparkSession,
       landingRoot: String,
       maxFilesPerTrigger: Option[Int] = None,
       maxFileAge: Option[String] = None): DataFrame = {
     var r = spark.readStream
-      .schema(JsonIngest.StagingSchema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "raw_data")
-      .option("timestampNTZFormat", JsonIngest.TsFormat)
       .option("pathGlobFilter", "*.gz")
       // hour partitions are directories; recurse rather than require a
       // partition-glob in the caller's path
       .option("recursiveFileLookup", "true")
     maxFilesPerTrigger.foreach(n => r = r.option("maxFilesPerTrigger", n.toString))
     maxFileAge.foreach(a => r = r.option("maxFileAge", a))
-    r.json(landingRoot)
+    val opts = Map(
+      "mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> "raw_data",
+      "timestampNTZFormat" -> JsonIngest.TsFormat)
+    r.text(landingRoot)
+      .filter(length(trim(col("value"))) > 0) // line reader surfaces blanks; json reader skips them
+      .select(from_json(col("value"), JsonIngest.StagingSchema, opts).as("e"),
+        col("value").as("raw_payload"))
+      .select("e.*", "raw_payload")
   }
 
   /** O1/O2/O6: drain all available input exactly once per invocation,
