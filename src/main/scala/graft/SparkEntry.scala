@@ -385,6 +385,24 @@ object SparkEntry {
         lpad(bin(TextDedup.simhash64Md5(col("text"))), 64, "0").as("simhash_bits"))
         .orderBy("doc_id")),
 
+    // Near-dup pairs → connected components: one (doc_id, cluster) row
+    // per doc in any qualifying pair, cluster = min id of the
+    // component. The DuckDB oracle recomputes the pair set (all-pairs
+    // Jaccard) and closes it with a recursive CTE.
+    "doc_neardup_clusters" -> ((s, dir) =>
+      graft.operators.Components.connectedComponents(
+        TextDedup.nearDupPairsMinhash(docs(s, dir), numHashes = 32, bands = 16,
+          jaccardThreshold = 0.5))
+        .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+        .orderBy("doc_id")),
+
+    // Fuzzy dedup end-to-end: the corpus minus every non-canonical
+    // near-dup cluster member.
+    "doc_dedup_near" -> ((s, dir) =>
+      TextDedup.dedupNearMinhash(docs(s, dir).select("doc_id", "text"),
+        jaccardThreshold = 0.5)
+        .select("doc_id").orderBy("doc_id")),
+
     // SimHash near-dup on the md5 signature: the Spark plan is the
     // chunked-LSH pipeline (pigeonhole bucketing is EXACT for
     // hamming ≤ 3 of 4 chunks, recall 1 by construction), so the
@@ -738,6 +756,50 @@ object SparkEntry {
          |  AND len(list_intersect(a.s, b.s))::DOUBLE
          |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
+
+    "doc_neardup_clusters" ->
+      s"""WITH RECURSIVE sh AS ($docShingles),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sh a, sh b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.s, b.s))::DOUBLE
+         |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM (
+         |  SELECT src AS id, dst AS lbl FROM reach
+         |  UNION SELECT src, src FROM edges)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "doc_dedup_near" ->
+      s"""WITH RECURSIVE sh AS ($docShingles),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sh a, sh b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.s, b.s))::DOUBLE
+         |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |clusters AS (
+         |  SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM (
+         |    SELECT src AS id, dst AS lbl FROM reach
+         |    UNION SELECT src, src FROM edges)
+         |  GROUP BY 1)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "doc_simhash_sig" ->
       s"""WITH sigs AS ($simhashSigs)

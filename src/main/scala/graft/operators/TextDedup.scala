@@ -193,6 +193,27 @@ object TextDedup {
       .filter(col("jaccard") >= jaccardThreshold)
   }
 
+  /** Fuzzy dedup end-to-end: MinHash-LSH pairs → connected components →
+    * drop every cluster member except the minimum doc_id. Docs in no
+    * near-dup pair pass through untouched (left-anti against the
+    * non-canonical member set — the corpus is never shuffled on
+    * anything but the tiny membership list). */
+  def dedupNearMinhash(
+      docs: DataFrame,
+      textCol: String = "text",
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      jaccardThreshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val pairs = nearDupPairsMinhash(docs, textCol, shingleN, numHashes, bands,
+      jaccardThreshold, maxBucketSize)
+    val losers = Components.connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------
