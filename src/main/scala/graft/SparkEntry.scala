@@ -460,6 +460,14 @@ object SparkEntry {
         .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
         .orderBy("a_id", "b_id")),
 
+    // Fuzzy embedding dedup: drop every near-identical cluster member
+    // but the canonical (min vec_id). Planted copies are the only
+    // qualifying pairs (max natural cosine far below 0.999), so the
+    // all-pairs + closure oracle matches exactly.
+    "emb_dedup_near" -> ((s, dir) =>
+      Similarity.dedupNearCosine(embDupFixture(s, dir), 0.999)
+        .select("vec_id").orderBy("vec_id")),
+
     // ANN path: LSH-bucketed top-3 on md5-derived hyperplanes — the
     // ENTIRE approximate path (bucket assignment, candidate join,
     // ranking) is replicated in the DuckDB oracle, so this is a full
@@ -863,6 +871,33 @@ object SparkEntry {
         |  AND list_dot_product(a.v, b.v)
         |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.999
         |ORDER BY 1, 2""".stripMargin,
+
+    "emb_dedup_near" ->
+      """WITH RECURSIVE fixture AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 50 = 0),
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM fixture a, fixture b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_dot_product(a.v, b.v)
+        |        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.999),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |clusters AS (
+        |  SELECT id AS vec_id, MIN(lbl) AS cluster_id FROM (
+        |    SELECT src AS id, dst AS lbl FROM reach
+        |    UNION SELECT src, src FROM edges)
+        |  GROUP BY 1)
+        |SELECT vec_id FROM fixture
+        |WHERE vec_id NOT IN (SELECT vec_id FROM clusters WHERE vec_id <> cluster_id)
+        |ORDER BY vec_id""".stripMargin,
 
     // Full replica of the md5-plane LSH ANN path: same plane
     // derivation, bucket assignment, candidate join, and ranking as

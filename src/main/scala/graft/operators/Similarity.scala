@@ -283,6 +283,21 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Fuzzy embedding dedup end-to-end: cosine near-dup pairs →
+    * connected components → drop every cluster member except the
+    * minimum vec_id (the text-side [[TextDedup.dedupNearMinhash]]
+    * applied to vectors; same shuffle discipline — the corpus is only
+    * ever anti-joined on the tiny non-canonical member list). */
+  def dedupNearCosine(vectors: DataFrame, threshold: Double,
+                      bands: Int = 8, planesPerBand: Int = 12, seed: Long = 42L,
+                      maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+    val pairs = nearDupPairsCosine(vectors, threshold, bands, planesPerBand, seed, maxBucketSize)
+    val losers = Components.connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("vec_id"))
+    vectors.join(losers, Seq("vec_id"), "left_anti")
+  }
+
   /** Banded (multi-table) approximate top-k: candidates are neighbors
     * sharing ANY band bucket with the probe — recall rises with the
     * band count while per-band bucket occupancy stays low (bands · 2^r
