@@ -26,10 +26,16 @@ object Components {
     * every vertex that appears in at least one pair, with `component` =
     * min id of its connected component. */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val allEdges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // the pair graph is orders of magnitude smaller than the corpus it
+    // came from; right-size the iteration partitioning to the EDGE
+    // count (one partition per ~100k edges) so each round costs work
+    // proportional to the graph, not the session's shuffle width
+    val parts = math.max(1, (allEdges.count() / 100000L).toInt)
+    val edges = allEdges.repartition(parts, col("dst")).localCheckpoint(true)
 
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
