@@ -460,6 +460,11 @@ object SparkEntry {
         .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
         .orderBy("a_id", "b_id")),
 
+    // Exact vector dedup: one hash-aggregate grouping on the embedding
+    // value itself (bit-equality — both engines see the same floats).
+    "emb_dedup_exact" -> ((s, dir) =>
+      Similarity.dedupExactVectors(embDupFixture(s, dir)).orderBy("vec_id")),
+
     // Fuzzy embedding dedup: drop every near-identical cluster member
     // but the canonical (min vec_id). Planted copies are the only
     // qualifying pairs (max natural cosine far below 0.999), so the
@@ -871,6 +876,13 @@ object SparkEntry {
         |  AND list_dot_product(a.v, b.v)
         |      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.999
         |ORDER BY 1, 2""".stripMargin,
+
+    "emb_dedup_exact" ->
+      """WITH fixture AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0)
+        |SELECT MIN(vec_id) AS vec_id FROM fixture GROUP BY embedding ORDER BY 1""".stripMargin,
 
     "emb_dedup_near" ->
       """WITH RECURSIVE fixture AS (

@@ -283,6 +283,14 @@ object Similarity {
       .filter(col("sim") >= threshold)
   }
 
+  /** Exact (bitwise-identical) vector dedup: keep the minimum vec_id
+    * per distinct embedding. One hash-aggregate on the vector value —
+    * the cheap precursor to [[dedupNearCosine]] (run exact first so the
+    * fuzzy pass never wastes candidates on bit-equal copies). */
+  def dedupExactVectors(vectors: DataFrame): DataFrame =
+    vectors.groupBy(col("embedding")).agg(min(col("vec_id")).as("vec_id"))
+      .select("vec_id")
+
   /** Fuzzy embedding dedup end-to-end: cosine near-dup pairs →
     * connected components → drop every cluster member except the
     * minimum vec_id (the text-side [[TextDedup.dedupNearMinhash]]
