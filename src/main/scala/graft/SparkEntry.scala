@@ -569,6 +569,13 @@ object SparkEntry {
         .orderBy("view_id", "purchase_id")
     }),
 
+    // Gap-based sessionization: lag-window session starts, running-sum
+    // session numbers, per-session aggregate — one shuffle, shared
+    // (user_id) partitioning across all three steps.
+    "ref_user_sessions" -> ((s, dir) =>
+      EventOps.sessionize(ev(s, dir), gapMinutes = 30)
+        .orderBy("user_id", "session_no")),
+
     // Exact distinct aggregation (two-phase distinct-agg plan).
     "ref_daily_distinct_users" -> ((s, dir) =>
       ev(s, dir)
@@ -638,6 +645,22 @@ object SparkEntry {
         | AND v.event_type = 'view' AND p.event_type = 'purchase'
         | AND v.ts >= p.ts AND v.ts < p.ts + INTERVAL 30 MINUTE
         |ORDER BY 1, 2""".stripMargin,
+
+    "ref_user_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT user_id, ts,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM flagged)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |       MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS event_count
+        |FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ref_daily_distinct_users" ->
       """SELECT CAST(ts AS DATE) AS event_date,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational semantics of the reference pipeline, as composable
@@ -127,4 +128,31 @@ object EventOps {
     */
   def withAuditColumns(df: DataFrame): DataFrame =
     df.withColumn("inserted_at", current_timestamp())
+
+  /** Gap-based sessionization: per user, a new session starts whenever
+    * the inactivity gap exceeds `gapMinutes`. The classic two-window
+    * shape — a lag comparison marks session starts, a running sum
+    * numbers them — then one aggregate per (user, session). All three
+    * steps share the same (user_id) hash partitioning, so the whole
+    * operator is ONE shuffle plus per-key sorts; session state never
+    * materializes outside the window operators. Deterministic: ties on
+    * ts order by event_id. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30,
+                 tsCol: String = "ts"): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col(tsCol), col("event_id"))
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val prev = lag(col(tsCol), 1).over(w)
+    events
+      .withColumn("__new_session",
+        when(prev.isNull ||
+          unix_micros(col(tsCol).cast("timestamp")) - unix_micros(prev.cast("timestamp")) > gapMicros, 1)
+          .otherwise(0))
+      .withColumn("session_no",
+        sum(col("__new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("event_count"))
+  }
 }

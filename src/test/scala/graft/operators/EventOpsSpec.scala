@@ -105,4 +105,22 @@ class EventOpsSpec extends SparkSpec {
     assert(out.columns.contains("inserted_at"))
     assert(out.filter($"inserted_at".isNull).count() == 0L)
   }
+
+  test("sessionize: 30-min gaps split sessions; one shuffle shared across windows and agg") {
+    val evs = Seq(
+      (1L, t("2026-01-01T10:00:00"), 7L), // session 1
+      (2L, t("2026-01-01T10:20:00"), 7L), // 20 min gap -> same session
+      (3L, t("2026-01-01T10:50:01"), 7L), // 30m01s gap -> new session
+      (4L, t("2026-01-01T11:20:01"), 7L), // exactly 30m -> SAME session (strict >)
+      (5L, t("2026-01-01T10:00:00"), 8L)  // other user, own session
+    ).toDF("event_id", "ts", "user_id")
+    val out = EventOps.sessionize(evs).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_no")) ->
+        r.getAs[Long]("event_count")).toMap
+    assert(out == Map((7L, 1L) -> 2L, (7L, 2L) -> 2L, (8L, 1L) -> 1L), s"got $out")
+
+    val plan = EventOps.sessionize(evs).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected ONE user_id shuffle, got $exchanges:\n$plan")
+  }
 }
