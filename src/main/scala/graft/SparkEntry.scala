@@ -351,6 +351,24 @@ object SparkEntry {
     // score, stopword-profile language id, bag-of-words fingerprint.
     "doc_stats" -> ((s, dir) => TextStats.profile(docs(s, dir)).orderBy("doc_id")),
 
+    // Corpus length histogram: fixed-width bucketing, partial/final agg.
+    "doc_length_histogram" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy((floor(length(col("text")) / 100) * 100).as("length_bucket"))
+        .agg(count(lit(1)).as("doc_count"))
+        .orderBy("length_bucket")),
+
+    // Quality-score quantiles per predicted language: exact interpolated
+    // percentiles (sort-based, deterministic) over the profile output.
+    "doc_quality_quantiles" -> ((s, dir) =>
+      TextStats.profile(docs(s, dir))
+        .groupBy("predicted_lang")
+        .agg(
+          round(expr("percentile(quality_score, 0.5)"), 6).as("p50"),
+          round(expr("percentile(quality_score, 0.9)"), 6).as("p90"),
+          count(lit(1)).as("doc_count"))
+        .orderBy("predicted_lang")),
+
     // Exact dedup: clusters of normalized-content duplicates…
     "doc_exact_dup" -> ((s, dir) =>
       TextDedup.exactDupClusters(docDupFixture(s, dir)).orderBy("content_hash")),
@@ -576,6 +594,20 @@ object SparkEntry {
       EventOps.sessionize(ev(s, dir), gapMinutes = 30)
         .orderBy("user_id", "session_no")),
 
+    // The Spark-NATIVE gap-session operator (session_window) beside the
+    // portable two-window rendition above: same 30-min gap semantics,
+    // end = last event + gap, split at gap >= 30 min (half-open window).
+    "ref_session_window" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(col("user_id"),
+          session_window(col("ts").cast("timestamp"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("event_count"))
+        .select(col("user_id"),
+          col("w.start").cast("timestamp_ntz").as("session_start"),
+          col("w.end").cast("timestamp_ntz").as("session_end"),
+          col("event_count"))
+        .orderBy("user_id", "session_start")),
+
     // Exact distinct aggregation (two-phase distinct-agg plan).
     "ref_daily_distinct_users" -> ((s, dir) =>
       ev(s, dir)
@@ -662,6 +694,22 @@ object SparkEntry {
         |       MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS event_count
         |FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "ref_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT user_id, ts,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS event_count
+        |FROM numbered GROUP BY user_id, session_no ORDER BY 1, 2""".stripMargin,
+
     "ref_daily_distinct_users" ->
       """SELECT CAST(ts AS DATE) AS event_date,
         |       COUNT(DISTINCT user_id) AS distinct_users,
@@ -711,22 +759,27 @@ object SparkEntry {
        |      FROM documents)""".stripMargin
   }
 
+  // Shared doc_stats SQL fragments (also power the quantile oracle).
+  private val statsEn = TextStats.Stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val statsHitCols = TextStats.Stopwords.map { case (lang, stops) =>
+    val l = stops.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter(toks, w -> list_contains($l, w))) AS ${lang}_hits"
+  }.mkString(",\n       ")
+  private val statsLangCase = {
+    val langs = TextStats.Stopwords.map(_._1)
+    val whens = langs.zipWithIndex.map { case (lang, i) =>
+      val conds = (s"${lang}_hits > 0" +: langs.drop(i + 1).map(o => s"${lang}_hits >= ${o}_hits"))
+        .mkString(" AND ")
+      s"WHEN $conds THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $whens ELSE 'und' END"
+  }
+
   private val llmOracles: Map[String, String] = Map(
     "doc_stats" -> {
-      val en = TextStats.Stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
-      val hitCols = TextStats.Stopwords.map { case (lang, stops) =>
-        val l = stops.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"len(list_filter(toks, w -> list_contains($l, w))) AS ${lang}_hits"
-      }.mkString(",\n       ")
-      val langCase = {
-        val langs = TextStats.Stopwords.map(_._1)
-        val whens = langs.zipWithIndex.map { case (lang, i) =>
-          val conds = (s"${lang}_hits > 0" +: langs.drop(i + 1).map(o => s"${lang}_hits >= ${o}_hits"))
-            .mkString(" AND ")
-          s"WHEN $conds THEN '$lang'"
-        }.mkString(" ")
-        s"CASE $whens ELSE 'und' END"
-      }
+      val en = statsEn
+      val hitCols = statsHitCols
+      val langCase = statsLangCase
       // SQL string literal: double the single quotes; backslashes pass through
       val bpe = TextStats.BpePattern.replace("'", "''")
       s"""WITH t AS ($docTokens),
@@ -792,6 +845,31 @@ object SparkEntry {
          |  AND len(list_intersect(a.s, b.s))::DOUBLE
          |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
+
+    "doc_length_histogram" ->
+      """SELECT (length(text) // 100) * 100 AS length_bucket, COUNT(*) AS doc_count
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "doc_quality_quantiles" ->
+      s"""WITH t AS ($docTokens),
+         |h AS (
+         |  SELECT doc_id, text, toks,
+         |       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+         |         / greatest(length(text), 1) AS punct_raw,
+         |       len(list_filter(toks, w -> list_contains($statsEn, w)))::DOUBLE
+         |         / greatest(len(toks), 1) AS stop_raw,
+         |       $statsHitCols
+         |  FROM t),
+         |scored AS (
+         |  SELECT $statsLangCase AS predicted_lang,
+         |         CAST(ROUND(least(len(toks) / 100.0, 1.0) * 0.4
+         |                    + (1.0 - punct_raw) * 0.3 + stop_raw * 0.3, 6) AS DOUBLE) AS q
+         |  FROM h)
+         |SELECT predicted_lang,
+         |       CAST(ROUND(quantile_cont(q, 0.5), 6) AS DOUBLE) AS p50,
+         |       CAST(ROUND(quantile_cont(q, 0.9), 6) AS DOUBLE) AS p90,
+         |       COUNT(*) AS doc_count
+         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "doc_neardup_clusters" ->
       s"""WITH RECURSIVE sh AS ($docShingles),
