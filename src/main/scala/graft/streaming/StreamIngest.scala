@@ -102,6 +102,27 @@ object StreamIngest {
         col("window.end").cast("timestamp_ntz").as("window_end"),
         col("event_type"), col("event_count"), col("first_event"), col("last_event"))
 
+  /** Gap-based session aggregation on the STREAM: Spark's native
+    * `session_window` merges events within `gap` of each other per
+    * user; the watermark closes sessions whose end fell behind it, so
+    * state is bounded to open sessions of recently-active users.
+    * The streaming-native form of [[graft.operators.EventOps.sessionize]].
+    */
+  def sessionCounts(
+      events: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "2 hours",
+      tsCol: String = "event_timestamp"): DataFrame =
+    events
+      .withColumn("__event_time", col(tsCol).cast("timestamp"))
+      .withWatermark("__event_time", watermark)
+      .groupBy(col("user_id"), session_window(col("__event_time"), gap))
+      .agg(count(lit(1)).as("event_count"))
+      .select(col("user_id"),
+        col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("session_window.end").cast("timestamp_ntz").as("session_end"),
+        col("event_count"))
+
   /** A4: total input rows across a query's lifetime (the reference's
     * client-side running counters / XCom metric). */
   def totalInputRows(q: StreamingQuery): Long =

@@ -80,6 +80,36 @@ class StreamIngestSpec extends SparkSpec {
       java.time.LocalDateTime.of(2025, 1, 1, 0, 0)))
   }
 
+  test("sessionCounts: streaming session_window matches the batch twin") {
+    val root = Files.createTempDirectory("graft_sess").toString
+    val cp = Files.createTempDirectory("graft_sesscp").toString
+    landHour(root, 0, 60, seed = 9)
+    val q = StreamIngest.sessionCounts(StreamIngest.stream(spark, root))
+      .writeStream.format("memory").queryName("sess_complete").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", cp)
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("sess_complete").collect()
+      .map(r => (r.getAs[String]("user_id"), r.getAs[java.time.LocalDateTime]("session_start"),
+        r.getAs[java.time.LocalDateTime]("session_end"), r.getAs[Long]("event_count"))).toSet
+
+    val batch = graft.sources.JsonIngest.readJson(spark, root)
+      .filter($"event_id".isNotNull)
+      .select($"user_id", $"event_timestamp")
+      .groupBy($"user_id",
+        org.apache.spark.sql.functions.session_window($"event_timestamp".cast("timestamp"), "30 minutes"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("event_count"))
+      .select($"user_id",
+        $"session_window.start".cast("timestamp_ntz").as("s"),
+        $"session_window.end".cast("timestamp_ntz").as("e"), $"event_count")
+      .collect()
+      .map(r => (r.getAs[String]("user_id"), r.getAs[java.time.LocalDateTime]("s"),
+        r.getAs[java.time.LocalDateTime]("e"), r.getAs[Long]("event_count"))).toSet
+    assert(streamed == batch, s"stream/batch session divergence: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("foreachBatch dedup-insert into the curated tier survives checkpoint loss without duplicates (O6)") {
     val root = Files.createTempDirectory("graft_cur").toString
     val curated = Files.createTempDirectory("graft_cur_out").toString + "/events"
