@@ -121,6 +121,18 @@ object EventOps {
   def partitionByKey(df: DataFrame, key: String = "user_id"): DataFrame =
     df.repartition(col(key))
 
+  /** Deterministic intra-batch dedup: keep ONE row per key, chosen by a
+    * total order over the remaining columns. Unlike `dropDuplicates`
+    * (an arbitrary-pick aggregate), two INDEPENDENT evaluations of the
+    * same input always pick the same row — required when a later stage
+    * (e.g. a DQ gate) re-derives the deduped set rather than reading
+    * the materialized result. */
+  def dedupDeterministic(df: DataFrame, key: String = "event_id"): DataFrame = {
+    val others = df.columns.filterNot(_ == key).map(col)
+    val w = Window.partitionBy(col(key)).orderBy(others: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Ingest-time audit column (create_snowflake_tables.sql:14 default
     * CURRENT_TIMESTAMP()): applied in the write path, since Spark
     * appends don't auto-fill defaults. Excluded from oracle compares
@@ -140,12 +152,15 @@ object EventOps {
   def sessionize(events: DataFrame, gapMinutes: Int = 30,
                  tsCol: String = "ts"): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col(tsCol), col("event_id"))
-    val gapMicros = gapMinutes * 60L * 1000000L
     val prev = lag(col(tsCol), 1).over(w)
     events
+      // NTZ-native interval comparison: a cast to instant here would
+      // make session splits depend on the session timezone (and jump
+      // around DST transitions), diverging from the wall-clock gap the
+      // oracle computes
       .withColumn("__new_session",
         when(prev.isNull ||
-          unix_micros(col(tsCol).cast("timestamp")) - unix_micros(prev.cast("timestamp")) > gapMicros, 1)
+          col(tsCol) > prev + expr(s"INTERVAL $gapMinutes MINUTES"), 1)
           .otherwise(0))
       .withColumn("session_no",
         sum(col("__new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -229,18 +229,21 @@ object Similarity {
 
   /** Slim (vec_id, band, bucket) rows — one pass evaluates all sign
     * bits; nothing downstream shuffles embeddings. The dimension peek
-    * is one row (the plane matrix is a plan-time literal). */
-  private def lshBanded(vectors: DataFrame, bands: Int, planesPerBand: Int, seed: Long): DataFrame =
-    vectors.select(size(col("embedding"))).limit(1).collect().headOption match {
+    * is one non-null row (the plane matrix is a plan-time literal);
+    * null embeddings are excluded — they can never match anything. */
+  private def lshBanded(vectors: DataFrame, bands: Int, planesPerBand: Int, seed: Long): DataFrame = {
+    val nonNull = vectors.filter(col("embedding").isNotNull)
+    nonNull.select(size(col("embedding"))).limit(1).collect().headOption match {
       case None => // empty corpus: empty keyed frame with the right schema
         vectors.select(col("vec_id"), lit(0).as("band"), lit(0L).as("bucket")).where(lit(false))
       case Some(r) =>
         val dim = r.getInt(0)
-        vectors
+        nonNull
           .select(col("vec_id"),
             explode(lshBandKeys(col("embedding"), bands, planesPerBand, dim, seed)).as("bk"))
           .select(col("vec_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     }
+  }
 
   /** The dropped-bucket METRIC for [[nearDupPairsCosine]]: one row per
     * skipped (band, bucket) with its member count. */
@@ -264,13 +267,8 @@ object Similarity {
                          bands: Int = 8, planesPerBand: Int = 12, seed: Long = 42L,
                          maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
     val banded = lshBanded(vectors, bands, planesPerBand, seed)
-    val useful = banded
-      .groupBy("band", "bucket").agg(count(lit(1)).as("member_count"))
-      .filter(col("member_count").between(2, maxBucketSize))
-    val candidates = banded
-      .join(useful.select("band", "bucket"), Seq("band", "bucket"))
-      .groupBy("band", "bucket").agg(collect_list("vec_id").as("ids"))
-      .select(explode(TextDedup.bucketPairs(col("ids"))).as("p"))
+    val candidates = TextDedup.cappedBucketPairs(
+      banded, Seq("band", "bucket"), "vec_id", maxBucketSize, TextDedup.bucketPairs)
       .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .distinct()
 

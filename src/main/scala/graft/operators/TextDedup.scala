@@ -120,6 +120,25 @@ object TextDedup {
       .agg(count(lit(1)).as("member_count"))
       .filter(col("member_count") > maxBucketSize)
 
+  /** The shared capped candidate expansion all three near-dup paths
+    * use: pre-count bucket membership, keep buckets of [2,
+    * maxBucketSize] members (singletons — the vast majority — never
+    * reach the collect; hot degenerate buckets are excluded BEFORE the
+    * aggregation buffer exists, observable via the skippedBuckets*
+    * metrics), collect the member column per bucket, expand with
+    * `pairsOf`, return the exploded pair structs as column `p`. */
+  private[operators] def cappedBucketPairs(
+      keyed: DataFrame, keys: Seq[String], member: String,
+      maxBucketSize: Int, pairsOf: Column => Column): DataFrame = {
+    def keyCols = keys.map(col)
+    val useful = keyed.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("member_count"))
+      .filter(col("member_count").between(2, maxBucketSize))
+    keyed.join(useful.select(keyCols: _*), keys)
+      .groupBy(keyCols: _*).agg(collect_list(member).as("ms"))
+      .select(explode(pairsOf(col("ms"))).as("p"))
+  }
+
   /** The dropped-bucket METRIC for [[nearDupPairsMinhash]]: one row per
     * skipped (band, bucket) with its member count. Run/log it alongside
     * the pairs query — the cap must never truncate silently. */
@@ -169,17 +188,10 @@ object TextDedup {
       jaccardThreshold: Double = 0.8,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val banded = mhBanded(docs, textCol, shingleN, numHashes, bands)
-
-    val useful = banded
-      .groupBy("band", "bucket").agg(count(lit(1)).as("member_count"))
-      .filter(col("member_count").between(2, maxBucketSize))
-
-    val candidates = banded
-      .join(useful.select("band", "bucket"), Seq("band", "bucket"))
-      .groupBy("band", "bucket").agg(collect_list("doc_id").as("ids"))
-      .select(explode(bucketPairs(col("ids"))).as("p"))
-      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
-      .distinct()
+    val candidates =
+      cappedBucketPairs(banded, Seq("band", "bucket"), "doc_id", maxBucketSize, bucketPairs)
+        .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+        .distinct()
 
     // exact Jaccard over the HASHED shingle sets: identical counts to
     // string sets up to 64-bit collisions (~|sh|²/2⁶⁵ per doc — nil)
@@ -281,17 +293,10 @@ object TextDedup {
       sigFn: Column => Column = simhash64,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val chunked = shChunked(docs, textCol, sigFn)
-
-    val useful = chunked
-      .groupBy("chunk", "key").agg(count(lit(1)).as("member_count"))
-      .filter(col("member_count").between(2, maxBucketSize))
-
-    val pairs = chunked
-      .join(useful.select("chunk", "key"), Seq("chunk", "key"))
-      .groupBy("chunk", "key").agg(collect_list("m").as("ms"))
-      .select(explode(memberPairs(col("ms"))).as("p"))
-      .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
-        bit_count(col("p.a.sim").bitwiseXOR(col("p.b.sim"))).as("hamming"))
+    val pairs =
+      cappedBucketPairs(chunked, Seq("chunk", "key"), "m", maxBucketSize, memberPairs)
+        .select(col("p.a.doc_id").as("a_id"), col("p.b.doc_id").as("b_id"),
+          bit_count(col("p.a.sim").bitwiseXOR(col("p.b.sim"))).as("hamming"))
 
     pairs.filter(col("hamming") <= maxHamming)
       .groupBy("a_id", "b_id").agg(min("hamming").as("hamming")) // distinct across chunks

@@ -85,8 +85,11 @@ object ReferencePipeline {
         val staged = source.readBatch(spark, hourDir)
         // per-batch staging: the scan is one hour partition, so a full
         // refresh of staging is the COPY semantics without load history
-        // (FORCE=TRUE re-loads are the reference's declared behavior)
-        Catalog.ctasOverwrite(staged, StagingTable)
+        // (FORCE=TRUE re-loads are the reference's declared behavior).
+        // Plain table overwrite: staging is sequential scratch read
+        // only by the stages that follow — the atomic view flip is for
+        // reader-facing tiers (the summary)
+        Catalog.overwriteTable(staged, StagingTable)
         Map(
           "staged_rows" -> spark.table(StagingTable).count(),
           "corrupt_rows" -> JsonIngest.corruptCount(spark.table(StagingTable)))
@@ -107,7 +110,7 @@ object ReferencePipeline {
           .filter(col("event_id").isNotNull) // parsed rows only
           .select(eventCols.map(col): _*)
         val inserted = EventOps.withAuditColumns(
-          EventOps.dedupInsert(staging.dropDuplicates("event_id"), spark.table(EventsTable)))
+          EventOps.dedupInsert(EventOps.dedupDeterministic(staging), spark.table(EventsTable)))
         Map("inserted_rows" -> Catalog.insertAppend(spark, EventsTable, inserted))
       },
       Stage("run_dq_checks") { _ =>

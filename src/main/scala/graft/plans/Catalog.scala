@@ -35,30 +35,60 @@ object Catalog {
     * snapshot or the new one, never a missing or half-written table
     * (Snowflake's CTAS is atomic, `sql/create_snowflake_tables.sql:31-39`;
     * Delta/Iceberg would give this transactionally, neither is on the
-    * classpath, so the swap is done by hand). The previous version is
-    * recent versions are retained through the flip — a reader already
-    * bound to one can finish its scan — and pruned by later refreshes. */
-  def ctasOverwrite(df: DataFrame, name: String): Unit = {
+    * classpath, so the swap is done by hand).
+    *
+    * The `keepVersions` most recent snapshots are retained through the
+    * flip — a reader already bound to one can finish its scan as long
+    * as it is not more than `keepVersions` refresh cycles behind — and
+    * are pruned by later refreshes.
+    *
+    * `tag` makes the publish IDEMPOTENT per tag (e.g. a streaming
+    * batch id): if a version directory carrying the tag already exists,
+    * the dataframe is NOT recomputed — the view is (re-)flipped to that
+    * directory and the call returns, so a retry firing after the data
+    * was written (whether or not the flip happened) converges to the
+    * same published state instead of applying the dataframe twice. */
+  def ctasOverwrite(df: DataFrame, name: String,
+                    keepVersions: Int = 5, tag: Option[String] = None): Unit = {
     val spark = df.sparkSession
     val base = new Path(new Path(spark.conf.get("spark.sql.warehouse.dir")), s"${name}__versions")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def versions: Seq[Long] =
+    val VersionName = """v(\d+)(?:__(.*))?""".r
+    val existing: Seq[(Long, Option[String], Path)] =
       if (!fs.exists(base)) Seq.empty
-      else fs.listStatus(base).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("v")).flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
-    val next = versions.foldLeft(0L)(math.max) + 1
-    val path = new Path(base, s"v$next")
-    df.write.mode("errorifexists").parquet(path.toString)
+      else fs.listStatus(base).toSeq.flatMap(s => s.getPath.getName match {
+        case VersionName(n, t) => Some((n.toLong, Option(t), s.getPath))
+        case _ => None
+      })
 
-    // one-time migration: a legacy refresh (or an external writer) left
-    // a TABLE under this name — a view cannot replace it in place
-    if (spark.catalog.tableExists(name) &&
-        spark.catalog.getTable(name).tableType != "VIEW")
-      spark.sql(s"DROP TABLE $name")
-    spark.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM parquet.`${path.toString}`")
-    spark.catalog.refreshTable(name)
+    def flip(path: Path): Unit = {
+      // one-time migration: a legacy refresh (or an external writer)
+      // left a TABLE under this name — a view cannot replace it in place
+      if (spark.catalog.tableExists(name) &&
+          spark.catalog.getTable(name).tableType != "VIEW")
+        spark.sql(s"DROP TABLE $name")
+      spark.sql(s"CREATE OR REPLACE VIEW $name AS SELECT * FROM parquet.`${path.toString}`")
+      spark.catalog.refreshTable(name)
+    }
 
-    versions.filter(_ < next - 2).foreach(v => fs.delete(new Path(base, s"v$v"), true))
+    tag.flatMap(t => existing.find(_._2.contains(t))) match {
+      case Some((_, _, path)) => flip(path) // idempotent completion
+      case None =>
+        val next = existing.map(_._1).foldLeft(0L)(math.max) + 1
+        val path = new Path(base, s"v$next" + tag.map("__" + _).getOrElse(""))
+        df.write.mode("errorifexists").parquet(path.toString)
+        flip(path)
+        existing.filter(_._1 <= next - keepVersions).foreach(v => fs.delete(v._3, true))
+    }
+  }
+
+  /** The NON-atomic table overwrite — for sequential scratch tiers (a
+    * per-batch staging table read only by the stages that follow in the
+    * same run); use [[ctasOverwrite]] for anything a concurrent reader
+    * may query. */
+  def overwriteTable(df: DataFrame, name: String): Unit = {
+    df.write.mode("overwrite").option("overwriteSchema", "true").saveAsTable(name)
+    df.sparkSession.catalog.refreshTable(name)
   }
 
   /** DROP for a name that may be a table or a view (ctasOverwrite

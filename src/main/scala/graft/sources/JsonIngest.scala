@@ -78,9 +78,11 @@ object JsonIngest {
       "timestampNTZFormat" -> TsFormat)
     val partCols = txt.columns.filterNot(_ == "value").map(col)
     txt
-      // the line reader surfaces blank lines; the JSON reader skips
-      // them — they are empty input, not corrupt records
-      .filter(length(trim(col("value"))) > 0)
+      // the line reader surfaces blank lines and the JSON literal
+      // `null`; the JSON datasource reader skips both — they are empty
+      // input, not records (a phantom all-null row would be invisible
+      // to the corrupt-row metric yet counted as staged)
+      .filter(length(trim(col("value"))) > 0 && trim(col("value")) =!= "null")
       .select(from_json(col("value"), StagingSchema, opts).as("e") +:
         col("value").as("raw_payload") +: partCols: _*)
       .select(col("e.*") +: col("raw_payload") +: partCols: _*)

@@ -54,7 +54,9 @@ object StreamIngest {
       "columnNameOfCorruptRecord" -> "raw_data",
       "timestampNTZFormat" -> JsonIngest.TsFormat)
     r.text(landingRoot)
-      .filter(length(trim(col("value"))) > 0) // line reader surfaces blanks; json reader skips them
+      // blanks and the JSON literal `null` are empty input, not records
+      // (same discipline as JsonIngest.readJson)
+      .filter(length(trim(col("value"))) > 0 && trim(col("value")) =!= "null")
       .select(from_json(col("value"), JsonIngest.StagingSchema, opts).as("e"),
         col("value").as("raw_payload"))
       .select("e.*", "raw_payload")

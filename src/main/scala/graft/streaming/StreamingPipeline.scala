@@ -81,9 +81,11 @@ object StreamingPipeline {
           "corrupt_rows" -> JsonIngest.corruptCount(batch))
       },
       Stage("dedup_insert") { _ =>
-        val staging = batch.filter(col("event_id").isNotNull)
-          .select("event_id", "event_timestamp", "event_type", "user_id")
-          .dropDuplicates("event_id")
+        // deterministic pick: evaluate_dq re-derives this exact set, so
+        // the row chosen per key must not depend on evaluation order
+        val staging = EventOps.dedupDeterministic(
+          batch.filter(col("event_id").isNotNull)
+            .select("event_id", "event_timestamp", "event_type", "user_id"))
         val curated = EventOps.withAuditColumns(staging)
         if (!Catalog.tableExists(spark, EventsTable))
           Catalog.ensureTable(spark, EventsTable, curated.schema)
@@ -98,18 +100,23 @@ object StreamingPipeline {
         // EventOps.dailySummary(raw) for compaction/backfill)
         val batchRaw = batch.filter(col("event_id").isNotNull)
           .select("event_id", "event_timestamp", "event_type", "user_id")
-        Catalog.ctasOverwrite(mergedSummary(spark, batchRaw), SummaryTable)
+        // tagged by batch id: a retry after the merged snapshot was
+        // written re-flips to it instead of merging the delta twice
+        Catalog.ctasOverwrite(mergedSummary(spark, batchRaw), SummaryTable,
+          tag = Some(s"b$batchId"))
         Map("summary_rows" -> spark.table(SummaryTable).count())
       },
       Stage("evaluate_dq") { _ =>
         // gate the DELTA (O(batch)): the reference gates the POST-dedup
         // tier, so the scoped analog is the batch as offered for
-        // insertion (after dropDuplicates — intra-batch re-delivery is
-        // legitimate at-least-once input, not a DQ failure); tier-level
-        // uniqueness is structural (anti-join)
-        val staged = batch.filter(col("event_id").isNotNull)
-          .select("event_id", "event_timestamp", "event_type", "user_id")
-          .dropDuplicates("event_id")
+        // insertion (after the DETERMINISTIC dedup — the same rows
+        // dedup_insert offered, not an independent arbitrary pick;
+        // intra-batch re-delivery is legitimate at-least-once input,
+        // not a DQ failure); tier-level uniqueness is structural
+        // (anti-join)
+        val staged = EventOps.dedupDeterministic(
+          batch.filter(col("event_id").isNotNull)
+            .select("event_id", "event_timestamp", "event_type", "user_id"))
         val r = DataQuality.gate(staged,
           required = Seq("event_id", "event_timestamp", "event_type", "user_id"))
         // scheduled audit: periodically re-assert the invariant over the

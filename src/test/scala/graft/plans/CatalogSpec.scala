@@ -9,7 +9,7 @@ import graft.operators.EventOps
 class CatalogSpec extends SparkSpec with BeforeAndAfterAll {
 
   override def afterAll(): Unit =
-    Seq("cat_t1", "cat_view_src", "ev_bucketed", "staging_bucketed", "cat_atomic")
+    Seq("cat_t1", "cat_view_src", "ev_bucketed", "staging_bucketed", "cat_atomic", "cat_tagged")
       .foreach(t => Catalog.dropIfExists(spark, t))
 
   test("ctasOverwrite publishes atomically: a looping reader never sees a missing or partial table") {
@@ -38,6 +38,20 @@ class CatalogSpec extends SparkSpec with BeforeAndAfterAll {
     finally { stop = true; reader.join(30000) }
     assert(failure.get() == null, s"reader observed: ${failure.get()}")
     assert(spark.table("cat_atomic").count() == 6000L)
+  }
+
+  test("tagged ctasOverwrite is idempotent per tag: a retry cannot apply its dataframe twice") {
+    import spark.implicits._
+    Catalog.dropIfExists(spark, "cat_tagged")
+    Catalog.ctasOverwrite(spark.range(10).toDF("id"), "cat_tagged", tag = Some("b1"))
+    // a retry re-derives a DIFFERENT dataframe (e.g. a merge over the
+    // already-updated summary) but carries the same tag — it must
+    // converge to the already-published snapshot, not re-apply
+    Catalog.ctasOverwrite(spark.range(99).toDF("id"), "cat_tagged", tag = Some("b1"))
+    assert(spark.table("cat_tagged").count() == 10L)
+    // the NEXT batch's tag applies normally
+    Catalog.ctasOverwrite(spark.range(5).toDF("id"), "cat_tagged", tag = Some("b2"))
+    assert(spark.table("cat_tagged").count() == 5L)
   }
 
   test("ensureTable is idempotent; insertAppend aligns by name") {
