@@ -92,12 +92,18 @@ object Catalog {
   }
 
   /** DROP for a name that may be a table or a view (ctasOverwrite
-    * publishes views; ensureTable/insertAppend make tables). */
-  def dropIfExists(spark: SparkSession, name: String): Unit =
+    * publishes views; ensureTable/insertAppend make tables). Also
+    * removes the versioned snapshot tree — a later re-creation of the
+    * same name must never resolve a stale tag to a dead snapshot. */
+  def dropIfExists(spark: SparkSession, name: String): Unit = {
     if (spark.catalog.tableExists(name)) {
       if (spark.catalog.getTable(name).tableType == "VIEW") spark.sql(s"DROP VIEW IF EXISTS $name")
       else spark.sql(s"DROP TABLE IF EXISTS $name")
     }
+    val base = new Path(new Path(spark.conf.get("spark.sql.warehouse.dir")), s"${name}__versions")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) fs.delete(base, true)
+  }
 
   /** S10: CREATE OR REPLACE VIEW. */
   def createOrReplaceView(df: DataFrame, name: String): Unit =

@@ -59,16 +59,22 @@ object StreamingPipeline {
       landingRoot: String,
       checkpointDir: String,
       notify: PipelineReport => Unit = _ => (),
-      source: graft.sources.EventSource = graft.sources.FileEventSource()): StreamingQuery =
+      source: graft.sources.EventSource = graft.sources.FileEventSource()): StreamingQuery = {
+    // run-scoped id: summary-publish tags must be unique per QUERY RUN —
+    // batch ids restart at 0 for a fresh checkpoint, and a stale tag
+    // from an earlier run must never satisfy a later run's publish
+    val runId = java.util.UUID.randomUUID().toString.take(8)
     StreamIngest.runAvailableNow(
       source.stream(spark, landingRoot), checkpointDir,
-      (batch, batchId) => { runBatch(spark, batch, batchId, notify); () })
+      (batch, batchId) => { runBatch(spark, batch, batchId, notify, runId); () })
+  }
 
   private[streaming] def runBatch(
       spark: SparkSession,
       batch: DataFrame,
       batchId: Long,
-      notify: PipelineReport => Unit): PipelineReport = {
+      notify: PipelineReport => Unit,
+      runId: String = "run"): PipelineReport = {
     val stages = Seq(
       Stage("load_raw") { _ =>
         val parsed = batch.filter(col("event_id").isNotNull)
@@ -100,10 +106,11 @@ object StreamingPipeline {
         // EventOps.dailySummary(raw) for compaction/backfill)
         val batchRaw = batch.filter(col("event_id").isNotNull)
           .select("event_id", "event_timestamp", "event_type", "user_id")
-        // tagged by batch id: a retry after the merged snapshot was
-        // written re-flips to it instead of merging the delta twice
+        // tagged by (run, batch): a stage RETRY after the merged
+        // snapshot was written re-flips to it instead of merging the
+        // delta twice; a new query run gets fresh tags
         Catalog.ctasOverwrite(mergedSummary(spark, batchRaw), SummaryTable,
-          tag = Some(s"b$batchId"))
+          tag = Some(s"${runId}_b$batchId"))
         Map("summary_rows" -> spark.table(SummaryTable).count())
       },
       Stage("evaluate_dq") { _ =>
