@@ -608,6 +608,28 @@ object SparkEntry {
           col("event_count"))
         .orderBy("user_id", "session_start")),
 
+    // Pivot / crosstab: daily counts fanned out per event type. The
+    // value list is pinned so the output schema is static (an inferred
+    // pivot would need an extra distinct pass and non-deterministic
+    // column order).
+    "ref_daily_pivot" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("event_date")),
+
+    // Set difference: (user, day) pairs that viewed but did not
+    // purchase that day (the set-op family the reference lacks
+    // entirely; EXCEPT carries set semantics — both sides dedup).
+    "ref_viewers_not_buyers" -> ((s, dir) => {
+      val e = ev(s, dir)
+      def slice(tpe: String) = e.filter(col("event_type") === tpe)
+        .select(to_date(col("ts")).as("event_date"), col("user_id"))
+      slice("view").except(slice("purchase")).orderBy("event_date", "user_id")
+    }),
+
     // Exact distinct aggregation (two-phase distinct-agg plan).
     "ref_daily_distinct_users" -> ((s, dir) =>
       ev(s, dir)
@@ -709,6 +731,21 @@ object SparkEntry {
         |SELECT user_id, MIN(ts) AS session_start,
         |       MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS event_count
         |FROM numbered GROUP BY user_id, session_no ORDER BY 1, 2""".stripMargin,
+
+    "ref_daily_pivot" ->
+      """SELECT CAST(ts AS DATE) AS event_date,
+        |       COUNT(*) FILTER (event_type = 'click') AS click,
+        |       COUNT(*) FILTER (event_type = 'error') AS error,
+        |       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |       COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |       COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ref_viewers_not_buyers" ->
+      """SELECT CAST(ts AS DATE) AS event_date, user_id FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT CAST(ts AS DATE) AS event_date, user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_date, user_id""".stripMargin,
 
     "ref_daily_distinct_users" ->
       """SELECT CAST(ts AS DATE) AS event_date,
