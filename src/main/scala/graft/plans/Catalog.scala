@@ -71,14 +71,21 @@ object Catalog {
       spark.catalog.refreshTable(name)
     }
 
-    tag.flatMap(t => existing.find(_._2.contains(t))) match {
-      case Some((_, _, path)) => flip(path) // idempotent completion
-      case None =>
+    // a tagged dir counts as committed ONLY with its _SUCCESS marker —
+    // a write that died mid-job leaves the directory without one, and
+    // flipping to it would publish a partial snapshot
+    val tagged = tag.flatMap(t => existing.find(_._2.contains(t)))
+    tagged match {
+      case Some((_, _, path)) if fs.exists(new Path(path, "_SUCCESS")) =>
+        flip(path) // idempotent completion
+      case other =>
+        other.foreach(v => fs.delete(v._3, true)) // dead partial write: self-heal
         val next = existing.map(_._1).foldLeft(0L)(math.max) + 1
         val path = new Path(base, s"v$next" + tag.map("__" + _).getOrElse(""))
         df.write.mode("errorifexists").parquet(path.toString)
         flip(path)
-        existing.filter(_._1 <= next - keepVersions).foreach(v => fs.delete(v._3, true))
+        existing.filter(v => v._1 <= next - keepVersions && !other.contains(v))
+          .foreach(v => fs.delete(v._3, true))
     }
   }
 

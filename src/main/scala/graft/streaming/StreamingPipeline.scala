@@ -60,10 +60,25 @@ object StreamingPipeline {
       checkpointDir: String,
       notify: PipelineReport => Unit = _ => (),
       source: graft.sources.EventSource = graft.sources.FileEventSource()): StreamingQuery = {
-    // run-scoped id: summary-publish tags must be unique per QUERY RUN —
-    // batch ids restart at 0 for a fresh checkpoint, and a stale tag
-    // from an earlier run must never satisfy a later run's publish
-    val runId = java.util.UUID.randomUUID().toString.take(8)
+    // Checkpoint-scoped run id, PERSISTED IN the checkpoint: a restart
+    // over the same checkpoint reuses it, so an uncommitted batch
+    // replayed after a crash carries the SAME publish tag and cannot
+    // double-merge the summary; a fresh or lost checkpoint mints a new
+    // id, so its batches (which also re-append raw — at-least-once by
+    // design) merge again, keeping summary == aggregate(raw).
+    val runId = {
+      val p = new org.apache.hadoop.fs.Path(checkpointDir, "graft_run_id")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
+      } else {
+        val id = java.util.UUID.randomUUID().toString.take(8)
+        val out = fs.create(p, false)
+        try out.write(id.getBytes("UTF-8")) finally out.close()
+        id
+      }
+    }
     StreamIngest.runAvailableNow(
       source.stream(spark, landingRoot), checkpointDir,
       (batch, batchId) => { runBatch(spark, batch, batchId, notify, runId); () })

@@ -9,7 +9,7 @@ import graft.operators.EventOps
 class CatalogSpec extends SparkSpec with BeforeAndAfterAll {
 
   override def afterAll(): Unit =
-    Seq("cat_t1", "cat_view_src", "ev_bucketed", "staging_bucketed", "cat_atomic", "cat_tagged")
+    Seq("cat_t1", "cat_view_src", "ev_bucketed", "staging_bucketed", "cat_atomic", "cat_tagged", "cat_dead")
       .foreach(t => Catalog.dropIfExists(spark, t))
 
   test("ctasOverwrite publishes atomically: a looping reader never sees a missing or partial table") {
@@ -52,6 +52,20 @@ class CatalogSpec extends SparkSpec with BeforeAndAfterAll {
     // the NEXT batch's tag applies normally
     Catalog.ctasOverwrite(spark.range(5).toDF("id"), "cat_tagged", tag = Some("b2"))
     assert(spark.table("cat_tagged").count() == 5L)
+  }
+
+  test("tagged publish ignores a dead partial write (no _SUCCESS) and self-heals") {
+    import spark.implicits._
+    Catalog.dropIfExists(spark, "cat_dead")
+    // simulate a write that died mid-job: the tagged version directory
+    // exists but carries no _SUCCESS commit marker
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val dead = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(warehouse), "cat_dead__versions/v1__bX")
+    val fs = dead.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dead)
+    Catalog.ctasOverwrite(Seq(1, 2, 3, 4, 5, 6, 7).toDF("id"), "cat_dead", tag = Some("bX"))
+    assert(spark.table("cat_dead").count() == 7L, "retry flipped to the dead partial snapshot")
   }
 
   test("ensureTable is idempotent; insertAppend aligns by name") {
