@@ -40,7 +40,17 @@ object StreamingPipeline {
     * the full recompute over all of raw_data, at O(|batch| + |summary|)
     * cost instead of O(history). Reading the current summary while
     * ctasOverwrite publishes the next is safe: the read is pinned to
-    * the previous version directory, the write lands in a fresh one. */
+    * the previous version directory, the write lands in a fresh one.
+    *
+    * Documented divergence from the reference's CTAS recompute: each
+    * batch merges into the summary EXACTLY ONCE (the publish is tagged
+    * per (run, batch); the checkpoint's offset log pins a replayed
+    * batch to the same file set, so tag == content). A batch that
+    * fails mid-run and replays re-appends raw_data (at-least-once, the
+    * reference's own semantics) but does NOT re-merge the summary —
+    * the summary counts true events once, where the reference's
+    * recompute would have counted raw's failure-duplicates. Proven in
+    * StreamingPipelineSpec's replay test. */
   private[streaming] def mergedSummary(spark: SparkSession, batchRaw: DataFrame): DataFrame = {
     val delta = EventOps.dailySummary(batchRaw.withColumnRenamed("event_timestamp", "ts"))
     if (!Catalog.tableExists(spark, SummaryTable)) delta

@@ -48,6 +48,38 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     assert(summarizedAll == 250L, s"incremental summary drifted: $summarizedAll")
   }
 
+  test("a failed batch's replay re-publishes the SAME summary snapshot — no double merge") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft_replay").toString
+    val cp = Files.createTempDirectory("graft_replaycp").toString
+    PartitionedJsonSink.write(EventGenerator.events(spark, 20, seed = 77, startEpochSeconds = 1735689600L), root)
+    // poison the landing with an INCOMPLETE record (missing event_type):
+    // load_raw and refresh_summary process it, evaluate_dq then fails
+    // the batch, so it never commits and replays on restart
+    val bad = """{"event_id":"bad-1","event_timestamp":"2025-01-01T00:00:30.000000","user_id":"user_9"}"""
+    val hour = graft.sources.PartitionedJsonSink.hourPath(root, java.time.LocalDateTime.of(2025, 1, 1, 0, 0))
+    val gz = new java.io.FileOutputStream(s"$hour/poison.json.gz")
+    val z = new java.util.zip.GZIPOutputStream(gz)
+    z.write((bad + "\n").getBytes("UTF-8")); z.close()
+
+    def runOnce(): Unit = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingPipeline.start(spark, root, cp).awaitTermination(120000)
+    }
+    def summaryTotal: Long = spark.table(StreamingPipeline.SummaryTable)
+      .agg(sum("event_count")).head().getLong(0)
+
+    runOnce() // batch 0 fails at evaluate_dq, uncommitted
+    val rawAfter1 = spark.table(StreamingPipeline.RawTable).count()
+    val sumAfter1 = summaryTotal
+    assert(sumAfter1 == 21L, s"summary after first attempt: $sumAfter1") // 20 good + 1 incomplete
+
+    runOnce() // replay of the SAME uncommitted batch (same run id, same tag)
+    assert(spark.table(StreamingPipeline.RawTable).count() == rawAfter1 * 2,
+      "raw tier is at-least-once by design — the replay must re-append")
+    assert(summaryTotal == sumAfter1,
+      s"replayed batch double-merged the summary: ${summaryTotal} vs $sumAfter1")
+  }
+
   test("per-batch summary merge reads the batch + the published summary, never all of raw_data") {
     import org.apache.spark.sql.functions._
     val batchRaw = graft.sources.EventGenerator.events(spark, 10, seed = 7)
