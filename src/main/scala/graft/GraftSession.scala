@@ -38,6 +38,12 @@ object GraftSession {
       // The driver's events table carries TIMESTAMP(NANOS); Spark only
       // reads that as LongType via this conf (Tables.load converts).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Catalog.ctasOverwrite's tagged idempotent publish decides
+      // "committed" by the _SUCCESS marker — pin marker emission ON so
+      // a cluster-side default (object-store deployments often disable
+      // it) can't silently turn a committed snapshot into one the
+      // self-heal path would delete
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
       .config("spark.ui.enabled", "false")
       // NOTE: the v2 output committer was A/B-tested for the
       // many-partition JSON sink and is SLOWER on local filesystems

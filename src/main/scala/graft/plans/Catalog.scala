@@ -47,7 +47,11 @@ object Catalog {
     * the dataframe is NOT recomputed — the view is (re-)flipped to that
     * directory and the call returns, so a retry firing after the data
     * was written (whether or not the flip happened) converges to the
-    * same published state instead of applying the dataframe twice. */
+    * same published state instead of applying the dataframe twice.
+    * "Committed" is decided by the `_SUCCESS` marker, so marker
+    * emission must stay enabled (GraftSession pins
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs=true`); a tagged
+    * dir without it is a dead partial write and is replaced. */
   def ctasOverwrite(df: DataFrame, name: String,
                     keepVersions: Int = 5, tag: Option[String] = None): Unit = {
     val spark = df.sparkSession
@@ -84,8 +88,7 @@ object Catalog {
         val path = new Path(base, s"v$next" + tag.map("__" + _).getOrElse(""))
         df.write.mode("errorifexists").parquet(path.toString)
         flip(path)
-        existing.filter(v => v._1 <= next - keepVersions && !other.contains(v))
-          .foreach(v => fs.delete(v._3, true))
+        existing.filter(_._1 <= next - keepVersions).foreach(v => fs.delete(v._3, true))
     }
   }
 

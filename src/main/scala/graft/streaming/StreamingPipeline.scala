@@ -45,7 +45,11 @@ object StreamingPipeline {
     * Documented divergence from the reference's CTAS recompute: each
     * batch merges into the summary EXACTLY ONCE (the publish is tagged
     * per (run, batch); the checkpoint's offset log pins a replayed
-    * batch to the same file set, so tag == content). A batch that
+    * batch to the same file set, so tag == content — which also makes
+    * IMMUTABLE landing files a hard precondition: editing a landed
+    * file in place breaks the file source's own replay semantics AND
+    * would pin a replayed batch's summary to the pre-edit snapshot;
+    * Firehose-style landing is append-only by construction). A batch that
     * fails mid-run and replays re-appends raw_data (at-least-once, the
     * reference's own semantics) but does NOT re-merge the summary —
     * the summary counts true events once, where the reference's
@@ -79,13 +83,23 @@ object StreamingPipeline {
     val runId = {
       val p = new org.apache.hadoop.fs.Path(checkpointDir, "graft_run_id")
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) {
-        val in = fs.open(p)
-        try scala.io.Source.fromInputStream(in).mkString.trim finally in.close()
-      } else {
+      val existing =
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          // a crash mid-write can leave a truncated file — treat as absent
+          try Some(scala.io.Source.fromInputStream(in).mkString.trim).filter(_.nonEmpty)
+          finally in.close()
+        }
+      existing.getOrElse {
         val id = java.util.UUID.randomUUID().toString.take(8)
-        val out = fs.create(p, false)
+        // write-temp-then-rename: the id file appears atomically or not
+        // at all, never half-written
+        val tmp = new org.apache.hadoop.fs.Path(checkpointDir, "graft_run_id.tmp")
+        val out = fs.create(tmp, true)
         try out.write(id.getBytes("UTF-8")) finally out.close()
+        fs.delete(p, false)
+        fs.rename(tmp, p)
         id
       }
     }
