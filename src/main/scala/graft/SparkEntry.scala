@@ -640,30 +640,43 @@ object SparkEntry {
   )
 
   private val analyticsOracles: Map[String, String] = Map(
+    // Compared aggregates are canonicalized to DOUBLE via
+    // ROUND(exact decimal, 4|6) narrowed to an int64-backed DECIMAL(18,x)
+    // before the double cast — one exact IEEE division, bit-identical to
+    // Spark's correctly-rounded BigDecimal.doubleValue (the driver's hash
+    // is decimal-hostile regardless of logical type; see Analytics.scala).
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |       SUM(CAST(l_quantity AS DECIMAL(12,4))) AS sum_qty,
-        |       SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS sum_base_price,
-        |       SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-        |           * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))) AS sum_disc_price,
+        |       CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))), 4)
+        |                 AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+        |       CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 4)
+        |                 AS DECIMAL(18,4)) AS DOUBLE) AS sum_base_price,
+        |       CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |           * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))), 6)
+        |                 AS DECIMAL(18,6)) AS DOUBLE) AS sum_disc_price,
         |       COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |       SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-        |           * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))) AS revenue
-        |FROM customer, orders, lineitem
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
-        |  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
-        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+        |       CAST(CAST(ROUND(revenue_dec, 6) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |             * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))) AS revenue_dec
+        |  FROM customer, orders, lineitem
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |    AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+        |  GROUP BY 1, 2, 3 ORDER BY revenue_dec DESC, l_orderkey LIMIT 10
+        |) ORDER BY revenue_dec DESC, l_orderkey""".stripMargin,
 
     "q5_local_supplier" ->
       """SELECT n_name,
-        |       SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-        |           * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))) AS revenue
+        |       CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |           * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))), 6)
+        |                 AS DECIMAL(18,6)) AS DOUBLE) AS revenue
         |FROM region, nation, customer, orders, lineitem, supplier
         |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
         |  AND c_nationkey = n_nationkey AND o_custkey = c_custkey

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -21,14 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
-  // Pinned-precision DECIMAL casts keep the aggregates exact, and the
-  // FINAL result columns are cast to DuckDB's widened sum types
-  // (SUM(DECIMAL) → DECIMAL(38,s) there; Spark widens only to
-  // (p+10,s)) so the gate's type-inclusive hash matches bit-for-bit.
+  // Pinned-precision DECIMAL casts keep the aggregates exact; the
+  // COMPARED projection is canonicalized to DOUBLE via a bounded
+  // decimal round. Rationale: the gate's hash is hostile to decimal
+  // output even when type+values are identical across engines
+  // (physical-representation sensitivity: Spark writes FLBA(16),
+  // DuckDB holds int128). Rounding the exact decimal to <= 6 places
+  // keeps the unscaled value under 2^53, so decimal->double is a
+  // single correctly-rounded IEEE division in BOTH engines and the
+  // emitted doubles are bit-identical. The decimal accumulation (the
+  // correctness story — no FP accumulation-order drift) is unchanged.
   private def dec12(c: String) = col(c).cast("decimal(12,4)")
   private def oneMinusDisc =
     (lit(1).cast("decimal(8,4)") - col("l_discount").cast("decimal(8,4)")).cast("decimal(8,4)")
   private def discounted = dec12("l_extendedprice") * oneMinusDisc
+  /** Exact-decimal sum rounded to `scale` places and emitted as DOUBLE
+    * for the cross-engine compare (see canonicalization note above). */
+  private def cmpDouble(c: Column, scale: Int) = round(c, scale).cast("double")
 
   /** Q1-style pricing summary: scan-filter-aggregate over the largest
     * fact table. */
@@ -37,9 +46,9 @@ object Analytics {
       .filter(col("l_shipdate") <= lit("1998-09-01"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec12("l_quantity")).cast("decimal(38,4)").as("sum_qty"),
-        sum(dec12("l_extendedprice")).cast("decimal(38,4)").as("sum_base_price"),
-        sum(discounted).cast("decimal(38,8)").as("sum_disc_price"),
+        cmpDouble(sum(dec12("l_quantity")), 4).as("sum_qty"),
+        cmpDouble(sum(dec12("l_extendedprice")), 4).as("sum_base_price"),
+        cmpDouble(sum(discounted), 6).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
   /** Q3-style shipping priority: 3-way join, revenue agg, top 10. */
@@ -51,9 +60,13 @@ object Analytics {
       .join(lineitem.filter(col("l_shipdate") > lit(cutoff)),
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(discounted).cast("decimal(38,8)").as("revenue"))
-      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .agg(sum(discounted).as("revenue_dec"))
+      // top-10 decided on the EXACT decimal (ties and ordering immune to
+      // the double canonicalization), then project the compare form
+      .orderBy(col("revenue_dec").desc, col("l_orderkey"))
       .limit(10)
+      .select(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"),
+        cmpDouble(col("revenue_dec"), 6).as("revenue"))
 
   /** Q5-style local-supplier volume: 6-way join through the full star,
     * revenue by nation, only orders whose supplier and customer share a
@@ -71,7 +84,7 @@ object Analytics {
       .join(supplier,
         col("s_suppkey") === col("l_suppkey") && col("s_nationkey") === col("c_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(discounted).cast("decimal(38,8)").as("revenue"))
+      .agg(cmpDouble(sum(discounted), 6).as("revenue"))
 
   /** Per-customer top order by value: ranking window after a join. */
   def topOrderPerCustomer(customer: DataFrame, orders: DataFrame): DataFrame = {
