@@ -499,8 +499,21 @@ object SparkEntry {
     // SimilaritySpec against the exact baseline).
     "emb_topk_lsh" -> ((s, dir) => {
       val planted = embDupFixture(s, dir)
+      val dim = planted.select(size(col("embedding"))).limit(1).collect().head.getInt(0)
       Similarity.topKLsh(planted, planted.filter(col("vec_id") >= 100000), 3, planes = 8,
-        bucketOf = Similarity.lshBucketMd5(_, 8))
+        bucketOf = Similarity.lshBucketMd5(_, 8, dim))
+        .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("probe_id", "rank")
+    }),
+
+    // ANN banded path: THE plan that runs at 100× — bands·2^r bucket
+    // keys, driver-side literal plane matrix, one native dot per sign
+    // bit, pair-dedup before scoring — under the same full cross-engine
+    // oracle as emb_topk_lsh (which stays as the single-table twin).
+    "emb_topk_lsh_banded" -> ((s, dir) => {
+      val planted = embDupFixture(s, dir)
+      Similarity.topKLshBanded(planted, planted.filter(col("vec_id") >= 100000), 3,
+        bands = 4, planesPerBand = 8, md5Derived = true)
         .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
         .orderBy("probe_id", "rank")
     }),
@@ -1087,6 +1100,45 @@ object SparkEntry {
         |           / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
         |  FROM bucketed p JOIN bucketed c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
         |  WHERE p.vec_id >= 100000)
+        |SELECT probe_id, rank, neighbor_id, CAST(ROUND(sim, 6) AS DOUBLE) AS sim
+        |FROM (SELECT probe_id, neighbor_id, sim,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    // Full replica of the BANDED md5-plane LSH ANN path: global plane
+    // index q = band*planesPerBand + p over the same md5 derivation,
+    // per-band bucket keys, candidates = pairs sharing ANY band bucket
+    // (deduped), then exact-cosine ranking — mirrors
+    // Similarity.lshBandKeysMd5/topKLshBanded (bands=4, r=8).
+    "emb_topk_lsh_banded" ->
+      """WITH dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+        |planes AS (
+        |  SELECT q // 8 AS band, q % 8 AS p,
+        |         list_transform(range(0, (SELECT dim FROM dims)), d ->
+        |      CAST(CAST('0x' || substr(md5(q::VARCHAR || ':' || d::VARCHAR), 1, 8) AS BIGINT) AS DOUBLE)
+        |        / 2147483648.0 - 1.0) AS plane
+        |  FROM range(0, 32) t(q)),
+        |fixture AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 50 = 0),
+        |keyed AS (
+        |  SELECT f.vec_id, pl.band,
+        |         SUM(CASE WHEN list_dot_product(f.v, pl.plane) > 0
+        |             THEN 1::BIGINT << CAST(pl.p AS INT) ELSE 0 END) AS bucket
+        |  FROM fixture f, planes pl GROUP BY 1, 2),
+        |cands AS (
+        |  SELECT DISTINCT p.vec_id AS probe_id, c.vec_id AS neighbor_id
+        |  FROM keyed p JOIN keyed c ON p.band = c.band AND p.bucket = c.bucket
+        |  WHERE p.vec_id >= 100000 AND p.vec_id <> c.vec_id),
+        |scored AS (
+        |  SELECT cd.probe_id, cd.neighbor_id,
+        |         list_dot_product(p.v, c.v)
+        |           / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |  FROM cands cd
+        |  JOIN fixture p ON p.vec_id = cd.probe_id
+        |  JOIN fixture c ON c.vec_id = cd.neighbor_id)
         |SELECT probe_id, rank, neighbor_id, CAST(ROUND(sim, 6) AS DOUBLE) AS sim
         |FROM (SELECT probe_id, neighbor_id, sim,
         |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank

@@ -9,7 +9,9 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.SparkSessionExtensions
 
-/** Native codegen dot product over `array<float>` embeddings.
+/** Native codegen dot product over `array<float>` / `array<double>`
+  * vectors (either side may be either width; floats widen exactly to
+  * double before the multiply, matching a `CAST(... AS DOUBLE[])`).
   *
   * The composable alternative (`zip_with` + `aggregate`) evaluates
   * interpreted lambda closures per element — measurable at
@@ -26,9 +28,10 @@ case class VecDot(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case _ => TypeCheckResult.TypeCheckFailure(
-        s"vec_dot requires two array<float> arguments, got ${left.dataType.sql} and ${right.dataType.sql}")
+        s"vec_dot requires two array<float|double> arguments, got ${left.dataType.sql} and ${right.dataType.sql}")
     }
 
   override def dataType: DataType = DoubleType
@@ -39,18 +42,26 @@ case class VecDot(left: Expression, right: Expression)
   // `false` literal and the null branch could not be emitted.
   override def nullable: Boolean = true
 
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     // mismatched dimensions → null, matching the zip_with fold (which
     // pads the shorter array with null and nullifies the sum)
     if (x.numElements() != y.numElements()) return null
+    val (xf, yf) = (isFloat(left), isFloat(right))
     val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
       i += 1
     }
     acc
@@ -61,13 +72,15 @@ case class VecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val aGet = if (isFloat(left)) "getFloat" else "getDouble"
+      val bGet = if (isFloat(right)) "getFloat" else "getDouble"
       s"""
          |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
          |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $acc += (double) $a.$aGet($i) * (double) $b.$bGet($i);
          |}
          |if (!${ev.isNull}) { ${ev.value} = $acc; }
        """.stripMargin

@@ -61,11 +61,41 @@ object Similarity {
   private def planeComponent(p: Column, d: Column, seed: Long): Column =
     (pmod(xxhash64(p, d, lit(seed)), lit(2000000L)) - lit(1000000L)).cast("double") / 1000000.0
 
-  /** Sign-pattern LSH bucket key from `planes` random hyperplanes. */
-  def lshBucket(emb: Column, planes: Int, seed: Long = 42L): Column =
+  /** Driver-side replica of [[planeComponent]] — the identical xxhash64
+    * chain (`hashInt(p) → hashInt(d) → hashLong(seed)`, function seed
+    * 42) evaluated once per (plane, dim) so the matrix ships as a plan
+    * literal instead of being re-hashed per row. Parity with the
+    * expression rendition is asserted in SimilaritySpec. */
+  def xxhashPlanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    (0 until nPlanes).map { p =>
+      (0 until dim).map { d =>
+        var h = XXH64.hashInt(p, 42L)
+        h = XXH64.hashInt(d, h)
+        h = XXH64.hashLong(seed, h)
+        (Math.floorMod(h, 2000000L) - 1000000L).toDouble / 1000000.0
+      }
+    }
+  }
+
+  /** Sign-pattern LSH bucket key from `planes` random hyperplanes. The
+    * plane matrix is a driver-side literal ([[xxhashPlanes]]); each sign
+    * bit is ONE native vec_dot — no per-row hashing, no interpreted
+    * lambdas in the hot path. */
+  def lshBucket(emb: Column, planes: Int, dim: Int, seed: Long = 42L): Column = {
+    val m = typedLit(xxhashPlanes(planes, dim, seed))
+    (0 until planes).map(p =>
+      when(dot(emb, element_at(m, p + 1)) > 0, lit(1L << p)).otherwise(0L))
+      .reduce(_ + _)
+  }
+
+  /** The composable per-row rendition of [[lshBucket]] — re-derives the
+    * plane components with xxhash64 expressions per row. Kept ONLY as
+    * the parity reference for the literal-matrix kernel (planes·dim
+    * hashes per row make it the wrong shape at scale). */
+  def lshBucketHof(emb: Column, planes: Int, seed: Long = 42L): Column =
     aggregate(
       transform(sequence(lit(0), lit(planes - 1)), p => {
-        // dotHof: the plane components are double, VecDot is float-strict
         val d = dotHof(emb, transform(sequence(lit(0), size(emb) - 1), i => planeComponent(p, i, seed)))
         struct(p.as("p"), (d > 0).as("bit"))
       }),
@@ -103,26 +133,51 @@ object Similarity {
               .otherwise(0L)).as("bucket")))
   }
 
-  /** Cross-engine plane component: md5-derived uniform in [-1, 1) —
-    * first 8 hex digits of md5("p:d") scaled. Same distribution as
-    * [[planeComponent]] but expressible identically in DuckDB, so the
-    * whole LSH bucket assignment is oracle-checkable. */
-  private def planeComponentMd5(p: Column, d: Column): Column =
-    (conv(substring(md5(concat(p.cast("string"), lit(":"), d.cast("string"))), 1, 8), 16, 10)
-      .cast("long").cast("double") / 2147483648.0) - 1.0
+  /** Cross-engine (DuckDB-replicable) hyperplane matrix: component
+    * (q, d) = u32(first 8 hex digits of md5("q:d")) / 2^31 − 1, i.e.
+    * uniform in [−1, 1). Derived ONCE driver-side — nPlanes·dim md5
+    * calls total, a few KB of literals shipped in the plan — never per
+    * row (the per-row md5 rendition cost planes·dim digests PER ROW and
+    * regressed the gate 2.5×). Every value n/2^31−1 with n < 2^32 is
+    * exactly representable in double, and DuckDB derives the identical
+    * matrix as a literal table expression, so sign bits agree bitwise
+    * across engines. */
+  def md5Planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until nPlanes).map { q =>
+      (0 until dim).map { d =>
+        val bytes = md.digest(s"$q:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val u32 = java.lang.Integer.toUnsignedLong(java.nio.ByteBuffer.wrap(bytes, 0, 4).getInt)
+        u32.toDouble / 2147483648.0 - 1.0
+      }
+    }
+  }
 
   /** Sign-pattern LSH bucket from md5-derived hyperplanes — the
     * DuckDB-replicable twin of [[lshBucket]] (the xxhash64 path stays
-    * the production kernel). */
-  def lshBucketMd5(emb: Column, planes: Int): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(planes - 1)), p => {
-        val d = dotHof(emb, transform(sequence(lit(0), size(emb) - 1), i => planeComponentMd5(p, i)))
-        struct(p.as("p"), (d > 0).as("bit"))
-      }),
-      lit(0L),
-      (acc, s) => acc +
-        when(s.getField("bit"), call_function("shiftleft", lit(1L), s.getField("p"))).otherwise(0L))
+    * the production kernel). The planes are a [[md5Planes]] literal and
+    * each sign bit is ONE native vec_dot, so the twin runs at
+    * production speed. */
+  def lshBucketMd5(emb: Column, planes: Int, dim: Int): Column = {
+    val m = typedLit(md5Planes(planes, dim))
+    (0 until planes).map(p =>
+      when(dot(emb, element_at(m, p + 1)) > 0, lit(1L << p)).otherwise(0L))
+      .reduce(_ + _)
+  }
+
+  /** md5-plane rendition of [[lshBandKeys]]: identical banded structure
+    * with the [[md5Planes]] derivation, global plane index
+    * q = band·planesPerBand + p — the cross-engine twin of the
+    * 100×-scale banded path. */
+  def lshBandKeysMd5(emb: Column, bands: Int, planesPerBand: Int, dim: Int): Column = {
+    val m = typedLit(md5Planes(bands * planesPerBand, dim))
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        (0 until planesPerBand).map(p =>
+          when(dot(emb, element_at(m, b * planesPerBand + p + 1)) > 0, lit(1L << p)).otherwise(0L))
+          .reduce(_ + _).as("bucket"))
+    }: _*)
+  }
 
   /** Approximate top-k: score only within matching LSH buckets.
     * Probes with under-full buckets return fewer than k rows — the
@@ -131,7 +186,13 @@ object Similarity {
               planes: Int = 8, seed: Long = 42L,
               bucketOf: Column => Column = null): DataFrame = {
     val bucket: Column => Column =
-      if (bucketOf == null) lshBucket(_, planes, seed) else bucketOf
+      if (bucketOf == null) {
+        // one-row dim peek so the plane matrix ships as a literal
+        val dim = corpus.filter(col("embedding").isNotNull)
+          .select(size(col("embedding"))).limit(1).collect()
+          .headOption.map(_.getInt(0)).getOrElse(0)
+        lshBucket(_, planes, dim, seed)
+      } else bucketOf
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
       norm(col("embedding")).as("c_norm"),
       bucket(col("embedding")).as("bucket"))
@@ -231,16 +292,19 @@ object Similarity {
     * bits; nothing downstream shuffles embeddings. The dimension peek
     * is one non-null row (the plane matrix is a plan-time literal);
     * null embeddings are excluded — they can never match anything. */
-  private def lshBanded(vectors: DataFrame, bands: Int, planesPerBand: Int, seed: Long): DataFrame = {
+  private def lshBanded(vectors: DataFrame, bands: Int, planesPerBand: Int, seed: Long,
+                        md5Derived: Boolean = false): DataFrame = {
     val nonNull = vectors.filter(col("embedding").isNotNull)
     nonNull.select(size(col("embedding"))).limit(1).collect().headOption match {
       case None => // empty corpus: empty keyed frame with the right schema
         vectors.select(col("vec_id"), lit(0).as("band"), lit(0L).as("bucket")).where(lit(false))
       case Some(r) =>
         val dim = r.getInt(0)
+        val keys =
+          if (md5Derived) lshBandKeysMd5(col("embedding"), bands, planesPerBand, dim)
+          else lshBandKeys(col("embedding"), bands, planesPerBand, dim, seed)
         nonNull
-          .select(col("vec_id"),
-            explode(lshBandKeys(col("embedding"), bands, planesPerBand, dim, seed)).as("bk"))
+          .select(col("vec_id"), explode(keys).as("bk"))
           .select(col("vec_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     }
   }
@@ -310,11 +374,14 @@ object Similarity {
     * keys). Candidate (probe, neighbor) pairs are deduped on the slim
     * id pair BEFORE scoring, so each pair is scored exactly once. */
   def topKLshBanded(corpus: DataFrame, probes: DataFrame, k: Int,
-                    bands: Int = 16, planesPerBand: Int = 6, seed: Long = 42L): DataFrame = {
-    val c = lshBanded(corpus.select(col("vec_id"), col("embedding")), bands, planesPerBand, seed)
+                    bands: Int = 16, planesPerBand: Int = 6, seed: Long = 42L,
+                    md5Derived: Boolean = false): DataFrame = {
+    val c = lshBanded(corpus.select(col("vec_id"), col("embedding")), bands, planesPerBand, seed,
+      md5Derived)
       .withColumnRenamed("vec_id", "neighbor_id")
     val p = broadcast(
-      lshBanded(probes.select(col("vec_id"), col("embedding")), bands, planesPerBand, seed)
+      lshBanded(probes.select(col("vec_id"), col("embedding")), bands, planesPerBand, seed,
+        md5Derived)
         .withColumnRenamed("vec_id", "probe_id"))
     val candidates = c.join(p, Seq("band", "bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))

@@ -38,6 +38,20 @@ class VecDotSpec extends SparkSpec {
     assert(both.isNullAt(0) && both.isNullAt(1))
   }
 
+  test("vec_dot accepts double arrays and mixed float/double, matching the fold") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val planeLit = typedLit(Similarity.md5Planes(1, 64).head)
+    val both = e.select(
+      Similarity.dot($"embedding", planeLit).as("native"),
+      Similarity.dotHof($"embedding", planeLit).as("hof"))
+    assert(both.filter($"native" =!= $"hof" || $"native".isNull).count() == 0)
+
+    val dd = spark.sql(
+      "SELECT vec_dot(array(CAST(1.5 AS DOUBLE), CAST(2.0 AS DOUBLE)), array(CAST(2.0 AS DOUBLE), CAST(0.5 AS DOUBLE)))")
+      .head().getDouble(0)
+    assert(dd == 4.0)
+  }
+
   test("vec_dot is callable from SQL via the session extension") {
     val r = spark.sql(
       "SELECT vec_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT)))")

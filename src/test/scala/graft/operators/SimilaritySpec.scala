@@ -39,10 +39,31 @@ class SimilaritySpec extends SparkSpec {
   test("LSH bucket is deterministic and identical vectors share buckets") {
     val planted = emb.unionByName(
       emb.filter($"vec_id" % 50 === 0).select(($"vec_id" + 100000).as("vec_id"), $"embedding", $"label"))
-    val b = planted.select($"vec_id", Similarity.lshBucket($"embedding", 8).as("bucket"))
+    val b = planted.select($"vec_id", Similarity.lshBucket($"embedding", 8, 64).as("bucket"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     emb.filter($"vec_id" % 50 === 0).select("vec_id").collect().map(_.getLong(0))
       .foreach(id => assert(b(id) == b(id + 100000), s"copy of $id landed in a different bucket"))
+  }
+
+  test("literal-plane lshBucket matches the per-row expression rendition bit-for-bit") {
+    val diff = emb.select(
+      Similarity.lshBucket($"embedding", 8, 64).as("literal"),
+      Similarity.lshBucketHof($"embedding", 8).as("hof"))
+      .filter($"literal" =!= $"hof").count()
+    assert(diff == 0, s"$diff rows bucketed differently by the literal-plane kernel")
+  }
+
+  test("md5-banded keys: identical vectors share every band bucket; md5 path matches seeded recall shape") {
+    val copies = emb.filter($"vec_id" % 50 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding", $"label")
+    val planted = emb.unionByName(copies)
+    val top1 = Similarity.topKLshBanded(planted, copies, 1, bands = 4, planesPerBand = 8,
+      md5Derived = true)
+      .filter($"rank" === 1).collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val probeIds = copies.select("vec_id").collect().map(_.getLong(0))
+    val hits = probeIds.count(pid => top1.get(pid).contains(pid - 100000))
+    assert(hits == probeIds.length, s"only $hits/${probeIds.length} twins found via md5 bands")
   }
 
   test("nearDupPairsCosine finds planted exact copies via bucketed join") {
