@@ -28,6 +28,15 @@ object Catalog {
   def ensureTable(spark: SparkSession, name: String, schema: StructType): Unit =
     spark.sql(s"CREATE TABLE IF NOT EXISTS $name (${schema.toDDL}) USING PARQUET")
 
+  /** S8 variant: idempotent CREATE TABLE partitioned on `partitionCol`
+    * (which must be in `schema`) — the 100 TB layout for append-heavy
+    * tiers whose maintenance joins (the dedup anti-join) prune to a
+    * bounded date range instead of scanning the whole tier. */
+  def ensureTablePartitioned(spark: SparkSession, name: String, schema: StructType,
+                             partitionCol: String): Unit =
+    spark.sql(
+      s"CREATE TABLE IF NOT EXISTS $name (${schema.toDDL}) USING PARQUET PARTITIONED BY ($partitionCol)")
+
   /** S9: CTAS full refresh, published ATOMICALLY: the result lands in a
     * fresh versioned parquet directory and the name is then flipped to
     * it with one `CREATE OR REPLACE VIEW` — a single catalog metadata
@@ -128,7 +137,10 @@ object Catalog {
     val aligned = df.select(cols.map(df.col): _*).persist()
     try {
       val n = aligned.count()
-      aligned.write.mode("append").saveAsTable(name)
+      // insertInto (positional — the select above pins table order), not
+      // saveAsTable: saveAsTable append refuses partitioned targets
+      // unless the writer re-declares the table's partitioning
+      aligned.write.mode("append").insertInto(name)
       // The write may run on a DIFFERENT session than readers (foreachBatch
       // hands out a micro-batch session clone): drop `spark`'s cached
       // relation so its next read sees the new files.

@@ -80,6 +80,36 @@ class StreamingPipelineSpec extends SparkSpec with BeforeAndAfterEach {
       s"replayed batch double-merged the summary: ${summaryTotal} vs $sumAfter1")
   }
 
+  test("dedup anti-join build side prunes to the batch's event-date partitions") {
+    import org.apache.spark.sql.functions._
+    def wire(n: Long, seed: Long, start: Long) =
+      EventGenerator.events(spark, n, seed, start)
+        .select(col("event_id").cast("string").as("event_id"), col("event_timestamp"),
+          col("event_type"), col("user_id").cast("string").as("user_id"),
+          lit(null).cast("string").as("raw_data"))
+    // two separate days land in the curated tier
+    StreamingPipeline.runBatch(spark,
+      wire(30, 1, 1735689600L).unionByName(wire(30, 2, 1735689600L + 86400)), 1L, _ => ())
+    assert(spark.table(StreamingPipeline.EventsTable).count() == 60L)
+
+    // a batch touching only day 2 must build its anti-join against day 2 only
+    val staging = wire(10, 2, 1735689600L + 86400)
+      .select("event_id", "event_timestamp", "event_type", "user_id")
+      .withColumn("event_date", to_date(col("event_timestamp")))
+    val target = StreamingPipeline.dedupTarget(spark, staging)
+    val dates = target.select(countDistinct(col("event_date"))).head().getLong(0)
+    assert(dates == 1L, s"build side read $dates dates, expected 1")
+
+    val scans = target.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      s"tier scan carries no partition filters:\n${target.queryExecution.executedPlan}")
+
+    // an empty batch builds against nothing at all
+    assert(StreamingPipeline.dedupTarget(spark, staging.limit(0)).count() == 0L)
+  }
+
   test("per-batch summary merge reads the batch + the published summary, never all of raw_data") {
     import org.apache.spark.sql.functions._
     val batchRaw = graft.sources.EventGenerator.events(spark, 10, seed = 7)
