@@ -7,56 +7,95 @@ import org.apache.spark.sql.functions._
   * turns near-duplicate PAIRS into dedup DECISIONS (one canonical
   * member per fuzzy-duplicate cluster).
   *
-  * Algorithm: iterative min-label propagation. Every vertex starts
-  * labeled with itself; each round every vertex takes the minimum of
-  * its own label and its neighbors' labels; convergence when no label
-  * changes. Labels converge to the minimum vertex id of each component,
-  * which doubles as a deterministic canonical id.
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14).
+  * Each round rewrites the edge list so nodes point at ever-smaller
+  * labels; a fixed point is a union of stars, each centered on its
+  * component's minimum id — which doubles as a deterministic canonical
+  * id. Convergence takes O(log n) rounds on ANY graph shape, where the
+  * previous min-label-propagation rendition was O(diameter) — fine for
+  * clique-shaped dup clusters, quadratic disaster on the chain-shaped
+  * clusters web boilerplate produces (a 10k-long drift chain is 10k
+  * rounds of propagation but ~25 star rounds; asserted in
+  * ComponentsSpec).
   *
-  * Scale shape: each round is one keyed shuffle (join on dst + groupBy
-  * src) over the EDGE list — never the corpus; rounds = graph diameter.
-  * Near-dup graphs are overwhelmingly tiny cliques (diameter ≤ ~3), so
-  * this runs a handful of rounds regardless of corpus size. Lineage is
-  * truncated per round (localCheckpoint) so the plan cannot grow with
-  * the iteration count. Driver state is one Boolean per round.
+  * Scale shape: each round is two keyed shuffles over the EDGE list —
+  * never the corpus. Lineage is truncated per round (localCheckpoint)
+  * so the plan cannot grow with the iteration count; driver state is
+  * one (count, isEmpty) check per round.
   */
 object Components {
 
   /** `pairs` must carry two id columns; returns (id, component) for
     * every vertex that appears in at least one pair, with `component` =
     * min id of its connected component. */
-  def connectedComponents(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
-    val allEdges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+  def connectedComponents(pairs: DataFrame, aCol: String = "a_id", bCol: String = "b_id"): DataFrame =
+    connectedComponentsWithRounds(pairs, aCol, bCol)._1
+
+  /** [[connectedComponents]] plus the number of star rounds run —
+    * exposed so tests can assert the O(log n) bound. */
+  def connectedComponentsWithRounds(pairs: DataFrame, aCol: String = "a_id",
+                                    bCol: String = "b_id"): (DataFrame, Int) = {
+    val vertices = pairs.select(col(aCol).as("id"))
+      .unionByName(pairs.select(col(bCol).as("id")))
+      .distinct().localCheckpoint(true)
+
+    // canonical (big > small) orientation; self-pairs carry no
+    // connectivity (their vertices resurface via the final vertex join)
+    val initial = pairs
+      .select(greatest(col(aCol), col(bCol)).as("big"), least(col(aCol), col(bCol)).as("small"))
+      .filter(col("big") =!= col("small"))
+      .distinct().localCheckpoint(true)
+
     // the pair graph is orders of magnitude smaller than the corpus it
     // came from; right-size the iteration partitioning to the EDGE
     // count (one partition per ~100k edges) so each round costs work
     // proportional to the graph, not the session's shuffle width
-    val parts = math.max(1, (allEdges.count() / 100000L).toInt)
-    val edges = allEdges.repartition(parts, col("dst")).localCheckpoint(true)
+    var edgeCount = initial.count()
+    val parts = math.max(1, (edgeCount / 100000L).toInt)
 
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
-      .localCheckpoint(true)
-
-    var converged = false
+    var edges = initial.repartition(parts, col("big")).localCheckpoint(true)
+    var rounds = 0
+    var converged = edgeCount == 0L
     while (!converged) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("component").as("ncomp")), Seq("dst"))
-        .groupBy(col("src").as("id")).agg(min("ncomp").as("ncomp"))
-      val updated = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("ncomp"), col("component"))).as("component"))
+      rounds += 1
+      // large-star: every node u links each LARGER neighbor to
+      // m(u) = min(N(u) ∪ {u})
+      val adj = edges.select(col("big").as("u"), col("small").as("v"))
+        .unionByName(edges.select(col("small").as("u"), col("big").as("v")))
+      val m = adj.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = adj.filter(col("v") > col("u"))
+        .join(m, Seq("u"))
+        .select(col("v").as("big"), col("m").as("small"))
+        .distinct()
+      // small-star: every node links its smaller neighbors (and itself)
+      // to their collective minimum
+      val mins = large.groupBy("big").agg(min(col("small")).as("m"))
+      val next = large.join(mins, Seq("big"))
+        .filter(col("small") =!= col("m"))
+        .select(col("small").as("big"), col("m").as("small"))
+        .unionByName(mins.select(col("big"), col("m").as("small")))
+        .distinct()
+        .repartition(parts, col("big"))
         .localCheckpoint(true)
-      converged = updated
-        .join(labels.select(col("id"), col("component").as("prev")), Seq("id"))
-        .filter(col("component") =!= col("prev"))
-        .isEmpty
-      labels = updated
+      val nextCount = next.count()
+      // fixed point = identical edge set (count equal + no new edges):
+      // the alternation's fixed points are exactly unions of min-rooted
+      // stars, and its potential function strictly decreases until one
+      // is reached, so this terminates
+      converged = nextCount == edgeCount &&
+        next.join(edges, Seq("big", "small"), "left_anti").isEmpty
+      edges = next
+      edgeCount = nextCount
     }
-    labels
+
+    // at the fixed point every edge is (member, componentMin)
+    val starLabels = edges.select(col("big").as("id"), col("small").as("component"))
+      .unionByName(edges.select(col("small").as("id"), col("small").as("component")))
+      .groupBy("id").agg(min("component").as("component"))
+    val labels = vertices.join(starLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    (labels, rounds)
   }
 }

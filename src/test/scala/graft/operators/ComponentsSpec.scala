@@ -5,7 +5,22 @@ import graft.SparkSpec
 class ComponentsSpec extends SparkSpec {
   import spark.implicits._
 
-  test("min-label propagation converges to min-id components (chain, clique, isolated pair)") {
+  test("a 10k-node chain resolves in O(log n) star rounds, all to component 0") {
+    // the adversarial shape for label propagation: a path graph, where
+    // propagation needs diameter (=10k) rounds; the star alternation
+    // must stay logarithmic
+    val chain = spark.range(10000).select($"id".as("a_id"), ($"id" + 1).as("b_id"))
+    val (labels, rounds) = Components.connectedComponentsWithRounds(chain)
+    assert(rounds <= 30, s"$rounds rounds on a 10k chain — not logarithmic")
+    val agg = labels.agg(
+      org.apache.spark.sql.functions.countDistinct($"component").as("c"),
+      org.apache.spark.sql.functions.max($"component").as("m"),
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n")).head()
+    assert(agg.getLong(0) == 1L && agg.getLong(1) == 0L && agg.getLong(2) == 10001L,
+      s"chain labels wrong: distinct=${agg.getLong(0)} max=${agg.getLong(1)} n=${agg.getLong(2)}")
+  }
+
+  test("star rounds converge to min-id components (chain, clique, isolated pair)") {
     // components: {1,2,3,4} (a chain — needs >1 round), {10,11,12} (a
     // clique), {20,21}
     val pairs = Seq(
