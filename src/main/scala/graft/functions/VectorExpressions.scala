@@ -288,6 +288,84 @@ case class SimHash64FromHashes(hashes: Expression)
     copy(hashes = newChild)
 }
 
+/** Native winnowing-style rolling fingerprint: the unsigned minimum of
+  * a polynomial rolling hash over all `w`-byte windows of the UTF-8
+  * text — O(1) work per byte (one multiply-add to roll the window, one
+  * murmur fmix64 to de-bias before the min), where the md5 rendition
+  * ([[graft.operators.TextStats.rollingFingerprintMd5]], the
+  * cross-engine oracle twin) pays one full digest per position. Same
+  * structure (min over sliding windows → robust to local edits outside
+  * the minimizing window); values are NOT comparable across the two —
+  * different hash functions pick different minima. */
+case class RollingMinHash(text: Expression, w: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = w
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (text.dataType, w.dataType) match {
+      case (StringType, IntegerType) if w.foldable && {
+        val v = w.eval(); v != null && v.asInstanceOf[Int] > 0
+      } => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "rolling_min_hash requires (string, foldable positive int)")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_min_hash"
+  override def nullable: Boolean = text.nullable
+
+  @transient private lazy val window: Int = w.eval().asInstanceOf[Int]
+
+  override def nullSafeEval(t: Any, wv: Any): Any =
+    RollingMinHash.compute(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, _) =>
+      s"${ev.value} = graft.functions.RollingMinHash.compute($s, $window);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): RollingMinHash =
+    copy(text = newLeft, w = newRight)
+}
+
+object RollingMinHash {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  // odd multiplier (java.util.Random's LCG constant); arithmetic wraps
+  // mod 2^64, fmix64 restores bit diffusion before the min pick
+  private final val B = 0x5DEECE66DL
+
+  private def fmix64(k0: Long): Long = {
+    var k = k0
+    k ^= (k >>> 33); k *= 0xff51afd7ed558ccdL
+    k ^= (k >>> 33); k *= 0xc4ceb9fe1a85ec53L
+    k ^= (k >>> 33); k
+  }
+
+  /** Unsigned-min of fmix64'd rolling hashes over `w`-byte windows;
+    * texts shorter than `w` (and empty text) hash whole. */
+  def compute(s: UTF8String, w: Int): Long = {
+    val n = s.numBytes
+    var h = 0L
+    var i = 0
+    if (n <= w) {
+      while (i < n) { h = h * B + (s.getByte(i) & 0xff); i += 1 }
+      return fmix64(h)
+    }
+    var bw = 1L
+    while (i < w) { bw *= B; h = h * B + (s.getByte(i) & 0xff); i += 1 }
+    var minH = fmix64(h)
+    while (i < n) {
+      h = h * B + (s.getByte(i) & 0xff) - bw * (s.getByte(i - w) & 0xff)
+      val f = fmix64(h)
+      if (java.lang.Long.compareUnsigned(f, minH) < 0) minH = f
+      i += 1
+    }
+    minH
+  }
+}
+
 /** Session extensions registering the engine's native functions; wired
   * by GraftSession via `spark.sql.extensions`, so `vec_dot` and
   * `shingle_hashes` are callable from SQL and `call_function` on every
@@ -310,5 +388,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash64_hashes"),
       new ExpressionInfo(classOf[SimHash64FromHashes].getName, "simhash64_hashes"),
       (children: Seq[Expression]) => SimHash64FromHashes(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_min_hash"),
+      new ExpressionInfo(classOf[RollingMinHash].getName, "rolling_min_hash"),
+      (children: Seq[Expression]) => RollingMinHash(children.head, children(1))))
   }
 }

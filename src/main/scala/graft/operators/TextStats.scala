@@ -78,17 +78,30 @@ object TextStats {
   val BpePattern = "('(?:s|t|re|ve|m|ll|d))|( ?[\\p{L}]+)|( ?[\\p{N}]+)|( ?[^\\s\\p{L}\\p{N}]+)"
   def bpeTokenCount(text: Column): Column = regexp_count(text, lit(BpePattern))
 
-  /** Rolling-hash (winnowing-style) fingerprint: the lexicographic min
-    * of md5 over all char `w`-grams — robust to local edits anywhere
-    * outside the minimizing window; md5 keeps it oracle-checkable.
-    * Texts shorter than `w` hash whole. */
+  /** Rolling-hash (winnowing-style) fingerprint, PRODUCTION path: the
+    * unsigned min of a polynomial rolling hash over the text's `w`-byte
+    * windows — a native codegen kernel
+    * ([[graft.functions.RollingMinHash]]) doing O(1) work per byte,
+    * where the md5 twin below pays one full digest per position (~10k
+    * digests for a 10 KB doc — it dominated the whole profile). Same
+    * minimizing-window structure → same local-edit robustness; values
+    * differ from the twin (different hash picks a different window). */
   def rollingFingerprint(text: Column, w: Int = 16): Column =
+    call_function("rolling_min_hash", text, lit(w))
+
+  /** The cross-engine oracle twin of [[rollingFingerprint]]: the
+    * lexicographic min of md5 over all char `w`-grams, expressible
+    * identically in DuckDB (gated by doc_stats). Texts shorter than `w`
+    * hash whole. Twin only — O(len) digests per document. */
+  def rollingFingerprintMd5(text: Column, w: Int = 16): Column =
     when(length(text) < w, md5(text)).otherwise(
       array_min(transform(sequence(lit(1), length(text) - (w - 1)),
         i => md5(text.substr(i, lit(w))))))
 
-  /** All stats as one projection over `docs`. */
-  def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  /** All stats as one projection over `docs`. The fingerprint column
+    * uses the md5 twin when `md5Twin` (the oracle-gated rendition);
+    * production profiling uses the native rolling kernel. */
+  def profile(docs: DataFrame, textCol: String = "text", md5Twin: Boolean = false): DataFrame = {
     val t = col(textCol)
     docs.select(
       col("doc_id"),
@@ -100,6 +113,7 @@ object TextStats {
       langId(t).as("predicted_lang"),
       fingerprint(t).as("fingerprint"),
       bpeTokenCount(t).as("bpe_token_count"),
-      rollingFingerprint(t).as("rolling_fingerprint"))
+      (if (md5Twin) rollingFingerprintMd5(t).cast("string")
+       else rollingFingerprint(t).cast("string")).as("rolling_fingerprint"))
   }
 }

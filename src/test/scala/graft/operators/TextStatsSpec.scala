@@ -55,7 +55,24 @@ class TextStatsSpec extends SparkSpec {
     assert(out(3L) == 1)
   }
 
-  test("rolling fingerprint is the min md5 over char 16-grams; short text hashes whole") {
+  test("native rolling fingerprint: codegen==interpreted, duplicate-invariant, window-monotone") {
+    val base = "the quick brown fox jumps over the lazy dog, again and again"
+    val df = Seq((1L, base), (2L, base), (3L, "a completely different document body"),
+      (4L, ""), (5L, "tiny"), (6L, base + " with an appended tail"))
+      .toDF("doc_id", "text")
+    val fp = df.select($"doc_id", TextStats.rollingFingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L) && fp(1L) != fp(3L))
+    // codegen output equals direct interpreted evaluation
+    assert(fp(1L) == graft.functions.RollingMinHash.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(base), 16))
+    // appending text only ADDS windows, so the unsigned min cannot rise
+    assert(java.lang.Long.compareUnsigned(fp(6L), fp(1L)) <= 0)
+    // short + empty texts hash whole (and differently)
+    assert(fp(4L) != fp(5L))
+  }
+
+  test("rolling fingerprint md5 twin is the min md5 over char 16-grams; short text hashes whole") {
     val text = "the quick brown fox jumps over the lazy dog"
     val expected = (0 to text.length - 16).map { i =>
       java.security.MessageDigest.getInstance("MD5")
@@ -63,7 +80,7 @@ class TextStatsSpec extends SparkSpec {
         .map("%02x".format(_)).mkString
     }.min
     val df = Seq((1L, text), (2L, "short")).toDF("doc_id", "text")
-    val out = df.select($"doc_id", TextStats.rollingFingerprint($"text").as("f"))
+    val out = df.select($"doc_id", TextStats.rollingFingerprintMd5($"text").as("f"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) == expected)
     assert(out(2L) == java.security.MessageDigest.getInstance("MD5")
