@@ -202,6 +202,33 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // O4/O5 streaming-native SESSIONS: session_window runs ON THE STREAM
+    // (AvailableNow over landed gzip JSON) and must match the batch
+    // gap-session oracle on the same slice — the stateful surface the
+    // driver's oracle previously never saw (suite-tested only).
+    "stream_user_sessions" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_sess_q").toString
+      val cp = Files.createTempDirectory("graft_sess_cp").toString
+      val subset = ev(s, dir).filter(col("event_id") % 13 === 0)
+        .select(col("event_id").cast("string").as("event_id"), col("ts").as("event_timestamp"),
+          col("event_type"), col("user_id").cast("string").as("user_id"))
+      subset.coalesce(2).write
+        .mode("overwrite")
+        .option("compression", "gzip")
+        .option("timestampNTZFormat", JsonIngest.TsFormat)
+        .json(tmp)
+      val q = StreamIngest.sessionCounts(StreamIngest.stream(s, tmp))
+        .writeStream.format("memory").queryName("stream_user_sessions")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .start()
+      require(q.awaitTermination(300000), "stream_user_sessions: drain timed out")
+      s.table("stream_user_sessions")
+        .select("user_id", "session_start", "session_end", "event_count")
+        .orderBy("user_id", "session_start")
+    }),
+
     // C1/C2/C5 + S9/S11: the pipeline's transform chain — staging dedup,
     // anti-join insert, curated union, summary refresh — as one plan.
     "ref_pipeline_summary" -> ((s, dir) => {
@@ -304,6 +331,27 @@ object SparkEntry {
         |FROM events WHERE event_id % 13 = 0
         |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
 
+    // same gap-session derivation as ref_session_window, restricted to
+    // the streamed slice (event_id % 13) with the landed VARCHAR user_id
+    "stream_user_sessions" ->
+      """WITH src AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS user_id, event_id, ts
+        |  FROM events WHERE event_id % 13 = 0
+        |), flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+        |  FROM src
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT user_id, ts,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM flagged)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS event_count
+        |FROM numbered GROUP BY user_id, session_no ORDER BY 1, 2""".stripMargin,
+
     "ref_pipeline_summary" ->
       """WITH staging AS (
         |  SELECT DISTINCT * FROM (
@@ -349,7 +397,18 @@ object SparkEntry {
   private val llmQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Text analysis: token/char counts, punct+stopword ratios, quality
     // score, stopword-profile language id, bag-of-words fingerprint.
-    "doc_stats" -> ((s, dir) => TextStats.profile(docs(s, dir)).orderBy("doc_id")),
+    // md5Twin: the fingerprint column is the cross-engine md5 rendition
+    // (the production profile defaults to the native rolling kernel,
+    // gated rows-only as doc_fingerprint_native below)
+    "doc_stats" -> ((s, dir) => TextStats.profile(docs(s, dir), md5Twin = true).orderBy("doc_id")),
+
+    // The PRODUCTION rolling fingerprint (native polynomial kernel,
+    // O(1)/byte): no SQL-expressible oracle (driver records rows-only);
+    // its minimizing-window structure is what doc_stats' md5 twin gates.
+    "doc_fingerprint_native" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextStats.rollingFingerprint(col("text")).as("rolling_fp"))
+        .orderBy("doc_id")),
 
     // Corpus length histogram: fixed-width bucketing, partial/final agg.
     "doc_length_histogram" -> ((s, dir) =>
