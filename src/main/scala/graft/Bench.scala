@@ -18,12 +18,30 @@ object Bench {
     try Tables.load(spark, sfDir, "events").count()
     catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
 
+    // Fixture-heavy queries (temp-dir landing + filesystem churn inside
+    // the timed region — the fixture IS part of what they exercise, so
+    // it cannot move out) swing ±40% run-to-run and are ~25% of the
+    // total; report their MEDIAN OF 3 fresh reps so round-over-round
+    // deltas track operator cost, not fs noise. Everything else runs
+    // once. (Variance note: PLANS.md.)
+    val fixtureHeavy = Set(
+      "ref_ingest_roundtrip", "ref_open_envelope",
+      "stream_hourly_counts", "stream_user_sessions", "stream_running_counts")
+    // local-iteration filter (unset in driver runs): comma-separated
+    // query names
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     var errors = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val t0 = System.nanoTime()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .flatMap { case (name, fn) =>
+      val reps = if (fixtureHeavy(name)) 3 else 1
       try {
-        fn(spark, sfDir).count()
-        Some(name -> (System.nanoTime() - t0) / 1e9)
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        Some(name -> times.sorted.apply(reps / 2))
       } catch {
         case e: Throwable =>
           errors ::= name

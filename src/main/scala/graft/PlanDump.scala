@@ -7,9 +7,10 @@ object PlanDump {
     val dir = "/root/testdata/sf0.01"
     val names = Seq("ref_user_events", "ref_daily_summary", "ref_dedup_insert",
       "doc_neardup_minhash", "doc_neardup_simhash", "emb_top3_exact", "emb_topk_lsh",
-      "emb_neardup_cosine", "doc_stats", "ref_pipeline_summary",
+      "emb_topk_lsh_banded", "emb_neardup_cosine", "doc_stats",
+      "doc_fingerprint_native", "ref_pipeline_summary",
       "ref_asof_last_purchase", "ref_range_promo_views", "q5_local_supplier",
-      "mm_features", "ref_open_envelope")
+      "q1_pricing_summary", "mm_features", "ref_open_envelope")
     val sb = new StringBuilder
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, dir)

@@ -229,6 +229,38 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }),
 
+    // A4×O7 streaming custom state: flatMapGroupsWithState running
+    // per-user counters drained with AvailableNow; the per-user FINAL
+    // running totals (max over the append stream — counts are monotone
+    // within a run) must equal the batch group-by on the same slice.
+    "stream_running_counts" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_rc_q").toString
+      val cp = Files.createTempDirectory("graft_rc_cp").toString
+      val subset = ev(s, dir).filter(col("event_id") % 13 === 0)
+        .select(col("event_id").cast("string").as("event_id"), col("ts").as("event_timestamp"),
+          col("event_type"), col("user_id").cast("string").as("user_id"))
+      subset.coalesce(2).write
+        .mode("overwrite")
+        .option("compression", "gzip")
+        .option("timestampNTZFormat", JsonIngest.TsFormat)
+        .json(tmp)
+      // expireIdle=false: a bounded drain with pending processing-time
+      // timers never terminates (see runningUserCounts)
+      val q = StreamIngest.runningUserCounts(StreamIngest.stream(s, tmp), expireIdle = false)
+        .toDF()
+        .writeStream.format("memory").queryName("stream_running_counts")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .start()
+      require(q.awaitTermination(300000), "stream_running_counts: drain timed out")
+      s.table("stream_running_counts")
+        .groupBy("user_id")
+        .agg(max(col("eventCount")).as("event_count"),
+          max(col("purchaseCount")).as("purchase_count"))
+        .orderBy("user_id")
+    }),
+
     // C1/C2/C5 + S9/S11: the pipeline's transform chain — staging dedup,
     // anti-join insert, curated union, summary refresh — as one plan.
     "ref_pipeline_summary" -> ((s, dir) => {
@@ -351,6 +383,11 @@ object SparkEntry {
         |SELECT user_id, MIN(ts) AS session_start,
         |       MAX(ts) + INTERVAL 30 MINUTE AS session_end, COUNT(*) AS event_count
         |FROM numbered GROUP BY user_id, session_no ORDER BY 1, 2""".stripMargin,
+
+    "stream_running_counts" ->
+      """SELECT CAST(user_id AS VARCHAR) AS user_id, COUNT(*) AS event_count,
+        |       COUNT(*) FILTER (event_type = 'purchase') AS purchase_count
+        |FROM events WHERE event_id % 13 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ref_pipeline_summary" ->
       """WITH staging AS (

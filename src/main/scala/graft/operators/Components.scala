@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected pair graph — the step that
@@ -59,25 +60,27 @@ object Components {
     var converged = edgeCount == 0L
     while (!converged) {
       rounds += 1
+      // Both stars compute "min over my neighborhood" — expressed as
+      // unbounded window minima (ONE keyed shuffle each), not
+      // groupBy+join-back (two extra stages per round; measurably
+      // slower on the tiny clique graphs real dup corpora produce).
       // large-star: every node u links each LARGER neighbor to
       // m(u) = min(N(u) ∪ {u})
-      val adj = edges.select(col("big").as("u"), col("small").as("v"))
+      val wU = Window.partitionBy("u")
+      val large = edges.select(col("big").as("u"), col("small").as("v"))
         .unionByName(edges.select(col("small").as("u"), col("big").as("v")))
-      val m = adj.groupBy("u").agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
-      val large = adj.filter(col("v") > col("u"))
-        .join(m, Seq("u"))
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
+        .filter(col("v") > col("u"))
         .select(col("v").as("big"), col("m").as("small"))
         .distinct()
       // small-star: every node links its smaller neighbors (and itself)
       // to their collective minimum
-      val mins = large.groupBy("big").agg(min(col("small")).as("m"))
-      val next = large.join(mins, Seq("big"))
-        .filter(col("small") =!= col("m"))
+      val wB = Window.partitionBy("big")
+      val withM = large.withColumn("m", min(col("small")).over(wB))
+      val next = withM.filter(col("small") =!= col("m"))
         .select(col("small").as("big"), col("m").as("small"))
-        .unionByName(mins.select(col("big"), col("m").as("small")))
-        .distinct()
-        .repartition(parts, col("big"))
+        .unionByName(withM.select(col("big"), col("m").as("small")))
+        .distinct() // AQE right-sizes these shuffles; no per-round repartition
         .localCheckpoint(true)
       val nextCount = next.count()
       // fixed point = identical edge set (count equal + no new edges):

@@ -73,6 +73,24 @@ object EventOps {
       .filter(col(key).isNotNull)
       .join(target.select(key), Seq(key), "left_anti")
 
+  /** Date-bounded dedup target: `target` pruned to the event-date range
+    * `staging` actually touches — on a date-partitioned tier the
+    * anti-join build side then reads O(|dates in batch|) partitions, not
+    * the whole tier (at 100 TB the unpruned build side is the tier's
+    * full key column per run). Sound because landed events are
+    * immutable: a re-delivered duplicate carries its original timestamp
+    * and therefore lands on the same event_date as the row it
+    * duplicates. Targets without `dateCol` (pre-partitioning tables)
+    * fall back to the full scan. */
+  def boundedDedupTarget(target: DataFrame, staging: DataFrame,
+                         dateCol: String = "event_date"): DataFrame =
+    if (!target.columns.contains(dateCol)) target
+    else {
+      val r = staging.agg(min(col(dateCol)).as("lo"), max(col(dateCol)).as("hi")).head()
+      if (r.isNullAt(0)) target.limit(0) // empty batch: nothing can collide
+      else target.filter(col(dateCol).between(lit(r.getDate(0)), lit(r.getDate(1))))
+    }
+
   /** Bit-exact `NOT IN` rendition: returns no rows if `target`
     * contains a NULL key — matching SQL semantics of
     * snowflake_data_pipeline.py:142 exactly.

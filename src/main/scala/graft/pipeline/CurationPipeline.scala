@@ -42,7 +42,7 @@ object CurationPipeline {
           "skipped_buckets_minhash" -> skipped.getLong(0),
           "skipped_bucket_members_minhash" -> skipped.getLong(1))
       },
-      Stage("dedup_decisions") { _ =>
+      Stage("dedup_decisions") { m =>
         val losers = Components.connectedComponents(spark.table(PairsTable))
           .filter(col("id") =!= col("component"))
           .select(col("id").as("doc_id"))
@@ -50,7 +50,9 @@ object CurationPipeline {
         // reader-facing tier: atomic versioned publish
         Catalog.ctasOverwrite(curated, CuratedTable)
         val kept = spark.table(CuratedTable).count()
-        Map("docs_kept" -> kept, "docs_removed" -> (docs.count() - kept))
+        // docs_in travels via the metric map (XCom discipline) — no
+        // second corpus count
+        Map("docs_kept" -> kept, "docs_removed" -> (m("docs_in") - kept))
       })
     new Runner(stages, RetryPolicy(retries = 1), notify).run(Map("docs_in" -> docs.count()))
   }

@@ -96,11 +96,14 @@ object ReferencePipeline {
       },
       Stage("transform_data") { _ =>
         if (!Catalog.tableExists(spark, EventsTable))
-          Catalog.ensureTable(spark, EventsTable,
+          Catalog.ensureTablePartitioned(spark, EventsTable,
             org.apache.spark.sql.types.StructType(
               JsonIngest.StagingSchema.filter(f => eventCols.contains(f.name)) :+
                 org.apache.spark.sql.types.StructField("inserted_at",
-                  org.apache.spark.sql.types.TimestampType)))
+                  org.apache.spark.sql.types.TimestampType) :+
+                org.apache.spark.sql.types.StructField("event_date",
+                  org.apache.spark.sql.types.DateType)),
+            "event_date")
         // Intra-batch dedup (dropDuplicates) is a deliberate divergence:
         // the reference's NOT IN only guards against the target, so a
         // duplicate WITHIN one batch would insert twice and then fail
@@ -109,8 +112,14 @@ object ReferencePipeline {
         val staging = spark.table(StagingTable)
           .filter(col("event_id").isNotNull) // parsed rows only
           .select(eventCols.map(col): _*)
+          .withColumn("event_date", to_date(col("event_timestamp")))
+        val deduped = EventOps.dedupDeterministic(staging)
+        // date-partitioned tier + date-bounded build side: the hourly
+        // run's anti-join scans only the partitions its batch touches
+        // (pre-partitioning tables fall back to the full tier scan)
         val inserted = EventOps.withAuditColumns(
-          EventOps.dedupInsert(EventOps.dedupDeterministic(staging), spark.table(EventsTable)))
+          EventOps.dedupInsert(deduped,
+            EventOps.boundedDedupTarget(spark.table(EventsTable), deduped)))
         Map("inserted_rows" -> Catalog.insertAppend(spark, EventsTable, inserted))
       },
       Stage("run_dq_checks") { _ =>

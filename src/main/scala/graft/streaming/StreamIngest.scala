@@ -142,14 +142,23 @@ object StreamIngest {
     */
   def runningUserCounts(
       events: DataFrame,
-      idleTimeout: String = "30 minutes"): Dataset[UserCounts] = {
+      idleTimeout: String = "30 minutes",
+      expireIdle: Boolean = true): Dataset[UserCounts] = {
     import events.sparkSession.implicits._
+    // expireIdle=false disables the processing-time timers: an operator
+    // holding pending timers always reports "run another batch", so an
+    // AvailableNow drain of it NEVER terminates (and
+    // processAllAvailable never unblocks). Resident queries keep the
+    // default (bounded state); bounded drains — the correctness gate,
+    // stream/batch parity tests — opt out.
+    val timeoutConf =
+      if (expireIdle) GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
     events
       .select(col("user_id").cast("string").as("user_id"), col("event_type").cast("string").as("event_type"))
       .as[(String, String)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[UserCounts, UserCounts](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         case (userId, rows, state) =>
           if (state.hasTimedOut) {
             val last = state.get
@@ -165,7 +174,7 @@ object StreamIngest {
             }
             val next = UserCounts(userId, events, purchases, expired = false)
             state.update(next)
-            state.setTimeoutDuration(idleTimeout)
+            if (expireIdle) state.setTimeoutDuration(idleTimeout)
             Iterator(next)
           }
       }

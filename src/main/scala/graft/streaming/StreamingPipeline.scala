@@ -109,32 +109,15 @@ object StreamingPipeline {
   }
 
   /** The anti-join build side for one batch, pruned to the batch's own
-    * event-date range. The curated tier is date-partitioned, so the
-    * per-batch scan reads ONLY the partitions a duplicate could live in
-    * — O(|dates touched by the batch|), not O(|tier|) (at 100 TB the
-    * unpruned build side is the whole multi-TB key column per
-    * micro-batch).
-    *
-    * Why the batch's own range is sufficient: landed events are
-    * IMMUTABLE (the Firehose-style landing is append-only — already a
-    * hard precondition of the replay semantics above), so a re-delivered
-    * duplicate carries the original event_timestamp and lands on the
-    * same event_date as the tier row it duplicates. A same-id row with a
-    * DIFFERENT timestamp is id reuse, not re-delivery — outside the
-    * reference's delivery model; the scheduled full-tier audit
-    * (FullAuditEvery) still surfaces it as a DQ violation.
-    *
-    * Tables created before date partitioning (no event_date column)
-    * fall back to the unpruned tier scan. */
-  private[streaming] def dedupTarget(spark: SparkSession, staging: DataFrame): DataFrame = {
-    val target = spark.table(EventsTable)
-    if (!target.columns.contains("event_date")) target
-    else {
-      val r = staging.agg(min(col("event_date")).as("lo"), max(col("event_date")).as("hi")).head()
-      if (r.isNullAt(0)) target.limit(0) // empty batch: nothing can collide
-      else target.filter(col("event_date").between(lit(r.getDate(0)), lit(r.getDate(1))))
-    }
-  }
+    * event-date range ([[EventOps.boundedDedupTarget]]; the immutable
+    * append-only landing — already a hard precondition of the replay
+    * semantics above — is what makes the batch's own range sufficient).
+    * A same-id row with a DIFFERENT timestamp is id reuse, not
+    * re-delivery — outside the reference's delivery model; the scheduled
+    * full-tier audit (FullAuditEvery) still surfaces it as a DQ
+    * violation. */
+  private[streaming] def dedupTarget(spark: SparkSession, staging: DataFrame): DataFrame =
+    EventOps.boundedDedupTarget(spark.table(EventsTable), staging)
 
   private[streaming] def runBatch(
       spark: SparkSession,

@@ -22,7 +22,11 @@ class StatefulSpec extends SparkSpec {
     // (memory sink can't recover from a checkpoint; foreachBatch can)
     val emissions = mutable.ArrayBuffer.empty[UserCounts]
     def drain(): Unit = {
-      val q = StreamIngest.runningUserCounts(StreamIngest.stream(spark, root))
+      // expireIdle=false: with pending processing-time timers the
+      // AvailableNow drain never self-terminates (the old
+      // awaitTermination(120000) here silently sipped the FULL 2
+      // minutes per drain)
+      val q = StreamIngest.runningUserCounts(StreamIngest.stream(spark, root), expireIdle = false)
         .writeStream.outputMode("append")
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", cp)
@@ -31,7 +35,7 @@ class StatefulSpec extends SparkSpec {
           ()
         }
         .start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "runningUserCounts drain timed out")
     }
     drain()
 
