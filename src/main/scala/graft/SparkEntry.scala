@@ -595,7 +595,9 @@ object SparkEntry {
     // SimilaritySpec against the exact baseline).
     "emb_topk_lsh" -> ((s, dir) => {
       val planted = embDupFixture(s, dir)
-      val dim = planted.select(size(col("embedding"))).limit(1).collect().head.getInt(0)
+      val dim = planted.filter(col("embedding").isNotNull)
+        .select(size(col("embedding"))).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(0)
       Similarity.topKLsh(planted, planted.filter(col("vec_id") >= 100000), 3, planes = 8,
         bucketOf = Similarity.lshBucketMd5(_, 8, dim))
         .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
@@ -750,10 +752,11 @@ object SparkEntry {
 
   private val analyticsOracles: Map[String, String] = Map(
     // Compared aggregates are canonicalized to DOUBLE via
-    // ROUND(exact decimal, 4|6) narrowed to an int64-backed DECIMAL(18,x)
+    // ROUND(exact decimal, 4) narrowed to an int64-backed DECIMAL(18,4)
     // before the double cast — one exact IEEE division, bit-identical to
     // Spark's correctly-rounded BigDecimal.doubleValue (the driver's hash
-    // is decimal-hostile regardless of logical type; see Analytics.scala).
+    // is decimal-hostile regardless of logical type; see Analytics.scala
+    // for the 2^53 headroom arithmetic).
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))), 4)
@@ -761,15 +764,15 @@ object SparkEntry {
         |       CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))), 4)
         |                 AS DECIMAL(18,4)) AS DOUBLE) AS sum_base_price,
         |       CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-        |           * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))), 6)
-        |                 AS DECIMAL(18,6)) AS DOUBLE) AS sum_disc_price,
+        |           * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))), 4)
+        |                 AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
         |       COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |       CAST(CAST(ROUND(revenue_dec, 6) AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+        |       CAST(CAST(ROUND(revenue_dec, 4) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
         |FROM (
         |  SELECT l_orderkey, o_orderdate, o_orderpriority,
         |         SUM(CAST(l_extendedprice AS DECIMAL(12,4))
@@ -784,8 +787,8 @@ object SparkEntry {
     "q5_local_supplier" ->
       """SELECT n_name,
         |       CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
-        |           * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))), 6)
-        |                 AS DECIMAL(18,6)) AS DOUBLE) AS revenue
+        |           * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))), 4)
+        |                 AS DECIMAL(18,4)) AS DOUBLE) AS revenue
         |FROM region, nation, customer, orders, lineitem, supplier
         |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
         |  AND c_nationkey = n_nationkey AND o_custkey = c_custkey

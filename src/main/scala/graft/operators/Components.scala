@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected pair graph — the step that
@@ -60,26 +59,31 @@ object Components {
     var converged = edgeCount == 0L
     while (!converged) {
       rounds += 1
-      // Both stars compute "min over my neighborhood" — expressed as
-      // unbounded window minima (ONE keyed shuffle each), not
-      // groupBy+join-back (two extra stages per round; measurably
-      // slower on the tiny clique graphs real dup corpora produce).
+      // Neighborhood minima are PARTIAL-AGGREGATING groupBys, not
+      // window functions: a window partition buffers a node's whole
+      // neighborhood in one task, and the minimum node of a web-scale
+      // dup component has component-sized degree — the hub would become
+      // a single-task spill. groupBy(min) combines map-side, skew-free.
       // large-star: every node u links each LARGER neighbor to
       // m(u) = min(N(u) ∪ {u})
-      val wU = Window.partitionBy("u")
-      val large = edges.select(col("big").as("u"), col("small").as("v"))
+      val adj = edges.select(col("big").as("u"), col("small").as("v"))
         .unionByName(edges.select(col("small").as("u"), col("big").as("v")))
-        .withColumn("m", least(min(col("v")).over(wU), col("u")))
-        .filter(col("v") > col("u"))
+      val m = adj.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // checkpointed: both small-star branches consume it — one
+      // evaluation of the banding join, not two
+      val large = adj.filter(col("v") > col("u"))
+        .join(m, Seq("u"))
         .select(col("v").as("big"), col("m").as("small"))
         .distinct()
+        .localCheckpoint(true)
       // small-star: every node links its smaller neighbors (and itself)
       // to their collective minimum
-      val wB = Window.partitionBy("big")
-      val withM = large.withColumn("m", min(col("small")).over(wB))
-      val next = withM.filter(col("small") =!= col("m"))
+      val mins = large.groupBy("big").agg(min(col("small")).as("m"))
+      val next = large.join(mins, Seq("big"))
+        .filter(col("small") =!= col("m"))
         .select(col("small").as("big"), col("m").as("small"))
-        .unionByName(withM.select(col("big"), col("m").as("small")))
+        .unionByName(mins.select(col("big"), col("m").as("small")))
         .distinct() // AQE right-sizes these shuffles; no per-round repartition
         .localCheckpoint(true)
       val nextCount = next.count()

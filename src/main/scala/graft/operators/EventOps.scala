@@ -86,9 +86,24 @@ object EventOps {
                          dateCol: String = "event_date"): DataFrame =
     if (!target.columns.contains(dateCol)) target
     else {
-      val r = staging.agg(min(col(dateCol)).as("lo"), max(col(dateCol)).as("hi")).head()
-      if (r.isNullAt(0)) target.limit(0) // empty batch: nothing can collide
-      else target.filter(col(dateCol).between(lit(r.getDate(0)), lit(r.getDate(1))))
+      // null dates (null event_timestamp with a non-null key) are a
+      // legitimate slice of the batch: their duplicates live in the
+      // tier's null-date partition, which min/max skip — so count them
+      // explicitly and include `dateCol IS NULL` in the prune exactly
+      // when the batch carries them. A BETWEEN alone silently drops the
+      // null-date build rows (NULL predicate ≠ match) and re-inserts
+      // their duplicates.
+      val r = staging.agg(count(lit(1)).as("n"), count(col(dateCol)).as("dated"),
+        min(col(dateCol)).as("lo"), max(col(dateCol)).as("hi")).head()
+      val (n, dated) = (r.getLong(0), r.getLong(1))
+      if (n == 0L) target.limit(0) // empty batch: nothing can collide
+      else {
+        val range =
+          if (dated == 0L) lit(false)
+          else col(dateCol).between(lit(r.getDate(2)), lit(r.getDate(3)))
+        val withNulls = if (n > dated) range || col(dateCol).isNull else range
+        target.filter(withNulls)
+      }
     }
 
   /** Bit-exact `NOT IN` rendition: returns no rows if `target`

@@ -78,16 +78,25 @@ object Similarity {
     }
   }
 
+  /** Sum of sign bits, NULL-propagating: a null embedding, null
+    * element, or dimension mismatch makes every plane dot NULL — the
+    * bucket must then be NULL (joins nothing), NOT the all-negative
+    * bucket 0 the bare `when(...).otherwise(0)` fold would produce
+    * (bucket-0 vectors would fabricate neighbors for broken rows). The
+    * dots share their null conditions, so gating on the first suffices. */
+  private def signBits(emb: Column, m: Column, planes: Int, offset: Int): Column = {
+    val bits = (0 until planes).map(p =>
+      when(dot(emb, element_at(m, offset + p + 1)) > 0, lit(1L << p)).otherwise(0L))
+      .reduce(_ + _)
+    when(dot(emb, element_at(m, offset + 1)).isNotNull, bits)
+  }
+
   /** Sign-pattern LSH bucket key from `planes` random hyperplanes. The
     * plane matrix is a driver-side literal ([[xxhashPlanes]]); each sign
     * bit is ONE native vec_dot — no per-row hashing, no interpreted
-    * lambdas in the hot path. */
-  def lshBucket(emb: Column, planes: Int, dim: Int, seed: Long = 42L): Column = {
-    val m = typedLit(xxhashPlanes(planes, dim, seed))
-    (0 until planes).map(p =>
-      when(dot(emb, element_at(m, p + 1)) > 0, lit(1L << p)).otherwise(0L))
-      .reduce(_ + _)
-  }
+    * lambdas in the hot path. NULL for null/mismatched embeddings. */
+  def lshBucket(emb: Column, planes: Int, dim: Int, seed: Long = 42L): Column =
+    signBits(emb, typedLit(xxhashPlanes(planes, dim, seed)), planes, 0)
 
   /** The composable per-row rendition of [[lshBucket]] — re-derives the
     * plane components with xxhash64 expressions per row. Kept ONLY as
@@ -121,16 +130,10 @@ object Similarity {
     val planes: Seq[Seq[Float]] =
       Seq.fill(bands * planesPerBand)(Seq.fill(dim)(rng.nextFloat() * 2f - 1f))
     val planesLit = typedLit(planes)
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      struct(b.as("band"),
-        aggregate(
-          transform(sequence(lit(0), lit(planesPerBand - 1)), p =>
-            struct(p.as("p"),
-              (dot(emb, element_at(planesLit, b * planesPerBand + p + 1)) > 0).as("bit"))),
-          lit(0L),
-          (acc, s) => acc +
-            when(s.getField("bit"), call_function("shiftleft", lit(1L), s.getField("p")))
-              .otherwise(0L)).as("bucket")))
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        signBits(emb, planesLit, planesPerBand, b * planesPerBand).as("bucket"))
+    }: _*)
   }
 
   /** Cross-engine (DuckDB-replicable) hyperplane matrix: component
@@ -158,12 +161,8 @@ object Similarity {
     * the production kernel). The planes are a [[md5Planes]] literal and
     * each sign bit is ONE native vec_dot, so the twin runs at
     * production speed. */
-  def lshBucketMd5(emb: Column, planes: Int, dim: Int): Column = {
-    val m = typedLit(md5Planes(planes, dim))
-    (0 until planes).map(p =>
-      when(dot(emb, element_at(m, p + 1)) > 0, lit(1L << p)).otherwise(0L))
-      .reduce(_ + _)
-  }
+  def lshBucketMd5(emb: Column, planes: Int, dim: Int): Column =
+    signBits(emb, typedLit(md5Planes(planes, dim)), planes, 0)
 
   /** md5-plane rendition of [[lshBandKeys]]: identical banded structure
     * with the [[md5Planes]] derivation, global plane index
@@ -173,9 +172,7 @@ object Similarity {
     val m = typedLit(md5Planes(bands * planesPerBand, dim))
     array((0 until bands).map { b =>
       struct(lit(b).as("band"),
-        (0 until planesPerBand).map(p =>
-          when(dot(emb, element_at(m, b * planesPerBand + p + 1)) > 0, lit(1L << p)).otherwise(0L))
-          .reduce(_ + _).as("bucket"))
+        signBits(emb, m, planesPerBand, b * planesPerBand).as("bucket"))
     }: _*)
   }
 
@@ -193,12 +190,17 @@ object Similarity {
           .headOption.map(_.getInt(0)).getOrElse(0)
         lshBucket(_, planes, dim, seed)
       } else bucketOf
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
-      norm(col("embedding")).as("c_norm"),
-      bucket(col("embedding")).as("bucket"))
-    val p = broadcast(probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
-      norm(col("embedding")).as("p_norm"),
-      bucket(col("embedding")).as("bucket")))
+    // null embeddings can never match anything; with NULL-propagating
+    // buckets the equi-join drops them anyway — filter explicitly so the
+    // scan is smaller and the intent visible
+    val c = corpus.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        norm(col("embedding")).as("c_norm"),
+        bucket(col("embedding")).as("bucket"))
+    val p = broadcast(probes.filter(col("embedding").isNotNull)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        norm(col("embedding")).as("p_norm"),
+        bucket(col("embedding")).as("bucket")))
     val scored = c.join(p, Seq("bucket"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),

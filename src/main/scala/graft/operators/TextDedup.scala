@@ -186,15 +186,40 @@ object TextDedup {
       numHashes: Int = 32,
       bands: Int = 16,
       jaccardThreshold: Double = 0.8,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val banded = mhBanded(docs, textCol, shingleN, numHashes, bands)
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    verifiedPairs(docs, textCol, shingleN, jaccardThreshold,
+      mhBanded(docs, textCol, shingleN, numHashes, bands), maxBucketSize)
+
+  /** [[nearDupPairsMinhash]] AND its skipped-bucket metric from ONE
+    * banding pass: the slim (doc_id, band, bucket) frame is
+    * checkpointed and feeds both the capped pair expansion and the
+    * oversize metric — the shingle+minhash projection (the dominant
+    * cost of the whole operator) runs once, where calling the pairs and
+    * metric queries separately re-hashes the corpus twice. The pipeline
+    * rendition (CurationPipeline) uses this. */
+  def nearDupPairsAndSkipsMinhash(
+      docs: DataFrame,
+      textCol: String = "text",
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      jaccardThreshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize): (DataFrame, DataFrame) = {
+    val banded = mhBanded(docs, textCol, shingleN, numHashes, bands).localCheckpoint(true)
+    (verifiedPairs(docs, textCol, shingleN, jaccardThreshold, banded, maxBucketSize),
+      oversized(banded, Seq("band", "bucket"), maxBucketSize))
+  }
+
+  /** Capped in-bucket candidate expansion + exact-Jaccard verify over
+    * the HASHED shingle sets: identical counts to string sets up to
+    * 64-bit collisions (~|sh|²/2⁶⁵ per doc — nil). */
+  private def verifiedPairs(docs: DataFrame, textCol: String, shingleN: Int,
+                            jaccardThreshold: Double, banded: DataFrame,
+                            maxBucketSize: Int): DataFrame = {
     val candidates =
       cappedBucketPairs(banded, Seq("band", "bucket"), "doc_id", maxBucketSize, bucketPairs)
         .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
         .distinct()
-
-    // exact Jaccard over the HASHED shingle sets: identical counts to
-    // string sets up to 64-bit collisions (~|sh|²/2⁶⁵ per doc — nil)
     val sh = docs.select(col("doc_id"), hashedShingles(col(textCol), shingleN).as("sh"))
     candidates
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))

@@ -29,12 +29,13 @@ object CurationPipeline {
           notify: PipelineReport => Unit = _ => ()): PipelineReport = {
     val stages = Seq(
       Stage("near_dup_pairs") { _ =>
-        val pairs = TextDedup.nearDupPairsMinhash(docs,
+        // one banding pass feeds BOTH the pairs and the skip metric —
+        // the cap must never truncate silently, and observing it must
+        // not re-hash the corpus
+        val (pairs, skippedBuckets) = TextDedup.nearDupPairsAndSkipsMinhash(docs,
           jaccardThreshold = jaccardThreshold, maxBucketSize = maxBucketSize)
         Catalog.overwriteTable(pairs, PairsTable)
-        // the cap must never truncate silently: dropped (band, bucket)
-        // families are first-class run metrics
-        val skipped = TextDedup.skippedBucketsMinhash(docs, maxBucketSize = maxBucketSize)
+        val skipped = skippedBuckets
           .agg(count(lit(1)).as("buckets"),
             coalesce(sum("member_count"), lit(0L)).as("members")).head()
         Map(

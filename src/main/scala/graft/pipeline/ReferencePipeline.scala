@@ -113,14 +113,18 @@ object ReferencePipeline {
           .filter(col("event_id").isNotNull) // parsed rows only
           .select(eventCols.map(col): _*)
           .withColumn("event_date", to_date(col("event_timestamp")))
-        val deduped = EventOps.dedupDeterministic(staging)
-        // date-partitioned tier + date-bounded build side: the hourly
-        // run's anti-join scans only the partitions its batch touches
-        // (pre-partitioning tables fall back to the full tier scan)
-        val inserted = EventOps.withAuditColumns(
-          EventOps.dedupInsert(deduped,
-            EventOps.boundedDedupTarget(spark.table(EventsTable), deduped)))
-        Map("inserted_rows" -> Catalog.insertAppend(spark, EventsTable, inserted))
+        // persisted: the date-range peek and the anti-join insert both
+        // consume the window dedup — one evaluation, not two
+        val deduped = EventOps.dedupDeterministic(staging).persist()
+        try {
+          // date-partitioned tier + date-bounded build side: the hourly
+          // run's anti-join scans only the partitions its batch touches
+          // (pre-partitioning tables fall back to the full tier scan)
+          val inserted = EventOps.withAuditColumns(
+            EventOps.dedupInsert(deduped,
+              EventOps.boundedDedupTarget(spark.table(EventsTable), deduped)))
+          Map("inserted_rows" -> Catalog.insertAppend(spark, EventsTable, inserted))
+        } finally deduped.unpersist()
       },
       Stage("run_dq_checks") { _ =>
         val events = spark.table(EventsTable)

@@ -138,17 +138,22 @@ object StreamingPipeline {
       },
       Stage("dedup_insert") { _ =>
         // deterministic pick: evaluate_dq re-derives this exact set, so
-        // the row chosen per key must not depend on evaluation order
+        // the row chosen per key must not depend on evaluation order.
+        // Persisted across the date-range peek and the insert — the
+        // window dedup would otherwise execute twice per batch.
         val staging = EventOps.dedupDeterministic(
           batch.filter(col("event_id").isNotNull)
             .select("event_id", "event_timestamp", "event_type", "user_id"))
           .withColumn("event_date", to_date(col("event_timestamp")))
-        val curated = EventOps.withAuditColumns(staging)
-        if (!Catalog.tableExists(spark, EventsTable))
-          Catalog.ensureTablePartitioned(spark, EventsTable, curated.schema, "event_date")
-        val inserted = EventOps.withAuditColumns(
-          EventOps.dedupInsert(staging, dedupTarget(spark, staging)))
-        Map("inserted_rows" -> Catalog.insertAppend(spark, EventsTable, inserted))
+          .persist()
+        try {
+          val curated = EventOps.withAuditColumns(staging)
+          if (!Catalog.tableExists(spark, EventsTable))
+            Catalog.ensureTablePartitioned(spark, EventsTable, curated.schema, "event_date")
+          val inserted = EventOps.withAuditColumns(
+            EventOps.dedupInsert(staging, dedupTarget(spark, staging)))
+          Map("inserted_rows" -> Catalog.insertAppend(spark, EventsTable, inserted))
+        } finally staging.unpersist()
       },
       Stage("refresh_summary") { _ =>
         // incremental: NO full raw_data rescan per batch (the reference's

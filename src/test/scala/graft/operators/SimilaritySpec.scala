@@ -45,6 +45,25 @@ class SimilaritySpec extends SparkSpec {
       .foreach(id => assert(b(id) == b(id + 100000), s"copy of $id landed in a different bucket"))
   }
 
+  test("null or dimension-mismatched embeddings bucket to NULL and never fabricate neighbors") {
+    val vecs = Seq(
+      (1L, Some(Array(1.0f, 0.0f))),
+      (2L, Some(Array(0.9f, 0.1f))),
+      (3L, None: Option[Array[Float]]),          // null embedding
+      (4L, Some(Array(1.0f, 0.0f, 0.0f)))        // off-dimension
+    ).toDF("vec_id", "embedding")
+    val buckets = vecs.select($"vec_id",
+      Similarity.lshBucket($"embedding", 8, 2).as("b"),
+      Similarity.lshBucketMd5($"embedding", 8, 2).as("bm"))
+      .collect().map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(buckets(1L) == ((false, false)) && buckets(2L) == ((false, false)))
+    assert(buckets(3L) == ((true, true)), "null embedding must bucket to NULL, not bucket 0")
+    assert(buckets(4L) == ((true, true)), "off-dim embedding must bucket to NULL, not bucket 0")
+    // a null-embedding probe yields NO rows (the old HOF semantics)
+    val out = Similarity.topKLsh(vecs, vecs.filter($"vec_id" >= 3L), 2, planes = 8)
+    assert(out.collect().isEmpty, "broken rows fabricated neighbors")
+  }
+
   test("literal-plane lshBucket matches the per-row expression rendition bit-for-bit") {
     val diff = emb.select(
       Similarity.lshBucket($"embedding", 8, 64).as("literal"),
