@@ -491,6 +491,15 @@ object SparkEntry {
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a_id", "b_id")),
 
+    // EXACT n-gram Jaccard pairs via prefix filtering — deterministic
+    // recall 1, so the same all-pairs oracle checks it with no
+    // banding-probability caveat. Gates the AllPairs/PPJoin-style
+    // candidate generator end-to-end.
+    "doc_neardup_jaccard" -> ((s, dir) =>
+      TextDedup.nearDupPairsJaccard(docs(s, dir), shingleN = 3, threshold = 0.5)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")),
+
     // Cross-engine-checkable SimHash signatures (md5 variant, emitted
     // as a 64-char bit string MSB-first).
     "doc_simhash_sig" -> ((s, dir) =>
@@ -998,6 +1007,19 @@ object SparkEntry {
          |FROM sh ORDER BY doc_id""".stripMargin,
 
     "doc_neardup_minhash" ->
+      s"""WITH sh AS ($docShingles)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       CAST(ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+         |                  / len(list_distinct(list_concat(a.s, b.s))), 6) AS DOUBLE) AS jaccard
+         |FROM sh a, sh b
+         |WHERE a.doc_id < b.doc_id
+         |  AND len(list_intersect(a.s, b.s))::DOUBLE
+         |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+         |ORDER BY 1, 2""".stripMargin,
+
+    // Same all-pairs truth as doc_neardup_minhash: the exact prefix-
+    // filtered path must reproduce it with NO probabilistic argument.
+    "doc_neardup_jaccard" ->
       s"""WITH sh AS ($docShingles)
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |       CAST(ROUND(len(list_intersect(a.s, b.s))::DOUBLE

@@ -188,7 +188,8 @@ object TextDedup {
       jaccardThreshold: Double = 0.8,
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     verifiedPairs(docs, textCol, shingleN, jaccardThreshold,
-      mhBanded(docs, textCol, shingleN, numHashes, bands), maxBucketSize)
+      mhBanded(docs, textCol, shingleN, numHashes, bands),
+      Seq("band", "bucket"), maxBucketSize)
 
   /** [[nearDupPairsMinhash]] AND its skipped-bucket metric from ONE
     * banding pass: the slim (doc_id, band, bucket) frame is
@@ -206,18 +207,21 @@ object TextDedup {
       jaccardThreshold: Double = 0.8,
       maxBucketSize: Int = DefaultMaxBucketSize): (DataFrame, DataFrame) = {
     val banded = mhBanded(docs, textCol, shingleN, numHashes, bands).localCheckpoint(true)
-    (verifiedPairs(docs, textCol, shingleN, jaccardThreshold, banded, maxBucketSize),
+    (verifiedPairs(docs, textCol, shingleN, jaccardThreshold, banded,
+        Seq("band", "bucket"), maxBucketSize),
       oversized(banded, Seq("band", "bucket"), maxBucketSize))
   }
 
   /** Capped in-bucket candidate expansion + exact-Jaccard verify over
     * the HASHED shingle sets: identical counts to string sets up to
-    * 64-bit collisions (~|sh|²/2⁶⁵ per doc — nil). */
+    * 64-bit collisions (~|sh|²/2⁶⁵ per doc — nil). `keyed` carries one
+    * (keys…, doc_id) row per bucket membership — LSH band buckets for
+    * the MinHash path, prefix elements for the exact-Jaccard path. */
   private def verifiedPairs(docs: DataFrame, textCol: String, shingleN: Int,
-                            jaccardThreshold: Double, banded: DataFrame,
-                            maxBucketSize: Int): DataFrame = {
+                            jaccardThreshold: Double, keyed: DataFrame,
+                            keys: Seq[String], maxBucketSize: Int): DataFrame = {
     val candidates =
-      cappedBucketPairs(banded, Seq("band", "bucket"), "doc_id", maxBucketSize, bucketPairs)
+      cappedBucketPairs(keyed, keys, "doc_id", maxBucketSize, bucketPairs)
         .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
         .distinct()
     val sh = docs.select(col("doc_id"), hashedShingles(col(textCol), shingleN).as("sh"))
@@ -242,14 +246,89 @@ object TextDedup {
       numHashes: Int = 32,
       bands: Int = 16,
       jaccardThreshold: Double = 0.8,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    val pairs = nearDupPairsMinhash(docs, textCol, shingleN, numHashes, bands,
-      jaccardThreshold, maxBucketSize)
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    dropNonCanonical(docs, nearDupPairsMinhash(docs, textCol, shingleN, numHashes,
+      bands, jaccardThreshold, maxBucketSize))
+
+  /** Near-dup pairs → connected components → drop every cluster member
+    * except the minimum doc_id. Docs in no pair pass through untouched
+    * (left-anti against the non-canonical member set — the corpus never
+    * shuffles on anything but the tiny membership list). */
+  private def dropNonCanonical(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val losers = Components.connectedComponents(pairs)
       .filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
+
+  // ------------------------------------------------------------------
+  // Exact n-gram Jaccard (prefix filtering)
+  // ------------------------------------------------------------------
+
+  /** One slim (doc_id, tok) row per PREFIX element of the doc's sorted
+    * distinct shingle-hash set — the candidate-generation index for
+    * EXACT Jaccard self-join by prefix filtering (Chaudhuri et al.,
+    * SSJoin, ICDE'06; Bayardo et al., "Scaling Up All Pairs", WWW'07):
+    * under any global element order, J(X,Y) ≥ t forces
+    * |X∩Y| ≥ ⌈t·|X|⌉ (since |X∩Y| ≥ t·|X∪Y| ≥ t·|X|), and a pair whose
+    * first |X| − ⌈t·|X|⌉ + 1 elements are all disjoint from Y cannot
+    * reach that overlap — so matching prefixes is a COMPLETE candidate
+    * generator, unlike MinHash banding's probabilistic recall. The
+    * global order is ascending hash value: hashes are uniform, so
+    * prefix tokens are frequency-balanced without the document-
+    * frequency ordering pass classic AllPairs does. */
+  private def jaccardPrefixed(docs: DataFrame, textCol: String, shingleN: Int,
+                              threshold: Double): DataFrame =
+    docs
+      .select(col("doc_id"), array_sort(hashedShingles(col(textCol), shingleN)).as("sh"))
+      .select(col("doc_id"),
+        explode(slice(col("sh"), lit(1),
+          size(col("sh")) - ceil(size(col("sh")) * threshold).cast("int") + 1)).as("tok"))
+
+  /** The dropped-bucket METRIC for [[nearDupPairsJaccard]]: one row per
+    * skipped prefix token with its member count. A skipped token here
+    * (unlike the probabilistic paths) can lose REAL pairs — at 100 TB,
+    * route skipped tokens' members to a per-token repartitioned retry
+    * or raise the cap; never ignore a non-empty result. */
+  def skippedBucketsJaccard(
+      docs: DataFrame,
+      textCol: String = "text",
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    oversized(jaccardPrefixed(docs, textCol, shingleN, threshold),
+      Seq("tok"), maxBucketSize)
+
+  /** EXACT n-gram Jaccard near-dup pairs (a < b, jaccard ≥ threshold):
+    * prefix-filtered candidate generation + the same exact-Jaccard
+    * verify as the MinHash path. Deterministic recall 1 (modulo the
+    * bucket cap, observable via [[skippedBucketsJaccard]]) — the
+    * answer MinHash banding approximates.
+    *
+    * Scale: the prefix index holds (1−t)·|X|+1 rows per doc (one
+    * shuffle of slim (hash, id) rows); candidates are per-token
+    * bucketed pairs with the shared [2, maxBucketSize] pre-count cap.
+    * At t = 0.8 the index is ~20% of the corpus's shingle volume. */
+  def nearDupPairsJaccard(
+      docs: DataFrame,
+      textCol: String = "text",
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    verifiedPairs(docs, textCol, shingleN, threshold,
+      jaccardPrefixed(docs, textCol, shingleN, threshold), Seq("tok"), maxBucketSize)
+
+  /** Fuzzy dedup end-to-end on the exact pair set: prefix-filtered
+    * Jaccard pairs → connected components → keep each cluster's
+    * minimum doc_id. */
+  def dedupNearJaccard(
+      docs: DataFrame,
+      textCol: String = "text",
+      shingleN: Int = 3,
+      threshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
+    dropNonCanonical(docs,
+      nearDupPairsJaccard(docs, textCol, shingleN, threshold, maxBucketSize))
 
   // ------------------------------------------------------------------
   // SimHash

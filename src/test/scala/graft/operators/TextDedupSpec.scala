@@ -123,6 +123,63 @@ class TextDedupSpec extends SparkSpec {
       s"expected all 4 chunk buckets hot: ${shSkipped.mkString(",")}")
   }
 
+  test("exact jaccard (prefix filtering) reproduces brute-force all-pairs exactly") {
+    // completeness is the whole point: the prefix-filtered pair set
+    // must EQUAL the cross-join truth, not approximate it
+    val sh = planted.select($"doc_id", TextDedup.hashedShingles($"text", 3).as("sh"))
+    def brute(t: Double) = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
+        (size(array_intersect($"a.sh", $"b.sh")).cast("double") /
+          size(array_union($"a.sh", $"b.sh"))).as("jaccard"))
+      .filter($"jaccard" >= t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (t <- Seq(0.5, 0.8)) {
+      val got = TextDedup.nearDupPairsJaccard(planted, threshold = t)
+        .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+          r.getAs[Double]("jaccard"))).toSet
+      val exp = brute(t)
+      assert(got == exp,
+        s"t=$t missed=${exp.diff(got).take(5)} extra=${got.diff(exp).take(5)}")
+      assert(exp.nonEmpty) // the fixture plants qualifying pairs
+    }
+  }
+
+  test("exact jaccard finds a pair sitting exactly on the threshold") {
+    // 1-gram shingles: J({a,b,c,d},{a,b,c,e}) = 3/5 = 0.6 exactly; >= is inclusive
+    val df = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val got = TextDedup.nearDupPairsJaccard(df, shingleN = 1, threshold = 0.6).collect()
+    assert(got.length == 1 && got.head.getAs[Double]("jaccard") == 0.6)
+    assert(TextDedup.nearDupPairsJaccard(df, shingleN = 1, threshold = 0.61).isEmpty)
+  }
+
+  test("exact jaccard: hot prefix tokens are capped and reported, genuine pairs survive") {
+    val degenerate = spark.range(5000).select($"id".as("doc_id"), lit("same text every time").as("text"))
+      .unionByName(Seq((900001L, "a genuinely unique document about gardens"),
+        (900002L, "a genuinely unique document about gardens and ponds")).toDF("doc_id", "text"))
+    val pairs = TextDedup.nearDupPairsJaccard(degenerate, threshold = 0.5, maxBucketSize = 100)
+    val got = pairs.collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(!got.exists(p => p._1 < 5000 && p._2 < 5000), s"degenerate pairs leaked: ${got.take(5)}")
+    assert(got.contains((900001L, 900002L)), s"genuine pair lost to the cap: $got")
+    val skipped = TextDedup.skippedBucketsJaccard(degenerate, maxBucketSize = 100).collect()
+    assert(skipped.nonEmpty && skipped.forall(_.getAs[Long]("member_count") == 5000L),
+      s"skipped-token metric: ${skipped.take(3).mkString(",")}")
+  }
+
+  test("exact jaccard dedup agrees with minhash dedup where banding recall is 1") {
+    val a = TextDedup.dedupNearJaccard(planted, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = TextDedup.dedupNearMinhash(planted, jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, s"jaccard-only=${a.diff(b).take(5)} minhash-only=${b.diff(a).take(5)}")
+    assert(a.contains(1L) && !a.contains(200001L))
+  }
+
+  test("exact jaccard plan is a bucketed join, never cartesian") {
+    val plan = TextDedup.nearDupPairsJaccard(planted).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs plan:\n$plan")
+  }
+
   test("simhash LSH bucketing finds hamming<=3 pairs") {
     val pairs = TextDedup.nearDupPairsSimhash(planted, maxHamming = 3)
       .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Int]("hamming")))
