@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Analytics, AsofJoin, DataQuality, EventOps, Multimodal, RangeJoin, Similarity, TextDedup, TextStats}
+import graft.operators.{Analytics, AsofJoin, Curation, DataQuality, EventOps, Multimodal, RangeJoin, Similarity, TextDedup, TextStats}
 import graft.sources.{JsonIngest, PartitionedJsonSink}
 import graft.streaming.StreamIngest
 

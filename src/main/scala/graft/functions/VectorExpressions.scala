@@ -366,6 +366,102 @@ object RollingMinHash {
   }
 }
 
+/** Native sign-LSH bucket kernel: bit `p` of the result is set iff
+  * dot(emb, planes[p]) > 0, with the plane matrix a FOLDABLE literal
+  * evaluated once driver-side and referenced as a `double[][]` from
+  * generated code — one tight (planes × dim) loop per row.
+  *
+  * This replaces the unrolled `when(vec_dot(...) > 0, 1L << p)` sum:
+  * at 8 bands × 12 planes that shape is ~100 separate expression nodes
+  * whose generated projection blows past JIT-friendly method sizes and
+  * ran 3.5× slower than the interpreted HOF it replaced (measured,
+  * round 5). One expression per band keeps whole-stage codegen tight
+  * and is the shape that survives at 100×.
+  *
+  * NULL semantics (the round-4 review fix, preserved): a null
+  * embedding, null element, or plane/embedding dimension mismatch
+  * yields NULL — never the all-negative bucket 0, so broken rows can
+  * not fabricate neighbors. Dot accumulation is sequential in DOUBLE,
+  * bit-identical to chaining [[VecDot]] per plane (floats widen
+  * exactly), so the DuckDB oracle arithmetic is unchanged. */
+case class VecSignBits(emb: Expression, planes: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = emb
+  override def right: Expression = planes
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (emb.dataType, planes.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(ArrayType(DoubleType, _), _))
+        if planes.foldable => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "vec_sign_bits requires (array<float|double>, foldable array<array<double>>)")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vec_sign_bits"
+  override def nullable: Boolean = true
+
+  private def isFloat: Boolean = emb.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val matrix: Array[Array[Double]] = {
+    val arr = planes.eval().asInstanceOf[ArrayData]
+    Array.tabulate(arr.numElements())(p => arr.getArray(p).toDoubleArray())
+  }
+
+  override def nullSafeEval(e: Any, p: Any): Any =
+    VecSignBits.compute(e.asInstanceOf[ArrayData], matrix, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("signPlanes", matrix, "double[][]")
+    nullSafeCodeGen(ctx, ev, (e, _) => {
+      val r = ctx.freshName("bits")
+      s"""
+         |java.lang.Long $r = graft.functions.VecSignBits.compute($e, $m, $isFloat);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecSignBits =
+    copy(emb = newLeft, planes = newRight)
+}
+
+object VecSignBits {
+  /** Boxed null when the embedding's length mismatches any plane or any
+    * element is null; otherwise the OR of (1L << p) over planes whose
+    * dot with the embedding is positive. */
+  def compute(e: ArrayData, m: Array[Array[Double]], isFloat: Boolean): java.lang.Long = {
+    val n = e.numElements()
+    var i = 0
+    while (i < n) {
+      if (e.isNullAt(i)) return null
+      i += 1
+    }
+    val v = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      v(i) = if (isFloat) e.getFloat(i).toDouble else e.getDouble(i)
+      i += 1
+    }
+    var bits = 0L
+    var p = 0
+    while (p < m.length) {
+      val row = m(p)
+      if (row.length != n) return null
+      var acc = 0.0
+      var j = 0
+      while (j < n) { acc += v(j) * row(j); j += 1 }
+      if (acc > 0) bits |= (1L << p)
+      p += 1
+    }
+    bits
+  }
+}
+
 /** Session extensions registering the engine's native functions; wired
   * by GraftSession via `spark.sql.extensions`, so `vec_dot` and
   * `shingle_hashes` are callable from SQL and `call_function` on every
@@ -392,5 +488,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("rolling_min_hash"),
       new ExpressionInfo(classOf[RollingMinHash].getName, "rolling_min_hash"),
       (children: Seq[Expression]) => RollingMinHash(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_sign_bits"),
+      new ExpressionInfo(classOf[VecSignBits].getName, "vec_sign_bits"),
+      (children: Seq[Expression]) => VecSignBits(children.head, children(1))))
   }
 }

@@ -36,16 +36,24 @@ object Components {
     * exposed so tests can assert the O(log n) bound. */
   def connectedComponentsWithRounds(pairs: DataFrame, aCol: String = "a_id",
                                     bCol: String = "b_id"): (DataFrame, Int) = {
-    val vertices = pairs.select(col(aCol).as("id"))
-      .unionByName(pairs.select(col(bCol).as("id")))
-      .distinct().localCheckpoint(true)
+    // ONE upstream evaluation: `pairs` is usually the output of a whole
+    // near-dup pipeline (shingle → LSH → verify); materialize it once
+    // and derive vertices/edges lazily from the checkpoint. (Round 4
+    // checkpointed vertices AND the oriented edges separately — two
+    // full evaluations of the upstream pipeline, which doubled
+    // emb_dedup_near/doc_dedup_near wall time.)
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).localCheckpoint(true)
+
+    val vertices = p.select(col("a").as("id"))
+      .unionByName(p.select(col("b").as("id")))
+      .distinct()
 
     // canonical (big > small) orientation; self-pairs carry no
     // connectivity (their vertices resurface via the final vertex join)
-    val initial = pairs
-      .select(greatest(col(aCol), col(bCol)).as("big"), least(col(aCol), col(bCol)).as("small"))
+    val initial = p
+      .select(greatest(col("a"), col("b")).as("big"), least(col("a"), col("b")).as("small"))
       .filter(col("big") =!= col("small"))
-      .distinct().localCheckpoint(true)
+      .distinct()
 
     // the pair graph is orders of magnitude smaller than the corpus it
     // came from; right-size the iteration partitioning to the EDGE
@@ -70,13 +78,14 @@ object Components {
         .unionByName(edges.select(col("small").as("u"), col("big").as("v")))
       val m = adj.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
-      // checkpointed: both small-star branches consume it — one
-      // evaluation of the banding join, not two
+      // NOT checkpointed: both small-star branches consume the same
+      // plan object, so the round's single action reuses the distinct's
+      // Exchange (ReusedExchange) — one evaluation, no extra job. The
+      // inputs (`edges`) are already checkpointed, so lineage stays flat.
       val large = adj.filter(col("v") > col("u"))
         .join(m, Seq("u"))
         .select(col("v").as("big"), col("m").as("small"))
         .distinct()
-        .localCheckpoint(true)
       // small-star: every node links its smaller neighbors (and itself)
       // to their collective minimum
       val mins = large.groupBy("big").agg(min(col("small")).as("m"))

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for LLM training-data pipelines — the
+  * steps between "raw crawl" and "training set" that are not dedup:
+  * benchmark decontamination, deterministic sampling, cardinality
+  * sketching, PII redaction, quality-rule filtering, and keyword
+  * extraction.
+  *
+  * Scale discipline:
+  *  - decontamination shuffles (doc_id, 16-byte gram hash) pairs only —
+  *    never text; the benchmark side is a distinct gram-hash set
+  *    (typically broadcastable: benchmarks are ~10⁵ docs, corpora 10¹⁰);
+  *  - sampling is a stateless scan-speed filter on a hash of the id —
+  *    no shuffle, reproducible across runs and engines, and stable
+  *    under corpus growth (a doc's keep/drop never depends on others);
+  *  - the KMV distinct sketch reduces to a per-partition top-k merge
+  *    (TakeOrdered — partial limits map-side), driver state is k values;
+  *  - redaction and quality rules are per-row regex/ratio projections —
+  *    scan speed, no shuffle, codegen'd;
+  *  - TF-IDF shuffles slim (doc_id, term) pairs; document frequency is
+  *    a second aggregate over the already-distinct (doc, term) pairs
+  *    (no countDistinct), joined back on the term key.
+  *
+  * Every hash compared cross-engine is md5-derived (u32 of the first 8
+  * hex digits — the repo's established DuckDB-replicable recipe).
+  */
+object Curation {
+
+  /** Uniform [0, 2^32) integer from the md5 of a value — deterministic,
+    * engine-portable (DuckDB: CAST('0x' || substr(md5(v), 1, 8) AS
+    * BIGINT)). The basis for sampling and the KMV sketch. */
+  def hashU32(v: Column): Column =
+    conv(substring(md5(v.cast("string")), 1, 8), 16, 10).cast("long")
+
+  // ------------------------------------------------------------------
+  // Benchmark decontamination
+  // ------------------------------------------------------------------
+
+  /** Corpus documents sharing at least one word `n`-gram with any
+    * benchmark document — the contamination HIT LIST (doc_id rows).
+    * Grams are md5-hashed before the join so the shuffle carries
+    * 16-byte keys, not text; the benchmark gram set is distinct and
+    * usually broadcast by AQE (benchmarks are orders of magnitude
+    * smaller than corpora). */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+                      textCol: String = "text"): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(TextDedup.shingles(col(textCol), n)).as("gram"))
+      .select(md5(col("gram")).as("gram_hash"))
+      .distinct()
+    corpus
+      .select(col("doc_id"), explode(TextDedup.shingles(col(textCol), n)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("gram_hash"))
+      .join(benchGrams, Seq("gram_hash"), "left_semi")
+      .select("doc_id")
+      .distinct()
+  }
+
+  /** The corpus minus every contaminated document (train/test overlap
+    * removal). The corpus re-shuffles on nothing — one left-anti join
+    * against the (tiny) hit list. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+                    textCol: String = "text"): DataFrame =
+    corpus.join(contaminatedIds(corpus, benchmark, n, textCol), Seq("doc_id"), "left_anti")
+
+  // ------------------------------------------------------------------
+  // Deterministic sampling
+  // ------------------------------------------------------------------
+
+  /** Keep rows whose id hashes below `rate` of the u32 space — a
+    * reproducible Bernoulli(rate) sample that is stable under corpus
+    * growth and identical across engines/runs (unlike rand()-based
+    * sampling). Stateless scan-speed filter; the threshold compare is
+    * exact integer arithmetic. */
+  def sampleByHash(df: DataFrame, rate: Double, idCol: String = "doc_id"): DataFrame =
+    df.filter(hashU32(col(idCol)) < math.floor(rate * 4294967296.0).toLong)
+
+  /** Per-stratum deterministic sample: within each `strataCol` value,
+    * keep the ceil(rate · |stratum|) rows with the smallest id hashes —
+    * exact per-stratum proportions (a plain hash filter only hits them
+    * in expectation). One shuffle on the stratum key; rank and count
+    * share the same window partitioning. */
+  def sampleStratified(df: DataFrame, strataCol: String, rate: Double,
+                       idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(hashU32(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(strataCol))))
+      .filter(col("__rn") <= ceil(col("__n") * rate))
+      .drop("__rn", "__n")
+  }
+
+  // ------------------------------------------------------------------
+  // KMV distinct-cardinality sketch
+  // ------------------------------------------------------------------
+
+  /** K-minimum-values distinct estimate of `valueCol`: hash every value
+    * to a uniform double in [0,1), keep the k smallest DISTINCT hashes,
+    * estimate distinct ≈ (k−1) / h_(k). One row: (k, kmv_estimate,
+    * exact_distinct) — the exact count rides along at gate scale to
+    * show the sketch's error; production runs would drop it.
+    *
+    * Distributed shape: distinct-hash then global top-k = TakeOrdered
+    * (per-partition partial limits, k values to the driver) — the
+    * sketch property that makes it run on 10¹⁰ values. */
+  def kmvDistinct(df: DataFrame, valueCol: Column, k: Int = 64): DataFrame = {
+    val hv = df.select((hashU32(valueCol).cast("double") / 4294967296.0).as("hv"))
+    val kept = hv.distinct().orderBy("hv").limit(k)
+    val est = kept.agg(count(lit(1)).as("got"), max(col("hv")).as("hk"))
+      .select(
+        lit(k).cast("long").as("k"),
+        round(when(col("got") < k, col("got").cast("double"))
+          .otherwise((lit(k) - 1).cast("double") / col("hk")), 6).as("kmv_estimate"))
+    est.crossJoin(df.agg(countDistinct(valueCol).as("exact_distinct")))
+  }
+
+  // ------------------------------------------------------------------
+  // PII redaction
+  // ------------------------------------------------------------------
+
+  /** Conservative regex subset that parses identically in Java regex
+    * and RE2 (DuckDB) — the cross-engine contract of the redaction. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b555-[0-9]{4}\\b"
+
+  /** Replace emails and (fixture-shaped) phone numbers with typed
+    * placeholder tokens and count the replacements per document — the
+    * pre-training PII scrub. Pure per-row regex projection; at 100 TB
+    * this runs at scan speed with (doc_id, text) pruning. */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>").as("redacted"),
+      regexp_count(col(textCol), lit(EmailPattern)).as("email_count"),
+      regexp_count(col(textCol), lit(PhonePattern)).as("phone_count"))
+
+  // ------------------------------------------------------------------
+  // Quality-rule filtering
+  // ------------------------------------------------------------------
+
+  /** Gopher-style rule gate over the [[TextStats]] profile: every doc
+    * gets a keep flag and the FIRST failing rule's name (rule order is
+    * the contract — deterministic across engines). Thresholds are
+    * corpus-tuning parameters; defaults split the synthetic corpus.
+    * Per-row projection, scan speed. */
+  def qualityFilter(docs: DataFrame, textCol: String = "text",
+                    minTokens: Int = 25, maxTokens: Int = 20000,
+                    maxPunctRatio: Double = 0.25,
+                    minStopwordRatio: Double = 0.02): DataFrame = {
+    val t = col(textCol)
+    val reason =
+      when(TextStats.tokenCount(t) < minTokens, lit("too_short"))
+        .when(TextStats.tokenCount(t) > maxTokens, lit("too_long"))
+        .when(TextStats.punctRatio(t) > maxPunctRatio, lit("high_punct"))
+        .when(TextStats.stopwordRatio(t, TextStats.Stopwords.head._2) < minStopwordRatio,
+          lit("low_stopword"))
+    docs.select(col("doc_id"), reason.isNull.as("keep"), reason.as("drop_reason"))
+  }
+
+  // ------------------------------------------------------------------
+  // TF-IDF keyword extraction
+  // ------------------------------------------------------------------
+
+  /** Top-`topK` terms per document by tf · (N / df) — the rational-idf
+    * rendition of TF-IDF (N/df is a strictly monotone transform of
+    * log(N/df), so rankings are identical, and tf·N stays exact integer
+    * arithmetic under 2^53 with ONE correctly-rounded IEEE division —
+    * bit-identical across engines, where log's last-ulp behavior is
+    * libm-specific). Ties break on the term string.
+    *
+    * `n` is the corpus document count (a bounded driver scalar).
+    * Shuffles: slim (doc_id, term) explode → per-doc term counts →
+    * term-keyed df aggregate over the ALREADY-distinct (doc, term)
+    * rows (no countDistinct pass) → join back on term → one per-doc
+    * window. */
+  def tfidfTopTerms(docs: DataFrame, topK: Int = 3, textCol: String = "text"): DataFrame = {
+    val n = docs.count()
+    val toks = docs.select(col("doc_id"),
+      explode(split(TextDedup.normalize(col(textCol)), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("term"))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * lit(n.toDouble) / col("df")).as("score"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("term"), round(col("score"), 6).as("tfidf"))
+  }
+}
