@@ -642,6 +642,175 @@ object SparkEntry {
   )
 
   // ---------------------------------------------------------------
+  // Corpus-curation surface: decontamination, deterministic sampling,
+  // cardinality sketching, PII redaction, quality gating, keyword
+  // extraction (graft.operators.Curation).
+  // ---------------------------------------------------------------
+
+  /** Documents with deterministic synthetic PII appended (the source
+    * corpus carries none): one email and one 555-phone per doc. */
+  private def piiFixture(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      concat(col("text"), lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@example.com or call 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(".")).as("text"))
+
+  private val curationQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Benchmark decontamination: the corpus minus every doc sharing a
+    // word 8-gram with the "benchmark" (prefix snippets of the %50
+    // docs — those docs and their near-dups are contaminated by
+    // construction: 11 hits at sf0.01, 110 at sf0.1).
+    "doc_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val bench = d.filter(col("doc_id") % 50 === 0)
+        .select(substring(col("text"), 1, 200).as("text"))
+      Curation.decontaminate(d, bench, n = 8).select("doc_id").orderBy("doc_id")
+    }),
+
+    // Deterministic Bernoulli sample: keep ids hashing under 10% of the
+    // u32 space — reproducible across engines/runs, no rand().
+    "doc_sample_hash" -> ((s, dir) =>
+      Curation.sampleByHash(docs(s, dir), 0.1).select("doc_id").orderBy("doc_id")),
+
+    // Exact per-stratum proportions: within each source lang, the 20%
+    // of docs with the smallest id hashes.
+    "doc_sample_stratified" -> ((s, dir) =>
+      Curation.sampleStratified(docs(s, dir).select("doc_id", "lang"), "lang", 0.2)
+        .orderBy("lang", "doc_id")),
+
+    // KMV distinct-cardinality sketch of normalized doc content over
+    // the dup fixture (estimate rides beside the exact count).
+    "doc_distinct_kmv" -> ((s, dir) =>
+      Curation.kmvDistinct(docDupFixture(s, dir),
+        TextDedup.normalize(col("text")), k = 64)),
+
+    // PII scrub: emails/phones replaced by typed tokens; compare the
+    // md5 of the redacted text (byte-identical redaction) + counts.
+    "doc_redact_pii" -> ((s, dir) =>
+      Curation.redactPii(piiFixture(s, dir))
+        .select(col("doc_id"), col("email_count"), col("phone_count"),
+          md5(col("redacted")).as("redacted_hash"))
+        .orderBy("doc_id")),
+
+    // Gopher-style quality gate: keep flag + first failing rule.
+    "doc_quality_filter" -> ((s, dir) =>
+      Curation.qualityFilter(docs(s, dir)).orderBy("doc_id")),
+
+    // Rational-idf TF-IDF: top-3 terms per document.
+    "doc_tfidf_top_terms" -> ((s, dir) =>
+      Curation.tfidfTopTerms(docs(s, dir), topK = 3).orderBy("doc_id", "rank"))
+  )
+
+  // DuckDB mirrors of the curation queries. The 8-gram derivation and
+  // the raw punct/stopword ratios reuse the exact expression shapes the
+  // doc_stats oracle already proves bit-identical.
+  private val gram8 =
+    """CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+      |     ELSE list_distinct(list_transform(range(1, len(toks)-6),
+      |                        i -> array_to_string(toks[i:i+7], ' '))) END""".stripMargin
+
+  // lazy: reuses docTokens/statsEn, declared further down the object —
+  // a strict val here would capture them as null at init order
+  private lazy val curationOracles: Map[String, String] = Map(
+    "doc_decontaminate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, $gram8 AS s
+         |  FROM (SELECT doc_id,
+         |               string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+         |        FROM documents)),
+         |bsh AS (
+         |  SELECT $gram8 AS s
+         |  FROM (SELECT string_split(lower(trim(regexp_replace(substr(text, 1, 200), '\\s+', ' ', 'g'))), ' ') AS toks
+         |        FROM documents WHERE doc_id % 50 = 0)),
+         |bg AS (SELECT DISTINCT unnest(s) AS gram FROM bsh),
+         |cg AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+         |cont AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram))
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM cont) ORDER BY doc_id""".stripMargin,
+
+    "doc_sample_hash" ->
+      """SELECT doc_id FROM documents
+        |WHERE CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) < 429496729
+        |ORDER BY doc_id""".stripMargin,
+
+    "doc_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |QUALIFY row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT), doc_id)
+        |  <= ceil(count(*) OVER (PARTITION BY lang) * 0.2)
+        |ORDER BY lang, doc_id""".stripMargin,
+
+    "doc_distinct_kmv" ->
+      """WITH fixture AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0),
+        |h AS (
+        |  SELECT DISTINCT
+        |    CAST(CAST('0x' || substr(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 8) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 AS hv
+        |  FROM fixture),
+        |kk AS (SELECT hv FROM h ORDER BY hv LIMIT 64)
+        |SELECT 64::BIGINT AS k,
+        |       CAST(ROUND(CASE WHEN (SELECT count(*) FROM kk) < 64
+        |                       THEN (SELECT count(*) FROM kk)::DOUBLE
+        |                       ELSE 63.0 / (SELECT max(hv) FROM kk) END, 6) AS DOUBLE) AS kmv_estimate,
+        |       (SELECT count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) FROM fixture)
+        |         AS exact_distinct""".stripMargin,
+
+    "doc_redact_pii" -> {
+      val em = graft.operators.Curation.EmailPattern
+      val ph = graft.operators.Curation.PhonePattern
+      s"""WITH withpii AS (
+         |  SELECT doc_id,
+         |         text || ' Contact user' || doc_id || '@example.com or call 555-'
+         |              || lpad((doc_id % 10000)::VARCHAR, 4, '0') || '.' AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |       len(regexp_extract_all(t, '$em')) AS email_count,
+         |       len(regexp_extract_all(t, '$ph')) AS phone_count,
+         |       md5(regexp_replace(regexp_replace(t, '$em', '<EMAIL>', 'g'),
+         |                          '$ph', '<PHONE>', 'g')) AS redacted_hash
+         |FROM withpii ORDER BY doc_id""".stripMargin
+    },
+
+    "doc_quality_filter" ->
+      s"""WITH t AS ($docTokens),
+         |h AS (
+         |  SELECT doc_id, toks,
+         |       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+         |         / greatest(length(text), 1) AS punct_raw,
+         |       len(list_filter(toks, w -> list_contains($statsEn, w)))::DOUBLE
+         |         / greatest(len(toks), 1) AS stop_raw
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(toks) < 25 THEN 'too_short'
+         |              WHEN len(toks) > 20000 THEN 'too_long'
+         |              WHEN punct_raw > 0.25 THEN 'high_punct'
+         |              WHEN stop_raw < 0.02 THEN 'low_stopword' END AS drop_reason
+         |  FROM h)
+         |SELECT doc_id, drop_reason IS NULL AS keep, drop_reason
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "doc_tfidf_top_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, rank, term, CAST(ROUND(score, 6) AS DOUBLE) AS tfidf FROM (
+        |  SELECT tf.doc_id, tf.term,
+        |         tf.tf * CAST((SELECT n FROM n) AS DOUBLE) / df.df AS score,
+        |         row_number() OVER (PARTITION BY tf.doc_id
+        |             ORDER BY tf.tf * CAST((SELECT n FROM n) AS DOUBLE) / df.df DESC, tf.term) AS rank
+        |  FROM tf JOIN df USING (term))
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+  )
+
+  // ---------------------------------------------------------------
   // Analytical breadth over the TPC-H-ish star schema: multi-way
   // joins, agg-over-join, top-k, per-group ranking. DECIMAL aggregates
   // keep the oracle compare exact (no FP accumulation-order drift).
@@ -891,7 +1060,7 @@ object SparkEntry {
   /** One per implemented operator from SURVEY.md §2 + the LLM-data
     * surface + the analytical star-schema breadth. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    referenceQueries ++ llmQueries ++ analyticsQueries
+    referenceQueries ++ llmQueries ++ curationQueries ++ analyticsQueries
 
   // DuckDB renditions of the LLM-ops queries. Expression shapes mirror
   // the Spark plans 1:1 (same normalize/tokenize/round/CASE order) so
@@ -1294,5 +1463,5 @@ object SparkEntry {
     * md5-derived twins, and IVF gates through its provable twin-recall
     * property. */
   def oracleSql: Map[String, String] =
-    referenceOracles ++ llmOracles ++ analyticsOracles
+    referenceOracles ++ llmOracles ++ curationOracles ++ analyticsOracles
 }

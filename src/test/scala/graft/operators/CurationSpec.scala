@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docsSf001 =
+    graft.Tables.load(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+
+  test("decontaminate drops exactly the docs sharing an 8-gram with the benchmark") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "totally unrelated words with no overlap at all here now")
+    ).toDF("doc_id", "text")
+    // benchmark contains doc 1's first 8 tokens and nothing of 2/3
+    val bench = Seq("alpha beta gamma delta epsilon zeta eta theta").toDF("text")
+    val kept = Curation.decontaminate(corpus, bench, n = 8).select("doc_id")
+      .as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L))
+    val hits = Curation.contaminatedIds(corpus, bench, n = 8).as[Long].collect()
+    assert(hits.toSeq == Seq(1L))
+  }
+
+  test("decontaminate is a no-op for a disjoint benchmark") {
+    val corpus = docsSf001
+    val bench = Seq("words that do not appear in the synthetic corpus vocabulary").toDF("text")
+    assert(Curation.decontaminate(corpus, bench).count() == corpus.count())
+  }
+
+  test("sampleByHash is deterministic, rate-proportional, and stable under corpus growth") {
+    val d = docsSf001
+    val s1 = Curation.sampleByHash(d, 0.2).select("doc_id").as[Long].collect().toSet
+    val s2 = Curation.sampleByHash(d, 0.2).select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "hash sample must be reproducible")
+    val n = d.count().toDouble
+    assert(math.abs(s1.size / n - 0.2) < 0.15, s"rate off: ${s1.size / n}")
+    // growth stability: sampling a superset never flips a doc's decision
+    val grown = d.unionByName(d.select(($"doc_id" + 100000).as("doc_id"), $"text"))
+    val s3 = Curation.sampleByHash(grown, 0.2).select("doc_id").as[Long].collect().toSet
+    assert(s1.subsetOf(s3))
+  }
+
+  test("sampleStratified keeps exactly ceil(rate * stratum size) per stratum") {
+    val d = (0 until 100).map(i => (i.toLong, if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val out = Curation.sampleStratified(d, "lang", 0.25)
+    val sizes = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 34 en (ceil 8.5 = 9), 66 de (ceil 16.5 = 17)
+    assert(sizes == Map("en" -> 9L, "de" -> 17L), sizes.toString)
+    // determinism
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Curation.sampleStratified(d, "lang", 0.25).select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("kmvDistinct estimates within ~3 standard errors and is exact under k") {
+    // 2000 distinct values, k=64: relative SE ~ 1/sqrt(k-2) ~ 12.7%
+    val many = spark.range(2000).select(concat(lit("v"), $"id").as("v"))
+    val est = Curation.kmvDistinct(many, col("v"), k = 64).head()
+    val e = est.getAs[Double]("kmv_estimate")
+    assert(math.abs(e - 2000.0) / 2000.0 < 0.4, s"KMV estimate $e too far from 2000")
+    assert(est.getAs[Long]("exact_distinct") == 2000L)
+    // fewer distincts than k: the estimate IS the exact count
+    val few = spark.range(10).select(concat(lit("v"), $"id").as("v"))
+    assert(Curation.kmvDistinct(few, col("v"), k = 64).head()
+      .getAs[Double]("kmv_estimate") == 10.0)
+  }
+
+  test("redactPii replaces emails and phones, counts them, and leaves clean text alone") {
+    val d = Seq(
+      (1L, "write to alice.smith+spam@mail.example.org today"),
+      (2L, "call 555-0199 or 555-0200 now"),
+      (3L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = Curation.redactPii(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("redacted"), r.getAs[Int]("email_count"), r.getAs[Int]("phone_count"))))
+      .toMap
+    assert(out(1L) == (("write to <EMAIL> today", 1, 0)))
+    assert(out(2L) == (("call <PHONE> or <PHONE> now", 0, 2)))
+    assert(out(3L) == (("no pii here at all", 0, 0)))
+  }
+
+  test("qualityFilter reports the first failing rule in contract order") {
+    val d = Seq(
+      (1L, "too short"),                                     // < 25 tokens
+      (2L, ("the and of to in is " * 10).trim),              // enough tokens, stopword-rich: keep
+      (3L, Seq.fill(30)("xqzw").mkString(" "))               // 30 tokens, zero stopwords
+    ).toDF("doc_id", "text")
+    val out = Curation.qualityFilter(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("keep"), Option(r.getAs[String]("drop_reason"))))).toMap
+    assert(out(1L) == ((false, Some("too_short"))))
+    assert(out(2L) == ((true, None)))
+    assert(out(3L) == ((false, Some("low_stopword"))))
+  }
+
+  test("tfidfTopTerms ranks rare terms above common ones, k rows per doc max") {
+    val d = Seq(
+      (1L, "common common common rare"),
+      (2L, "common other other"),
+      (3L, "common third")
+    ).toDF("doc_id", "text")
+    val out = Curation.tfidfTopTerms(d, topK = 2)
+    // doc 1: 'rare' (df=1) outranks 'common' (tf=3, df=3): 1*3/1 = 3.0 vs 3*3/3 = 3.0
+    // — tie at 3.0 breaks on term string: 'common' < 'rare'
+    val doc1 = out.filter($"doc_id" === 1).orderBy("rank")
+      .select("term").as[String].collect().toSeq
+    assert(doc1 == Seq("common", "rare"), doc1.toString)
+    // doc 2: 'other' tf=2 df=1 -> 6.0 beats 'common' 1*3/3=1.0
+    val doc2 = out.filter($"doc_id" === 2).orderBy("rank")
+      .select("term").as[String].collect().toSeq
+    assert(doc2 == Seq("other", "common"), doc2.toString)
+    assert(out.groupBy("doc_id").count().agg(max("count")).head().getLong(0) <= 2)
+  }
+}
