@@ -10,7 +10,10 @@ object PlanDump {
       "emb_topk_lsh_banded", "emb_neardup_cosine", "doc_stats",
       "doc_fingerprint_native", "ref_pipeline_summary",
       "ref_asof_last_purchase", "ref_range_promo_views", "q5_local_supplier",
-      "q1_pricing_summary", "mm_features", "ref_open_envelope")
+      "q1_pricing_summary", "mm_features", "ref_open_envelope",
+      "doc_decontaminate", "doc_sample_hash", "doc_sample_stratified",
+      "doc_distinct_kmv", "doc_redact_pii", "doc_quality_filter",
+      "doc_tfidf_top_terms")
     val sb = new StringBuilder
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, dir)

@@ -440,11 +440,15 @@ object SparkEntry {
     "doc_stats" -> ((s, dir) => TextStats.profile(docs(s, dir), md5Twin = true).orderBy("doc_id")),
 
     // The PRODUCTION rolling fingerprint (native polynomial kernel,
-    // O(1)/byte): no SQL-expressible oracle (driver records rows-only);
-    // its minimizing-window structure is what doc_stats' md5 twin gates.
+    // O(1)/byte), under a FULL cross-engine oracle: DuckDB replays the
+    // exact mod-2^64 window-hash + fmix64 arithmetic in HUGEINT (see
+    // rollingFpOracle). The unsigned 64-bit value is compared as its
+    // unsigned decimal string (conv(hex, 16, 10) — a signed LongType
+    // column would render the high-bit half negative).
     "doc_fingerprint_native" -> ((s, dir) =>
       docs(s, dir)
-        .select(col("doc_id"), TextStats.rollingFingerprint(col("text")).as("rolling_fp"))
+        .select(col("doc_id"),
+          conv(hex(TextStats.rollingFingerprint(col("text"))), 16, 10).as("rolling_fp"))
         .orderBy("doc_id")),
 
     // Corpus length histogram: fixed-width bucketing, partial/final agg.
@@ -1115,7 +1119,53 @@ object SparkEntry {
     s"CASE $whens ELSE 'und' END"
   }
 
-  private val llmOracles: Map[String, String] = Map(
+  /** DuckDB replica of the native RollingMinHash kernel
+    * (graft.functions.RollingMinHash): window hash h_i = Σ byte·B^k
+    * mod 2^64 (HUGEINT — per-term products stay under 2^76, one mod at
+    * the end), then fmix64 as elementwise list stages (xor/shift on
+    * UBIGINT; the two 64×64 multiplies split at 2^32 so every
+    * intermediate fits HUGEINT), then the unsigned min. The power table
+    * B^0..B^16 ships as a generated literal. Byte-exact for ASCII text
+    * (the fixture corpus; the kernel is byte-defined, `unicode(c)` =
+    * byte only below 0x80). Validated value-identical to the JVM kernel
+    * on the full sf0.01 corpus + empty/short/boundary edge cases. */
+  private lazy val rollingFpOracle: String = {
+    val B = 0x5DEECE66DL
+    val pw = Iterator.iterate(1L)(_ * B).take(17).toSeq // B^k wraps = mod 2^64
+    val pwLit = pw.map(v => java.lang.Long.toUnsignedString(v) + "::HUGEINT")
+      .mkString("[", ",", "]")
+    val mod = "18446744073709551616"
+    val m1 = java.lang.Long.toUnsignedString(0xff51afd7ed558ccdL)
+    val m2 = java.lang.Long.toUnsignedString(0xc4ceb9fe1a85ec53L)
+    def mulmod(m: String) =
+      s"((k % 4294967296) * $m + (((k // 4294967296) * $m) % 4294967296) * 4294967296) % $mod"
+    val xs = "xor(k::UBIGINT, k::UBIGINT >> 33)::HUGEINT"
+    s"""WITH pwt AS (SELECT $pwLit AS pw),
+       |b AS (
+       |  SELECT doc_id, list_transform(string_split(text, ''), c -> unicode(c)::HUGEINT) AS bs,
+       |         length(text) AS n
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n <= 16 THEN
+       |      [coalesce(list_sum(list_transform(range(1, n + 1),
+       |          j -> bs[CAST(j AS INT)] * pw[CAST(n - j + 1 AS INT)])), 0) % $mod]
+       |    ELSE
+       |      list_transform(range(1, n - 14), i ->
+       |        list_sum(list_transform(range(0, 16),
+       |          t -> bs[CAST(i + t AS INT)] * pw[CAST(16 - t AS INT)])) % $mod)
+       |    END AS hs
+       |  FROM b, pwt),
+       |f1 AS (SELECT doc_id, list_transform(hs, k -> $xs) AS ks FROM h),
+       |f2 AS (SELECT doc_id, list_transform(ks, k -> ${mulmod(m1)}) AS ks FROM f1),
+       |f3 AS (SELECT doc_id, list_transform(ks, k -> $xs) AS ks FROM f2),
+       |f4 AS (SELECT doc_id, list_transform(ks, k -> ${mulmod(m2)}) AS ks FROM f3),
+       |f5 AS (SELECT doc_id, list_transform(ks, k -> $xs) AS ks FROM f4)
+       |SELECT doc_id, CAST(list_min(ks) AS VARCHAR) AS rolling_fp FROM f5 ORDER BY doc_id""".stripMargin
+  }
+
+  private lazy val llmOracles: Map[String, String] = Map(
+    "doc_fingerprint_native" -> rollingFpOracle,
     "doc_stats" -> {
       val en = statsEn
       val hitCols = statsHitCols

@@ -42,19 +42,21 @@ object Curation {
 
   /** Corpus documents sharing at least one word `n`-gram with any
     * benchmark document — the contamination HIT LIST (doc_id rows).
-    * Grams are md5-hashed before the join so the shuffle carries
-    * 16-byte keys, not text; the benchmark gram set is distinct and
-    * usually broadcast by AQE (benchmarks are orders of magnitude
-    * smaller than corpora). */
+    * Grams are 64-bit hashes straight from the token array (the native
+    * shingle_hashes kernel — no n-gram STRINGS are ever built; the
+    * string-building rendition cost 7× on the bench), so the shuffle
+    * carries 8-byte keys, not text, and the benchmark gram set is
+    * distinct and usually broadcast by AQE (benchmarks are orders of
+    * magnitude smaller than corpora). Hit lists agree with the string
+    * join up to 64-bit collisions (~|grams|²/2⁶⁵ — nil), the same
+    * contract the hashed-Jaccard verify uses. */
   def contaminatedIds(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
                       textCol: String = "text"): DataFrame = {
     val benchGrams = benchmark
-      .select(explode(TextDedup.shingles(col(textCol), n)).as("gram"))
-      .select(md5(col("gram")).as("gram_hash"))
+      .select(explode(TextDedup.hashedShingles(col(textCol), n)).as("gram_hash"))
       .distinct()
     corpus
-      .select(col("doc_id"), explode(TextDedup.shingles(col(textCol), n)).as("gram"))
-      .select(col("doc_id"), md5(col("gram")).as("gram_hash"))
+      .select(col("doc_id"), explode(TextDedup.hashedShingles(col(textCol), n)).as("gram_hash"))
       .join(benchGrams, Seq("gram_hash"), "left_semi")
       .select("doc_id")
       .distinct()
