@@ -702,7 +702,22 @@ object SparkEntry {
 
     // Rational-idf TF-IDF: top-3 terms per document.
     "doc_tfidf_top_terms" -> ((s, dir) =>
-      Curation.tfidfTopTerms(docs(s, dir), topK = 3).orderBy("doc_id", "rank"))
+      Curation.tfidfTopTerms(docs(s, dir), topK = 3).orderBy("doc_id", "rank")),
+
+    // Gopher-style repetition profile: repeated-token/-trigram and
+    // top-token fractions per doc.
+    "doc_repetition" -> ((s, dir) =>
+      Curation.repetitionStats(docs(s, dir)).orderBy("doc_id")),
+
+    // Corpus composition: per-source doc/token counts + exact token-
+    // share sampling weight.
+    "doc_source_mix" -> ((s, dir) =>
+      Curation.sourceMix(docs(s, dir)).orderBy("source")),
+
+    // Concat-then-slice training batch assembly: global token offsets
+    // via the two-level prefix sum (never a global window).
+    "doc_pack_sequences" -> ((s, dir) =>
+      Curation.packSequences(docs(s, dir), seqLen = 2048).orderBy("doc_id"))
   )
 
   // DuckDB mirrors of the curation queries. The 8-gram derivation and
@@ -796,6 +811,52 @@ object SparkEntry {
          |  FROM h)
          |SELECT doc_id, drop_reason IS NULL AS keep, drop_reason
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "doc_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks,
+        |         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |              ELSE list_transform(range(1, len(toks)-1),
+        |                                  i -> array_to_string(toks[i:i+2], ' ')) END AS grams
+        |  FROM t)
+        |SELECT doc_id,
+        |       CAST(ROUND(1.0 - len(list_distinct(toks))::DOUBLE
+        |                        / greatest(len(toks), 1), 6) AS DOUBLE) AS token_repetition,
+        |       CAST(ROUND(1.0 - len(list_distinct(grams))::DOUBLE
+        |                        / greatest(len(grams), 1), 6) AS DOUBLE) AS gram_repetition,
+        |       CAST(ROUND(list_max(list_transform(list_distinct(toks),
+        |                    u -> len(list_filter(toks, x -> x = u))))::DOUBLE
+        |                  / greatest(len(toks), 1), 6) AS DOUBLE) AS top_token_fraction
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "doc_source_mix" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS tc
+        |  FROM documents),
+        |s AS (SELECT source, count(*) AS doc_count, sum(tc) AS token_sum FROM t GROUP BY 1)
+        |SELECT source, doc_count, token_sum,
+        |       CAST(ROUND(token_sum::DOUBLE / (SELECT sum(token_sum) FROM s), 6) AS DOUBLE) AS weight
+        |FROM s ORDER BY source""".stripMargin,
+
+    "doc_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS tc
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tc,
+        |         coalesce(sum(tc) OVER (ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |  FROM t)
+        |SELECT doc_id, tc AS token_count, prev AS start_offset, prev // 2048 AS seq_no
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "doc_tfidf_top_terms" ->
       """WITH toks AS (

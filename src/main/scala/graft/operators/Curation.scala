@@ -164,6 +164,87 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // Intra-document repetition profile
+  // ------------------------------------------------------------------
+
+  /** Gopher-style repetition stats per document: fraction of repeated
+    * tokens, fraction of repeated word `gramN`-grams (multiplicity
+    * preserved — these grams are NOT the distinct shingle sets dedup
+    * uses), and the most-frequent-token fraction. High values flag the
+    * template/boilerplate/keyword-stuffing docs a quality gate should
+    * drop. Pure per-row array arithmetic — scan speed, no shuffle. */
+  def repetitionStats(docs: DataFrame, textCol: String = "text", gramN: Int = 3): DataFrame = {
+    val toksE = split(TextDedup.normalize(col(textCol)), " ")
+    val gramsE = when(size(toksE) < gramN, array(concat_ws(" ", toksE)))
+      .otherwise(transform(sequence(lit(1), size(toksE) - (gramN - 1)),
+        i => concat_ws(" ", slice(toksE, i, lit(gramN)))))
+    docs
+      .select(col("doc_id"), toksE.as("toks"), gramsE.as("grams"))
+      .select(col("doc_id"),
+        round(lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+          / greatest(size(col("toks")), lit(1)), 6).as("token_repetition"),
+        round(lit(1.0) - size(array_distinct(col("grams"))).cast("double")
+          / greatest(size(col("grams")), lit(1)), 6).as("gram_repetition"),
+        round(array_max(transform(array_distinct(col("toks")),
+          u => size(filter(col("toks"), x => x === u)))).cast("double")
+          / greatest(size(col("toks")), lit(1)), 6).as("top_token_fraction"))
+  }
+
+  // ------------------------------------------------------------------
+  // Source-mix weights
+  // ------------------------------------------------------------------
+
+  /** Per-source corpus composition: document count, token sum, and the
+    * source's proportional sampling weight (token share). The weight
+    * division is exact-integer → one IEEE division, engine-portable.
+    * One map-side-combined aggregate; the total rides on a window over
+    * the handful of aggregated source rows. */
+  def sourceMix(docs: DataFrame, srcCol: String = "source",
+                textCol: String = "text"): DataFrame = {
+    val agg = docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("doc_count"),
+        sum(TextStats.tokenCount(col(textCol))).as("token_sum"))
+    agg.withColumn("weight",
+      round(col("token_sum").cast("double")
+        / sum(col("token_sum")).over(Window.partitionBy()), 6))
+  }
+
+  // ------------------------------------------------------------------
+  // Training-sequence packing
+  // ------------------------------------------------------------------
+
+  /** Assign documents (in doc_id order) to fixed-capacity training
+    * sequences by cumulative token count: each doc reports its global
+    * start offset and the sequence (`start / seqLen`) its first token
+    * lands in — the deterministic concat-then-slice batching model.
+    *
+    * The global prefix sum is TWO-LEVEL, not a global window (an
+    * unpartitioned window funnels the corpus through one task): docs
+    * prefix-sum within doc_id chunks of `chunkDocs` (a partitioned
+    * window), chunk totals prefix-sum on the driver-sized chunk list
+    * (one row per ~1k docs — 10⁷ rows at a 10¹⁰-doc corpus, the only
+    * unpartitioned step), and the broadcast-joined chunk offsets add
+    * up to the exact global prefix. */
+  def packSequences(docs: DataFrame, seqLen: Int = 2048, chunkDocs: Int = 1024,
+                    textCol: String = "text"): DataFrame = {
+    val t = docs.select(col("doc_id"),
+      TextStats.tokenCount(col(textCol)).cast("long").as("token_count"),
+      floor(col("doc_id") / chunkDocs).as("__chunk"))
+    val win = Window.partitionBy(col("__chunk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inChunk = t.withColumn("__prev", coalesce(sum(col("token_count")).over(win), lit(0L)))
+    val wChunks = Window.orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy("__chunk").agg(sum(col("token_count")).as("__ct"))
+      .withColumn("__off", coalesce(sum(col("__ct")).over(wChunks), lit(0L)))
+      .select("__chunk", "__off")
+    inChunk.join(broadcast(offsets), Seq("__chunk"))
+      .select(col("doc_id"), col("token_count"),
+        (col("__prev") + col("__off")).as("start_offset"),
+        floor((col("__prev") + col("__off")) / seqLen).cast("long").as("seq_no"))
+  }
+
+  // ------------------------------------------------------------------
   // TF-IDF keyword extraction
   // ------------------------------------------------------------------
 

@@ -98,6 +98,42 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == ((false, Some("low_stopword"))))
   }
 
+  test("repetitionStats flags repeated tokens/grams and the dominant token") {
+    val d = Seq(
+      (1L, "spam spam spam spam"),                    // all one token
+      (2L, "every word here is fully distinct")       // no repetition
+    ).toDF("doc_id", "text")
+    val out = Curation.repetitionStats(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("token_repetition"), r.getAs[Double]("gram_repetition"),
+          r.getAs[Double]("top_token_fraction")))).toMap
+    assert(out(1L) == ((0.75, 0.5, 1.0)), out(1L).toString)  // 4 toks 1 distinct; 2 grams 1 distinct
+    assert(out(2L) == ((0.0, 0.0, round2(1.0 / 6))), out(2L).toString)
+  }
+  private def round2(v: Double): Double = math.rint(v * 1e6) / 1e6
+
+  test("sourceMix weights sum to ~1 and are token-proportional") {
+    val d = Seq(
+      (1L, "a", "one two three four"),   // 4 tokens
+      (2L, "a", "five six"),             // 2
+      (3L, "b", "seven eight")           // 2
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.sourceMix(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("doc_count"), r.getAs[Long]("token_sum"), r.getAs[Double]("weight")))).toMap
+    assert(out("a") == ((2L, 6L, 0.75)))
+    assert(out("b") == ((1L, 2L, 0.25)))
+  }
+
+  test("packSequences produces the exact global prefix sum across chunk boundaries") {
+    // tiny chunks (2 docs) force multi-chunk offsets; capacity 10 tokens
+    val d = (0L until 7L).map(i => (i, Seq.fill(4)("w").mkString(" "))).toDF("doc_id", "text")
+    val out = Curation.packSequences(d, seqLen = 10, chunkDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_offset"), r.getAs[Long]("seq_no")))
+    assert(out.toSeq == (0L until 7L).map(i => (i, i * 4, i * 4 / 10)).toSeq, out.mkString(","))
+  }
+
   test("tfidfTopTerms ranks rare terms above common ones, k rows per doc max") {
     val d = Seq(
       (1L, "common common common rare"),
