@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, TextDedup}
+import graft.operators.{Components, Curation, TextDedup}
 import graft.plans.Catalog
 
 /** LLM-corpus curation as a [[Runner]] pipeline: near-dup pair mining →
@@ -54,6 +54,76 @@ object CurationPipeline {
         // docs_in travels via the metric map (XCom discipline) — no
         // second corpus count
         Map("docs_kept" -> kept, "docs_removed" -> (m("docs_in") - kept))
+      })
+    new Runner(stages, RetryPolicy(retries = 1), notify).run(Map("docs_in" -> docs.count()))
+  }
+
+  val QualityTable = "documents_quality"
+  val SequencesTable = "documents_sequences"
+
+  /** The FULL training-data flow: quality gate → benchmark
+    * decontamination → near-dup dedup → sequence packing, each stage
+    * reading the previous stage's catalog table (never a closure over
+    * a live DataFrame) and reporting its drop counts in the metric map
+    * — at 100 TB every one of these filters removes real data, and the
+    * run report must say how much and why.
+    *
+    * `benchmark` carries the held-out eval text; pass an empty frame to
+    * skip decontamination (count 0 → stage is a recorded no-op). */
+  def runFull(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
+              jaccardThreshold: Double = 0.8,
+              maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
+              seqLen: Int = 2048,
+              notify: PipelineReport => Unit = _ => ()): PipelineReport = {
+    val stages = Seq(
+      Stage("quality_gate") { m =>
+        val gated = docs.join(
+          Curation.qualityFilter(docs).filter(col("keep")).select("doc_id"), Seq("doc_id"))
+        Catalog.overwriteTable(gated, QualityTable)
+        // per-reason drop counts: bounded cardinality (one row per rule)
+        val reasons = Curation.qualityFilter(docs).filter(!col("keep"))
+          .groupBy("drop_reason").count().collect()
+          .map(r => s"quality_dropped_${r.getString(0)}" -> r.getLong(1)).toMap
+        val kept = spark.table(QualityTable).count()
+        reasons ++ Map("quality_kept" -> kept, "quality_dropped" -> (m("docs_in") - kept))
+      },
+      Stage("decontaminate") { m =>
+        val quality = spark.table(QualityTable)
+        val hits = Curation.contaminatedIds(quality, benchmark)
+        val clean = quality.join(hits, Seq("doc_id"), "left_anti")
+        Catalog.overwriteTable(clean, QualityTable + "_clean")
+        val kept = spark.table(QualityTable + "_clean").count()
+        Map("contaminated" -> (m("quality_kept") - kept), "decontaminated_kept" -> kept)
+      },
+      Stage("near_dup_pairs") { _ =>
+        val clean = spark.table(QualityTable + "_clean")
+        val (pairs, skippedBuckets) = TextDedup.nearDupPairsAndSkipsMinhash(clean,
+          jaccardThreshold = jaccardThreshold, maxBucketSize = maxBucketSize)
+        Catalog.overwriteTable(pairs, PairsTable)
+        val skipped = skippedBuckets
+          .agg(count(lit(1)).as("buckets"),
+            coalesce(sum("member_count"), lit(0L)).as("members")).head()
+        Map(
+          "near_dup_pairs" -> spark.table(PairsTable).count(),
+          "skipped_buckets_minhash" -> skipped.getLong(0),
+          "skipped_bucket_members_minhash" -> skipped.getLong(1))
+      },
+      Stage("dedup_decisions") { m =>
+        val clean = spark.table(QualityTable + "_clean")
+        val losers = Components.connectedComponents(spark.table(PairsTable))
+          .filter(col("id") =!= col("component"))
+          .select(col("id").as("doc_id"))
+        Catalog.ctasOverwrite(clean.join(losers, Seq("doc_id"), "left_anti"), CuratedTable)
+        val kept = spark.table(CuratedTable).count()
+        Map("docs_kept" -> kept, "docs_removed" -> (m("decontaminated_kept") - kept))
+      },
+      Stage("pack_sequences") { _ =>
+        val packed = Curation.packSequences(spark.table(CuratedTable), seqLen = seqLen)
+        Catalog.ctasOverwrite(packed, SequencesTable)
+        val agg = spark.table(SequencesTable)
+          .agg(coalesce(max(col("seq_no")) + 1, lit(0L)).as("seqs"),
+            coalesce(sum(col("token_count")), lit(0L)).as("toks")).head()
+        Map("train_sequences" -> agg.getLong(0), "train_tokens" -> agg.getLong(1))
       })
     new Runner(stages, RetryPolicy(retries = 1), notify).run(Map("docs_in" -> docs.count()))
   }

@@ -9,7 +9,9 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
   import spark.implicits._
 
   override def beforeEach(): Unit =
-    Seq(CurationPipeline.PairsTable, CurationPipeline.CuratedTable)
+    Seq(CurationPipeline.PairsTable, CurationPipeline.CuratedTable,
+      CurationPipeline.QualityTable, CurationPipeline.QualityTable + "_clean",
+      CurationPipeline.SequencesTable)
       .foreach(t => graft.plans.Catalog.dropIfExists(spark, t))
 
   private def docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
@@ -30,6 +32,51 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     val kept = spark.table(CurationPipeline.CuratedTable)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept.contains(0L) && !kept.contains(100000L))
+  }
+
+  test("full flow: quality gate, decontamination, dedup, and packing each report their cuts") {
+    // family/benchmark bases must SURVIVE the quality gate, or the
+    // planted downstream cuts never happen (a short base would be
+    // quality-dropped and its fuzzy copy would sail through dedup)
+    val okIds = graft.operators.Curation.qualityFilter(docs)
+      .filter($"keep").select("doc_id").as[Long].collect().sorted
+    val (famId, benchId) = (okIds(0), okIds(1))
+    // planted rows: a too-short doc (quality drop), a fuzzy copy of the
+    // family doc (dedup drop); benchmark = a snippet of another doc
+    // (decontamination drop of that doc)
+    val fuzzy = docs.filter($"doc_id" === famId)
+      .select(($"doc_id" + 100000).as("doc_id"), concat($"text", lit(" tail one")).as("text"))
+    val junk = Seq((200000L, "too short")).toDF("doc_id", "text")
+    val planted = docs.unionByName(fuzzy).unionByName(junk)
+    val benchmark = docs.filter($"doc_id" === benchId)
+      .select(substring($"text", 1, 200).as("text"))
+
+    val report = CurationPipeline.runFull(spark, planted, benchmark, jaccardThreshold = 0.5)
+    assert(report.ok, report.stages.toString)
+    val m = report.metrics
+    assert(m("quality_dropped") >= 1L && m("quality_dropped_too_short") >= 1L, m.toString)
+    assert(m("contaminated") >= 1L, m.toString)
+    assert(m("docs_kept") + m("docs_removed") == m("decontaminated_kept"))
+    val kept = spark.table(CurationPipeline.CuratedTable)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(famId) && !kept.contains(famId + 100000),
+      "fuzzy family must keep only the canonical")
+    assert(!kept.contains(200000L), "quality-dropped doc leaked through")
+    assert(!kept.contains(benchId), "contaminated doc leaked through")
+
+    // packing invariants: offsets strictly increase by token_count in
+    // doc order, total matches the reported metric
+    val packed = spark.table(CurationPipeline.SequencesTable)
+      .orderBy("doc_id")
+      .select("token_count", "start_offset", "seq_no").collect()
+    var expect = 0L
+    packed.foreach { r =>
+      assert(r.getLong(1) == expect, s"offset gap at $r")
+      assert(r.getLong(2) == expect / 2048)
+      expect += r.getLong(0)
+    }
+    assert(m("train_tokens") == expect)
+    assert(m("train_sequences") == packed.last.getLong(2) + 1)
   }
 
   test("degenerate identical corpus: cap triggers, run still succeeds, skips are REPORTED") {
