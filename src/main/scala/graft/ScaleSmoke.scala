@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale smoke for the heavy corpus operators: the sf0.1 corpus
+  * replicated 10× with shifted ids (the "duplicated crawl" shape —
+  * 50k docs) and the embedding corpus 4× (20k vectors), through the
+  * end-to-end dedup/curation paths. Prints ONE JSON line of
+  * {op: {sec, rows}}. Not part of the driver contract — run manually:
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.ScaleSmoke"
+  *
+  * The interesting assertions are structural and checked here, not
+  * just timed: every exact-duplication family collapses to one
+  * survivor, and packing's global offset equals the token sum.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs0 = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
+    val docs = (0 until 10).map(i =>
+      docs0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _).localCheckpoint(true)
+    val emb0 = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val emb = (0 until 4).map(i =>
+      emb0.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
+      .reduce(_ unionByName _).localCheckpoint(true)
+    val nDocs = docs.count()
+    val nVecs = emb.count()
+
+    var results = Vector.empty[(String, Double, Long)]
+    def timed(name: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = body
+      results :+= ((name, (System.nanoTime() - t0) / 1e9, rows))
+    }
+
+    timed("dedup_near_minhash_50k") {
+      val kept = operators.TextDedup.dedupNearMinhash(docs, jaccardThreshold = 0.5)
+      val n = kept.count()
+      require(n <= nDocs / 10, s"10x duplication families must collapse: kept $n of $nDocs")
+      n
+    }
+    timed("decontaminate_50k") {
+      val bench = docs0.filter(col("doc_id") % 50 === 0)
+        .select(substring(col("text"), 1, 200).as("text"))
+      operators.Curation.decontaminate(docs, bench).count()
+    }
+    timed("pack_sequences_50k") {
+      val packed = operators.Curation.packSequences(docs).localCheckpoint(true)
+      val agg = packed.agg(sum("token_count").as("toks"),
+        max(col("start_offset") + col("token_count")).as("end")).head()
+      require(agg.getLong(0) == agg.getLong(1), "global prefix sum must be gap-free")
+      packed.count()
+    }
+    timed("tfidf_top_terms_50k") {
+      operators.Curation.tfidfTopTerms(docs).count()
+    }
+    timed("quality_filter_50k") {
+      operators.Curation.qualityFilter(docs).filter(col("keep")).count()
+    }
+    timed("dedup_near_cosine_20k") {
+      val kept = operators.Similarity.dedupNearCosine(emb, 0.999)
+      val n = kept.count()
+      require(n <= nVecs / 4, s"4x identical vectors must collapse: kept $n of $nVecs")
+      n
+    }
+
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val json = results.map { case (k, s, r) => s""""$k":{"sec":${fmt(s)},"rows":$r}""" }
+      .mkString(s"""{"docs":$nDocs,"vecs":$nVecs,""", ",", "}")
+    println(json)
+    spark.stop()
+  }
+}
