@@ -13,7 +13,8 @@ object PlanDump {
       "q1_pricing_summary", "mm_features", "ref_open_envelope",
       "doc_decontaminate", "doc_sample_hash", "doc_sample_stratified",
       "doc_distinct_kmv", "doc_redact_pii", "doc_quality_filter",
-      "doc_tfidf_top_terms")
+      "doc_tfidf_top_terms", "doc_repetition", "doc_source_mix",
+      "doc_pack_sequences")
     val sb = new StringBuilder
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, dir)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 /** Scale smoke for the heavy corpus operators: the sf0.1 corpus
   * replicated 10× with shifted ids (the "duplicated crawl" shape —
-  * 50k docs) and the embedding corpus 4× (20k vectors), through the
+  * 50k docs) and the embedding corpus 4× (8k vectors at sf0.1), through the
   * end-to-end dedup/curation paths. Prints ONE JSON line of
   * {op: {sec, rows}}. Not part of the driver contract — run manually:
   *

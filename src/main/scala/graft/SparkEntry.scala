@@ -787,7 +787,8 @@ object SparkEntry {
          |  FROM documents)
          |SELECT doc_id,
          |       len(regexp_extract_all(t, '$em')) AS email_count,
-         |       len(regexp_extract_all(t, '$ph')) AS phone_count,
+         |       len(regexp_extract_all(regexp_replace(t, '$em', '<EMAIL>', 'g'), '$ph'))
+         |         AS phone_count,
          |       md5(regexp_replace(regexp_replace(t, '$em', '<EMAIL>', 'g'),
          |                          '$ph', '<PHONE>', 'g')) AS redacted_hash
          |FROM withpii ORDER BY doc_id""".stripMargin
@@ -815,7 +816,7 @@ object SparkEntry {
     "doc_repetition" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |         string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |         string_split(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))), ' ') AS toks
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, toks,
@@ -836,7 +837,7 @@ object SparkEntry {
     "doc_source_mix" ->
       """WITH t AS (
         |  SELECT source,
-        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
         |              ELSE len(string_split_regex(trim(text), '\s+')) END AS tc
         |  FROM documents),
         |s AS (SELECT source, count(*) AS doc_count, sum(tc) AS token_sum FROM t GROUP BY 1)
@@ -847,7 +848,7 @@ object SparkEntry {
     "doc_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |         CASE WHEN length(trim(text)) = 0 THEN 0
+        |         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
         |              ELSE len(string_split_regex(trim(text), '\s+')) END AS tc
         |  FROM documents),
         |c AS (
@@ -1132,7 +1133,7 @@ object SparkEntry {
   // double arithmetic is bit-identical.
   private val docTokens =
     """SELECT doc_id, text,
-      |       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |       CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
       |            ELSE string_split_regex(trim(text), '\s+') END AS toks
       |FROM documents""".stripMargin
 

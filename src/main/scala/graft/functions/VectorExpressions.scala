@@ -433,7 +433,10 @@ case class VecSignBits(emb: Expression, planes: Expression)
 object VecSignBits {
   /** Boxed null when the embedding's length mismatches any plane or any
     * element is null; otherwise the OR of (1L << p) over planes whose
-    * dot with the embedding is positive. */
+    * dot with the embedding is positive. NaN dots SET the bit: Spark
+    * SQL (and DuckDB) order NaN above every value, so the when(vec_dot
+    * > 0) shape this kernel replaces evaluates NaN > 0 as true — Java's
+    * primitive compare would silently flip that bucket. */
   def compute(e: ArrayData, m: Array[Array[Double]], isFloat: Boolean): java.lang.Long = {
     val n = e.numElements()
     var i = 0
@@ -455,7 +458,7 @@ object VecSignBits {
       var acc = 0.0
       var j = 0
       while (j < n) { acc += v(j) * row(j); j += 1 }
-      if (acc > 0) bits |= (1L << p)
+      if (acc > 0 || java.lang.Double.isNaN(acc)) bits |= (1L << p)
       p += 1
     }
     bits

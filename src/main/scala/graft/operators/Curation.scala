@@ -82,17 +82,47 @@ object Curation {
     df.filter(hashU32(col(idCol)) < math.floor(rate * 4294967296.0).toLong)
 
   /** Per-stratum deterministic sample: within each `strataCol` value,
-    * keep the ceil(rate · |stratum|) rows with the smallest id hashes —
-    * exact per-stratum proportions (a plain hash filter only hits them
-    * in expectation). One shuffle on the stratum key; rank and count
-    * share the same window partitioning. */
+    * keep the ceil(rate · |stratum|) rows with the smallest (id hash,
+    * id) — exact per-stratum proportions (a plain hash filter only hits
+    * them in expectation).
+    *
+    * NOT a row_number window per stratum: that funnels each entire
+    * stratum through one task (a dominant 'en' stratum at 10¹⁰ docs is
+    * a single multi-billion-row sort). Instead the u32 hash space is
+    * cut into 2¹⁶ buckets (bucket = high 16 bits, so bucket-major order
+    * IS hash order) and the per-stratum cut is located on the tiny
+    * (stratum × bucket) count table: buckets wholly below the cut keep
+    * every row via a broadcast semi-join (no sort at all), and only the
+    * ONE boundary bucket per stratum — ~|stratum|/2¹⁶ rows — is ranked,
+    * partitioned by (stratum, bucket). Output set is identical to the
+    * naive per-stratum rank (CurationSpec asserts parity). */
   def sampleStratified(df: DataFrame, strataCol: String, rate: Double,
                        idCol: String = "doc_id"): DataFrame = {
-    val w = Window.partitionBy(col(strataCol)).orderBy(hashU32(col(idCol)), col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(strataCol))))
-      .filter(col("__rn") <= ceil(col("__n") * rate))
-      .drop("__rn", "__n")
+    // struct-wrapped stratum key: equi-joins match NULL strata (the
+    // naive window samples the NULL group too)
+    val withH = df
+      .withColumn("__sk", struct(col(strataCol)))
+      .withColumn("__h", hashU32(col(idCol)))
+      .withColumn("__b", floor(col("__h") / 65536L))
+    val counts = withH.groupBy(col("__sk"), col("__b")).agg(count(lit(1)).as("__c"))
+    val wStratum = Window.partitionBy(col("__sk"))
+    val wCum = wStratum.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)
+    val cuts = counts
+      .withColumn("__before", coalesce(sum(col("__c")).over(wCum), lit(0L)))
+      .withColumn("__k", ceil(sum(col("__c")).over(wStratum) * rate))
+    val wholeBuckets = cuts.filter(col("__before") + col("__c") <= col("__k"))
+      .select(col("__sk"), col("__b"))
+    val boundary = cuts
+      .filter(col("__before") < col("__k") && col("__before") + col("__c") > col("__k"))
+      .select(col("__sk"), col("__b"), (col("__k") - col("__before")).as("__take"))
+    val keptWhole = withH.join(broadcast(wholeBuckets), Seq("__sk", "__b"), "left_semi")
+    val wBucket = Window.partitionBy(col("__sk"), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+    val keptBoundary = withH.join(broadcast(boundary), Seq("__sk", "__b"))
+      .withColumn("__rn", row_number().over(wBucket))
+      .filter(col("__rn") <= col("__take"))
+      .drop("__take", "__rn")
+    keptWhole.unionByName(keptBoundary).drop("__sk", "__h", "__b")
   }
 
   // ------------------------------------------------------------------
@@ -130,15 +160,21 @@ object Curation {
 
   /** Replace emails and (fixture-shaped) phone numbers with typed
     * placeholder tokens and count the replacements per document — the
-    * pre-training PII scrub. Pure per-row regex projection; at 100 TB
-    * this runs at scan speed with (doc_id, text) pruning. */
-  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    * pre-training PII scrub. The phone count runs on the EMAIL-REDACTED
+    * intermediate (the same text the phone pass rewrites), so each
+    * count equals the number of placeholder tokens actually emitted —
+    * a phone-shaped string inside an email address is consumed by the
+    * email pass and must not be reported as a phone redaction. Pure
+    * per-row regex projection; at 100 TB this runs at scan speed with
+    * (doc_id, text) pruning. */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val emailRedacted = regexp_replace(col(textCol), EmailPattern, "<EMAIL>")
     docs.select(
       col("doc_id"),
-      regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
-        PhonePattern, "<PHONE>").as("redacted"),
+      regexp_replace(emailRedacted, PhonePattern, "<PHONE>").as("redacted"),
       regexp_count(col(textCol), lit(EmailPattern)).as("email_count"),
-      regexp_count(col(textCol), lit(PhonePattern)).as("phone_count"))
+      regexp_count(emailRedacted, lit(PhonePattern)).as("phone_count"))
+  }
 
   // ------------------------------------------------------------------
   // Quality-rule filtering
@@ -174,7 +210,9 @@ object Curation {
     * template/boilerplate/keyword-stuffing docs a quality gate should
     * drop. Pure per-row array arithmetic — scan speed, no shuffle. */
   def repetitionStats(docs: DataFrame, textCol: String = "text", gramN: Int = 3): DataFrame = {
-    val toksE = split(TextDedup.normalize(col(textCol)), " ")
+    // NULL text profiles as empty text (the oracle coalesces the same
+    // way) — split(NULL) would propagate size() = -1 into the ratios
+    val toksE = split(TextDedup.normalize(coalesce(col(textCol), lit(""))), " ")
     val gramsE = when(size(toksE) < gramN, array(concat_ws(" ", toksE)))
       .otherwise(transform(sequence(lit(1), size(toksE) - (gramN - 1)),
         i => concat_ws(" ", slice(toksE, i, lit(gramN)))))
@@ -255,20 +293,23 @@ object Curation {
     * bit-identical across engines, where log's last-ulp behavior is
     * libm-specific). Ties break on the term string.
     *
-    * `n` is the corpus document count (a bounded driver scalar).
-    * Shuffles: slim (doc_id, term) explode → per-doc term counts →
-    * term-keyed df aggregate over the ALREADY-distinct (doc, term)
-    * rows (no countDistinct pass) → join back on term → one per-doc
-    * window. */
+    * `n` is the corpus document count, carried as a LAZY 1-row
+    * aggregate cross-joined onto the scored pairs (the oracle's
+    * `(SELECT n FROM n)` scalar) — a driver-side docs.count() here
+    * would run a corpus scan merely to CONSTRUCT the query, before any
+    * caller decides to execute it. Shuffles: slim (doc_id, term)
+    * explode → per-doc term counts → term-keyed df aggregate over the
+    * ALREADY-distinct (doc, term) rows (no countDistinct pass) → join
+    * back on term → one per-doc window. */
   def tfidfTopTerms(docs: DataFrame, topK: Int = 3, textCol: String = "text"): DataFrame = {
-    val n = docs.count()
+    val n = docs.agg(count(lit(1)).cast("double").as("__n"))
     val toks = docs.select(col("doc_id"),
       explode(split(TextDedup.normalize(col(textCol)), " ")).as("term"))
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, Seq("term"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
-        (col("tf") * lit(n.toDouble) / col("df")).as("score"))
+        (col("tf") * col("__n") / col("df")).as("score"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
       .select(col("doc_id"), col("rank"), col("term"), round(col("score"), 6).as("tfidf"))

@@ -26,9 +26,13 @@ object TextStats {
     "fr" -> Seq("le", "la", "les", "et", "des", "en", "un", "une", "du", "que"),
     "es" -> Seq("el", "los", "de", "y", "en", "un", "una", "que", "es", "no"))
 
-  /** Whitespace tokens of trimmed text; empty text → empty array. */
+  /** Whitespace tokens of trimmed text; empty OR NULL text → empty
+    * array. The NULL guard matters: without it size(split(NULL)) is -1
+    * (Spark's legacy sizeOfNull), which corrupts every token-count
+    * consumer (packing offsets, source-mix sums, quality rules) and
+    * diverges from the DuckDB oracles' CASE, which yields 0. */
   def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
+    when(coalesce(length(trim(text)), lit(0)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(text), "\\s+"))
 
   def tokenCount(text: Column): Column = size(tokens(text))

@@ -23,42 +23,53 @@ object CurationPipeline {
   val PairsTable = "doc_neardup_pairs"
   val CuratedTable = "documents_curated"
 
+  /** The near-dup pair-mining + cluster-decision stages, shared by
+    * [[run]] and [[runFull]] and parameterized over the corpus source
+    * and the metric key carrying its input count — the skip-metric and
+    * loser-derivation logic must never exist twice and drift apart.
+    * `source` is a thunk (XCom discipline: runFull's source is a
+    * catalog table the PREVIOUS stage publishes, which must be resolved
+    * at stage-execution time, not pipeline-construction time). */
+  private def dedupStages(spark: SparkSession, source: () => DataFrame,
+                          inputKey: String, jaccardThreshold: Double,
+                          maxBucketSize: Int): Seq[Stage] = Seq(
+    Stage("near_dup_pairs") { _ =>
+      // one banding pass feeds BOTH the pairs and the skip metric —
+      // the cap must never truncate silently, and observing it must
+      // not re-hash the corpus
+      val (pairs, skippedBuckets) = TextDedup.nearDupPairsAndSkipsMinhash(source(),
+        jaccardThreshold = jaccardThreshold, maxBucketSize = maxBucketSize)
+      Catalog.overwriteTable(pairs, PairsTable)
+      val skipped = skippedBuckets
+        .agg(count(lit(1)).as("buckets"),
+          coalesce(sum("member_count"), lit(0L)).as("members")).head()
+      Map(
+        "near_dup_pairs" -> spark.table(PairsTable).count(),
+        "skipped_buckets_minhash" -> skipped.getLong(0),
+        "skipped_bucket_members_minhash" -> skipped.getLong(1))
+    },
+    Stage("dedup_decisions") { m =>
+      val losers = Components.connectedComponents(spark.table(PairsTable))
+        .filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id"))
+      // reader-facing tier: atomic versioned publish
+      Catalog.ctasOverwrite(source().join(losers, Seq("doc_id"), "left_anti"), CuratedTable)
+      val kept = spark.table(CuratedTable).count()
+      // the input count travels via the metric map (XCom discipline) —
+      // no second corpus count
+      Map("docs_kept" -> kept, "docs_removed" -> (m(inputKey) - kept))
+    })
+
   def run(spark: SparkSession, docs: DataFrame,
           jaccardThreshold: Double = 0.8,
           maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
           notify: PipelineReport => Unit = _ => ()): PipelineReport = {
-    val stages = Seq(
-      Stage("near_dup_pairs") { _ =>
-        // one banding pass feeds BOTH the pairs and the skip metric —
-        // the cap must never truncate silently, and observing it must
-        // not re-hash the corpus
-        val (pairs, skippedBuckets) = TextDedup.nearDupPairsAndSkipsMinhash(docs,
-          jaccardThreshold = jaccardThreshold, maxBucketSize = maxBucketSize)
-        Catalog.overwriteTable(pairs, PairsTable)
-        val skipped = skippedBuckets
-          .agg(count(lit(1)).as("buckets"),
-            coalesce(sum("member_count"), lit(0L)).as("members")).head()
-        Map(
-          "near_dup_pairs" -> spark.table(PairsTable).count(),
-          "skipped_buckets_minhash" -> skipped.getLong(0),
-          "skipped_bucket_members_minhash" -> skipped.getLong(1))
-      },
-      Stage("dedup_decisions") { m =>
-        val losers = Components.connectedComponents(spark.table(PairsTable))
-          .filter(col("id") =!= col("component"))
-          .select(col("id").as("doc_id"))
-        val curated = docs.join(losers, Seq("doc_id"), "left_anti")
-        // reader-facing tier: atomic versioned publish
-        Catalog.ctasOverwrite(curated, CuratedTable)
-        val kept = spark.table(CuratedTable).count()
-        // docs_in travels via the metric map (XCom discipline) — no
-        // second corpus count
-        Map("docs_kept" -> kept, "docs_removed" -> (m("docs_in") - kept))
-      })
+    val stages = dedupStages(spark, () => docs, "docs_in", jaccardThreshold, maxBucketSize)
     new Runner(stages, RetryPolicy(retries = 1), notify).run(Map("docs_in" -> docs.count()))
   }
 
   val QualityTable = "documents_quality"
+  val QualityFlagsTable = "documents_quality_flags"
   val SequencesTable = "documents_sequences"
 
   /** The FULL training-data flow: quality gate → benchmark
@@ -75,13 +86,19 @@ object CurationPipeline {
               maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
               seqLen: Int = 2048,
               notify: PipelineReport => Unit = _ => ()): PipelineReport = {
-    val stages = Seq(
+    val stages = Seq[Stage](
       Stage("quality_gate") { m =>
-        val gated = docs.join(
-          Curation.qualityFilter(docs).filter(col("keep")).select("doc_id"), Seq("doc_id"))
-        Catalog.overwriteTable(gated, QualityTable)
+        // ONE qualityFilter evaluation: the (doc_id, keep, drop_reason)
+        // flags land in a staging table, and both the gated corpus and
+        // the per-reason drop counts derive from it — profiling the
+        // raw corpus (token/punct/stopword regexes) is the expensive
+        // part and must not run twice
+        Catalog.overwriteTable(Curation.qualityFilter(docs), QualityFlagsTable)
+        val flags = spark.table(QualityFlagsTable)
+        Catalog.overwriteTable(
+          docs.join(flags.filter(col("keep")).select("doc_id"), Seq("doc_id")), QualityTable)
         // per-reason drop counts: bounded cardinality (one row per rule)
-        val reasons = Curation.qualityFilter(docs).filter(!col("keep"))
+        val reasons = flags.filter(!col("keep"))
           .groupBy("drop_reason").count().collect()
           .map(r => s"quality_dropped_${r.getString(0)}" -> r.getLong(1)).toMap
         val kept = spark.table(QualityTable).count()
@@ -94,30 +111,10 @@ object CurationPipeline {
         Catalog.overwriteTable(clean, QualityTable + "_clean")
         val kept = spark.table(QualityTable + "_clean").count()
         Map("contaminated" -> (m("quality_kept") - kept), "decontaminated_kept" -> kept)
-      },
-      Stage("near_dup_pairs") { _ =>
-        val clean = spark.table(QualityTable + "_clean")
-        val (pairs, skippedBuckets) = TextDedup.nearDupPairsAndSkipsMinhash(clean,
-          jaccardThreshold = jaccardThreshold, maxBucketSize = maxBucketSize)
-        Catalog.overwriteTable(pairs, PairsTable)
-        val skipped = skippedBuckets
-          .agg(count(lit(1)).as("buckets"),
-            coalesce(sum("member_count"), lit(0L)).as("members")).head()
-        Map(
-          "near_dup_pairs" -> spark.table(PairsTable).count(),
-          "skipped_buckets_minhash" -> skipped.getLong(0),
-          "skipped_bucket_members_minhash" -> skipped.getLong(1))
-      },
-      Stage("dedup_decisions") { m =>
-        val clean = spark.table(QualityTable + "_clean")
-        val losers = Components.connectedComponents(spark.table(PairsTable))
-          .filter(col("id") =!= col("component"))
-          .select(col("id").as("doc_id"))
-        Catalog.ctasOverwrite(clean.join(losers, Seq("doc_id"), "left_anti"), CuratedTable)
-        val kept = spark.table(CuratedTable).count()
-        Map("docs_kept" -> kept, "docs_removed" -> (m("decontaminated_kept") - kept))
-      },
-      Stage("pack_sequences") { _ =>
+      }) ++
+      dedupStages(spark, () => spark.table(QualityTable + "_clean"),
+        "decontaminated_kept", jaccardThreshold, maxBucketSize) ++
+      Seq(Stage("pack_sequences") { _ =>
         val packed = Curation.packSequences(spark.table(CuratedTable), seqLen = seqLen)
         Catalog.ctasOverwrite(packed, SequencesTable)
         val agg = spark.table(SequencesTable)

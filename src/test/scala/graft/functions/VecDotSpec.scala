@@ -100,6 +100,23 @@ class VecDotSpec extends SparkSpec {
     assert(both.filter($"native" =!= $"hof").count() == 0)
   }
 
+  test("vec_sign_bits sets the bit for NaN dots, matching SQL comparison semantics") {
+    // a NaN element makes every plane dot NaN; Spark SQL (and DuckDB)
+    // order NaN above all values, so the when(vec_dot > 0) shape the
+    // kernel replaces sets every bit — Java's primitive > would not
+    val planes = Similarity.md5Planes(4, 2)
+    val df = Seq(Tuple1(Array(Float.NaN, 1.0f))).toDF("e")
+    val whenChain = planes.zipWithIndex.map { case (p, i) =>
+      when(Similarity.dotHof($"e", typedLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val row = df.select(
+      call_function("vec_sign_bits", $"e", typedLit(planes)).as("native"),
+      whenChain.as("composed")).head()
+    assert(row.getLong(0) == row.getLong(1),
+      s"native=${row.getLong(0)} composed=${row.getLong(1)}")
+    assert(row.getLong(0) == 15L)
+  }
+
   test("scoring runs inside whole-stage codegen") {
     val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val plan = e.select(Similarity.dot($"embedding", $"embedding").as("d"))

@@ -56,6 +56,48 @@ class CurationSpec extends SparkSpec {
       Curation.sampleStratified(d, "lang", 0.25).select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("sampleStratified (bucketed) matches the naive per-stratum rank, incl. NULL strata") {
+    import org.apache.spark.sql.expressions.Window
+    val d = (0 until 400).map { i =>
+      val lang = i % 7 match {
+        case 0 => null; case 1 | 2 => "en"; case 3 | 4 | 5 => "de"; case _ => "fr"
+      }
+      (i.toLong, lang)
+    }.toDF("doc_id", "lang")
+    for (rate <- Seq(0.1, 0.33, 1.0)) {
+      val naiveW = Window.partitionBy($"lang").orderBy(Curation.hashU32($"doc_id"), $"doc_id")
+      val naive = d.withColumn("__rn", row_number().over(naiveW))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy($"lang")))
+        .filter($"__rn" <= ceil($"__n" * rate))
+        .select("doc_id").as[Long].collect().toSet
+      val bucketed = Curation.sampleStratified(d, "lang", rate)
+        .select("doc_id").as[Long].collect().toSet
+      assert(bucketed == naive, s"rate $rate: ${bucketed.size} vs ${naive.size}")
+    }
+  }
+
+  test("NULL text counts as zero tokens everywhere (no size(null) = -1 leakage)") {
+    val d = Seq((0L, "four tokens right here"), (1L, null: String), (2L, ""))
+      .toDF("doc_id", "text")
+    val packed = Curation.packSequences(d, seqLen = 10, chunkDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("token_count"), r.getAs[Long]("start_offset")))
+    assert(packed.toSeq == Seq((4L, 0L), (0L, 4L), (0L, 4L)), packed.mkString(","))
+    val qf = Curation.qualityFilter(d).orderBy("doc_id").collect()
+      .map(r => Option(r.getAs[String]("drop_reason")))
+    assert(qf.forall(_.contains("too_short")), qf.mkString(","))
+    val mix = Curation.sourceMix(d.withColumn("source", lit("s"))).head()
+    assert(mix.getAs[Long]("token_sum") == 4L)
+  }
+
+  test("redactPii: phone-shaped text inside an email is one email redaction, zero phone") {
+    val d = Seq((1L, "mail 555-1234@example.com now")).toDF("doc_id", "text")
+    val r = Curation.redactPii(d).head()
+    assert(r.getAs[String]("redacted") == "mail <EMAIL> now")
+    assert(r.getAs[Int]("email_count") == 1)
+    assert(r.getAs[Int]("phone_count") == 0)
+  }
+
   test("kmvDistinct estimates within ~3 standard errors and is exact under k") {
     // 2000 distinct values, k=64: relative SE ~ 1/sqrt(k-2) ~ 12.7%
     val many = spark.range(2000).select(concat(lit("v"), $"id").as("v"))
