@@ -840,7 +840,7 @@ object SparkEntry {
         |         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
         |              ELSE len(string_split_regex(trim(text), '\s+')) END AS tc
         |  FROM documents),
-        |s AS (SELECT source, count(*) AS doc_count, sum(tc) AS token_sum FROM t GROUP BY 1)
+        |s AS (SELECT source, count(*) AS doc_count, CAST(sum(tc) AS BIGINT) AS token_sum FROM t GROUP BY 1)
         |SELECT source, doc_count, token_sum,
         |       CAST(ROUND(token_sum::DOUBLE / (SELECT sum(token_sum) FROM s), 6) AS DOUBLE) AS weight
         |FROM s ORDER BY source""".stripMargin,
@@ -856,7 +856,8 @@ object SparkEntry {
         |         coalesce(sum(tc) OVER (ORDER BY doc_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
         |  FROM t)
-        |SELECT doc_id, tc AS token_count, prev AS start_offset, prev // 2048 AS seq_no
+        |SELECT doc_id, tc AS token_count, CAST(prev AS BIGINT) AS start_offset,
+        |       CAST(prev // 2048 AS BIGINT) AS seq_no
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "doc_tfidf_top_terms" ->
