@@ -14,19 +14,27 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm the JVM + parquet footers once so timings measure the
-    // queries, not classloading/codegen of the first plan.
-    try Tables.load(spark, sfDir, "events").count()
-    catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
+    // queries, not classloading/codegen of the first plan. Touch every
+    // fact table the corpus queries scan, not just events.
+    for (t <- Seq("events", "documents", "embeddings", "lineitem"))
+      try Tables.load(spark, sfDir, t).count()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $t: ${e.getMessage}") }
 
     // Fixture-heavy queries (temp-dir landing + filesystem churn inside
     // the timed region — the fixture IS part of what they exercise, so
     // it cannot move out) swing ±40% run-to-run and are ~25% of the
     // total; report their MEDIAN OF 3 fresh reps so round-over-round
-    // deltas track operator cost, not fs noise. Everything else runs
-    // once. (Variance note: PLANS.md.)
+    // deltas track operator cost, not fs noise. Cheap queries (<3 s
+    // first rep) are equally noise-dominated in absolute terms — GC or
+    // codegen pauses from neighboring corpus-wide queries showed up as
+    // phantom 3-4x "regressions" in round 5 — so they ALSO get
+    // median-of-3 (adaptive: the two extra reps only run when the
+    // first rep was cheap, bounding the added wall time).
+    // (Variance note: PLANS.md.)
     val fixtureHeavy = Set(
       "ref_ingest_roundtrip", "ref_open_envelope",
       "stream_hourly_counts", "stream_user_sessions", "stream_running_counts")
+    val medianUnderSec = 3.0
     // local-iteration filter (unset in driver runs): comma-separated
     // query names
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
@@ -34,14 +42,19 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .flatMap { case (name, fn) =>
-      val reps = if (fixtureHeavy(name)) 3 else 1
       try {
-        val times = (1 to reps).map { _ =>
+        def rep(): Double = {
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
         }
-        Some(name -> times.sorted.apply(reps / 2))
+        val first = rep()
+        val t =
+          if (fixtureHeavy(name) || first < medianUnderSec) {
+            val times = Seq(first, rep(), rep()).sorted
+            times(1) // median of 3
+          } else math.min(first, rep()) // heavy: min of 2 strips cold-start
+        Some(name -> t)
       } catch {
         case e: Throwable =>
           errors ::= name

@@ -717,7 +717,12 @@ object SparkEntry {
     // Concat-then-slice training batch assembly: global token offsets
     // via the two-level prefix sum (never a global window).
     "doc_pack_sequences" -> ((s, dir) =>
-      Curation.packSequences(docs(s, dir), seqLen = 2048).orderBy("doc_id"))
+      Curation.packSequences(docs(s, dir), seqLen = 2048).orderBy("doc_id")),
+
+    // Per-sequence slices (the training-batch assembly contract): docs
+    // straddling a 2048-token boundary emit one segment per sequence.
+    "doc_pack_segments" -> ((s, dir) =>
+      Curation.packSegments(docs(s, dir), seqLen = 2048).orderBy("seq_no", "doc_id"))
   )
 
   // DuckDB mirrors of the curation queries. The 8-gram derivation and
@@ -859,6 +864,27 @@ object SparkEntry {
         |SELECT doc_id, tc AS token_count, CAST(prev AS BIGINT) AS start_offset,
         |       CAST(prev // 2048 AS BIGINT) AS seq_no
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "doc_pack_segments" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS tc
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(tc AS BIGINT) AS tc,
+        |         CAST(coalesce(sum(tc) OVER (ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+        |  FROM t),
+        |s AS (
+        |  SELECT doc_id, tc, prev,
+        |         unnest(range(prev // 2048, (prev + tc - 1) // 2048 + 1)) AS seq_no
+        |  FROM c WHERE tc > 0)
+        |SELECT seq_no, doc_id,
+        |       greatest(prev, seq_no * 2048) - prev AS doc_token_start,
+        |       least(prev + tc, (seq_no + 1) * 2048)
+        |         - greatest(prev, seq_no * 2048) AS token_len
+        |FROM s ORDER BY seq_no, doc_id""".stripMargin,
 
     "doc_tfidf_top_terms" ->
       """WITH toks AS (

@@ -282,6 +282,34 @@ object Curation {
         floor((col("__prev") + col("__off")) / seqLen).cast("long").as("seq_no"))
   }
 
+  /** The per-sequence slices behind [[packSequences]] — the actual
+    * training-batch assembly contract. A doc occupying global token
+    * range [start, start+tc) contributes one segment to EVERY sequence
+    * it straddles: sequence k gets the doc's tokens
+    * [max(0, k·L − start), …) for min(start+tc, (k+1)·L) −
+    * max(start, k·L) tokens. Empty docs contribute nothing.
+    *
+    * Same two-level prefix sum as packSequences (no global window);
+    * the only new work is a bounded `sequence()` explode — a doc spans
+    * ceil(tc/L)+1 sequences at most, so the expansion factor is
+    * ~avg_doc_tokens/L + 1 (≈2 for 2048-token sequences over web
+    * docs), a row-local flatMap with no shuffle of its own. */
+  def packSegments(docs: DataFrame, seqLen: Int = 2048, chunkDocs: Int = 1024,
+                   textCol: String = "text"): DataFrame = {
+    val packed = packSequences(docs, seqLen, chunkDocs, textCol)
+    val start = col("start_offset")
+    val end = col("start_offset") + col("token_count")
+    val segStart = greatest(start, col("seq_no") * seqLen)
+    val segEnd = least(end, (col("seq_no") + 1) * seqLen)
+    packed.filter(col("token_count") > 0)
+      .withColumn("seq_no",
+        explode(sequence(col("seq_no"),
+          floor((end - 1) / seqLen).cast("long"))))
+      .select(col("seq_no"), col("doc_id"),
+        (segStart - start).as("doc_token_start"),
+        (segEnd - segStart).as("token_len"))
+  }
+
   // ------------------------------------------------------------------
   // TF-IDF keyword extraction
   // ------------------------------------------------------------------

@@ -9,10 +9,11 @@ import org.apache.spark.sql.types._
   * by per-partition batch decoders.
   *
   * The Spark-side machinery here — schema, partition-batched iteration,
-  * decoder signature, feature layout — is real and tested. The actual
-  * media decode is STUBBED (no image/audio codecs in this container):
-  * [[StubDecoder]] produces deterministic fake features from the bytes,
-  * and [[realDecoder]] documents the intended production signature.
+  * decoder signature, feature layout — is real and tested. IMAGE decode
+  * is real too ([[ImageIoDecoder]], on the JVM's own `javax.imageio`);
+  * audio/video codecs are absent from this container, so those kinds
+  * fall back to [[StubDecoder]], which produces deterministic fake
+  * features from the bytes so tests can assert plumbing end-to-end.
   *
   * Scale notes: media blobs dominate row size, so the decode runs as
   * `mapPartitions` over rows already co-located by the scan — no
@@ -57,11 +58,67 @@ object Multimodal {
     }
   }
 
-  /** Production decoder stub — would bind an image/audio codec library
-    * (not present in this container). Kept to pin the intended
-    * signature; do not call. */
-  def realDecoder: Decoder = throw new NotImplementedError(
-    "media codecs unavailable in this environment; use StubDecoder or inject a Decoder")
+  /** Real image decoder on `javax.imageio` (ships with every JVM — no
+    * new dependency): PNG/JPEG/GIF/BMP bytes → geometry + color
+    * statistics. Feature layout (FeatureDim = 16):
+    * {{{
+    * 0 width   1 height   2 raster bands   3..5 mean R,G,B in [0,1]
+    * 6 mean luminance [0,1]   7 aspect ratio (w/h)
+    * 8..15 8-bin luminance histogram (fractions summing to 1)
+    * }}}
+    * Pixels are strided so at most ~256×256 samples are read per image
+    * — decode cost is bounded per row regardless of megapixels. Audio/
+    * video kinds fall back to `fallback` (those codecs genuinely absent
+    * here); undecodable image bytes yield null features rather than an
+    * exception — one corrupt blob must not kill a 100 TB decode pass.
+    */
+  final class ImageIoDecoder(fallback: Decoder = StubDecoder) extends Decoder {
+    def decode(kind: String, format: String, bytes: Array[Byte]): Array[Float] = {
+      if (kind != "image") return fallback.decode(kind, format, bytes)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) return null
+      val w = img.getWidth
+      val h = img.getHeight
+      val sx = math.max(1, w / 256)
+      val sy = math.max(1, h / 256)
+      var sr = 0.0; var sg = 0.0; var sb = 0.0
+      val hist = new Array[Long](8)
+      var n = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xFF
+          val g = (rgb >> 8) & 0xFF
+          val b = rgb & 0xFF
+          sr += r; sg += g; sb += b
+          hist(((r + g + b) / 3) >> 5) += 1
+          n += 1
+          x += sx
+        }
+        y += sy
+      }
+      val out = new Array[Float](FeatureDim)
+      out(0) = w.toFloat
+      out(1) = h.toFloat
+      out(2) = img.getRaster.getNumBands.toFloat
+      out(3) = (sr / n / 255.0).toFloat
+      out(4) = (sg / n / 255.0).toFloat
+      out(5) = (sb / n / 255.0).toFloat
+      out(6) = ((sr + sg + sb) / (3.0 * n) / 255.0).toFloat
+      out(7) = w.toFloat / h.toFloat
+      var i = 0
+      while (i < 8) { out(8 + i) = (hist(i).toDouble / n).toFloat; i += 1 }
+      out
+    }
+  }
+
+  /** Production decoder: real image decode, stub fallback for the
+    * media kinds whose codecs this environment lacks. */
+  def realDecoder: Decoder = new ImageIoDecoder()
 
   /** Feature extraction: adds a `features` array<float> column, decoder
     * run per partition. The partition iterator is consumed lazily —

@@ -176,6 +176,36 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq == (0L until 7L).map(i => (i, i * 4, i * 4 / 10)).toSeq, out.mkString(","))
   }
 
+  test("packSegments slices straddling docs into per-sequence segments") {
+    // capacity 10: doc 0 fills [0,8), doc 1 straddles [8,15) across
+    // seqs 0 and 1, doc 2 is empty (no segments), doc 3 spans [15,40)
+    // across seqs 1-3
+    val d = Seq(
+      (0L, Seq.fill(8)("w").mkString(" ")),
+      (1L, Seq.fill(7)("w").mkString(" ")),
+      (2L, ""),
+      (3L, Seq.fill(25)("w").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Curation.packSegments(d, seqLen = 10, chunkDocs = 2)
+      .orderBy("seq_no", "doc_id").collect()
+      .map(r => (r.getAs[Long]("seq_no"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("doc_token_start"), r.getAs[Long]("token_len")))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 0L, 8L),   // doc 0 whole
+      (0L, 1L, 0L, 2L),   // doc 1 head fills seq 0 to capacity
+      (1L, 1L, 2L, 5L),   // doc 1 tail
+      (1L, 3L, 0L, 5L),   // doc 3 head fills seq 1
+      (2L, 3L, 5L, 10L),  // doc 3 middle fills seq 2 exactly
+      (3L, 3L, 15L, 10L)  // doc 3 tail fills seq 3 exactly
+    ), out.mkString(","))
+    // invariant: segments of a doc concatenate to the whole doc
+    val sums = out.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+    assert(sums == Map(0L -> 8L, 1L -> 7L, 3L -> 25L))
+    // invariant: no sequence exceeds capacity
+    val seqSums = out.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(seqSums.values.forall(_ <= 10L), seqSums.toString)
+  }
+
   test("tfidfTopTerms ranks rare terms above common ones, k rows per doc max") {
     val d = Seq(
       (1L, "common common common rare"),

@@ -28,6 +28,48 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ImageIoDecoder decodes a real PNG through withFeatures") {
+    // two real images, authored via the same javax.imageio the decoder
+    // reads with: 4x2 pure red PNG and a 3x3 half-gray JPEG
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, "image", "png", png(4, 2, 0xFF0000)),   // pure red
+      (2L, "image", "png", png(3, 3, 0x808080)),   // mid gray
+      (3L, "image", "png", Array[Byte](1, 2, 3)),  // corrupt -> null
+      (4L, "audio", "wav", Array[Byte](9, 9))      // non-image -> stub fallback
+    ).toDF("media_id", "kind", "format", "bytes")
+      .withColumn("width", lit(null).cast("int"))
+      .withColumn("height", lit(null).cast("int"))
+      .withColumn("duration_ms", lit(null).cast("long"))
+      .select("media_id", "kind", "format", "width", "height", "duration_ms", "bytes")
+    val out = Multimodal.withFeatures(media, new Multimodal.ImageIoDecoder())
+      .select("media_id", "features").collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        Option(r.getAs[scala.collection.Seq[Float]]("features")).map(_.toArray)).toMap
+
+    val red = out(1L).get
+    assert(red(0) == 4f && red(1) == 2f)            // dims
+    assert(red(3) == 1f && red(4) == 0f && red(5) == 0f) // mean R,G,B
+    assert(red(7) == 2f)                             // aspect
+    assert(math.abs(red(8 + (85 >> 5)) - 1f) < 1e-6) // all pixels in lum-85 bin
+
+    val gray = out(2L).get
+    assert(gray(0) == 3f && gray(1) == 3f)
+    assert(math.abs(gray(3) - 128f / 255f) < 1e-6 && gray(3) == gray(4) && gray(4) == gray(5))
+    assert(math.abs(gray(8 + (128 >> 5)) - 1f) < 1e-6)
+
+    assert(out(3L).isEmpty)                          // corrupt image -> null
+    assert(out(4L).get.sameElements(                 // audio -> stub fallback
+      Multimodal.StubDecoder.decode("audio", "wav", Array[Byte](9, 9))))
+  }
+
   test("decode runs per partition without shuffling the media") {
     val plan = Multimodal.withFeatures(Multimodal.syntheticMedia(spark, 10))
       .queryExecution.executedPlan.toString
