@@ -72,12 +72,23 @@ object JsonIngest {
   def readJson(spark: SparkSession, path: String, globGz: Boolean = true): DataFrame = {
     val r = spark.read
     val txt = (if (globGz) r.option("pathGlobFilter", "*.gz") else r).text(path)
+    stagingProject(txt)
+  }
+
+  /** The PERMISSIVE staging projection over a `value` column of raw
+    * JSON lines, shared by every transport (file scan, in-memory
+    * queue, a future Kinesis/Kafka binding): malformed lines land
+    * whole in `raw_data`, parsed rows carry their line as
+    * `raw_payload`, extra input columns (e.g. discovered partition
+    * columns) pass through. Works on batch and streaming inputs alike
+    * — it is a pure projection. */
+  def stagingProject(lines: DataFrame): DataFrame = {
     val opts = Map(
       "mode" -> "PERMISSIVE",
       "columnNameOfCorruptRecord" -> "raw_data",
       "timestampNTZFormat" -> TsFormat)
-    val partCols = txt.columns.filterNot(_ == "value").map(col)
-    txt
+    val partCols = lines.columns.filterNot(_ == "value").map(col)
+    lines
       // the line reader surfaces blank lines and the JSON literal
       // `null`; the JSON datasource reader skips both — they are empty
       // input, not records (a phantom all-null row would be invisible
