@@ -530,6 +530,23 @@ object SparkEntry {
         jaccardThreshold = 0.5)
         .select("doc_id").orderBy("doc_id")),
 
+    // Incremental near-dup: a new crawl slice reconciled against the
+    // STORED band index of the curated tier (tier never re-banded, never
+    // shuffled). Split fixture: tier = doc_id < 250, batch = the rest
+    // plus planted copies of tier docs; the oracle is batch-global
+    // dedup over tier ∪ batch restricted to batch rows (equivalent
+    // because tier ids precede batch ids).
+    "doc_neardup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val tier = d.filter(col("doc_id") < 250)
+      val batch = d.filter(col("doc_id") >= 250)
+        .unionByName(tier.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      TextDedup.nearDupAgainst(tier, batch, jaccardThreshold = 0.5,
+          tierIndex = Some(TextDedup.bandIndex(tier)))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // SimHash near-dup on the md5 signature: the Spark plan is the
     // chunked-LSH pipeline (pigeonhole bucketing is EXACT for
     // hamming ≤ 3 of 4 chunks, recall 1 by construction), so the
@@ -1406,6 +1423,44 @@ object SparkEntry {
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Batch-global truth for the incremental path: dedup tier ∪ batch,
+    // keep the batch rows. Tier = doc_id < 250; batch = the rest plus
+    // planted copies of tier docs (ids + 100000).
+    "doc_neardup_incremental" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id < 250),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks)-1),
+        |                            i -> array_to_string(toks[i:i+2], ' '))) END AS s
+        |  FROM (SELECT doc_id,
+        |               string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |        FROM corpus)),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s))::DOUBLE
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |clusters AS (
+        |  SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM (
+        |    SELECT src AS id, dst AS lbl FROM reach
+        |    UNION SELECT src, src FROM edges)
+        |  GROUP BY 1)
+        |SELECT doc_id FROM corpus
+        |WHERE doc_id >= 250
+        |  AND doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "doc_simhash_sig" ->
       s"""WITH sigs AS ($simhashSigs)

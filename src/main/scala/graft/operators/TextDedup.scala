@@ -262,6 +262,103 @@ object TextDedup {
   }
 
   // ------------------------------------------------------------------
+  // Incremental near-dup: batch vs an existing curated tier
+  // ------------------------------------------------------------------
+
+  /** The persistable (doc_id, band, bucket) LSH index of a corpus —
+    * what a curation pipeline stores for its curated tier
+    * ([[graft.pipeline.CurationPipeline.BandIndexTable]]) so that each
+    * incoming crawl slice bands ONCE and equi-joins the stored index,
+    * instead of re-banding the whole tier per batch. At 100 TB the
+    * index is ~rows × bands slim longs — a small fraction of the text
+    * it summarizes. */
+  def bandIndex(docs: DataFrame, textCol: String = "text", shingleN: Int = 3,
+                numHashes: Int = 32, bands: Int = 16): DataFrame =
+    mhBanded(docs, textCol, shingleN, numHashes, bands)
+
+  /** Incremental fuzzy dedup: keep the members of `batch` (a new crawl
+    * slice) that survive near-dup reconciliation against an existing
+    * `tier` (the already-curated corpus) AND within the batch itself.
+    * The tier is never modified and never re-deduplicated.
+    *
+    * Semantics (equal to running batch-global [[dedupNearMinhash]]
+    * over tier ∪ batch and keeping the batch rows, whenever tier ids
+    * precede batch ids — the natural monotone-id ingest discipline):
+    * a batch doc is dropped iff its near-dup component contains ANY
+    * tier doc, or it is a non-canonical (non-minimum) member of a
+    * batch-only component. Tier–tier edges are irrelevant: any batch
+    * doc connected to the tier through tier-internal chains is already
+    * connected by its FIRST tier contact, so only batch-involved pairs
+    * are ever generated.
+    *
+    * Plan shape: `batch` bands once (slim rows, checkpointed —
+    * candidate generation and the in-batch expansion share one
+    * evaluation); cross candidates are a (band, bucket) equi-join of
+    * the batch keys against `tierIndex` with the combined bucket
+    * population capped at `maxBucketSize` (same discipline and skip
+    * observability as the batch-global path); the exact-Jaccard verify
+    * computes tier shingles ONLY for candidate ids (the semi-join
+    * lands before the shingle projection, so the tier text scan prunes
+    * to candidates); components run over the batch-involved edge list.
+    * Nothing ever shuffles the tier. */
+  def nearDupAgainst(
+      tier: DataFrame,
+      batch: DataFrame,
+      textCol: String = "text",
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      jaccardThreshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      tierIndex: Option[DataFrame] = None): DataFrame = {
+    val tIdx = tierIndex.getOrElse(bandIndex(tier, textCol, shingleN, numHashes, bands))
+    val bIdx = bandIndex(batch, textCol, shingleN, numHashes, bands).localCheckpoint(true)
+
+    // cross candidates: batch keys probe the stored tier index; buckets
+    // whose combined membership exceeds the cap are excluded before any
+    // pair materializes (degenerate boilerplate keys, as in the
+    // batch-global path)
+    val tCnt = tIdx.groupBy("band", "bucket").agg(count(lit(1)).as("__tc"))
+    val bCnt = bIdx.groupBy("band", "bucket").agg(count(lit(1)).as("__bc"))
+    val okBuckets = bCnt.join(tCnt, Seq("band", "bucket"))
+      .filter(col("__tc") + col("__bc") <= maxBucketSize)
+      .select("band", "bucket")
+    val cross = bIdx.join(okBuckets, Seq("band", "bucket"))
+      .select(col("band"), col("bucket"), col("doc_id").as("b_id"))
+      .join(tIdx.select(col("band"), col("bucket"), col("doc_id").as("t_id")),
+        Seq("band", "bucket"))
+      .select(col("t_id"), col("b_id")).distinct()
+
+    // exact-Jaccard verify; the tier side prunes to candidate ids
+    // BEFORE the shingle projection, so tier text is only hashed for
+    // rows that banded with something in the batch
+    val tSh = tier
+      .join(cross.select(col("t_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("t_id"), hashedShingles(col(textCol), shingleN).as("t_sh"))
+    val bSh = batch.select(col("doc_id").as("b_id"),
+      hashedShingles(col(textCol), shingleN).as("b_sh"))
+    val crossVerified = cross
+      .join(tSh, Seq("t_id")).join(bSh, Seq("b_id"))
+      .filter(size(array_intersect(col("t_sh"), col("b_sh"))).cast("double") /
+        size(array_union(col("t_sh"), col("b_sh"))) >= jaccardThreshold)
+      .select(col("t_id").as("a_id"), col("b_id"))
+
+    // in-batch pairs reuse the checkpointed index (the batch-global path)
+    val internal = verifiedPairs(batch, textCol, shingleN, jaccardThreshold,
+      bIdx, Seq("band", "bucket"), maxBucketSize).select("a_id", "b_id")
+
+    val comps = Components.connectedComponents(crossVerified.unionByName(internal))
+    val tierIds = tier.select(col("doc_id").as("id"))
+    val tierComps = comps.join(tierIds, Seq("id"), "left_semi")
+      .select("component").distinct()
+    val batchComps = comps.join(tierIds, Seq("id"), "left_anti")
+    val losers = batchComps.join(tierComps, Seq("component"), "left_semi").select("id")
+      .unionByName(batchComps.filter(col("id") =!= col("component")).select("id"))
+      .distinct().withColumnRenamed("id", "doc_id")
+    batch.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  // ------------------------------------------------------------------
   // Exact n-gram Jaccard (prefix filtering)
   // ------------------------------------------------------------------
 

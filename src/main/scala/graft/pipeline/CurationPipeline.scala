@@ -124,4 +124,60 @@ object CurationPipeline {
       })
     new Runner(stages, RetryPolicy(retries = 1), notify).run(Map("docs_in" -> docs.count()))
   }
+
+  val TierTable = "documents_tier"
+  val BandIndexTable = "documents_band_index"
+  val BatchSurvivorsTable = "documents_batch_survivors"
+
+  /** Incremental ingest — the 100 TB operating mode, where "dedup the
+    * corpus" is not an event but a treadmill: each new crawl slice is
+    * reconciled against the STORED curated tier and its PERSISTED
+    * (doc_id, band, bucket) LSH index, and only the survivors (plus
+    * their band keys) are appended. The tier is never re-banded, never
+    * re-deduplicated, never rewritten — per-batch cost is
+    * O(batch + matched candidates), independent of tier size.
+    *
+    * First call bootstraps: the batch self-dedups batch-globally and
+    * becomes the tier. Batch doc_ids must be fresh (monotone ingest
+    * discipline — ids never reused across slices); under that
+    * discipline the running tier equals what batch-global dedup over
+    * all slices so far would keep (see nearDupAgainst's contract).
+    */
+  def ingestBatch(spark: SparkSession, batch: DataFrame,
+                  jaccardThreshold: Double = 0.8,
+                  maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
+                  notify: PipelineReport => Unit = _ => ()): PipelineReport = {
+    val stages = Seq(
+      Stage("probe_tier") { _ =>
+        Map("tier_docs" -> (if (Catalog.tableExists(spark, TierTable))
+          spark.table(TierTable).count() else 0L))
+      },
+      Stage("incremental_neardup") { m =>
+        val survivors =
+          if (m("tier_docs") == 0L)
+            TextDedup.dedupNearMinhash(batch,
+              jaccardThreshold = jaccardThreshold, maxBucketSize = maxBucketSize)
+          else
+            TextDedup.nearDupAgainst(spark.table(TierTable), batch,
+              jaccardThreshold = jaccardThreshold, maxBucketSize = maxBucketSize,
+              tierIndex = Some(spark.table(BandIndexTable)))
+        // scratch staging (sequential reads only): the publish stage
+        // appends it to the tier AND derives its band keys
+        Catalog.overwriteTable(survivors, BatchSurvivorsTable)
+        val kept = spark.table(BatchSurvivorsTable).count()
+        Map("batch_kept" -> kept, "batch_dropped" -> (m("batch_in") - kept))
+      },
+      Stage("publish_batch") { _ =>
+        val survivors = spark.table(BatchSurvivorsTable)
+        val keys = TextDedup.bandIndex(survivors)
+        if (!Catalog.tableExists(spark, TierTable)) {
+          Catalog.ensureTable(spark, TierTable, survivors.schema)
+          Catalog.ensureTable(spark, BandIndexTable, keys.schema)
+        }
+        Catalog.insertAppend(spark, TierTable, survivors)
+        Catalog.insertAppend(spark, BandIndexTable, keys)
+        Map("tier_docs_after" -> spark.table(TierTable).count())
+      })
+    new Runner(stages, RetryPolicy(retries = 1), notify).run(Map("batch_in" -> batch.count()))
+  }
 }

@@ -77,7 +77,9 @@ class TextDedupSpec extends SparkSpec {
   test("near-dup plans are bucketed joins, never cartesian") {
     Seq(
       TextDedup.nearDupPairsMinhash(planted),
-      TextDedup.nearDupPairsSimhash(planted)
+      TextDedup.nearDupPairsSimhash(planted),
+      TextDedup.nearDupAgainst(
+        planted.filter($"doc_id" < 30), planted.filter($"doc_id" >= 30))
     ).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
@@ -184,5 +186,52 @@ class TextDedupSpec extends SparkSpec {
     val pairs = TextDedup.nearDupPairsSimhash(planted, maxHamming = 3)
       .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"), r.getAs[Int]("hamming")))
     assert(pairs.exists(p => p._1 == 1L && p._2 == 200001L && p._3 == 0))
+  }
+
+  test("nearDupAgainst equals batch-global dedup restricted to the batch") {
+    // split the planted corpus mid-way: tier ids precede batch ids, the
+    // planted copies (+100000/+200000) all land in the batch, so every
+    // cross-dup is a batch-vs-tier reconciliation
+    val all = planted
+    val tier = all.filter($"doc_id" < 30)
+    val batch = all.filter($"doc_id" >= 30)
+    val incremental = TextDedup.nearDupAgainst(tier, batch, jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val global = TextDedup.dedupNearMinhash(all, jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(incremental == global.intersect(batchIds),
+      s"inc-only=${incremental.diff(global).take(5)} global-only=${global.intersect(batchIds).diff(incremental).take(5)}")
+    // a planted copy of a TIER doc is dropped (cross reconciliation)...
+    assert(!incremental.contains(100000L) && !incremental.contains(200001L))
+    // ...a planted copy of a BATCH doc loses to its in-batch original
+    assert(incremental.contains(35L) && !incremental.contains(100035L))
+  }
+
+  test("nearDupAgainst drops a batch doc chained to the tier through another batch doc") {
+    // T(1) ~ A(10) ~ B(11), where B shares nothing with T directly:
+    // global dedup puts {T, A, B} in one component -> A and B both drop.
+    // A two-stage "cross then internal" rendition would keep B.
+    // shingle-set construction: T = X, A = X+Y, B = X'+Y with X' the
+    // first half of X and |X| = 2|Y|, giving J(T,A) ~ 2/3 (edge),
+    // J(A,B) ~ 2/3 (edge), J(T,B) ~ 1/3 (NO direct edge)
+    val xs = (0 until 62).map(i => s"tok$i")
+    val ys = (0 until 32).map(i => s"alt$i")
+    val tier = Seq((1L, xs.mkString(" "))).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, (xs ++ ys).mkString(" ")),            // A ~ tier doc 1
+      (11L, (xs.take(32) ++ ys).mkString(" ")),   // B ~ A only
+      (12L, (200 until 260).map(i => s"far$i").mkString(" ")))  // unrelated
+      .toDF("doc_id", "text")
+    // fixture sanity: B really has no direct edge to the tier
+    val direct = TextDedup.nearDupPairsMinhash(
+      tier.unionByName(batch), jaccardThreshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(direct.contains((1L, 10L)) && direct.contains((10L, 11L)), direct.toString)
+    assert(!direct.contains((1L, 11L)), direct.toString)
+    val out = TextDedup.nearDupAgainst(tier, batch, jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 10 ~ 1 (tier) and 11 ~ 10 ~ 1 transitively: both must drop
+    assert(out == Set(12L), out.toString)
   }
 }

@@ -11,7 +11,8 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
   override def beforeEach(): Unit =
     Seq(CurationPipeline.PairsTable, CurationPipeline.CuratedTable,
       CurationPipeline.QualityTable, CurationPipeline.QualityTable + "_clean",
-      CurationPipeline.SequencesTable)
+      CurationPipeline.SequencesTable, CurationPipeline.TierTable,
+      CurationPipeline.BandIndexTable, CurationPipeline.BatchSurvivorsTable)
       .foreach(t => graft.plans.Catalog.dropIfExists(spark, t))
 
   private def docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
@@ -89,5 +90,41 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
       s"cap did not report: ${report.metrics}")
     assert(report.metrics("skipped_bucket_members_minhash") >= 3000L)
     assert(report.metrics("near_dup_pairs") == 0L) // capped buckets emit no pairs
+  }
+
+  test("ingestBatch: bootstrap, then incremental slices converge to the batch-global tier") {
+    // slice 1 (ids 0..99) carries an internal near-dup family; slice 2
+    // (ids 100..199 + planted copies of slice-1 docs) carries cross dups
+    val s1 = docs.filter($"doc_id" < 100)
+      .unionByName(docs.filter($"doc_id" === 2)
+        .select(($"doc_id" + 50000).as("doc_id"), concat($"text", lit(" tiny tail")).as("text")))
+    val s2 = docs.filter($"doc_id" >= 100 && $"doc_id" < 200)
+      .unionByName(docs.filter($"doc_id" % 10 === 0 && $"doc_id" < 100)
+        .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+
+    val r1 = CurationPipeline.ingestBatch(spark, s1, jaccardThreshold = 0.5)
+    assert(r1.ok && r1.metrics("tier_docs") == 0L)
+    // bootstrap self-dedups: the planted copy of doc 2 must not enter the tier
+    assert(!spark.table(CurationPipeline.TierTable).select("doc_id")
+      .as[Long].collect().contains(50002L))
+
+    val r2 = CurationPipeline.ingestBatch(spark, s2, jaccardThreshold = 0.5)
+    assert(r2.ok && r2.metrics("tier_docs") == r1.metrics("batch_kept"))
+    // every planted copy of a tier doc reconciled away
+    val tierIds = spark.table(CurationPipeline.TierTable).select("doc_id")
+      .as[Long].collect().toSet
+    assert(!tierIds.exists(_ >= 100000L), tierIds.filter(_ >= 100000L).toString)
+
+    // the running tier equals batch-global dedup over everything seen
+    val global = graft.operators.TextDedup.dedupNearMinhash(
+      s1.unionByName(s2), jaccardThreshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tierIds == global,
+      s"tier-only=${tierIds.diff(global).take(5)} global-only=${global.diff(tierIds).take(5)}")
+
+    // the band index tracks the tier exactly (one row per doc per band)
+    val idxDocs = spark.table(CurationPipeline.BandIndexTable)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(idxDocs == tierIds)
   }
 }
