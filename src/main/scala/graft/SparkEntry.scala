@@ -261,6 +261,32 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // J1 streaming-native: the landing carries every event TWICE (the
+    // reference transport's rescan-from-TRIM_HORIZON redelivery);
+    // dropDuplicatesWithinWatermark must emit each key exactly once,
+    // matching the batch distinct oracle.
+    "stream_dedup" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_dedup_q").toString
+      val cp = Files.createTempDirectory("graft_dedup_cp").toString
+      val subset = ev(s, dir).filter(col("event_id") % 13 === 0)
+        .select(col("event_id").cast("string").as("event_id"), col("ts").as("event_timestamp"),
+          col("event_type"), col("user_id").cast("string").as("user_id"))
+      subset.unionByName(subset).coalesce(2).write
+        .mode("overwrite")
+        .option("compression", "gzip")
+        .option("timestampNTZFormat", JsonIngest.TsFormat)
+        .json(tmp)
+      val q = StreamIngest.dedupEvents(StreamIngest.stream(s, tmp))
+        .select("event_id", "event_timestamp", "event_type", "user_id")
+        .writeStream.format("memory").queryName("stream_dedup")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .start()
+      require(q.awaitTermination(300000), "stream_dedup: drain timed out")
+      s.table("stream_dedup").orderBy("event_id")
+    }),
+
     // C1/C2/C5 + S9/S11: the pipeline's transform chain — staging dedup,
     // anti-join insert, curated union, summary refresh — as one plan.
     "ref_pipeline_summary" -> ((s, dir) => {
@@ -388,6 +414,13 @@ object SparkEntry {
       """SELECT CAST(user_id AS VARCHAR) AS user_id, COUNT(*) AS event_count,
         |       COUNT(*) FILTER (event_type = 'purchase') AS purchase_count
         |FROM events WHERE event_id % 13 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the doubled landing collapses back to the original slice — one
+    // row per event_id, payload columns from that event
+    "stream_dedup" ->
+      """SELECT CAST(event_id AS VARCHAR) AS event_id, ts AS event_timestamp,
+        |       event_type, CAST(user_id AS VARCHAR) AS user_id
+        |FROM events WHERE event_id % 13 = 0 ORDER BY 1""".stripMargin,
 
     "ref_pipeline_summary" ->
       """WITH staging AS (
@@ -688,10 +721,29 @@ object SparkEntry {
       Curation.decontaminate(d, bench, n = 8).select("doc_id").orderBy("doc_id")
     }),
 
+    // Graded contamination: per-doc benchmark 8-gram overlap fraction +
+    // the soft keep decision (drop only docs past 5% overlap — a shared
+    // stock phrase alone must not kill a doc at 100 TB).
+    "doc_contamination" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val bench = d.filter(col("doc_id") % 50 === 0)
+        .select(substring(col("text"), 1, 200).as("text"))
+      Curation.contaminationProfile(d, bench, n = 8)
+        .withColumn("keep", col("overlap_frac") <= 0.05)
+        .orderBy("doc_id")
+    }),
+
     // Deterministic Bernoulli sample: keep ids hashing under 10% of the
     // u32 space — reproducible across engines/runs, no rand().
     "doc_sample_hash" -> ((s, dir) =>
       Curation.sampleByHash(docs(s, dir), 0.1).select("doc_id").orderBy("doc_id")),
+
+    // Token-budget "epoch mix" sampling: per source, fill 20% of the
+    // source's token mass in deterministic id-hash order.
+    "doc_sample_budget" -> ((s, dir) =>
+      Curation.sampleByTokenBudget(docs(s, dir).select("doc_id", "source", "text"),
+          "source", 0.2)
+        .select("doc_id", "source").orderBy("source", "doc_id")),
 
     // Exact per-stratum proportions: within each source lang, the 20%
     // of docs with the smallest id hashes.
@@ -769,10 +821,47 @@ object SparkEntry {
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM cont) ORDER BY doc_id""".stripMargin,
 
+    "doc_contamination" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, $gram8 AS s
+         |  FROM (SELECT doc_id,
+         |               string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+         |        FROM documents)),
+         |bsh AS (
+         |  SELECT $gram8 AS s
+         |  FROM (SELECT string_split(lower(trim(regexp_replace(substr(text, 1, 200), '\\s+', ' ', 'g'))), ' ') AS toks
+         |        FROM documents WHERE doc_id % 50 = 0)),
+         |bg AS (SELECT DISTINCT unnest(s) AS gram FROM bsh),
+         |cg AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+         |tot AS (SELECT doc_id, count(*) AS total_grams FROM cg GROUP BY 1),
+         |hit AS (SELECT doc_id, count(*) AS hit_grams FROM cg JOIN bg USING (gram) GROUP BY 1)
+         |SELECT doc_id, total_grams,
+         |       CAST(coalesce(hit_grams, 0) AS BIGINT) AS hit_grams,
+         |       CAST(ROUND(coalesce(hit_grams, 0)::DOUBLE / total_grams, 6) AS DOUBLE) AS overlap_frac,
+         |       ROUND(coalesce(hit_grams, 0)::DOUBLE / total_grams, 6) <= 0.05 AS keep
+         |FROM tot LEFT JOIN hit USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     "doc_sample_hash" ->
       """SELECT doc_id FROM documents
         |WHERE CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) < 429496729
         |ORDER BY doc_id""".stripMargin,
+
+    "doc_sample_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS tc,
+        |         CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, tc,
+        |         coalesce(sum(tc) OVER (PARTITION BY source ORDER BY h, doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+        |         sum(tc) OVER (PARTITION BY source) AS total
+        |  FROM t)
+        |SELECT doc_id, source FROM c
+        |WHERE before < total::DOUBLE * 0.2
+        |ORDER BY source, doc_id""".stripMargin,
 
     "doc_sample_stratified" ->
       """SELECT doc_id, lang FROM documents

@@ -69,6 +69,47 @@ object Curation {
                     textCol: String = "text"): DataFrame =
     corpus.join(contaminatedIds(corpus, benchmark, n, textCol), Seq("doc_id"), "left_anti")
 
+  /** Per-document contamination PROFILE: how many of the doc's distinct
+    * word `n`-grams appear anywhere in the benchmark, and the overlap
+    * fraction — the graded rendition of [[contaminatedIds]] (any single
+    * shared gram is too blunt at 100 TB: boilerplate phrases contaminate
+    * everything). Callers threshold `overlap_frac` (see
+    * [[decontaminateSoft]]).
+    *
+    * Same shuffle discipline as the hard variant: only (doc_id, 8-byte
+    * gram hash) pairs move; the hit count is a semi-join against the
+    * distinct benchmark gram set (broadcast at real benchmark sizes)
+    * followed by one doc-keyed aggregate — the total-gram count rides
+    * the SAME aggregate (hit flag summed, not a second pass over the
+    * exploded pairs). */
+  def contaminationProfile(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+                           textCol: String = "text"): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(TextDedup.hashedShingles(col(textCol), n)).as("gram_hash"))
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    corpus
+      .select(col("doc_id"), explode(TextDedup.hashedShingles(col(textCol), n)).as("gram_hash"))
+      .join(benchGrams, Seq("gram_hash"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("total_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("hit_grams"))
+      .withColumn("overlap_frac",
+        round(col("hit_grams").cast("double") / col("total_grams"), 6))
+  }
+
+  /** Soft decontamination: drop only documents whose benchmark n-gram
+    * overlap fraction EXCEEDS `maxOverlap` (PaLM/GPT-3 style), keeping
+    * docs that merely share a stock phrase. maxOverlap = 0 degenerates
+    * to [[decontaminate]]. */
+  def decontaminateSoft(corpus: DataFrame, benchmark: DataFrame, maxOverlap: Double,
+                        n: Int = 8, textCol: String = "text"): DataFrame = {
+    val hot = contaminationProfile(corpus, benchmark, n, textCol)
+      .filter(col("overlap_frac") > maxOverlap)
+      .select("doc_id")
+    corpus.join(hot, Seq("doc_id"), "left_anti")
+  }
+
   // ------------------------------------------------------------------
   // Deterministic sampling
   // ------------------------------------------------------------------
@@ -123,6 +164,61 @@ object Curation {
       .filter(col("__rn") <= col("__take"))
       .drop("__take", "__rn")
     keptWhole.unionByName(keptBoundary).drop("__sk", "__h", "__b")
+  }
+
+  /** Token-budget sampling — the "epoch mixing" primitive: within each
+    * `strataCol` value (corpus source), keep documents in deterministic
+    * (id-hash, id) order WHILE the token count of already-kept documents
+    * is below `rate` × the stratum's total tokens. The boundary document
+    * (the one that crosses the budget) is kept — the standard
+    * fill-until-budget contract, so every non-empty stratum contributes
+    * at least one doc. Sampling by TOKEN share rather than doc count is
+    * what a training mix actually needs: doc-count sampling over-weights
+    * sources with short documents.
+    *
+    * Scale shape mirrors [[sampleStratified]] — never a per-stratum
+    * global sort: per-(stratum, 2¹⁶-bucket) TOKEN sums locate the one
+    * boundary bucket per stratum on a tiny count table; buckets wholly
+    * inside the budget keep every row via a broadcast semi-join, buckets
+    * past it drop wholesale, and only the ~|stratum|/2¹⁶ rows of the
+    * boundary bucket are ranked (window partitioned by stratum AND
+    * bucket). CurationSpec asserts parity with the naive per-stratum
+    * running-sum window. */
+  def sampleByTokenBudget(df: DataFrame, strataCol: String, rate: Double,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val withH = df
+      .withColumn("__sk", struct(col(strataCol)))
+      .withColumn("__tc", TextStats.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__h", hashU32(col(idCol)))
+      .withColumn("__b", floor(col("__h") / 65536L))
+    val counts = withH.groupBy(col("__sk"), col("__b")).agg(sum(col("__tc")).as("__bt"))
+    val wStratum = Window.partitionBy(col("__sk"))
+    val wCum = wStratum.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)
+    // budget is ONE IEEE product per stratum (rate × exact integer total)
+    // — bit-identical across engines, like the sourceMix weight division
+    val cuts = counts
+      .withColumn("__before", coalesce(sum(col("__bt")).over(wCum), lit(0L)))
+      .withColumn("__budget", sum(col("__bt")).over(wStratum).cast("double") * rate)
+    // strictly-inside buckets keep every row: each member doc's
+    // tokens-before is < bucket_end ≤ budget only when bucket_end <
+    // budget OR the doc has tokens; bucket_end == budget with a
+    // trailing zero-token doc is the one edge — route it (and every
+    // budget-crossing bucket) through the exact ranked path instead
+    val wholeBuckets = cuts.filter(col("__before") + col("__bt") < col("__budget"))
+      .select(col("__sk"), col("__b"))
+    val boundary = cuts
+      .filter(col("__before") < col("__budget") &&
+        col("__before") + col("__bt") >= col("__budget"))
+      .select(col("__sk"), col("__b"), col("__before"), col("__budget"))
+    val keptWhole = withH.join(broadcast(wholeBuckets), Seq("__sk", "__b"), "left_semi")
+    val wBucket = Window.partitionBy(col("__sk"), col("__b"))
+      .orderBy(col("__h"), col(idCol)).rowsBetween(Window.unboundedPreceding, -1)
+    val keptBoundary = withH.join(broadcast(boundary), Seq("__sk", "__b"))
+      .withColumn("__run", col("__before") + coalesce(sum(col("__tc")).over(wBucket), lit(0L)))
+      .filter(col("__run") < col("__budget"))
+      .drop("__before", "__budget", "__run")
+    keptWhole.unionByName(keptBoundary).drop("__sk", "__tc", "__h", "__b")
   }
 
   // ------------------------------------------------------------------

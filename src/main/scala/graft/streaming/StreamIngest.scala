@@ -125,6 +125,34 @@ object StreamIngest {
         col("session_window.end").cast("timestamp_ntz").as("session_end"),
         col("event_count"))
 
+  /** Streaming exact dedup (J1's streaming-native form): drop redelivered
+    * events BY KEY inside the stream itself via
+    * `dropDuplicatesWithinWatermark`, instead of (or as a first line
+    * before) the target-side anti-join. The reference's transport
+    * redelivers wholesale — it rescans from TRIM_HORIZON every run
+    * (`scripts/kinesis_to_snowflake.py:24-43`) and relies on a
+    * downstream `NOT IN` (`sql/snowflake_setup.sql:49-57`); this keeps
+    * duplicates from ever reaching the sink.
+    *
+    * State is one entry per key seen within the watermark horizon —
+    * bounded by key-rate × horizon, NOT corpus size (the
+    * `dropDuplicates` variant without watermark grows forever — never
+    * use it on an unbounded stream). Keys are hash-partitioned across
+    * executors (O7), so the state store scales out with the cluster.
+    * Duplicates arriving later than `watermark` after the original are
+    * redelivered — the at-least-once tail the target-side anti-join
+    * backstop (O6) still catches. */
+  def dedupEvents(
+      events: DataFrame,
+      keyCols: Seq[String] = Seq("event_id"),
+      watermark: String = "2 hours",
+      tsCol: String = "event_timestamp"): DataFrame =
+    events
+      .withColumn("__event_time", col(tsCol).cast("timestamp"))
+      .withWatermark("__event_time", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+      .drop("__event_time")
+
   /** A4: total input rows across a query's lifetime (the reference's
     * client-side running counters / XCom metric). */
   def totalInputRows(q: StreamingQuery): Long =

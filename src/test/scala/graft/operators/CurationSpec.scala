@@ -224,4 +224,76 @@ class CurationSpec extends SparkSpec {
     assert(doc2 == Seq("other", "common"), doc2.toString)
     assert(out.groupBy("doc_id").count().agg(max("count")).head().getLong(0) <= 2)
   }
+
+  test("contaminationProfile grades overlap; decontaminateSoft thresholds it") {
+    val corpus = Seq(
+      // 10 tokens -> 3 distinct 8-grams; shares gram 1 of 3 with bench
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // identical to the bench doc -> overlap 1.0
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally unrelated words with no overlap at all here now")
+    ).toDF("doc_id", "text")
+    val bench = Seq("alpha beta gamma delta epsilon zeta eta theta").toDF("text")
+    val prof = Curation.contaminationProfile(corpus, bench, n = 8)
+      .orderBy("doc_id")
+      .select("doc_id", "total_grams", "hit_grams", "overlap_frac")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(prof == Seq(
+      (1L, 3L, 1L, 0.333333),
+      (2L, 1L, 1L, 1.0),
+      (3L, 3L, 0L, 0.0)), prof.toString)
+    // threshold between 1/3 and 1: doc 1 (stock-phrase overlap) survives,
+    // doc 2 (verbatim benchmark) is dropped
+    val kept = Curation.decontaminateSoft(corpus, bench, maxOverlap = 0.5, n = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+    // maxOverlap = 0 degenerates to the hard variant
+    val hard = Curation.decontaminate(corpus, bench, n = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val soft0 = Curation.decontaminateSoft(corpus, bench, maxOverlap = 0.0, n = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(soft0 == hard)
+  }
+
+  test("sampleByTokenBudget (bucketed) matches the naive per-stratum running sum") {
+    import org.apache.spark.sql.expressions.Window
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "source", "text")
+    for (rate <- Seq(0.1, 0.5, 0.99)) {
+      val naive = {
+        val t = d
+          .withColumn("__tc", TextStats.tokenCount($"text").cast("long"))
+          .withColumn("__h", Curation.hashU32($"doc_id"))
+        val w = Window.partitionBy($"source").orderBy($"__h", $"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t.withColumn("__before", coalesce(sum($"__tc").over(w), lit(0L)))
+          .withColumn("__budget",
+            sum($"__tc").over(Window.partitionBy($"source")).cast("double") * rate)
+          .filter($"__before" < $"__budget")
+          .select("doc_id").as[Long].collect().sorted.toSeq
+      }
+      val bucketed = Curation.sampleByTokenBudget(d, "source", rate)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(bucketed == naive, s"rate=$rate: ${bucketed.size} vs ${naive.size}")
+    }
+    // every non-empty stratum contributes at least one doc even at tiny rates
+    val tiny = Curation.sampleByTokenBudget(d, "source", 1e-9)
+    assert(tiny.select("source").distinct().count() ==
+      d.select("source").distinct().count())
+  }
+
+  test("sampleByTokenBudget fills ~rate of each source's token mass") {
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "source", "text")
+    val kept = Curation.sampleByTokenBudget(d, "source", 0.3)
+      .withColumn("tc", TextStats.tokenCount($"text").cast("long"))
+      .groupBy("source").agg(sum($"tc").as("kept_tokens"))
+    val totals = d.withColumn("tc", TextStats.tokenCount($"text").cast("long"))
+      .groupBy("source").agg(sum($"tc").as("total_tokens"))
+    val fracs = kept.join(totals, "source")
+      .select($"kept_tokens".cast("double") / $"total_tokens")
+      .as[Double].collect()
+    // budget fill overshoots by at most one doc's tokens
+    assert(fracs.forall(f => f >= 0.3 && f < 0.45), fracs.mkString(","))
+  }
 }

@@ -142,6 +142,30 @@ class StreamIngestSpec extends SparkSpec {
     assert(out.groupBy("event_id").count().filter($"count" > 1).count() == 0L)
   }
 
+  test("dedupEvents drops in-stream redeliveries, keeps distinct keys, bounds state by watermark") {
+    val root = Files.createTempDirectory("graft_sdedup").toString
+    val cp = Files.createTempDirectory("graft_sdedup_cp").toString
+    // land the same 50 events twice (separate files, same ids) plus one
+    // unique extra — the rescan-redelivery shape
+    landHour(root, 0, 50, seed = 7)
+    landHour(root, 0, 50, seed = 7) // identical generator output, new files
+    landHour(root, 1, 30, seed = 8)
+
+    val q = StreamIngest.dedupEvents(StreamIngest.stream(spark, root))
+      .filter($"event_id".isNotNull)
+      .select("event_id")
+      .writeStream.format("memory").queryName("sdedup_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", cp)
+      .start()
+    assert(q.awaitTermination(120000), "drain timed out")
+
+    val out = spark.table("sdedup_out").as[String].collect()
+    assert(out.length == out.distinct.length, "emitted a duplicate key")
+    assert(out.length == 80, s"expected 50 + 30 distinct ids, got ${out.length}")
+  }
+
   test("maxFileAge ignores stale files discovered after the first batch (O8)") {
     val root = Files.createTempDirectory("graft_age").toString
     val cp = Files.createTempDirectory("graft_agecp").toString
