@@ -294,6 +294,19 @@ object SparkEntry {
       val target = targetFixture(s, dir)
       val curated = target.unionByName(EventOps.dedupInsert(staging, target))
       EventOps.dailySummary(curated).orderBy("event_date", "event_type")
+    }),
+
+    // S9/S11 extension — MERGE upsert (Snowflake MERGE INTO): a CDC
+    // batch (every 5th event, value revised +100) against the curated
+    // tier (every 3rd event): %15 ids are updated in place, %5-not-%3
+    // ids inserted, the rest pass through untouched.
+    "ref_merge_upsert" -> ((s, dir) => {
+      val target = ev(s, dir).filter(col("event_id") % 3 === 0)
+        .select("event_id", "event_type", "value")
+      val updates = ev(s, dir).filter(col("event_id") % 5 === 0)
+        .select(col("event_id"), col("event_type"), (col("value") + 100).as("value"))
+      graft.plans.Catalog.mergeUpsert(target, updates, Seq("event_id"))
+        .orderBy("event_id")
     })
   )
 
@@ -421,6 +434,14 @@ object SparkEntry {
       """SELECT CAST(event_id AS VARCHAR) AS event_id, ts AS event_timestamp,
         |       event_type, CAST(user_id AS VARCHAR) AS user_id
         |FROM events WHERE event_id % 13 = 0 ORDER BY 1""".stripMargin,
+
+    "ref_merge_upsert" ->
+      """SELECT event_id, event_type, value + 100 AS value
+        |FROM events WHERE event_id % 5 = 0
+        |UNION ALL
+        |SELECT event_id, event_type, value
+        |FROM events WHERE event_id % 3 = 0 AND event_id % 5 <> 0
+        |ORDER BY event_id""".stripMargin,
 
     "ref_pipeline_summary" ->
       """WITH staging AS (

@@ -116,9 +116,87 @@ object Multimodal {
     }
   }
 
-  /** Production decoder: real image decode, stub fallback for the
-    * media kinds whose codecs this environment lacks. */
-  def realDecoder: Decoder = new ImageIoDecoder()
+  /** Real audio decoder on `javax.sound.sampled` (ships with every JVM
+    * — no new dependency): RIFF/WAVE PCM bytes → signal statistics.
+    * Feature layout (FeatureDim = 16):
+    * {{{
+    * 0 sample rate (Hz)   1 channels   2 frame count
+    * 3 duration (s)       4 RMS level [0,1]   5 peak |amplitude| [0,1]
+    * 6 zero-crossing rate (crossings / frame)   7 mean |amplitude|
+    * 8..15 8-bin |amplitude| histogram (fractions summing to 1)
+    * }}}
+    * Multi-channel frames are averaged to mono before the statistics.
+    * Non-WAV audio formats (their codecs genuinely absent here) fall
+    * back to `fallback`; corrupt WAV bytes yield null features rather
+    * than an exception — one bad blob must not kill a 100 TB pass. */
+  final class WavDecoder(fallback: Decoder = StubDecoder) extends Decoder {
+    def decode(kind: String, format: String, bytes: Array[Byte]): Array[Float] = {
+      if (kind != "audio" || format != "wav") return fallback.decode(kind, format, bytes)
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (in == null) return null
+      try {
+        val f = in.getFormat
+        val bits = f.getSampleSizeInBits
+        val signed = f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        if (bits != 16 && bits != 8) return null
+        val ch = f.getChannels
+        val frameBytes = f.getFrameSize
+        val data = in.readAllBytes()
+        val frames = data.length / frameBytes
+        if (frames == 0) return null
+        var sumSq = 0.0; var sumAbs = 0.0; var peak = 0.0
+        var crossings = 0L; var prevSign = 0
+        val hist = new Array[Long](8)
+        var fr = 0
+        while (fr < frames) {
+          var c = 0
+          var acc = 0.0
+          while (c < ch) {
+            val off = fr * frameBytes + c * (bits / 8)
+            val v =
+              if (bits == 16) {
+                // WAV PCM is little-endian signed
+                val lo = data(off) & 0xFF
+                val hi = data(off + 1).toInt
+                ((hi << 8) | lo) / 32768.0
+              } else if (signed) data(off) / 128.0
+              else ((data(off) & 0xFF) - 128) / 128.0
+            acc += v
+            c += 1
+          }
+          val s = acc / ch
+          val a = math.abs(s)
+          sumSq += s * s; sumAbs += a; if (a > peak) peak = a
+          val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+          if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
+          if (sign != 0) prevSign = sign
+          hist(math.min(7, (a * 8).toInt)) += 1
+          fr += 1
+        }
+        val out = new Array[Float](FeatureDim)
+        out(0) = f.getSampleRate
+        out(1) = ch.toFloat
+        out(2) = frames.toFloat
+        out(3) = (frames / f.getSampleRate.toDouble).toFloat
+        out(4) = math.sqrt(sumSq / frames).toFloat
+        out(5) = peak.toFloat
+        out(6) = (crossings.toDouble / frames).toFloat
+        out(7) = (sumAbs / frames).toFloat
+        var i = 0
+        while (i < 8) { out(8 + i) = (hist(i).toDouble / frames).toFloat; i += 1 }
+        out
+      } catch { case scala.util.control.NonFatal(_) => null }
+      finally in.close()
+    }
+  }
+
+  /** Production decoder chain: real image decode (javax.imageio), real
+    * WAV audio decode (javax.sound), stub fallback for the media kinds
+    * whose codecs this environment lacks (video, compressed audio). */
+  def realDecoder: Decoder = new ImageIoDecoder(new WavDecoder(StubDecoder))
 
   /** Feature extraction: adds a `features` array<float> column, decoder
     * run per partition. The partition iterator is consumed lazily —

@@ -149,6 +149,32 @@ object Catalog {
     } finally aligned.unpersist()
   }
 
+  /** MERGE (upsert) as a relational expression — Snowflake's
+    * `MERGE INTO t USING u ON keys WHEN MATCHED THEN UPDATE WHEN NOT
+    * MATCHED THEN INSERT` re-expressed for an engine without in-place
+    * row mutation: matched target rows are REPLACED by their update row
+    * (whole-row update semantics), unmatched update rows are inserted,
+    * unmatched target rows pass through. `updates` must be key-unique
+    * (MERGE itself errors on duplicate matches).
+    *
+    * Plan shape: one left-anti join of the target against the update
+    * keys + a union. The update batch is the small side (CDC batches vs
+    * a multi-TB tier) — AQE broadcasts it, so the TARGET NEVER SHUFFLES;
+    * with a [[ctasBucketed]] target the anti-join is shuffle-free even
+    * when the batch is too big to broadcast. */
+  def mergeUpsert(target: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame =
+    target.join(updates, keyCols, "left_anti")
+      .unionByName(updates.select(target.columns.map(updates.col): _*))
+
+  /** Table-level MERGE: applies [[mergeUpsert]] to a cataloged table and
+    * publishes the result atomically through the versioned view flip
+    * (readers resolve the pre- or post-merge snapshot, never a partial
+    * merge — Snowflake MERGE's atomicity). `tag` gives per-batch retry
+    * idempotence, same contract as [[ctasOverwrite]]. */
+  def mergeInto(spark: SparkSession, name: String, updates: DataFrame,
+                keyCols: Seq[String], tag: Option[String] = None): Unit =
+    ctasOverwrite(mergeUpsert(spark.table(name), updates, keyCols), name, tag = tag)
+
   def tableExists(spark: SparkSession, name: String): Boolean =
     spark.catalog.tableExists(name)
 

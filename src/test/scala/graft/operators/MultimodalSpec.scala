@@ -70,6 +70,44 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.StubDecoder.decode("audio", "wav", Array[Byte](9, 9))))
   }
 
+  test("WavDecoder decodes a real PCM WAV through withFeatures") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    // 0.25 s of a 440 Hz sine at half amplitude, 16-bit mono 8 kHz
+    def wav(hz: Double, amp: Double, rate: Float = 8000f, frames: Int = 2000): Array[Byte] = {
+      val pcm = new Array[Byte](frames * 2)
+      for (i <- 0 until frames) {
+        val v = (amp * math.sin(2 * math.Pi * hz * i / rate) * 32767).toInt
+        pcm(2 * i) = (v & 0xFF).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, "audio", "wav", wav(440.0, 0.5)),
+      (2L, "audio", "wav", "not a wav".getBytes),   // corrupt -> null features
+      (3L, "audio", "mp3", Array[Byte](1, 2, 3))    // codec absent -> stub fallback
+    ).toDF("media_id", "kind", "format", "bytes")
+    val out = Multimodal.withFeatures(media, new Multimodal.WavDecoder())
+      .select("media_id", "features").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Float](1))).toMap
+
+    val f = out(1L).get
+    assert(f(0) == 8000f && f(1) == 1f && f(2) == 2000f, f.take(4).toString)
+    assert(math.abs(f(3) - 0.25f) < 1e-3, s"duration ${f(3)}")
+    // sine RMS = amp/sqrt(2), zero-crossing rate = 2*hz/rate
+    assert(math.abs(f(4) - 0.5 / math.sqrt(2)) < 0.01, s"rms ${f(4)}")
+    assert(math.abs(f(5) - 0.5) < 0.01, s"peak ${f(5)}")
+    assert(math.abs(f(6) - 2 * 440.0 / 8000) < 0.01, s"zcr ${f(6)}")
+    assert(math.abs(f.slice(8, 16).sum - 1.0) < 1e-3, "histogram must sum to 1")
+    assert(out(2L).isEmpty, "corrupt wav must yield null features")
+    assert(out(3L).get.sameElements(
+      Multimodal.StubDecoder.decode("audio", "mp3", Array[Byte](1, 2, 3))))
+  }
+
   test("decode runs per partition without shuffling the media") {
     val plan = Multimodal.withFeatures(Multimodal.syntheticMedia(spark, 10))
       .queryExecution.executedPlan.toString

@@ -104,4 +104,35 @@ class CatalogSpec extends SparkSpec with BeforeAndAfterAll {
       assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
+
+  test("mergeUpsert: matched rows replaced, unmatched inserted, rest untouched") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("event_id", "event_type", "value")
+    val updates = Seq((2L, "b2", 99.0), (4L, "d", 40.0))
+      .toDF("event_id", "event_type", "value")
+    val out = Catalog.mergeUpsert(target, updates, Seq("event_id"))
+      .orderBy("event_id")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a", 10.0), (2L, "b2", 99.0), (3L, "c", 30.0), (4L, "d", 40.0)), out.toString)
+  }
+
+  test("mergeInto publishes the merge through the versioned flip; tag makes retries idempotent") {
+    import spark.implicits._
+    Catalog.dropIfExists(spark, "cat_merge")
+    try {
+      Catalog.ctasOverwrite(
+        Seq((1L, 10.0), (2L, 20.0)).toDF("event_id", "value"), "cat_merge")
+      val updates = Seq((2L, 99.0), (3L, 30.0)).toDF("event_id", "value")
+      Catalog.mergeInto(spark, "cat_merge", updates, Seq("event_id"), tag = Some("b1"))
+      def state() = spark.table("cat_merge").orderBy("event_id")
+        .as[(Long, Double)].collect().toSeq
+      val once = state()
+      assert(once == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)), once.toString)
+      // retry with the same tag: must not re-apply (3 rows, not re-merged state)
+      Catalog.mergeInto(spark, "cat_merge", updates, Seq("event_id"), tag = Some("b1"))
+      assert(state() == once)
+    } finally Catalog.dropIfExists(spark, "cat_merge")
+  }
 }
