@@ -671,6 +671,23 @@ object SparkEntry {
       Similarity.dedupNearCosine(embDupFixture(s, dir), 0.999)
         .select("vec_id").orderBy("vec_id")),
 
+    // Incremental embedding near-dup: a batch of new vectors reconciled
+    // against the STORED sign-LSH index of the curated tier (tier never
+    // re-hashed, never shuffled). Split fixture mirrors
+    // doc_neardup_incremental: tier = vec_id < 250, batch = the rest
+    // plus planted copies of tier vectors; oracle is batch-global dedup
+    // over tier ∪ batch restricted to batch rows.
+    "emb_neardup_incremental" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val tier = e.filter(col("vec_id") < 250)
+      val batch = e.filter(col("vec_id") >= 250)
+        .unionByName(tier.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      Similarity.nearDupAgainstCosine(tier, batch, 0.999,
+          tierIndex = Some(Similarity.vecBandIndex(tier)))
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     // ANN path: LSH-bucketed top-3 on md5-derived hyperplanes — the
     // ENTIRE approximate path (bucket assignment, candidate join,
     // ranking) is replicated in the DuckDB oracle, so this is a full
@@ -1667,6 +1684,38 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT vec_id FROM fixture
         |WHERE vec_id NOT IN (SELECT vec_id FROM clusters WHERE vec_id <> cluster_id)
+        |ORDER BY vec_id""".stripMargin,
+
+    // Batch-global truth for the incremental embedding path: dedup
+    // tier ∪ batch, keep the batch rows (vec_id >= 250 covers the
+    // planted 100000+ ids too).
+    "emb_neardup_incremental" ->
+      """WITH RECURSIVE fixture AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+        |  WHERE vec_id % 50 = 0 AND vec_id < 250),
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM fixture a, fixture b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_dot_product(a.v, b.v)
+        |        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.999),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |clusters AS (
+        |  SELECT id AS vec_id, MIN(lbl) AS cluster_id FROM (
+        |    SELECT src AS id, dst AS lbl FROM reach
+        |    UNION SELECT src, src FROM edges)
+        |  GROUP BY 1)
+        |SELECT vec_id FROM fixture
+        |WHERE vec_id >= 250
+        |  AND vec_id NOT IN (SELECT vec_id FROM clusters WHERE vec_id <> cluster_id)
         |ORDER BY vec_id""".stripMargin,
 
     // Full replica of the md5-plane LSH ANN path: same plane

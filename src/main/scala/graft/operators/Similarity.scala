@@ -370,6 +370,79 @@ object Similarity {
     vectors.join(losers, Seq("vec_id"), "left_anti")
   }
 
+  /** The persistable (vec_id, band, bucket) sign-LSH index of a vector
+    * corpus — the embedding-side analog of [[TextDedup.bandIndex]]: a
+    * curation pipeline stores this for its curated tier so each
+    * incoming batch bands once and equi-joins the stored index instead
+    * of re-hashing the tier's vectors per batch. */
+  def vecBandIndex(vectors: DataFrame, bands: Int = 8, planesPerBand: Int = 12,
+                   seed: Long = 42L): DataFrame =
+    lshBanded(vectors, bands, planesPerBand, seed)
+
+  /** Incremental embedding near-dup: keep the members of `batch` (new
+    * vectors) that survive cosine near-dup reconciliation against an
+    * existing `tier` AND within the batch itself — the embedding twin
+    * of [[TextDedup.nearDupAgainst]], same semantics (equal to
+    * batch-global [[dedupNearCosine]] over tier ∪ batch restricted to
+    * the batch when tier ids precede batch ids) and the same plan
+    * discipline: the batch bands once (checkpointed — cross and
+    * in-batch candidates share one evaluation), cross candidates are a
+    * (band, bucket) equi-join against the STORED `tierIndex` with the
+    * combined bucket population capped, the exact-cosine verify reads
+    * tier vectors only for candidate ids (semi-join before the vector
+    * projection), and components run over batch-involved edges only.
+    * Nothing ever shuffles the tier. */
+  def nearDupAgainstCosine(tier: DataFrame, batch: DataFrame, threshold: Double,
+                           bands: Int = 8, planesPerBand: Int = 12, seed: Long = 42L,
+                           maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
+                           tierIndex: Option[DataFrame] = None): DataFrame = {
+    val tIdx = tierIndex.getOrElse(vecBandIndex(tier, bands, planesPerBand, seed))
+    val bIdx = vecBandIndex(batch, bands, planesPerBand, seed).localCheckpoint(true)
+
+    val tCnt = tIdx.groupBy("band", "bucket").agg(count(lit(1)).as("__tc"))
+    val bCnt = bIdx.groupBy("band", "bucket").agg(count(lit(1)).as("__bc"))
+    val okBuckets = bCnt.join(tCnt, Seq("band", "bucket"))
+      .filter(col("__tc") + col("__bc") <= maxBucketSize)
+      .select("band", "bucket")
+    val cross = bIdx.join(okBuckets, Seq("band", "bucket"))
+      .select(col("band"), col("bucket"), col("vec_id").as("b_id"))
+      .join(tIdx.select(col("band"), col("bucket"), col("vec_id").as("t_id")),
+        Seq("band", "bucket"))
+      .select(col("t_id"), col("b_id")).distinct()
+
+    val tv = tier
+      .join(cross.select(col("t_id").as("vec_id")).distinct(), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as("t_id"), col("embedding").as("t_emb"),
+        norm(col("embedding")).as("t_norm"))
+    val bv = batch.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+      norm(col("embedding")).as("b_norm"))
+    val crossVerified = cross
+      .join(tv, Seq("t_id")).join(bv, Seq("b_id"))
+      .filter(dot(col("t_emb"), col("b_emb")) / (col("t_norm") * col("b_norm")) >= threshold)
+      .select(col("t_id").as("a_id"), col("b_id"))
+
+    // in-batch pairs reuse the checkpointed index (the batch-global path)
+    val internalCands = TextDedup.cappedBucketPairs(
+      bIdx, Seq("band", "bucket"), "vec_id", maxBucketSize, TextDedup.bucketPairs)
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .distinct()
+    val internal = internalCands
+      .join(bv.select(col("b_id").as("a_id"), col("b_emb").as("a_emb"), col("b_norm").as("a_norm")), Seq("a_id"))
+      .join(bv, Seq("b_id"))
+      .filter(dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")) >= threshold)
+      .select("a_id", "b_id")
+
+    val comps = Components.connectedComponents(crossVerified.unionByName(internal))
+    val tierIds = tier.select(col("vec_id").as("id"))
+    val tierComps = comps.join(tierIds, Seq("id"), "left_semi")
+      .select("component").distinct()
+    val batchComps = comps.join(tierIds, Seq("id"), "left_anti")
+    val losers = batchComps.join(tierComps, Seq("component"), "left_semi").select("id")
+      .unionByName(batchComps.filter(col("id") =!= col("component")).select("id"))
+      .distinct().withColumnRenamed("id", "vec_id")
+    batch.join(losers, Seq("vec_id"), "left_anti")
+  }
+
   /** Banded (multi-table) approximate top-k: candidates are neighbors
     * sharing ANY band bucket with the probe — recall rises with the
     * band count while per-band bucket occupancy stays low (bands · 2^r

@@ -147,6 +147,31 @@ class SimilaritySpec extends SparkSpec {
       s"expected all 8 band buckets hot: ${skipped.mkString(",")}")
   }
 
+  test("nearDupAgainstCosine equals batch-global dedup restricted to the batch") {
+    val e = emb.select("vec_id", "embedding")
+    val n = e.count()
+    val half = n / 2
+    // copies of both tier and batch vectors land in the batch
+    val copies = e.filter($"vec_id" % 25 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+    val tier = e.filter($"vec_id" < half)
+    val batch = e.filter($"vec_id" >= half).unionByName(copies)
+    val incremental = Similarity.nearDupAgainstCosine(tier, batch, 0.999,
+        tierIndex = Some(Similarity.vecBandIndex(tier)))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val global = Similarity.dedupNearCosine(e.unionByName(copies), 0.999)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(incremental == global.intersect(batchIds),
+      s"inc-only=${incremental.diff(global).take(5)} global-only=${global.intersect(batchIds).diff(incremental).take(5)}")
+    // a planted copy of a TIER vector is dropped (cross reconciliation)...
+    assert(!incremental.contains(100000L))
+    // ...a planted copy of a BATCH vector loses to its in-batch original
+    assert(incremental.contains(250L) && !incremental.contains(100250L))
+    // the tier is never modified: nothing in the output is a tier id
+    assert(incremental.forall(id => id >= half))
+  }
+
   test("topKLsh recovers planted near-identical neighbors for most probes") {
     val copies = emb.filter($"vec_id" % 25 === 0)
       .select(($"vec_id" + 100000).as("vec_id"), $"embedding", $"label")
