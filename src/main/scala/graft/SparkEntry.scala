@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Analytics, AsofJoin, Curation, DataQuality, EventOps, Multimodal, RangeJoin, Similarity, TextDedup, TextStats}
+import graft.operators.{Analytics, AsofJoin, Curation, DataQuality, EventOps, Layout, Multimodal, RangeJoin, Scd2, Similarity, TextDedup, TextStats}
 import graft.sources.{JsonIngest, PartitionedJsonSink}
 import graft.streaming.StreamIngest
 
@@ -307,6 +307,53 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), (col("value") + 100).as("value"))
       graft.plans.Catalog.mergeUpsert(target, updates, Seq("event_id"))
         .orderBy("event_id")
+    }),
+
+    // SCD Type-2 companion to the MERGE's current-rows view: per-user
+    // event_type version history with effective-time ranges.
+    "ref_scd2_history" -> ((s, dir) =>
+      Scd2.history(ev(s, dir), key = "user_id", attrs = Seq("event_type"),
+          ts = "ts", tieBreak = "event_id")
+        .orderBy("user_id", "effective_from", "event_type")),
+
+    // Z-order (Morton) clustering key on (customer, order day): the
+    // clustered-write sort key that lets parquet row-group min/max
+    // stats prune scans on EITHER dimension. Gate compares the bit
+    // interleave exactly; clusterByZ (the write path) is spec-tested.
+    "layout_zorder" -> ((s, dir) =>
+      t(s, dir)("orders").select(col("o_orderkey"),
+        Layout.zValue(Seq(col("o_custkey"),
+          datediff(col("o_orderdate").cast("date"), to_date(lit("1995-01-01")))),
+          bits = 16).as("z_value"))
+        .orderBy("o_orderkey")),
+
+    // Stream-static enrichment: every streamed event picks up its
+    // customer dim attributes via a broadcast join inside the
+    // micro-batch — stateless, append-mode, no watermark.
+    "stream_enrich" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_enrich_q").toString
+      val cp = Files.createTempDirectory("graft_enrich_cp").toString
+      val subset = ev(s, dir).filter(col("event_id") % 13 === 0)
+        .select(col("event_id").cast("string").as("event_id"), col("ts").as("event_timestamp"),
+          col("event_type"), col("user_id").cast("string").as("user_id"))
+      subset.coalesce(2).write
+        .mode("overwrite")
+        .option("compression", "gzip")
+        .option("timestampNTZFormat", JsonIngest.TsFormat)
+        .json(tmp)
+      val dim = t(s, dir)("customer")
+      val q = StreamIngest.enrichWithDim(StreamIngest.stream(s, tmp), dim,
+          col("user_id").cast("long"), col("c_custkey"),
+          Seq(col("c_name"), col("c_mktsegment")), joinType = "inner")
+        .select(col("event_id").cast("long").as("event_id"), col("event_type"),
+          col("user_id").cast("long").as("user_id"), col("c_name"), col("c_mktsegment"))
+        .writeStream.format("memory").queryName("stream_enrich")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .start()
+      require(q.awaitTermination(300000), "stream_enrich: drain timed out")
+      s.table("stream_enrich").orderBy("event_id")
     })
   )
 
@@ -459,7 +506,35 @@ object SparkEntry {
         |)
         |SELECT CAST(ts AS DATE) AS event_date, event_type,
         |       COUNT(*) AS event_count, MIN(ts) AS first_event, MAX(ts) AS last_event
-        |FROM curated GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM curated GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ref_scd2_history" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |opens AS (
+        |  SELECT user_id, event_type, ts AS effective_from, event_id
+        |  FROM ordered WHERE event_type IS DISTINCT FROM prev_type)
+        |SELECT user_id, event_type, effective_from,
+        |       lead(effective_from) OVER (PARTITION BY user_id
+        |           ORDER BY effective_from, event_id) AS effective_to,
+        |       lead(effective_from) OVER (PARTITION BY user_id
+        |           ORDER BY effective_from, event_id) IS NULL AS is_current
+        |FROM opens ORDER BY user_id, effective_from, event_type""".stripMargin,
+
+    "layout_zorder" ->
+      s"""SELECT o_orderkey,
+         |       ${Layout.zValueSql(Seq("o_custkey",
+              "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))"), bits = 16)}
+         |         AS z_value
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "stream_enrich" ->
+      """SELECT e.event_id, e.event_type, e.user_id, c.c_name, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_id % 13 = 0
+        |ORDER BY e.event_id""".stripMargin
   )
 
   // ---------------------------------------------------------------
@@ -730,7 +805,17 @@ object SparkEntry {
         .filter(col("rank") === 1)
         .select(col("probe_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
         .orderBy("probe_id")
-    })
+    }),
+
+    // Class prototypes: per-(label, dim) mean embedding. The sums are
+    // exact DECIMAL (order-free — a double sum under partial
+    // aggregation isn't even reproducible run-to-run); one double
+    // divide at the end.
+    "emb_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(emb(s, dir))
+        .select(col("label"), col("dim"),
+          round(col("centroid_v"), 6).as("centroid_v"))
+        .orderBy("label", "dim"))
   )
 
   // ---------------------------------------------------------------
@@ -829,7 +914,27 @@ object SparkEntry {
     // Per-sequence slices (the training-batch assembly contract): docs
     // straddling a 2048-token boundary emit one segment per sequence.
     "doc_pack_segments" -> ((s, dir) =>
-      Curation.packSegments(docs(s, dir), seqLen = 2048).orderBy("seq_no", "doc_id"))
+      Curation.packSegments(docs(s, dir), seqLen = 2048).orderBy("seq_no", "doc_id")),
+
+    // RAG/context-window chunking: 200-char windows every 150 chars
+    // (50 overlap), row-local explode. Chunk text compared by md5.
+    "doc_chunk_overlap" -> ((s, dir) =>
+      Curation.chunkByChars(docs(s, dir), chunkLen = 200, overlap = 50)
+        .select(col("doc_id"), col("chunk_no"), col("chunk_start"),
+          col("chunk_len").cast("long").as("chunk_len"),
+          md5(col("chunk_text")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_no")),
+
+    // Deterministic epoch shuffle: seeded global training order via the
+    // hash-prefix two-level rank (never a global window).
+    "doc_shuffle_epoch" -> ((s, dir) =>
+      Curation.globalShuffle(docs(s, dir).select("doc_id"), seed = 7L)
+        .select("position", "doc_id").orderBy("position")),
+
+    // Vocabulary building: corpus top-50 tokens, ties on the term.
+    "doc_vocab_topk" -> ((s, dir) =>
+      Curation.vocabTopK(docs(s, dir), topK = 50)
+        .orderBy(col("term_count").desc, col("term")))
   )
 
   // DuckDB mirrors of the curation queries. The 8-gram derivation and
@@ -1044,7 +1149,35 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY tf.doc_id
         |             ORDER BY tf.tf * CAST((SELECT n FROM n) AS DOUBLE) / df.df DESC, tf.term) AS rank
         |  FROM tf JOIN df USING (term))
-        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    // chunk i covers chars [i*150, i*150+200); 1 + ceil(max(len-200,0)/150)
+    // chunks per doc — the exact formula chunkByChars uses.
+    "doc_chunk_overlap" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS chunk_no,
+        |       CAST(i * 150 AS BIGINT) AS chunk_start,
+        |       CAST(length(substr(text, CAST(i * 150 + 1 AS INT), 200)) AS BIGINT) AS chunk_len,
+        |       md5(substr(text, CAST(i * 150 + 1 AS INT), 200)) AS chunk_hash
+        |FROM documents,
+        |     LATERAL (SELECT unnest(range(0,
+        |         1 + CAST(ceil(greatest(length(text) - 200, 0) / 150.0) AS BIGINT))) AS i)
+        |ORDER BY doc_id, chunk_no""".stripMargin,
+
+    "doc_shuffle_epoch" ->
+      """SELECT CAST(row_number() OVER (
+        |         ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
+        |         AS position,
+        |       doc_id
+        |FROM documents ORDER BY position""".stripMargin,
+
+    "doc_vocab_topk" ->
+      """SELECT term, count(*) AS term_count
+        |FROM (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+        |      FROM documents)
+        |WHERE term <> ''
+        |GROUP BY term
+        |ORDER BY term_count DESC, term
+        |LIMIT 50""".stripMargin
   )
 
   // ---------------------------------------------------------------
@@ -1807,7 +1940,18 @@ object SparkEntry {
         |FROM (SELECT probe_id, neighbor_id, sim,
         |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM scored)
-        |WHERE rank = 1 ORDER BY probe_id""".stripMargin
+        |WHERE rank = 1 ORDER BY probe_id""".stripMargin,
+
+    // exact DECIMAL(38,18) sums: any float→decimal last-ulp divergence
+    // (≤5e-19 per element) stays far below the round-to-6 resolution
+    // after the double cast.
+    "emb_label_centroids" ->
+      """SELECT label, CAST(i AS INT) AS dim,
+        |       CAST(round(CAST(sum(CAST(embedding[CAST(i + 1 AS INT)] AS DECIMAL(38,18))) AS DOUBLE)
+        |                    / count(*), 6) AS DOUBLE) AS centroid_v
+        |FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i)
+        |GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -407,6 +407,86 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // Context-window chunking
+  // ------------------------------------------------------------------
+
+  /** Slice each document into fixed-size character windows with
+    * `overlap` characters shared between neighbours — the RAG /
+    * context-window preparation step (the token-exact variant is the
+    * same shape over a token array). A doc of `len` chars yields
+    * `1 + ceil(max(0, len - chunkLen) / stride)` chunks of up to
+    * `chunkLen` chars starting every `stride = chunkLen - overlap`.
+    *
+    * Row-local explode — no shuffle, no window; the expansion factor is
+    * ~len/stride per doc, bounded and known up front. At 100 TB this
+    * runs at scan speed and parallelizes per input split. */
+  def chunkByChars(docs: DataFrame, chunkLen: Int = 200, overlap: Int = 50,
+                   textCol: String = "text"): DataFrame = {
+    require(overlap >= 0 && overlap < chunkLen, s"overlap $overlap must be in [0, $chunkLen)")
+    val stride = chunkLen - overlap
+    val len = length(col(textCol))
+    val nChunks = lit(1) + ceil(greatest(len - chunkLen, lit(0)).cast("double") / stride).cast("long")
+    docs.select(col("doc_id"), col(textCol).as("__text"), explode(sequence(lit(0L), nChunks - 1)).as("chunk_no"))
+      .select(col("doc_id"), col("chunk_no"),
+        (col("chunk_no") * stride).as("chunk_start"),
+        col("__text").substr((col("chunk_no") * stride + 1).cast("int"), lit(chunkLen)).as("chunk_text"))
+      .withColumn("chunk_len", length(col("chunk_text")))
+  }
+
+  // ------------------------------------------------------------------
+  // Deterministic global shuffle (training-order assignment)
+  // ------------------------------------------------------------------
+
+  /** Assign every row a global training-order POSITION by a seeded hash
+    * of its id — the deterministic "epoch shuffle" that randomizes
+    * document order reproducibly (same seed → same order, any cluster
+    * size, any engine).
+    *
+    * Order key is (md5(seed:id), id); position is its global rank.
+    * Computed WITHOUT a global window: the first 4 hex digits of the
+    * hash bucket rows into 2¹⁶ ranges that are PREFIXES of the sort
+    * order (fixed-width lowercase hex sorts lexicographically =
+    * numerically), so per-bucket ranks (a partitioned window over ~65k
+    * buckets, uniformly loaded by construction) plus prefix-summed
+    * bucket counts (driver-sized: 65k rows regardless of corpus size,
+    * broadcast back) give the exact global rank. */
+  def globalShuffle(df: DataFrame, seed: Long = 42L, idCol: String = "doc_id"): DataFrame = {
+    val h = md5(concat_ws(":", lit(seed), col(idCol).cast("string")))
+    val keyed = df.withColumn("__h", h)
+      .withColumn("__bucket", conv(substring(col("__h"), 1, 4), 16, 10).cast("long"))
+    val wIn = Window.partitionBy(col("__bucket")).orderBy(col("__h"), col(idCol))
+    val ranked = keyed.withColumn("__rank", row_number().over(wIn).cast("long"))
+    val wOff = Window.orderBy(col("__bucket")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("__bucket").agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select("__bucket", "__off")
+    ranked.join(broadcast(offsets), Seq("__bucket"))
+      .withColumn("position", col("__off") + col("__rank") - 1)
+      .drop("__h", "__bucket", "__rank", "__off", "__n")
+  }
+
+  // ------------------------------------------------------------------
+  // Corpus vocabulary
+  // ------------------------------------------------------------------
+
+  /** The `topK` most frequent normalized tokens across the corpus, with
+    * deterministic ties (count desc, then term asc) — the
+    * vocabulary-building primitive behind tokenizer training and
+    * frequency-based filtering.
+    *
+    * Partial-aggregated token counts (the explode never crosses the
+    * wire raw — map-side combine collapses to |vocab| rows per task)
+    * followed by `orderBy(...).limit(k)`, which Spark plans as
+    * TakeOrderedAndProject: each task keeps only its local top-k and
+    * the driver merges k-sized heaps — no global sort at any scale. */
+  def vocabTopK(docs: DataFrame, topK: Int = 50, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(TextDedup.normalize(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("term_count"))
+      .orderBy(col("term_count").desc, col("term"))
+      .limit(topK)
+
+  // ------------------------------------------------------------------
   // TF-IDF keyword extraction
   // ------------------------------------------------------------------
 

@@ -473,4 +473,25 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("probe_id", "rank", "neighbor_id", "sim")
   }
+
+  /** Per-label mean embedding — class prototypes / cluster centroids
+    * over a labeled corpus, one row per (label, dimension).
+    *
+    * The explode-then-aggregate shape is deliberately scale-safe: the
+    * posexplode is row-local (no shuffle of its own) and the aggregate
+    * partial-combines map-side, so the one Exchange carries only
+    * |labels| × dim rows per task — independent of corpus size.
+    *
+    * Summation is DECIMAL(38,18), not DOUBLE: partial aggregation adds
+    * in task-completion order, so a double sum is not reproducible
+    * run-to-run (let alone engine-to-engine); fixed-point addition is
+    * exact and order-free. The single final divide runs in DOUBLE
+    * (one correctly-rounded IEEE op — portable). */
+  def labelCentroids(embeddings: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg((sum(col("v").cast("decimal(38,18)")).cast("double") / count(lit(1)))
+        .as("centroid_v"))
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
@@ -152,6 +152,29 @@ object StreamIngest {
       .withWatermark("__event_time", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
       .drop("__event_time")
+
+  /** Stream-static enrichment join: attach dimension attributes to
+    * every streamed event (the classic "events × customer dim" lookup
+    * the reference pushes to Snowflake post-load; here it happens
+    * in-flight). Stateless in streaming terms — no watermark, no state
+    * store: each micro-batch joins against the CURRENT dim snapshot,
+    * which Spark re-resolves per batch (a dim refresh is picked up at
+    * the next trigger).
+    *
+    * Scale: the dim side is broadcast-hinted — per-executor hash map,
+    * zero shuffle of the stream. A dim too large to broadcast belongs
+    * in a keyed state store ([[runningUserCounts]]-style) or a
+    * pre-bucketed join, not here. */
+  def enrichWithDim(
+      events: DataFrame,
+      dim: DataFrame,
+      eventKey: Column,
+      dimKey: Column,
+      dimCols: Seq[Column],
+      joinType: String = "left_outer"): DataFrame = {
+    val slim = broadcast(dim.select((dimKey.as("__dim_key") +: dimCols): _*))
+    events.join(slim, eventKey === col("__dim_key"), joinType).drop("__dim_key")
+  }
 
   /** A4: total input rows across a query's lifetime (the reference's
     * client-side running counters / XCom metric). */

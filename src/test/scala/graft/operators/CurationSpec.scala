@@ -296,4 +296,47 @@ class CurationSpec extends SparkSpec {
     // budget fill overshoots by at most one doc's tokens
     assert(fracs.forall(f => f >= 0.3 && f < 0.45), fracs.mkString(","))
   }
+
+  test("chunkByChars covers every char, with exact overlap between neighbours") {
+    val d = Seq((1L, "a" * 500), (2L, "b" * 200), (3L, "c" * 10), (4L, ""))
+      .toDF("doc_id", "text")
+    val chunks = Curation.chunkByChars(d, chunkLen = 200, overlap = 50)
+      .orderBy("doc_id", "chunk_no")
+      .select("doc_id", "chunk_no", "chunk_start", "chunk_text")
+      .as[(Long, Long, Long, String)].collect()
+    // 500 chars → chunks at 0/150/300 (len 200) — 1+ceil(300/150)=3;
+    // exactly-chunkLen and tiny and empty docs each yield one chunk
+    assert(chunks.count(_._1 == 1L) == 3)
+    assert(chunks.count(_._1 == 2L) == 1)
+    assert(chunks.filter(_._1 == 3L).map(_._4).toSeq == Seq("c" * 10))
+    assert(chunks.filter(_._1 == 4L).map(_._4).toSeq == Seq(""))
+    // reconstruction: stripping the 50-char overlap from every chunk
+    // after the first rebuilds the document exactly
+    val doc1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    val rebuilt = doc1.head._4 + doc1.tail.map(_._4.drop(50)).mkString
+    assert(rebuilt == "a" * 500)
+    assert(doc1.map(_._3).toSeq == Seq(0L, 150L, 300L))
+  }
+
+  test("globalShuffle assigns a permutation matching the seeded hash order") {
+    val d = (0L until 500L).toDF("doc_id")
+    val out = Curation.globalShuffle(d, seed = 7L)
+      .select("position", "doc_id").as[(Long, Long)].collect()
+    assert(out.map(_._1).sorted.toSeq == (0L until 500L), "positions must be 0..n-1")
+    // oracle: a plain global sort on (md5(seed:id), id)
+    val expected = d
+      .withColumn("__h", md5(concat_ws(":", lit(7L), $"doc_id".cast("string"))))
+      .orderBy($"__h", $"doc_id").select("doc_id").as[Long].collect()
+    assert(out.sortBy(_._1).map(_._2).toSeq == expected.toSeq)
+    // different seed ⇒ different order (with overwhelming probability)
+    val other = Curation.globalShuffle(d, seed = 8L)
+      .select("position", "doc_id").as[(Long, Long)].collect()
+    assert(other.sortBy(_._1).map(_._2).toSeq != out.sortBy(_._1).map(_._2).toSeq)
+  }
+
+  test("vocabTopK orders by count desc then term, and drops empty tokens") {
+    val d = Seq((1L, "b b b a a c"), (2L, "a   c "), (3L, "")).toDF("doc_id", "text")
+    val v = Curation.vocabTopK(d, topK = 2).as[(String, Long)].collect()
+    assert(v.toSeq == Seq(("a", 3L), ("b", 3L))) // tie a/b → term asc
+  }
 }

@@ -185,4 +185,32 @@ class SimilaritySpec extends SparkSpec {
     // identical copies always share a bucket, so every probe must find its twin
     assert(hits == probes.count(), s"only $hits probes found their twin")
   }
+
+  test("labelCentroids matches a driver-side exact mean per (label, dim)") {
+    val rows = emb.select("label", "embedding")
+      .as[(Int, Array[Float])].collect()
+    val dim = rows.head._2.length
+    val expected = rows.groupBy(_._1).flatMap { case (label, vs) =>
+      (0 until dim).map { d =>
+        // same arithmetic contract: exact (BigDecimal) sum, one double divide
+        val s = vs.map(v => BigDecimal(v._2(d).toDouble)).sum
+        (label, d, (s / vs.length).toDouble)
+      }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = Similarity.labelCentroids(emb).orderBy("label", "dim")
+      .as[(Int, Int, Double)].collect().toSeq
+    assert(got.size == expected.size)
+    got.zip(expected).foreach { case ((gl, gd, gv), (el, ed, ev)) =>
+      assert(gl == el && gd == ed && math.abs(gv - ev) < 1e-12,
+        s"label $gl dim $gd: $gv vs $ev")
+    }
+  }
+
+  test("labelCentroids is run-to-run stable (order-free summation)") {
+    val a = Similarity.labelCentroids(emb.repartition(7)).orderBy("label", "dim")
+      .as[(Int, Int, Double)].collect().toSeq
+    val b = Similarity.labelCentroids(emb.repartition(31)).orderBy("label", "dim")
+      .as[(Int, Int, Double)].collect().toSeq
+    assert(a == b, "centroids must not depend on partitioning")
+  }
 }

@@ -204,4 +204,17 @@ class StreamIngestSpec extends SparkSpec {
     q.awaitTermination(120000)
     assert(StreamIngest.totalInputRows(q) == 30L)
   }
+
+  test("enrichWithDim left-joins dim attributes; unmatched keys keep null") {
+    import spark.implicits._
+    val events = Seq((1L, 10L), (2L, 20L), (3L, 99L)).toDF("event_id", "user_id")
+    val dim = Seq((10L, "alpha"), (20L, "beta")).toDF("k", "name")
+    val out = StreamIngest.enrichWithDim(events, dim, $"user_id", $"k", Seq($"name"))
+      .orderBy("event_id").select("event_id", "name")
+      .as[(Long, Option[String])].collect()
+    assert(out.toSeq == Seq((1L, Some("alpha")), (2L, Some("beta")), (3L, None)))
+    // inner drops the miss
+    assert(StreamIngest.enrichWithDim(events, dim, $"user_id", $"k", Seq($"name"),
+      joinType = "inner").count() == 2)
+  }
 }
