@@ -14,7 +14,9 @@ object PlanDump {
       "doc_decontaminate", "doc_sample_hash", "doc_sample_stratified",
       "doc_distinct_kmv", "doc_redact_pii", "doc_quality_filter",
       "doc_tfidf_top_terms", "doc_repetition", "doc_source_mix",
-      "doc_pack_sequences")
+      "doc_pack_sequences", "doc_pack_segments", "doc_chunk_overlap",
+      "doc_shuffle_epoch", "doc_vocab_topk", "emb_label_centroids",
+      "ref_scd2_history", "layout_zorder")
     val sb = new StringBuilder
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, dir)

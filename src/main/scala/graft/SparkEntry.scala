@@ -327,6 +327,19 @@ object SparkEntry {
           bits = 16).as("z_value"))
         .orderBy("o_orderkey")),
 
+    // Windowed ranking breadth: ntile quartiles of purchase value per
+    // event type (ties totally ordered by event_id), aggregated to
+    // order-free per-quartile stats.
+    "ref_value_quartiles" -> ((s, dir) => {
+      val e = ev(s, dir).filter(col("value").isNotNull)
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      e.withColumn("quartile", ntile(4).over(w))
+        .groupBy("event_type", "quartile")
+        .agg(count(lit(1)).as("event_count"),
+          min("value").as("min_value"), max("value").as("max_value"))
+        .orderBy("event_type", "quartile")
+    }),
+
     // Stream-static enrichment: every streamed event picks up its
     // customer dim attributes via a broadcast join inside the
     // micro-batch — stateless, append-mode, no watermark.
@@ -534,7 +547,17 @@ object SparkEntry {
       """SELECT e.event_id, e.event_type, e.user_id, c.c_name, c.c_mktsegment
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |WHERE e.event_id % 13 = 0
-        |ORDER BY e.event_id""".stripMargin
+        |ORDER BY e.event_id""".stripMargin,
+
+    "ref_value_quartiles" ->
+      """SELECT event_type, CAST(quartile AS INT) AS quartile, count(*) AS event_count,
+        |       min(value) AS min_value, max(value) AS max_value
+        |FROM (SELECT event_type, value,
+        |             ntile(4) OVER (PARTITION BY event_type
+        |                 ORDER BY value, event_id) AS quartile
+        |      FROM events WHERE value IS NOT NULL)
+        |GROUP BY event_type, quartile
+        |ORDER BY event_type, quartile""".stripMargin
   )
 
   // ---------------------------------------------------------------
@@ -934,7 +957,13 @@ object SparkEntry {
     // Vocabulary building: corpus top-50 tokens, ties on the term.
     "doc_vocab_topk" -> ((s, dir) =>
       Curation.vocabTopK(docs(s, dir), topK = 50)
-        .orderBy(col("term_count").desc, col("term")))
+        .orderBy(col("term_count").desc, col("term"))),
+
+    // Fixed-size per-stratum sample: 10 smallest id hashes per source
+    // (strata are 25 docs at sf0.01 — the cap binds at every SF).
+    "doc_sample_k_per_source" -> ((s, dir) =>
+      Curation.sampleKPerGroup(docs(s, dir).select("doc_id", "source"), "source", k = 10)
+        .orderBy("source", "doc_id"))
   )
 
   // DuckDB mirrors of the curation queries. The 8-gram derivation and
@@ -1177,7 +1206,16 @@ object SparkEntry {
         |WHERE term <> ''
         |GROUP BY term
         |ORDER BY term_count DESC, term
-        |LIMIT 50""".stripMargin
+        |LIMIT 50""".stripMargin,
+
+    "doc_sample_k_per_source" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |             ORDER BY CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT),
+        |                      doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin
   )
 
   // ---------------------------------------------------------------

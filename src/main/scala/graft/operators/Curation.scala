@@ -221,6 +221,22 @@ object Curation {
     keptWhole.unionByName(keptBoundary).drop("__sk", "__tc", "__h", "__b")
   }
 
+  /** Fixed-size per-stratum sample: the `k` rows with the smallest id
+    * hashes within each stratum — the "give me 1000 examples per
+    * source" contract. Deterministic, reproducible, and growth-stable
+    * in the hash order (new docs displace old ones only by hashing
+    * smaller, never by arrival order).
+    *
+    * One hash exchange on the stratum; the rank ≤ k filter plans as
+    * WindowGroupLimit, so each task retains at most k rows per group
+    * map-side before the shuffle — a skewed giant stratum never
+    * funnels its full membership through one task's sort. */
+  def sampleKPerGroup(df: DataFrame, strataCol: String, k: Int,
+                      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(hashU32(col(idCol)), col(idCol))
+    df.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k).drop("__rk")
+  }
+
   // ------------------------------------------------------------------
   // KMV distinct-cardinality sketch
   // ------------------------------------------------------------------

@@ -339,4 +339,21 @@ class CurationSpec extends SparkSpec {
     val v = Curation.vocabTopK(d, topK = 2).as[(String, Long)].collect()
     assert(v.toSeq == Seq(("a", 3L), ("b", 3L))) // tie a/b → term asc
   }
+
+  test("sampleKPerGroup keeps exactly min(k, |stratum|) rows, stable under growth") {
+    val d = (0 until 200).map(i => (i.toLong, if (i % 4 == 0) "web" else "book"))
+      .toDF("doc_id", "source")
+    val out = Curation.sampleKPerGroup(d, "source", k = 10)
+    val sizes = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(sizes == Map("web" -> 10L, "book" -> 10L))
+    // a stratum smaller than k survives whole
+    val tiny = Curation.sampleKPerGroup(d.filter($"doc_id" < 3), "source", k = 10)
+    assert(tiny.count() == 3)
+    // determinism + growth: adding docs only ever displaces by hash order
+    val s1 = out.select("doc_id").as[Long].collect().toSet
+    val grown = d.unionByName(Seq((100001L, "web")).toDF("doc_id", "source"))
+    val s2 = Curation.sampleKPerGroup(grown, "source", k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert((s1 diff s2).size <= 1, "one new doc displaces at most one old pick")
+  }
 }
