@@ -327,6 +327,37 @@ object SparkEntry {
           bits = 16).as("z_value"))
         .orderBy("o_orderkey")),
 
+    // Stream-stream interval join: views paired with same-user
+    // purchases within 6 hours — both sides STREAM off the landed slice,
+    // buffer statefully, and must emit exactly the batch inequality
+    // join's pairs.
+    "stream_view_purchase" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_ssj_q").toString
+      val cp = Files.createTempDirectory("graft_ssj_cp").toString
+      val subset = ev(s, dir).filter(col("event_id") % 2 === 0)
+        .select(col("event_id").cast("string").as("event_id"), col("ts").as("event_timestamp"),
+          col("event_type"), col("user_id").cast("string").as("user_id"))
+      subset.coalesce(2).write
+        .mode("overwrite")
+        .option("compression", "gzip")
+        .option("timestampNTZFormat", JsonIngest.TsFormat)
+        .json(tmp)
+      val views = StreamIngest.stream(s, tmp).filter(col("event_type") === "view")
+      val purchases = StreamIngest.stream(s, tmp).filter(col("event_type") === "purchase")
+      val q = StreamIngest.intervalJoin(views, purchases, keyCol = "user_id",
+          within = "6 HOUR", leftPrefix = "v_", rightPrefix = "p_")
+        .select(col("v_event_id").cast("long").as("view_id"),
+          col("p_event_id").cast("long").as("purchase_id"),
+          col("v_user_id").cast("long").as("user_id"))
+        .writeStream.format("memory").queryName("stream_view_purchase")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .start()
+      require(q.awaitTermination(300000), "stream_view_purchase: drain timed out")
+      s.table("stream_view_purchase").orderBy("view_id", "purchase_id")
+    }),
+
     // Windowed ranking breadth: ntile quartiles of purchase value per
     // event type (ties totally ordered by event_id), aggregated to
     // order-free per-quartile stats.
@@ -548,6 +579,15 @@ object SparkEntry {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |WHERE e.event_id % 13 = 0
         |ORDER BY e.event_id""".stripMargin,
+
+    "stream_view_purchase" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 6 HOUR
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND v.event_id % 2 = 0 AND p.event_id % 2 = 0
+        |ORDER BY view_id, purchase_id""".stripMargin,
 
     "ref_value_quartiles" ->
       """SELECT event_type, CAST(quartile AS INT) AS quartile, count(*) AS event_count,

@@ -153,6 +153,44 @@ object StreamIngest {
       .dropDuplicatesWithinWatermark(keyCols)
       .drop("__event_time")
 
+  /** Stream-stream interval join: pair each left event with the right
+    * events of the same key whose timestamp falls in
+    * `[left_ts, left_ts + within]` — the attribution shape (view →
+    * purchase within the window) that batch engines express as an
+    * inequality join and Spark runs STATEFULLY: both sides buffer in
+    * the state store, watermarks + the time-range condition bound how
+    * long (right rows age out `within` later than left rows — Spark
+    * derives that from the join condition itself).
+    *
+    * Inputs are the raw ingest streams; pass distinct `leftPrefix` /
+    * `rightPrefix` to disambiguate the self-join case (both sides off
+    * one landing). State is hash-partitioned by key (scales out);
+    * `watermark` bounds both buffers — late rows beyond it are dropped
+    * from matching, the documented at-most-`watermark` lateness
+    * contract of every windowed op in this module. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      within: String,
+      leftPrefix: String = "l_",
+      rightPrefix: String = "r_",
+      watermark: String = "2 hours",
+      tsCol: String = "event_timestamp"): DataFrame = {
+    def side(df: DataFrame, p: String) = df
+      .select(df.columns.map(c => col(c).as(p + c)): _*)
+      .withColumn(p + "event_time", col(p + tsCol).cast("timestamp"))
+      .withWatermark(p + "event_time", watermark)
+    val l = side(left, leftPrefix)
+    val r = side(right, rightPrefix)
+    val lt = col(leftPrefix + "event_time")
+    val rt = col(rightPrefix + "event_time")
+    l.join(r,
+      col(leftPrefix + keyCol) === col(rightPrefix + keyCol) &&
+        rt >= lt && rt <= lt + expr(s"INTERVAL $within"))
+      .drop(leftPrefix + "event_time", rightPrefix + "event_time")
+  }
+
   /** Stream-static enrichment join: attach dimension attributes to
     * every streamed event (the classic "events × customer dim" lookup
     * the reference pushes to Snowflake post-load; here it happens

@@ -205,6 +205,25 @@ class StreamIngestSpec extends SparkSpec {
     assert(StreamIngest.totalInputRows(q) == 30L)
   }
 
+  test("intervalJoin pairs per key within [ts, ts+within], boundaries inclusive") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val views = Seq(("v1", t("2024-01-01 10:00:00"), "u1"), ("v2", t("2024-01-01 10:00:00"), "u2"))
+      .toDF("event_id", "event_timestamp", "user_id")
+    val buys = Seq(
+      ("p1", t("2024-01-01 10:00:00"), "u1"), // exactly at view ts — included
+      ("p2", t("2024-01-01 11:00:00"), "u1"), // exactly at +1h bound — included
+      ("p3", t("2024-01-01 11:00:01"), "u1"), // 1s past — excluded
+      ("p4", t("2024-01-01 09:59:59"), "u1"), // before the view — excluded
+      ("p5", t("2024-01-01 10:30:00"), "u2") // other key
+    ).toDF("event_id", "event_timestamp", "user_id")
+    val out = StreamIngest.intervalJoin(views, buys, "user_id", "1 HOUR",
+        leftPrefix = "v_", rightPrefix = "p_")
+      .select("v_event_id", "p_event_id").as[(String, String)].collect().toSet
+    assert(out == Set(("v1", "p1"), ("v1", "p2"), ("v2", "p5")))
+  }
+
   test("enrichWithDim left-joins dim attributes; unmatched keys keep null") {
     import spark.implicits._
     val events = Seq((1L, 10L), (2L, 20L), (3L, 99L)).toDF("event_id", "user_id")
