@@ -68,6 +68,38 @@ object ScaleSmoke {
       require(n <= nVecs / 4, s"4x identical vectors must collapse: kept $n of $nVecs")
       n
     }
+    timed("shuffle_epoch_50k") {
+      val out = operators.Curation.globalShuffle(docs, seed = 7L).localCheckpoint(true)
+      val agg = out.agg(count(lit(1)).as("n"), max("position").as("mx"),
+        countDistinct(col("position")).as("d")).head()
+      require(agg.getLong(0) == nDocs && agg.getLong(1) == nDocs - 1 &&
+        agg.getLong(2) == nDocs,
+        s"positions must be a permutation of 0..${nDocs - 1}: $agg")
+      agg.getLong(0)
+    }
+    timed("chunk_overlap_50k") {
+      val chunks = operators.Curation.chunkByChars(docs, chunkLen = 200, overlap = 50)
+        .localCheckpoint(true)
+      // overlap accounting: per doc, sum(chunk_len) − (chunks−1)·50 must
+      // equal the doc's length (chunks tile the doc with exact overlap)
+      val bad = chunks.groupBy("doc_id")
+        .agg(sum("chunk_len").as("s"), count(lit(1)).as("c"))
+        .join(docs.select(col("doc_id"), length(col("text")).as("len")), Seq("doc_id"))
+        .filter(col("s") - (col("c") - 1) * 50 =!= col("len"))
+        .count()
+      require(bad == 0, s"$bad docs fail the chunk-coverage identity")
+      chunks.count()
+    }
+    timed("scd2_history_100k_events") {
+      val ev = Tables.load(spark, sfDir, "events")
+      val h = operators.Scd2.history(ev, "user_id", Seq("event_type"), "ts", "event_id")
+        .localCheckpoint(true)
+      // exactly one open version per key
+      val opens = h.filter(col("is_current")).groupBy("user_id").count()
+        .filter(col("count") =!= 1).count()
+      require(opens == 0, s"$opens keys have != 1 current version")
+      h.count()
+    }
 
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val json = results.map { case (k, s, r) => s""""$k":{"sec":${fmt(s)},"rows":$r}""" }

@@ -340,6 +340,26 @@ class CurationSpec extends SparkSpec {
     assert(v.toSeq == Seq(("a", 3L), ("b", 3L))) // tie a/b → term asc
   }
 
+  test("plan shapes: chunking shuffle-free; shuffle two-level; vocab TakeOrdered") {
+    val d = docsSf001
+    // chunking is row-local — no Exchange anywhere in its plan
+    val chunkPlan = Curation.chunkByChars(d.withColumnRenamed("text", "text"), 200, 50)
+      .queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"), s"chunking must not shuffle:\n$chunkPlan")
+    // the shuffle's data-side window partitions on the hash-prefix
+    // bucket; the ONLY single-partition step is the driver-sized
+    // bucket-offset list (downstream of its aggregate)
+    val shufflePlan = Curation.globalShuffle(d.select("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(shufflePlan.contains("hashpartitioning(__bucket"),
+      s"data window must partition by bucket:\n$shufflePlan")
+    assert("Exchange SinglePartition".r.findAllIn(shufflePlan).size == 1,
+      s"exactly one driver-sized single-partition step allowed:\n$shufflePlan")
+    // vocab top-k plans as TakeOrdered (per-task heaps), not a global sort
+    val vocabPlan = Curation.vocabTopK(d, 50).queryExecution.executedPlan.toString
+    assert(vocabPlan.contains("TakeOrdered"), s"vocab must TakeOrdered:\n$vocabPlan")
+  }
+
   test("sampleKPerGroup keeps exactly min(k, |stratum|) rows, stable under growth") {
     val d = (0 until 200).map(i => (i.toLong, if (i % 4 == 0) "web" else "book"))
       .toDF("doc_id", "source")

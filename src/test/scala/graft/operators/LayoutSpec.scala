@@ -53,6 +53,16 @@ class LayoutSpec extends SparkSpec {
     }, s"overlapping z-ranges: ${ranges.mkString(", ")}")
   }
 
+  test("plan: zValue is a pure projection — codegen'd, no shuffle, no UDF") {
+    val df = spark.range(100).select($"id".as("x"), ($"id" * 3).as("y"))
+    val plan = df.select(Layout.zValue(Seq($"x", $"y"), 16).as("z"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("BatchEvalPython")
+      && !plan.contains("ScalaUDF"), s"z-value must stay in the projection:\n$plan")
+    // "*(1)" is plan-toString's WholeStageCodegen stage marker
+    assert(plan.contains("*(1) Project"), s"z-value must codegen:\n$plan")
+  }
+
   test("zValue rejects dim/bit combinations that overflow a long") {
     intercept[IllegalArgumentException] {
       Layout.zValue(Seq($"x", $"y", $"w", $"v"), bits = 16)

@@ -63,6 +63,15 @@ class Scd2Spec extends SparkSpec {
     assert(h.toSeq == Seq("a"))
   }
 
+  test("plan: both windows share ONE key exchange (no re-shuffle between stages)") {
+    val feed = Seq((1L, "a", ts("2024-01-01 00:00:00"), 1L))
+      .toDF("user_id", "v", "ts", "event_id")
+    val plan = Scd2.history(feed, "user_id", Seq("v"), "ts", "event_id")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"SCD2 must shuffle the feed exactly once:\n$plan")
+  }
+
   test("multi-attribute tracking: a change in ANY attribute opens a version") {
     val feed = Seq(
       (1L, "a", 10L, ts("2024-01-01 00:00:00"), 1L),
