@@ -1306,6 +1306,32 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // As-of FORWARD: each view picks up the user's NEXT purchase at or
+    // after it — same one-shuffle union-window shape, time reversed.
+    "ref_asof_next_purchase" -> ((s, dir) => {
+      val e = ev(s, dir)
+      AsofJoin.asofForward(
+        e.filter(col("event_type") === "view").select("event_id", "user_id", "ts"),
+        e.filter(col("event_type") === "purchase"),
+        key = "user_id", ts = "ts", payload = Seq("value"), suffix = "_p",
+        tieBreak = Some("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value_p").as("next_purchase_price"))
+        .orderBy("event_id")
+    }),
+
+    // As-of with TOLERANCE (the feature-store point-in-time contract):
+    // latest purchase within 1 hour before the view, else NULL.
+    "ref_asof_tolerance" -> ((s, dir) => {
+      val e = ev(s, dir)
+      AsofJoin.asofBackward(
+        e.filter(col("event_type") === "view").select("event_id", "user_id", "ts"),
+        e.filter(col("event_type") === "purchase"),
+        key = "user_id", ts = "ts", payload = Seq("value"), suffix = "_p",
+        tieBreak = Some("event_id"), tolerance = Some("1 HOUR"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value_p").as("recent_purchase_price"))
+        .orderBy("event_id")
+    }),
+
     // Range join (custom operator): views inside the 30-minute window
     // after a same-user purchase — bucketed equi-join, never a
     // nested-loop inequality join. DuckDB plans the oracle's plain
@@ -1441,6 +1467,25 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
         |  ON v.user_id = p.user_id AND v.ts >= p.ts
+        |ORDER BY v.event_id""".stripMargin,
+
+    "ref_asof_next_purchase" ->
+      """SELECT v.event_id, v.user_id, v.ts, p.value AS next_purchase_price
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+        |LEFT JOIN LATERAL (
+        |  SELECT value FROM events p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = v.user_id AND p.ts >= v.ts
+        |  ORDER BY p.ts, p.event_id LIMIT 1) p ON true
+        |ORDER BY v.event_id""".stripMargin,
+
+    "ref_asof_tolerance" ->
+      """SELECT v.event_id, v.user_id, v.ts, p.value AS recent_purchase_price
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+        |LEFT JOIN LATERAL (
+        |  SELECT value FROM events p
+        |  WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+        |    AND p.ts <= v.ts AND p.ts >= v.ts - INTERVAL 1 HOUR
+        |  ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) p ON true
         |ORDER BY v.event_id""".stripMargin,
 
     "ref_range_promo_views" ->

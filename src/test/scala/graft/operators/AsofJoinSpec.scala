@@ -73,4 +73,48 @@ class AsofJoinSpec extends SparkSpec {
       s"range explosion:\n$plan")
     assert(plan.contains("Window"), s"expected window plan:\n$plan")
   }
+
+  test("forward as-of: earliest right at or after each left ts; equal-ts ties pick min tieBreak") {
+    val quotes = Seq(
+      ("A", t("2026-01-01T10:00:00"), 1.0, 10L),
+      ("A", t("2026-01-01T10:05:00"), 2.0, 11L),
+      ("A", t("2026-01-01T10:05:00"), 3.0, 12L), // same instant, larger id
+      ("B", t("2026-01-01T10:02:00"), 9.0, 13L)
+    ).toDF("sym", "ts", "price", "qid")
+    val trades = Seq(
+      ("A", t("2026-01-01T09:59:00"), 100L), // next is 10:00 -> 1.0
+      ("A", t("2026-01-01T10:00:00"), 101L), // tie -> 1.0 (>= inclusive)
+      ("A", t("2026-01-01T10:01:00"), 102L), // next 10:05, min qid -> 2.0
+      ("A", t("2026-01-01T10:06:00"), 103L), // nothing after -> null
+      ("B", t("2026-01-01T10:03:00"), 104L)  // nothing after -> null
+    ).toDF("sym", "ts", "trade_id")
+    val out = AsofJoin.asofForward(trades, quotes, "sym", "ts", Seq("price"),
+        tieBreak = Some("qid"))
+      .collect().map(r => r.getAs[Long]("trade_id") -> Option(r.getAs[Any]("price_right"))).toMap
+    assert(out(100L).contains(1.0))
+    assert(out(101L).contains(1.0))
+    assert(out(102L).contains(2.0))
+    assert(out(103L).isEmpty)
+    assert(out(104L).isEmpty)
+  }
+
+  test("tolerance nulls a match outside the window, in both directions") {
+    val quotes = Seq(("A", t("2026-01-01T10:00:00"), 1.0)).toDF("sym", "ts", "price")
+    val trades = Seq(
+      ("A", t("2026-01-01T10:30:00"), 1L), // 30 min after the quote
+      ("A", t("2026-01-01T12:00:00"), 2L) // 2 h after
+    ).toDF("sym", "ts", "trade_id")
+    val back = AsofJoin.asofBackward(trades, quotes, "sym", "ts", Seq("price"),
+        tolerance = Some("1 HOUR"))
+      .collect().map(r => r.getAs[Long]("trade_id") -> Option(r.getAs[Any]("price_right"))).toMap
+    assert(back(1L).contains(1.0) && back(2L).isEmpty)
+    val fwdTrades = Seq(
+      ("A", t("2026-01-01T09:45:00"), 3L), // 15 min before the quote
+      ("A", t("2026-01-01T08:00:00"), 4L) // 2 h before
+    ).toDF("sym", "ts", "trade_id")
+    val fwd = AsofJoin.asofForward(fwdTrades, quotes, "sym", "ts", Seq("price"),
+        tolerance = Some("30 MINUTE"))
+      .collect().map(r => r.getAs[Long]("trade_id") -> Option(r.getAs[Any]("price_right"))).toMap
+    assert(fwd(3L).contains(1.0) && fwd(4L).isEmpty)
+  }
 }
