@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Analytics, AsofJoin, Curation, DataQuality, EventOps, Layout, Multimodal, RangeJoin, Scd2, Similarity, TextDedup, TextStats}
+import graft.operators.{Analytics, AsofJoin, Curation, DataQuality, EventOps, Layout, Multimodal, RangeJoin, Scd2, Similarity, Skew, TextDedup, TextStats}
 import graft.sources.{JsonIngest, PartitionedJsonSink}
 import graft.streaming.StreamIngest
 
@@ -358,6 +358,13 @@ object SparkEntry {
       s.table("stream_view_purchase").orderBy("view_id", "purchase_id")
     }),
 
+    // Skew-mitigated aggregation: two-stage (key, salt) → key combine
+    // of decomposable stats — bit-identical to the direct group-by the
+    // oracle runs, whatever the salt split.
+    "ref_skew_salted_stats" -> ((s, dir) =>
+      Skew.saltedStats(ev(s, dir), Seq("event_type"), "value", saltFactor = 8)
+        .orderBy("event_type")),
+
     // Windowed ranking breadth: ntile quartiles of purchase value per
     // event type (ties totally ordered by event_id), aggregated to
     // order-free per-quartile stats.
@@ -588,6 +595,11 @@ object SparkEntry {
         |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
         |  AND v.event_id % 2 = 0 AND p.event_id % 2 = 0
         |ORDER BY view_id, purchase_id""".stripMargin,
+
+    "ref_skew_salted_stats" ->
+      """SELECT event_type, count(value) AS value_count,
+        |       min(value) AS value_min, max(value) AS value_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "ref_value_quartiles" ->
       """SELECT event_type, CAST(quartile AS INT) AS quartile, count(*) AS event_count,
@@ -1003,7 +1015,14 @@ object SparkEntry {
     // (strata are 25 docs at sf0.01 — the cap binds at every SF).
     "doc_sample_k_per_source" -> ((s, dir) =>
       Curation.sampleKPerGroup(docs(s, dir).select("doc_id", "source"), "source", k = 10)
-        .orderBy("source", "doc_id"))
+        .orderBy("source", "doc_id")),
+
+    // Per-source KMV distinct-content sketch, k=16 (< stratum size at
+    // every SF, so the estimate branch — not the exact fallback — is
+    // what the oracle checks).
+    "doc_distinct_kmv_by_source" -> ((s, dir) =>
+      Curation.kmvDistinctByGroup(docs(s, dir), "source",
+        TextDedup.normalize(col("text")), k = 16).orderBy("source"))
   )
 
   // DuckDB mirrors of the curation queries. The 8-gram derivation and
@@ -1255,7 +1274,21 @@ object SparkEntry {
         |             ORDER BY CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT),
         |                      doc_id) AS rk
         |  FROM documents)
-        |WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin
+        |WHERE rk <= 10 ORDER BY source, doc_id""".stripMargin,
+
+    "doc_distinct_kmv_by_source" ->
+      """WITH h AS (
+        |  SELECT DISTINCT source,
+        |    CAST(CAST('0x' || substr(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))), 1, 8) AS BIGINT) AS DOUBLE)
+        |      / 4294967296.0 AS hv
+        |  FROM documents),
+        |r AS (SELECT source, hv,
+        |             row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+        |      FROM h)
+        |SELECT source, 16::BIGINT AS k,
+        |       CAST(ROUND(CASE WHEN count(*) < 16 THEN count(*)::DOUBLE
+        |                       ELSE 15.0 / max(hv) END, 6) AS DOUBLE) AS kmv_estimate
+        |FROM r WHERE rk <= 16 GROUP BY source ORDER BY source""".stripMargin
   )
 
   // ---------------------------------------------------------------

@@ -261,6 +261,25 @@ object Curation {
     est.crossJoin(df.agg(countDistinct(valueCol).as("exact_distinct")))
   }
 
+  /** Per-group KMV: the same sketch independently per `groupCol` value
+    * — "distinct documents per source" style profiling in one pass.
+    * The k smallest distinct hashes per group come from a rank-capped
+    * window (WindowGroupLimit retains ≤ k rows per group map-side), so
+    * a giant group never funnels its full distinct set through one
+    * task; driver output is |groups| rows. */
+  def kmvDistinctByGroup(df: DataFrame, groupCol: String, valueCol: Column,
+                         k: Int = 64): DataFrame = {
+    val hv = df.select(col(groupCol).as("__grp"),
+      (hashU32(valueCol).cast("double") / 4294967296.0).as("hv")).distinct()
+    val w = Window.partitionBy(col("__grp")).orderBy(col("hv"))
+    hv.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .groupBy(col("__grp").as(groupCol))
+      .agg(count(lit(1)).as("__got"), max(col("hv")).as("__hk"))
+      .select(col(groupCol), lit(k).cast("long").as("k"),
+        round(when(col("__got") < k, col("__got").cast("double"))
+          .otherwise((lit(k) - 1).cast("double") / col("__hk")), 6).as("kmv_estimate"))
+  }
+
   // ------------------------------------------------------------------
   // PII redaction
   // ------------------------------------------------------------------

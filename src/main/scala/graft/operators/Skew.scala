@@ -42,4 +42,31 @@ object Skew {
       explode(sequence(lit(0L), lit(saltFactor.toLong - 1))))
     salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Two-stage salted aggregation for hot grouping keys: pre-aggregate
+    * on (key, salt) — spreading a hot key's rows over `saltFactor`
+    * reducers — then combine the partials on the key alone. Spark's
+    * hash aggregate already partial-combines map-side, which covers
+    * most skew; the explicit salt stage matters when the hot key's
+    * SHUFFLED partials still overwhelm one reducer (e.g. the first
+    * stage feeds a memory-heavy downstream per group).
+    *
+    * Only decomposable, order-free stats are offered (count/min/max):
+    * the result is bit-identical to the direct group-by regardless of
+    * how the salt splits rows — a double SUM would not be. */
+  def saltedStats(
+      df: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      saltFactor: Int): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(saltFactor.toLong)))
+    salted.groupBy((keyCols :+ "__salt").map(col): _*)
+      .agg(count(col(valueCol)).as("__c"),
+        min(col(valueCol)).as("__mn"), max(col(valueCol)).as("__mx"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__c")).as("value_count"),
+        min(col("__mn")).as("value_min"), max(col("__mx")).as("value_max"))
+  }
 }

@@ -297,6 +297,22 @@ class CurationSpec extends SparkSpec {
     assert(fracs.forall(f => f >= 0.3 && f < 0.45), fracs.mkString(","))
   }
 
+  test("kmvDistinctByGroup estimates per-group distinct within sketch error") {
+    val d = (0 until 3000).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      // group a: 1000 distinct values; group b: 100 distinct values
+      (g, if (g == "a") s"v${i % 2000}" else s"w${i % 200}")
+    }.toDF("g", "v")
+    val est = Curation.kmvDistinctByGroup(d, "g", col("v"), k = 64)
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("kmv_estimate")).toMap
+    assert(math.abs(est("a") - 1000) / 1000.0 < 0.35, s"a: ${est("a")}")
+    assert(math.abs(est("b") - 100) / 100.0 < 0.35, s"b: ${est("b")}")
+    // a group smaller than k reports its exact distinct count
+    val exact = Curation.kmvDistinctByGroup(d.filter($"g" === "b").limit(40).distinct(), "g", col("v"), k = 64)
+      .collect().head.getAs[Double]("kmv_estimate")
+    assert(exact == exact.floor && exact <= 40, s"small group must be exact: $exact")
+  }
+
   test("chunkByChars covers every char, with exact overlap between neighbours") {
     val d = Seq((1L, "a" * 500), (2L, "b" * 200), (3L, "c" * 10), (4L, ""))
       .toDF("doc_id", "text")

@@ -38,4 +38,18 @@ class SkewSpec extends SparkSpec {
     assert(out.count() == 2L)
     assert(out.filter($"k" === 2L && $"name".isNull).count() == 1L)
   }
+
+  test("saltedStats equals the direct group-by for every salt factor") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(10000L)
+      .select(($"id" % 3).cast("string").as("k"),
+        when($"id" % 7 === 0, lit(null)).otherwise($"id".cast("double") / 13).as("v"))
+    val direct = df.groupBy("k")
+      .agg(count($"v").as("value_count"), min($"v").as("value_min"), max($"v").as("value_max"))
+      .orderBy("k").collect().toSeq
+    for (sf <- Seq(1, 2, 8, 31)) {
+      val salted = Skew.saltedStats(df, Seq("k"), "v", sf).orderBy("k").collect().toSeq
+      assert(salted == direct, s"saltFactor=$sf diverges")
+    }
+  }
 }
