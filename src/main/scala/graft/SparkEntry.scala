@@ -358,6 +358,44 @@ object SparkEntry {
       s.table("stream_view_purchase").orderBy("view_id", "purchase_id")
     }),
 
+    // Streaming CDC apply: each micro-batch MERGEs into the versioned
+    // curated tier (foreachBatch → mergeUpsert → atomic view flip).
+    // The landing carries every update TWICE (transport redelivery) and
+    // maxFilesPerTrigger=1 forces multiple merge rounds; the final tier
+    // must hold each key exactly once. `value` rides the OPEN ENVELOPE
+    // (raw_payload) — it is not a declared staging column.
+    "stream_cdc_upsert" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_cdc_q").toString
+      val cp = Files.createTempDirectory("graft_cdc_cp").toString
+      val updates = ev(s, dir).filter(col("event_id") % 5 === 0)
+        .select(col("event_id").cast("string").as("event_id"), col("ts").as("event_timestamp"),
+          col("event_type"), col("user_id").cast("string").as("user_id"),
+          (col("value") + 100).as("value"))
+      updates.unionByName(updates).coalesce(2).write
+        .mode("overwrite")
+        .option("compression", "gzip")
+        .option("timestampNTZFormat", JsonIngest.TsFormat)
+        .json(tmp)
+      val tbl = "stream_cdc_target"
+      graft.plans.Catalog.dropIfExists(s, tbl)
+      val q = StreamIngest.runAvailableNow(
+        StreamIngest.stream(s, tmp, maxFilesPerTrigger = Some(1)), cp,
+        (batch, _) => {
+          val delta = batch.select(col("event_id").cast("long").as("event_id"),
+              col("event_type"),
+              get_json_object(col("raw_payload"), "$.value").cast("double").as("value"))
+            .dropDuplicates("event_id") // intra-batch redelivery
+          val target =
+            if (s.catalog.tableExists(tbl)) s.table(tbl)
+            else delta.filter(lit(false))
+          graft.plans.Catalog.ctasOverwrite(
+            graft.plans.Catalog.mergeUpsert(target, delta, Seq("event_id")), tbl)
+          ()
+        })
+      require(q.awaitTermination(300000), "stream_cdc_upsert: drain timed out")
+      s.table(tbl).orderBy("event_id")
+    }),
+
     // Skew-mitigated aggregation: two-stage (key, salt) → key combine
     // of decomposable stats — bit-identical to the direct group-by the
     // oracle runs, whatever the salt split.
@@ -595,6 +633,11 @@ object SparkEntry {
         |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
         |  AND v.event_id % 2 = 0 AND p.event_id % 2 = 0
         |ORDER BY view_id, purchase_id""".stripMargin,
+
+    "stream_cdc_upsert" ->
+      """SELECT event_id, event_type, value + 100 AS value
+        |FROM events WHERE event_id % 5 = 0
+        |ORDER BY event_id""".stripMargin,
 
     "ref_skew_salted_stats" ->
       """SELECT event_type, count(value) AS value_count,
