@@ -16,7 +16,9 @@ object PlanDump {
       "doc_tfidf_top_terms", "doc_repetition", "doc_source_mix",
       "doc_pack_sequences", "doc_pack_segments", "doc_chunk_overlap",
       "doc_shuffle_epoch", "doc_vocab_topk", "emb_label_centroids",
-      "ref_scd2_history", "layout_zorder")
+      "ref_scd2_history", "layout_zorder", "q4_late_shipment",
+      "ref_skew_salted_stats", "doc_distinct_kmv_by_source",
+      "ref_asof_next_purchase", "ref_value_quartiles")
     val sb = new StringBuilder
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, dir)

@@ -1361,6 +1361,12 @@ object SparkEntry {
       Analytics.topOrderPerCustomer(t(s, dir)("customer"), t(s, dir)("orders"))
         .orderBy("c_custkey")),
 
+    // EXISTS decorrelated to LEFT SEMI with a cross-side inequality
+    // residual (TPC-H Q4's shape on the reduced schema).
+    "q4_late_shipment" -> ((s, dir) =>
+      Analytics.lateShipmentPriorities(t(s, dir)("orders"), t(s, dir)("lineitem"))
+        .orderBy("o_orderpriority")),
+
     // Hierarchical totals: ROLLUP over (day, type) — subtotal + grand
     // total rows carry NULL group keys in both engines.
     "ref_summary_rollup" -> ((s, dir) =>
@@ -1532,6 +1538,14 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY o_custkey
         |                           ORDER BY o_totalprice DESC, o_orderkey) = 1
         |ORDER BY c_custkey""".stripMargin,
+
+    "q4_late_shipment" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "ref_summary_rollup" ->
       """SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS event_count

@@ -102,4 +102,21 @@ object Analytics {
         // the bits match the oracle's identity projection exactly
         col("o_totalprice").as("top_order_price"))
   }
+
+  /** TPC-H Q4's shape on the reduced schema: orders per priority with
+    * at least one lineitem shipped more than `lateDays` after the
+    * order date — an EXISTS decorrelated to a LEFT SEMI join whose
+    * condition mixes the equi key with a cross-side inequality. Spark
+    * keeps the equi part as the join key (hash/SMJ, no theta
+    * explosion) and evaluates the inequality as a residual filter on
+    * matched pairs; semi semantics stop at the first qualifying
+    * lineitem per order. */
+  def lateShipmentPriorities(orders: DataFrame, lineitem: DataFrame,
+                             lateDays: Int = 60): DataFrame =
+    orders.join(lineitem,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
 }
