@@ -342,8 +342,10 @@ object SparkEntry {
         .option("compression", "gzip")
         .option("timestampNTZFormat", JsonIngest.TsFormat)
         .json(tmp)
-      val views = StreamIngest.stream(s, tmp).filter(col("event_type") === "view")
-      val purchases = StreamIngest.stream(s, tmp).filter(col("event_type") === "purchase")
+      // true self-join: both sides filter ONE stream scan
+      val src = StreamIngest.stream(s, tmp)
+      val views = src.filter(col("event_type") === "view")
+      val purchases = src.filter(col("event_type") === "purchase")
       val q = StreamIngest.intervalJoin(views, purchases, keyCol = "user_id",
           within = "6 HOUR", leftPrefix = "v_", rightPrefix = "p_")
         .select(col("v_event_id").cast("long").as("view_id"),

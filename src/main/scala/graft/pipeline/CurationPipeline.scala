@@ -85,6 +85,7 @@ object CurationPipeline {
               jaccardThreshold: Double = 0.8,
               maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
               seqLen: Int = 2048,
+              shuffleSeed: Long = 42L,
               notify: PipelineReport => Unit = _ => ()): PipelineReport = {
     val stages = Seq[Stage](
       Stage("quality_gate") { m =>
@@ -121,9 +122,25 @@ object CurationPipeline {
           .agg(coalesce(max(col("seq_no")) + 1, lit(0L)).as("seqs"),
             coalesce(sum(col("token_count")), lit(0L)).as("toks")).head()
         Map("train_sequences" -> agg.getLong(0), "train_tokens" -> agg.getLong(1))
+      },
+      Stage("epoch_shuffle") { _ =>
+        // deterministic training order over the packed docs: same seed →
+        // same order on any cluster; recorded as its own versioned table
+        // so an epoch is reproducible after the corpus moves on
+        val order = Curation.globalShuffle(
+          spark.table(SequencesTable).select("doc_id", "token_count"), seed = shuffleSeed)
+        Catalog.ctasOverwrite(order, TrainOrderTable)
+        val agg = spark.table(TrainOrderTable)
+          .agg(count(lit(1)).as("n"), coalesce(max(col("position")) + 1, lit(0L)).as("p"))
+          .head()
+        require(agg.getLong(0) == agg.getLong(1),
+          s"training order must be a dense permutation: ${agg.getLong(0)} rows, max+1=${agg.getLong(1)}")
+        Map("train_order_rows" -> agg.getLong(0))
       })
     new Runner(stages, RetryPolicy(retries = 1), notify).run(Map("docs_in" -> docs.count()))
   }
+
+  val TrainOrderTable = "documents_train_order"
 
   val TierTable = "documents_tier"
   val BandIndexTable = "documents_band_index"

@@ -78,6 +78,18 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     }
     assert(m("train_tokens") == expect)
     assert(m("train_sequences") == packed.last.getLong(2) + 1)
+
+    // epoch shuffle: a dense permutation over exactly the packed docs,
+    // reproducible from the seed
+    val order = spark.table(CurationPipeline.TrainOrderTable)
+    assert(m("train_order_rows") == packed.length.toLong)
+    val positions = order.select("position").collect().map(_.getLong(0)).sorted
+    assert(positions.toSeq == (0L until packed.length.toLong))
+    val again = graft.operators.Curation.globalShuffle(
+      spark.table(CurationPipeline.SequencesTable).select("doc_id", "token_count"), seed = 42L)
+      .select("doc_id", "position").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    order.select("doc_id", "position").collect()
+      .foreach(r => assert(again(r.getLong(0)) == r.getLong(1), "order must be seed-reproducible"))
   }
 
   test("degenerate identical corpus: cap triggers, run still succeeds, skips are REPORTED") {
