@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Analytics, AsofJoin, Curation, DataQuality, EventOps, Layout, Multimodal, RangeJoin, Scd2, Similarity, Skew, TextDedup, TextStats}
+import graft.operators.{Analytics, AsofJoin, Curation, DataQuality, EventOps, Layout, Multimodal, RangeJoin, Resample, Scd2, Similarity, Skew, TextDedup, TextStats}
 import graft.sources.{JsonIngest, PartitionedJsonSink}
 import graft.streaming.StreamIngest
 
@@ -398,6 +398,14 @@ object SparkEntry {
       s.table(tbl).orderBy("event_id")
     }),
 
+    // Calendar resampling + LOCF: each user's purchase history projected
+    // onto a daily grid spanning their own [first, last] purchase day,
+    // gap days forward-filled with the most recent daily max.
+    "ref_resample_ffill" -> ((s, dir) =>
+      Resample.dailyFfill(ev(s, dir).filter(col("event_type") === "purchase"),
+          key = "user_id", ts = "ts", value = "value")
+        .orderBy("user_id", "day")),
+
     // Skew-mitigated aggregation: two-stage (key, salt) → key combine
     // of decomposable stats — bit-identical to the direct group-by the
     // oracle runs, whatever the salt split.
@@ -640,6 +648,23 @@ object SparkEntry {
       """SELECT event_id, event_type, value + 100 AS value
         |FROM events WHERE event_id % 5 = 0
         |ORDER BY event_id""".stripMargin,
+
+    "ref_resample_ffill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, max(value) AS day_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |b AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |                                              CAST(hi AS TIMESTAMP),
+        |                                              INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM b)
+        |SELECT g.user_id, g.day, d.day_value,
+        |       last_value(d.day_value IGNORE NULLS) OVER (
+        |         PARTITION BY g.user_id ORDER BY g.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+        |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id, g.day""".stripMargin,
 
     "ref_skew_salted_stats" ->
       """SELECT event_type, count(value) AS value_count,
