@@ -398,6 +398,14 @@ object SparkEntry {
       s.table(tbl).orderBy("event_id")
     }),
 
+    // Per-type z-score outliers: exact decimal moments (order-free),
+    // fixed double derivation, broadcast stats back onto the scan.
+    "ref_dq_outliers" -> ((s, dir) =>
+      DataQuality.zScoreOutliers(ev(s, dir), "event_type", "value", threshold = 3.0)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z_score"), 6).as("z_score"))
+        .orderBy("event_id")),
+
     // Calendar resampling + LOCF: each user's purchase history projected
     // onto a daily grid spanning their own [first, last] purchase day,
     // gap days forward-filled with the most recent daily max.
@@ -648,6 +656,24 @@ object SparkEntry {
       """SELECT event_id, event_type, value + 100 AS value
         |FROM events WHERE event_id % 5 = 0
         |ORDER BY event_id""".stripMargin,
+
+    "ref_dq_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, count(*) AS n,
+        |         sum(CAST(value AS DECIMAL(38,12))) AS s1,
+        |         sum(CAST(value * value AS DECIMAL(38,12))) AS s2
+        |  FROM events WHERE value IS NOT NULL GROUP BY event_type),
+        |st AS (
+        |  SELECT event_type,
+        |         CAST(s1 AS DOUBLE) / n AS m,
+        |         sqrt(CAST(s2 AS DOUBLE) / n
+        |              - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS sd
+        |  FROM s)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       CAST(ROUND((e.value - st.m) / st.sd, 6) AS DOUBLE) AS z_score
+        |FROM events e JOIN st USING (event_type)
+        |WHERE e.value IS NOT NULL AND abs((e.value - st.m) / st.sd) > 3.0
+        |ORDER BY e.event_id""".stripMargin,
 
     "ref_resample_ffill" ->
       """WITH daily AS (

@@ -47,4 +47,36 @@ object DataQuality {
       s"Data quality check failed: duplicates=${r.duplicateCount}, incomplete=${r.incompleteCount}")
     r
   }
+
+  /** Per-group z-score outliers: rows whose value sits more than
+    * `threshold` population standard deviations from their group's
+    * mean — the distribution-shift / anomalous-value screen a curation
+    * pipeline runs before training ingestion.
+    *
+    * Moments are ORDER-FREE: Σv and Σv² accumulate in DECIMAL (each v·v
+    * is one deterministic IEEE product per row; the summation is
+    * fixed-point, so the result is identical for any partition order or
+    * engine), then mean/variance/σ/z derive through a fixed sequence of
+    * double ops. Two scans by design: the tiny per-group moment table
+    * broadcasts back onto the row scan — at 100 TB this beats a
+    * group-window (which would shuffle every row) by carrying only
+    * |groups| rows across the wire. */
+  def zScoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     threshold: Double = 3.0): DataFrame = {
+    val v = col(valueCol)
+    val stats = df.filter(v.isNotNull).groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(v.cast("decimal(38,12)")).as("__s1"),
+        sum((v * v).cast("decimal(38,12)")).as("__s2"))
+      .select(col(groupCol),
+        (col("__s1").cast("double") / col("__n")).as("__mean"),
+        sqrt(col("__s2").cast("double") / col("__n") -
+          (col("__s1").cast("double") / col("__n")) *
+            (col("__s1").cast("double") / col("__n"))).as("__sd"))
+    df.filter(v.isNotNull)
+      .join(broadcast(stats), Seq(groupCol))
+      .withColumn("z_score", (v - col("__mean")) / col("__sd"))
+      .filter(abs(col("z_score")) > threshold)
+      .drop("__mean", "__sd")
+  }
 }

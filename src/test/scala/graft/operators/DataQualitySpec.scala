@@ -39,4 +39,22 @@ class DataQualitySpec extends SparkSpec {
     val r = DataQuality.gate(clean, "event_id", Seq("event_id", "event_type", "user_id"))
     assert(r.ok && r.duplicateCount == 0L && r.incompleteCount == 0L)
   }
+
+  test("zScoreOutliers flags only the planted anomaly, per group, nulls ignored") {
+    import org.apache.spark.sql.functions._
+    // group a: tight cluster around 10 plus one wild value; group b: tight only
+    val rows = (1L to 100L).map(i => (i, "a", Some(10.0 + (i % 5) * 0.1))) ++
+      Seq((101L, "a", Some(500.0)), (102L, "a", None)) ++
+      (200L until 250L).map(i => (i, "b", Some(3.0 + (i % 3) * 0.01)))
+    val df = rows.toDF("event_id", "g", "v")
+    val out = DataQuality.zScoreOutliers(df, "g", "v", threshold = 3.0)
+      .select("event_id").as[Long].collect()
+    assert(out.toSeq == Seq(101L), s"got ${out.toSeq}")
+    // partition-order independence of the exact moments
+    val out2 = DataQuality.zScoreOutliers(df.repartition(13), "g", "v", threshold = 3.0)
+      .select("event_id", "z_score").orderBy("event_id").collect()
+    val out1 = DataQuality.zScoreOutliers(df.repartition(2), "g", "v", threshold = 3.0)
+      .select("event_id", "z_score").orderBy("event_id").collect()
+    assert(out1.toSeq == out2.toSeq)
+  }
 }
