@@ -1087,6 +1087,12 @@ object SparkEntry {
     "doc_pack_segments" -> ((s, dir) =>
       Curation.packSegments(docs(s, dir), seqLen = 2048).orderBy("seq_no", "doc_id")),
 
+    // Edit-distance near-dup: prefix-blocked (capped) candidates,
+    // exact Levenshtein ≤ 2 over the 120-char slice.
+    "doc_neardup_levenshtein" -> ((s, dir) =>
+      TextDedup.nearDupPairsLevenshtein(docs(s, dir))
+        .orderBy("a", "b")),
+
     // RAG/context-window chunking: 200-char windows every 150 chars
     // (50 overlap), row-local explode. Chunk text compared by md5.
     "doc_chunk_overlap" -> ((s, dir) =>
@@ -1334,6 +1340,22 @@ object SparkEntry {
         |             ORDER BY tf.tf * CAST((SELECT n FROM n) AS DOUBLE) / df.df DESC, tf.term) AS rank
         |  FROM tf JOIN df USING (term))
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "doc_neardup_levenshtein" ->
+      """WITH n AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents),
+        |blk AS (
+        |  SELECT doc_id, t, substr(t, 1, 24) AS b FROM n),
+        |ok AS (
+        |  SELECT b FROM blk GROUP BY b HAVING count(*) BETWEEN 2 AND 64),
+        |c AS (SELECT blk.* FROM blk JOIN ok USING (b))
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |       CAST(levenshtein(substr(x.t, 1, 120), substr(y.t, 1, 120)) AS BIGINT)
+        |         AS edit_distance
+        |FROM c x JOIN c y ON x.b = y.b AND x.doc_id < y.doc_id
+        |WHERE levenshtein(substr(x.t, 1, 120), substr(y.t, 1, 120)) <= 2
+        |ORDER BY a, b""".stripMargin,
 
     // chunk i covers chars [i*150, i*150+200); 1 + ceil(max(len-200,0)/150)
     // chunks per doc — the exact formula chunkByChars uses.

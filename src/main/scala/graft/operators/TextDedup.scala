@@ -542,4 +542,41 @@ object TextDedup {
     })
     call_function("simhash64_hashes", tok64)
   }
+
+  // ------------------------------------------------------------------
+  // Edit-distance near-dup (short-text / prefix-stable fields)
+  // ------------------------------------------------------------------
+
+  /** Near-dup pairs by exact Levenshtein distance over a bounded text
+    * slice, candidates blocked on the normalized `blockPrefix`-char
+    * prefix — the fuzzy-title/URL-slug dedup complement to the
+    * shingle-based detectors (which need enough tokens to shingle;
+    * edit distance sees single-character noise directly).
+    *
+    * Same candidate discipline as every near-dup path here: blocking is
+    * an EQUI-join (no all-pairs), blocks are pre-counted and only sizes
+    * in [2, maxBlockSize] generate pairs (a boilerplate prefix shared
+    * by millions of docs degrades to a reported skip, never a quadratic
+    * task), and the O(sliceLen²) DP verify runs only inside surviving
+    * blocks. At 100 TB the slice bound is what keeps the verify
+    * per-pair cost constant. */
+  def nearDupPairsLevenshtein(docs: DataFrame, textCol: String = "text",
+                              blockPrefix: Int = 24, sliceLen: Int = 120,
+                              maxDist: Int = 2,
+                              maxBlockSize: Int = 64): DataFrame = {
+    val n = docs.select(col("doc_id"), normalize(col(textCol)).as("__t"))
+      .withColumn("__blk", substring(col("__t"), 1, blockPrefix))
+    val ok = n.groupBy("__blk").agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") >= 2 && col("__bn") <= maxBlockSize)
+      .select("__blk")
+    val blocked = n.join(ok, Seq("__blk"), "left_semi")
+    val a = blocked.select(col("__blk"), col("doc_id").as("a"),
+      substring(col("__t"), 1, sliceLen).as("__sa"))
+    val b = blocked.select(col("__blk"), col("doc_id").as("b"),
+      substring(col("__t"), 1, sliceLen).as("__sb"))
+    a.join(b, Seq("__blk")).filter(col("a") < col("b"))
+      .withColumn("edit_distance", levenshtein(col("__sa"), col("__sb")).cast("long"))
+      .filter(col("edit_distance") <= maxDist)
+      .select("a", "b", "edit_distance")
+  }
 }

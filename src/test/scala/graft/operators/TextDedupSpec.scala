@@ -234,4 +234,26 @@ class TextDedupSpec extends SparkSpec {
     // 10 ~ 1 (tier) and 11 ~ 10 ~ 1 transitively: both must drop
     assert(out == Set(12L), out.toString)
   }
+
+  test("levenshtein near-dup: finds single-char edits, respects maxDist and block cap") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    // edits sit BEYOND the 24-char blocking prefix (an edit inside the
+    // prefix is out of this detector's contract — different block)
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "hazy")), // distance 1 within slice
+      (3L, base + " extended with a long different tail that pushes distance"),
+      (4L, "completely different text that shares no prefix with the others"),
+      (5L, base.replace("dog", "wolf")) // distance 4 — beyond maxDist 2
+    ).toDF("doc_id", "text")
+    val pairs = TextDedup.nearDupPairsLevenshtein(docs, sliceLen = 60, maxDist = 2)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"edit pair missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unblocked doc leaked in")
+    assert(!pairs.contains((1L, 5L)), "beyond-maxDist pair kept")
+
+    // a degenerate block larger than the cap generates NO pairs
+    val degenerate = (0L until 100L).map(i => (i, base)).toDF("doc_id", "text")
+    assert(TextDedup.nearDupPairsLevenshtein(degenerate, maxBlockSize = 64).count() == 0)
+  }
 }
