@@ -414,6 +414,14 @@ object SparkEntry {
           key = "user_id", ts = "ts", value = "value")
         .orderBy("user_id", "day")),
 
+    // Trailing 7-day moving average of event value per type: sliding
+    // ROWS frame over the daily pre-aggregate; DECIMAL(38,12) frame
+    // sums (order-free) with one final double division.
+    "ref_moving_avg" -> ((s, dir) =>
+      Resample.movingAverage(ev(s, dir), key = "event_type", ts = "ts",
+          value = "value", windowDays = 7)
+        .orderBy("event_type", "day")),
+
     // Skew-mitigated aggregation: two-stage (key, salt) → key combine
     // of decomposable stats — bit-identical to the direct group-by the
     // oracle runs, whatever the salt split.
@@ -692,6 +700,25 @@ object SparkEntry {
         |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
         |ORDER BY g.user_id, g.day""".stripMargin,
 
+    // DECIMAL(38,12) daily + frame sums (exact, order-free under both
+    // engines' sliding-frame algorithms); the mean is the one double op.
+    "ref_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |         sum(CAST(value AS DECIMAL(38,12))) AS day_sum,
+        |         count(*) AS day_n
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, day,
+        |       CAST(ROUND(CAST(day_sum AS DOUBLE), 6) AS DOUBLE) AS day_sum,
+        |       CAST(ROUND(CAST(win_sum AS DOUBLE) / win_n, 6) AS DOUBLE) AS moving_avg
+        |FROM (SELECT event_type, day, day_sum,
+        |             sum(day_sum) OVER w AS win_sum,
+        |             sum(day_n) OVER w AS win_n
+        |      FROM daily
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |ORDER BY event_type, day""".stripMargin,
+
     "ref_skew_salted_stats" ->
       """SELECT event_type, count(value) AS value_count,
         |       min(value) AS value_min, max(value) AS value_max
@@ -963,6 +990,16 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // Corpus-wide kNN GRAPH (every vector a probe): the banded index
+    // self-joins on (band, bucket) with capped buckets — no broadcast
+    // of a probe side, no all-pairs. md5-derived planes keep the
+    // oracle's candidate set bit-identical.
+    "emb_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(emb(s, dir), k = 3, bands = 4, planesPerBand = 8,
+          md5Derived = true, maxBucketSize = 64)
+        .select(col("src_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("src_id", "rank")),
+
     // ANN path #2: IVF with a k-means-lite coarse quantizer, gated on
     // the provable recall property: each planted probe's identical twin
     // shares its argmax centroid (identical vector), so IVF rank-1 MUST
@@ -1112,6 +1149,18 @@ object SparkEntry {
     "doc_vocab_topk" -> ((s, dir) =>
       Curation.vocabTopK(docs(s, dir), topK = 50)
         .orderBy(col("term_count").desc, col("term"))),
+
+    // n-gram LM counts: corpus top-50 bigrams, built row-locally from
+    // the token array (no positions join).
+    "doc_bigram_topk" -> ((s, dir) =>
+      Curation.ngramTopK(docs(s, dir), n = 2, topK = 50)
+        .orderBy(col("gram_count").desc, col("gram"))),
+
+    // Unigram-LM quality signal: mean corpus frequency of each doc's
+    // tokens (BIGINT sums; the mean is the single double op).
+    "doc_lm_score" -> ((s, dir) =>
+      Curation.lmScore(docs(s, dir))
+        .orderBy("doc_id")),
 
     // Fixed-size per-stratum sample: 10 smallest id hashes per source
     // (strata are 25 docs at sf0.01 — the cap binds at every SF).
@@ -1384,6 +1433,38 @@ object SparkEntry {
         |GROUP BY term
         |ORDER BY term_count DESC, term
         |LIMIT 50""".stripMargin,
+
+    // DuckDB lists are 1-indexed and range(a,b) is [a,b): i runs
+    // 1..len-1, gram i = t[i] || ' ' || t[i+1] — exactly Spark's
+    // slice(toks, i, 2) for i in 1..size-1.
+    "doc_bigram_topk" ->
+      """WITH toks AS (
+        |  SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents)
+        |SELECT gram, count(*) AS gram_count
+        |FROM (SELECT t[i] || ' ' || t[i+1] AS gram
+        |      FROM toks, unnest(range(1, len(t))) AS r(i))
+        |WHERE gram <> ''
+        |GROUP BY gram
+        |ORDER BY gram_count DESC, gram
+        |LIMIT 50""".stripMargin,
+
+    // CASTs on the sums: DuckDB sum(BIGINT) widens to HUGEINT, which
+    // the gate's hasher rejects even at identical values.
+    "doc_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, term FROM (
+        |    SELECT doc_id,
+        |           unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+        |    FROM documents)
+        |  WHERE term <> ''),
+        |cf AS (SELECT term, count(*) AS cf FROM t GROUP BY term)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |       CAST(sum(c.cf) AS BIGINT) AS cf_sum,
+        |       CAST(ROUND(CAST(sum(c.cf) AS DOUBLE) / count(*), 6) AS DOUBLE) AS mean_cf
+        |FROM t JOIN cf c USING (term)
+        |GROUP BY t.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "doc_sample_k_per_source" ->
       """SELECT doc_id, source FROM (
@@ -2169,6 +2250,43 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM scored)
         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    // kNN graph: same md5-derived planes as the banded probe oracle,
+    // but EVERY vector is a probe and buckets outside [2, 64] are
+    // skipped — mirroring knnGraph's cap exactly.
+    "emb_knn_graph" ->
+      """WITH dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+        |planes AS (
+        |  SELECT q // 8 AS band, q % 8 AS p,
+        |         list_transform(range(0, (SELECT dim FROM dims)), d ->
+        |      CAST(CAST('0x' || substr(md5(q::VARCHAR || ':' || d::VARCHAR), 1, 8) AS BIGINT) AS DOUBLE)
+        |        / 2147483648.0 - 1.0) AS plane
+        |  FROM range(0, 32) t(q)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |keyed AS (
+        |  SELECT e.vec_id, pl.band,
+        |         SUM(CASE WHEN list_dot_product(e.v, pl.plane) > 0
+        |             THEN 1::BIGINT << CAST(pl.p AS INT) ELSE 0 END) AS bucket
+        |  FROM e, planes pl GROUP BY 1, 2),
+        |ok AS (SELECT band, bucket FROM keyed
+        |       GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND 64),
+        |kb AS (SELECT keyed.* FROM keyed JOIN ok USING (band, bucket)),
+        |cands AS (
+        |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS neighbor_id
+        |  FROM kb a JOIN kb b ON a.band = b.band AND a.bucket = b.bucket
+        |  WHERE a.vec_id <> b.vec_id),
+        |scored AS (
+        |  SELECT cd.src_id, cd.neighbor_id,
+        |         list_dot_product(s.v, n.v)
+        |           / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(n.v, n.v))) AS sim
+        |  FROM cands cd
+        |  JOIN e s ON s.vec_id = cd.src_id
+        |  JOIN e n ON n.vec_id = cd.neighbor_id)
+        |SELECT src_id, rank, neighbor_id, CAST(ROUND(sim, 6) AS DOUBLE) AS sim
+        |FROM (SELECT src_id, neighbor_id, sim,
+        |             row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin,
 
     // Full replica of the BANDED md5-plane LSH ANN path: global plane
     // index q = band*planesPerBand + p over the same md5 derivation,

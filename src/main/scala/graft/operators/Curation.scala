@@ -521,6 +521,58 @@ object Curation {
       .orderBy(col("term_count").desc, col("term"))
       .limit(topK)
 
+  /** The `topK` most frequent word n-grams across the corpus — the
+    * n-gram-LM / tokenizer-merge-candidate primitive (bigram counts at
+    * n=2). Grams are built ROW-LOCALLY from the normalized token array
+    * (`transform` over index positions — no shuffle, no join against a
+    * positions table), so the only Exchange is the partial-aggregated
+    * gram-count shuffle, and the top-k is TakeOrderedAndProject (per-
+    * task k-heaps merged on the driver — no global sort). At 100 TB
+    * the map-side combine is what bounds the wire: each task emits at
+    * most its local distinct-gram count, not its token count. */
+  def ngramTopK(docs: DataFrame, n: Int = 2, topK: Int = 50,
+                textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = split(TextDedup.normalize(col(textCol)), " ")
+    // positions 1 .. size-n+1; sequence(1, 0) would DESCEND, so guard
+    // short docs (fewer than n tokens) to an empty gram list
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(explode(grams).as("gram"))
+      .filter(col("gram") =!= "")
+      .groupBy("gram").agg(count(lit(1)).as("gram_count"))
+      .orderBy(col("gram_count").desc, col("gram"))
+      .limit(topK)
+  }
+
+  /** Per-document mean corpus frequency of its tokens — the unigram-LM
+    * quality signal (a doc of globally-rare tokens scores low; boiler-
+    * plate scores high), the cheap stand-in for KenLM-style perplexity
+    * filtering in crawl curation.
+    *
+    * Cross-engine exact by construction: corpus frequencies and the
+    * per-doc sum are BIGINT (order-free), and the mean is ONE double
+    * division of exact integers (a single correctly-rounded IEEE op).
+    *
+    * Scale: the token stream shuffles slim (doc_id, term) pairs once to
+    * count, and the frequency join is a broadcast — a Zipf vocabulary
+    * is ~10⁶–10⁷ terms at any corpus size, far under executor memory,
+    * while the token stream is petabytes; broadcasting the small side
+    * keeps the skewed head terms ('the', 'of') from funneling one
+    * reducer the way a shuffle join on `term` would. */
+  def lmScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(split(TextDedup.normalize(col(textCol)), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val cf = toks.groupBy("term").agg(count(lit(1)).as("__cf"))
+    toks.join(broadcast(cf), Seq("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("__cf").as("cf_sum"))
+      .withColumn("mean_cf", round(col("cf_sum").cast("double") / col("n_tokens"), 6))
+  }
+
   // ------------------------------------------------------------------
   // TF-IDF keyword extraction
   // ------------------------------------------------------------------

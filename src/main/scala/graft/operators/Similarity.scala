@@ -474,6 +474,49 @@ object Similarity {
       .select("probe_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Approximate k-nearest-neighbor GRAPH over the whole corpus — each
+    * vector's top-`k` cosine neighbors among the candidates that share
+    * any banded sign-LSH bucket with it. The corpus-wide analog of
+    * [[topKLshBanded]] (which broadcasts a small probe set — the wrong
+    * plan when every vector is a probe): here the corpus bands ONCE
+    * into a slim (vec_id, band, bucket) index that equi-joins itself,
+    * so the heaviest shuffle carries id triples, never embeddings.
+    *
+    * Candidate discipline matches every near-dup path in the repo:
+    * buckets are pre-counted and only sizes in [2, maxBucketSize]
+    * generate pairs (a degenerate bucket — e.g. the all-zeros corner a
+    * zero-heavy corpus collapses into — degrades to a skip, never a
+    * quadratic task), pairs dedup on the slim id pair BEFORE the
+    * vectors are read, and the exact-cosine verify is two hash joins
+    * against the id-keyed vector projection. Top-k is a rank-filtered
+    * window (WindowGroupLimit: per-task k-heaps, no global sort). */
+  def knnGraph(vectors: DataFrame, k: Int, bands: Int = 4, planesPerBand: Int = 8,
+               seed: Long = 42L, md5Derived: Boolean = false,
+               maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+    val idx = lshBanded(vectors.select(col("vec_id"), col("embedding")),
+      bands, planesPerBand, seed, md5Derived)
+    val okBuckets = idx.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2 && col("__n") <= maxBucketSize)
+      .select("band", "bucket")
+    val kept = idx.join(okBuckets, Seq("band", "bucket"))
+    val pairs = kept.select(col("band"), col("bucket"), col("vec_id").as("src_id"))
+      .join(kept.select(col("band"), col("bucket"), col("vec_id").as("neighbor_id")),
+        Seq("band", "bucket"))
+      .filter(col("src_id") =!= col("neighbor_id"))
+      .select("src_id", "neighbor_id").distinct()
+    val v = vectors.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("__nrm"))
+    val scored = pairs
+      .join(v.select(col("vec_id").as("src_id"), col("embedding").as("s_emb"),
+        col("__nrm").as("s_norm")), Seq("src_id"))
+      .join(v.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+        col("__nrm").as("n_norm")), Seq("neighbor_id"))
+      .select(col("src_id"), col("neighbor_id"),
+        (dot(col("s_emb"), col("n_emb")) / (col("s_norm") * col("n_norm"))).as("sim"))
+    val w = Window.partitionBy(col("src_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("src_id", "rank", "neighbor_id", "sim")
+  }
+
   /** Per-label mean embedding — class prototypes / cluster centroids
     * over a labeled corpus, one row per (label, dimension).
     *

@@ -356,6 +356,37 @@ class CurationSpec extends SparkSpec {
     assert(v.toSeq == Seq(("a", 3L), ("b", 3L))) // tie a/b → term asc
   }
 
+  test("ngramTopK builds row-local bigrams; short and empty docs yield none") {
+    val d = Seq(
+      (1L, "a b c"),     // bigrams: "a b", "b c"
+      (2L, "a b"),       // "a b"
+      (3L, "solo"),      // 1 token < n → none
+      (4L, "")           // empty → none
+    ).toDF("doc_id", "text")
+    val g = Curation.ngramTopK(d, n = 2, topK = 10).as[(String, Long)].collect()
+    assert(g.toSeq == Seq(("a b", 2L), ("b c", 1L)))
+    // trigrams from the same fixture
+    val t3 = Curation.ngramTopK(d, n = 3, topK = 10).as[(String, Long)].collect()
+    assert(t3.toSeq == Seq(("a b c", 1L)))
+    // plan: grams are row-local (one agg exchange, then TakeOrdered)
+    val plan = Curation.ngramTopK(docsSf001, 2, 50).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), s"ngram top-k must TakeOrdered:\n$plan")
+  }
+
+  test("lmScore: boilerplate scores high, rare-token docs low; exact integer sums") {
+    val d = Seq(
+      (1L, "the the the"),   // cf(the)=4 → mean 4
+      (2L, "the zzz"),       // (4 + 1) / 2 = 2.5
+      (3L, "qqq")            // cf(qqq)=1 → mean 1
+    ).toDF("doc_id", "text")
+    val out = Curation.lmScore(d).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 3L, 12L, 4.0), (2L, 2L, 5L, 2.5), (3L, 1L, 1L, 1.0)))
+    // the frequency join must broadcast the vocab, not shuffle the token stream twice
+    val plan = Curation.lmScore(docsSf001).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"vocab join must broadcast:\n$plan")
+  }
+
   test("plan shapes: chunking shuffle-free; shuffle two-level; vocab TakeOrdered") {
     val d = docsSf001
     // chunking is row-local — no Exchange anywhere in its plan

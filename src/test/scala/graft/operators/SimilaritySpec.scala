@@ -186,6 +186,36 @@ class SimilaritySpec extends SparkSpec {
     assert(hits == probes.count(), s"only $hits probes found their twin")
   }
 
+  test("knnGraph: symmetric-candidate top-k per vector, self excluded, cap degrades to skip") {
+    // planted twins (id, id+1000): every vector's rank-1 neighbor must
+    // be its identical twin (cosine 1), in BOTH directions
+    val planted = emb.select($"vec_id", $"embedding")
+      .unionByName(emb.select(($"vec_id" + 1000).as("vec_id"), $"embedding"))
+    val out = Similarity.knnGraph(planted, k = 1, bands = 4, planesPerBand = 8)
+      .select($"src_id", $"neighbor_id", $"sim").collect()
+    val rank1 = out.map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val n = emb.count()
+    // every vector appears as a source (twin guarantees a bucket-mate)
+    assert(rank1.size == 2 * n, s"expected ${2 * n} sources, got ${rank1.size}")
+    rank1.foreach { case (src, (nb, sim)) =>
+      assert(nb == (if (src >= 1000) src - 1000 else src + 1000),
+        s"src $src rank-1 neighbor was $nb, not its twin")
+      assert(math.abs(sim - 1.0) < 1e-9)
+    }
+
+    // a degenerate corpus (one identical family larger than the cap)
+    // yields no edges — reported skip, never a quadratic task
+    val family = (0L until 100L).map(i => (i, Array(1.0f, 0.0f, 0.5f))).toDF("vec_id", "embedding")
+    assert(Similarity.knnGraph(family, k = 3, maxBucketSize = 64).count() == 0)
+  }
+
+  test("knnGraph plan: no broadcast-nested-loop, no cartesian — candidates stay equi-join") {
+    val plan = Similarity.knnGraph(emb, k = 3, bands = 4, planesPerBand = 8, md5Derived = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"kNN graph must never go all-pairs:\n$plan")
+  }
+
   test("labelCentroids matches a driver-side exact mean per (label, dim)") {
     val rows = emb.select("label", "embedding")
       .as[(Int, Array[Float])].collect()
