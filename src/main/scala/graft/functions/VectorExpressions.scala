@@ -469,6 +469,76 @@ object VecSignBits {
   * by GraftSession via `spark.sql.extensions`, so `vec_dot` and
   * `shingle_hashes` are callable from SQL and `call_function` on every
   * session. */
+/** Native word n-grams over a token array: gram i is tokens
+  * i..i+n-1 joined by a single space — bit-for-bit what the composable
+  * `transform(sequence(...), i -> concat_ws(' ', element_at...))`
+  * rendition produces, but one tight loop per row instead of an
+  * interpreted higher-order lambda per position (which made corpus
+  * bigram counting ~15× slower than the same-shape vocab scan).
+  * Fewer than n tokens → empty array (exact n-grams only, unlike
+  * [[ShingleHashes]]' whole-doc fallback shingle). */
+case class WordNgrams(tokens: Expression, n: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = tokens
+  override def right: Expression = n
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (tokens.dataType, n.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if n.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "word_ngrams requires (array<string>, foldable int)")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+  override def nullable: Boolean = tokens.nullable
+
+  @transient private lazy val gram: Int = n.eval().asInstanceOf[Int]
+
+  override def nullSafeEval(t: Any, nv: Any): Any =
+    WordNgrams.compute(t.asInstanceOf[ArrayData], nv.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (tok, _) =>
+      s"${ev.value} = graft.functions.WordNgrams.compute($tok, $gram);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): WordNgrams =
+    copy(tokens = newLeft, n = newRight)
+}
+
+object WordNgrams {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** All exact n-grams in order (with repeats — these are counted
+    * downstream, so the set-dedup ShingleHashes applies is wrong here).
+    * Null tokens join as empty strings (concat_ws semantics). */
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val t = tokens.numElements()
+    if (t < n) return new GenericArrayData(new Array[Any](0))
+    val ts = new Array[UTF8String](t)
+    var i = 0
+    while (i < t) {
+      ts(i) = if (tokens.isNullAt(i)) UTF8String.EMPTY_UTF8 else tokens.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[Any](t - n + 1)
+    i = 0
+    while (i <= t - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = ts(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(Space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -495,5 +565,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("vec_sign_bits"),
       new ExpressionInfo(classOf[VecSignBits].getName, "vec_sign_bits"),
       (children: Seq[Expression]) => VecSignBits(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (children: Seq[Expression]) => WordNgrams(children.head, children(1))))
   }
 }

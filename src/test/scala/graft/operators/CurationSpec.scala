@@ -373,6 +373,17 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("TakeOrdered"), s"ngram top-k must TakeOrdered:\n$plan")
   }
 
+  test("native word_ngrams matches the composable rendition bit-for-bit on the corpus") {
+    import org.apache.spark.sql.functions.{call_function, col, lit, split}
+    for (n <- Seq(2, 3)) {
+      val toks = split(TextDedup.normalize(col("text")), " ")
+      val native = docsSf001.select(col("doc_id"), call_function("word_ngrams", toks, lit(n)).as("g"))
+      val composed = docsSf001.select(col("doc_id"), Curation.ngramsComposable(toks, n).as("g"))
+      assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty,
+        s"word_ngrams(n=$n) diverges from the composable rendition")
+    }
+  }
+
   test("lmScore: boilerplate scores high, rare-token docs low; exact integer sums") {
     val d = Seq(
       (1L, "the the the"),   // cf(the)=4 → mean 4
