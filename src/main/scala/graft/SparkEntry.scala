@@ -422,6 +422,11 @@ object SparkEntry {
           value = "value", windowDays = 7)
         .orderBy("event_type", "day")),
 
+    // Per-type OLS trend of daily volume: exact BIGINT moments over
+    // the daily counts, one double division for the slope.
+    "ref_daily_trend" -> ((s, dir) =>
+      EventOps.dailyTrend(ev(s, dir)).orderBy("event_type")),
+
     // Skew-mitigated aggregation: two-stage (key, salt) → key combine
     // of decomposable stats — bit-identical to the direct group-by the
     // oracle runs, whatever the salt split.
@@ -719,6 +724,24 @@ object SparkEntry {
         |                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
         |ORDER BY event_type, day""".stripMargin,
 
+    // Moments stay BIGINT (CASTs guard DuckDB's HUGEINT widening);
+    // NULLIF avoids a platform-dependent 0/0 on single-day groups.
+    "ref_daily_trend" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type, CAST(day - DATE '1970-01-01' AS BIGINT) AS x, y FROM daily),
+        |m AS (
+        |  SELECT event_type, count(*) AS n_days,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM d GROUP BY event_type)
+        |SELECT event_type, n_days,
+        |       CAST(ROUND(CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |                  / NULLIF(CAST(n_days * sxx - sx * sx AS DOUBLE), 0), 6) AS DOUBLE)
+        |         AS slope
+        |FROM m ORDER BY event_type""".stripMargin,
+
     "ref_skew_salted_stats" ->
       """SELECT event_type, count(value) AS value_count,
         |       min(value) AS value_min, max(value) AS value_max
@@ -1000,6 +1023,14 @@ object SparkEntry {
         .select(col("src_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
         .orderBy("src_id", "rank")),
 
+    // Mutual-kNN sparsification of the same graph: reciprocal top-3
+    // edges only (one checkpointed graph serves both directions).
+    "emb_mutual_knn" -> ((s, dir) =>
+      Similarity.mutualKnn(emb(s, dir), k = 3, bands = 4, planesPerBand = 8,
+          md5Derived = true, maxBucketSize = 64)
+        .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("a_id", "b_id")),
+
     // ANN path #2: IVF with a k-means-lite coarse quantizer, gated on
     // the provable recall property: each planted probe's identical twin
     // shares its argmax centroid (identical vector), so IVF rank-1 MUST
@@ -1129,6 +1160,11 @@ object SparkEntry {
     "doc_neardup_levenshtein" -> ((s, dir) =>
       TextDedup.nearDupPairsLevenshtein(docs(s, dir))
         .orderBy("a", "b")),
+
+    // Per-source duplication dashboard: exact distinct via the slim
+    // (source, hash) two-level aggregate; rate = one double division.
+    "doc_dup_profile" -> ((s, dir) =>
+      TextDedup.dupProfile(docs(s, dir)).orderBy("source")),
 
     // RAG/context-window chunking: 200-char windows every 150 chars
     // (50 overlap), row-local explode. Chunk text compared by md5.
@@ -1942,6 +1978,16 @@ object SparkEntry {
         |SELECT content_hash, COUNT(*) AS dup_count, MIN(doc_id) AS canonical_doc_id
         |FROM h GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin,
 
+    "doc_dup_profile" ->
+      """WITH h AS (
+        |  SELECT source, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs, count(DISTINCT h) AS n_unique,
+        |       CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dups,
+        |       CAST(ROUND(CAST(count(*) - count(DISTINCT h) AS DOUBLE) / count(*), 6) AS DOUBLE)
+        |         AS dup_rate
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
+
     "doc_dedup_exact" ->
       """WITH fixture AS (
         |  SELECT doc_id, text FROM documents
@@ -2287,6 +2333,49 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM scored)
         |WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin,
+
+    // Mutual filter over the SAME ranked top-3: an edge survives only
+    // when both directions are in each other's top-k.
+    "emb_mutual_knn" ->
+      """WITH dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+        |planes AS (
+        |  SELECT q // 8 AS band, q % 8 AS p,
+        |         list_transform(range(0, (SELECT dim FROM dims)), d ->
+        |      CAST(CAST('0x' || substr(md5(q::VARCHAR || ':' || d::VARCHAR), 1, 8) AS BIGINT) AS DOUBLE)
+        |        / 2147483648.0 - 1.0) AS plane
+        |  FROM range(0, 32) t(q)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |keyed AS (
+        |  SELECT e.vec_id, pl.band,
+        |         SUM(CASE WHEN list_dot_product(e.v, pl.plane) > 0
+        |             THEN 1::BIGINT << CAST(pl.p AS INT) ELSE 0 END) AS bucket
+        |  FROM e, planes pl GROUP BY 1, 2),
+        |ok AS (SELECT band, bucket FROM keyed
+        |       GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND 64),
+        |kb AS (SELECT keyed.* FROM keyed JOIN ok USING (band, bucket)),
+        |cands AS (
+        |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS neighbor_id
+        |  FROM kb a JOIN kb b ON a.band = b.band AND a.bucket = b.bucket
+        |  WHERE a.vec_id <> b.vec_id),
+        |scored AS (
+        |  SELECT cd.src_id, cd.neighbor_id,
+        |         list_dot_product(s.v, n.v)
+        |           / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(n.v, n.v))) AS sim
+        |  FROM cands cd
+        |  JOIN e s ON s.vec_id = cd.src_id
+        |  JOIN e n ON n.vec_id = cd.neighbor_id),
+        |topk AS (
+        |  SELECT src_id, neighbor_id, sim
+        |  FROM (SELECT src_id, neighbor_id, sim,
+        |               row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, neighbor_id) AS rank
+        |        FROM scored)
+        |  WHERE rank <= 3)
+        |SELECT t.src_id AS a_id, t.neighbor_id AS b_id,
+        |       CAST(ROUND(t.sim, 6) AS DOUBLE) AS sim
+        |FROM topk t JOIN topk r
+        |  ON r.src_id = t.neighbor_id AND r.neighbor_id = t.src_id
+        |WHERE t.src_id < t.neighbor_id
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // Full replica of the BANDED md5-plane LSH ANN path: global plane
     // index q = band*planesPerBand + p over the same md5 derivation,

@@ -52,6 +52,32 @@ object EventOps {
         min(col("ts")).as("first_event"),
         max(col("ts")).as("last_event"))
 
+  /** Per-type least-squares trend of daily event volume — "is this
+    * event type growing?" as an OLS slope (events/day per day) over the
+    * daily counts: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with
+    * x = epoch day, y = daily count.
+    *
+    * Every moment is an exact BIGINT sum over the (already tiny)
+    * per-day aggregate — order-free under partial aggregation and
+    * bit-identical cross-engine; only the final slope is ONE double
+    * division (NULL for a degenerate single-day group rather than a
+    * platform-dependent NaN/inf). Two shuffles total, the second over
+    * |types| × |days| rows — independent of event volume. */
+  def dailyTrend(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x", datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long"))
+    val m = daily.groupBy("event_type").agg(
+      count(lit(1)).as("n_days"),
+      sum("x").as("__sx"), sum("y").as("__sy"),
+      sum(col("x") * col("y")).as("__sxy"), sum(col("x") * col("x")).as("__sxx"))
+    val num = (col("n_days") * col("__sxy") - col("__sx") * col("__sy")).cast("double")
+    val den = (col("n_days") * col("__sxx") - col("__sx") * col("__sx")).cast("double")
+    m.withColumn("slope", when(den === 0d, lit(null)).otherwise(round(num / den, 6)))
+      .select("event_type", "n_days", "slope")
+  }
+
   /** Idempotent dedup insert (snowflake_data_pipeline.py:115-143):
     * rows of `staging` whose key is non-null and absent from `target`.
     *

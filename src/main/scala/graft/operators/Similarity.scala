@@ -517,6 +517,27 @@ object Similarity {
       .select("src_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Mutual-kNN edges: (a, b) kept only when b is in a's top-k AND a is
+    * in b's top-k — the standard sparsification step between a raw kNN
+    * graph and density clustering (mutual edges are far more likely to
+    * be same-cluster than one-directional ones).
+    *
+    * The graph is evaluated ONCE (checkpointed) and serves both
+    * directions; the reciprocity test is a slim (id, id) semi-join.
+    * Cosine is symmetric and the kernel accumulates in index order, so
+    * the two directions carry bit-identical sims — `a < b` dedups. */
+  def mutualKnn(vectors: DataFrame, k: Int, bands: Int = 4, planesPerBand: Int = 8,
+                seed: Long = 42L, md5Derived: Boolean = false,
+                maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+    val g = knnGraph(vectors, k, bands, planesPerBand, seed, md5Derived, maxBucketSize)
+      .select(col("src_id"), col("neighbor_id"), col("sim"))
+      .localCheckpoint(true)
+    val fwd = g.select(col("src_id").as("a_id"), col("neighbor_id").as("b_id"), col("sim"))
+    val rev = g.select(col("neighbor_id").as("a_id"), col("src_id").as("b_id"))
+    fwd.join(rev, Seq("a_id", "b_id"), "left_semi")
+      .filter(col("a_id") < col("b_id"))
+  }
+
   /** Per-label mean embedding — class prototypes / cluster centroids
     * over a labeled corpus, one row per (label, dimension).
     *

@@ -543,6 +543,25 @@ object TextDedup {
     call_function("simhash64_hashes", tok64)
   }
 
+  /** Per-group exact-duplication report — the curation dashboard row
+    * behind "which sources are worth crawling": docs, distinct
+    * contents, dup count and rate, grouped by `groupCol`.
+    *
+    * Exact distinct via the repo's two-level idiom (distinct on the
+    * slim (group, 128-bit hash) pair, then count) — partial-aggregated
+    * at every step, never a countDistinct expand over the corpus and
+    * never text on the wire. The rate is two exact BIGINTs and one
+    * double division. */
+  def dupProfile(docs: DataFrame, textCol: String = "text",
+                 groupCol: String = "source"): DataFrame = {
+    val hashed = docs.select(col(groupCol), contentHash(col(textCol)).as("__h"))
+    val totals = hashed.groupBy(groupCol).agg(count(lit(1)).as("n_docs"))
+    val uniq = hashed.distinct().groupBy(groupCol).agg(count(lit(1)).as("n_unique"))
+    totals.join(uniq, Seq(groupCol))
+      .withColumn("n_dups", col("n_docs") - col("n_unique"))
+      .withColumn("dup_rate", round(col("n_dups").cast("double") / col("n_docs"), 6))
+  }
+
   // ------------------------------------------------------------------
   // Edit-distance near-dup (short-text / prefix-stable fields)
   // ------------------------------------------------------------------

@@ -47,6 +47,21 @@ class EventOpsSpec extends SparkSpec {
     assert(d2.getAs[LocalDateTime]("last_event") == t("2026-01-02T23:59:59"))
   }
 
+  test("dailyTrend: exact OLS slope on a linear series; single-day group is NULL not NaN") {
+    // counts 1,2,3 on consecutive days → slope exactly 1 event/day/day
+    val rows = (for {
+      (day, n) <- Seq(("2026-01-01", 1), ("2026-01-02", 2), ("2026-01-03", 3))
+      i <- 0 until n
+    } yield (day.hashCode.toLong * 10 + i, t(s"${day}T10:00:00"), 1L, "click", Some(1.0), None: Option[String]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val single = Seq((99L, t("2026-01-01T10:00:00"), 1L, "view", Some(1.0), None: Option[String]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.dailyTrend(rows.unionAll(single))
+      .orderBy("event_type")
+      .as[(String, Long, Option[Double])].collect()
+    assert(out.toSeq == Seq(("click", 3L, Some(1.0)), ("view", 1L, None)))
+  }
+
   test("dailySummary keeps ts as TIMESTAMP_NTZ (oracle parity)") {
     val schema = EventOps.dailySummary(events).schema
     assert(schema("first_event").dataType == TimestampNTZType)

@@ -216,6 +216,22 @@ class SimilaritySpec extends SparkSpec {
       s"kNN graph must never go all-pairs:\n$plan")
   }
 
+  test("mutualKnn equals the reciprocal-pair filter computed from knnGraph's own output") {
+    val g = Similarity.knnGraph(emb, k = 3, bands = 4, planesPerBand = 8, md5Derived = true)
+      .select($"src_id", $"neighbor_id", $"sim").collect()
+    val edges = g.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expected = edges.keys
+      .filter { case (a, b) => a < b && edges.contains((b, a)) }
+      .map { case (a, b) => (a, b, edges((a, b))) }.toSet
+    val got = Similarity.mutualKnn(emb, k = 3, bands = 4, planesPerBand = 8, md5Derived = true)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected, s"mutual=${got.size} expected=${expected.size}")
+    assert(expected.nonEmpty, "fixture must produce at least one mutual edge")
+    // one-directional edges must NOT survive
+    val oneWay = edges.keys.exists { case (a, b) => !edges.contains((b, a)) }
+    assert(oneWay, "fixture must contain a one-directional edge for the filter to matter")
+  }
+
   test("labelCentroids matches a driver-side exact mean per (label, dim)") {
     val rows = emb.select("label", "embedding")
       .as[(Int, Array[Float])].collect()

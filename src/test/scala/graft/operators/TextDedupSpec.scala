@@ -235,6 +235,21 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Set(12L), out.toString)
   }
 
+  test("dupProfile: per-source totals, distinct contents, and rate; normalization folds dups") {
+    val docs = Seq(
+      (1L, "Hello  World", "web"),  // normalizes equal to doc 2
+      (2L, "hello world", "web"),
+      (3L, "something else", "web"),
+      (4L, "unique per source", "book"),
+      (5L, "unique per source", "book") // exact dup in book
+    ).toDF("doc_id", "text", "source")
+    val out = TextDedup.dupProfile(docs).orderBy("source")
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq(
+      ("book", 2L, 1L, 1L, 0.5),
+      ("web", 3L, 2L, 1L, 0.333333)))
+  }
+
   test("levenshtein near-dup: finds single-char edits, respects maxDist and block cap") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     // edits sit BEYOND the 24-char blocking prefix (an edit inside the
