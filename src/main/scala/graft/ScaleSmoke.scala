@@ -90,6 +90,38 @@ object ScaleSmoke {
       require(bad == 0, s"$bad docs fail the chunk-coverage identity")
       chunks.count()
     }
+    timed("knn_graph_20k") {
+      // 4x clone corpus: every vector's rank-1 neighbor MUST be one of
+      // its own clones (cosine exactly 1), and every vector must appear
+      // as a source (its clones guarantee bucket-mates in every band)
+      val g = operators.Similarity.knnGraph(emb, k = 1, bands = 4, planesPerBand = 8)
+        .localCheckpoint(true)
+      val n = g.count()
+      require(n == nVecs, s"every vector needs a rank-1 row: $n of $nVecs")
+      val bad = g.filter(col("src_id") % 1000000L =!= col("neighbor_id") % 1000000L ||
+        col("sim") < 0.999999).count()
+      require(bad == 0, s"$bad vectors whose rank-1 is not an identical clone")
+      n
+    }
+    timed("bigram_topk_50k") {
+      val n = operators.Curation.ngramTopK(docs, n = 2, topK = 50).count()
+      require(n == 50, s"top-k must cap at 50: $n")
+      n
+    }
+    timed("lm_score_50k") {
+      val scored = operators.Curation.lmScore(docs).localCheckpoint(true)
+      val n = scored.count()
+      require(n == nDocs, s"one score per doc: $n of $nDocs")
+      // every corpus frequency is >= 1, so no mean can dip below 1
+      require(scored.filter(col("mean_cf") < 1.0).count() == 0, "mean_cf < 1 is impossible")
+      n
+    }
+    timed("levenshtein_pairs_50k") {
+      // 10x clone corpus: the prefix blocks are full of distance-0 pairs
+      val n = operators.TextDedup.nearDupPairsLevenshtein(docs).count()
+      require(n > 0, "clone corpus must produce edit-distance pairs")
+      n
+    }
     timed("scd2_history_100k_events") {
       val ev = Tables.load(spark, sfDir, "events")
       val h = operators.Scd2.history(ev, "user_id", Seq("event_type"), "ts", "event_id")
