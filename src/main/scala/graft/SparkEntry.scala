@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Analytics, AsofJoin, Curation, DataQuality, EventOps, Layout, Multimodal, RangeJoin, Resample, Scd2, Similarity, Skew, TextDedup, TextStats}
+import graft.operators.{Analytics, AsofJoin, Behavior, Curation, DataQuality, EventOps, Layout, Multimodal, RangeJoin, Resample, Scd2, Similarity, Skew, TextDedup, TextStats}
 import graft.sources.{JsonIngest, PartitionedJsonSink}
 import graft.streaming.StreamIngest
 
@@ -447,6 +447,36 @@ object SparkEntry {
         .orderBy("event_type", "quartile")
     }),
 
+    // Exact interpolated p50/p90/p99 per type — Spark percentile and
+    // DuckDB quantile_cont share the (n−1)·p definition.
+    "ref_value_percentiles" -> ((s, dir) =>
+      DataQuality.valuePercentiles(ev(s, dir), "event_type", "value")
+        .orderBy("event_type")),
+
+    // Ordered 3-stage funnel: earliest qualifying event per user per
+    // stage, chained; counts are one union-aggregate job.
+    "ref_funnel" -> ((s, dir) =>
+      Behavior.funnel(ev(s, dir), Seq("view", "click", "purchase"))
+        .orderBy("stage_idx")),
+
+    // Retention matrix keyed by each user's own first active day
+    // (integer week offsets — no engine-specific week truncation).
+    "ref_retention" -> ((s, dir) =>
+      Behavior.retention(ev(s, dir))
+        .orderBy("cohort_day", "week_offset")),
+
+    // Snapshot reconciliation: full-outer diff of two derived versions
+    // of the events tier, null-safe struct compare.
+    "ref_snapshot_diff" -> ((s, dir) => {
+      val base = ev(s, dir).select("event_id", "event_type", "value")
+      val prev = base.filter(col("event_id") % 2 === 0)
+      val cur = base.filter(col("event_id") % 3 =!= 0)
+        .withColumn("value",
+          when(col("event_id") % 10 === 0, col("value") + 1).otherwise(col("value")))
+      DataQuality.snapshotDiff(cur, prev, "event_id", Seq("event_type", "value"))
+        .orderBy("event_id")
+    }),
+
     // Stream-static enrichment: every streamed event picks up its
     // customer dim attributes via a broadcast join inside the
     // micro-batch — stateless, append-mode, no watermark.
@@ -755,7 +785,53 @@ object SparkEntry {
         |                 ORDER BY value, event_id) AS quartile
         |      FROM events WHERE value IS NOT NULL)
         |GROUP BY event_type, quartile
-        |ORDER BY event_type, quartile""".stripMargin
+        |ORDER BY event_type, quartile""".stripMargin,
+
+    "ref_value_percentiles" ->
+      """SELECT event_type,
+        |       CAST(ROUND(quantile_cont(value, 0.5), 6) AS DOUBLE) AS p50,
+        |       CAST(ROUND(quantile_cont(value, 0.9), 6) AS DOUBLE) AS p90,
+        |       CAST(ROUND(quantile_cont(value, 0.99), 6) AS DOUBLE) AS p99
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "ref_funnel" ->
+      """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, min(e.ts) AS t
+        |       FROM events e JOIN s1 ON e.user_id = s1.u AND e.ts >= s1.t
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS u, min(e.ts) AS t
+        |       FROM events e JOIN s2 ON e.user_id = s2.u AND e.ts >= s2.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS users FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+        |ORDER BY stage_idx""".stripMargin,
+
+    "ref_retention" ->
+      """WITH d AS (SELECT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT u, min(day) AS cohort_day FROM d GROUP BY u),
+        |a AS (SELECT DISTINCT d.u, f.cohort_day,
+        |             CAST(FLOOR((d.day - f.cohort_day) / 7.0) AS BIGINT) AS week_offset
+        |      FROM d JOIN f USING (u))
+        |SELECT cohort_day, week_offset, count(*) AS active_users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ref_snapshot_diff" ->
+      """WITH prev AS (SELECT event_id, event_type, value FROM events WHERE event_id % 2 = 0),
+        |cur AS (SELECT event_id, event_type,
+        |               CASE WHEN event_id % 10 = 0 THEN value + 1 ELSE value END AS value
+        |        FROM events WHERE event_id % 3 <> 0)
+        |SELECT COALESCE(c.event_id, p.event_id) AS event_id,
+        |       CASE WHEN p.event_id IS NULL THEN 'added'
+        |            WHEN c.event_id IS NULL THEN 'removed'
+        |            WHEN c.event_type IS NOT DISTINCT FROM p.event_type
+        |             AND c.value IS NOT DISTINCT FROM p.value THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM cur c FULL OUTER JOIN prev p ON c.event_id = p.event_id
+        |ORDER BY event_id""".stripMargin
   )
 
   // ---------------------------------------------------------------

@@ -79,4 +79,46 @@ object DataQuality {
       .filter(abs(col("z_score")) > threshold)
       .drop("__mean", "__sd")
   }
+
+  /** Snapshot reconciliation: classify every key across two versions of
+    * a table as added / removed / changed / unchanged — the audit diff
+    * behind "what did this refresh actually do", and the generic check
+    * after any MERGE/CTAS publish.
+    *
+    * ONE full-outer equi-join on the key; change detection is a
+    * null-safe struct comparison of the compared columns (NULL ⇔ NULL
+    * is "same", matching SQL IS NOT DISTINCT FROM), so the whole row
+    * never ships twice and no column list explodes the plan. */
+  def snapshotDiff(current: DataFrame, previous: DataFrame, key: String,
+                   compareCols: Seq[String]): DataFrame = {
+    val cur = current.select(col(key) +: compareCols.map(col): _*)
+      .withColumn("__cur", lit(true))
+    val prev = previous.select(col(key) +: compareCols.map(c => col(c).as(s"__p_$c")): _*)
+      .withColumn("__prev", lit(true))
+    val joined = cur.join(prev, Seq(key), "full_outer")
+    val same = compareCols.map(c => col(c) <=> col(s"__p_$c")).reduce(_ && _)
+    joined.withColumn("status",
+      when(col("__prev").isNull, lit("added"))
+        .when(col("__cur").isNull, lit("removed"))
+        .when(same, lit("unchanged"))
+        .otherwise(lit("changed")))
+      .select(col(key), col("status"))
+  }
+
+  /** Exact interpolated percentiles of `valueCol` per group (the
+    * p50/p90/p99 latency-style profile). Spark's `percentile` and
+    * DuckDB's `quantile_cont` share the same linear-interpolation
+    * definition (h = (n−1)·p), so the gate holds cross-engine; the
+    * sort is per-group inside the aggregate, never a global window. */
+  def valuePercentiles(df: DataFrame, groupCol: String, valueCol: String,
+                       percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val arr = percentiles.map(p => s"${p}D").mkString("array(", ", ", ")")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, $arr)").as("__p"))
+      .select(col(groupCol) +:
+        percentiles.zipWithIndex.map { case (p, i) =>
+          round(col("__p").getItem(i), 6).as(s"p${(p * 100).round}")
+        }: _*)
+  }
 }
