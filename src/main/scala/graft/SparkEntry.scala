@@ -112,6 +112,39 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Source-format breadth: CSV codec round-trip through the same
+    // envelope columns (to_csv/from_csv are the row-level codec the
+    // file source uses — same parser, no filesystem in the timer).
+    // Doubles survive exactly: Spark emits the shortest round-trip
+    // decimal form and parses it back to the identical bits.
+    "ref_csv_roundtrip" -> ((s, dir) => {
+      import scala.jdk.CollectionConverters._
+      val opts = Map("timestampNTZFormat" -> JsonIngest.TsFormat)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+        StructField("event_type", StringType), StructField("user_id", LongType),
+        StructField("value", DoubleType)))
+      ev(s, dir)
+        .select(to_csv(struct(col("event_id"), col("ts"), col("event_type"),
+          col("user_id"), col("value")), opts.asJava).as("line"))
+        .select(from_csv(col("line"), schema, opts).as("e")).select("e.*")
+        .orderBy("event_id")
+    }),
+
+    // Day-over-day deltas: lag over the daily aggregate; delta is
+    // exact BIGINT, pct_change one double division (NULL on day 1).
+    "ref_day_over_day" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("event_count"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily.withColumn("prev_count", lag(col("event_count"), 1).over(w))
+        .withColumn("delta", col("event_count") - col("prev_count"))
+        .withColumn("pct_change",
+          round(col("delta").cast("double") / col("prev_count"), 6))
+        .orderBy("event_type", "day")
+    }),
+
     // P11: Firehose partition-prefix templating
     "ref_partition_template" -> ((s, dir) =>
       ev(s, dir)
@@ -560,6 +593,24 @@ object SparkEntry {
 
     "ref_json_roundtrip" ->
       "SELECT event_id, ts, event_type, user_id FROM events ORDER BY event_id",
+
+    "ref_csv_roundtrip" ->
+      "SELECT event_id, ts, event_type, user_id, value FROM events ORDER BY event_id",
+
+    "ref_day_over_day" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS event_count
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, event_count,
+        |         lag(event_count) OVER (PARTITION BY event_type ORDER BY day) AS prev_count
+        |  FROM daily)
+        |SELECT event_type, day, event_count,
+        |       CAST(prev_count AS BIGINT) AS prev_count,
+        |       CAST(event_count - prev_count AS BIGINT) AS delta,
+        |       CAST(ROUND(CAST(event_count - prev_count AS DOUBLE) / prev_count, 6) AS DOUBLE)
+        |         AS pct_change
+        |FROM w ORDER BY event_type, day""".stripMargin,
 
     "ref_partition_template" ->
       """SELECT strftime(ts, 'year=%Y/month=%m/day=%d/hour=%H') AS partition_path,
