@@ -469,6 +469,100 @@ object VecSignBits {
   * by GraftSession via `spark.sql.extensions`, so `vec_dot` and
   * `shingle_hashes` are callable from SQL and `call_function` on every
   * session. */
+/** Native MinHash-LSH band keys over pre-hashed shingles — bit-for-bit
+  * the composable `bandKeys` rendition (per hash family h:
+  * `min over shingles x of xxhash64(h, x)`; per band: xxhash64 of the
+  * comma-joined decimal minima — including Spark concat_ws's
+  * skip-null/empty-string behavior and the IntegerType family-index
+  * seed chain), but ONE tight bands × families × shingles loop per row
+  * instead of bands · rowsPerBand interpreted array_min/lambda trees.
+  * This is the dominant projection of every MinHash near-dup path. */
+case class MinHashBandKeys(hashes: Expression, bands: Expression, rowsPerBand: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def first: Expression = hashes
+  override def second: Expression = bands
+  override def third: Expression = rowsPerBand
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (hashes.dataType, bands.dataType, rowsPerBand.dataType) match {
+      case (ArrayType(LongType, _), IntegerType, IntegerType)
+        if bands.foldable && rowsPerBand.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "minhash_band_keys requires (array<bigint>, foldable int, foldable int)")
+    }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("band", IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("bucket", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "minhash_band_keys"
+  override def nullable: Boolean = hashes.nullable
+
+  @transient private lazy val nBands: Int = bands.eval().asInstanceOf[Int]
+  @transient private lazy val rPerBand: Int = rowsPerBand.eval().asInstanceOf[Int]
+
+  override def nullSafeEval(h: Any, b: Any, r: Any): Any =
+    MinHashBandKeys.compute(h.asInstanceOf[ArrayData], nBands, rPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (hs, _, _) =>
+      s"${ev.value} = graft.functions.MinHashBandKeys.compute($hs, $nBands, $rPerBand);")
+
+  override protected def withNewChildrenInternal(newFirst: Expression, newSecond: Expression,
+                                                 newThird: Expression): MinHashBandKeys =
+    copy(hashes = newFirst, bands = newSecond, rowsPerBand = newThird)
+}
+
+object MinHashBandKeys {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  private final val Seed = 42L
+
+  def compute(hashes: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val n = hashes.numElements()
+    val hs = new Array[Long](n)
+    var k = 0
+    while (k < n) { hs(k) = hashes.getLong(k); k += 1 }
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < rowsPerBand) {
+        // xxhash64(h, x): IntegerType family index then LongType hash —
+        // hash = hashLong(x, hashInt(h, 42))
+        val seedH = XXH64.hashInt(b * rowsPerBand + j, Seed)
+        if (n > 0) {
+          var mn = Long.MaxValue
+          var first = true
+          k = 0
+          while (k < n) {
+            val v = XXH64.hashLong(hs(k), seedH)
+            if (first || v < mn) { mn = v; first = false }
+            k += 1
+          }
+          // concat_ws(",") drops NULL minima (empty input) entirely;
+          // with n > 0 every family contributes
+          if (sb.length > 0) sb.append(',')
+          sb.append(mn)
+        }
+        j += 1
+      }
+      val s = UTF8String.fromString(sb.toString)
+      val bucket = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
+      out(b) = InternalRow(b, bucket)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Native word n-grams over a token array: gram i is tokens
   * i..i+n-1 joined by a single space — bit-for-bit what the composable
   * `transform(sequence(...), i -> concat_ws(' ', element_at...))`
@@ -569,5 +663,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
       (children: Seq[Expression]) => WordNgrams(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_band_keys"),
+      new ExpressionInfo(classOf[MinHashBandKeys].getName, "minhash_band_keys"),
+      (children: Seq[Expression]) => MinHashBandKeys(children.head, children(1), children(2))))
   }
 }

@@ -83,11 +83,19 @@ object TextDedup {
     call_function("shingle_hashes", split(normalize(text), " "), lit(n))
 
   /** LSH band keys from pre-hashed shingles: band `b` hashes the minima
-    * of its own `rowsPerBand` hash families. Each family is evaluated
-    * exactly once — deriving bands by slicing a shared signature column
-    * instead would re-evaluate the whole signature per band lambda
-    * (this exact shape cost round 2's first bench 484 s on 5 k docs). */
+    * of its own `rowsPerBand` hash families. Native kernel — one tight
+    * bands × families × shingles loop per row
+    * (graft.functions.MinHashBandKeys); the interpreted rendition below
+    * is the bit-for-bit parity gate. */
   def bandKeys(hashedShingles: Column, bands: Int, rowsPerBand: Int): Column =
+    call_function("minhash_band_keys", hashedShingles, lit(bands), lit(rowsPerBand))
+
+  /** Composable rendition of [[bandKeys]] — parity gate ONLY. Each
+    * family is evaluated exactly once — deriving bands by slicing a
+    * shared signature column instead would re-evaluate the whole
+    * signature per band lambda (this exact shape cost round 2's first
+    * bench 484 s on 5 k docs). */
+  def bandKeysComposable(hashedShingles: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"),
         xxhash64(concat_ws(",",

@@ -235,6 +235,30 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Set(12L), out.toString)
   }
 
+  test("native minhash_band_keys matches the composable rendition bit-for-bit on the corpus") {
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    for ((bands, r) <- Seq((16, 4), (8, 8))) {
+      val hs = TextDedup.hashedShingles(org.apache.spark.sql.functions.col("text"), 3)
+      val native = d.select($"doc_id", explode(TextDedup.bandKeys(hs, bands, r)).as("bk"))
+        .select($"doc_id", $"bk.band", $"bk.bucket")
+        .as[(Long, Int, Long)].collect().toSet
+      val composed = d.select($"doc_id", explode(TextDedup.bandKeysComposable(hs, bands, r)).as("bk"))
+        .select($"doc_id", $"bk.band", $"bk.bucket")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(native == composed, s"minhash_band_keys($bands,$r) diverges: " +
+        s"${(native diff composed).take(3)} vs ${(composed diff native).take(3)}")
+    }
+    // empty-token edge: both renditions agree on the degenerate doc
+    val edge = Seq((1L, ""), (2L, "one two three four")).toDF("doc_id", "text")
+    val hs = TextDedup.hashedShingles(org.apache.spark.sql.functions.col("text"), 3)
+    val ne = edge.select(explode(TextDedup.bandKeys(hs, 4, 2)).as("bk"))
+      .select($"bk.band", $"bk.bucket").as[(Int, Long)].collect().toSet
+    val ce = edge.select(explode(TextDedup.bandKeysComposable(hs, 4, 2)).as("bk"))
+      .select($"bk.band", $"bk.bucket").as[(Int, Long)].collect().toSet
+    assert(ne == ce)
+  }
+
   test("dupProfile: per-source totals, distinct contents, and rate; normalization folds dups") {
     val docs = Seq(
       (1L, "Hello  World", "web"),  // normalizes equal to doc 2
