@@ -235,6 +235,33 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+    // O4 sliding windows ON THE STREAM: 1-hour windows advancing every
+    // 15 minutes — each event in exactly 4 overlapping windows; the
+    // oracle replays the epoch-aligned window math in naive-timestamp
+    // arithmetic (no to_timestamp, so no session-timezone dependence).
+    "stream_sliding_counts" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_stream_sw").toString
+      val cp = Files.createTempDirectory("graft_stream_sw_cp").toString
+      val subset = ev(s, dir).filter(col("event_id") % 13 === 0)
+        .select(col("event_id").cast("string").as("event_id"), col("ts").as("event_timestamp"),
+          col("event_type"), col("user_id").cast("string").as("user_id"))
+      subset.coalesce(2).write
+        .mode("overwrite")
+        .option("compression", "gzip")
+        .option("timestampNTZFormat", JsonIngest.TsFormat)
+        .json(tmp)
+      val q = StreamIngest.slidingCounts(StreamIngest.stream(s, tmp))
+        .writeStream.format("memory").queryName("stream_sliding_counts")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .start()
+      require(q.awaitTermination(300000), "stream_sliding_counts: drain timed out")
+      s.table("stream_sliding_counts")
+        .select("window_start", "window_end", "event_type", "event_count", "first_event", "last_event")
+        .orderBy("window_start", "event_type")
+    }),
+
     // O4/O5 streaming-native SESSIONS: session_window runs ON THE STREAM
     // (AvailableNow over landed gzip JSON) and must match the batch
     // gap-session oracle on the same slice — the stateful surface the
@@ -649,6 +676,20 @@ object SparkEntry {
         |       MIN(ts) AS first_event, MAX(ts) AS last_event
         |FROM events WHERE event_id % 13 = 0
         |GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
+
+    // Spark sliding windows are epoch-aligned: the k-th (k < 4)
+    // enclosing window of ts starts at floor(epoch/900)·900 − k·900.
+    "stream_sliding_counts" ->
+      """WITH w AS (
+        |  SELECT e.ts, e.event_type,
+        |         TIMESTAMP '1970-01-01'
+        |           + to_seconds(CAST(FLOOR(epoch(e.ts) / 900) AS BIGINT) * 900 - r.k * 900)
+        |           AS window_start
+        |  FROM events e, range(0, 4) r(k)
+        |  WHERE e.event_id % 13 = 0)
+        |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end, event_type,
+        |       COUNT(*) AS event_count, MIN(ts) AS first_event, MAX(ts) AS last_event
+        |FROM w GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
 
     // same gap-session derivation as ref_session_window, restricted to
     // the streamed slice (event_id % 13) with the landed VARCHAR user_id

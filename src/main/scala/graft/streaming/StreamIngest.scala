@@ -104,6 +104,33 @@ object StreamIngest {
         col("window.end").cast("timestamp_ntz").as("window_end"),
         col("event_type"), col("event_count"), col("first_event"), col("last_event"))
 
+  /** O4 sliding rendition: overlapping event-time windows (`window`
+    * long, advancing every `slide`) — the "last hour, refreshed every
+    * 15 minutes" dashboard aggregate tumbling windows can't express.
+    * Each event lands in window/slide windows (state stays bounded:
+    * the watermark closes a window the moment its END falls behind,
+    * exactly as in the tumbling case — overlap multiplies live state
+    * by window/slide, not by event volume). */
+  def slidingCounts(
+      events: DataFrame,
+      window: String = "1 hour",
+      slide: String = "15 minutes",
+      watermark: String = "2 hours",
+      tsCol: String = "event_timestamp"): DataFrame =
+    events
+      .withColumn("__event_time", col(tsCol).cast("timestamp"))
+      .withWatermark("__event_time", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("__event_time"), window, slide),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        min(col(tsCol)).as("first_event"),
+        max(col(tsCol)).as("last_event"))
+      .select(
+        col("window.start").cast("timestamp_ntz").as("window_start"),
+        col("window.end").cast("timestamp_ntz").as("window_end"),
+        col("event_type"), col("event_count"), col("first_event"), col("last_event"))
+
   /** Gap-based session aggregation on the STREAM: Spark's native
     * `session_window` merges events within `gap` of each other per
     * user; the watermark closes sessions whose end fell behind it, so

@@ -80,6 +80,26 @@ class StreamIngestSpec extends SparkSpec {
       java.time.LocalDateTime.of(2025, 1, 1, 0, 0)))
   }
 
+  test("slidingCounts: every event lands in exactly window/slide overlapping windows") {
+    val root = Files.createTempDirectory("graft_slide").toString
+    val cp = Files.createTempDirectory("graft_slidecp").toString
+    landHour(root, 0, 90, seed = 6) // 90 events in the first 90 s
+    val q = StreamIngest.slidingCounts(StreamIngest.stream(spark, root))
+      .writeStream.format("memory").queryName("slide_complete").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", cp)
+      .start()
+    q.awaitTermination(120000)
+    val rows = spark.table("slide_complete").collect()
+    // 1 h / 15 min = 4 windows per event — total count is exactly 4×
+    assert(rows.map(_.getAs[Long]("event_count")).sum == 4 * 90L)
+    // the 90 s of events at 00:00.. fall in windows starting 23:00,
+    // 23:15, 23:30, 23:45 (prev day) and 00:00 — starts are 15-min aligned
+    val starts = rows.map(_.getAs[java.time.LocalDateTime]("window_start")).distinct
+    assert(starts.forall(s => s.getMinute % 15 == 0 && s.getSecond == 0))
+    assert(starts.length >= 4, s"expected >= 4 overlapping windows, got ${starts.toSeq}")
+  }
+
   test("sessionCounts: streaming session_window matches the batch twin") {
     val root = Files.createTempDirectory("graft_sess").toString
     val cp = Files.createTempDirectory("graft_sesscp").toString
