@@ -563,6 +563,116 @@ object MinHashBandKeys {
   }
 }
 
+/** Native Jaccard similarity of two long arrays — bit-for-bit
+  * `size(array_intersect(a,b)) / size(array_union(a,b))` (distinct
+  * semantics, null elements common to both count once, NaN on two
+  * empty sets) without materializing either result array: one pass
+  * builds an open-addressed primitive set of `a`, a second streams `b`
+  * counting distinct hits. This is the verify expression of every
+  * MinHash/Jaccard near-dup path — it runs once per candidate PAIR,
+  * the hottest multiplicity in the engine after the band keys. */
+case class JaccardLongSets(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"jaccard_long_sets requires two array<bigint> arguments, got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_long_sets"
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaccardLongSets.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.JaccardLongSets.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardLongSets =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardLongSets {
+
+  /** Minimal open-addressed long set (linear probing, parallel
+    * used-flags so 0L needs no sentinel). Capacity is a power of two
+    * ≥ 2× expected size — bounded by the caller's array length. */
+  private final class LongSet(expected: Int) {
+    private val cap = Integer.highestOneBit(math.max(4, expected * 2) * 2 - 1)
+    private val mask = cap - 1
+    private val keys = new Array[Long](cap)
+    private val used = new Array[Boolean](cap)
+
+    private def mix(x: Long): Int = {
+      var h = x ^ (x >>> 33)
+      h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33
+      (h & mask).toInt
+    }
+
+    /** Insert; true if the key was NOT already present. */
+    def add(x: Long): Boolean = {
+      var i = mix(x)
+      while (used(i)) {
+        if (keys(i) == x) return false
+        i = (i + 1) & mask
+      }
+      used(i) = true; keys(i) = x
+      true
+    }
+
+    def contains(x: Long): Boolean = {
+      var i = mix(x)
+      while (used(i)) {
+        if (keys(i) == x) return true
+        i = (i + 1) & mask
+      }
+      false
+    }
+  }
+
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val na0 = a.numElements()
+    val nb0 = b.numElements()
+    val aSet = new LongSet(na0)
+    var aDistinct = 0
+    var aHasNull = false
+    var i = 0
+    while (i < na0) {
+      if (a.isNullAt(i)) aHasNull = true
+      else if (aSet.add(a.getLong(i))) aDistinct += 1
+      i += 1
+    }
+    val bSeen = new LongSet(nb0)
+    var bDistinct = 0
+    var bHasNull = false
+    var inter = 0
+    i = 0
+    while (i < nb0) {
+      if (b.isNullAt(i)) bHasNull = true
+      else {
+        val v = b.getLong(i)
+        if (bSeen.add(v)) {
+          bDistinct += 1
+          if (aSet.contains(v)) inter += 1
+        }
+      }
+      i += 1
+    }
+    val nullCommon = if (aHasNull && bHasNull) 1 else 0
+    val interAll = inter + nullCommon
+    val unionAll = (aDistinct + (if (aHasNull) 1 else 0)) +
+      (bDistinct + (if (bHasNull) 1 else 0)) - interAll
+    // two empty sets: 0/0 — same NaN the size-ratio rendition yields
+    interAll.toDouble / unionAll
+  }
+}
+
 /** Native word n-grams over a token array: gram i is tokens
   * i..i+n-1 joined by a single space — bit-for-bit what the composable
   * `transform(sequence(...), i -> concat_ws(' ', element_at...))`
@@ -667,5 +777,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_band_keys"),
       new ExpressionInfo(classOf[MinHashBandKeys].getName, "minhash_band_keys"),
       (children: Seq[Expression]) => MinHashBandKeys(children.head, children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("jaccard_long_sets"),
+      new ExpressionInfo(classOf[JaccardLongSets].getName, "jaccard_long_sets"),
+      (children: Seq[Expression]) => JaccardLongSets(children.head, children(1))))
   }
 }

@@ -237,10 +237,15 @@ object TextDedup {
       .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
-        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh")))).as("jaccard"))
+        call_function("jaccard_long_sets", col("a_sh"), col("b_sh")).as("jaccard"))
       .filter(col("jaccard") >= jaccardThreshold)
   }
+
+  /** Composable rendition of the Jaccard verify — parity gate ONLY for
+    * the native `jaccard_long_sets` kernel (which avoids materializing
+    * the intersect/union arrays it would only ever take sizes of). */
+  def jaccardComposable(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
 
   /** Fuzzy dedup end-to-end: MinHash-LSH pairs → connected components →
     * drop every cluster member except the minimum doc_id. Docs in no
@@ -347,8 +352,7 @@ object TextDedup {
       hashedShingles(col(textCol), shingleN).as("b_sh"))
     val crossVerified = cross
       .join(tSh, Seq("t_id")).join(bSh, Seq("b_id"))
-      .filter(size(array_intersect(col("t_sh"), col("b_sh"))).cast("double") /
-        size(array_union(col("t_sh"), col("b_sh"))) >= jaccardThreshold)
+      .filter(call_function("jaccard_long_sets", col("t_sh"), col("b_sh")) >= jaccardThreshold)
       .select(col("t_id").as("a_id"), col("b_id"))
 
     // in-batch pairs reuse the checkpointed index (the batch-global path)

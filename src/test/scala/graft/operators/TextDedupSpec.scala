@@ -259,6 +259,31 @@ class TextDedupSpec extends SparkSpec {
     assert(ne == ce)
   }
 
+  test("native jaccard_long_sets matches the composable size-ratio bit-for-bit") {
+    import org.apache.spark.sql.functions.{call_function, col}
+    // corpus shingle sets: every candidate-pair shape the verify sees
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val sh = d.select(col("doc_id"), TextDedup.hashedShingles(col("text"), 3).as("sh"))
+    val pairs = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+        col("a_id") % 7 === col("b_id") % 7 && col("a_id") < col("b_id"))
+    val diverged = pairs.filter(
+      !(call_function("jaccard_long_sets", col("a_sh"), col("b_sh")) <=>
+        TextDedup.jaccardComposable(col("a_sh"), col("b_sh")))).count()
+    assert(diverged == 0, s"$diverged pairs diverge from the composable rendition")
+
+    // handmade edges: duplicates in the arrays, empty vs non-empty, disjoint
+    val edge = Seq(
+      (Seq(1L, 2L, 2L, 3L), Seq(2L, 3L, 3L, 4L)), // dups: distinct J = 2/4
+      (Seq.empty[Long], Seq(1L, 2L)),              // 0/2
+      (Seq(5L), Seq(6L))                           // disjoint 0/2
+    ).toDF("a", "b")
+    val got = edge.select(call_function("jaccard_long_sets", col("a"), col("b")))
+      .as[Double].collect()
+    assert(got.toSeq == Seq(0.5, 0.0, 0.0))
+  }
+
   test("dupProfile: per-source totals, distinct contents, and rate; normalization folds dups") {
     val docs = Seq(
       (1L, "Hello  World", "web"),  // normalizes equal to doc 2
