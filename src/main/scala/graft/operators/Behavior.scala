@@ -47,10 +47,13 @@ object Behavior {
         .localCheckpoint(true)
       reached ::= (stage, first)
     }
+    // scalar aggregates, not groupBy-after-union: a stage nobody
+    // reaches must still report users = 0 (a grouped count would drop
+    // the row entirely — and diverge from SQL's scalar COUNT(*))
     reached.reverse.zipWithIndex.map { case ((stage, df), i) =>
-      df.select(lit(i + 1).as("stage_idx"), lit(stage).as("stage"))
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("stage_idx"), lit(stage).as("stage"), col("users"))
     }.reduce(_ unionByName _)
-      .groupBy("stage_idx", "stage").agg(count(lit(1)).as("users"))
   }
 
   /** Retention matrix: users are cohorted by their FIRST active day

@@ -27,6 +27,15 @@ class BehaviorSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "view", 3L), (2, "purchase", 1L)))
   }
 
+  test("funnel: a stage nobody reaches reports users = 0, not a missing row") {
+    val events = ev(
+      (1L, "2026-01-01T10:00:00", 1L, "view"),
+      (2L, "2026-01-01T09:00:00", 1L, "purchase")) // before the view — never qualifies
+    val out = Behavior.funnel(events, Seq("view", "purchase", "refund"))
+      .orderBy("stage_idx").as[(Int, String, Long)].collect()
+    assert(out.toSeq == Seq((1, "view", 1L), (2, "purchase", 0L), (3, "refund", 0L)))
+  }
+
   test("funnel: same-timestamp event qualifies (>= boundary)") {
     val events = ev(
       (1L, "2026-01-01T10:00:00", 1L, "view"),
