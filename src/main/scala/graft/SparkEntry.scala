@@ -210,7 +210,9 @@ object SparkEntry {
     // (Landed FLAT: at test SFs the hive layout would mean ~700 dirs of
     // ~13 rows — a file-count artifact, not operator cost; the layout
     // path is exercised by ref_ingest_roundtrip and the e2e suites.)
-    "stream_hourly_counts" -> ((s, dir) => {
+    // (All stateful stream gates size their state partitions to the
+    // fixture's state volume — see StreamIngest.withStatePartitions.)
+    "stream_hourly_counts" -> ((s, dir) => StreamIngest.withStatePartitions(s, 8) {
       val tmp = Files.createTempDirectory("graft_stream_q").toString
       val cp = Files.createTempDirectory("graft_stream_cp").toString
       val subset = ev(s, dir).filter(col("event_id") % 13 === 0)
@@ -235,11 +237,12 @@ object SparkEntry {
         .orderBy("window_start", "event_type")
     }),
 
+
     // O4 sliding windows ON THE STREAM: 1-hour windows advancing every
     // 15 minutes — each event in exactly 4 overlapping windows; the
     // oracle replays the epoch-aligned window math in naive-timestamp
     // arithmetic (no to_timestamp, so no session-timezone dependence).
-    "stream_sliding_counts" -> ((s, dir) => {
+    "stream_sliding_counts" -> ((s, dir) => StreamIngest.withStatePartitions(s, 8) {
       val tmp = Files.createTempDirectory("graft_stream_sw").toString
       val cp = Files.createTempDirectory("graft_stream_sw_cp").toString
       val subset = ev(s, dir).filter(col("event_id") % 13 === 0)
@@ -266,7 +269,7 @@ object SparkEntry {
     // (AvailableNow over landed gzip JSON) and must match the batch
     // gap-session oracle on the same slice — the stateful surface the
     // driver's oracle previously never saw (suite-tested only).
-    "stream_user_sessions" -> ((s, dir) => {
+    "stream_user_sessions" -> ((s, dir) => StreamIngest.withStatePartitions(s, 8) {
       val tmp = Files.createTempDirectory("graft_sess_q").toString
       val cp = Files.createTempDirectory("graft_sess_cp").toString
       val subset = ev(s, dir).filter(col("event_id") % 13 === 0)
@@ -293,7 +296,7 @@ object SparkEntry {
     // per-user counters drained with AvailableNow; the per-user FINAL
     // running totals (max over the append stream — counts are monotone
     // within a run) must equal the batch group-by on the same slice.
-    "stream_running_counts" -> ((s, dir) => {
+    "stream_running_counts" -> ((s, dir) => StreamIngest.withStatePartitions(s, 8) {
       val tmp = Files.createTempDirectory("graft_rc_q").toString
       val cp = Files.createTempDirectory("graft_rc_cp").toString
       val subset = ev(s, dir).filter(col("event_id") % 13 === 0)
@@ -325,7 +328,7 @@ object SparkEntry {
     // reference transport's rescan-from-TRIM_HORIZON redelivery);
     // dropDuplicatesWithinWatermark must emit each key exactly once,
     // matching the batch distinct oracle.
-    "stream_dedup" -> ((s, dir) => {
+    "stream_dedup" -> ((s, dir) => StreamIngest.withStatePartitions(s, 8) {
       val tmp = Files.createTempDirectory("graft_dedup_q").toString
       val cp = Files.createTempDirectory("graft_dedup_cp").toString
       val subset = ev(s, dir).filter(col("event_id") % 13 === 0)
@@ -391,7 +394,7 @@ object SparkEntry {
     // purchases within 6 hours — both sides STREAM off the landed slice,
     // buffer statefully, and must emit exactly the batch inequality
     // join's pairs.
-    "stream_view_purchase" -> ((s, dir) => {
+    "stream_view_purchase" -> ((s, dir) => StreamIngest.withStatePartitions(s, 8) {
       val tmp = Files.createTempDirectory("graft_ssj_q").toString
       val cp = Files.createTempDirectory("graft_ssj_cp").toString
       val subset = ev(s, dir).filter(col("event_id") % 2 === 0)
@@ -426,7 +429,9 @@ object SparkEntry {
     // maxFilesPerTrigger=1 forces multiple merge rounds; the final tier
     // must hold each key exactly once. `value` rides the OPEN ENVELOPE
     // (raw_payload) — it is not a declared staging column.
-    "stream_cdc_upsert" -> ((s, dir) => {
+    // (foreachBatch: the per-batch MERGE jobs are tiny batch shuffles —
+    // the same scoped conf right-sizes them.)
+    "stream_cdc_upsert" -> ((s, dir) => StreamIngest.withStatePartitions(s, 8) {
       val tmp = Files.createTempDirectory("graft_cdc_q").toString
       val cp = Files.createTempDirectory("graft_cdc_cp").toString
       val updates = ev(s, dir).filter(col("event_id") % 5 === 0)

@@ -34,12 +34,21 @@ object PartitionedJsonSink {
     * otherwise emit up to 23 k small files. (At the test SFs each hour
     * holds only ~13 rows, so wall-time there is file-count-bound either
     * way; the repartition is for hours with real volume.)
+    * The partition count is pinned (not left to AQE): `repartition(cols)`
+    * without an explicit N is AQE-coalescible, and on a small batch AQE
+    * collapses the shuffle to ONE writer task that then creates every
+    * hour directory serially — measured 3× slower (9.5 s vs 2.9 s for a
+    * 720-dir write) than keeping `spark.sql.shuffle.partitions` writers.
+    * Directory/file creation is metadata work that scales with writer
+    * *concurrency*, not bytes, so the writer count must track the
+    * cluster, not the shuffle's byte size.
     * `maxRecordsPerFile` is the Firehose buffer-size analog (O3): it
     * re-splits an oversized hour into bounded files. */
   def write(df: DataFrame, root: String, tsCol: String = "event_timestamp",
             maxRecordsPerFile: Long = 5000000L): Unit =
     withHourPartitions(df, tsCol)
-      .repartition(col("year"), col("month"), col("day"), col("hour"))
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        col("year"), col("month"), col("day"), col("hour"))
       .write
       .partitionBy("year", "month", "day", "hour")
       .option("compression", "gzip")
