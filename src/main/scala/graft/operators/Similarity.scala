@@ -409,6 +409,9 @@ object Similarity {
       .join(tIdx.select(col("band"), col("bucket"), col("vec_id").as("t_id")),
         Seq("band", "bucket"))
       .select(col("t_id"), col("b_id")).distinct()
+      // consumed by the tier-side prune AND the verify join: checkpoint
+      // the slim pair list once instead of re-deriving the band join
+      .localCheckpoint(true)
 
     val tv = tier
       .join(cross.select(col("t_id").as("vec_id")).distinct(), Seq("vec_id"), "left_semi")

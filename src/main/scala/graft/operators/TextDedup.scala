@@ -341,15 +341,20 @@ object TextDedup {
       .join(tIdx.select(col("band"), col("bucket"), col("doc_id").as("t_id")),
         Seq("band", "bucket"))
       .select(col("t_id"), col("b_id")).distinct()
+      // three consumers below (both semi-join prunes + the verify join):
+      // checkpoint the slim pair list once instead of re-deriving the
+      // band join per consumer
+      .localCheckpoint(true)
 
-    // exact-Jaccard verify; the tier side prunes to candidate ids
-    // BEFORE the shingle projection, so tier text is only hashed for
-    // rows that banded with something in the batch
+    // exact-Jaccard verify; BOTH sides prune to candidate ids BEFORE
+    // the shingle projection, so text is only hashed for rows that
+    // banded with something on the other side
     val tSh = tier
       .join(cross.select(col("t_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("t_id"), hashedShingles(col(textCol), shingleN).as("t_sh"))
-    val bSh = batch.select(col("doc_id").as("b_id"),
-      hashedShingles(col(textCol), shingleN).as("b_sh"))
+    val bSh = batch
+      .join(cross.select(col("b_id").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("b_id"), hashedShingles(col(textCol), shingleN).as("b_sh"))
     val crossVerified = cross
       .join(tSh, Seq("t_id")).join(bSh, Seq("b_id"))
       .filter(call_function("jaccard_long_sets", col("t_sh"), col("b_sh")) >= jaccardThreshold)
