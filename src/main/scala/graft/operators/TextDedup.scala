@@ -48,6 +48,59 @@ object TextDedup {
   }
 
   // ------------------------------------------------------------------
+  // Token-block (sub-document) exact dedup
+  // ------------------------------------------------------------------
+
+  /** C4-style sub-document dedup, the scalable stand-in for
+    * suffix-array substring dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better"): the corpus is cut into
+    * fixed-size token blocks, each repeated block is kept only at its
+    * FIRST occurrence (lexicographic (doc_id, block_no) minimum), and
+    * every document is reassembled from its surviving blocks.
+    *
+    * Returns (doc_id, kept_blocks, clean_hash) — the md5 of the
+    * reassembled text, so downstream can verify or re-materialize.
+    * Empty/null docs keep zero blocks and hash the empty string.
+    *
+    * Plan shape: one row-local explode to (block_text, doc_id,
+    * block_no), ONE shuffle grouping on the block text for the
+    * first-occurrence minimum (min(struct) — map-side combinable,
+    * never a global window), a slim self-equi-join to keep winners,
+    * and a per-doc reassembly agg. Block text is ≤ blockTokens words,
+    * uniformly distributed — no skew key. At 100 TB the grouping can
+    * shuffle xxhash64(block) with a verify pass instead of the text;
+    * the gate groups on the text itself so the DuckDB oracle is
+    * bit-identical. */
+  def dedupBlocks(docs: DataFrame, textCol: String = "text",
+                  blockTokens: Int = 20): DataFrame = {
+    val toks = when(col(textCol).isNull || length(trim(col(textCol))) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(trim(col(textCol)), "\\s+"))
+    val blocks = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0) // empty docs emit no blocks
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), (ceil(size(col("toks")) / lit(blockTokens.toDouble)) - 1).cast("int")),
+          i => concat_ws(" ", slice(col("toks"), i * blockTokens + 1, blockTokens)))))
+      .select(col("doc_id"), col("pos").as("block_no"), col("col").as("block_text"))
+    val firstSeen = blocks
+      .groupBy("block_text")
+      .agg(min(struct(col("doc_id"), col("block_no"))).as("w"))
+      .select(col("block_text"), col("w.doc_id").as("doc_id"), col("w.block_no").as("block_no"))
+    val kept = blocks.join(firstSeen, Seq("block_text", "doc_id", "block_no"), "left_semi")
+    val reassembled = kept
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("kept_blocks"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("block_no"), col("block_text")))),
+          s => s("block_text"))).as("text_clean"))
+    docs.select("doc_id").join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept_blocks"), lit(0L)).as("kept_blocks"),
+        md5(coalesce(col("text_clean"), lit(""))).as("clean_hash"))
+  }
+
+  // ------------------------------------------------------------------
   // MinHash + LSH
   // ------------------------------------------------------------------
 
