@@ -81,7 +81,7 @@ object TextDedup {
       .filter(size(col("toks")) > 0) // empty docs emit no blocks
       .select(col("doc_id"), posexplode(
         transform(sequence(lit(0), (ceil(size(col("toks")) / lit(blockTokens.toDouble)) - 1).cast("int")),
-          i => concat_ws(" ", slice(col("toks"), i * blockTokens + 1, blockTokens)))))
+          i => concat_ws(" ", slice(col("toks"), i * blockTokens + 1, lit(blockTokens))))))
       .select(col("doc_id"), col("pos").as("block_no"), col("col").as("block_text"))
     val firstSeen = blocks
       .groupBy("block_text")
