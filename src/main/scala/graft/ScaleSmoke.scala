@@ -44,6 +44,15 @@ object ScaleSmoke {
       require(n <= nDocs / 10, s"10x duplication families must collapse: kept $n of $nDocs")
       n
     }
+    timed("dedup_blocks_50k") {
+      val out = operators.TextDedup.dedupBlocks(docs).localCheckpoint(true)
+      val n = out.count()
+      require(n == nDocs, s"one row per doc: $n of $nDocs")
+      // 10x clone families: at most one doc per family keeps any block
+      val keepers = out.filter(col("kept_blocks") > 0).count()
+      require(keepers <= nDocs / 10, s"clone blocks must collapse: $keepers keepers of $nDocs")
+      n
+    }
     timed("decontaminate_50k") {
       val bench = docs0.filter(col("doc_id") % 50 === 0)
         .select(substring(col("text"), 1, 200).as("text"))

@@ -1000,6 +1000,12 @@ object SparkEntry {
     "doc_dedup_exact" -> ((s, dir) =>
       TextDedup.dedupExact(docDupFixture(s, dir)).select("doc_id").orderBy("doc_id")),
 
+    // Sub-document (token-block) dedup over the duplicated-crawl
+    // fixture: every block of an exact-copy doc loses the global
+    // first-occurrence race, so copies reassemble empty (md5("")).
+    "doc_dedup_blocks" -> ((s, dir) =>
+      TextDedup.dedupBlocks(docDupFixture(s, dir)).orderBy("doc_id")),
+
     // Cross-engine-checkable MinHash signatures (md5 variant).
     "doc_minhash_sig" -> ((s, dir) =>
       docs(s, dir).select(
@@ -2170,6 +2176,35 @@ object SparkEntry {
         |  PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
         |  ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "doc_dedup_blocks" ->
+      """WITH fixture AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0),
+        |toks AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM fixture
+        |  WHERE text IS NOT NULL AND trim(regexp_replace(text, '\s+', ' ', 'g')) <> ''),
+        |blocks AS (
+        |  SELECT doc_id, unnest(range(0, CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS block_no,
+        |         toks
+        |  FROM toks),
+        |btext AS (
+        |  SELECT doc_id, block_no,
+        |         array_to_string(toks[block_no * 20 + 1 : block_no * 20 + 20], ' ') AS block_text
+        |  FROM blocks),
+        |kept AS (
+        |  SELECT doc_id, block_no, block_text FROM btext
+        |  QUALIFY row_number() OVER (PARTITION BY block_text ORDER BY doc_id, block_no) = 1),
+        |reassembled AS (
+        |  SELECT doc_id, count(*) AS kept_blocks,
+        |         string_agg(block_text, ' ' ORDER BY block_no) AS text_clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT f.doc_id, COALESCE(r.kept_blocks, 0) AS kept_blocks,
+        |       md5(COALESCE(r.text_clean, '')) AS clean_hash
+        |FROM (SELECT DISTINCT doc_id FROM fixture) f
+        |LEFT JOIN reassembled r USING (doc_id)
+        |ORDER BY f.doc_id""".stripMargin,
 
     "doc_minhash_sig" ->
       s"""WITH sh AS ($docShingles)

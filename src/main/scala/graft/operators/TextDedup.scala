@@ -73,9 +73,13 @@ object TextDedup {
     * bit-identical. */
   def dedupBlocks(docs: DataFrame, textCol: String = "text",
                   blockTokens: Int = 20): DataFrame = {
-    val toks = when(col(textCol).isNull || length(trim(col(textCol))) === 0,
+    // Canonicalize whitespace BEFORE splitting: Java split drops
+    // trailing empty tokens while other engines keep them, so a raw
+    // \s+ split is not cross-engine stable. Single-space form is.
+    val norm = trim(regexp_replace(col(textCol), "\\s+", " "))
+    val toks = when(col(textCol).isNull || length(norm) === 0,
         array().cast("array<string>"))
-      .otherwise(split(trim(col(textCol)), "\\s+"))
+      .otherwise(split(norm, " "))
     val blocks = docs
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) > 0) // empty docs emit no blocks

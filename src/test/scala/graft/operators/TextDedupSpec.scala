@@ -299,6 +299,43 @@ class TextDedupSpec extends SparkSpec {
       ("web", 3L, 2L, 1L, 0.333333)))
   }
 
+  test("dedupBlocks: global first-occurrence block dedup with reassembly hash") {
+    val blockA = (0 until 20).map(i => s"a$i").mkString(" ")
+    val blockB = (0 until 20).map(i => s"b$i").mkString(" ")
+    val blockC = (0 until 7).map(i => s"c$i").mkString(" ")  // short tail block
+    val blockD = (0 until 20).map(i => s"d$i").mkString(" ")
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    val docs = Seq(
+      (1L, s"$blockA $blockB $blockC"),          // first occurrence of all 3
+      (2L, s"$blockB $blockA"),                  // both blocks lost to doc 1
+      (3L, s"$blockA $blockA $blockD"),          // in-doc repeat also dedups
+      (4L, ""),                                  // empty: zero blocks
+      (5L, null.asInstanceOf[String]),           // null: zero blocks
+      (6L, "just a few tokens"),                 // single sub-size block
+      (7L, "  just   a few\ttokens ")            // ws-canonical dup of doc 6
+    ).toDF("doc_id", "text")
+    val out = TextDedup.dedupBlocks(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("kept_blocks"), r.getAs[String]("clean_hash")))).toMap
+
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L)) // every doc gets a row
+    assert(out(1L)._1 == 3L)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) =
+      md5.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L)._2 == hex(s"$blockA $blockB $blockC")) // reassembles verbatim
+    assert(out(2L) == ((0L, emptyMd5)))  // exact-ish copy empties out
+    assert(out(3L) == ((1L, hex(blockD)))) // only the novel block survives
+    assert(out(4L) == ((0L, emptyMd5)))
+    assert(out(5L) == ((0L, emptyMd5)))
+    assert(out(6L) == ((1L, hex("just a few tokens"))))
+    assert(out(7L) == ((0L, emptyMd5)))  // canonicalized dup of doc 6
+
+    // plan: the first-occurrence race is a hash agg + semi join, no window
+    val plan = TextDedup.dedupBlocks(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("levenshtein near-dup: finds single-char edits, respects maxDist and block cap") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     // edits sit BEYOND the 24-char blocking prefix (an edit inside the
