@@ -377,7 +377,7 @@ object SparkEntry {
     "ref_scd2_history" -> ((s, dir) =>
       Scd2.history(ev(s, dir), key = "user_id", attrs = Seq("event_type"),
           ts = "ts", tieBreak = "event_id")
-        .orderBy("user_id", "effective_from", "event_type")),
+        .orderBy("user_id", "effective_from", "open_event_id")),
 
     // Z-order (Morton) clustering key on (customer, order day): the
     // clustered-write sort key that lets parquet row-group min/max
@@ -761,14 +761,15 @@ object SparkEntry {
         |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
         |  FROM events),
         |opens AS (
-        |  SELECT user_id, event_type, ts AS effective_from, event_id
+        |  SELECT user_id, event_type, ts AS effective_from,
+        |         event_id AS open_event_id
         |  FROM ordered WHERE event_type IS DISTINCT FROM prev_type)
-        |SELECT user_id, event_type, effective_from,
+        |SELECT user_id, event_type, effective_from, open_event_id,
         |       lead(effective_from) OVER (PARTITION BY user_id
-        |           ORDER BY effective_from, event_id) AS effective_to,
+        |           ORDER BY effective_from, open_event_id) AS effective_to,
         |       lead(effective_from) OVER (PARTITION BY user_id
-        |           ORDER BY effective_from, event_id) IS NULL AS is_current
-        |FROM opens ORDER BY user_id, effective_from, event_type""".stripMargin,
+        |           ORDER BY effective_from, open_event_id) IS NULL AS is_current
+        |FROM opens ORDER BY user_id, effective_from, open_event_id""".stripMargin,
 
     "layout_zorder" ->
       s"""SELECT o_orderkey,

@@ -720,14 +720,15 @@ object WordNgrams {
 
   /** All exact n-grams in order (with repeats — these are counted
     * downstream, so the set-dedup ShingleHashes applies is wrong here).
-    * Null tokens join as empty strings (concat_ws semantics). */
+    * Null tokens are SKIPPED by concatWs — element and separator both
+    * dropped — matching concat_ws in the composable rendition. */
   def compute(tokens: ArrayData, n: Int): ArrayData = {
     val t = tokens.numElements()
     if (t < n) return new GenericArrayData(new Array[Any](0))
     val ts = new Array[UTF8String](t)
     var i = 0
     while (i < t) {
-      ts(i) = if (tokens.isNullAt(i)) UTF8String.EMPTY_UTF8 else tokens.getUTF8String(i)
+      ts(i) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i)
       i += 1
     }
     val out = new Array[Any](t - n + 1)

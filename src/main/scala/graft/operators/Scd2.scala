@@ -27,7 +27,10 @@ object Scd2 {
     *
     * `tieBreak` must make the per-key order total (a unique event id) —
     * otherwise "previous row" is engine-defined and the history is
-    * nondeterministic. */
+    * nondeterministic. The opening row's tie-break value is kept in the
+    * output (as `open_<tieBreak>`): attrs can repeat at one timestamp
+    * (A,B,A at the same ts opens two A-versions tying on every other
+    * column), so without it the history has no total order. */
   def history(feed: DataFrame, key: String, attrs: Seq[String],
               ts: String, tieBreak: String): DataFrame = {
     val ordered = Window.partitionBy(col(key)).orderBy(col(ts), col(tieBreak))
@@ -36,11 +39,10 @@ object Scd2 {
       .withColumn("__changed", !(attrStruct <=> lag(attrStruct, 1).over(ordered)))
       .filter(col("__changed"))
     opens.select(col(key) +: attrs.map(col) :+ col(ts).as("effective_from")
-        :+ col(tieBreak).as("__tie"): _*)
+        :+ col(tieBreak).as(s"open_$tieBreak"): _*)
       .withColumn("effective_to",
         lead(col("effective_from"), 1).over(
-          Window.partitionBy(col(key)).orderBy(col("effective_from"), col("__tie"))))
+          Window.partitionBy(col(key)).orderBy(col("effective_from"), col(s"open_$tieBreak"))))
       .withColumn("is_current", col("effective_to").isNull)
-      .drop("__tie")
   }
 }

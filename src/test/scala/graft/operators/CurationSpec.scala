@@ -382,6 +382,20 @@ class CurationSpec extends SparkSpec {
       assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty,
         s"word_ngrams(n=$n) diverges from the composable rendition")
     }
+    // split() never yields null tokens, so the corpus sweep above can't
+    // exercise null handling — feed literal nulls directly: concat_ws
+    // drops the element AND its separator ("a b", never "a  b").
+    val withNulls = spark.sql(
+      "SELECT array('a', CAST(NULL AS STRING), 'b', NULL) AS toks")
+    for (n <- Seq(2, 3, 4)) {
+      val native = withNulls.select(call_function("word_ngrams", col("toks"), lit(n)).as("g"))
+      val composed = withNulls.select(Curation.ngramsComposable(col("toks"), n).as("g"))
+      assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty,
+        s"word_ngrams(n=$n) diverges on null tokens")
+    }
+    assert(withNulls.select(call_function("word_ngrams", col("toks"), lit(2)).as("g"))
+      .as[Seq[String]].head() == Seq("a", "b", "b"),
+      "null tokens must be skipped concat_ws-style (element and separator)")
   }
 
   test("lmScore: boilerplate scores high, rare-token docs low; exact integer sums") {

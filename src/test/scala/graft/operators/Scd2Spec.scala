@@ -20,12 +20,27 @@ class Scd2Spec extends SparkSpec {
     ).toDF("user_id", "tier", "ts", "event_id")
     val h = Scd2.history(feed, "user_id", Seq("tier"), "ts", "event_id")
       .orderBy("user_id", "effective_from")
-      .as[(Long, String, Timestamp, Option[Timestamp], Boolean)].collect()
+      .as[(Long, String, Timestamp, Long, Option[Timestamp], Boolean)].collect()
     assert(h.toSeq == Seq(
-      (1L, "bronze", ts("2024-01-01 00:00:00"), Some(ts("2024-01-03 00:00:00")), false),
-      (1L, "silver", ts("2024-01-03 00:00:00"), Some(ts("2024-01-05 00:00:00")), false),
-      (1L, "gold", ts("2024-01-05 00:00:00"), None, true),
-      (2L, "bronze", ts("2024-02-01 00:00:00"), None, true)))
+      (1L, "bronze", ts("2024-01-01 00:00:00"), 1L, Some(ts("2024-01-03 00:00:00")), false),
+      (1L, "silver", ts("2024-01-03 00:00:00"), 3L, Some(ts("2024-01-05 00:00:00")), false),
+      (1L, "gold", ts("2024-01-05 00:00:00"), 4L, None, true),
+      (2L, "bronze", ts("2024-02-01 00:00:00"), 5L, None, true)))
+  }
+
+  test("open_<tieBreak> totalizes the order when attrs repeat at one instant") {
+    // A,B,A at one identical timestamp: two A-versions tie on
+    // (user_id, effective_from, v) and differ only in effective_to /
+    // is_current — open_event_id is the only total sort key.
+    val t0 = ts("2024-01-01 00:00:00")
+    val feed = Seq(
+      (1L, "a", t0, 1L), (1L, "b", t0, 2L), (1L, "a", t0, 3L)
+    ).toDF("user_id", "v", "ts", "event_id")
+    val h = Scd2.history(feed, "user_id", Seq("v"), "ts", "event_id")
+      .orderBy("user_id", "effective_from", "open_event_id")
+      .select("v", "open_event_id", "is_current")
+      .as[(String, Long, Boolean)].collect()
+    assert(h.toSeq == Seq(("a", 1L, false), ("b", 2L, false), ("a", 3L, true)))
   }
 
   test("a re-appearing old value opens a NEW version (no flattening)") {
