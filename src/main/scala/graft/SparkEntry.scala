@@ -359,6 +359,40 @@ object SparkEntry {
       EventOps.dailySummary(curated).orderBy("event_date", "event_type")
     }),
 
+    // S2+S3+C1 through the QUEUE transport (the Kinesis-consumer seam,
+    // oracle-verified end-to-end): wire-serialize the staging slices,
+    // publish to an embedded queue — the id%7==0 slice published TWICE
+    // (at-least-once delivery) plus malformed/blank lines (O9) — drain
+    // with committed-offset readBatch calls until empty, decode through
+    // the shared staging projection, then run the same dedup-insert +
+    // summary pipeline as ref_pipeline_summary. The queue itself is
+    // driver-side by design (tests/embedded transport); the decode +
+    // pipeline code it feeds is the scale path.
+    "ref_queue_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val e = ev(s, dir).select(col("event_id"), col("ts"), col("event_type"), col("user_id"))
+      def wire(df: DataFrame): Seq[String] = sources.EventGenerator.jsonLines(
+        df.select(col("event_id").cast("string").as("event_id"),
+          col("ts").as("event_timestamp"), col("event_type"),
+          col("user_id").cast("string").as("user_id")))
+        .as[String].collect().toSeq
+      val q = new sources.QueueEventSource(recordsPerBatch = 4096)
+      q.publish("events", wire(e.filter(col("event_id") % 7 < 3)))
+      q.publish("events", wire(e.filter(col("event_id") % 7 === 0)))
+      q.publish("events", Seq("{malformed", "   ", "null"))
+      var batches = List.empty[DataFrame]
+      while (q.available(s, "events")) batches ::= q.readBatch(s, "events")
+      val staging = batches.reduce(_ unionByName _)
+        .filter(col("event_id").isNotNull) // corrupt rows out (O9)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("event_timestamp").as("ts"), col("event_type"),
+          col("user_id").cast("long").as("user_id"))
+        .dropDuplicates("event_id")
+      val target = e.filter(col("event_id") % 3 === 0)
+      val curated = target.unionByName(EventOps.dedupInsert(staging, target))
+      EventOps.dailySummary(curated).orderBy("event_date", "event_type")
+    }),
+
     // S9/S11 extension — MERGE upsert (Snowflake MERGE INTO): a CDC
     // batch (every 5th event, value revised +100) against the curated
     // tier (every 3rd event): %15 ids are updated in place, %5-not-%3
@@ -744,6 +778,29 @@ object SparkEntry {
         |    UNION ALL SELECT * FROM events WHERE event_id % 7 = 0)
         |), target AS (
         |  SELECT * FROM events WHERE event_id % 3 = 0
+        |), curated AS (
+        |  SELECT * FROM target
+        |  UNION ALL
+        |  SELECT * FROM staging s
+        |  WHERE s.event_id IS NOT NULL
+        |    AND s.event_id NOT IN (SELECT event_id FROM target)
+        |)
+        |SELECT CAST(ts AS DATE) AS event_date, event_type,
+        |       COUNT(*) AS event_count, MIN(ts) AS first_event, MAX(ts) AS last_event
+        |FROM curated GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same pipeline contract as ref_pipeline_summary; the Spark side
+    // routes the staging slices through the queue transport's wire
+    // encode/decode, which must be value-preserving — so the oracle
+    // reads the slices straight from the source table.
+    "ref_queue_pipeline" ->
+      """WITH staging AS (
+        |  SELECT DISTINCT event_id, ts, event_type, user_id FROM (
+        |    SELECT event_id, ts, event_type, user_id FROM events WHERE event_id % 7 < 3
+        |    UNION ALL
+        |    SELECT event_id, ts, event_type, user_id FROM events WHERE event_id % 7 = 0)
+        |), target AS (
+        |  SELECT event_id, ts, event_type, user_id FROM events WHERE event_id % 3 = 0
         |), curated AS (
         |  SELECT * FROM target
         |  UNION ALL
