@@ -163,14 +163,10 @@ object SparkEntry {
           col("event_type"), col("event_count"))
         .orderBy("window_start", "event_type")),
 
-    // A4: running count per key (the client-side counter, made relational)
-    "ref_running_count" -> ((s, dir) => {
-      val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev(s, dir)
-        .select(col("event_id"), col("event_type"), count(lit(1)).over(w).as("running_count"))
-        .orderBy("event_id")
-    }),
+    // A4: running count per key (the client-side counter, made
+    // relational) — two-level form: no whole-key single-task sort.
+    "ref_running_count" -> ((s, dir) =>
+      EventOps.runningCount(ev(s, dir)).orderBy("event_id")),
 
     // S5+S6: land a slice as hour-partitioned gzip JSON, PERMISSIVE-read
     // it back partition-discovered, count per partition.

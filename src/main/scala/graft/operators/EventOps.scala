@@ -52,6 +52,33 @@ object EventOps {
         min(col("ts")).as("first_event"),
         max(col("ts")).as("last_event"))
 
+  /** A4: per-key running event count, two-level. The direct rendition
+    * — `count(*) over (partition by key order by ts, tie)` — sorts each
+    * key's ENTIRE history in one task; with 4 event types that is 4
+    * tasks total, at any corpus size. Instead: rank within (key, day)
+    * partitions — uniform date-bounded tasks — then add the count of
+    * the key's PRIOR days, a slim (keys × days)-row offset frame
+    * computed with a window over day counts and broadcast back (the
+    * same two-level prefix-sum idiom as [[Curation.globalShuffle]]).
+    * Bit-identical to the single-window form: within a key, every row
+    * of an earlier day precedes every row of a later one in (ts, tie)
+    * order, so prior-day totals + within-day rank = global rank. */
+  def runningCount(events: DataFrame, key: String = "event_type",
+                   ts: String = "ts", tie: String = "event_id"): DataFrame = {
+    val keyed = events.select(col(tie), col(key), col(ts))
+      .withColumn("__day", to_date(col(ts)))
+    val wIn = Window.partitionBy(col(key), col("__day")).orderBy(col(ts), col(tie))
+    val wOff = Window.partitionBy(col(key)).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col(key), col("__day"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col(key), col("__day"), col("__off"))
+    keyed.withColumn("__rank", row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets), Seq(key, "__day"))
+      .select(col(tie), col(key), (col("__off") + col("__rank")).as("running_count"))
+  }
+
   /** Per-type least-squares trend of daily event volume — "is this
     * event type growing?" as an OLS slope (events/day per day) over the
     * daily counts: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with

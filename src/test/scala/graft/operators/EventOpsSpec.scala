@@ -21,6 +21,33 @@ class EventOpsSpec extends SparkSpec {
     (5L, t("2026-01-02T23:59:59"), 7L, "purchase", 49.99, """{"k": 11}""")
   ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
+  test("runningCount matches the single-window form across day boundaries") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // multi-day per key, same-ts ties broken by event_id, a key that
+    // skips a day — every seam of the prior-day-offset reconstruction
+    val feed = Seq(
+      (1L, t("2026-01-01T10:00:00"), "view"),
+      (2L, t("2026-01-01T10:00:00"), "view"),   // tie on ts
+      (3L, t("2026-01-01T11:00:00"), "click"),
+      (4L, t("2026-01-02T09:00:00"), "view"),
+      (5L, t("2026-01-03T09:00:00"), "click"),  // click skipped Jan 2
+      (6L, t("2026-01-03T09:30:00"), "view"),
+      (7L, t("2026-01-03T09:30:00"), "click")
+    ).toDF("event_id", "ts", "event_type")
+    val naive = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = feed.select(col("event_id"), col("event_type"),
+      count(lit(1)).over(naive).as("running_count"))
+    val got = EventOps.runningCount(feed)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "two-level running count diverges from the single-window form")
+    // the offsets frame joins broadcast; no window partitions by the
+    // bare key over the full event stream
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"offsets must broadcast:\n$plan")
+  }
+
   test("userEvents keeps only purchases and projects the envelope") {
     val out = EventOps.userEvents(events).orderBy("event_id").collect()
     assert(out.map(_.getAs[Long]("event_id")).toSeq == Seq(1L, 3L, 5L))
