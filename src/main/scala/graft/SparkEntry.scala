@@ -364,6 +364,10 @@ object SparkEntry {
     // summary pipeline as ref_pipeline_summary. The queue itself is
     // driver-side by design (tests/embedded transport); the decode +
     // pipeline code it feeds is the scale path.
+    // The slices stay small (%11 staging, %33 re-delivered) because the
+    // queue is a DRIVER-side embedded transport: what's being verified
+    // is the wire decode + offset-commit + pipeline seam, not bulk
+    // throughput — the file and stream paths cover that.
     "ref_queue_pipeline" -> ((s, dir) => {
       import s.implicits._
       val e = ev(s, dir).select(col("event_id"), col("ts"), col("event_type"), col("user_id"))
@@ -373,8 +377,8 @@ object SparkEntry {
           col("user_id").cast("string").as("user_id")))
         .as[String].collect().toSeq
       val q = new sources.QueueEventSource(recordsPerBatch = 4096)
-      q.publish("events", wire(e.filter(col("event_id") % 7 < 3)))
-      q.publish("events", wire(e.filter(col("event_id") % 7 === 0)))
+      q.publish("events", wire(e.filter(col("event_id") % 11 === 0)))
+      q.publish("events", wire(e.filter(col("event_id") % 33 === 0)))
       q.publish("events", Seq("{malformed", "   ", "null"))
       var batches = List.empty[DataFrame]
       while (q.available(s, "events")) batches ::= q.readBatch(s, "events")
@@ -792,9 +796,9 @@ object SparkEntry {
     "ref_queue_pipeline" ->
       """WITH staging AS (
         |  SELECT DISTINCT event_id, ts, event_type, user_id FROM (
-        |    SELECT event_id, ts, event_type, user_id FROM events WHERE event_id % 7 < 3
+        |    SELECT event_id, ts, event_type, user_id FROM events WHERE event_id % 11 = 0
         |    UNION ALL
-        |    SELECT event_id, ts, event_type, user_id FROM events WHERE event_id % 7 = 0)
+        |    SELECT event_id, ts, event_type, user_id FROM events WHERE event_id % 33 = 0)
         |), target AS (
         |  SELECT event_id, ts, event_type, user_id FROM events WHERE event_id % 3 = 0
         |), curated AS (
@@ -1316,6 +1320,18 @@ object SparkEntry {
       Curation.decontaminate(d, bench, n = 8).select("doc_id").orderBy("doc_id")
     }),
 
+    // Bloom-sketch rendition of the same contract: benchmark grams fold
+    // into a Catalyst BloomFilterAggregate sketch shipped as a plan
+    // literal; corpus pass 1 is a scan-local might_contain filter; the
+    // exact gram join re-verifies only the suspects — so the oracle is
+    // the exact decontaminate's, false positives notwithstanding.
+    "doc_decontaminate_bloom" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val bench = d.filter(col("doc_id") % 50 === 0)
+        .select(substring(col("text"), 1, 200).as("text"))
+      Curation.decontaminateBloom(d, bench, n = 8).select("doc_id").orderBy("doc_id")
+    }),
+
     // Graded contamination: per-doc benchmark 8-gram overlap fraction +
     // the soft keep decision (drop only docs past 5% overlap — a shared
     // stock phrase alone must not kill a doc at 100 TB).
@@ -1457,6 +1473,24 @@ object SparkEntry {
   // a strict val here would capture them as null at init order
   private lazy val curationOracles: Map[String, String] = Map(
     "doc_decontaminate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, $gram8 AS s
+         |  FROM (SELECT doc_id,
+         |               string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+         |        FROM documents)),
+         |bsh AS (
+         |  SELECT $gram8 AS s
+         |  FROM (SELECT string_split(lower(trim(regexp_replace(substr(text, 1, 200), '\\s+', ' ', 'g'))), ' ') AS toks
+         |        FROM documents WHERE doc_id % 50 = 0)),
+         |bg AS (SELECT DISTINCT unnest(s) AS gram FROM bsh),
+         |cg AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+         |cont AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram))
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM cont) ORDER BY doc_id""".stripMargin,
+
+    // The Bloom prefilter is exact after the verify pass, so the oracle
+    // is the same SQL as doc_decontaminate's.
+    "doc_decontaminate_bloom" ->
       s"""WITH sh AS (
          |  SELECT doc_id, $gram8 AS s
          |  FROM (SELECT doc_id,

@@ -69,6 +69,50 @@ object Curation {
                     textCol: String = "text"): DataFrame =
     corpus.join(contaminatedIds(corpus, benchmark, n, textCol), Seq("doc_id"), "left_anti")
 
+  /** The benchmark's distinct gram hashes folded into one Bloom-filter
+    * sketch — Catalyst's own `BloomFilterAggregate` (the runtime-filter
+    * sketch), run DISTRIBUTED over the benchmark, with only the
+    * finished sketch bytes landing on the driver (bounded by
+    * `numBits/8`, not by benchmark size — the same bounded-driver-state
+    * contract as the KMV sketch). `numBits <= 0` lets the aggregate
+    * pick the optimal width for `expectedGrams`. */
+  private[operators] def benchmarkBloom(benchmark: DataFrame, n: Int, textCol: String,
+                                        expectedGrams: Long, numBits: Long = -1L): Array[Byte] = {
+    val grams = benchmark
+      .select(explode(TextDedup.hashedShingles(col(textCol), n)).as("gram_hash"))
+      .distinct()
+    val agg =
+      if (numBits > 0)
+        call_function("bloom_filter_agg", col("gram_hash"), lit(expectedGrams), lit(numBits))
+      else call_function("bloom_filter_agg", col("gram_hash"), lit(expectedGrams))
+    grams.agg(agg.as("bf")).head.getAs[Array[Byte]]("bf")
+  }
+
+  /** [[decontaminate]] re-planned for the 100 TB corpus side: instead
+    * of semi-joining every corpus (doc_id, gram) pair against the
+    * benchmark gram set, the benchmark folds into a Bloom sketch that
+    * ships to every task as a plan literal (the LSH plane-matrix
+    * discipline), so the first pass over the corpus is a SCAN-LOCAL
+    * `might_contain` filter — no shuffle, no join, nothing but the
+    * suspects survives. False positives are then removed by re-running
+    * the EXACT gram join on the suspect docs only (sketch-sized
+    * fraction of the corpus), so the result is bit-identical to
+    * [[decontaminate]] at any false-positive rate — the sketch only
+    * decides how much work pass 2 sees. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+                         textCol: String = "text", expectedGrams: Long = 1L << 20,
+                         numBits: Long = -1L): DataFrame = {
+    val bf = lit(benchmarkBloom(benchmark, n, textCol, expectedGrams, numBits))
+    val suspects = corpus
+      .select(col("doc_id"), explode(TextDedup.hashedShingles(col(textCol), n)).as("gram_hash"))
+      .filter(call_function("might_contain", bf, col("gram_hash")))
+      .select("doc_id")
+      .distinct()
+    val confirmed = contaminatedIds(
+      corpus.join(suspects, Seq("doc_id"), "left_semi"), benchmark, n, textCol)
+    corpus.join(confirmed, Seq("doc_id"), "left_anti")
+  }
+
   /** Per-document contamination PROFILE: how many of the doc's distinct
     * word `n`-grams appear anywhere in the benchmark, and the overlap
     * fraction — the graded rendition of [[contaminatedIds]] (any single

@@ -30,6 +30,27 @@ class CurationSpec extends SparkSpec {
     assert(Curation.decontaminate(corpus, bench).count() == corpus.count())
   }
 
+  test("decontaminateBloom matches exact decontaminate, even at a degenerate FPR") {
+    val corpus = docsSf001
+    val bench = corpus.filter($"doc_id" % 50 === 0)
+      .select(substring($"text", 1, 200).as("text"))
+    val exact = Curation.decontaminate(corpus, bench, n = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val bloom = Curation.decontaminateBloom(corpus, bench, n = 8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(bloom == exact, "bloom prefilter + exact verify must equal the exact path")
+    // 64-bit sketch for thousands of grams → nearly every gram is a
+    // suspect; the verify pass must still reduce to the exact result
+    val noisy = Curation.decontaminateBloom(corpus, bench, n = 8, numBits = 64L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(noisy == exact, "false positives must not survive the verify pass")
+    // plan: pass 1 is a scan-local filter on the sketch literal — the
+    // benchmark joins only against the suspect slice
+    val plan = Curation.decontaminateBloom(corpus, bench, n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"sketch prefilter missing:\n$plan")
+  }
+
   test("sampleByHash is deterministic, rate-proportional, and stable under corpus growth") {
     val d = docsSf001
     val s1 = Curation.sampleByHash(d, 0.2).select("doc_id").as[Long].collect().toSet
