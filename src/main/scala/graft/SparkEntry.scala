@@ -1380,6 +1380,13 @@ object SparkEntry {
     "doc_quality_filter" -> ((s, dir) =>
       Curation.qualityFilter(docs(s, dir)).orderBy("doc_id")),
 
+    // Model-based quality gate: hashed-bag-of-words linear classifier
+    // (deterministic stand-in model; integer milli-weight sums so the
+    // logit is order-free and engine-exact).
+    "doc_classifier_score" -> ((s, dir) =>
+      Curation.classifierScore(docs(s, dir), Curation.hashedModel(s, 4096), dim = 4096)
+        .orderBy("doc_id")),
+
     // Rational-idf TF-IDF: top-3 terms per document.
     "doc_tfidf_top_terms" -> ((s, dir) =>
       Curation.tfidfTopTerms(docs(s, dir), topK = 3).orderBy("doc_id", "rank")),
@@ -1608,6 +1615,33 @@ object SparkEntry {
          |  FROM h)
          |SELECT doc_id, drop_reason IS NULL AS keep, drop_reason
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Integer milli-weight replay of the hashed linear classifier; the
+    // only floating-point op is the final division, identical IEEE in
+    // both engines. Sums cast from DuckDB HUGEINT back to BIGINT.
+    "doc_classifier_score" ->
+      """WITH w AS (
+        |  SELECT b AS bucket,
+        |         CAST('0x' || substr(md5(b::VARCHAR), 1, 8) AS BIGINT) % 2001 - 1000 AS w_milli
+        |  FROM (SELECT unnest(range(0, 4096)) AS b)),
+        |toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 4096 AS bucket
+        |  FROM toks WHERE tok <> ''),
+        |agg AS (
+        |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CAST(sum(w.w_milli) AS BIGINT) AS w_sum_milli
+        |  FROM feat f JOIN w USING (bucket) GROUP BY 1)
+        |SELECT d.doc_id,
+        |       COALESCE(a.n_tokens, 0) AS n_tokens,
+        |       COALESCE(a.w_sum_milli, 0) AS w_sum_milli,
+        |       CAST(a.w_sum_milli AS DOUBLE) / (1000.0 * a.n_tokens) AS score,
+        |       COALESCE(CAST(a.w_sum_milli AS DOUBLE) / (1000.0 * a.n_tokens) > 0.0, false) AS keep
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "doc_repetition" ->
       """WITH t AS (

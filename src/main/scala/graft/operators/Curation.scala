@@ -375,6 +375,51 @@ object Curation {
   }
 
   // ------------------------------------------------------------------
+  // Model-based quality scoring (hashed linear classifier)
+  // ------------------------------------------------------------------
+
+  /** Deterministic stand-in for a TRAINED linear model: `dim` hashed
+    * feature buckets with integer milli-weights in [-1000, 1000]
+    * derived from the bucket index (the model-training step happens
+    * offline and is out of engine scope — what the engine owns is the
+    * SCORING plan; same seam discipline as the multimodal decoder
+    * stub). Replayable in any engine via the md5-u32 recipe. */
+  def hashedModel(spark: org.apache.spark.sql.SparkSession, dim: Int): DataFrame =
+    spark.range(dim).select(col("id").as("bucket"),
+      (hashU32(col("id")) % 2001 - 1000).as("w_milli"))
+
+  /** fastText-shape linear classifier scoring over hashed bag-of-words
+    * features — the model-based quality-filter stage (CCNet/LLaMA-style
+    * "does this look like reference text?" gating). Features are
+    * scan-local: each token hashes to one of `dim` buckets; the weight
+    * table is `dim` rows and BROADCASTS; the per-doc score is one
+    * partial-aggregated integer sum — the only shuffle is doc-keyed
+    * (dim + corpus-token cost, never text).
+    *
+    * Exactness discipline: weights are integer MILLI-units summed in
+    * BIGINT (order-free), and the mean-pooled logit is one double
+    * division at the end — so the score is bit-deterministic across
+    * engines and partitionings, unlike a floating-point sum. Docs with
+    * no tokens score NULL and keep=false. */
+  def classifierScore(docs: DataFrame, weights: DataFrame, dim: Int,
+                      textCol: String = "text", threshold: Double = 0.0): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+        explode(split(TextDedup.normalize(coalesce(col(textCol), lit(""))), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), (hashU32(col("tok")) % dim).as("bucket"))
+    val agg = toks.join(broadcast(weights), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_milli")).as("w_sum_milli"))
+    val score = col("w_sum_milli").cast("double") / (lit(1000.0) * col("n_tokens"))
+    docs.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("w_sum_milli"), lit(0L)).as("w_sum_milli"),
+        score.as("score"),
+        coalesce(score > threshold, lit(false)).as("keep"))
+  }
+
+  // ------------------------------------------------------------------
   // Intra-document repetition profile
   // ------------------------------------------------------------------
 

@@ -147,6 +147,39 @@ class CurationSpec extends SparkSpec {
     assert(out(3L) == (("no pii here at all", 0, 0)))
   }
 
+  test("classifierScore: exact milli-weight logits, NULL for empty docs, broadcast model") {
+    val model = Curation.hashedModel(spark, 64)
+    val d = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String]),
+      (4L, "  Alpha  ")                       // normalization: one token
+    ).toDF("doc_id", "text")
+    val out = Curation.classifierScore(d, model, dim = 64).orderBy("doc_id").collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // replay the arithmetic: w(tok) = hashU32(md5(tok)) % 2001 - 1000
+    def u32(s: String): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md5.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def w(tok: String): Long = u32((u32(tok) % 64).toString) % 2001 - 1000
+    val expSum1 = 2 * w("alpha") + w("beta")
+    assert(byId(1L).getAs[Long]("w_sum_milli") == expSum1)
+    assert(byId(1L).getAs[Double]("score") == expSum1.toDouble / 3000.0)
+    assert(byId(2L).getAs[Long]("n_tokens") == 0L && byId(2L).isNullAt(3)
+      && !byId(2L).getAs[Boolean]("keep"))
+    assert(byId(3L).getAs[Long]("n_tokens") == 0L && byId(3L).isNullAt(3))
+    assert(byId(4L).getAs[Long]("w_sum_milli") == w("alpha"))
+    // order-free: integer sums make the score partitioning-invariant
+    val big = docsSf001
+    val a = Curation.classifierScore(big, Curation.hashedModel(spark, 4096), 4096)
+    val b = Curation.classifierScore(big.repartition(7), Curation.hashedModel(spark, 4096), 4096)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"model must broadcast:\n$plan")
+  }
+
   test("qualityFilter reports the first failing rule in contract order") {
     val d = Seq(
       (1L, "too short"),                                     // < 25 tokens
