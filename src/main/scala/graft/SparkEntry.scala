@@ -1291,7 +1291,12 @@ object SparkEntry {
       Similarity.labelCentroids(emb(s, dir))
         .select(col("label"), col("dim"),
           round(col("centroid_v"), 6).as("centroid_v"))
-        .orderBy("label", "dim"))
+        .orderBy("label", "dim")),
+
+    // Int8 scalar quantization: exact double arithmetic end-to-end, so
+    // the per-element codes hash-compare against the SQL replay.
+    "emb_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(emb(s, dir)).orderBy("vec_id"))
   )
 
   // ---------------------------------------------------------------
@@ -2776,7 +2781,22 @@ object SparkEntry {
         |                    / count(*), 6) AS DOUBLE) AS centroid_v
         |FROM embeddings, LATERAL (SELECT unnest(range(0, len(embedding))) AS i)
         |GROUP BY label, dim
-        |ORDER BY label, dim""".stripMargin
+        |ORDER BY label, dim""".stripMargin,
+
+    // Same fixed IEEE expression shape as the operator: widen to
+    // DOUBLE, min/max, floor-scale, clamp — bit-identical codes.
+    "emb_quantize_int8" ->
+      """WITH vd AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |mm AS (
+        |  SELECT vec_id, v, list_min(v) AS v_min, list_max(v) AS v_max FROM vd)
+        |SELECT vec_id, v_min, v_max,
+        |       CASE WHEN v_max = v_min THEN list_transform(v, x -> 0)
+        |            ELSE list_transform(v, x ->
+        |              CAST(least(floor((x - v_min) * 255.0 / (v_max - v_min)), 255.0) AS INT))
+        |       END AS codes
+        |FROM mm ORDER BY vec_id""".stripMargin
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

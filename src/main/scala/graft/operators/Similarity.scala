@@ -561,4 +561,30 @@ object Similarity {
       .groupBy("label", "dim")
       .agg((sum(col("v").cast("decimal(38,18)")).cast("double") / count(lit(1)))
         .as("centroid_v"))
+
+  /** Per-vector int8 scalar quantization — the 4× storage/bandwidth
+    * compression an ANN tier applies before 100 TB of float vectors
+    * ship anywhere (codes rebuild as v_min + code × scale, max error
+    * one quantization step). Row-local projection, scan speed, no
+    * shuffle; at scale this runs inside the same stage as the scan.
+    *
+    * Exactness discipline: every element widens float→double (exact),
+    * min/max/floor/divide run in DOUBLE with one fixed expression
+    * shape, and the clamp is part of the contract — so codes are
+    * bit-identical across engines. Degenerate vectors: constant →
+    * all-zero codes (scale 0 carries the value in v_min); empty →
+    * empty codes with NULL range; NULL → NULL through. */
+  def quantizeInt8(embeddings: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val widened = embeddings.select(col(idCol),
+      transform(col(vecCol), v => v.cast("double")).as("__v"))
+    val mm = widened.select(col(idCol), col("__v"),
+      array_min(col("__v")).as("v_min"), array_max(col("__v")).as("v_max"))
+    mm.select(col(idCol), col("v_min"), col("v_max"),
+      when(col("v_max") === col("v_min"), transform(col("__v"), _ => lit(0)))
+        .otherwise(transform(col("__v"), v =>
+          least(floor((v - col("v_min")) * lit(255.0) / (col("v_max") - col("v_min"))), lit(255.0))
+            .cast("int")))
+        .as("codes"))
+  }
 }

@@ -259,4 +259,34 @@ class SimilaritySpec extends SparkSpec {
       .as[(Int, Int, Double)].collect().toSeq
     assert(a == b, "centroids must not depend on partitioning")
   }
+
+  test("quantizeInt8: codes reconstruct within one step; degenerate vectors handled") {
+    val d = Seq(
+      (1L, Array(0.0f, 1.0f, 0.5f, 0.25f)),
+      (2L, Array(3.0f, 3.0f, 3.0f)),          // constant → all-zero codes
+      (3L, Array.empty[Float]),               // empty → empty codes
+      (4L, null.asInstanceOf[Array[Float]]),  // NULL through
+      (5L, Array(-2.5f, 7.125f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(d).orderBy("vec_id").collect()
+    val byId = out.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    // exact endpoints: 0→0, 1→255 (exact division), 0.5→127 (127.5 floors)
+    assert(byId(1L).getSeq[Int](3).toList == List(0, 255, 127, 63))
+    assert(byId(2L).getSeq[Int](3).toList == List(0, 0, 0)
+      && byId(2L).getAs[Double]("v_min") == 3.0)
+    assert(byId(3L).getSeq[Int](3).toList == Nil && byId(3L).isNullAt(1))
+    assert(byId(4L).isNullAt(3))
+    // reconstruction: v_min + code*scale is within one step of the source
+    val r5 = byId(5L)
+    val (mn, mx) = (r5.getAs[Double]("v_min"), r5.getAs[Double]("v_max"))
+    val scale = (mx - mn) / 255.0
+    r5.getSeq[Int](3).toList.zip(List(-2.5, 7.125, 0.0)).foreach { case (c, v) =>
+      assert(c >= 0 && c <= 255 && math.abs(mn + c * scale - v) <= scale,
+        s"code $c rebuilds ${mn + c * scale}, want within $scale of $v")
+    }
+    // corpus-wide: every code in range, one row per vector
+    val full = Similarity.quantizeInt8(emb)
+    assert(full.count() == emb.count())
+    assert(full.filter(exists(col("codes"), c => c < 0 || c > 255)).isEmpty)
+  }
 }
