@@ -1296,7 +1296,17 @@ object SparkEntry {
     // Int8 scalar quantization: exact double arithmetic end-to-end, so
     // the per-element codes hash-compare against the SQL replay.
     "emb_quantize_int8" -> ((s, dir) =>
-      Similarity.quantizeInt8(emb(s, dir)).orderBy("vec_id"))
+      Similarity.quantizeInt8(emb(s, dir)).orderBy("vec_id")),
+
+    // Top-3 cosine in the quantized domain (integer dot + O(1) scale
+    // correction — deterministic, full-value oracle, same probe set as
+    // the float baseline for side-by-side comparison).
+    "emb_topk_quantized" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.topKQuantized(e, e.filter(col("vec_id") % 50 === 0), 3)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("probe_id", "rank")
+    })
   )
 
   // ---------------------------------------------------------------
@@ -2796,7 +2806,44 @@ object SparkEntry {
         |            ELSE list_transform(v, x ->
         |              CAST(least(floor((x - v_min) * 255.0 / (v_max - v_min)), 255.0) AS INT))
         |       END AS codes
-        |FROM mm ORDER BY vec_id""".stripMargin
+        |FROM mm ORDER BY vec_id""".stripMargin,
+
+    // Replays the exact same algebra: quantize, integer sums (cast out
+    // of DuckDB's HUGEINT), then the identical multiply/add order so
+    // every IEEE op matches the Spark expression bit-for-bit.
+    "emb_topk_quantized" ->
+      """WITH vd AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |mm AS (SELECT vec_id, v, list_min(v) AS vmin, list_max(v) AS vmax FROM vd),
+        |q AS (
+        |  SELECT vec_id, vmin AS mn, (vmax - vmin) / 255.0 AS s,
+        |         CASE WHEN vmax = vmin THEN list_transform(v, x -> 0)
+        |              ELSE list_transform(v, x ->
+        |                CAST(least(floor((x - vmin) * 255.0 / (vmax - vmin)), 255.0) AS INT)) END AS codes,
+        |         CAST(len(v) AS DOUBLE) AS d
+        |  FROM mm),
+        |n AS (
+        |  SELECT vec_id, mn, s, codes, d,
+        |         CAST(CAST(list_sum(codes) AS BIGINT) AS DOUBLE) AS csum,
+        |         CAST(CAST(list_sum(list_transform(codes, c -> c * c)) AS BIGINT) AS DOUBLE) AS csq
+        |  FROM q),
+        |nn AS (
+        |  SELECT *, d * mn * mn + 2.0 * mn * s * csum + s * s * csq AS normsq FROM n),
+        |probes AS (SELECT * FROM nn WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |         (p.d * p.mn * c.mn
+        |           + p.mn * c.s * c.csum
+        |           + c.mn * p.s * p.csum
+        |           + p.s * c.s * CAST(CAST(list_sum(list_transform(range(1, CAST(p.d AS INT) + 1),
+        |               i -> p.codes[i] * c.codes[i])) AS BIGINT) AS DOUBLE))
+        |         / (sqrt(p.normsq) * sqrt(c.normsq)) AS sim
+        |  FROM probes p, nn c WHERE c.vec_id <> p.vec_id)
+        |SELECT probe_id, rank, neighbor_id, CAST(ROUND(sim, 6) AS DOUBLE) AS sim
+        |FROM (SELECT probe_id, neighbor_id, sim,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -562,6 +562,45 @@ object Similarity {
       .agg((sum(col("v").cast("decimal(38,18)")).cast("double") / count(lit(1)))
         .as("centroid_v"))
 
+  /** Exact top-k cosine search in the QUANTIZED domain — the compressed
+    * -tier baseline: the scan reads int8 codes (4× less than float32),
+    * floats are never touched. Dequantized vectors are affine in the
+    * codes (v̂ᵢ = mn + cᵢ·s), so the pair dot expands to
+    *   d·mnₐ·mn_b + mnₐ·s_b·Σc_b + mn_b·sₐ·Σcₐ + sₐ·s_b·Σcₐc_b
+    * where every Σ is an INTEGER sum (exact in double: codes ≤ 255,
+    * so Σcₐc_b ≤ d·65025 ≪ 2⁵³) — the integer-dot-plus-scale-correction
+    * shape int8 SIMD kernels use. Per-pair float work is O(1) after
+    * the one integer dot; the whole score is therefore
+    * bit-deterministic and DuckDB-replayable, unlike a float-sum
+    * cosine. Self-norms ride the same identity with (a,a). Probes
+    * broadcast; ranking is the standard per-probe window. */
+  def topKQuantized(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    def qSide(df: DataFrame, id: String, p: String): DataFrame =
+      quantizeInt8(df).select(col("vec_id").as(id),
+        col("v_min").as(s"${p}mn"),
+        ((col("v_max") - col("v_min")) / lit(255.0)).as(s"${p}s"),
+        transform(col("codes"), c => c.cast("double")).as(s"${p}cd"),
+        size(col("codes")).cast("double").as(s"${p}d"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).cast("double").as(s"${p}csum"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c * c).cast("double").as(s"${p}csq"))
+      .withColumn(s"${p}normsq",
+        col(s"${p}d") * col(s"${p}mn") * col(s"${p}mn")
+          + lit(2.0) * col(s"${p}mn") * col(s"${p}s") * col(s"${p}csum")
+          + col(s"${p}s") * col(s"${p}s") * col(s"${p}csq"))
+    val p = broadcast(qSide(probes, "probe_id", "p_"))
+    val scored = qSide(corpus, "neighbor_id", "c_")
+      .join(p, col("probe_id") =!= col("neighbor_id")) // BNLJ over broadcast probes — the intended one-pass code scan
+      .select(col("probe_id"), col("neighbor_id"),
+        ((col("p_d") * col("p_mn") * col("c_mn")
+          + col("p_mn") * col("c_s") * col("c_csum")
+          + col("c_mn") * col("p_s") * col("p_csum")
+          + col("p_s") * col("c_s") * call_function("vec_dot", col("p_cd"), col("c_cd")))
+          / (sqrt(col("p_normsq")) * sqrt(col("c_normsq")))).as("sim"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "sim")
+  }
+
   /** Per-vector int8 scalar quantization — the 4× storage/bandwidth
     * compression an ANN tier applies before 100 TB of float vectors
     * ship anywhere (codes rebuild as v_min + code × scale, max error

@@ -260,6 +260,33 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b, "centroids must not depend on partitioning")
   }
 
+  test("topKQuantized: identical copies win rank 1; sims track the float baseline") {
+    val copies = emb.filter($"vec_id" % 50 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding", $"label")
+    val planted = emb.unionByName(copies)
+    // an exact copy quantizes to identical (mn, s, codes) → sim 1.0 → rank 1
+    val top1 = Similarity.topKQuantized(planted, copies, 1)
+      .filter($"rank" === 1).collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val probeIds = copies.select("vec_id").collect().map(_.getLong(0))
+    assert(probeIds.forall(pid => top1.get(pid).contains(pid - 100000)),
+      "quantized search must find bit-identical twins at rank 1")
+    // quantized sims approximate the exact cosine within quantization
+    // error (64 dims × one-step-per-element error stays well under 0.05
+    // on unit-scale vectors)
+    val probes = emb.filter($"vec_id" % 25 === 0)
+    val exact = Similarity.topKExact(emb, probes, 3).collect()
+      .map(r => ((r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")), r.getAs[Double]("sim"))).toMap
+    val quant = Similarity.topKQuantized(emb, probes, 3).collect()
+      .map(r => ((r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")), r.getAs[Double]("sim"))).toMap
+    val shared = exact.keySet.intersect(quant.keySet)
+    assert(shared.nonEmpty, "quantized and exact top-3 share no pairs at all")
+    shared.foreach { k =>
+      assert(math.abs(exact(k) - quant(k)) < 0.05,
+        s"pair $k: quantized ${quant(k)} vs exact ${exact(k)}")
+    }
+  }
+
   test("quantizeInt8: codes reconstruct within one step; degenerate vectors handled") {
     val d = Seq(
       (1L, Array(0.0f, 1.0f, 0.5f, 0.25f)),
