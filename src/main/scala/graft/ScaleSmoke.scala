@@ -58,6 +58,34 @@ object ScaleSmoke {
         .select(substring(col("text"), 1, 200).as("text"))
       operators.Curation.decontaminate(docs, bench).count()
     }
+    timed("decontaminate_bloom_50k") {
+      val bench = docs0.filter(col("doc_id") % 50 === 0)
+        .select(substring(col("text"), 1, 200).as("text"))
+      val nBloom = operators.Curation.decontaminateBloom(docs, bench).count()
+      val nExact = operators.Curation.decontaminate(docs, bench).count()
+      require(nBloom == nExact, s"bloom path kept $nBloom, exact kept $nExact")
+      nBloom
+    }
+    timed("classifier_score_50k") {
+      val model = operators.Curation.hashedModel(spark, 4096)
+      val out = operators.Curation.classifierScore(docs, model, 4096).localCheckpoint(true)
+      val n = out.count()
+      require(n == nDocs, s"one score per doc: $n of $nDocs")
+      // clone families share text → identical scores within the family
+      val bad = out.withColumn("fam", col("doc_id") % 1000000L)
+        .groupBy("fam").agg(countDistinct(col("score")).as("d"))
+        .filter(col("d") > 1).count()
+      require(bad == 0, s"$bad clone families with diverging scores")
+      n
+    }
+    timed("quantize_int8_8k") {
+      val q = operators.Similarity.quantizeInt8(emb).localCheckpoint(true)
+      val n = q.count()
+      require(n == nVecs, s"one code row per vector: $n of $nVecs")
+      val bad = q.filter(exists(col("codes"), c => c < 0 || c > 255)).count()
+      require(bad == 0, s"$bad vectors with out-of-range codes")
+      n
+    }
     timed("pack_sequences_50k") {
       val packed = operators.Curation.packSequences(docs).localCheckpoint(true)
       val agg = packed.agg(sum("token_count").as("toks"),

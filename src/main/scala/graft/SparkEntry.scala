@@ -1395,6 +1395,12 @@ object SparkEntry {
     "doc_quality_filter" -> ((s, dir) =>
       Curation.qualityFilter(docs(s, dir)).orderBy("doc_id")),
 
+    // Leakage-safe n-way split assignment (id-hash bucket ranges).
+    "doc_split_assign" -> ((s, dir) =>
+      Curation.splitAssign(docs(s, dir),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split").orderBy("doc_id")),
+
     // Model-based quality gate: hashed-bag-of-words linear classifier
     // (deterministic stand-in model; integer milli-weight sums so the
     // logit is order-free and engine-exact).
@@ -1630,6 +1636,21 @@ object SparkEntry {
          |  FROM h)
          |SELECT doc_id, drop_reason IS NULL AS keep, drop_reason
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Cutoffs computed by the SAME floor arithmetic as splitAssign, so
+    // the interpolated literals cannot drift from the operator.
+    "doc_split_assign" -> {
+      val c1 = math.floor(0.8 * 4294967296.0).toLong
+      val c2 = math.floor((0.8 + 0.1) * 4294967296.0).toLong
+      s"""SELECT doc_id,
+         |       CASE WHEN h < $c1 THEN 'train'
+         |            WHEN h < $c2 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id,
+         |             CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) AS h
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // Integer milli-weight replay of the hashed linear classifier; the
     // only floating-point op is the final division, identical IEEE in

@@ -166,6 +166,26 @@ object Curation {
   def sampleByHash(df: DataFrame, rate: Double, idCol: String = "doc_id"): DataFrame =
     df.filter(hashU32(col(idCol)) < math.floor(rate * 4294967296.0).toLong)
 
+  /** Named train/val/test (or any n-way) split assignment by id-hash
+    * bucket ranges over the u32 space — the leakage-safe split: a doc's
+    * split is a pure function of its id, so it never migrates when the
+    * corpus grows, is identical on every engine/run, and co-versioned
+    * docs (same id) can never straddle splits. Stateless scan-speed
+    * projection; thresholds are exact integer cutoffs (floor of the
+    * cumulative weight), so weights are honored to 1/2³² exactly. */
+  def splitAssign(df: DataFrame, splits: Seq[(String, Double)],
+                  idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1: $splits")
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.floor(c * 4294967296.0).toLong)
+    val h = hashU32(col(idCol))
+    val assigned = splits.init.zip(cuts).foldRight(lit(splits.last._1)) {
+      case (((name, _), cut), rest) => when(h < cut, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", assigned)
+  }
+
   /** Per-stratum deterministic sample: within each `strataCol` value,
     * keep the ceil(rate · |stratum|) rows with the smallest (id hash,
     * id) — exact per-stratum proportions (a plain hash filter only hits

@@ -64,6 +64,29 @@ class CurationSpec extends SparkSpec {
     assert(s1.subsetOf(s3))
   }
 
+  test("splitAssign: total, growth-stable, weight-proportional, sampleByHash-aligned") {
+    val d = docsSf001
+    val out = Curation.splitAssign(d, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(out.size == d.count(), "every doc gets exactly one split")
+    val frac = out.values.groupBy(identity).view.mapValues(_.size.toDouble / out.size).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.1, s"train fraction off: $frac")
+    // growth stability: adding docs never moves an existing assignment
+    val grown = d.unionByName(d.select(($"doc_id" + 100000).as("doc_id"), $"text"))
+    val out2 = Curation.splitAssign(grown, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(out.forall { case (id, s) => out2(id) == s })
+    // the first range IS sampleByHash(0.8): shared threshold arithmetic
+    val sampled = Curation.sampleByHash(d, 0.8).select("doc_id").as[Long].collect().toSet
+    assert(out.filter(_._2 == "train").keySet == sampled)
+    // weights must sum to 1
+    intercept[IllegalArgumentException] {
+      Curation.splitAssign(d, Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
   test("sampleStratified keeps exactly ceil(rate * stratum size) per stratum") {
     val d = (0 until 100).map(i => (i.toLong, if (i % 3 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
