@@ -1117,6 +1117,28 @@ object SparkEntry {
         jaccardThreshold = 0.5)
         .select("doc_id").orderBy("doc_id")),
 
+    // Keep-policy rendition: each cluster survives its LONGEST member
+    // (length(text), ties min doc_id) instead of the minimum id.
+    "doc_dedup_keep_best" -> ((s, dir) =>
+      TextDedup.dedupNearByPriority(docs(s, dir).select("doc_id", "text"),
+        length(col("text")), jaccardThreshold = 0.5)
+        .select("doc_id").orderBy("doc_id")),
+
+    // Incremental EXACT dedup (content hash vs the stored tier + the
+    // in-batch first-occurrence race) — the cheap stage before the
+    // near-dup reconcile; same tier/batch split as the incremental
+    // fixture, copies planted from tier docs AND doubled in-batch.
+    "doc_dedup_exact_incr" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val tier = d.filter(col("doc_id") < 250)
+      val batch = d.filter(col("doc_id") >= 250)
+        .unionByName(tier.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        .unionByName(d.filter(col("doc_id") >= 250 && col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      TextDedup.dedupExactAgainst(tier, batch).select("doc_id").orderBy("doc_id")
+    }),
+
     // Incremental near-dup: a new crawl slice reconciled against the
     // STORED band index of the curated tier (tier never re-banded, never
     // shuffled). Split fixture: tier = doc_id < 250, batch = the rest
@@ -2464,6 +2486,62 @@ object SparkEntry {
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Same cluster computation; the survivor is the longest member
+    // (ties min doc_id) instead of the minimum id.
+    "doc_dedup_keep_best" ->
+      s"""WITH RECURSIVE sh AS ($docShingles),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sh a, sh b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.s, b.s))::DOUBLE
+         |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |clusters AS (
+         |  SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM (
+         |    SELECT src AS id, dst AS lbl FROM reach
+         |    UNION SELECT src, src FROM edges)
+         |  GROUP BY 1),
+         |scored AS (
+         |  SELECT c.doc_id, c.cluster_id, length(d.text) AS score
+         |  FROM clusters c JOIN documents d USING (doc_id)),
+         |winners AS (
+         |  SELECT doc_id FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY cluster_id
+         |                             ORDER BY score DESC, doc_id) = 1)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (
+         |  SELECT doc_id FROM scored
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM winners))
+         |ORDER BY doc_id""".stripMargin,
+
+    // Content-hash incremental dedup truth: batch rows whose normalized
+    // text matches nothing in the tier and are the batch's first
+    // occurrence of their text.
+    "doc_dedup_exact_incr" ->
+      """WITH tier AS (
+        |  SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        |  FROM documents WHERE doc_id < 250),
+        |batch AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id < 250
+        |  UNION ALL SELECT doc_id + 200000, text FROM documents
+        |  WHERE doc_id >= 250 AND doc_id % 7 = 0),
+        |hashed AS (
+        |  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        |  FROM batch)
+        |SELECT doc_id FROM hashed
+        |WHERE h NOT IN (SELECT h FROM tier)
+        |QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // Batch-global truth for the incremental path: dedup tier ∪ batch,
     // keep the batch rows. Tier = doc_id < 250; batch = the rest plus

@@ -331,6 +331,53 @@ object TextDedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Fuzzy dedup with a KEEP POLICY: [[dedupNearMinhash]]'s exact
+    * pipeline, but each near-dup cluster keeps the member MAXIMIZING
+    * `score` (ties → minimum doc_id) instead of the minimum id — the
+    * production contract: when a family collapses, survive the
+    * longest/cleanest/highest-classifier-score rendition, not the
+    * accidental first crawl. The policy costs one max_by aggregate
+    * over the (tiny) cluster-membership list joined to the score
+    * column; the corpus still only anti-joins the loser ids. */
+  def dedupNearByPriority(
+      docs: DataFrame,
+      score: Column,
+      textCol: String = "text",
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 16,
+      jaccardThreshold: Double = 0.8,
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    val pairs = nearDupPairsMinhash(docs, textCol, shingleN, numHashes,
+      bands, jaccardThreshold, maxBucketSize)
+    val members = Components.connectedComponents(pairs)
+      .join(docs.select(col("doc_id").as("id"), score.as("__score")), Seq("id"))
+    val winners = members.groupBy("component")
+      .agg(max_by(col("id"), struct(col("__score"), (-col("id")).as("__neg"))).as("id"))
+    val losers = members.select("id")
+      .join(winners.select("id"), Seq("id"), "left_anti")
+      .withColumnRenamed("id", "doc_id")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Incremental EXACT dedup: keep the members of `batch` whose
+    * normalized content hash appears neither in the curated `tier` nor
+    * earlier (minimum doc_id) within the batch — the cheap first stage
+    * an ingest pipeline runs before [[nearDupAgainst]]. The tier side
+    * is a stored/derivable hash column, never text; both legs are
+    * hash-keyed (anti-join + one in-batch window over the hash), no
+    * skew (uniform 128-bit keys), tier never re-deduped. */
+  def dedupExactAgainst(tier: DataFrame, batch: DataFrame,
+                        textCol: String = "text"): DataFrame = {
+    val tierHashes = tier.select(contentHash(col(textCol)).as("__h")).distinct()
+    val w = Window.partitionBy(col("__h")).orderBy(col("doc_id"))
+    batch.withColumn("__h", contentHash(col(textCol)))
+      .join(tierHashes, Seq("__h"), "left_anti")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__h", "__rn")
+  }
+
   // ------------------------------------------------------------------
   // Incremental near-dup: batch vs an existing curated tier
   // ------------------------------------------------------------------

@@ -336,6 +336,42 @@ class TextDedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("dedupNearByPriority keeps the highest-score member, ties to min id") {
+    val base = (0 until 20).map(i => s"tok$i").mkString(" ")
+    val longer = base + " extra trailing tokens here"
+    val docs = Seq(
+      (1L, base),            // cluster {1,2,3}: 2 is longest → survives
+      (2L, longer),
+      (3L, base),            // exact copy of 1 (tie on score with 1 — but 2 wins anyway)
+      (9L, "completely different unrelated content words nothing shared at all")
+    ).toDF("doc_id", "text")
+    val kept = TextDedup.dedupNearByPriority(docs, length(col("text")),
+      jaccardThreshold = 0.5).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 9L), s"got ${kept.toSeq}")
+    // tie case: equal scores → minimum id survives
+    val tied = Seq((5L, base), (4L, base)).toDF("doc_id", "text")
+    val keptTied = TextDedup.dedupNearByPriority(tied, length(col("text")),
+      jaccardThreshold = 0.5).select("doc_id").as[Long].collect()
+    assert(keptTied.toSeq == Seq(4L))
+  }
+
+  test("dedupExactAgainst: tier hashes block batch rows; in-batch race keeps min id") {
+    val tier = Seq((1L, "the curated document"), (2L, "another tier doc")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a brand new document"),
+      (11L, "THE   curated document"),  // normalizes to tier row 1 → dropped
+      (12L, "a brand new document"),    // in-batch dup of 10 → dropped
+      (13L, "also novel content")
+    ).toDF("doc_id", "text")
+    val kept = TextDedup.dedupExactAgainst(tier, batch)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(10L, 13L))
+    // idempotent: reconciling the survivors again changes nothing
+    val again = TextDedup.dedupExactAgainst(tier,
+      TextDedup.dedupExactAgainst(tier, batch)).select("doc_id").as[Long].collect().sorted
+    assert(again.toSeq == Seq(10L, 13L))
+  }
+
   test("levenshtein near-dup: finds single-char edits, respects maxDist and block cap") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     // edits sit BEYOND the 24-char blocking prefix (an edit inside the
