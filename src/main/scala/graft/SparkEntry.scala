@@ -1899,6 +1899,10 @@ object SparkEntry {
       Analytics.pricingSummary(t(s, dir)("lineitem"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // Q6 shape: conjunctive pushed filters + one scalar decimal agg.
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Analytics.forecastRevenue(t(s, dir)("lineitem"))),
+
     "q3_shipping_priority" -> ((s, dir) =>
       Analytics.shippingPriority(t(s, dir)("customer"), t(s, dir)("orders"), t(s, dir)("lineitem"))),
 
@@ -2054,6 +2058,15 @@ object SparkEntry {
         |       COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |           * CAST(l_discount AS DECIMAL(8,4))), 4)
+        |                 AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND CAST(l_discount AS DECIMAL(8,4)) BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,

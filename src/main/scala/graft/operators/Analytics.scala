@@ -53,6 +53,25 @@ object Analytics {
         cmpDouble(sum(discounted), 4).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
+  /** Q6-style forecast revenue: the canonical predicate-pushdown
+    * showcase — three conjunctive scan-local filters (date range,
+    * discount band, quantity cap) reaching the parquet scan as
+    * PushedFilters, then ONE scalar decimal aggregate. No shuffle
+    * beyond the final single-row combine; at 100 TB the cost is the
+    * pruned scan and nothing else. Discount compares on the exact
+    * decimal cast (double literals like 0.05 round identically to
+    * DECIMAL(8,4) in both engines). */
+  def forecastRevenue(lineitem: DataFrame, from: String = "1996-01-01",
+                      until: String = "1997-01-01",
+                      discLo: Double = 0.05, discHi: Double = 0.07,
+                      maxQty: Int = 24): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until)
+        && col("l_discount").cast("decimal(8,4)").between(discLo, discHi)
+        && col("l_quantity") < maxQty)
+      .agg(cmpDouble(sum(dec12("l_extendedprice") * col("l_discount").cast("decimal(8,4)")), 4)
+        .as("revenue"))
+
   /** Q3-style shipping priority: 3-way join, revenue agg, top 10. */
   def shippingPriority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
                        segment: String = "BUILDING", cutoff: String = "1998-03-15"): DataFrame =

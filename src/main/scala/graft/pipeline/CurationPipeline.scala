@@ -73,7 +73,8 @@ object CurationPipeline {
   val SequencesTable = "documents_sequences"
 
   /** The FULL training-data flow: quality gate → benchmark
-    * decontamination → near-dup dedup → sequence packing, each stage
+    * decontamination → near-dup dedup → leakage-safe split assignment
+    * → sequence packing (train split) → epoch shuffle, each stage
     * reading the previous stage's catalog table (never a closure over
     * a live DataFrame) and reporting its drop counts in the metric map
     * — at 100 TB every one of these filters removes real data, and the
@@ -86,6 +87,7 @@ object CurationPipeline {
               maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
               seqLen: Int = 2048,
               shuffleSeed: Long = 42L,
+              splitWeights: Seq[(String, Double)] = Seq("train" -> 1.0),
               notify: PipelineReport => Unit = _ => ()): PipelineReport = {
     val stages = Seq[Stage](
       Stage("quality_gate") { m =>
@@ -115,8 +117,20 @@ object CurationPipeline {
       }) ++
       dedupStages(spark, () => spark.table(QualityTable + "_clean"),
         "decontaminated_kept", jaccardThreshold, maxBucketSize) ++
-      Seq(Stage("pack_sequences") { _ =>
-        val packed = Curation.packSequences(spark.table(CuratedTable), seqLen = seqLen)
+      Seq(Stage("split_assign") { _ =>
+        // leakage-safe id-hash split AFTER dedup (assigning before
+        // would let near-dup copies of one text straddle splits);
+        // downstream packs the train split only. Default 100% train →
+        // recorded no-op.
+        val assigned = Curation.splitAssign(spark.table(CuratedTable), splitWeights)
+        Catalog.overwriteTable(assigned, SplitTable)
+        spark.table(SplitTable).groupBy("split").count().collect()
+          .map(r => s"split_${r.getString(0)}" -> r.getLong(1)).toMap
+      },
+      Stage("pack_sequences") { _ =>
+        val packed = Curation.packSequences(
+          spark.table(SplitTable).filter(col("split") === "train").drop("split"),
+          seqLen = seqLen)
         Catalog.ctasOverwrite(packed, SequencesTable)
         val agg = spark.table(SequencesTable)
           .agg(coalesce(max(col("seq_no")) + 1, lit(0L)).as("seqs"),
@@ -141,6 +155,7 @@ object CurationPipeline {
   }
 
   val TrainOrderTable = "documents_train_order"
+  val SplitTable = "documents_split"
 
   val TierTable = "documents_tier"
   val BandIndexTable = "documents_band_index"

@@ -15,6 +15,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.count() == 6) // A/N/R x F/O
   }
 
+  test("forecastRevenue: exact decimal sum matching a driver replay; filters pushed to scan") {
+    import org.apache.spark.sql.functions._
+    val out = Analytics.forecastRevenue(t("lineitem")).head()
+    val rows = t("lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01")
+        && col("l_discount").cast("decimal(8,4)").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .select(col("l_extendedprice").cast("decimal(12,4)").as("p"),
+        col("l_discount").cast("decimal(8,4)").as("d"))
+      .collect()
+    val expected = rows.map(r =>
+      r.getDecimal(0).multiply(r.getDecimal(1))).reduce(_ add _)
+    assert(math.abs(out.getDouble(0) -
+      expected.setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()) < 1e-9)
+    // the three conjunctive filters must reach the parquet scan
+    val plan = Analytics.forecastRevenue(t("lineitem"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"filters not pushed:\n$plan")
+  }
+
   test("multi-way join plans broadcast the dimensions, never cartesian") {
     val q5 = Analytics.localSupplierVolume(
       t("region"), t("nation"), t("customer"), t("orders"), t("lineitem"), t("supplier"))

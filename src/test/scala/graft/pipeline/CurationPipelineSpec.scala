@@ -92,6 +92,24 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
       .foreach(r => assert(again(r.getLong(0)) == r.getLong(1), "order must be seed-reproducible"))
   }
 
+  test("runFull with a 3-way split packs the train split only; splits partition the tier") {
+    val report = CurationPipeline.runFull(spark, docs, spark.emptyDataFrame
+        .withColumn("text", lit("")).select("text"),
+      jaccardThreshold = 0.5,
+      splitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(report.ok, report.stages.toString)
+    val m = report.metrics
+    val splitTotal = Seq("train", "val", "test").map(s => m.getOrElse(s"split_$s", 0L)).sum
+    assert(splitTotal == m("docs_kept"), s"splits must partition the curated tier: $m")
+    // packed docs are exactly the train split
+    val trainIds = spark.table(CurationPipeline.SplitTable)
+      .filter($"split" === "train").select("doc_id").as[Long].collect().toSet
+    val packedIds = spark.table(CurationPipeline.SequencesTable)
+      .select("doc_id").as[Long].collect().toSet
+    assert(packedIds == trainIds, "packing must cover the train split exactly")
+    assert(m("train_order_rows") == trainIds.size.toLong)
+  }
+
   test("degenerate identical corpus: cap triggers, run still succeeds, skips are REPORTED") {
     val one = docs.filter($"doc_id" === 0).select("text").head().getString(0)
     val degenerate = spark.range(3000)
