@@ -350,8 +350,12 @@ object TextDedup {
       maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val pairs = nearDupPairsMinhash(docs, textCol, shingleN, numHashes,
       bands, jaccardThreshold, maxBucketSize)
+    // cluster-member-sized; checkpointed because BOTH the winner agg
+    // and the loser anti-join read it (and its score join would
+    // otherwise re-scan the corpus projection twice)
     val members = Components.connectedComponents(pairs)
       .join(docs.select(col("doc_id").as("id"), score.as("__score")), Seq("id"))
+      .localCheckpoint(true)
     val winners = members.groupBy("component")
       .agg(max_by(col("id"), struct(col("__score"), (-col("id")).as("__neg"))).as("id"))
     val losers = members.select("id")
