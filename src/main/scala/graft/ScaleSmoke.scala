@@ -53,6 +53,16 @@ object ScaleSmoke {
       require(keepers <= nDocs / 10, s"clone blocks must collapse: $keepers keepers of $nDocs")
       n
     }
+    timed("strip_boilerplate_50k") {
+      val out = operators.TextDedup.stripCommonSegments(docs).localCheckpoint(true)
+      val n = out.count()
+      require(n == nDocs, s"one row per doc: $n of $nDocs")
+      // 10x clones: every aligned segment has df >= 10, so EVERYTHING
+      // is boilerplate and every doc must reassemble empty.
+      val survivors = out.filter(col("kept_segments") > 0).count()
+      require(survivors == 0, s"$survivors docs kept segments in an all-clone corpus")
+      n
+    }
     timed("decontaminate_50k") {
       val bench = docs0.filter(col("doc_id") % 50 === 0)
         .select(substring(col("text"), 1, 200).as("text"))

@@ -1064,6 +1064,37 @@ object SparkEntry {
     "doc_dedup_blocks" -> ((s, dir) =>
       TextDedup.dedupBlocks(docDupFixture(s, dir)).orderBy("doc_id")),
 
+    // CCNet-style boilerplate removal (token-segment rendition): a
+    // 10-token header is planted on every third doc and every fifth
+    // doc is duplicated, so the header segment and every aligned
+    // segment of a duplicated doc cross the 2-doc frequency bar and
+    // are stripped from ALL occurrences — including the first, which
+    // is the semantic difference from doc_dedup_blocks.
+    "doc_strip_boilerplate" -> ((s, dir) => {
+      val header = "standard legal header boilerplate text appears on every page here"
+      val base = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(lit(header + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      val fixture = base.unionByName(base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      TextDedup.stripCommonSegments(fixture, segTokens = 10, minDocs = 2)
+        .orderBy("doc_id")
+    }),
+
+    // Line-delimited rendition of the same contract — the literal
+    // CCNet unit. The corpus has no newlines, so the fixture makes
+    // lines: a header line on every doc, the doc's own text as one
+    // line, a footer line on even ids. Header+footer are stripped;
+    // each doc's text line survives unless another doc's text is an
+    // exact (trimmed) copy.
+    "doc_strip_lines" -> ((s, dir) =>
+      TextDedup.stripCommonLines(
+        docs(s, dir).select(col("doc_id"),
+          concat_ws("\n", lit("shared header line"), col("text"),
+            when(col("doc_id") % 2 === 0, lit("shared footer line"))).as("text")),
+        minDocs = 2)
+        .orderBy("doc_id")),
+
     // Cross-engine-checkable MinHash signatures (md5 variant).
     "doc_minhash_sig" -> ((s, dir) =>
       docs(s, dir).select(
@@ -2397,6 +2428,78 @@ object SparkEntry {
         |       md5(COALESCE(r.text_clean, '')) AS clean_hash
         |FROM (SELECT DISTINCT doc_id FROM fixture) f
         |LEFT JOIN reassembled r USING (doc_id)
+        |ORDER BY f.doc_id""".stripMargin,
+
+    "doc_strip_boilerplate" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 3 = 0
+        |              THEN 'standard legal header boilerplate text appears on every page here ' || text
+        |              ELSE text END AS text
+        |  FROM documents),
+        |fixture AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL SELECT doc_id + 100000, text FROM base WHERE doc_id % 5 = 0),
+        |toks AS (
+        |  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM fixture
+        |  WHERE text IS NOT NULL AND trim(regexp_replace(text, '\s+', ' ', 'g')) <> ''),
+        |seg AS (
+        |  SELECT doc_id, unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS seg_no,
+        |         toks
+        |  FROM toks),
+        |stext AS (
+        |  SELECT doc_id, seg_no,
+        |         array_to_string(toks[seg_no * 10 + 1 : seg_no * 10 + 10], ' ') AS seg_text
+        |  FROM seg),
+        |common AS (
+        |  SELECT seg_text FROM stext GROUP BY seg_text HAVING count(DISTINCT doc_id) >= 2),
+        |marked AS (
+        |  SELECT s.doc_id, s.seg_no, s.seg_text, c.seg_text IS NOT NULL AS is_common
+        |  FROM stext s LEFT JOIN common c ON s.seg_text = c.seg_text),
+        |agg AS (
+        |  SELECT doc_id,
+        |         count(*) FILTER (WHERE NOT is_common) AS kept_segments,
+        |         count(*) FILTER (WHERE is_common) AS removed_segments,
+        |         string_agg(CASE WHEN NOT is_common THEN seg_text END, ' ' ORDER BY seg_no) AS text_clean
+        |  FROM marked GROUP BY doc_id)
+        |SELECT f.doc_id, COALESCE(a.kept_segments, 0) AS kept_segments,
+        |       COALESCE(a.removed_segments, 0) AS removed_segments,
+        |       md5(COALESCE(a.text_clean, '')) AS clean_hash
+        |FROM (SELECT DISTINCT doc_id FROM fixture) f
+        |LEFT JOIN agg a USING (doc_id)
+        |ORDER BY f.doc_id""".stripMargin,
+
+    "doc_strip_lines" ->
+      """WITH fixture AS (
+        |  SELECT doc_id,
+        |         concat_ws(chr(10), 'shared header line', text,
+        |           CASE WHEN doc_id % 2 = 0 THEN 'shared footer line' END) AS text
+        |  FROM documents),
+        |ls AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM fixture),
+        |raw AS (
+        |  SELECT doc_id, unnest(range(0, len(ls))) AS ord, ls FROM ls),
+        |seg AS (
+        |  SELECT doc_id, trim(ls[ord + 1]) AS seg_text,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS seg_no
+        |  FROM raw WHERE trim(ls[ord + 1]) <> ''),
+        |common AS (
+        |  SELECT seg_text FROM seg GROUP BY seg_text HAVING count(DISTINCT doc_id) >= 2),
+        |marked AS (
+        |  SELECT s.doc_id, s.seg_no, s.seg_text, c.seg_text IS NOT NULL AS is_common
+        |  FROM seg s LEFT JOIN common c ON s.seg_text = c.seg_text),
+        |agg AS (
+        |  SELECT doc_id,
+        |         count(*) FILTER (WHERE NOT is_common) AS kept_segments,
+        |         count(*) FILTER (WHERE is_common) AS removed_segments,
+        |         string_agg(CASE WHEN NOT is_common THEN seg_text END, chr(10) ORDER BY seg_no) AS text_clean
+        |  FROM marked GROUP BY doc_id)
+        |SELECT f.doc_id, COALESCE(a.kept_segments, 0) AS kept_segments,
+        |       COALESCE(a.removed_segments, 0) AS removed_segments,
+        |       md5(COALESCE(a.text_clean, '')) AS clean_hash
+        |FROM (SELECT DISTINCT doc_id FROM fixture) f
+        |LEFT JOIN agg a USING (doc_id)
         |ORDER BY f.doc_id""".stripMargin,
 
     "doc_minhash_sig" ->

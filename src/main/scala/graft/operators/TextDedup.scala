@@ -73,20 +73,7 @@ object TextDedup {
     * bit-identical. */
   def dedupBlocks(docs: DataFrame, textCol: String = "text",
                   blockTokens: Int = 20): DataFrame = {
-    // Canonicalize whitespace BEFORE splitting: Java split drops
-    // trailing empty tokens while other engines keep them, so a raw
-    // \s+ split is not cross-engine stable. Single-space form is.
-    val norm = trim(regexp_replace(col(textCol), "\\s+", " "))
-    val toks = when(col(textCol).isNull || length(norm) === 0,
-        array().cast("array<string>"))
-      .otherwise(split(norm, " "))
-    val blocks = docs
-      .select(col("doc_id"), toks.as("toks"))
-      .filter(size(col("toks")) > 0) // empty docs emit no blocks
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), (ceil(size(col("toks")) / lit(blockTokens.toDouble)) - 1).cast("int")),
-          i => concat_ws(" ", slice(col("toks"), i * blockTokens + 1, lit(blockTokens))))))
-      .select(col("doc_id"), col("pos").as("block_no"), col("col").as("block_text"))
+    val blocks = tokenBlocks(docs, textCol, blockTokens)
     val firstSeen = blocks
       .groupBy("block_text")
       .agg(min(struct(col("doc_id"), col("block_no"))).as("w"))
@@ -101,6 +88,103 @@ object TextDedup {
     docs.select("doc_id").join(reassembled, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("kept_blocks"), lit(0L)).as("kept_blocks"),
+        md5(coalesce(col("text_clean"), lit(""))).as("clean_hash"))
+  }
+
+  /** (doc_id, seg_no, seg_text): the document cut into fixed-size
+    * aligned token windows. Whitespace is canonicalized BEFORE the
+    * split — Java split drops trailing empty tokens while other
+    * engines keep them, so a raw \s+ split is not cross-engine
+    * stable; the single-space form is. Row-local (explode only). */
+  private[operators] def tokenBlocks(docs: DataFrame, textCol: String,
+                                     blockTokens: Int): DataFrame = {
+    val norm = trim(regexp_replace(col(textCol), "\\s+", " "))
+    val toks = when(col(textCol).isNull || length(norm) === 0,
+        array().cast("array<string>"))
+      .otherwise(split(norm, " "))
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0) // empty docs emit no blocks
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), (ceil(size(col("toks")) / lit(blockTokens.toDouble)) - 1).cast("int")),
+          i => concat_ws(" ", slice(col("toks"), i * blockTokens + 1, lit(blockTokens))))))
+      .select(col("doc_id"), col("pos").as("block_no"), col("col").as("block_text"))
+  }
+
+  // ------------------------------------------------------------------
+  // Boilerplate (common-segment) removal
+  // ------------------------------------------------------------------
+
+  /** CCNet-style boilerplate removal (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): a segment that appears in >= `minDocs` DISTINCT documents
+    * is boilerplate and is removed from EVERY document — including the
+    * first occurrence, which is what distinguishes this from
+    * [[dedupBlocks]]' keep-first contract. Segments here are the same
+    * aligned fixed-size token windows as [[dedupBlocks]]; see
+    * [[stripCommonLines]] for the newline-delimited rendition used on
+    * real crawl text.
+    *
+    * Returns (doc_id, kept_segments, removed_segments, clean_hash) —
+    * one row per input doc; empty/null docs keep zero segments and
+    * hash the empty string.
+    *
+    * Plan shape: row-local explode; the document-frequency count is a
+    * two-level exact distinct (distinct (seg, doc) pairs, then a
+    * map-side-combinable count per segment — never count(DISTINCT)
+    * with its expand), a left join to mark common segments, and one
+    * per-doc reassembly agg. Segment text is the join key so the
+    * DuckDB oracle is bit-identical; at 100 TB shuffle
+    * xxhash64(segment) instead and carry the text only through the
+    * reassembly side. The common-segment set is corpus-frequency
+    * bounded (high-frequency strings are few) — AQE turns the mark
+    * join into a broadcast when it fits. */
+  def stripCommonSegments(docs: DataFrame, textCol: String = "text",
+                          segTokens: Int = 10, minDocs: Int = 2): DataFrame =
+    stripCommon(docs,
+      tokenBlocks(docs, textCol, segTokens)
+        .withColumnsRenamed(Map("block_no" -> "seg_no", "block_text" -> "seg_text")),
+      minDocs, sep = " ")
+
+  /** [[stripCommonSegments]] over newline-delimited lines — the
+    * literal CCNet unit on real crawl text. Lines are trimmed; blank
+    * lines are dropped before frequency counting (they'd otherwise be
+    * the one degenerate super-frequent key). Reassembly re-joins the
+    * surviving lines with "\n" in original order. */
+  def stripCommonLines(docs: DataFrame, textCol: String = "text",
+                       minDocs: Int = 2): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(
+        filter(transform(split(coalesce(col(textCol), lit("")), "\n"),
+          l => trim(l)), l => length(l) > 0)))
+      .select(col("doc_id"), col("pos").as("seg_no"), col("col").as("seg_text"))
+    stripCommon(docs, lines, minDocs, sep = "\n")
+  }
+
+  /** Shared strip-common core over (doc_id, seg_no, seg_text). */
+  private def stripCommon(docs: DataFrame, segs: DataFrame, minDocs: Int,
+                          sep: String): DataFrame = {
+    // Document frequency per segment, as a two-level exact distinct:
+    // both phases partial-aggregate map-side; no expand, no skew (the
+    // (seg, doc) pair space is near-unique by construction).
+    val common = segs.select("seg_text", "doc_id").distinct()
+      .groupBy("seg_text").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("seg_text"), lit(true).as("__common"))
+    val marked = segs.join(common, Seq("seg_text"), "left")
+    // collect_list skips nulls, so the when() keeps only non-common
+    // segments in the reassembly while both counters see every row.
+    val reassembled = marked.groupBy("doc_id").agg(
+      count(when(col("__common").isNull, 1)).as("kept_segments"),
+      count(when(col("__common").isNotNull, 1)).as("removed_segments"),
+      concat_ws(sep, transform(
+        array_sort(collect_list(when(col("__common").isNull,
+          struct(col("seg_no"), col("seg_text"))))),
+        s => s("seg_text"))).as("text_clean"))
+    docs.select("doc_id").join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept_segments"), lit(0L)).as("kept_segments"),
+        coalesce(col("removed_segments"), lit(0L)).as("removed_segments"),
         md5(coalesce(col("text_clean"), lit(""))).as("clean_hash"))
   }
 

@@ -336,6 +336,57 @@ class TextDedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("stripCommonSegments removes boilerplate from EVERY occurrence, first included") {
+    val header = (0 until 10).map(i => s"h$i").mkString(" ")   // one aligned segment
+    val bodyA = (0 until 10).map(i => s"a$i").mkString(" ")
+    val bodyB = (0 until 10).map(i => s"b$i").mkString(" ")
+    val emptyMd5 = "d41d8cd98f00b204e9800998ecf8427e"
+    val md5d = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md5d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docsDf = Seq(
+      (1L, s"$header $bodyA"),        // header common → stripped, body kept
+      (2L, s"$header $bodyB"),
+      (3L, header),                   // entirely boilerplate → empties out
+      (4L, "short unique doc"),       // sub-size single segment, df=1 → kept
+      (5L, ""),                       // empty: zero segments
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextDedup.stripCommonSegments(docsDf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("kept_segments"), r.getAs[Long]("removed_segments"),
+          r.getAs[String]("clean_hash")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(out(1L) == ((1L, 1L, hex(bodyA))))   // first occurrence removed too
+    assert(out(2L) == ((1L, 1L, hex(bodyB))))
+    assert(out(3L) == ((0L, 1L, emptyMd5)))
+    assert(out(4L) == ((1L, 0L, hex("short unique doc"))))
+    assert(out(5L) == ((0L, 0L, emptyMd5)))
+    assert(out(6L) == ((0L, 0L, emptyMd5)))
+    val plan = TextDedup.stripCommonSegments(docsDf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("stripCommonLines: df counts distinct docs; blank lines dropped; order kept") {
+    val md5d = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md5d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docsDf = Seq(
+      (1L, "common header\nunique one\n\n  unique two  \ncommon header"),
+      (2L, "common header\nother body"),
+      // a line repeated only WITHIN one doc: document frequency is 1,
+      // so it is NOT boilerplate and both copies survive.
+      (3L, "solo line\nsolo line")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.stripCommonLines(docsDf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("kept_segments"), r.getAs[Long]("removed_segments"),
+          r.getAs[String]("clean_hash")))).toMap
+    // doc 1: both header copies removed (df=2 across docs 1,2); the two
+    // unique lines survive trimmed, in original order; blank line gone.
+    assert(out(1L) == ((2L, 2L, hex("unique one\nunique two"))))
+    assert(out(2L) == ((1L, 1L, hex("other body"))))
+    assert(out(3L) == ((2L, 0L, hex("solo line\nsolo line"))))
+  }
+
   test("dedupNearByPriority keeps the highest-score member, ties to min id") {
     val base = (0 until 20).map(i => s"tok$i").mkString(" ")
     val longer = base + " extra trailing tokens here"
