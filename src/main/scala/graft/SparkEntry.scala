@@ -1020,6 +1020,11 @@ object SparkEntry {
     // gated rows-only as doc_fingerprint_native below)
     "doc_stats" -> ((s, dir) => TextStats.profile(docs(s, dir), md5Twin = true).orderBy("doc_id")),
 
+    // Full Gopher per-document rule battery (metrics + per-rule
+    // verdicts + conjunction), oracle-replayed rule by rule in DuckDB.
+    "doc_gopher_quality" -> ((s, dir) =>
+      TextStats.gopherRules(docs(s, dir)).orderBy("doc_id")),
+
     // The PRODUCTION rolling fingerprint (native polynomial kernel,
     // O(1)/byte), under a FULL cross-engine oracle: DuckDB replays the
     // exact mod-2^64 window-hash + fmix64 arithmetic in HUGEINT (see
@@ -1120,6 +1125,13 @@ object SparkEntry {
     "doc_neardup_jaccard" -> ((s, dir) =>
       TextDedup.nearDupPairsJaccard(docs(s, dir), shingleN = 3, threshold = 0.5)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")),
+
+    // Asymmetric containment |A∩B|/|A| ≥ 0.5 from the shingle inverted
+    // index — ordered pairs, both directions independently thresholded.
+    "doc_neardup_containment" -> ((s, dir) =>
+      TextDedup.containmentPairs(docs(s, dir), shingleN = 3, threshold = 0.5)
+        .select(col("a_id"), col("b_id"), round(col("containment"), 6).as("containment"))
         .orderBy("a_id", "b_id")),
 
     // Cross-engine-checkable SimHash signatures (md5 variant, emitted
@@ -1243,6 +1255,12 @@ object SparkEntry {
       Similarity.nearDupPairsCosine(embDupFixture(s, dir), 0.999)
         .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
         .orderBy("a_id", "b_id")),
+
+    // SemDeDup: md5-plane cluster cells, dominated-by-earlier within
+    // cell at cosine >= 0.97; oracle replays cell assignment + EXISTS.
+    "emb_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(embDupFixture(s, dir), tau = 0.97, clusterPlanes = 6)
+        .orderBy("vec_id")),
 
     // Exact vector dedup: one hash-aggregate grouping on the embedding
     // value itself (bit-equality — both engines see the same floats).
@@ -2521,6 +2539,19 @@ object SparkEntry {
          |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
 
+    // Asymmetric containment truth: ordered all-pairs |A∩B|/|A|; the
+    // inverted-index path must reproduce it exactly (cap cannot fire
+    // at gate scale: df ≤ doc count < maxPostings).
+    "doc_neardup_containment" ->
+      s"""WITH sh AS ($docShingles)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       CAST(ROUND(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 6) AS DOUBLE)
+         |         AS containment
+         |FROM sh a, sh b
+         |WHERE a.doc_id <> b.doc_id
+         |  AND len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.5
+         |ORDER BY 1, 2""".stripMargin,
+
     // Same all-pairs truth as doc_neardup_minhash: the exact prefix-
     // filtered path must reproduce it with NO probabilistic argument.
     "doc_neardup_jaccard" ->
@@ -2558,6 +2589,55 @@ object SparkEntry {
          |       CAST(ROUND(quantile_cont(q, 0.9), 6) AS DOUBLE) AS p90,
          |       COUNT(*) AS doc_count
          |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Gopher rules replayed verbatim: every metric on the RAW value,
+    // rounding only in the projection (rule verdicts must not see the
+    // rounded number — same discipline as the Spark side).
+    "doc_gopher_quality" ->
+      s"""WITH t AS ($docTokens),
+         |m AS (
+         |  SELECT doc_id, toks, len(toks) AS wc,
+         |         greatest(len(toks), 1)::DOUBLE AS wcd,
+         |         length(regexp_replace(COALESCE(text, ''), '\\s+', '', 'g')) AS nws,
+         |         len(regexp_extract_all(COALESCE(text, ''), '#'))
+         |           + len(regexp_extract_all(COALESCE(text, ''), '\\.\\.\\.')) AS sym,
+         |         string_split(COALESCE(text, ''), chr(10)) AS lines
+         |  FROM t),
+         |h AS (
+         |  SELECT doc_id, wc,
+         |         nws / wcd AS mean_word_len,
+         |         sym / wcd AS symbol_ratio,
+         |         len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) / wcd AS alpha_frac,
+         |         len(list_intersect(list_distinct(list_transform(toks, w -> lower(w))),
+         |             ['the','be','to','of','and','that','have','with'])) AS stopword_hits,
+         |         len(list_filter(lines, l -> starts_with(trim(l), '-')
+         |               OR starts_with(trim(l), '*') OR starts_with(trim(l), '•')))
+         |           / greatest(len(lines), 1)::DOUBLE AS bullet_line_frac,
+         |         len(list_filter(lines, l -> ends_with(trim(l), '...')))
+         |           / greatest(len(lines), 1)::DOUBLE AS ellipsis_line_frac
+         |  FROM m),
+         |r AS (
+         |  SELECT *,
+         |         wc BETWEEN 50 AND 100000 AS r_word_count,
+         |         mean_word_len BETWEEN 3.0 AND 10.0 AS r_mean_word_len,
+         |         symbol_ratio < 0.1 AS r_symbol_ratio,
+         |         alpha_frac > 0.8 AS r_alpha_words,
+         |         stopword_hits >= 2 AS r_stopwords,
+         |         bullet_line_frac <= 0.9 AS r_bullet_lines,
+         |         ellipsis_line_frac <= 0.3 AS r_ellipsis_lines
+         |  FROM h)
+         |SELECT doc_id, wc AS word_count,
+         |       CAST(ROUND(mean_word_len, 6) AS DOUBLE) AS mean_word_len,
+         |       CAST(ROUND(symbol_ratio, 6) AS DOUBLE) AS symbol_ratio,
+         |       CAST(ROUND(alpha_frac, 6) AS DOUBLE) AS alpha_frac,
+         |       stopword_hits,
+         |       CAST(ROUND(bullet_line_frac, 6) AS DOUBLE) AS bullet_line_frac,
+         |       CAST(ROUND(ellipsis_line_frac, 6) AS DOUBLE) AS ellipsis_line_frac,
+         |       r_word_count, r_mean_word_len, r_symbol_ratio, r_alpha_words,
+         |       r_stopwords, r_bullet_lines, r_ellipsis_lines,
+         |       r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_alpha_words
+         |         AND r_stopwords AND r_bullet_lines AND r_ellipsis_lines AS pass
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "doc_neardup_clusters" ->
       s"""WITH RECURSIVE sh AS ($docShingles),
@@ -2745,6 +2825,34 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM scored)
         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    // Cluster = 6-plane md5 sign bucket (same plane family the LSH
+    // oracles replay); kept ⇔ no lower-id cluster-mate at cosine
+    // >= 0.97. Rule evaluated on RAW cosine — no rounding anywhere.
+    "emb_semdedup" ->
+      """WITH dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+        |planes AS (
+        |  SELECT p, list_transform(range(0, (SELECT dim FROM dims)), d ->
+        |      CAST(CAST('0x' || substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 8) AS BIGINT) AS DOUBLE)
+        |        / 2147483648.0 - 1.0) AS plane
+        |  FROM range(0, 6) t(p)),
+        |fixture AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 50 = 0),
+        |clustered AS (
+        |  SELECT vec_id, v,
+        |    (SELECT SUM(CASE WHEN list_dot_product(f.v, pl.plane) > 0
+        |                THEN 1::BIGINT << CAST(pl.p AS INT) ELSE 0 END) FROM planes pl) AS cluster
+        |  FROM fixture f)
+        |SELECT c.vec_id, c.cluster,
+        |       NOT EXISTS (
+        |         SELECT 1 FROM clustered a
+        |         WHERE a.cluster = c.cluster AND a.vec_id < c.vec_id
+        |           AND list_dot_product(a.v, c.v)
+        |               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.97
+        |       ) AS kept
+        |FROM clustered c ORDER BY vec_id""".stripMargin,
 
     "emb_neardup_cosine" ->
       """WITH fixture AS (

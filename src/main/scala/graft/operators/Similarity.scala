@@ -370,6 +370,54 @@ object Similarity {
     vectors.join(losers, Seq("vec_id"), "left_anti")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the corpus into clusters, then
+    * within each cluster drop every vector that has a HIGHER-PRIORITY
+    * (lower vec_id) cluster-mate with cosine ≥ `tau`. The cluster here
+    * is the deterministic md5-plane sign bucket ([[lshBucketMd5]]) —
+    * 2^`clusterPlanes` cells playing the role of the paper's k-means
+    * cells, chosen so the DuckDB oracle can replay the assignment
+    * bitwise (the paper's own finding is that dedup quality is robust
+    * to the clustering choice; the cluster only bounds the quadratic
+    * term).
+    *
+    * Semantics: kept(v) ⇔ NO lower-id cluster-mate within tau
+    * (dominated-by-earlier; whether the dominator itself survives is
+    * irrelevant) — a plain EXISTS, so the oracle is one SQL subquery,
+    * and unlike transitive closure a long similarity chain cannot
+    * collapse an entire cluster into one survivor. Output: every row
+    * as (vec_id, cluster, kept).
+    *
+    * Scale: one narrow map for cluster assignment, one within-cluster
+    * self-join bounded by cell population (at 100 TB raise
+    * `clusterPlanes` so cells stay ~sqrt-sized — more cells = less
+    * quadratic work, slightly more cross-cell misses, exactly the
+    * paper's trade). The join ships (id, cluster, vec) once per side;
+    * dominated ids collapse to a distinct id list before the final
+    * slim left-anti mark. */
+  def semDedup(vectors: DataFrame, tau: Double,
+               clusterPlanes: Int = 6): DataFrame = {
+    val dim = vectors.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    val clustered = vectors.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        lshBucketMd5(col("embedding"), clusterPlanes, dim).as("cluster"),
+        norm(col("embedding")).as("nrm"))
+      .localCheckpoint(true)
+    val dominated = clustered.select(col("cluster"), col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_norm"))
+      .join(clustered.select(col("cluster"), col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_norm")), Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")) >= tau)
+      .select(col("b_id").as("vec_id")).distinct()
+    clustered.select(col("vec_id"), col("cluster"))
+      .join(dominated.withColumn("__drop", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        not(coalesce(col("__drop"), lit(false))).as("kept"))
+  }
+
   /** The persistable (vec_id, band, bucket) sign-LSH index of a vector
     * corpus — the embedding-side analog of [[TextDedup.bandIndex]]: a
     * curation pipeline stores this for its curated tier so each

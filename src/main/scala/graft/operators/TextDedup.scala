@@ -637,6 +637,94 @@ object TextDedup {
       nearDupPairsJaccard(docs, textCol, shingleN, threshold, maxBucketSize))
 
   // ------------------------------------------------------------------
+  // Containment (asymmetric Jaccard)
+  // ------------------------------------------------------------------
+
+  /** The shared slim projection for the containment path: (doc_id,
+    * distinct hashed shingle set, set size). Checkpointed by callers
+    * that consume it twice (postings + sizes). */
+  private def shingleSets(docs: DataFrame, textCol: String, shingleN: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        array_distinct(hashedShingles(col(textCol), shingleN)).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("sz"))
+
+  /** The dropped-posting METRIC for [[containmentPairs]]: one row per
+    * stop-shingle (a shingle shared by more than `maxPostings` docs)
+    * with its document frequency. Like the Jaccard prefix cap, a
+    * skipped posting can lose REAL pairs — surface it, never drop
+    * silently. */
+  def skippedPostingsContainment(
+      docs: DataFrame,
+      textCol: String = "text",
+      shingleN: Int = 3,
+      maxPostings: Int = DefaultMaxBucketSize): DataFrame =
+    oversized(
+      shingleSets(docs, textCol, shingleN)
+        .select(col("doc_id"), explode(col("sh")).as("h")),
+      Seq("h"), maxPostings)
+
+  /** Near-dup by CONTAINMENT C(A→B) = |A∩B| / |A| over word n-gram
+    * shingle sets — the asymmetric relation Jaccard misses: a short
+    * document wholly quoted inside a long one has high containment but
+    * low Jaccard (Broder's resemblance-vs-containment distinction,
+    * "On the resemblance and containment of documents", SEQUENCES'97).
+    *
+    * Output: ORDERED pairs (a_id, b_id, containment) with a ≠ b and
+    * C(A→B) ≥ threshold — "A is (mostly) contained in B". Both
+    * directions of a pair are emitted independently when both clear
+    * the threshold.
+    *
+    * Plan: shingle inverted index (explode the distinct hash set into
+    * slim (hash, doc_id) postings), drop stop-shingles whose document
+    * frequency exceeds `maxPostings` BEFORE any pair forms (pre-count
+    * + semi-join, observable via [[skippedPostingsContainment]]),
+    * self-join postings on the hash → per-pair intersection size is a
+    * plain count (each hash appears at most once per doc), then one
+    * slim join back to set sizes. The intersection is exact FROM the
+    * index itself — no shingle arrays ship through the pair shuffle
+    * and no second verify pass reads text.
+    *
+    * Scale: postings are the corpus's distinct-shingle volume in
+    * 16-byte rows; the quadratic term is bounded per-shingle by the
+    * cap. `minShingles` suppresses the degenerate spam of near-empty
+    * docs (a 1-shingle doc is "contained" in every doc sharing that
+    * shingle) — raise it in production; the default keeps the
+    * definition pure for the oracle. */
+  def containmentPairs(
+      docs: DataFrame,
+      textCol: String = "text",
+      shingleN: Int = 3,
+      threshold: Double = 0.9,
+      maxPostings: Int = DefaultMaxBucketSize,
+      minShingles: Int = 1): DataFrame = {
+    val sets = shingleSets(docs, textCol, shingleN)
+      .filter(col("sz") >= minShingles)
+      .localCheckpoint(true)
+    val post = sets.select(col("doc_id"), explode(col("sh")).as("h"))
+    // stop-shingle cap: document frequency pre-counted, hot shingles
+    // excluded before the join fans out
+    val ok = post.groupBy("h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df").between(2, maxPostings)).select("h")
+    val kept = post.join(ok, Seq("h"), "left_semi")
+    // unordered pair intersection counts (half the shuffle volume of
+    // ordered pairs); both directions are derived from the one count
+    val inter = kept.select(col("h"), col("doc_id").as("a_id"))
+      .join(kept.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    val sizes = sets.select(col("doc_id"), col("sz"))
+    val both = inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), Seq("b_id"))
+    both.select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") / col("a_sz")).as("containment"))
+      .unionByName(both.select(col("b_id").as("a_id"), col("a_id").as("b_id"),
+        (col("inter").cast("double") / col("b_sz")).as("containment")))
+      .filter(col("containment") >= threshold)
+  }
+
+  // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------
 

@@ -120,4 +120,84 @@ object TextStats {
       (if (md5Twin) rollingFingerprintMd5(t).cast("string")
        else rollingFingerprint(t).cast("string")).as("rolling_fingerprint"))
   }
+
+  // ------------------------------------------------------------------
+  // Gopher document-quality rules
+  // ------------------------------------------------------------------
+
+  /** The Gopher "required words" list (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1): a document must contain at least two of
+    * these to pass the stopword rule. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The full Gopher repetition-free quality-rule battery (Rae et al.
+    * 2021, arXiv:2112.11446 §A1.1), re-expressed as ONE codegen'd
+    * projection — per-document rules only (the repetition family is
+    * covered separately by [[graft.operators.Curation]]'s repetition
+    * gate):
+    *
+    *   1. word count in [minWords, maxWords]
+    *   2. mean word length in [3, 10] chars
+    *   3. symbol-to-word ratio ('#' and '...') < 0.1
+    *   4. > 80% of words contain an alphabetic character
+    *   5. >= 2 distinct words from [[GopherStopwords]]
+    *   6. <= 90% of lines start with a bullet ('-', '*', '•')
+    *   7. <= 30% of lines end with an ellipsis
+    *
+    * Output: one row per doc with every raw metric, each rule's
+    * verdict, and the conjunction (`pass`). Keeping the metrics beside
+    * the flags makes threshold sweeps a filter, not a recompute.
+    *
+    * Scale: narrow projection over (doc_id, text) — scan-speed, no
+    * shuffle, whole-stage codegen (split/regexp/higher-order built-ins
+    * only). */
+  def gopherRules(docs: DataFrame, textCol: String = "text",
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val toks = tokens(col(textCol))
+    val wc = size(toks)
+    val wcD = greatest(wc, lit(1)).cast("double")
+    val meanWordLen = length(regexp_replace(t, "\\s+", "")) / wcD
+    val symbolRatio =
+      (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))) / wcD
+    val alphaFrac =
+      size(filter(toks, w => w.rlike("[A-Za-z]"))) / wcD
+    val stopHits = size(array_intersect(
+      array_distinct(transform(toks, w => lower(w))),
+      typedLit(GopherStopwords)))
+    val lines = split(t, "\n")
+    val nLines = greatest(size(lines), lit(1)).cast("double")
+    val bulletFrac = size(filter(lines, l =>
+      trim(l).startsWith("-") || trim(l).startsWith("*") ||
+        trim(l).startsWith("•"))) / nLines
+    val ellipsisFrac = size(filter(lines, l => trim(l).endsWith("..."))) / nLines
+
+    val rWords = wc.between(minWords, maxWords)
+    val rMeanLen = meanWordLen.between(3.0, 10.0)
+    val rSymbol = symbolRatio < 0.1
+    val rAlpha = alphaFrac > 0.8
+    val rStop = stopHits >= 2
+    val rBullet = bulletFrac <= 0.9
+    val rEllipsis = ellipsisFrac <= 0.3
+
+    docs.select(
+      col("doc_id"),
+      wc.cast("long").as("word_count"),
+      round(meanWordLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      stopHits.cast("long").as("stopword_hits"),
+      round(bulletFrac, 6).as("bullet_line_frac"),
+      round(ellipsisFrac, 6).as("ellipsis_line_frac"),
+      rWords.as("r_word_count"),
+      rMeanLen.as("r_mean_word_len"),
+      rSymbol.as("r_symbol_ratio"),
+      rAlpha.as("r_alpha_words"),
+      rStop.as("r_stopwords"),
+      rBullet.as("r_bullet_lines"),
+      rEllipsis.as("r_ellipsis_lines"),
+      (rWords && rMeanLen && rSymbol && rAlpha && rStop && rBullet && rEllipsis)
+        .as("pass"))
+  }
 }

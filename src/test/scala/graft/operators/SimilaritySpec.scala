@@ -316,4 +316,51 @@ class SimilaritySpec extends SparkSpec {
     assert(full.count() == emb.count())
     assert(full.filter(exists(col("codes"), c => c < 0 || c > 255)).isEmpty)
   }
+
+  test("semDedup: exact copies drop, dissimilar vectors all survive") {
+    // orthogonal + antipodal vectors: every pairwise cosine is 0 or -1,
+    // so regardless of cluster assignment nothing can dominate anything
+    val basis = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)), (4L, Array(0f, 0f, 0f, 1f)),
+      (5L, Array(-1f, 0f, 0f, 0f)))
+    val clean = basis.toDF("vec_id", "embedding")
+    val allKept = Similarity.semDedup(clean, tau = 0.9)
+    assert(allKept.count() == 5)
+    assert(allKept.filter(!col("kept")).isEmpty)
+
+    // add exact copies under higher ids: a copy shares its original's
+    // cluster bitwise (identical sign pattern) and must be dropped
+    val withCopies = clean.unionByName(
+      basis.map { case (id, v) => (id + 100, v) }.toDF("vec_id", "embedding"))
+    val r = Similarity.semDedup(withCopies, tau = 0.9)
+      .collect().map(row => row.getLong(0) -> (row.getLong(1), row.getBoolean(2))).toMap
+    basis.foreach { case (id, _) =>
+      assert(r(id)._2, s"original $id must survive")
+      assert(!r(id + 100)._2, s"copy of $id must drop")
+      assert(r(id)._1 == r(id + 100)._1, s"copy of $id must share its cluster")
+    }
+  }
+
+  test("semDedup: domination is not transitive closure") {
+    // chain a~b (cos .995), b~c (cos .995), a~c (cos .98): with tau
+    // between a·c and 1, c is dominated by BOTH a and b here; with tau
+    // above a·c but below a·b, c is still dominated by b even though
+    // b itself dropped — dominated-by-earlier, not greedy-survivor
+    val a = Array(1f, 0f)
+    val b = Array(math.cos(0.1).toFloat, math.sin(0.1).toFloat)
+    val c = Array(math.cos(0.2).toFloat, math.sin(0.2).toFloat)
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("vec_id", "embedding")
+    // cos(a,b)=cos(b,c)=cos(0.1)≈0.995; cos(a,c)=cos(0.2)≈0.980
+    val r = Similarity.semDedup(df, tau = 0.99)
+      .collect().map(row => row.getLong(0) -> row.getBoolean(2)).toMap
+    // the md5 planes are deterministic: all three vectors land in one
+    // cell (verified offline: bucket 30 for the 6-plane/2-dim family)
+    val clusters = Similarity.semDedup(df, tau = 0.99)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(clusters(1L) == clusters(2L) && clusters(2L) == clusters(3L))
+    assert(r(1L))       // nothing earlier
+    assert(!r(2L))      // dominated by a (0.995 >= 0.99)
+    assert(!r(3L))      // dominated by b (0.995 >= 0.99) though b dropped
+  }
 }

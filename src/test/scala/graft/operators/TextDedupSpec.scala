@@ -444,4 +444,52 @@ class TextDedupSpec extends SparkSpec {
     val degenerate = (0L until 100L).map(i => (i, base)).toDF("doc_id", "text")
     assert(TextDedup.nearDupPairsLevenshtein(degenerate, maxBlockSize = 64).count() == 0)
   }
+
+  test("containment: subset doc is contained, superset direction is not") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"), // 8 shingles (n=3)
+      (2L, "a b c d e"),           // 3 shingles, all inside doc 1
+      (3L, "x y z w q r")          // disjoint
+    ).toDF("doc_id", "text")
+    val pairs = TextDedup.containmentPairs(df, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.keySet == Set((2L, 1L)))        // only "2 contained in 1"
+    assert(pairs((2L, 1L)) == 1.0)
+    // at a lower threshold the reverse direction appears with 3/8
+    val loose = TextDedup.containmentPairs(df, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(loose((1L, 2L)) == 3.0 / 8.0)
+  }
+
+  test("containment: identical docs contain each other; minShingles suppresses tiny docs") {
+    val df = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three four five six"),
+      (3L, "one two three")  // single shingle, present in nothing else
+    ).toDF("doc_id", "text")
+    // identical docs contain each other, and doc 3's lone shingle
+    // "one two three" is a shingle of BOTH 1 and 2, so 3 is fully
+    // contained in each (the tiny-doc spam minShingles suppresses)
+    val pairs = TextDedup.containmentPairs(df, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 1L), (3L, 1L), (3L, 2L)))
+    val withTiny = TextDedup.containmentPairs(df, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(withTiny.contains((3L, 1L)) && withTiny.contains((3L, 2L)))
+    // minShingles filters the 1-shingle doc out of BOTH sides
+    val filtered = TextDedup.containmentPairs(df, threshold = 0.5, minShingles = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!filtered.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("containment: stop-shingle cap drops pairs observably, not silently") {
+    // 40 docs sharing one boilerplate shingle; cap excludes it
+    val df = (0L until 40L).map(i => (i, s"common shared boiler id$i tail$i end$i"))
+      .toDF("doc_id", "text")
+    val capped = TextDedup.containmentPairs(df, threshold = 0.1, maxPostings = 10)
+    val skipped = TextDedup.skippedPostingsContainment(df, maxPostings = 10)
+    assert(capped.isEmpty)            // the only shared shingle was capped
+    assert(skipped.count() == 1)      // and the metric reports exactly it
+    assert(skipped.head().getAs[Long]("member_count") == 40L)
+  }
 }

@@ -92,4 +92,45 @@ class TextStatsSpec extends SparkSpec {
     val plan = TextStats.profile(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("gopher rules: each rule fires on its designed violation") {
+    val good = (("the data be full of words that have merit with style " * 10).trim)
+    val df = Seq(
+      (1L, good),                                    // passes everything
+      (2L, "too short"),                             // word count < 50
+      (3L, ("ab " * 60).trim),                       // mean word length 2 < 3
+      (4L, (("# " + good).replace("of", "#").replace("be", "#"))), // symbol ratio >= 0.1
+      (5L, good + " " + ("1234 " * 200).trim),       // alpha fraction <= 0.8
+      (6L, ("zebra quantum flux " * 20).trim),       // no required stopwords
+      (7L, (1 to 60).map(i => s"- item$i the of and that be have with to").mkString("\n")),
+      (8L, (1 to 60).map(i => s"line$i the of and that be have with to ...").mkString("\n")),
+      (9L, null.asInstanceOf[String])                // empty: fails wc rule
+    ).toDF("doc_id", "text")
+    val r = TextStats.gopherRules(df).collect()
+      .map(row => row.getAs[Long]("doc_id") -> row).toMap
+
+    assert(r(1L).getAs[Boolean]("pass"))
+    assert(!r(2L).getAs[Boolean]("r_word_count"))
+    assert(!r(3L).getAs[Boolean]("r_mean_word_len"))
+    assert(!r(4L).getAs[Boolean]("r_symbol_ratio"))
+    assert(!r(5L).getAs[Boolean]("r_alpha_words"))
+    assert(!r(6L).getAs[Boolean]("r_stopwords"))
+    assert(!r(7L).getAs[Boolean]("r_bullet_lines"))
+    assert(r(7L).getAs[Double]("bullet_line_frac") == 1.0)
+    assert(!r(8L).getAs[Boolean]("r_ellipsis_lines"))
+    assert(!r(9L).getAs[Boolean]("pass"))
+    assert(r(9L).getAs[Long]("word_count") == 0L)
+    // every non-passing doc fails at least one named rule
+    r.values.filterNot(_.getAs[Boolean]("pass")).foreach { row =>
+      val flags = Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_alpha_words", "r_stopwords", "r_bullet_lines", "r_ellipsis_lines")
+      assert(flags.exists(f => !row.getAs[Boolean](f)))
+    }
+  }
+
+  test("gopher rules stay shuffle-free") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val plan = TextStats.gopherRules(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
 }
