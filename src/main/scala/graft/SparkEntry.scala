@@ -1069,6 +1069,16 @@ object SparkEntry {
     "doc_dedup_blocks" -> ((s, dir) =>
       TextDedup.dedupBlocks(docDupFixture(s, dir)).orderBy("doc_id")),
 
+    // Lee-et-al-style repeated spans: overlapping 20-token windows,
+    // first corpus occurrence wins, overlapping dups merge to spans.
+    "doc_duplicate_spans" -> ((s, dir) =>
+      TextDedup.duplicateSpans(docs(s, dir), k = 20)
+        .orderBy("doc_id", "span_start")),
+
+    // ...and the text that remains after stripping those spans.
+    "doc_strip_spans" -> ((s, dir) =>
+      TextDedup.stripDuplicateSpans(docs(s, dir), k = 20).orderBy("doc_id")),
+
     // CCNet-style boilerplate removal (token-segment rendition): a
     // 10-token header is planted on every third doc and every fifth
     // doc is duplicated, so the header segment and every aligned
@@ -2267,6 +2277,39 @@ object SparkEntry {
       |            ELSE string_split_regex(trim(text), '\s+') END AS toks
       |FROM documents""".stripMargin
 
+  /** Shared CTE chain for the duplicate-span oracles: stride-1 20-token
+    * windows → first-occurrence-wins duplicate marking → gap-and-island
+    * span merge. Mirrors TextDedup.duplicateSpans step for step (the
+    * Spark side groups windows by xxhash64 of the gram; the oracle by
+    * the gram string itself — same partition, collision-free). */
+  private val dupSpansCte =
+    """t AS (SELECT doc_id,
+      |       CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
+      |            ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |FROM documents),
+      |w AS (
+      |  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 20 + 2),
+      |        i -> struct_pack(pos := i, g := array_to_string(toks[i:i+19], ' ')))) AS u
+      |    FROM t WHERE len(toks) >= 20)),
+      |dup AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos, row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+      |    FROM w) WHERE rn > 1),
+      |marked AS (
+      |  SELECT doc_id, pos,
+      |         CASE WHEN pos > COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+      |                                  -1000000) + 20
+      |              THEN 1 ELSE 0 END AS newgrp
+      |  FROM dup),
+      |grp AS (
+      |  SELECT doc_id, pos,
+      |         SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+      |  FROM marked),
+      |spans AS (
+      |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 19 AS span_end
+      |  FROM grp GROUP BY doc_id, gid)""".stripMargin
+
   private val docShingles =
     """SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
       |       ELSE list_distinct(list_transform(range(1, len(toks)-1),
@@ -2447,6 +2490,29 @@ object SparkEntry {
         |FROM (SELECT DISTINCT doc_id FROM fixture) f
         |LEFT JOIN reassembled r USING (doc_id)
         |ORDER BY f.doc_id""".stripMargin,
+
+    "doc_duplicate_spans" ->
+      s"""WITH $dupSpansCte
+         |SELECT doc_id, span_start, span_end,
+         |       span_end - span_start + 1 AS span_len
+         |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    "doc_strip_spans" ->
+      s"""WITH $dupSpansCte,
+         |tokpos AS (
+         |  SELECT doc_id, u.i AS i, u.tok AS tok FROM (
+         |    SELECT doc_id, unnest(list_transform(toks,
+         |        (tok, i) -> struct_pack(i := i, tok := tok))) AS u
+         |    FROM t)),
+         |keep AS (
+         |  SELECT tp.doc_id, tp.i, tp.tok FROM tokpos tp
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+         |                    WHERE s.doc_id = tp.doc_id
+         |                      AND tp.i BETWEEN s.span_start AND s.span_end))
+         |SELECT d.doc_id,
+         |       COALESCE(string_agg(k.tok, ' ' ORDER BY k.i), '') AS clean_text
+         |FROM documents d LEFT JOIN keep k ON d.doc_id = k.doc_id
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     "doc_strip_boilerplate" ->
       """WITH base AS (

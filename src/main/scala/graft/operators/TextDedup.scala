@@ -112,6 +112,95 @@ object TextDedup {
   }
 
   // ------------------------------------------------------------------
+  // Duplicate-span removal (overlapping windows, first occurrence wins)
+  // ------------------------------------------------------------------
+
+  /** One row per OVERLAPPING `k`-token window (stride 1):
+    * (doc_id, pos, h) with pos 1-based and h = xxhash64 of the
+    * space-joined window. The stride-1 sliding grid is what lets span
+    * boundaries land on any token — [[tokenBlocks]]' aligned grid can
+    * only dedup block-quantized repeats. */
+  private def slidingWindows(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs
+      .select(col("doc_id"), TextStats.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - (k - 1)),
+        i => struct(i.as("pos"),
+          xxhash64(concat_ws(" ", slice(col("toks"), i, lit(k)))).as("h")))).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+
+  /** Maximal repeated token spans, in the sense of Lee et al.
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * ACL'22 — reference behavior, not code): every `k`-token window
+    * that also occurs at an earlier corpus position (earlier doc_id,
+    * or earlier offset in the same doc) is a duplicate window; runs of
+    * overlapping/adjacent duplicate windows merge into one span.
+    * First occurrence wins — the canonical copy of a repeated passage
+    * is never flagged.
+    *
+    * Output: (doc_id, span_start, span_end, span_len) in 1-based
+    * token indices, span_end inclusive.
+    *
+    * Plan: one explode to slim (doc_id, pos, hash) rows; duplicate
+    * marking is a row_number over the hash (uniform 64-bit keys — no
+    * skew); span merging is a per-document gap-and-island over
+    * positions (bounded by document length, parallel across docs).
+    * Stride-1 windows cost O(tokens) rows per doc — at 100 TB winnow
+    * first (sample each doc's minimizer windows with
+    * [[TextStats.rollingFingerprint]]'s kernel family) and verify the
+    * surviving candidates; the merge stage is unchanged. */
+  def duplicateSpans(docs: DataFrame, textCol: String = "text",
+                     k: Int = 20): DataFrame = {
+    val wins = slidingWindows(docs, textCol, k)
+    val dup = wins
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "pos")))
+      .filter(col("__rn") > 1)
+      .select("doc_id", "pos")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    // islands of the interval union: window [pos, pos+k-1] extends the
+    // current span iff pos <= prev_pos + k (overlap or adjacency)
+    dup
+      .withColumn("__new",
+        when(col("pos") > coalesce(lag(col("pos"), 1).over(byDoc),
+          lit(Int.MinValue / 2)) + k, 1).otherwise(0))
+      .withColumn("__grp", sum(col("__new")).over(byDoc))
+      .groupBy("doc_id", "__grp")
+      .agg(min("pos").as("span_start"), (max(col("pos")) + (k - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
+  /** The train-on-clean-text consumer of [[duplicateSpans]]: remove
+    * every duplicate-span token and rejoin the survivors — repeated
+    * passages survive only at their first corpus occurrence (CCNet's
+    * [[stripCommonSegments]] removes ALL occurrences; this keeps one).
+    * Returns (doc_id, clean_text) for every input doc.
+    *
+    * The strip is row-local once the per-doc span list (few rows) is
+    * joined back: tokens zip with their 1-based index and drop when
+    * any span covers them — one nested higher-order expression, no
+    * per-token shuffle. */
+  def stripDuplicateSpans(docs: DataFrame, textCol: String = "text",
+                          k: Int = 20): DataFrame = {
+    val spans = duplicateSpans(docs, textCol, k)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val emptySpans = array().cast("array<struct<span_start:int,span_end:int>>")
+    docs.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat_ws(" ", transform(
+          filter(
+            transform(TextStats.tokens(col(textCol)),
+              (t, i) => struct(t.as("t"), (i + 1).as("i"))),
+            p => !exists(coalesce(col("__spans"), emptySpans),
+              s => p.getField("i").between(
+                s.getField("span_start"), s.getField("span_end")))),
+          p => p.getField("t"))).as("clean_text"))
+  }
+
+  // ------------------------------------------------------------------
   // Boilerplate (common-segment) removal
   // ------------------------------------------------------------------
 

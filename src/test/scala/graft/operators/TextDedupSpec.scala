@@ -445,6 +445,39 @@ class TextDedupSpec extends SparkSpec {
     assert(TextDedup.nearDupPairsLevenshtein(degenerate, maxBlockSize = 64).count() == 0)
   }
 
+  test("duplicate spans: first occurrence wins, overlapping windows merge, strip keeps one copy") {
+    // 30 shared tokens planted at different offsets in two docs
+    val repeated = (1 to 30).map(i => s"rep$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$repeated alpha beta gamma delta epsilon"),
+      (2L, s"zeta eta theta iota kappa $repeated"),
+      (3L, "completely unrelated text with no long repeats at all")
+    ).toDF("doc_id", "text")
+    val spans = TextDedup.duplicateSpans(df, k = 20).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toList
+    // doc 1 holds the first occurrence -> no spans there or in doc 3
+    assert(spans == List(2L -> ((6, 35))))
+    val clean = TextDedup.stripDuplicateSpans(df, k = 20).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(clean(1L).startsWith("rep1 "))            // first copy survives
+    assert(clean(2L) == "zeta eta theta iota kappa") // second copy stripped
+    assert(clean(3L) == "completely unrelated text with no long repeats at all")
+  }
+
+  test("duplicate spans: within-doc repetition flagged; doc shorter than k emits nothing") {
+    val block = (1 to 25).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$block middle filler words here $block"),
+      (2L, "short doc")
+    ).toDF("doc_id", "text")
+    val spans = TextDedup.duplicateSpans(df, k = 20).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // second in-doc copy: tokens 30..54 (25 tokens, windows 30..35 merge)
+    assert(spans.toList == List((1L, 30, 54)))
+    // strip returns a row for EVERY doc, including untouched ones
+    assert(TextDedup.stripDuplicateSpans(df, k = 20).count() == 2)
+  }
+
   test("containment: subset doc is contained, superset direction is not") {
     val df = Seq(
       (1L, "a b c d e f g h i j"), // 8 shingles (n=3)
