@@ -180,6 +180,60 @@ object ScaleSmoke {
       h.count()
     }
 
+    timed("gopher_rules_50k") {
+      val out = operators.TextStats.gopherRules(docs).localCheckpoint(true)
+      val n = out.count()
+      require(n == nDocs, s"one row per doc: $n of $nDocs")
+      n
+    }
+    timed("containment_pairs_50k") {
+      // 10x clone families: every doc fully contains its 9 clones, so
+      // each doc appears in at least 9 ordered pairs — unless the
+      // shared shingles got capped, which the metric must then report
+      val pairs = operators.TextDedup.containmentPairs(docs, threshold = 0.99)
+      val skipped = operators.TextDedup.skippedPostingsContainment(docs)
+      val (nPairs, nSkipped) = (pairs.count(), skipped.count())
+      require(nPairs >= nDocs * 9 || nSkipped > 0,
+        s"clone containment must surface: $nPairs pairs, $nSkipped capped postings")
+      nPairs
+    }
+    timed("semdedup_8k") {
+      val out = operators.Similarity.semDedup(emb, tau = 0.999).localCheckpoint(true)
+      val n = out.count()
+      require(n == nVecs, s"one row per vec: $n of $nVecs")
+      // 4x identical clones share the cluster bitwise; only the lowest
+      // id of each clone family can survive
+      val kept = out.filter(col("kept")).count()
+      require(kept <= nVecs / 4, s"clone families must collapse: kept $kept of $nVecs")
+      n
+    }
+    // docs long enough to emit any 20-token window (short docs can
+    // neither carry nor strip spans — they bound both span invariants)
+    val eligible = docs.filter(
+      size(split(trim(col("text")), "\\s+")) >= 20).count()
+    timed("duplicate_spans_50k") {
+      // every clone after the first IS one full-document duplicate
+      // span: exactly 9 of each 10-clone family (of eligible length)
+      // must carry a span; base-corpus internal repeats can only add
+      val spans = operators.TextDedup.duplicateSpans(docs).localCheckpoint(true)
+      val n = spans.count()
+      val docsWithSpans = spans.select("doc_id").distinct().count()
+      require(docsWithSpans >= eligible * 9 / 10,
+        s"9 of 10 eligible clones must carry a span: $docsWithSpans, eligible $eligible")
+      n
+    }
+    timed("strip_spans_50k") {
+      val out = operators.TextDedup.stripDuplicateSpans(docs).localCheckpoint(true)
+      val n = out.count()
+      require(n == nDocs, s"one row per doc: $n of $nDocs")
+      // a later clone's whole text is one span, so it strips to empty;
+      // survivors are first occurrences + short docs
+      val nonEmpty = out.filter(length(col("clean_text")) > 0).count()
+      require(nonEmpty <= nDocs - eligible * 9 / 10,
+        s"later clones must strip empty: $nonEmpty non-empty, eligible $eligible")
+      n
+    }
+
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val json = results.map { case (k, s, r) => s""""$k":{"sec":${fmt(s)},"rows":$r}""" }
       .mkString(s"""{"docs":$nDocs,"vecs":$nVecs,""", ",", "}")

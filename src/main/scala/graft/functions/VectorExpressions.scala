@@ -601,8 +601,9 @@ object JaccardLongSets {
 
   /** Minimal open-addressed long set (linear probing, parallel
     * used-flags so 0L needs no sentinel). Capacity is a power of two
-    * ≥ 2× expected size — bounded by the caller's array length. */
-  private final class LongSet(expected: Int) {
+    * ≥ 2× expected size — bounded by the caller's array length.
+    * Shared with [[ContainLongSets]]. */
+  private[functions] final class LongSet(expected: Int) {
     private val cap = Integer.highestOneBit(math.max(4, expected * 2) * 2 - 1)
     private val mask = cap - 1
     private val keys = new Array[Long](cap)
@@ -670,6 +671,68 @@ object JaccardLongSets {
       (bDistinct + (if (bHasNull) 1 else 0)) - interAll
     // two empty sets: 0/0 — same NaN the size-ratio rendition yields
     interAll.toDouble / unionAll
+  }
+}
+
+/** Containment C(A→B) = |A∩B| / |A| over two long-hash sets — the
+  * asymmetric sibling of [[JaccardLongSets]] with the identical
+  * dedup/null discipline (inputs may carry duplicates; distinct
+  * semantics; a null element common to both sides counts once).
+  * Empty A → 0/0 = NaN, matching the composable size-ratio shape. */
+case class ContainLongSets(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"contain_long_sets requires two array<bigint> arguments, got ${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "contain_long_sets"
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ContainLongSets.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ContainLongSets.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ContainLongSets =
+    copy(left = newLeft, right = newRight)
+}
+
+object ContainLongSets {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val na0 = a.numElements()
+    val nb0 = b.numElements()
+    val aSeen = new JaccardLongSets.LongSet(na0)
+    var aDistinct = 0
+    var aHasNull = false
+    var i = 0
+    while (i < na0) {
+      if (a.isNullAt(i)) aHasNull = true
+      else if (aSeen.add(a.getLong(i))) aDistinct += 1
+      i += 1
+    }
+    val bSeen = new JaccardLongSets.LongSet(nb0)
+    var bHasNull = false
+    var inter = 0
+    i = 0
+    while (i < nb0) {
+      if (b.isNullAt(i)) bHasNull = true
+      else {
+        val v = b.getLong(i)
+        if (bSeen.add(v) && aSeen.contains(v)) inter += 1
+      }
+      i += 1
+    }
+    val nullCommon = if (aHasNull && bHasNull) 1 else 0
+    (inter + nullCommon).toDouble /
+      (aDistinct + (if (aHasNull) 1 else 0))
   }
 }
 
@@ -803,5 +866,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("jaccard_long_sets"),
       new ExpressionInfo(classOf[JaccardLongSets].getName, "jaccard_long_sets"),
       (children: Seq[Expression]) => JaccardLongSets(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("contain_long_sets"),
+      new ExpressionInfo(classOf[ContainLongSets].getName, "contain_long_sets"),
+      (children: Seq[Expression]) => ContainLongSets(children.head, children(1))))
   }
 }

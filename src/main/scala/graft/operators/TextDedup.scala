@@ -743,11 +743,21 @@ object TextDedup {
     * with its document frequency. Like the Jaccard prefix cap, a
     * skipped posting can lose REAL pairs — surface it, never drop
     * silently. */
+  /** Containment's own, much tighter default posting cap: the postings
+    * SELF-join fans out df² rows per shingle, so a df-10 000 shingle
+    * (fine for the collect-based minhash buckets) would alone emit 10⁸
+    * join rows. df > ~10³ shingles are boilerplate by definition —
+    * stop-shingles in the classic sense — and excluding them is the
+    * operative scale control (a 10× clone smoke fell from 146 s to
+    * seconds). Always read [[skippedPostingsContainment]] beside a
+    * capped run. */
+  val DefaultMaxPostings: Int = 1000
+
   def skippedPostingsContainment(
       docs: DataFrame,
       textCol: String = "text",
       shingleN: Int = 3,
-      maxPostings: Int = DefaultMaxBucketSize): DataFrame =
+      maxPostings: Int = DefaultMaxPostings): DataFrame =
     oversized(
       shingleSets(docs, textCol, shingleN)
         .select(col("doc_id"), explode(col("sh")).as("h")),
@@ -764,52 +774,61 @@ object TextDedup {
     * directions of a pair are emitted independently when both clear
     * the threshold.
     *
-    * Plan: shingle inverted index (explode the distinct hash set into
-    * slim (hash, doc_id) postings), drop stop-shingles whose document
-    * frequency exceeds `maxPostings` BEFORE any pair forms (pre-count
-    * + semi-join, observable via [[skippedPostingsContainment]]),
-    * self-join postings on the hash → per-pair intersection size is a
-    * plain count (each hash appears at most once per doc), then one
-    * slim join back to set sizes. The intersection is exact FROM the
-    * index itself — no shingle arrays ship through the pair shuffle
-    * and no second verify pass reads text.
+    * Plan — prefix-filtered candidates + native verify (the
+    * [[nearDupPairsJaccard]] discipline carried to the asymmetric
+    * measure): C(A→B) ≥ t forces |A∩B| ≥ ⌈t·|A|⌉, so under the global
+    * ascending-hash order the first |A| − ⌈t·|A|⌉ + 1 elements of A
+    * cannot ALL miss B — joining A's sorted-set PREFIX postings
+    * against B's full postings is a COMPLETE directed candidate
+    * generator. Candidates dedup to slim (a_id, b_id) pairs, then ONE
+    * join back to the shingle arrays verifies with the native
+    * `contain_long_sets` kernel. (A naive full-postings self-join with
+    * per-pair counting was quadratic in document frequency: 138 M
+    * pre-aggregation rows and 113 M materialized pairs on a 10×-clone
+    * 50 k corpus, nearly all below threshold; the prefix join prunes
+    * by 1−t per doc on the small side and the verify touches only
+    * survivors.)
     *
-    * Scale: postings are the corpus's distinct-shingle volume in
-    * 16-byte rows; the quadratic term is bounded per-shingle by the
-    * cap. `minShingles` suppresses the degenerate spam of near-empty
-    * docs (a 1-shingle doc is "contained" in every doc sharing that
-    * shingle) — raise it in production; the default keeps the
-    * definition pure for the oracle. */
+    * Scale: stop-shingles (document frequency > `maxPostings`) are
+    * excluded from BOTH sides before the join fans out — pre-counted,
+    * observable via [[skippedPostingsContainment]]. `minShingles`
+    * suppresses the degenerate spam of near-empty docs (a 1-shingle
+    * doc is "contained" in every doc sharing that shingle) — raise it
+    * in production; the default keeps the definition pure for the
+    * oracle. */
   def containmentPairs(
       docs: DataFrame,
       textCol: String = "text",
       shingleN: Int = 3,
       threshold: Double = 0.9,
-      maxPostings: Int = DefaultMaxBucketSize,
+      maxPostings: Int = DefaultMaxPostings,
       minShingles: Int = 1): DataFrame = {
     val sets = shingleSets(docs, textCol, shingleN)
       .filter(col("sz") >= minShingles)
+      .select(col("doc_id"), array_sort(col("sh")).as("sh"), col("sz"))
       .localCheckpoint(true)
     val post = sets.select(col("doc_id"), explode(col("sh")).as("h"))
     // stop-shingle cap: document frequency pre-counted, hot shingles
-    // excluded before the join fans out
+    // excluded from both join sides before any candidate forms
     val ok = post.groupBy("h").agg(count(lit(1)).as("__df"))
       .filter(col("__df").between(2, maxPostings)).select("h")
-    val kept = post.join(ok, Seq("h"), "left_semi")
-    // unordered pair intersection counts (half the shuffle volume of
-    // ordered pairs); both directions are derived from the one count
-    val inter = kept.select(col("h"), col("doc_id").as("a_id"))
-      .join(kept.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    val sizes = sets.select(col("doc_id"), col("sz"))
-    val both = inter
-      .join(sizes.select(col("doc_id").as("a_id"), col("sz").as("a_sz")), Seq("a_id"))
-      .join(sizes.select(col("doc_id").as("b_id"), col("sz").as("b_sz")), Seq("b_id"))
-    both.select(col("a_id"), col("b_id"),
-        (col("inter").cast("double") / col("a_sz")).as("containment"))
-      .unionByName(both.select(col("b_id").as("a_id"), col("a_id").as("b_id"),
-        (col("inter").cast("double") / col("b_sz")).as("containment")))
+    val full = post.join(ok, Seq("h"), "left_semi")
+    // the directed small side: each doc's first (1-t)·|A|+1 sorted
+    // shingles — the only elements that can witness a ≥t containment
+    val prefix = sets
+      .select(col("doc_id"),
+        explode(slice(col("sh"), lit(1),
+          (size(col("sh")) - ceil(size(col("sh")) * threshold).cast("int") + 1))).as("h"))
+      .join(ok, Seq("h"), "left_semi")
+    val candidates = prefix.select(col("h"), col("doc_id").as("a_id"))
+      .join(full.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+    candidates
+      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        call_function("contain_long_sets", col("a_sh"), col("b_sh")).as("containment"))
       .filter(col("containment") >= threshold)
   }
 

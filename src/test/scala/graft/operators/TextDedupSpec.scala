@@ -284,6 +284,35 @@ class TextDedupSpec extends SparkSpec {
     assert(got.toSeq == Seq(0.5, 0.0, 0.0))
   }
 
+  test("native contain_long_sets matches the composable distinct size-ratio bit-for-bit") {
+    import org.apache.spark.sql.functions.{call_function, col, size => asize,
+      array_distinct, array_intersect, greatest, lit}
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val sh = d.select(col("doc_id"), TextDedup.hashedShingles(col("text"), 3).as("sh"))
+    val pairs = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+        col("a_id") % 7 === col("b_id") % 7 && col("a_id") < col("b_id"))
+    def composable(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      asize(array_intersect(array_distinct(a), array_distinct(b))).cast("double") /
+        asize(array_distinct(a))
+    val diverged = pairs.filter(
+      !(call_function("contain_long_sets", col("a_sh"), col("b_sh")) <=>
+        composable(col("a_sh"), col("b_sh")))).count()
+    assert(diverged == 0, s"$diverged pairs diverge from the composable rendition")
+
+    // handmade edges: dups in arrays, full containment, asymmetry
+    val edge = Seq(
+      (Seq(1L, 2L, 2L, 3L), Seq(2L, 3L, 3L, 4L)), // distinct 2/3
+      (Seq(1L, 2L), Seq(1L, 2L, 3L, 4L)),         // subset: 1.0
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 2L)),         // superset: 0.5
+      (Seq(5L), Seq(6L))                          // disjoint: 0.0
+    ).toDF("a", "b")
+    val got = edge.select(call_function("contain_long_sets", col("a"), col("b")))
+      .as[Double].collect()
+    assert(got.toSeq == Seq(2.0 / 3.0, 1.0, 0.5, 0.0))
+  }
+
   test("dupProfile: per-source totals, distinct contents, and rate; normalization folds dups") {
     val docs = Seq(
       (1L, "Hello  World", "web"),  // normalizes equal to doc 2
