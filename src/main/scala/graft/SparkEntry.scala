@@ -1965,6 +1965,12 @@ object SparkEntry {
     "q3_shipping_priority" -> ((s, dir) =>
       Analytics.shippingPriority(t(s, dir)("customer"), t(s, dir)("orders"), t(s, dir)("lineitem"))),
 
+    "q2_min_cost_supplier" -> ((s, dir) =>
+      Analytics.minCostSupplier(
+        t(s, dir)("part"), t(s, dir)("supplier"), t(s, dir)("nation"),
+        t(s, dir)("lineitem"))
+        .orderBy("p_partkey", "s_suppkey")),
+
     "q5_local_supplier" -> ((s, dir) =>
       Analytics.localSupplierVolume(
         t(s, dir)("region"), t(s, dir)("nation"), t(s, dir)("customer"),
@@ -2153,6 +2159,25 @@ object SparkEntry {
         |  AND s_suppkey = l_suppkey AND s_nationkey = c_nationkey
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Q2's correlated-subquery form verbatim — the Spark side must
+    // reproduce it from the decorrelated window shape.
+    "q2_min_cost_supplier" ->
+      """WITH costs AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         MIN(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name,
+        |       n.n_name AS supplier_nation,
+        |       c.unit_cost AS min_unit_cost
+        |FROM part p
+        |JOIN costs c ON c.l_partkey = p.p_partkey
+        |JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE p.p_type = 'STANDARD'
+        |  AND c.unit_cost = (SELECT MIN(c2.unit_cost) FROM costs c2
+        |                     WHERE c2.l_partkey = p.p_partkey)
+        |ORDER BY 1, 3""".stripMargin,
 
     "q_top_order_per_customer" ->
       """SELECT c_custkey, c_name, o_orderkey,

@@ -138,4 +138,41 @@ object Analytics {
         "left_semi")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("order_count"))
+
+  /** TPC-H Q2's shape on the reduced schema (no partsupp table —
+    * supply cost is the minimum observed unit price per (part,
+    * supplier) over lineitem): for each part of the given type, every
+    * supplier whose cost EQUALS the part's minimum, with name/nation
+    * detail. The classic correlated subquery
+    * `WHERE cost = (SELECT min(cost) ... WHERE partkey = outer)`
+    * decorrelated to a min-over-partition Window — the per-(part,
+    * supplier) aggregate exchanges on (partkey, suppkey) and the
+    * Window's partkey clustering is satisfied by that same
+    * partitioning's subset rule, so the whole min-and-filter runs in
+    * one shuffle of slim pre-aggregated rows; ties all survive, the
+    * consumer orders by (part, suppkey).
+    *
+    * The unit price is ONE double division and min/equality never
+    * rearrange arithmetic, so cross-engine comparison is bit-exact
+    * without decimal canonicalization. */
+  def minCostSupplier(part: DataFrame, supplier: DataFrame, nation: DataFrame,
+                      lineitem: DataFrame, partType: String = "STANDARD"): DataFrame = {
+    val costs = lineitem
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+    val w = Window.partitionBy(col("l_partkey"))
+    costs
+      .withColumn("__min_cost", min(col("unit_cost")).over(w))
+      .filter(col("unit_cost") === col("__min_cost"))
+      .join(part.filter(col("p_type") === partType),
+        col("p_partkey") === col("l_partkey"))
+      .join(supplier, col("s_suppkey") === col("l_suppkey"))
+      .join(nation, col("n_nationkey") === col("s_nationkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        col("n_name").as("supplier_nation"),
+        // raw DOUBLE passthrough — one division, no accumulation, so
+        // the bits match the oracle identically and rounding (whose
+        // half-boundary rule differs across engines) is unnecessary
+        col("unit_cost").as("min_unit_cost"))
+  }
 }

@@ -55,4 +55,26 @@ class AnalyticsSpec extends SparkSpec {
       .filter(col("top_order_price").cast("double") =!= col("m"))
     assert(joined.count() == 0)
   }
+
+  test("min-cost supplier: ties survive, type filter applies, min spans all suppliers") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val part = Seq((1L, "widget", "STANDARD"), (2L, "gadget", "PROMO"))
+      .toDF("p_partkey", "p_name", "p_type")
+    val supplier = Seq((10L, "S10", 0), (11L, "S11", 0), (12L, "S12", 1))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val nation = Seq((0, "N0"), (1, "N1")).toDF("n_nationkey", "n_name")
+    // part 1: suppliers 10 and 11 tie at unit cost 2.0; supplier 12
+    // higher. part 2 (PROMO) is filtered out despite a cheap supplier.
+    val lineitem = Seq(
+      (1L, 10L, 10.0, 5.0), (1L, 10L, 40.0, 10.0), // min 2.0
+      (1L, 11L, 20.0, 10.0),                       // 2.0 (tie)
+      (1L, 12L, 30.0, 10.0),                       // 3.0
+      (2L, 12L, 1.0, 1.0)
+    ).toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    val out = Analytics.minCostSupplier(part, supplier, nation, lineitem)
+      .orderBy("p_partkey", "s_suppkey")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(5)))
+    assert(out.toList == List((1L, 10L, 2.0), (1L, 11L, 2.0)))
+  }
 }
