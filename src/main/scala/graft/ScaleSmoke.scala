@@ -222,6 +222,17 @@ object ScaleSmoke {
         s"9 of 10 eligible clones must carry a span: $docsWithSpans, eligible $eligible")
       n
     }
+    timed("winnowed_spans_50k") {
+      // identical clones share every fingerprint, so detection is
+      // guaranteed at winnowed density too — same 9-of-10 invariant
+      // at ~2/(w+1) of the grid volume (production xxhash family)
+      val spans = operators.TextDedup.winnowedSpans(docs).localCheckpoint(true)
+      val n = spans.count()
+      val docsWithSpans = spans.select("doc_id").distinct().count()
+      require(docsWithSpans >= eligible * 9 / 10,
+        s"9 of 10 eligible clones must carry a winnowed span: $docsWithSpans, eligible $eligible")
+      n
+    }
     timed("strip_spans_50k") {
       val out = operators.TextDedup.stripDuplicateSpans(docs).localCheckpoint(true)
       val n = out.count()

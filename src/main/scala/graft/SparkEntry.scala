@@ -1079,6 +1079,13 @@ object SparkEntry {
     "doc_strip_spans" -> ((s, dir) =>
       TextDedup.stripDuplicateSpans(docs(s, dir), k = 20).orderBy("doc_id")),
 
+    // Winnowed (MOSS-style) rendition: fingerprint sampling at density
+    // 2/(w+1) instead of the full grid — md5 twin so DuckDB replays
+    // the exact min-hash selection, rightmost ties included.
+    "doc_winnowed_spans" -> ((s, dir) =>
+      TextDedup.winnowedSpans(docs(s, dir), k = 20, w = 8, md5Twin = true)
+        .orderBy("doc_id", "span_start")),
+
     // CCNet-style boilerplate removal (token-segment rendition): a
     // 10-token header is planted on every third doc and every fifth
     // doc is duplicated, so the header segment and every aligned
@@ -2521,6 +2528,49 @@ object SparkEntry {
          |SELECT doc_id, span_start, span_end,
          |       span_end - span_start + 1 AS span_len
          |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    // Winnowing replayed exactly: per-window min md5 gram hash,
+    // rightmost tie (list_reverse + [1]), distinct selections, then
+    // the same first-occurrence marking + island merge as the grid.
+    "doc_winnowed_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |       CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
+        |            ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |FROM documents),
+        |hpt AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(toks) - 20 + 2),
+        |           i -> struct_pack(pos := i,
+        |                            g := md5(array_to_string(toks[i:i+19], ' ')))) AS hp
+        |  FROM t WHERE len(toks) >= 20),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, u.pos AS pos, u.g AS g FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |        range(1, greatest(len(hp) - 7, 1) + 1),
+        |        p -> list_reverse(list_filter(hp[p:p+7],
+        |               x -> x.g = list_aggregate(
+        |                 list_transform(hp[p:p+7], y -> y.g), 'min')))[1])) AS u
+        |    FROM hpt)),
+        |dup AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |    FROM fp) WHERE rn > 1),
+        |marked AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos > COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+        |                                  -1000000) + 20
+        |              THEN 1 ELSE 0 END AS newgrp
+        |  FROM dup),
+        |grp AS (
+        |  SELECT doc_id, pos,
+        |         SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        |  FROM marked),
+        |spans AS (
+        |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 19 AS span_end
+        |  FROM grp GROUP BY doc_id, gid)
+        |SELECT doc_id, span_start, span_end,
+        |       span_end - span_start + 1 AS span_len
+        |FROM spans ORDER BY doc_id, span_start""".stripMargin,
 
     "doc_strip_spans" ->
       s"""WITH $dupSpansCte,

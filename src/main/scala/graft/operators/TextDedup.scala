@@ -151,16 +151,26 @@ object TextDedup {
     * [[TextStats.rollingFingerprint]]'s kernel family) and verify the
     * surviving candidates; the merge stage is unchanged. */
   def duplicateSpans(docs: DataFrame, textCol: String = "text",
-                     k: Int = 20): DataFrame = {
-    val wins = slidingWindows(docs, textCol, k)
-    val dup = wins
+                     k: Int = 20): DataFrame =
+    mergeSpans(firstOccurrenceDups(slidingWindows(docs, textCol, k)), k)
+
+  /** Duplicate marking shared by the exact and winnowed span paths:
+    * every (doc_id, pos) whose window hash occurred at an earlier
+    * corpus position (row_number over the hash — uniform keys, no
+    * skew). */
+  private def firstOccurrenceDups(wins: DataFrame): DataFrame =
+    wins
       .withColumn("__rn", row_number().over(
         Window.partitionBy("h").orderBy("doc_id", "pos")))
       .filter(col("__rn") > 1)
       .select("doc_id", "pos")
+
+  /** Gap-and-island merge of duplicate window positions into maximal
+    * spans: window [pos, pos+k-1] extends the current span iff
+    * pos <= prev_pos + k (overlap or adjacency). Per-document window —
+    * parallel across docs, bounded by doc length within. */
+  private def mergeSpans(dup: DataFrame, k: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    // islands of the interval union: window [pos, pos+k-1] extends the
-    // current span iff pos <= prev_pos + k (overlap or adjacency)
     dup
       .withColumn("__new",
         when(col("pos") > coalesce(lag(col("pos"), 1).over(byDoc),
@@ -171,6 +181,61 @@ object TextDedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_len"))
   }
+
+  /** Winnowed document fingerprints (Schleimer/Wilkerson/Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD'03 — reference behavior): in every window of `w`
+    * CONSECUTIVE gram positions select the minimum gram hash,
+    * rightmost on ties; the distinct selections are the document's
+    * fingerprints. Guarantee: any shared token run of at least
+    * w + k − 1 tokens yields at least one shared fingerprint; expected
+    * density is 2/(w+1) of the full stride-1 grid — THIS is the
+    * documented 100 TB rendition of [[duplicateSpans]]' window stage
+    * (sample, don't enumerate).
+    *
+    * Entirely row-local (one nested higher-order projection per doc).
+    * `md5Twin` selects the cross-engine md5 hash family the DuckDB
+    * oracle replays; production uses xxhash64 (same selection logic,
+    * cheaper digests). Documents shorter than w grams winnow their
+    * whole (single-window) gram list. */
+  def winnowedFingerprints(docs: DataFrame, textCol: String = "text",
+                           k: Int = 20, w: Int = 8,
+                           md5Twin: Boolean = false): DataFrame = {
+    val hashOf: Column => Column =
+      if (md5Twin) g => md5(g) else g => xxhash64(g).cast("string")
+    val toks = TextStats.tokens(col(textCol))
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), transform(
+        sequence(lit(1), size(col("toks")) - (k - 1)),
+        i => struct(i.as("pos"),
+          hashOf(concat_ws(" ", slice(col("toks"), i, lit(k)))).as("h"))).as("hp"))
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), greatest(size(col("hp")) - (w - 1), lit(1))),
+        p => {
+          val win = slice(col("hp"), p, lit(w))
+          val minh = array_min(transform(win, x => x.getField("h")))
+          // rightmost tie: window order is positional, so the last
+          // qualifying element is the highest position
+          element_at(reverse(filter(win, x => x.getField("h") === minh)), 1)
+        }))).as("fp"))
+      .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.h").as("h"))
+  }
+
+  /** Approximate duplicate spans from winnowed fingerprints: the
+    * [[duplicateSpans]] contract at fingerprint density — duplicate
+    * marking and island merge are byte-identical to the exact path,
+    * only the window stage samples. Spans are detection regions
+    * (fingerprint collisions extended by k), not guaranteed-maximal:
+    * runs shorter than w + k − 1 tokens may escape, boundaries are
+    * quantized to selected positions. That is winnowing's documented
+    * trade, in exchange for ~2/(w+1) of the grid's volume. */
+  def winnowedSpans(docs: DataFrame, textCol: String = "text",
+                    k: Int = 20, w: Int = 8,
+                    md5Twin: Boolean = false): DataFrame =
+    mergeSpans(firstOccurrenceDups(
+      winnowedFingerprints(docs, textCol, k, w, md5Twin)), k)
 
   /** The train-on-clean-text consumer of [[duplicateSpans]]: remove
     * every duplicate-span token and rejoin the survivors — repeated

@@ -507,6 +507,29 @@ class TextDedupSpec extends SparkSpec {
     assert(TextDedup.stripDuplicateSpans(df, k = 20).count() == 2)
   }
 
+  test("winnowed spans: whole-doc clone detected at fingerprint density, both hash families") {
+    val body = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, body),
+      (2L, body),                                       // exact clone
+      (3L, "a wholly different short document here with many other words repeated nowhere")
+    ).toDF("doc_id", "text")
+    for (twin <- Seq(false, true)) {
+      val spans = TextDedup.winnowedSpans(df, k = 20, w = 8, md5Twin = twin).collect()
+        .map(r => (r.getLong(0), r.getInt(3)))
+      // only the clone is flagged, as one span at least w+k-1 long
+      assert(spans.map(_._1).toSet == Set(2L), s"twin=$twin: ${spans.toList}")
+      assert(spans.forall(s => s._2 >= 27 && s._2 <= 50), s"twin=$twin: ${spans.toList}")
+    }
+    // fingerprint density: far fewer selections than the stride-1 grid
+    val grid = TextDedup.duplicateSpans(df, k = 20).count()
+    val fps = TextDedup.winnowedFingerprints(df, k = 20, w = 8)
+      .groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(fps.forall(_ <= 31))   // P = 31 windows per 50-token doc
+    assert(fps.forall(_ >= 2))    // and never degenerate-empty
+    assert(grid >= 1)
+  }
+
   test("containment: subset doc is contained, superset direction is not") {
     val df = Seq(
       (1L, "a b c d e f g h i j"), // 8 shingles (n=3)
