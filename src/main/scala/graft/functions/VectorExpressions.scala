@@ -736,6 +736,89 @@ object ContainLongSets {
   }
 }
 
+/** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+  * SIGMOD'03) over a gram-hash array: the 1-based positions of the
+  * minimum hash in every window of `w` consecutive positions,
+  * rightmost on ties, deduplicated (selections are non-decreasing, so
+  * last-emitted suffices). Arrays of at most `w` elements winnow to
+  * their single global (rightmost) argmin.
+  *
+  * One monotonic-deque pass — O(P) total versus the composable
+  * rendition's O(P·w) interpreted window lambdas. Hash comparison is
+  * SIGNED long order, identical to `array_min` in the parity
+  * rendition. A null element never wins selection (treated as +inf). */
+case class WinnowPositions(hashes: Expression, w: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = hashes
+  override def right: Expression = w
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (hashes.dataType, w.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) if w.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "winnow_positions requires (array<bigint>, foldable int)")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "winnow_positions"
+  override def nullable: Boolean = hashes.nullable
+
+  @transient private lazy val win: Int = w.eval().asInstanceOf[Int]
+
+  override def nullSafeEval(h: Any, wv: Any): Any =
+    WinnowPositions.compute(h.asInstanceOf[ArrayData], win)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, _) =>
+      s"${ev.value} = graft.functions.WinnowPositions.compute($h, $win);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): WinnowPositions =
+    copy(hashes = newLeft, w = newRight)
+}
+
+object WinnowPositions {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def compute(a: ArrayData, w: Int): ArrayData = {
+    val n = a.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Int])
+    val vals = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      vals(i) = if (a.isNullAt(i)) Long.MaxValue else a.getLong(i)
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    if (n <= w) {
+      var best = 0
+      i = 1
+      while (i < n) { if (vals(i) <= vals(best)) best = i; i += 1 }
+      out += best + 1
+    } else {
+      // monotonic deque of indices; popping >= on push keeps the
+      // RIGHTMOST of equal minima at the front
+      val dq = new Array[Int](n)
+      var head = 0
+      var tail = 0
+      i = 0
+      while (i < n) {
+        while (tail > head && vals(dq(tail - 1)) >= vals(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        val p = i - w + 1
+        if (p >= 0) {
+          while (dq(head) < p) head += 1
+          val sel = dq(head) + 1
+          if (out.isEmpty || out(out.length - 1) != sel) out += sel
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 /** Native word n-grams over a token array: gram i is tokens
   * i..i+n-1 joined by a single space — bit-for-bit what the composable
   * `transform(sequence(...), i -> concat_ws(' ', element_at...))`
@@ -870,5 +953,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("contain_long_sets"),
       new ExpressionInfo(classOf[ContainLongSets].getName, "contain_long_sets"),
       (children: Seq[Expression]) => ContainLongSets(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("winnow_positions"),
+      new ExpressionInfo(classOf[WinnowPositions].getName, "winnow_positions"),
+      (children: Seq[Expression]) => WinnowPositions(children.head, children(1))))
   }
 }

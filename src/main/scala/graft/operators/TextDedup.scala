@@ -193,16 +193,54 @@ object TextDedup {
     * documented 100 TB rendition of [[duplicateSpans]]' window stage
     * (sample, don't enumerate).
     *
-    * Entirely row-local (one nested higher-order projection per doc).
-    * `md5Twin` selects the cross-engine md5 hash family the DuckDB
-    * oracle replays; production uses xxhash64 (same selection logic,
-    * cheaper digests). Documents shorter than w grams winnow their
-    * whole (single-window) gram list. */
+    * Entirely row-local. `md5Twin` selects the cross-engine md5 hash
+    * family the DuckDB oracle replays (interpreted min-per-window
+    * selection); production selects xxhash64 grams with the native
+    * `winnow_positions` kernel — one O(P) monotonic-deque pass,
+    * parity-gated against [[winnowedFingerprintsHof]]. Documents
+    * shorter than w grams winnow their whole (single-window) gram
+    * list. */
   def winnowedFingerprints(docs: DataFrame, textCol: String = "text",
                            k: Int = 20, w: Int = 8,
-                           md5Twin: Boolean = false): DataFrame = {
-    val hashOf: Column => Column =
-      if (md5Twin) g => md5(g) else g => xxhash64(g).cast("string")
+                           md5Twin: Boolean = false): DataFrame =
+    if (md5Twin) winnowedSelect(docs, textCol, k, w, g => md5(g))
+    else {
+      // PRODUCTION family: xxhash64 grams selected by the native
+      // winnow_positions kernel — one O(P) monotonic-deque pass per
+      // doc instead of O(P·w) interpreted window lambdas (the
+      // [[winnowedFingerprintsHof]] parity rendition)
+      val grams = gramHashArray(docs, textCol, k)
+      grams.select(col("doc_id"), col("hs"),
+          explode(call_function("winnow_positions", col("hs"), lit(w))).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          element_at(col("hs"), col("pos")).as("h"))
+    }
+
+  /** Composable long-family rendition of the production path —
+    * bit-for-bit parity gate for the winnow_positions kernel. */
+  private[operators] def winnowedFingerprintsHof(
+      docs: DataFrame, textCol: String = "text",
+      k: Int = 20, w: Int = 8): DataFrame =
+    winnowedSelect(docs, textCol, k, w, g => xxhash64(g))
+
+  /** (doc_id, hs): the gram-hash ARRAY (1-based positions) per doc of
+    * at least k tokens. */
+  private def gramHashArray(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val toks = TextStats.tokens(col(textCol))
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), transform(
+        sequence(lit(1), size(col("toks")) - (k - 1)),
+        i => xxhash64(concat_ws(" ", slice(col("toks"), i, lit(k))))).as("hs"))
+  }
+
+  /** The interpreted min-per-window selection shared by the md5 twin
+    * and the kernel-parity rendition: any totally ordered hash family
+    * (string md5 / signed long xxhash64) drops in via `hashOf`. */
+  private def winnowedSelect(docs: DataFrame, textCol: String,
+                             k: Int, w: Int,
+                             hashOf: Column => Column): DataFrame = {
     val toks = TextStats.tokens(col(textCol))
     docs
       .select(col("doc_id"), toks.as("toks"))

@@ -530,6 +530,32 @@ class TextDedupSpec extends SparkSpec {
     assert(grid >= 1)
   }
 
+  test("winnow_positions kernel matches the composable selection bit-for-bit on the corpus") {
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val native = TextDedup.winnowedFingerprints(d, k = 20, w = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val hof = TextDedup.winnowedFingerprintsHof(d, k = 20, w = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(native == hof, s"native/HOF diverge: ${(native -- hof).take(3)} vs ${(hof -- native).take(3)}")
+    assert(native.nonEmpty)
+  }
+
+  test("winnow_positions: rightmost tie, short-array global argmin, dedup") {
+    import org.apache.spark.sql.functions.{call_function, typedLit, lit => slit}
+    // repeated equal minima: rightmost within each window must win
+    val ties = Seq((Seq(5L, 1L, 7L, 1L, 9L, 8L), 3)).toDF("hs", "w")
+    val got = ties.select(call_function("winnow_positions", $"hs", slit(3)))
+      .as[Seq[Int]].head()
+    // windows: [5,1,7]->pos2, [1,7,1]->pos4 (rightmost), [7,1,9]->pos4, [1,9,8]->pos4
+    assert(got == Seq(2, 4))
+    // array shorter than w: single global argmin, rightmost tie
+    val short = Seq(1).toDF("x")
+      .select(call_function("winnow_positions", typedLit(Seq(3L, 2L, 2L)), slit(8)))
+      .as[Seq[Int]].head()
+    assert(short == Seq(3))
+  }
+
   test("containment: subset doc is contained, superset direction is not") {
     val df = Seq(
       (1L, "a b c d e f g h i j"), // 8 shingles (n=3)
