@@ -1559,6 +1559,11 @@ object SparkEntry {
 
     // Unigram-LM quality signal: mean corpus frequency of each doc's
     // tokens (BIGINT sums; the mean is the single double op).
+    // CCNet-style head/middle/tail per language by LM-score percentile
+    // cutoffs (broadcast 2-value list per language, no per-language sort).
+    "doc_ccnet_buckets" -> ((s, dir) =>
+      Curation.ccnetBuckets(docs(s, dir)).orderBy("doc_id")),
+
     "doc_lm_score" -> ((s, dir) =>
       Curation.lmScore(docs(s, dir))
         .orderBy("doc_id")),
@@ -1912,6 +1917,42 @@ object SparkEntry {
 
     // CASTs on the sums: DuckDB sum(BIGINT) widens to HUGEINT, which
     // the gate's hasher rejects even at identical values.
+    // Language id + mean_cf replayed from their own oracles; cutoffs
+    // via quantile_cont (the (n-1)p interpolation Spark `percentile`
+    // shares — proven hash-exact by ref_value_percentiles); boundary
+    // ties land in the upper bucket on both engines by the same CASE.
+    "doc_ccnet_buckets" ->
+      s"""WITH t AS ($docTokens),
+         |hits AS (
+         |  SELECT doc_id, $statsHitCols
+         |  FROM t),
+         |lang AS (SELECT doc_id, $statsLangCase AS predicted_lang FROM hits),
+         |lmt AS (
+         |  SELECT doc_id, term FROM (
+         |    SELECT doc_id,
+         |           unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+         |    FROM documents)
+         |  WHERE term <> ''),
+         |cf AS (SELECT term, count(*) AS cf FROM lmt GROUP BY term),
+         |lm AS (
+         |  SELECT lmt.doc_id,
+         |         CAST(ROUND(CAST(sum(c.cf) AS DOUBLE) / count(*), 6) AS DOUBLE) AS mean_cf
+         |  FROM lmt JOIN cf c USING (term) GROUP BY lmt.doc_id),
+         |scored AS (
+         |  SELECT l.doc_id, l.predicted_lang, COALESCE(lm.mean_cf, 0.0) AS mean_cf
+         |  FROM lang l LEFT JOIN lm ON l.doc_id = lm.doc_id),
+         |cuts AS (
+         |  SELECT predicted_lang,
+         |         quantile_cont(mean_cf, 2.0 / 3.0) AS c_head,
+         |         quantile_cont(mean_cf, 1.0 / 3.0) AS c_mid
+         |  FROM scored GROUP BY 1)
+         |SELECT s.doc_id, s.predicted_lang, s.mean_cf,
+         |       CASE WHEN s.mean_cf >= c.c_head THEN 'head'
+         |            WHEN s.mean_cf >= c.c_mid THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM scored s JOIN cuts c USING (predicted_lang)
+         |ORDER BY s.doc_id""".stripMargin,
+
     "doc_lm_score" ->
       """WITH t AS (
         |  SELECT doc_id, term FROM (

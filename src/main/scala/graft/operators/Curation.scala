@@ -689,6 +689,38 @@ object Curation {
       .withColumn("mean_cf", round(col("cf_sum").cast("double") / col("n_tokens"), 6))
   }
 
+  /** CCNet-style per-language quality bucketing (Wenzek et al.,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data", LREC'20): documents split into head / middle /
+    * tail thirds of their LANGUAGE's LM-score distribution —
+    * [[lmScore]]'s mean corpus frequency standing in for the paper's
+    * KenLM perplexity (higher mean_cf ≈ commoner words ≈ lower
+    * perplexity ≈ head).
+    *
+    * Assignment is by PERCENTILE CUTOFF, not ntile: the per-language
+    * ⅓ / ⅔ exact interpolated percentiles reduce to a 2-value-per-
+    * language broadcast list and each doc buckets by comparison —
+    * CCNet's own deployment shape, and the scale-correct one (an
+    * ntile window would sort every language's corpus slice in a
+    * single task). Boundary ties all land in the upper bucket;
+    * bucket populations are thirds up to tie mass. Docs with no
+    * tokens score 0 (deepest tail). */
+  def ccnetBuckets(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), TextStats.langId(col(textCol)).as("predicted_lang"))
+      .join(lmScore(docs, textCol).select(col("doc_id"), col("mean_cf")),
+        Seq("doc_id"), "left")
+      .withColumn("mean_cf", coalesce(col("mean_cf"), lit(0.0)))
+    val cuts = scored.groupBy("predicted_lang").agg(
+      expr("percentile(mean_cf, 2.0D / 3.0D)").as("__c_head"),
+      expr("percentile(mean_cf, 1.0D / 3.0D)").as("__c_mid"))
+    scored.join(broadcast(cuts), Seq("predicted_lang"))
+      .select(col("doc_id"), col("predicted_lang"), col("mean_cf"),
+        when(col("mean_cf") >= col("__c_head"), lit("head"))
+          .when(col("mean_cf") >= col("__c_mid"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   // ------------------------------------------------------------------
   // TF-IDF keyword extraction
   // ------------------------------------------------------------------

@@ -525,4 +525,29 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert((s1 diff s2).size <= 1, "one new doc displaces at most one old pick")
   }
+
+  test("ccnetBuckets: per-language thirds by score cutoff, monotone in mean_cf") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val out = Curation.ccnetBuckets(docs).localCheckpoint(true)
+    assert(out.count() == docs.count())
+    // within each language, every head score >= every middle score >=
+    // every tail score (cutoff assignment is monotone by construction)
+    val ranked = out.withColumn("r",
+      when(col("bucket") === "head", 2).when(col("bucket") === "middle", 1).otherwise(0))
+    val viol = ranked.as("a").join(ranked.as("b"),
+        col("a.predicted_lang") === col("b.predicted_lang") &&
+          col("a.r") > col("b.r") && col("a.mean_cf") < col("b.mean_cf"))
+      .count()
+    assert(viol == 0, s"$viol bucket-order violations")
+    // populations are thirds up to tie mass: no bucket may exceed half
+    // of a language with >= 6 docs
+    val skew = out.groupBy("predicted_lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("bucket") === "head", 1).otherwise(0)).as("h"))
+      .filter(col("n") >= 6 && col("h") > col("n") / 2)
+      .count()
+    assert(skew == 0, "head bucket cannot exceed half a populated language")
+  }
 }
