@@ -1086,6 +1086,19 @@ object SparkEntry {
       TextDedup.winnowedSpans(docs(s, dir), k = 20, w = 8, md5Twin = true)
         .orderBy("doc_id", "span_start")),
 
+    // Incremental spans: every 5th doc re-ingested as a batch against
+    // the stored tier fingerprint index; the oracle replays the full
+    // union (the two are provably equal when tier ids precede batch
+    // ids — the gate IS the equivalence proof).
+    "doc_spans_incremental" -> ((s, dir) => {
+      val tier = docs(s, dir).select("doc_id", "text")
+      val batch = tier.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      TextDedup.duplicateSpansAgainst(
+        TextDedup.spanIndex(tier, md5Twin = true), batch, md5Twin = true)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // CCNet-style boilerplate removal (token-segment rendition): a
     // 10-token header is planted on every third doc and every fifth
     // doc is duplicated, so the header segment and every aligned
@@ -2569,6 +2582,52 @@ object SparkEntry {
          |SELECT doc_id, span_start, span_end,
          |       span_end - span_start + 1 AS span_len
          |FROM spans ORDER BY doc_id, span_start""".stripMargin,
+
+    // The union replay: winnow tier ∪ batch, mark first-occurrence
+    // dups across the whole union, keep batch spans — provably equal
+    // to the incremental probe-the-stored-index path.
+    "doc_spans_incremental" ->
+      """WITH f AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0),
+        |t AS (SELECT doc_id,
+        |       CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
+        |            ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |FROM f),
+        |hpt AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(toks) - 20 + 2),
+        |           i -> struct_pack(pos := i,
+        |                            g := md5(array_to_string(toks[i:i+19], ' ')))) AS hp
+        |  FROM t WHERE len(toks) >= 20),
+        |fp AS (
+        |  SELECT DISTINCT doc_id, u.pos AS pos, u.g AS g FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |        range(1, greatest(len(hp) - 7, 1) + 1),
+        |        p -> list_reverse(list_filter(hp[p:p+7],
+        |               x -> x.g = list_aggregate(
+        |                 list_transform(hp[p:p+7], y -> y.g), 'min')))[1])) AS u
+        |    FROM hpt)),
+        |dup AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos, row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |    FROM fp) WHERE rn > 1 AND doc_id >= 100000),
+        |marked AS (
+        |  SELECT doc_id, pos,
+        |         CASE WHEN pos > COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+        |                                  -1000000) + 20
+        |              THEN 1 ELSE 0 END AS newgrp
+        |  FROM dup),
+        |grp AS (
+        |  SELECT doc_id, pos,
+        |         SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        |  FROM marked),
+        |spans AS (
+        |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 19 AS span_end
+        |  FROM grp GROUP BY doc_id, gid)
+        |SELECT doc_id, span_start, span_end,
+        |       span_end - span_start + 1 AS span_len
+        |FROM spans ORDER BY doc_id, span_start""".stripMargin,
 
     // Winnowing replayed exactly: per-window min md5 gram hash,
     // rightmost tie (list_reverse + [1]), distinct selections, then

@@ -261,6 +261,44 @@ object TextDedup {
       .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.h").as("h"))
   }
 
+  /** The persistable winnowed-fingerprint INDEX of a curated tier —
+    * slim (doc_id, pos, h) rows from the production xxhash64 family.
+    * Store this once; every incoming batch probes it via
+    * [[duplicateSpansAgainst]] without the tier ever being
+    * re-tokenized or re-fingerprinted. */
+  def spanIndex(docs: DataFrame, textCol: String = "text",
+                k: Int = 20, w: Int = 8,
+                md5Twin: Boolean = false): DataFrame =
+    winnowedFingerprints(docs, textCol, k, w, md5Twin)
+
+  /** Incremental duplicate-span detection: spans in `batch` documents
+    * that repeat material from the stored `tierIndex` (a [[spanIndex]])
+    * or from earlier in the batch itself. EXACTLY equal to running
+    * [[winnowedSpans]] over tier ∪ batch and keeping the batch rows
+    * whenever tier ids precede batch ids — fingerprint selection is
+    * per-document, so the union changes nothing, and unlike the
+    * MinHash incremental path no bucket-cap interaction can diverge.
+    *
+    * Plan: the batch fingerprints once (row-local kernel); a batch
+    * fingerprint is duplicate iff its hash appears in the tier index
+    * (left-semi — tier always wins) OR at an earlier batch position
+    * (row_number within the batch's tier-missed remainder); the merge
+    * stage is unchanged. Nothing shuffles the tier; the probe is one
+    * hash equi-join against the stored slim index. */
+  def duplicateSpansAgainst(tierIndex: DataFrame, batch: DataFrame,
+                            textCol: String = "text",
+                            k: Int = 20, w: Int = 8,
+                            md5Twin: Boolean = false): DataFrame = {
+    val bfp = winnowedFingerprints(batch, textCol, k, w, md5Twin).localCheckpoint(true)
+    val hitTier = bfp.join(tierIndex.select(col("h")), Seq("h"), "left_semi")
+      .select("doc_id", "pos")
+    val withinBatch = firstOccurrenceDups(
+      bfp.join(tierIndex.select(col("h")), Seq("h"), "left_anti"))
+    // the two legs partition the batch fingerprints (semi vs anti on
+    // the same tier probe) — no overlap, no distinct needed
+    mergeSpans(hitTier.unionByName(withinBatch), k)
+  }
+
   /** Approximate duplicate spans from winnowed fingerprints: the
     * [[duplicateSpans]] contract at fingerprint density — duplicate
     * marking and island merge are byte-identical to the exact path,

@@ -556,6 +556,23 @@ class TextDedupSpec extends SparkSpec {
     assert(short == Seq(3))
   }
 
+  test("incremental spans equal the union replay restricted to the batch") {
+    val d = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val tier = d.filter(col("doc_id") < 300)
+    val batch = d.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+    val incremental = TextDedup.duplicateSpansAgainst(
+        TextDedup.spanIndex(tier), batch)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val unionReplay = TextDedup.winnowedSpans(tier.unionByName(batch))
+      .filter(col("doc_id") >= 500000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(incremental == unionReplay,
+      s"diverge: ${(incremental -- unionReplay).take(3)} vs ${(unionReplay -- incremental).take(3)}")
+    assert(incremental.nonEmpty) // copies of tier docs must be flagged
+  }
+
   test("containment: subset doc is contained, superset direction is not") {
     val df = Seq(
       (1L, "a b c d e f g h i j"), // 8 shingles (n=3)
