@@ -1395,9 +1395,14 @@ object SparkEntry {
         .orderBy("label", "dim")),
 
     // Int8 scalar quantization: exact double arithmetic end-to-end, so
-    // the per-element codes hash-compare against the SQL replay.
+    // the per-element codes hash-compare against the SQL replay. Codes
+    // ship as a comma-joined string — the gate comparator sorts/hashes
+    // scalars, and a raw array column is unhashable on the pandas side.
     "emb_quantize_int8" -> ((s, dir) =>
-      Similarity.quantizeInt8(emb(s, dir)).orderBy("vec_id")),
+      Similarity.quantizeInt8(emb(s, dir))
+        .select(col("vec_id"), col("v_min"), col("v_max"),
+          array_join(col("codes").cast("array<string>"), ",").as("codes"))
+        .orderBy("vec_id")),
 
     // Top-3 cosine in the quantized domain (integer dot + O(1) scale
     // correction — deterministic, full-value oracle, same probe set as
@@ -3083,8 +3088,9 @@ object SparkEntry {
         |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 50 = 0),
         |clustered AS (
         |  SELECT vec_id, v,
-        |    (SELECT SUM(CASE WHEN list_dot_product(f.v, pl.plane) > 0
-        |                THEN 1::BIGINT << CAST(pl.p AS INT) ELSE 0 END) FROM planes pl) AS cluster
+        |    CAST((SELECT SUM(CASE WHEN list_dot_product(f.v, pl.plane) > 0
+        |                THEN 1::BIGINT << CAST(pl.p AS INT) ELSE 0 END) FROM planes pl)
+        |         AS BIGINT) AS cluster
         |  FROM fixture f)
         |SELECT c.vec_id, c.cluster,
         |       NOT EXISTS (
@@ -3358,7 +3364,8 @@ object SparkEntry {
         |ORDER BY label, dim""".stripMargin,
 
     // Same fixed IEEE expression shape as the operator: widen to
-    // DOUBLE, min/max, floor-scale, clamp — bit-identical codes.
+    // DOUBLE, min/max, floor-scale, clamp — bit-identical codes
+    // (joined to one comma string per row so the comparator can sort).
     "emb_quantize_int8" ->
       """WITH vd AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -3366,10 +3373,11 @@ object SparkEntry {
         |mm AS (
         |  SELECT vec_id, v, list_min(v) AS v_min, list_max(v) AS v_max FROM vd)
         |SELECT vec_id, v_min, v_max,
-        |       CASE WHEN v_max = v_min THEN list_transform(v, x -> 0)
-        |            ELSE list_transform(v, x ->
-        |              CAST(least(floor((x - v_min) * 255.0 / (v_max - v_min)), 255.0) AS INT))
-        |       END AS codes
+        |       array_to_string(
+        |         CASE WHEN v_max = v_min THEN list_transform(v, x -> 0)
+        |              ELSE list_transform(v, x ->
+        |                CAST(least(floor((x - v_min) * 255.0 / (v_max - v_min)), 255.0) AS INT))
+        |         END, ',') AS codes
         |FROM mm ORDER BY vec_id""".stripMargin,
 
     // Replays the exact same algebra: quantize, integer sums (cast out

@@ -394,15 +394,21 @@ object Similarity {
     * quadratic work, slightly more cross-cell misses, exactly the
     * paper's trade). The join ships (id, cluster, vec) once per side;
     * dominated ids collapse to a distinct id list before the final
-    * slim left-anti mark. */
+    * slim left-anti mark.
+    *
+    * Null embeddings have no cosine to anything: they come back as
+    * (vec_id, cluster = NULL, kept = true) — a row the caller can
+    * route, never a silently vanished one. Pass `dim` explicitly to
+    * skip the one-row probe job (it's an eager `limit(1).collect()`
+    * on an arbitrary row, same pattern as [[topKLsh]]). */
   def semDedup(vectors: DataFrame, tau: Double,
-               clusterPlanes: Int = 6): DataFrame = {
-    val dim = vectors.filter(col("embedding").isNotNull)
+               clusterPlanes: Int = 6, dim: Int = -1): DataFrame = {
+    val d = if (dim >= 0) dim else vectors.filter(col("embedding").isNotNull)
       .select(size(col("embedding"))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
     val clustered = vectors.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"),
-        lshBucketMd5(col("embedding"), clusterPlanes, dim).as("cluster"),
+        lshBucketMd5(col("embedding"), clusterPlanes, d).as("cluster"),
         norm(col("embedding")).as("nrm"))
       .localCheckpoint(true)
     val dominated = clustered.select(col("cluster"), col("vec_id").as("a_id"),
@@ -412,7 +418,8 @@ object Similarity {
       .filter(col("a_id") < col("b_id"))
       .filter(dot(col("a_emb"), col("b_emb")) / (col("a_norm") * col("b_norm")) >= tau)
       .select(col("b_id").as("vec_id")).distinct()
-    clustered.select(col("vec_id"), col("cluster"))
+    vectors.select(col("vec_id"))
+      .join(clustered.select(col("vec_id"), col("cluster")), Seq("vec_id"), "left")
       .join(dominated.withColumn("__drop", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         not(coalesce(col("__drop"), lit(false))).as("kept"))

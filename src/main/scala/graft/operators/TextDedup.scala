@@ -818,8 +818,12 @@ object TextDedup {
     docs
       .select(col("doc_id"), array_sort(hashedShingles(col(textCol), shingleN)).as("sh"))
       .select(col("doc_id"),
+        // epsilon guards the ceiling: when t·|X| is mathematically
+        // integral the double product can land one ulp above it
+        // (30 × 0.1 → 3.0000000000000004, ceil → 4), silently dropping
+        // the last prefix element and losing exactly-at-threshold pairs
         explode(slice(col("sh"), lit(1),
-          size(col("sh")) - ceil(size(col("sh")) * threshold).cast("int") + 1)).as("tok"))
+          size(col("sh")) - ceil(size(col("sh")) * threshold - lit(1e-9)).cast("int") + 1)).as("tok"))
 
   /** The dropped-bucket METRIC for [[nearDupPairsJaccard]]: one row per
     * skipped prefix token with its member count. A skipped token here
@@ -958,8 +962,11 @@ object TextDedup {
     // shingles — the only elements that can witness a ≥t containment
     val prefix = sets
       .select(col("doc_id"),
+        // same epsilon-guarded ceiling as jaccardPrefixed: an ulp-high
+        // t·|A| product would shorten the prefix and lose at-threshold
+        // containment pairs with suffix-only witnesses
         explode(slice(col("sh"), lit(1),
-          (size(col("sh")) - ceil(size(col("sh")) * threshold).cast("int") + 1))).as("h"))
+          (size(col("sh")) - ceil(size(col("sh")) * threshold - lit(1e-9)).cast("int") + 1))).as("h"))
       .join(ok, Seq("h"), "left_semi")
     val candidates = prefix.select(col("h"), col("doc_id").as("a_id"))
       .join(full.select(col("h"), col("doc_id").as("b_id")), Seq("h"))

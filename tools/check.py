@@ -6,31 +6,45 @@ outDir, executes oracle_sql.json[name] over the sf parquet tables and
 compares (schema-insensitively): columns sorted by name, rows sorted,
 values hashed. Prints per-query PASS/FAIL.
 
+Fidelity note: both sides are fetched via DuckDB's pandas bridge
+(`.df()`) and row-sorted with `DataFrame.sort_values`, matching the
+driver's comparator. This is deliberate — `fetchall()` silently
+narrows HUGEINT to Python int and lists to tuples, which let two
+driver-red shapes (HUGEINT-typed projections, array-typed output
+columns) pass a weaker local gate in round 7. With the pandas path,
+a HUGEINT column shows up as float64 ("21.0" vs "21") and an array
+column makes sort_values throw — exactly like the driver.
+
 Usage: python3 tools/check.py <sfDir> <outDir>
 """
 import sys, os, json, math, datetime
 import duckdb
+import numpy as np
+import pandas as pd
 
-def canon(rows, cols):
-    # sort columns by name, then rows; normalize floats/timestamps
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon(df):
+    # driver semantics: columns sorted by name, rows sorted via pandas,
+    # then values stringified; floats via repr, tz-aware timestamps on
+    # the UTC wall clock.
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
     out = []
-    for r in rows:
+    for row in df.itertuples(index=False, name=None):
         vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = repr(v)
+        for v in row:
+            if isinstance(v, (float, np.floating)):
+                v = "NaN" if math.isnan(v) else repr(float(v))
+            elif isinstance(v, (int, np.integer)) and not isinstance(v, bool):
+                v = str(int(v))
+            elif isinstance(v, pd.Timestamp):
+                if v.tzinfo is not None:
+                    v = v.tz_convert("UTC").tz_localize(None)
+                v = str(v.to_pydatetime())
             elif isinstance(v, datetime.datetime) and v.tzinfo is not None:
-                # TIMESTAMPTZ vs naive TIMESTAMP: same instant, different
-                # str(); compare on the UTC wall clock.
-                v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+                v = str(v.astimezone(datetime.timezone.utc).replace(tzinfo=None))
             vals.append(str(v))
         out.append(tuple(vals))
-    out.sort()
     return out
 
 def main(sf_dir, out_dir):
@@ -51,21 +65,26 @@ def main(sf_dir, out_dir):
         print(f"FAIL  {name}: declared oracle but no Verify output (query crashed?)")
         n_fail += 1
     for name in names:
-        got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-        got = canon(got_rel.fetchall(), got_rel.columns)
+        try:
+            got_df = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            got = canon(got_df)
+        except Exception as e:
+            print(f"FAIL  {name}: spark-side canon error: {e}")
+            n_fail += 1
+            continue
         if name not in oracles:
             print(f"SKIP  {name}: no oracle ({len(got)} rows)")
             n_skip += 1
             continue
         try:
-            exp_rel = con.sql(oracles[name])
-            exp = canon(exp_rel.fetchall(), exp_rel.columns)
+            exp_df = con.sql(oracles[name]).df()
+            exp = canon(exp_df)
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
             n_fail += 1
             continue
-        if sorted(got_rel.columns) != sorted(exp_rel.columns):
-            print(f"FAIL  {name}: columns {sorted(got_rel.columns)} != {sorted(exp_rel.columns)}")
+        if sorted(got_df.columns) != sorted(exp_df.columns):
+            print(f"FAIL  {name}: columns {sorted(got_df.columns)} != {sorted(exp_df.columns)}")
             n_fail += 1
         elif got == exp:
             print(f"PASS  {name} ({len(got)} rows)")
