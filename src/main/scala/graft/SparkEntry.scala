@@ -1113,6 +1113,7 @@ object SparkEntry {
       val fixture = base.unionByName(base.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
       TextDedup.stripCommonSegments(fixture, segTokens = 10, minDocs = 2)
+        .select("doc_id", "kept_segments", "removed_segments", "clean_hash")
         .orderBy("doc_id")
     }),
 
@@ -1128,7 +1129,31 @@ object SparkEntry {
           concat_ws("\n", lit("shared header line"), col("text"),
             when(col("doc_id") % 2 === 0, lit("shared footer line"))).as("text")),
         minDocs = 2)
+        .select("doc_id", "kept_segments", "removed_segments", "clean_hash")
         .orderBy("doc_id")),
+
+    // The FULL curation pipeline (CurationPipeline.runFull) as ONE
+    // oracle-gated query — quality gate → (no-op) decontaminate →
+    // minhash near-dup dedup → CCNet boilerplate strip → duplicate-span
+    // strip, with the gate comparing the final per-doc clean-text hash.
+    // A 25-token passage planted on the %7∈{1,3} docs gives the span
+    // stage corpus-level work the raw table wouldn't (its duplicate
+    // spans live in exact-dup docs, which dedup removes first). The
+    // oracle replays every stage; banding recall at the 0.5 threshold
+    // is the doc_dedup_near argument (all qualifying pairs have j≳0.9).
+    "ref_curation_clean" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 7 === 1 || col("doc_id") % 7 === 3,
+          concat(col("text"), lit(" " + curationPassage)))
+          .otherwise(col("text")).as("text"))
+      val report = graft.pipeline.CurationPipeline.runFull(s, base,
+        s.emptyDataFrame.withColumn("text", lit("")).select("text"),
+        jaccardThreshold = 0.5)
+      require(report.ok, s"runFull failed: ${report.stages}")
+      s.table(graft.pipeline.CurationPipeline.CleanTable)
+        .select(col("doc_id"), md5(col("text")).as("clean_hash"))
+        .orderBy("doc_id")
+    }),
 
     // Cross-engine-checkable MinHash signatures (md5 variant).
     "doc_minhash_sig" -> ((s, dir) =>
@@ -1383,6 +1408,19 @@ object SparkEntry {
         .select(col("probe_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
         .orderBy("probe_id")
     }),
+
+    // SemDeDup over REAL k-means cells (closing the md5-cell stand-in
+    // gap). Gated on the twin invariant, same style as emb_topk_ivf:
+    // on this fixture every cosine-≥tau pair is an identical twin
+    // (verified: max non-twin cosine < 0.9), identical vectors share
+    // any pure-function cluster, so within-cell dominance equals
+    // GLOBAL dominance — which DuckDB computes from first principles.
+    // Cluster ids are k-means artifacts and are excluded (the md5 twin
+    // emb_semdedup gates cell shape).
+    "emb_semdedup_kmeans" -> ((s, dir) =>
+      Similarity.semDedupKmeans(embDupFixture(s, dir), tau = 0.97, k = 8, iters = 2)
+        .select(col("vec_id"), col("kept"))
+        .orderBy("vec_id")),
 
     // Class prototypes: per-(label, dim) mean embedding. The sums are
     // exact DECIMAL (order-free — a double sum under partial
@@ -2362,6 +2400,10 @@ object SparkEntry {
   // DuckDB renditions of the LLM-ops queries. Expression shapes mirror
   // the Spark plans 1:1 (same normalize/tokenize/round/CASE order) so
   // double arithmetic is bit-identical.
+  /** The planted duplicate passage ref_curation_clean appends to the
+    * %7∈{1,3} docs — shared between the Spark fixture and the oracle. */
+  private val curationPassage = (0 until 25).map(i => s"curpass$i").mkString(" ")
+
   private val docTokens =
     """SELECT doc_id, text,
       |       CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
@@ -2765,6 +2807,126 @@ object SparkEntry {
         |FROM (SELECT DISTINCT doc_id FROM fixture) f
         |LEFT JOIN agg a USING (doc_id)
         |ORDER BY f.doc_id""".stripMargin,
+
+    // Full-pipeline replay, stage for stage: planted fixture → quality
+    // rules (the doc_quality_quantiles regexes at qualityFilter's
+    // default thresholds) → all-pairs 0.5-jaccard dedup with
+    // recursive-CTE components (the doc_dedup_near block) → aligned
+    // 10-token boilerplate strip (the doc_strip_boilerplate block) →
+    // 20-token duplicate-span strip (the doc_strip_spans block) over
+    // the boiled text — ending in the same per-doc md5.
+    "ref_curation_clean" ->
+      s"""WITH RECURSIVE fixture AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 7 = 1 OR doc_id % 7 = 3
+         |              THEN text || ' $curationPassage'
+         |              ELSE text END AS text
+         |  FROM documents),
+         |qt AS (
+         |  SELECT doc_id, text,
+         |         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         |  FROM fixture),
+         |q AS (
+         |  SELECT doc_id, text FROM qt
+         |  WHERE len(toks) >= 25 AND len(toks) <= 20000
+         |    AND length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+         |        / greatest(length(text), 1) <= 0.25
+         |    AND len(list_filter(toks, w -> list_contains($statsEn, w)))::DOUBLE
+         |        / greatest(len(toks), 1) >= 0.02),
+         |sh AS (
+         |  SELECT doc_id, CASE WHEN len(lt) < 3 THEN [array_to_string(lt, ' ')]
+         |         ELSE list_distinct(list_transform(range(1, len(lt)-1),
+         |                            i -> array_to_string(lt[i:i+2], ' '))) END AS s
+         |  FROM (SELECT doc_id,
+         |               string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS lt
+         |        FROM q)),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sh a, sh b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.s, b.s))::DOUBLE
+         |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |clusters AS (
+         |  SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM (
+         |    SELECT src AS id, dst AS lbl FROM reach
+         |    UNION SELECT src, src FROM edges)
+         |  GROUP BY 1),
+         |curated AS (
+         |  SELECT doc_id, text FROM q
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)),
+         |btoks AS (
+         |  SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS toks
+         |  FROM curated
+         |  WHERE text IS NOT NULL AND trim(regexp_replace(text, '\\s+', ' ', 'g')) <> ''),
+         |bseg AS (
+         |  SELECT doc_id, unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS seg_no,
+         |         toks
+         |  FROM btoks),
+         |bstext AS (
+         |  SELECT doc_id, seg_no,
+         |         array_to_string(toks[seg_no * 10 + 1 : seg_no * 10 + 10], ' ') AS seg_text
+         |  FROM bseg),
+         |bcommon AS (
+         |  SELECT seg_text FROM bstext GROUP BY seg_text HAVING count(DISTINCT doc_id) >= 2),
+         |bmarked AS (
+         |  SELECT s.doc_id, s.seg_no, s.seg_text, c.seg_text IS NOT NULL AS is_common
+         |  FROM bstext s LEFT JOIN bcommon c ON s.seg_text = c.seg_text),
+         |bagg AS (
+         |  SELECT doc_id,
+         |         string_agg(CASE WHEN NOT is_common THEN seg_text END, ' ' ORDER BY seg_no) AS text_clean
+         |  FROM bmarked GROUP BY doc_id),
+         |boiled AS (
+         |  SELECT c.doc_id, COALESCE(a.text_clean, '') AS text
+         |  FROM curated c LEFT JOIN bagg a USING (doc_id)),
+         |st AS (
+         |  SELECT doc_id,
+         |         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         |  FROM boiled),
+         |sw AS (
+         |  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 20 + 2),
+         |        i -> struct_pack(pos := i, g := array_to_string(toks[i:i+19], ' ')))) AS u
+         |    FROM st WHERE len(toks) >= 20)),
+         |sdup AS (
+         |  SELECT doc_id, pos FROM (
+         |    SELECT doc_id, pos, row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+         |    FROM sw) WHERE rn > 1),
+         |smarked AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos > COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+         |                                  -1000000) + 20
+         |              THEN 1 ELSE 0 END AS newgrp
+         |  FROM sdup),
+         |sgrp AS (
+         |  SELECT doc_id, pos,
+         |         SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+         |  FROM smarked),
+         |sspans AS (
+         |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 19 AS span_end
+         |  FROM sgrp GROUP BY doc_id, gid),
+         |tokpos AS (
+         |  SELECT doc_id, u.i AS i, u.tok AS tok FROM (
+         |    SELECT doc_id, unnest(list_transform(toks,
+         |        (tok, i) -> struct_pack(i := i, tok := tok))) AS u
+         |    FROM st)),
+         |keep AS (
+         |  SELECT tp.doc_id, tp.i, tp.tok FROM tokpos tp
+         |  WHERE NOT EXISTS (SELECT 1 FROM sspans s
+         |                    WHERE s.doc_id = tp.doc_id
+         |                      AND tp.i BETWEEN s.span_start AND s.span_end))
+         |SELECT b.doc_id,
+         |       md5(COALESCE(string_agg(k.tok, ' ' ORDER BY k.i), '')) AS clean_hash
+         |FROM boiled b LEFT JOIN keep k USING (doc_id)
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
 
     "doc_minhash_sig" ->
       s"""WITH sh AS ($docShingles)
@@ -3351,6 +3513,24 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM scored)
         |WHERE rank = 1 ORDER BY probe_id""".stripMargin,
+
+    // Twin-invariant replay: on this fixture cosine ≥ 0.97 ⇔ identical
+    // twin ⇔ same cell under ANY pure-function clustering, so the
+    // within-cell EXISTS collapses to a global EXISTS — no k-means
+    // replay needed.
+    "emb_semdedup_kmeans" ->
+      """WITH fixture AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 50 = 0)
+        |SELECT c.vec_id,
+        |       NOT EXISTS (
+        |         SELECT 1 FROM fixture a
+        |         WHERE a.vec_id < c.vec_id
+        |           AND list_dot_product(a.v, c.v)
+        |               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) >= 0.97
+        |       ) AS kept
+        |FROM fixture c ORDER BY vec_id""".stripMargin,
 
     // exact DECIMAL(38,18) sums: any float→decimal last-ulp divergence
     // (≤5e-19 per element) stays far below the round-to-6 resolution

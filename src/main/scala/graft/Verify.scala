@@ -23,7 +23,9 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         failed ::= name
-        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        val causes = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(_.toString).mkString(" <- ")
+        System.err.println(s"[verify] $name FAILED: $causes")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -406,9 +406,31 @@ object Similarity {
     val d = if (dim >= 0) dim else vectors.filter(col("embedding").isNotNull)
       .select(size(col("embedding"))).limit(1).collect()
       .headOption.map(_.getInt(0)).getOrElse(0)
+    semDedupBy(vectors, tau, e => lshBucketMd5(e, clusterPlanes, d))
+  }
+
+  /** [[semDedup]] over REAL k-means cells — the paper's own clustering
+    * instead of the md5-plane stand-in: [[trainCentroids]] learns `k`
+    * centroids ([[topKIvf]]'s coarse quantizer), every vector joins its
+    * argmax-cosine cell, and the same dominated-by-earlier rule runs
+    * within cells. Same scale shape (cell-bounded quadratic term; raise
+    * `k` to keep cells ~sqrt-sized); the cluster ids are k-means-run
+    * artifacts, so cross-engine gates compare the KEPT flags and leave
+    * cell-shape checking to the md5 twin. */
+  def semDedupKmeans(vectors: DataFrame, tau: Double, k: Int = 8,
+                     iters: Int = 2, seed: Long = 42L): DataFrame = {
+    val cents = trainCentroids(vectors.filter(col("embedding").isNotNull), k, iters, seed)
+    semDedupBy(vectors, tau, e => argmaxCentroid(e, cents).cast("long"))
+  }
+
+  /** Shared SemDeDup core: cluster assignment is a pure column function
+    * of the embedding (so identical vectors always share a cell — the
+    * property the twin-fixture gates lean on). */
+  private def semDedupBy(vectors: DataFrame, tau: Double,
+                         clusterOf: Column => Column): DataFrame = {
     val clustered = vectors.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"),
-        lshBucketMd5(col("embedding"), clusterPlanes, d).as("cluster"),
+        clusterOf(col("embedding")).as("cluster"),
         norm(col("embedding")).as("nrm"))
       .localCheckpoint(true)
     val dominated = clustered.select(col("cluster"), col("vec_id").as("a_id"),

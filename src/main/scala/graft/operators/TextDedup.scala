@@ -415,7 +415,11 @@ object TextDedup {
       .select(col("doc_id"),
         coalesce(col("kept_segments"), lit(0L)).as("kept_segments"),
         coalesce(col("removed_segments"), lit(0L)).as("removed_segments"),
-        md5(coalesce(col("text_clean"), lit(""))).as("clean_hash"))
+        md5(coalesce(col("text_clean"), lit(""))).as("clean_hash"),
+        // the reassembled text itself, for consumers that keep
+        // processing (CurationPipeline's strip stage) — gate queries
+        // project it away and compare the hash
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
   // ------------------------------------------------------------------

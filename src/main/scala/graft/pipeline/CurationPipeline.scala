@@ -73,21 +73,36 @@ object CurationPipeline {
   val SequencesTable = "documents_sequences"
 
   /** The FULL training-data flow: quality gate → benchmark
-    * decontamination → near-dup dedup → leakage-safe split assignment
-    * → sequence packing (train split) → epoch shuffle, each stage
-    * reading the previous stage's catalog table (never a closure over
-    * a live DataFrame) and reporting its drop counts in the metric map
-    * — at 100 TB every one of these filters removes real data, and the
-    * run report must say how much and why.
+    * decontamination → near-dup dedup → boilerplate strip → duplicate-
+    * span strip → leakage-safe split assignment → sequence packing
+    * (train split) → epoch shuffle, each stage reading the previous
+    * stage's catalog table (never a closure over a live DataFrame) and
+    * reporting its drop counts in the metric map — at 100 TB every one
+    * of these filters removes real data, and the run report must say
+    * how much and why.
+    *
+    * Stage order rationale: near-dup dedup runs on RAW text (stripping
+    * shared spans first would erase exactly the overlap the near-dup
+    * signal needs), then the SURVIVORS get CCNet boilerplate removal
+    * (segments in ≥ `boilerMinDocs` docs removed from every occurrence)
+    * and Lee-et-al duplicate-span stripping (keep-first for repeated
+    * ≥ `spanK`-token runs that distinct docs still share) — so packed
+    * training sequences carry each passage at most once.
     *
     * `benchmark` carries the held-out eval text; pass an empty frame to
-    * skip decontamination (count 0 → stage is a recorded no-op). */
+    * skip decontamination (count 0 → stage is a recorded no-op). The
+    * quality thresholds are corpus-tuning parameters (identity values —
+    * minTokens 0, maxPunctRatio 1, minStopwordRatio 0 — make the gate a
+    * recorded pass-through, same contract as the empty benchmark). */
   def runFull(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
               jaccardThreshold: Double = 0.8,
               maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
               seqLen: Int = 2048,
               shuffleSeed: Long = 42L,
               splitWeights: Seq[(String, Double)] = Seq("train" -> 1.0),
+              minTokens: Int = 25, maxTokens: Int = 20000,
+              maxPunctRatio: Double = 0.25, minStopwordRatio: Double = 0.02,
+              segTokens: Int = 10, boilerMinDocs: Int = 2, spanK: Int = 20,
               notify: PipelineReport => Unit = _ => ()): PipelineReport = {
     val stages = Seq[Stage](
       Stage("quality_gate") { m =>
@@ -96,7 +111,10 @@ object CurationPipeline {
         // the per-reason drop counts derive from it — profiling the
         // raw corpus (token/punct/stopword regexes) is the expensive
         // part and must not run twice
-        Catalog.overwriteTable(Curation.qualityFilter(docs), QualityFlagsTable)
+        Catalog.overwriteTable(Curation.qualityFilter(docs,
+          minTokens = minTokens, maxTokens = maxTokens,
+          maxPunctRatio = maxPunctRatio, minStopwordRatio = minStopwordRatio),
+          QualityFlagsTable)
         val flags = spark.table(QualityFlagsTable)
         Catalog.overwriteTable(
           docs.join(flags.filter(col("keep")).select("doc_id"), Seq("doc_id")), QualityTable)
@@ -117,12 +135,42 @@ object CurationPipeline {
       }) ++
       dedupStages(spark, () => spark.table(QualityTable + "_clean"),
         "decontaminated_kept", jaccardThreshold, maxBucketSize) ++
-      Seq(Stage("split_assign") { _ =>
+      Seq(Stage("strip_boilerplate") { _ =>
+        // CCNet segment removal over the deduped tier: a segment in
+        // >= boilerMinDocs docs disappears from EVERY occurrence. The
+        // staged output carries the clean text forward plus the per-doc
+        // removal counts the metrics read — one evaluation, no recompute.
+        val curated = spark.table(CuratedTable).select("doc_id", "text")
+        Catalog.overwriteTable(
+          TextDedup.stripCommonSegments(curated, segTokens = segTokens,
+              minDocs = boilerMinDocs)
+            .select(col("doc_id"), col("text_clean").as("text"),
+              col("removed_segments")),
+          BoilerTable)
+        val agg = spark.table(BoilerTable)
+          .agg(coalesce(sum("removed_segments"), lit(0L))).head()
+        Map("boilerplate_segments_removed" -> agg.getLong(0))
+      },
+      Stage("strip_spans") { _ =>
+        // Lee-et-al duplicate-span strip (keep-first) on the
+        // boilerplate-free text; the token delta is read from the two
+        // staged tables, never by re-running the strip.
+        val boiled = spark.table(BoilerTable).select("doc_id", "text")
+        Catalog.overwriteTable(
+          TextDedup.stripDuplicateSpans(boiled, k = spanK)
+            .select(col("doc_id"), col("clean_text").as("text")),
+          CleanTable)
+        def toks(t: String) = spark.table(t)
+          .agg(coalesce(sum(size(graft.operators.TextStats.tokens(col("text")))), lit(0L)))
+          .head().getLong(0)
+        Map("span_tokens_removed" -> (toks(BoilerTable) - toks(CleanTable)))
+      },
+      Stage("split_assign") { _ =>
         // leakage-safe id-hash split AFTER dedup (assigning before
         // would let near-dup copies of one text straddle splits);
         // downstream packs the train split only. Default 100% train →
         // recorded no-op.
-        val assigned = Curation.splitAssign(spark.table(CuratedTable), splitWeights)
+        val assigned = Curation.splitAssign(spark.table(CleanTable), splitWeights)
         Catalog.overwriteTable(assigned, SplitTable)
         spark.table(SplitTable).groupBy("split").count().collect()
           .map(r => s"split_${r.getString(0)}" -> r.getLong(1)).toMap
@@ -156,6 +204,8 @@ object CurationPipeline {
 
   val TrainOrderTable = "documents_train_order"
   val SplitTable = "documents_split"
+  val BoilerTable = "documents_boiler"
+  val CleanTable = "documents_clean"
 
   val TierTable = "documents_tier"
   val BandIndexTable = "documents_band_index"

@@ -25,17 +25,21 @@ import org.apache.spark.sql.types.StructType
 object Catalog {
 
   /** S8: idempotent CREATE TABLE. */
-  def ensureTable(spark: SparkSession, name: String, schema: StructType): Unit =
+  def ensureTable(spark: SparkSession, name: String, schema: StructType): Unit = {
+    dropOrphanLocation(spark, name)
     spark.sql(s"CREATE TABLE IF NOT EXISTS $name (${schema.toDDL}) USING PARQUET")
+  }
 
   /** S8 variant: idempotent CREATE TABLE partitioned on `partitionCol`
     * (which must be in `schema`) — the 100 TB layout for append-heavy
     * tiers whose maintenance joins (the dedup anti-join) prune to a
     * bounded date range instead of scanning the whole tier. */
   def ensureTablePartitioned(spark: SparkSession, name: String, schema: StructType,
-                             partitionCol: String): Unit =
+                             partitionCol: String): Unit = {
+    dropOrphanLocation(spark, name)
     spark.sql(
       s"CREATE TABLE IF NOT EXISTS $name (${schema.toDDL}) USING PARQUET PARTITIONED BY ($partitionCol)")
+  }
 
   /** S9: CTAS full refresh, published ATOMICALLY: the result lands in a
     * fresh versioned parquet directory and the name is then flipped to
@@ -101,11 +105,27 @@ object Catalog {
     }
   }
 
+  /** Reclaim a managed-table location whose catalog entry is gone — a
+    * NEW session over a surviving warehouse dir (the in-memory catalog
+    * dies with the process; the parquet directories don't). saveAsTable
+    * refuses such orphans with LOCATION_ALREADY_EXISTS; since only the
+    * catalog grants reads, an entry-less location is dead data and
+    * reclaiming it is safe. On a metastore-backed cluster the entry
+    * survives too and this is a no-op. */
+  private def dropOrphanLocation(spark: SparkSession, name: String): Unit =
+    if (!spark.catalog.tableExists(name)) {
+      val loc = new Path(new Path(spark.conf.get("spark.sql.warehouse.dir")),
+        name.toLowerCase(java.util.Locale.ROOT))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+
   /** The NON-atomic table overwrite — for sequential scratch tiers (a
     * per-batch staging table read only by the stages that follow in the
     * same run); use [[ctasOverwrite]] for anything a concurrent reader
     * may query. */
   def overwriteTable(df: DataFrame, name: String): Unit = {
+    dropOrphanLocation(df.sparkSession, name)
     df.write.mode("overwrite").option("overwriteSchema", "true").saveAsTable(name)
     df.sparkSession.catalog.refreshTable(name)
   }

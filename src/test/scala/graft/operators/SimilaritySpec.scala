@@ -363,4 +363,24 @@ class SimilaritySpec extends SparkSpec {
     assert(!r(2L))      // dominated by a (0.995 >= 0.99)
     assert(!r(3L))      // dominated by b (0.995 >= 0.99) though b dropped
   }
+
+  test("semDedupKmeans: learned cells split the groups; within-cell near-dups drop keep-first") {
+    // two tight groups far apart: k=2 Lloyd MUST split them; each
+    // group's later near-copy drops, cross-group similarity ~0 so
+    // nothing crosses cells; a null row passes through kept
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(0.999f, 0.01f, 0f)),
+      (10L, Array(0f, 0f, 1f)), (11L, Array(0f, 0.01f, 0.999f)),
+      (20L, null.asInstanceOf[Array[Float]])
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.semDedupKmeans(df, tau = 0.95, k = 2, iters = 2)
+      .collect().map(row => row.getLong(0) ->
+        ((if (row.isNullAt(1)) None else Some(row.getLong(1))), row.getBoolean(2))).toMap
+    assert(r.keySet == Set(1L, 2L, 10L, 11L, 20L), "every input row comes back")
+    assert(r(1L)._2 && !r(2L)._2, s"group A keeps first only: $r")
+    assert(r(10L)._2 && !r(11L)._2, s"group B keeps first only: $r")
+    assert(r(1L)._1 == r(2L)._1, "near-copies share their learned cell")
+    assert(r(1L)._1 != r(10L)._1, "k=2 must separate the groups")
+    assert(r(20L) == ((None, true)), "null embedding: kept, null cluster")
+  }
 }

@@ -12,7 +12,8 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     Seq(CurationPipeline.PairsTable, CurationPipeline.CuratedTable,
       CurationPipeline.QualityTable, CurationPipeline.QualityTable + "_clean",
       CurationPipeline.SequencesTable, CurationPipeline.TierTable,
-      CurationPipeline.BandIndexTable, CurationPipeline.BatchSurvivorsTable)
+      CurationPipeline.BandIndexTable, CurationPipeline.BatchSurvivorsTable,
+      CurationPipeline.BoilerTable, CurationPipeline.CleanTable)
       .foreach(t => graft.plans.Catalog.dropIfExists(spark, t))
 
   private def docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
@@ -33,6 +34,47 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     val kept = spark.table(CurationPipeline.CuratedTable)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept.contains(0L) && !kept.contains(100000L))
+  }
+
+  test("runFull strip stages: boilerplate segments vanish everywhere, shared spans keep-first") {
+    // two long unique docs (far below near-dup threshold) that share a
+    // planted 25-token passage, plus a 10-token header opening both —
+    // the header is an aligned segment in 2 docs (CCNet strip removes
+    // ALL copies), the passage is a duplicate span (keep-first)
+    val header = (0 until 10).map(i => s"hdr$i").mkString(" ")
+    val passage = (0 until 25).map(i => s"shared$i").mkString(" ")
+    def body(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    // body lengths differ so the shared passage is NOT block-aligned in
+    // doc 2 — otherwise the aligned-segment boilerplate strip would
+    // claim it before the span strip ever sees it
+    val planted = Seq(
+      (1L, s"$header ${body("alpha", 80)} $passage"),
+      (2L, s"$header ${body("beta", 83)} $passage"),
+      (3L, body("gamma", 90))
+    ).toDF("doc_id", "text")
+    val report = CurationPipeline.runFull(spark, planted,
+      spark.emptyDataFrame.withColumn("text", lit("")).select("text"),
+      jaccardThreshold = 0.5,
+      // identity quality gate: synthetic tokens carry no stopwords
+      minTokens = 0, maxPunctRatio = 1.0, minStopwordRatio = 0.0)
+    assert(report.ok, report.stages.toString)
+    val m = report.metrics
+    assert(m("docs_removed") == 0L, s"planted docs are not near-dups: $m")
+    // header: one aligned 10-token segment x 2 docs, removed from BOTH
+    assert(m("boilerplate_segments_removed") == 2L, m.toString)
+    // passage: stripped from exactly one of the two docs (keep-first)
+    assert(m("span_tokens_removed") >= 20L && m("span_tokens_removed") <= 35L, m.toString)
+    val clean = spark.table(CurationPipeline.CleanTable)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!clean(1L).contains("hdr0") && !clean(2L).contains("hdr0"),
+      "header must vanish from every occurrence")
+    assert(clean(3L).contains("gamma0") && !clean(3L).contains("hdr0"))
+    val passageSurvivors = Seq(1L, 2L).count(id => clean(id).contains("shared12"))
+    assert(passageSurvivors == 1, s"span strip keeps exactly the first occurrence: $clean")
+    // packed sequences read the CLEAN text: total tokens must match it
+    val cleanToks = spark.table(CurationPipeline.CleanTable)
+      .agg(sum(size(graft.operators.TextStats.tokens($"text")))).head().getLong(0)
+    assert(m("train_tokens") == cleanToks, m.toString)
   }
 
   test("full flow: quality gate, decontamination, dedup, and packing each report their cuts") {
