@@ -20,28 +20,40 @@ object ScaleSmoke {
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Replication multipliers (SPARK_GRAFT_SCALE_MULT docs,
+    // SPARK_GRAFT_SCALE_VMULT vectors): default 10×/4× = the 50k-doc
+    // tier; mult=100 gives the 500k-doc tier for measuring one more
+    // decade of scaling. SPARK_GRAFT_SCALE_OPS comma-filters ops.
+    val mult = sys.env.get("SPARK_GRAFT_SCALE_MULT").map(_.toInt).getOrElse(10)
+    val vmult = sys.env.get("SPARK_GRAFT_SCALE_VMULT").map(_.toInt).getOrElse(4)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").toSet)
     val docs0 = Tables.load(spark, sfDir, "documents").select("doc_id", "text")
-    val docs = (0 until 10).map(i =>
+    val docs = (0 until mult).map(i =>
       docs0.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
       .reduce(_ unionByName _).localCheckpoint(true)
     val emb0 = Tables.load(spark, sfDir, "embeddings").select("vec_id", "embedding")
-    val emb = (0 until 4).map(i =>
+    val emb = (0 until vmult).map(i =>
       emb0.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
       .reduce(_ unionByName _).localCheckpoint(true)
     val nDocs = docs.count()
     val nVecs = emb.count()
 
     var results = Vector.empty[(String, Double, Long)]
-    def timed(name: String)(body: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = body
-      results :+= ((name, (System.nanoTime() - t0) / 1e9, rows))
-    }
+    def timed(name: String)(body: => Long): Unit =
+      if (only.forall(_.contains(name))) {
+        val t0 = System.nanoTime()
+        val rows = body
+        val sec = (System.nanoTime() - t0) / 1e9
+        // stream each row as it lands — a failed LATER op must not
+        // lose the measurements already taken
+        System.err.println(f"[scale] $name%s ${sec}%.3f s, $rows%d rows")
+        results :+= ((name, sec, rows))
+      }
 
     timed("dedup_near_minhash_50k") {
       val kept = operators.TextDedup.dedupNearMinhash(docs, jaccardThreshold = 0.5)
       val n = kept.count()
-      require(n <= nDocs / 10, s"10x duplication families must collapse: kept $n of $nDocs")
+      require(n <= nDocs / mult, s"${mult}x duplication families must collapse: kept $n of $nDocs")
       n
     }
     timed("dedup_blocks_50k") {
@@ -50,7 +62,7 @@ object ScaleSmoke {
       require(n == nDocs, s"one row per doc: $n of $nDocs")
       // 10x clone families: at most one doc per family keeps any block
       val keepers = out.filter(col("kept_blocks") > 0).count()
-      require(keepers <= nDocs / 10, s"clone blocks must collapse: $keepers keepers of $nDocs")
+      require(keepers <= nDocs / mult, s"clone blocks must collapse: $keepers keepers of $nDocs")
       n
     }
     timed("strip_boilerplate_50k") {
@@ -112,7 +124,7 @@ object ScaleSmoke {
     timed("dedup_near_cosine_20k") {
       val kept = operators.Similarity.dedupNearCosine(emb, 0.999)
       val n = kept.count()
-      require(n <= nVecs / 4, s"4x identical vectors must collapse: kept $n of $nVecs")
+      require(n <= nVecs / vmult, s"${vmult}x identical vectors must collapse: kept $n of $nVecs")
       n
     }
     timed("shuffle_epoch_50k") {
@@ -164,9 +176,14 @@ object ScaleSmoke {
       n
     }
     timed("levenshtein_pairs_50k") {
-      // 10x clone corpus: the prefix blocks are full of distance-0 pairs
+      // clone corpus: the prefix blocks are full of distance-0 pairs —
+      // UNLESS the family size exceeds the block cap (it does at
+      // mult=100), in which case the skip metric must report the
+      // silenced blocks instead of the run reading "0 pairs" as clean
       val n = operators.TextDedup.nearDupPairsLevenshtein(docs).count()
-      require(n > 0, "clone corpus must produce edit-distance pairs")
+      val skipped = operators.TextDedup.skippedBlocksLevenshtein(docs).count()
+      require(n > 0 || skipped > 0,
+        s"clone corpus must produce edit-distance pairs or reported skips: $n pairs, $skipped skips")
       n
     }
     timed("scd2_history_100k_events") {
@@ -193,7 +210,7 @@ object ScaleSmoke {
       val pairs = operators.TextDedup.containmentPairs(docs, threshold = 0.99)
       val skipped = operators.TextDedup.skippedPostingsContainment(docs)
       val (nPairs, nSkipped) = (pairs.count(), skipped.count())
-      require(nPairs >= nDocs * 9 || nSkipped > 0,
+      require(nPairs >= nDocs * (mult - 1) || nSkipped > 0,
         s"clone containment must surface: $nPairs pairs, $nSkipped capped postings")
       nPairs
     }
@@ -204,7 +221,7 @@ object ScaleSmoke {
       // 4x identical clones share the cluster bitwise; only the lowest
       // id of each clone family can survive
       val kept = out.filter(col("kept")).count()
-      require(kept <= nVecs / 4, s"clone families must collapse: kept $kept of $nVecs")
+      require(kept <= nVecs / vmult, s"clone families must collapse: kept $kept of $nVecs")
       n
     }
     // docs long enough to emit any 20-token window (short docs can
@@ -218,8 +235,8 @@ object ScaleSmoke {
       val spans = operators.TextDedup.duplicateSpans(docs).localCheckpoint(true)
       val n = spans.count()
       val docsWithSpans = spans.select("doc_id").distinct().count()
-      require(docsWithSpans >= eligible * 9 / 10,
-        s"9 of 10 eligible clones must carry a span: $docsWithSpans, eligible $eligible")
+      require(docsWithSpans >= eligible * (mult - 1) / mult,
+        s"all but one of each eligible clone family must carry a span: $docsWithSpans, eligible $eligible")
       n
     }
     timed("winnowed_spans_50k") {
@@ -229,8 +246,8 @@ object ScaleSmoke {
       val spans = operators.TextDedup.winnowedSpans(docs).localCheckpoint(true)
       val n = spans.count()
       val docsWithSpans = spans.select("doc_id").distinct().count()
-      require(docsWithSpans >= eligible * 9 / 10,
-        s"9 of 10 eligible clones must carry a winnowed span: $docsWithSpans, eligible $eligible")
+      require(docsWithSpans >= eligible * (mult - 1) / mult,
+        s"all but one of each eligible clone family must carry a winnowed span: $docsWithSpans, eligible $eligible")
       n
     }
     timed("strip_spans_50k") {
@@ -240,7 +257,7 @@ object ScaleSmoke {
       // a later clone's whole text is one span, so it strips to empty;
       // survivors are first occurrences + short docs
       val nonEmpty = out.filter(length(col("clean_text")) > 0).count()
-      require(nonEmpty <= nDocs - eligible * 9 / 10,
+      require(nonEmpty <= nDocs - eligible * (mult - 1) / mult,
         s"later clones must strip empty: $nonEmpty non-empty, eligible $eligible")
       n
     }

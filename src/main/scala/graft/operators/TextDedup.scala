@@ -1155,4 +1155,19 @@ object TextDedup {
       .filter(col("edit_distance") <= maxDist)
       .select("a", "b", "edit_distance")
   }
+
+  /** The dropped-block METRIC for [[nearDupPairsLevenshtein]] — same
+    * observability contract as [[skippedBucketsJaccard]] /
+    * skippedPostingsContainment: one row per prefix block whose
+    * population exceeded `maxBlockSize` (with the count), because a
+    * block the cap silences can hide REAL pairs — a pipeline must
+    * report it and route those members to a raised-cap retry, never
+    * read "0 pairs" as "no duplicates". */
+  def skippedBlocksLevenshtein(docs: DataFrame, textCol: String = "text",
+                               blockPrefix: Int = 24,
+                               maxBlockSize: Int = 64): DataFrame =
+    docs.select(normalize(col(textCol)).as("__t"))
+      .select(substring(col("__t"), 1, blockPrefix).as("block"))
+      .groupBy("block").agg(count(lit(1)).as("member_count"))
+      .filter(col("member_count") > maxBlockSize)
 }

@@ -469,9 +469,16 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unblocked doc leaked in")
     assert(!pairs.contains((1L, 5L)), "beyond-maxDist pair kept")
 
-    // a degenerate block larger than the cap generates NO pairs
+    // a degenerate block larger than the cap generates NO pairs — and
+    // the skip metric must then REPORT that block with its population,
+    // so "0 pairs" is never silently read as "no duplicates"
     val degenerate = (0L until 100L).map(i => (i, base)).toDF("doc_id", "text")
     assert(TextDedup.nearDupPairsLevenshtein(degenerate, maxBlockSize = 64).count() == 0)
+    val skipped = TextDedup.skippedBlocksLevenshtein(degenerate, maxBlockSize = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(skipped.length == 1 && skipped.head._2 == 100L, skipped.toList.toString)
+    // under-cap corpora report nothing
+    assert(TextDedup.skippedBlocksLevenshtein(docs, maxBlockSize = 64).isEmpty)
   }
 
   test("duplicate spans: first occurrence wins, overlapping windows merge, strip keeps one copy") {
