@@ -324,12 +324,22 @@ object TextDedup {
     * any span covers them — one nested higher-order expression, no
     * per-token shuffle. */
   def stripDuplicateSpans(docs: DataFrame, textCol: String = "text",
-                          k: Int = 20): DataFrame = {
-    val spans = duplicateSpans(docs, textCol, k)
+                          k: Int = 20): DataFrame =
+    stripSpansWith(docs, duplicateSpans(docs, textCol, k), textCol)
+
+  /** Strip a PRECOMPUTED (doc_id, span_start, span_end) span set out of
+    * `docs` — the shared consumer behind [[stripDuplicateSpans]] (grid
+    * spans) and the incremental pipeline ([[duplicateSpansAgainst]]
+    * spans vs a stored tier index). Row-local once the per-doc span
+    * list (few rows) broadcasts back; returns (doc_id, clean_text) for
+    * every input doc. */
+  def stripSpansWith(docs: DataFrame, spans: DataFrame,
+                     textCol: String = "text"): DataFrame = {
+    val spanLists = spans
       .groupBy("doc_id")
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
     val emptySpans = array().cast("array<struct<span_start:int,span_end:int>>")
-    docs.join(spans, Seq("doc_id"), "left")
+    docs.join(spanLists, Seq("doc_id"), "left")
       .select(col("doc_id"),
         concat_ws(" ", transform(
           filter(

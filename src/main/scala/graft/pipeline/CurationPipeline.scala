@@ -210,6 +210,10 @@ object CurationPipeline {
   val TierTable = "documents_tier"
   val BandIndexTable = "documents_band_index"
   val BatchSurvivorsTable = "documents_batch_survivors"
+  val SpanIndexTable = "documents_span_index"
+  val CleanTierTable = "documents_tier_clean"
+  val BatchCleanTable = "documents_batch_clean"
+  val BatchSpanIndexTable = "documents_batch_span_index"
 
   /** Incremental ingest — the 100 TB operating mode, where "dedup the
     * corpus" is not an event but a treadmill: each new crawl slice is
@@ -224,6 +228,17 @@ object CurationPipeline {
     * discipline — ids never reused across slices); under that
     * discipline the running tier equals what batch-global dedup over
     * all slices so far would keep (see nearDupAgainst's contract).
+    *
+    * Alongside the doc-level tier, the treadmill maintains the SPAN
+    * tier: each batch's survivors are span-stripped against the stored
+    * winnowed-fingerprint index ([[TextDedup.duplicateSpansAgainst]] —
+    * tier fingerprints never recomputed) and the clean text lands in
+    * [[CleanTierTable]] (the training-data artifact: each ≥(w+k−1)-
+    * token passage at most once across all slices, first occurrence
+    * kept, up to winnowing's boundary quantization). Dedup
+    * reconciliation state (tier text + band index + span index) stays
+    * on ORIGINAL text, so near-dup semantics never depend on what the
+    * span strip removed.
     */
   def ingestBatch(spark: SparkSession, batch: DataFrame,
                   jaccardThreshold: Double = 0.8,
@@ -249,15 +264,42 @@ object CurationPipeline {
         val kept = spark.table(BatchSurvivorsTable).count()
         Map("batch_kept" -> kept, "batch_dropped" -> (m("batch_in") - kept))
       },
+      Stage("incremental_strip_spans") { _ =>
+        // span treadmill: survivors strip against the STORED fingerprint
+        // index (plus earlier-in-batch material); bootstrap = winnowed
+        // spans within the batch alone. Both the clean text and the
+        // batch's own fingerprints stage to scratch tables so publish
+        // appends without recomputing either.
+        val survivors = spark.table(BatchSurvivorsTable).select("doc_id", "text")
+        val spans =
+          if (Catalog.tableExists(spark, SpanIndexTable))
+            TextDedup.duplicateSpansAgainst(spark.table(SpanIndexTable), survivors)
+          else TextDedup.winnowedSpans(survivors)
+        Catalog.overwriteTable(
+          TextDedup.stripSpansWith(survivors, spans)
+            .select(col("doc_id"), col("clean_text").as("text")),
+          BatchCleanTable)
+        Catalog.overwriteTable(TextDedup.spanIndex(survivors), BatchSpanIndexTable)
+        def toks(t: String) = spark.table(t)
+          .agg(coalesce(sum(size(graft.operators.TextStats.tokens(col("text")))), lit(0L)))
+          .head().getLong(0)
+        Map("span_tokens_removed" -> (toks(BatchSurvivorsTable) - toks(BatchCleanTable)))
+      },
       Stage("publish_batch") { _ =>
         val survivors = spark.table(BatchSurvivorsTable)
         val keys = TextDedup.bandIndex(survivors)
+        val clean = spark.table(BatchCleanTable)
+        val fps = spark.table(BatchSpanIndexTable)
         if (!Catalog.tableExists(spark, TierTable)) {
           Catalog.ensureTable(spark, TierTable, survivors.schema)
           Catalog.ensureTable(spark, BandIndexTable, keys.schema)
+          Catalog.ensureTable(spark, CleanTierTable, clean.schema)
+          Catalog.ensureTable(spark, SpanIndexTable, fps.schema)
         }
         Catalog.insertAppend(spark, TierTable, survivors)
         Catalog.insertAppend(spark, BandIndexTable, keys)
+        Catalog.insertAppend(spark, CleanTierTable, clean)
+        Catalog.insertAppend(spark, SpanIndexTable, fps)
         Map("tier_docs_after" -> spark.table(TierTable).count())
       })
     new Runner(stages, RetryPolicy(retries = 1), notify).run(Map("batch_in" -> batch.count()))

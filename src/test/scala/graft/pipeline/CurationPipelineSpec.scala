@@ -13,7 +13,9 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
       CurationPipeline.QualityTable, CurationPipeline.QualityTable + "_clean",
       CurationPipeline.SequencesTable, CurationPipeline.TierTable,
       CurationPipeline.BandIndexTable, CurationPipeline.BatchSurvivorsTable,
-      CurationPipeline.BoilerTable, CurationPipeline.CleanTable)
+      CurationPipeline.BoilerTable, CurationPipeline.CleanTable,
+      CurationPipeline.SpanIndexTable, CurationPipeline.CleanTierTable,
+      CurationPipeline.BatchCleanTable, CurationPipeline.BatchSpanIndexTable)
       .foreach(t => graft.plans.Catalog.dropIfExists(spark, t))
 
   private def docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
@@ -170,9 +172,19 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     val s1 = docs.filter($"doc_id" < 100)
       .unionByName(docs.filter($"doc_id" === 2)
         .select(($"doc_id" + 50000).as("doc_id"), concat($"text", lit(" tiny tail")).as("text")))
+    // plus a NEW doc that borrows a 30-token passage from tier doc 2 —
+    // far below near-dup at 0.5 (its own body dominates), so it
+    // survives dedup and the SPAN treadmill must strip the passage
+    val passage = docs.filter($"doc_id" === 2).select(
+      array_join(slice(split(trim($"text"), "\\s+"), 1, 30), " ").as("p"))
+      .head().getString(0)
+    val borrower = Seq((70000L,
+      (0 until 80).map(i => s"own$i").mkString(" ") + " " + passage))
+      .toDF("doc_id", "text")
     val s2 = docs.filter($"doc_id" >= 100 && $"doc_id" < 200)
       .unionByName(docs.filter($"doc_id" % 10 === 0 && $"doc_id" < 100)
         .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+      .unionByName(borrower)
 
     val r1 = CurationPipeline.ingestBatch(spark, s1, jaccardThreshold = 0.5)
     assert(r1.ok && r1.metrics("tier_docs") == 0L)
@@ -198,5 +210,24 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     val idxDocs = spark.table(CurationPipeline.BandIndexTable)
       .select("doc_id").distinct().as[Long].collect().toSet
     assert(idxDocs == tierIds)
+
+    // span treadmill: the clean tier covers exactly the doc tier, the
+    // borrower lost its cross-slice passage (detected against the
+    // STORED index, not a tier re-fingerprint), the first occurrence
+    // (tier doc 2) kept its text, and the slice-2 metric recorded it
+    val cleanMap = spark.table(CurationPipeline.CleanTierTable)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleanMap.keySet == tierIds, "clean tier must cover the doc tier")
+    val probe = passage.split("\\s+")(12) // a mid-passage token
+    assert(!cleanMap(70000L).contains(probe),
+      s"borrowed passage must strip from the later doc: ${cleanMap(70000L).take(120)}")
+    assert(cleanMap(70000L).contains("own5"), "the borrower's own text survives")
+    assert(cleanMap(2L).contains(probe), "first occurrence keeps the passage")
+    // one matched fingerprint guarantees a k=20-token span at minimum
+    assert(r2.metrics("span_tokens_removed") >= 20L, r2.metrics.toString)
+    // span index tracks the tier's docs
+    val fpDocs = spark.table(CurationPipeline.SpanIndexTable)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(fpDocs.subsetOf(tierIds) && fpDocs.contains(70000L))
   }
 }
