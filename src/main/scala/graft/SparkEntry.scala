@@ -1450,6 +1450,50 @@ object SparkEntry {
       Similarity.topKQuantized(e, e.filter(col("vec_id") % 50 === 0), 3)
         .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
         .orderBy("probe_id", "rank")
+    }),
+
+    // Product-quantization encode (Jégou et al. 2011): int8-quantize,
+    // then per-subspace argmin-L2 against md5-derived integer
+    // codebooks. Pure integer distances + first-minimum tie-break, so
+    // DuckDB rebuilds the codebooks AND the assignment from first
+    // principles — a full cross-engine check of the m-bytes-per-vector
+    // index tier. m=4 subspaces × ksub=8 centroids over dim 64.
+    "emb_pq_codes" -> ((s, dir) =>
+      Similarity.pqEncode(emb(s, dir), Similarity.pqBooksMd5(4, 8, 16))
+        .select(col("vec_id"), col("v_min"), col("v_max"),
+          array_join(col("pq_codes").cast("array<string>"), ",").as("pq_codes"))
+        .orderBy("vec_id")),
+
+    // Exhaustive top-3 in the PQ-compressed domain: symmetric-distance
+    // cosine over both sides' reconstructions, the topKQuantized affine
+    // algebra with PQ recon codes — every Σ an exact integer sum, so
+    // the whole path (codebooks, assignment, reconstruction, scores,
+    // ranking) replays bit-for-bit in the oracle.
+    "emb_topk_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.topKPq(e, e.filter(col("vec_id") % 50 === 0), 3,
+          Similarity.pqBooksMd5(4, 8, 16))
+        .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("probe_id", "rank")
+    }),
+
+    // IVF-PQ (IVFADC shape) twin-recall gate: TRAINED coarse centroids
+    // and TRAINED codebooks — the quality path, not the md5 stand-in.
+    // Each probe's identical twin shares its argmax cell (pure
+    // function of the vector) and reconstructs identically, so its
+    // symmetric-distance sim is the Cauchy-Schwarz maximum and IVF-PQ
+    // rank-1 MUST equal exact brute-force rank-1 — which DuckDB
+    // computes from first principles over raw floats. sim is excluded
+    // (PQ sims are approximate by design; recall is the contract).
+    "emb_topk_ivfpq" -> ((s, dir) => {
+      val planted = embDupFixture(s, dir)
+      val cents = Similarity.trainCentroids(planted, k = 8, iters = 2)
+      val books = Similarity.trainPqBooks(planted, m = 4, ksub = 8, iters = 2)
+      Similarity.topKIvfPq(planted, planted.filter(col("vec_id") >= 100000), 3,
+          cents, books, nprobe = 2)
+        .filter(col("rank") === 1)
+        .select(col("probe_id"), col("neighbor_id"))
+        .orderBy("probe_id")
     })
   )
 
@@ -3595,7 +3639,118 @@ object SparkEntry {
         |FROM (SELECT probe_id, neighbor_id, sim,
         |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM scored)
-        |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin
+        |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    // PQ encode replay from first principles: the same quantize shape,
+    // codebooks rebuilt from md5 (entry = first byte of
+    // md5('pq:<j*8+c>:<i>')), integer L2 per subspace, ties to the
+    // lowest centroid id via (dist, c) ranking — matching Spark's
+    // array_position-of-first-minimum exactly.
+    "emb_pq_codes" ->
+      """WITH vd AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |mm AS (SELECT vec_id, v, list_min(v) AS v_min, list_max(v) AS v_max FROM vd),
+        |q AS (
+        |  SELECT vec_id, v_min, v_max,
+        |         CASE WHEN v_max = v_min THEN list_transform(v, x -> 0)
+        |              ELSE list_transform(v, x ->
+        |                CAST(least(floor((x - v_min) * 255.0 / (v_max - v_min)), 255.0) AS INT)) END AS codes
+        |  FROM mm),
+        |books AS (
+        |  SELECT j, c, list_transform(range(0, 16), i ->
+        |      CAST('0x' || substr(md5('pq:' || (j * 8 + c)::VARCHAR || ':' || i::VARCHAR), 1, 2) AS INT)) AS cent
+        |  FROM range(0, 4) t(j), range(0, 8) u(c)),
+        |dists AS (
+        |  SELECT q.vec_id, b.j, b.c,
+        |         CAST(list_sum(list_transform(range(1, 17), i ->
+        |           (q.codes[CAST(b.j * 16 + i AS INT)] - b.cent[CAST(i AS INT)])
+        |             * (q.codes[CAST(b.j * 16 + i AS INT)] - b.cent[CAST(i AS INT)]))) AS BIGINT) AS dist
+        |  FROM q, books b),
+        |assign AS (
+        |  SELECT vec_id, j, c,
+        |         row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        |  FROM dists),
+        |pq AS (
+        |  SELECT vec_id, string_agg(c::VARCHAR, ',' ORDER BY j) AS pq_codes
+        |  FROM assign WHERE rn = 1 GROUP BY vec_id)
+        |SELECT q.vec_id, q.v_min, q.v_max, pq.pq_codes
+        |FROM q JOIN pq USING (vec_id) ORDER BY vec_id""".stripMargin,
+
+    // Full PQ pipeline replay: encode (as above), reconstruct by
+    // codebook lookup, then the identical affine cosine algebra as the
+    // emb_topk_quantized oracle with reconstructed codes — integer
+    // sums cast out of HUGEINT, one fixed IEEE multiply/add shape.
+    "emb_topk_pq" ->
+      """WITH vd AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |mm AS (SELECT vec_id, v, list_min(v) AS v_min, list_max(v) AS v_max FROM vd),
+        |q AS (
+        |  SELECT vec_id, v_min, v_max,
+        |         CASE WHEN v_max = v_min THEN list_transform(v, x -> 0)
+        |              ELSE list_transform(v, x ->
+        |                CAST(least(floor((x - v_min) * 255.0 / (v_max - v_min)), 255.0) AS INT)) END AS codes
+        |  FROM mm),
+        |books AS (
+        |  SELECT j, c, list_transform(range(0, 16), i ->
+        |      CAST('0x' || substr(md5('pq:' || (j * 8 + c)::VARCHAR || ':' || i::VARCHAR), 1, 2) AS INT)) AS cent
+        |  FROM range(0, 4) t(j), range(0, 8) u(c)),
+        |dists AS (
+        |  SELECT q.vec_id, b.j, b.c, b.cent,
+        |         CAST(list_sum(list_transform(range(1, 17), i ->
+        |           (q.codes[CAST(b.j * 16 + i AS INT)] - b.cent[CAST(i AS INT)])
+        |             * (q.codes[CAST(b.j * 16 + i AS INT)] - b.cent[CAST(i AS INT)]))) AS BIGINT) AS dist
+        |  FROM q, books b),
+        |assign AS (
+        |  SELECT vec_id, j, c, cent,
+        |         row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        |  FROM dists),
+        |recon AS (
+        |  SELECT vec_id, flatten(list(cent ORDER BY j)) AS rc
+        |  FROM assign WHERE rn = 1 GROUP BY vec_id),
+        |n AS (
+        |  SELECT q.vec_id, q.v_min AS mn, (q.v_max - q.v_min) / 255.0 AS s, r.rc,
+        |         CAST(len(r.rc) AS DOUBLE) AS d,
+        |         CAST(CAST(list_sum(r.rc) AS BIGINT) AS DOUBLE) AS csum,
+        |         CAST(CAST(list_sum(list_transform(r.rc, c -> c * c)) AS BIGINT) AS DOUBLE) AS csq
+        |  FROM q JOIN recon r USING (vec_id)),
+        |nn AS (SELECT *, d * mn * mn + 2.0 * mn * s * csum + s * s * csq AS normsq FROM n),
+        |probes AS (SELECT * FROM nn WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |         (p.d * p.mn * c.mn
+        |           + p.mn * c.s * c.csum
+        |           + c.mn * p.s * p.csum
+        |           + p.s * c.s * CAST(CAST(list_sum(list_transform(range(1, CAST(p.d AS INT) + 1),
+        |               i -> p.rc[CAST(i AS INT)] * c.rc[CAST(i AS INT)])) AS BIGINT) AS DOUBLE))
+        |         / (sqrt(p.normsq) * sqrt(c.normsq)) AS sim
+        |  FROM probes p, nn c WHERE c.vec_id <> p.vec_id)
+        |SELECT probe_id, rank, neighbor_id, CAST(ROUND(sim, 6) AS DOUBLE) AS sim
+        |FROM (SELECT probe_id, neighbor_id, sim,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    // IVF-PQ twin-recall gate: brute-force exact rank-1 over raw
+    // floats — the twin invariant (identical cell, identical
+    // reconstruction, Cauchy-Schwarz-maximal sim) forces IVF-PQ
+    // rank-1 to coincide. Same oracle shape as emb_topk_ivf, minus
+    // the approximate sim column.
+    "emb_topk_ivfpq" ->
+      """WITH fixture AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 50 = 0),
+        |probes AS (SELECT vec_id AS probe_id, v AS p FROM fixture WHERE vec_id >= 100000),
+        |scored AS (
+        |  SELECT pr.probe_id, c.vec_id AS neighbor_id,
+        |         list_dot_product(pr.p, c.v)
+        |           / (sqrt(list_dot_product(pr.p, pr.p)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |  FROM probes pr, fixture c WHERE c.vec_id <> pr.probe_id)
+        |SELECT probe_id, neighbor_id
+        |FROM (SELECT probe_id, neighbor_id, sim,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |WHERE rank = 1 ORDER BY probe_id""".stripMargin
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -691,16 +691,178 @@ object Similarity {
     * all-zero codes (scale 0 carries the value in v_min); empty →
     * empty codes with NULL range; NULL → NULL through. */
   def quantizeInt8(embeddings: DataFrame, idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
-    val widened = embeddings.select(col(idCol),
-      transform(col(vecCol), v => v.cast("double")).as("__v"))
-    val mm = widened.select(col(idCol), col("__v"),
-      array_min(col("__v")).as("v_min"), array_max(col("__v")).as("v_max"))
-    mm.select(col(idCol), col("v_min"), col("v_max"),
+                   vecCol: String = "embedding", keep: Seq[String] = Nil): DataFrame = {
+    val kc = keep.map(col)
+    val widened = embeddings.select(col(idCol) +: kc :+
+      transform(col(vecCol), v => v.cast("double")).as("__v"): _*)
+    val mm = widened.select(col(idCol) +: kc :+ col("__v") :+
+      array_min(col("__v")).as("v_min") :+ array_max(col("__v")).as("v_max"): _*)
+    mm.select(col(idCol) +: kc :+ col("v_min") :+ col("v_max") :+
       when(col("v_max") === col("v_min"), transform(col("__v"), _ => lit(0)))
         .otherwise(transform(col("__v"), v =>
           least(floor((v - col("v_min")) * lit(255.0) / (col("v_max") - col("v_min"))), lit(255.0))
             .cast("int")))
-        .as("codes"))
+        .as("codes"): _*)
+  }
+
+  // ----------------------------------------------------------------
+  // Product quantization (Jégou, Douze & Schmid, "Product Quantization
+  // for Nearest Neighbor Search", TPAMI 2011) — the compressed ANN
+  // tier BETWEEN scalar int8 and a full float index: each vector
+  // stores m sub-codes (one byte each at ksub ≤ 256) plus its two
+  // quantization scalars, ~m+8 bytes instead of 4·d. Everything runs
+  // in the int8 CODE domain on top of [[quantizeInt8]], so encode,
+  // reconstruction, and scores are pure integer arithmetic + one fixed
+  // IEEE affine shape — bit-deterministic and DuckDB-replayable, the
+  // same exactness discipline as [[topKQuantized]].
+  // ----------------------------------------------------------------
+
+  /** Cross-engine integer PQ codebooks: subspace j, centroid c,
+    * component i = u8(first byte of md5("pq:<j·ksub+c>:<i>")) — the
+    * [[md5Planes]] derivation lifted to the code domain [0, 255], so
+    * DuckDB rebuilds the identical codebook from first principles.
+    * (Random codebooks gate ALGEBRA, not recall — the quality path is
+    * [[trainPqBooks]].) */
+  def pqBooksMd5(m: Int, ksub: Int, dsub: Int): Seq[Seq[Seq[Int]]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until m).map { j =>
+      (0 until ksub).map { c =>
+        (0 until dsub).map { i =>
+          val bytes = md.digest(
+            s"pq:${j * ksub + c}:$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          java.lang.Byte.toUnsignedInt(bytes(0))
+        }
+      }
+    }
+  }
+
+  /** Learned PQ codebooks: per-subspace k-means-lite over the int8 code
+    * subvectors, centroids rounded back into the integer code domain so
+    * the encode/score arithmetic stays exact. Training is m·iters
+    * passes over 1-byte codes and returns a k·d-sized driver literal;
+    * at 100 TB you train on a hash-sample — encoding is always the
+    * full-corpus scan-local projection. */
+  def trainPqBooks(vectors: DataFrame, m: Int, ksub: Int, iters: Int = 2,
+                   seed: Long = 42L, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): Seq[Seq[Seq[Int]]] = {
+    val q = quantizeInt8(vectors, idCol, vecCol).filter(col("codes").isNotNull)
+    val dim = q.select(size(col("codes"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    val dsub = dim / m
+    (0 until m).map { j =>
+      val sub = q.select(col(idCol).as("vec_id"),
+        transform(slice(col("codes"), j * dsub + 1, dsub), c => c.cast("float")).as("embedding"))
+      trainCentroids(sub, ksub, iters, seed + j)
+        .map(_.map(v => math.min(255, math.max(0, math.round(v)))).toSeq).toSeq
+    }
+  }
+
+  /** Per-subspace argmin-L2 assignment over an int8 `codes` column:
+    * for each of the m slices, distances to the ksub codebook rows are
+    * exact integer sums and `array_position` of the minimum returns the
+    * FIRST hit — ties resolve to the lowest centroid id on both
+    * engines. Plan-literal codebooks, scan-speed, no shuffle. */
+  private def pqAssign(codes: Column, books: Seq[Seq[Seq[Int]]]): Column = {
+    val dsub = books.head.head.length
+    array(books.indices.map { j =>
+      val sub = slice(codes, j * dsub + 1, dsub)
+      val dists = array(books(j).map { cent =>
+        aggregate(zip_with(sub, array(cent.map(v => lit(v)): _*),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+  }
+
+  /** PQ-encode a corpus: int8-quantize, then assign each code slice to
+    * its codebook entry. The output row (id, v_min, v_max, pq_codes)
+    * IS the persistable ANN index tier — m small ints + two scalars
+    * per vector. Extra columns listed in `keep` ride through (e.g. a
+    * coarse cell id computed in the same scan stage). */
+  def pqEncode(embeddings: DataFrame, books: Seq[Seq[Seq[Int]]],
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               keep: Seq[String] = Nil): DataFrame =
+    quantizeInt8(embeddings, idCol, vecCol, keep)
+      .select(col(idCol) +: keep.map(col) :+ col("v_min") :+ col("v_max") :+
+        pqAssign(col("codes"), books).as("pq_codes"): _*)
+
+  /** Code-domain reconstruction: concatenation of the chosen codebook
+    * rows — a plan-literal lookup per subspace, no data movement. */
+  private def pqRecon(pqCodes: Column, books: Seq[Seq[Seq[Int]]]): Column =
+    flatten(array(books.indices.map { j =>
+      val bookLit = array(books(j).map(cent => array(cent.map(v => lit(v)): _*)): _*)
+      element_at(bookLit, element_at(pqCodes, j + 1) + 1)
+    }: _*))
+
+  /** Shared scoring-side prep: encode, reconstruct, and precompute the
+    * affine-correction scalars. Dequantized vectors are affine in the
+    * codes (v̂ᵢ = mn + cᵢ·s), so the [[topKQuantized]] algebra applies
+    * verbatim with the PQ reconstruction standing in for the true
+    * codes: every Σ is an exact integer sum, the affine shape is one
+    * fixed IEEE expression — scores are bit-deterministic. */
+  private def pqSide(df: DataFrame, books: Seq[Seq[Seq[Int]]], id: String,
+                     p: String, keep: Seq[String] = Nil): DataFrame =
+    pqEncode(df, books, keep = keep).select(col("vec_id").as(id) +: keep.map(col) :+
+        col("v_min").as(s"${p}mn") :+
+        ((col("v_max") - col("v_min")) / lit(255.0)).as(s"${p}s") :+
+        pqRecon(col("pq_codes"), books).as(s"${p}rc"): _*)
+      .withColumn(s"${p}cd", transform(col(s"${p}rc"), c => c.cast("double")))
+      .withColumn(s"${p}d", size(col(s"${p}rc")).cast("double"))
+      .withColumn(s"${p}csum", aggregate(col(s"${p}rc"), lit(0L), (a, c) => a + c).cast("double"))
+      .withColumn(s"${p}csq", aggregate(col(s"${p}rc"), lit(0L), (a, c) => a + c * c).cast("double"))
+      .withColumn(s"${p}normsq",
+        col(s"${p}d") * col(s"${p}mn") * col(s"${p}mn")
+          + lit(2.0) * col(s"${p}mn") * col(s"${p}s") * col(s"${p}csum")
+          + col(s"${p}s") * col(s"${p}s") * col(s"${p}csq"))
+
+  /** The symmetric-distance PQ cosine: [[topKQuantized]]'s affine
+    * expansion over both sides' reconstructions — one integer dot plus
+    * O(1) float corrections per pair. */
+  private def pqSim: Column =
+    ((col("p_d") * col("p_mn") * col("c_mn")
+      + col("p_mn") * col("c_s") * col("c_csum")
+      + col("c_mn") * col("p_s") * col("p_csum")
+      + col("p_s") * col("c_s") * call_function("vec_dot", col("p_cd"), col("c_cd")))
+      / (sqrt(col("p_normsq")) * sqrt(col("c_normsq")))).as("sim")
+
+  /** Exhaustive PQ top-k — the full-replay algebra gate for the
+    * compressed tier (probes broadcast, ONE scan over m-byte codes,
+    * BNLJ — floats never leave the scan stage). The approximate path
+    * [[topKIvfPq]] adds the coarse cells on top. */
+  def topKPq(corpus: DataFrame, probes: DataFrame, k: Int,
+             books: Seq[Seq[Seq[Int]]]): DataFrame = {
+    val p = broadcast(pqSide(probes, books, "probe_id", "p_"))
+    val scored = pqSide(corpus, books, "neighbor_id", "c_")
+      .join(p, col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), pqSim)
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** IVF-PQ approximate top-k (the paper's IVFADC shape): coarse
+    * k-means cells bound the candidate set via an equi-join on cell id
+    * — the corpus side is the [[pqEncode]] index plus a cell id, never
+    * a reshuffled float corpus — and PQ codes score candidates in the
+    * compressed domain. Recall tunes via k-cells × nprobe × ksub; the
+    * planted-twin invariant (identical vector ⇒ identical cell AND
+    * identical reconstruction ⇒ maximal sim) makes rank-1 provable
+    * against the exact brute-force oracle. */
+  def topKIvfPq(corpus: DataFrame, probes: DataFrame, k: Int,
+                cents: Array[Array[Float]], books: Seq[Seq[Seq[Int]]],
+                nprobe: Int = 2): DataFrame = {
+    val c = pqSide(corpus.withColumn("__cid", argmaxCentroid(col("embedding"), cents)),
+      books, "neighbor_id", "c_", keep = Seq("__cid"))
+    val p = broadcast(
+      pqSide(probes.withColumn("__cids", topCentroids(col("embedding"), cents, nprobe)),
+          books, "probe_id", "p_", keep = Seq("__cids"))
+        .withColumn("__cid", explode(col("__cids"))).drop("__cids"))
+    val scored = c.join(p, Seq("__cid"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), pqSim)
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "sim")
   }
 }

@@ -383,4 +383,61 @@ class SimilaritySpec extends SparkSpec {
     assert(r(1L)._1 != r(10L)._1, "k=2 must separate the groups")
     assert(r(20L) == ((None, true)), "null embedding: kept, null cluster")
   }
+
+  test("pqEncode: m codes in [0, ksub); identical vectors encode identically") {
+    val books = Similarity.pqBooksMd5(4, 8, 16)
+    assert(books.length == 4 && books.forall(_.length == 8)
+      && books.forall(_.forall(b => b.length == 16 && b.forall(v => v >= 0 && v <= 255))))
+    val planted = emb.select($"vec_id", $"embedding").unionByName(
+      emb.filter($"vec_id" % 50 === 0).select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val codes = Similarity.pqEncode(planted, books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](3)).toMap
+    assert(codes.values.forall(c => c.length == 4 && c.forall(v => v >= 0 && v < 8)))
+    emb.filter($"vec_id" % 50 === 0).select("vec_id").collect().map(_.getLong(0))
+      .foreach(id => assert(codes(id) == codes(id + 100000),
+        s"identical copy of $id got different pq codes"))
+  }
+
+  test("trainPqBooks cuts reconstruction error vs random md5 codebooks") {
+    // distortion = mean over vectors of the integer L2 between the
+    // int8 codes and their PQ reconstruction; Lloyd rounds must beat
+    // a uniform-random codebook on real data by a wide margin.
+    def distortion(books: Seq[Seq[Seq[Int]]]): Double = {
+      val q = Similarity.quantizeInt8(emb)
+      val enc = Similarity.pqEncode(emb, books)
+      q.join(enc.withColumnRenamed("v_min", "mn2").withColumnRenamed("v_max", "mx2"), "vec_id")
+        .select($"vec_id", $"codes", $"pq_codes").collect().map { r =>
+          val c = r.getSeq[Int](1); val pc = r.getSeq[Int](2)
+          val rc = pc.zipWithIndex.flatMap { case (code, j) => books(j)(code) }
+          c.zip(rc).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+        }.sum / 500.0
+    }
+    val md5D = distortion(Similarity.pqBooksMd5(4, 8, 16))
+    val trainedD = distortion(Similarity.trainPqBooks(emb, m = 4, ksub = 8, iters = 2))
+    assert(trainedD < md5D * 0.6,
+      s"training should cut PQ distortion by ≥40%: trained=$trainedD md5=$md5D")
+  }
+
+  test("topKIvfPq: planted twins always come back at rank 1") {
+    val planted = emb.select($"vec_id", $"embedding").unionByName(
+      emb.filter($"vec_id" % 50 === 0).select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val cents = Similarity.trainCentroids(planted, k = 8, iters = 2)
+    val books = Similarity.trainPqBooks(planted, m = 4, ksub = 8, iters = 2)
+    val top1 = Similarity.topKIvfPq(planted, planted.filter($"vec_id" >= 100000), 3,
+        cents, books, nprobe = 2)
+      .filter($"rank" === 1)
+      .collect().map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val probeIds = emb.filter($"vec_id" % 50 === 0).select("vec_id").collect().map(_.getLong(0))
+    assert(probeIds.nonEmpty)
+    probeIds.foreach(id => assert(top1(id + 100000) == id,
+      s"probe ${id + 100000}: rank-1 was ${top1(id + 100000)}, expected twin $id"))
+  }
+
+  test("topKIvfPq plan: candidates stay an equi-join on the cell id") {
+    val planted = emb.select($"vec_id", $"embedding")
+    val cents = Similarity.trainCentroids(planted, k = 4, iters = 1)
+    val plan = Similarity.topKIvfPq(planted, planted.limit(5), 3, cents,
+      Similarity.pqBooksMd5(4, 8, 16), nprobe = 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "IVF-PQ must not degrade to a cartesian product")
+  }
 }
