@@ -131,6 +131,24 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Source-format breadth: columnar ORC round-trip through the REAL
+    // filesystem path — written partitioned by event_type (zlib), read
+    // back with a partition-pruning filter plus a pushed value
+    // predicate, so the gate covers layout, codec, NTZ timestamps, and
+    // scan pruning. Doubles and timestamps survive bit-exactly (binary
+    // columnar encoding — no text parse in the loop).
+    "ref_orc_roundtrip" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_orc").toString
+      ev(s, dir).filter(col("event_id") % 7 === 0)
+        .select(col("event_id"), col("ts"), col("event_type"), col("user_id"), col("value"))
+        .write.mode("overwrite").partitionBy("event_type")
+        .option("compression", "zlib").orc(tmp)
+      s.read.orc(tmp)
+        .filter(col("event_type") === "purchase" && col("value") > 50.0)
+        .select(col("event_id"), col("ts"), col("event_type"), col("user_id"), col("value"))
+        .orderBy("event_id")
+    }),
+
     // Day-over-day deltas: lag over the daily aggregate; delta is
     // exact BIGINT, pct_change one double division (NULL on day 1).
     "ref_day_over_day" -> ((s, dir) => {
@@ -662,6 +680,11 @@ object SparkEntry {
 
     "ref_csv_roundtrip" ->
       "SELECT event_id, ts, event_type, user_id, value FROM events ORDER BY event_id",
+
+    "ref_orc_roundtrip" ->
+      """SELECT event_id, ts, event_type, user_id, value FROM events
+        |WHERE event_id % 7 = 0 AND event_type = 'purchase' AND value > 50.0
+        |ORDER BY event_id""".stripMargin,
 
     "ref_day_over_day" ->
       """WITH daily AS (
@@ -2135,6 +2158,12 @@ object SparkEntry {
       Analytics.lateShipmentPriorities(t(s, dir)("orders"), t(s, dir)("lineitem"))
         .orderBy("o_orderpriority")),
 
+    // Full CUBE over (returnflag, linestatus): four grouping sets in
+    // one Expand + hash-aggregate pass; exact decimal sums.
+    "q_pricing_cube" -> ((s, dir) =>
+      Analytics.pricingCube(t(s, dir)("lineitem"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
     // Hierarchical totals: ROLLUP over (day, type) — subtotal + grand
     // total rows carry NULL group keys in both engines.
     "ref_summary_rollup" -> ((s, dir) =>
@@ -2347,6 +2376,17 @@ object SparkEntry {
       """SELECT CAST(ts AS DATE) AS event_date, event_type, COUNT(*) AS event_count
         |FROM events GROUP BY ROLLUP (1, 2)
         |ORDER BY event_date ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+
+    "q_pricing_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |       CAST(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,4))), 4)
+        |                 AS DECIMAL(18,4)) AS DOUBLE) AS sum_qty,
+        |       CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |           * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))), 4)
+        |                 AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "ref_asof_last_purchase" ->
       """SELECT v.event_id, v.user_id, v.ts, p.value AS purchase_price

@@ -53,6 +53,21 @@ object Analytics {
         cmpDouble(sum(discounted), 4).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
 
+  /** CUBE over (returnflag, linestatus): all four grouping-set
+    * combinations — detail, two one-dimension subtotals, grand total —
+    * in ONE aggregate pass. Spark expands the cube to an Expand node
+    * feeding a single hash aggregate (rows × grouping-sets, partial
+    * combine on the map side), not four scans; subtotal rows carry
+    * NULL group keys in both engines. Decimal accumulation as
+    * everywhere (exact, order-free). */
+  def pricingCube(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        cmpDouble(sum(dec12("l_quantity")), 4).as("sum_qty"),
+        cmpDouble(sum(discounted), 4).as("sum_disc_price"))
+
   /** Q6-style forecast revenue: the canonical predicate-pushdown
     * showcase — three conjunctive scan-local filters (date range,
     * discount band, quantity cap) reaching the parquet scan as

@@ -77,4 +77,26 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(5)))
     assert(out.toList == List((1L, 10L, 2.0), (1L, 11L, 2.0)))
   }
+
+  test("pricingCube: four grouping sets reconcile — detail rolls up to subtotals and grand total") {
+    import org.apache.spark.sql.functions._
+    val out = Analytics.pricingCube(t("lineitem")).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) -> r.getLong(2)).toMap
+    val detail = out.filter { case ((a, b), _) => a.isDefined && b.isDefined }
+    val flagTot = out.filter { case ((a, b), _) => a.isDefined && b.isEmpty }
+    val statTot = out.filter { case ((a, b), _) => a.isEmpty && b.isDefined }
+    val grand = out((None, None))
+    assert(detail.size == 6 && flagTot.size == 3 && statTot.size == 2)
+    assert(detail.values.sum == grand, "detail cells partition the grand total")
+    assert(flagTot.values.sum == grand && statTot.values.sum == grand)
+    flagTot.foreach { case ((Some(f), _), n) =>
+      assert(detail.collect { case ((Some(a), _), c) if a == f => c }.sum == n)
+    case _ => }
+    assert(grand == t("lineitem").count())
+    // one aggregate pass: the cube is an Expand feeding a hash
+    // aggregate, not a union of four scans
+    val plan = Analytics.pricingCube(t("lineitem")).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), "cube should compile to Expand + single aggregate")
+    assert(!plan.toLowerCase.contains("union"), "cube must not scan the fact table four times")
+  }
 }
