@@ -1048,6 +1048,14 @@ object SparkEntry {
     "doc_gopher_quality" -> ((s, dir) =>
       TextStats.gopherRules(docs(s, dir)).orderBy("doc_id")),
 
+    // The OTHER half of the Gopher gate — the 13-metric repetition
+    // battery (dup line/para count+char fractions, top-{2,3,4}-gram
+    // char coverage, dup-{5..10}-gram position-union coverage), every
+    // metric and the Table-A1 conjunction replayed by DuckDB from the
+    // raw text.
+    "doc_gopher_repetition" -> ((s, dir) =>
+      TextStats.gopherRepetition(docs(s, dir)).orderBy("doc_id")),
+
     // The PRODUCTION rolling fingerprint (native polynomial kernel,
     // O(1)/byte), under a FULL cross-engine oracle: DuckDB replays the
     // exact mod-2^64 window-hash + fmix64 arithmetic in HUGEINT (see
@@ -3128,8 +3136,116 @@ object SparkEntry {
          |       r_word_count, r_mean_word_len, r_symbol_ratio, r_alpha_words,
          |       r_stopwords, r_bullet_lines, r_ellipsis_lines,
          |       r_word_count AND r_mean_word_len AND r_symbol_ratio AND r_alpha_words
-         |         AND r_stopwords AND r_bullet_lines AND r_ellipsis_lines AS pass
+         |       AND r_stopwords AND r_bullet_lines AND r_ellipsis_lines AS pass
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // Repetition battery replayed metric by metric: same normalized
+    // tokens, same 1-based gram grid, same position-union coverage,
+    // same integer numerators over the token char mass, verdicts on
+    // raw values. Numerator sums CAST out of DuckDB's HUGEINT.
+    "doc_gopher_repetition" ->
+      """WITH nt AS (
+        |  SELECT doc_id, COALESCE(text, '') AS raw,
+        |         string_split(lower(trim(regexp_replace(COALESCE(text, ''), '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, toks,
+        |         CAST(length(replace(array_to_string(toks, ' '), ' ', '')) AS BIGINT) AS cm,
+        |         list_filter(list_transform(string_split(raw, chr(10)), l -> trim(l)),
+        |                     l -> length(l) > 0) AS lines,
+        |         list_filter(list_transform(string_split_regex(raw, '\n{2,}'), p -> trim(p)),
+        |                     p -> length(p) > 0) AS paras
+        |  FROM nt),
+        |pr AS (
+        |  SELECT doc_id, cm,
+        |         len(lines) AS nl, len(list_distinct(lines)) AS ndl,
+        |         CAST(COALESCE(list_sum(list_transform(lines, l -> length(l))), 0) AS BIGINT) AS lc,
+        |         CAST(COALESCE(list_sum(list_transform(list_distinct(lines), l -> length(l))), 0) AS BIGINT) AS dlc,
+        |         len(paras) AS np, len(list_distinct(paras)) AS ndp,
+        |         CAST(COALESCE(list_sum(list_transform(paras, p -> length(p))), 0) AS BIGINT) AS pc,
+        |         CAST(COALESCE(list_sum(list_transform(list_distinct(paras), p -> length(p))), 0) AS BIGINT) AS dpc
+        |  FROM b),
+        |g0 AS (
+        |  SELECT doc_id, n, unnest(generate_series(1, len(toks) - n + 1)) AS pos, toks
+        |  FROM nt, (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) v(n)
+        |  WHERE len(toks) >= n),
+        |grid AS (
+        |  SELECT doc_id, n, pos, array_to_string(toks[pos : pos + n - 1], ' ') AS gram
+        |  FROM g0),
+        |tc AS (
+        |  SELECT doc_id, n, gram, count(*) AS c
+        |  FROM grid WHERE n <= 4 GROUP BY 1, 2, 3),
+        |tw AS (
+        |  SELECT doc_id, n, mass FROM (
+        |    SELECT doc_id, n, CAST(c * (length(gram) - (n - 1)) AS BIGINT) AS mass, gram,
+        |           row_number() OVER (PARTITION BY doc_id, n
+        |             ORDER BY c * (length(gram) - (n - 1)) DESC, gram DESC) AS rn
+        |    FROM tc) WHERE rn = 1),
+        |tp AS (
+        |  SELECT doc_id,
+        |         max(CASE WHEN n = 2 THEN mass END) AS top_2,
+        |         max(CASE WHEN n = 3 THEN mass END) AS top_3,
+        |         max(CASE WHEN n = 4 THEN mass END) AS top_4
+        |  FROM tw GROUP BY doc_id),
+        |dg AS (
+        |  SELECT doc_id, n, list(pos) AS ps
+        |  FROM grid WHERE n >= 5 GROUP BY doc_id, n, gram HAVING count(*) > 1),
+        |dr AS (
+        |  SELECT doc_id, n,
+        |         flatten(list_transform(ps, p -> generate_series(p, p + n - 1))) AS cov
+        |  FROM dg),
+        |du AS (
+        |  SELECT doc_id, n, list_distinct(flatten(list(cov))) AS cov
+        |  FROM dr GROUP BY doc_id, n),
+        |dm AS (
+        |  SELECT d.doc_id, d.n,
+        |         CAST(COALESCE(list_sum(list_transform(d.cov, p -> length(nt.toks[p]))), 0) AS BIGINT) AS mass
+        |  FROM du d JOIN nt USING (doc_id)),
+        |dp AS (
+        |  SELECT doc_id,
+        |         max(CASE WHEN n = 5 THEN mass END) AS dup_5,
+        |         max(CASE WHEN n = 6 THEN mass END) AS dup_6,
+        |         max(CASE WHEN n = 7 THEN mass END) AS dup_7,
+        |         max(CASE WHEN n = 8 THEN mass END) AS dup_8,
+        |         max(CASE WHEN n = 9 THEN mass END) AS dup_9,
+        |         max(CASE WHEN n = 10 THEN mass END) AS dup_10
+        |  FROM dm GROUP BY doc_id),
+        |f AS (
+        |  SELECT p.doc_id,
+        |         (p.nl - p.ndl) / greatest(p.nl, 1)::DOUBLE AS dup_line_raw,
+        |         (p.np - p.ndp) / greatest(p.np, 1)::DOUBLE AS dup_para_raw,
+        |         (p.lc - p.dlc) / greatest(p.lc, 1)::DOUBLE AS dup_line_ch_raw,
+        |         (p.pc - p.dpc) / greatest(p.pc, 1)::DOUBLE AS dup_para_ch_raw,
+        |         COALESCE(t.top_2, 0) / greatest(p.cm, 1)::DOUBLE AS top2_raw,
+        |         COALESCE(t.top_3, 0) / greatest(p.cm, 1)::DOUBLE AS top3_raw,
+        |         COALESCE(t.top_4, 0) / greatest(p.cm, 1)::DOUBLE AS top4_raw,
+        |         COALESCE(d.dup_5, 0) / greatest(p.cm, 1)::DOUBLE AS dup5_raw,
+        |         COALESCE(d.dup_6, 0) / greatest(p.cm, 1)::DOUBLE AS dup6_raw,
+        |         COALESCE(d.dup_7, 0) / greatest(p.cm, 1)::DOUBLE AS dup7_raw,
+        |         COALESCE(d.dup_8, 0) / greatest(p.cm, 1)::DOUBLE AS dup8_raw,
+        |         COALESCE(d.dup_9, 0) / greatest(p.cm, 1)::DOUBLE AS dup9_raw,
+        |         COALESCE(d.dup_10, 0) / greatest(p.cm, 1)::DOUBLE AS dup10_raw
+        |  FROM pr p LEFT JOIN tp t USING (doc_id) LEFT JOIN dp d USING (doc_id))
+        |SELECT doc_id,
+        |       CAST(ROUND(dup_line_raw, 6) AS DOUBLE) AS dup_line_frac,
+        |       CAST(ROUND(dup_para_raw, 6) AS DOUBLE) AS dup_para_frac,
+        |       CAST(ROUND(dup_line_ch_raw, 6) AS DOUBLE) AS dup_line_char_frac,
+        |       CAST(ROUND(dup_para_ch_raw, 6) AS DOUBLE) AS dup_para_char_frac,
+        |       CAST(ROUND(top2_raw, 6) AS DOUBLE) AS top_2gram_char_frac,
+        |       CAST(ROUND(top3_raw, 6) AS DOUBLE) AS top_3gram_char_frac,
+        |       CAST(ROUND(top4_raw, 6) AS DOUBLE) AS top_4gram_char_frac,
+        |       CAST(ROUND(dup5_raw, 6) AS DOUBLE) AS dup_5gram_char_frac,
+        |       CAST(ROUND(dup6_raw, 6) AS DOUBLE) AS dup_6gram_char_frac,
+        |       CAST(ROUND(dup7_raw, 6) AS DOUBLE) AS dup_7gram_char_frac,
+        |       CAST(ROUND(dup8_raw, 6) AS DOUBLE) AS dup_8gram_char_frac,
+        |       CAST(ROUND(dup9_raw, 6) AS DOUBLE) AS dup_9gram_char_frac,
+        |       CAST(ROUND(dup10_raw, 6) AS DOUBLE) AS dup_10gram_char_frac,
+        |       dup_line_raw <= 0.30 AND dup_para_raw <= 0.30
+        |         AND dup_line_ch_raw <= 0.20 AND dup_para_ch_raw <= 0.20
+        |         AND top2_raw <= 0.20 AND top3_raw <= 0.18 AND top4_raw <= 0.16
+        |         AND dup5_raw <= 0.15 AND dup6_raw <= 0.14 AND dup7_raw <= 0.13
+        |         AND dup8_raw <= 0.12 AND dup9_raw <= 0.11 AND dup10_raw <= 0.10 AS pass
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "doc_neardup_clusters" ->
       s"""WITH RECURSIVE sh AS ($docShingles),

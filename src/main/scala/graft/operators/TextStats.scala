@@ -200,4 +200,154 @@ object TextStats {
       (rWords && rMeanLen && rSymbol && rAlpha && rStop && rBullet && rEllipsis)
         .as("pass"))
   }
+
+  // ------------------------------------------------------------------
+  // Gopher repetition battery
+  // ------------------------------------------------------------------
+
+  /** The full Gopher REPETITION rule battery (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1, Table A1) — the other half of the quality
+    * gate next to [[gopherRules]]; reference analog: the dedup/DQ
+    * stages of scripts/snowflake_queries.sql:25-47 generalized to the
+    * published filter.
+    *
+    * Thirteen metrics per document, thresholds from Table A1
+    * (a document PASSES when every fraction is <= its threshold):
+    *
+    *   - duplicate line / paragraph fraction (by count)      <= 0.30
+    *   - duplicate line / paragraph CHARACTER fraction       <= 0.20
+    *   - top {2,3,4}-gram character fraction       <= 0.20/0.18/0.16
+    *   - duplicate {5..10}-gram character coverage <= 0.15 … 0.10
+    *
+    * Exact semantics (fixed here so the DuckDB oracle can replay them
+    * verbatim):
+    *
+    *   - lines = '\n'-split of the RAW text, space-trimmed, empties
+    *     dropped; paragraphs the same over '\n{2,}'. Duplicate count
+    *     fraction = (n - n_distinct)/n; char fraction = (char mass of
+    *     all - char mass of distinct)/char mass of all — i.e. every
+    *     occurrence beyond the first counts, the repeated value itself
+    *     stays.
+    *   - word grams ride on the NORMALIZED tokens ([[TextDedup
+    *     .normalize]] — lowercase, whitespace collapsed), positions
+    *     1-based. Gram char mass EXCLUDES the joining spaces
+    *     (length(gram) - (n-1)); the denominator for all gram
+    *     fractions is the total token char mass (normalized text minus
+    *     spaces), so numerator and denominator measure the same chars.
+    *   - top-n-gram coverage = count(gram) * charlen(gram) maximized
+    *     over grams (ties: greater gram string — bytewise order, same
+    *     in both engines); dup-n-gram coverage = char mass of the
+    *     UNION of token positions covered by any occurrence of a gram
+    *     appearing more than once (overlaps counted once — the
+    *     position-marking rendition, not a per-occurrence sum that
+    *     could exceed 1.0).
+    *   - verdicts compare the RAW (unrounded) fractions; the projected
+    *     columns are rounded to 6dp ([[gopherRules]] discipline).
+    *
+    * Scale shape: the line/paragraph family is a pure per-row
+    * projection (scan speed). The gram family is ONE explode of a
+    * (doc_id, n, pos, gram) grid — ~9·P rows per P-token document —
+    * into a (doc_id, n, gram) hash-aggregate: grouping keys carry
+    * doc_id, so the shuffle is uniformly spread and each group is
+    * bounded by a single document's length (no corpus-wide hot keys —
+    * unlike dedup's corpus-global gram joins, repetition is strictly
+    * WITHIN-document). The alternative per-row rendition is O(P²) per
+    * document in the multiplicity probe; the grid keeps it linear.
+    * Post-aggregate rows are <= 9 per document; the rejoin to the
+    * token arrays is an AQE-planned equi-join on doc_id. */
+  def gopherRepetition(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val topThresh = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+    val dupThresh = Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12,
+      9 -> 0.11, 10 -> 0.10)
+
+    val rawT = coalesce(col(textCol), lit(""))
+    def nonEmptyTrimmed(arr: Column): Column =
+      filter(transform(arr, x => trim(x)), x => length(x) > 0)
+    def charMass(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, x) => acc + length(x))
+
+    val toksE = split(TextDedup.normalize(rawT), " ")
+    val base = docs.select(col("doc_id"), toksE.as("toks"))
+
+    // (doc_id, n, pos, gram) grid — one explode for all nine n values.
+    def grid(ns: Seq[Int]) = base
+      .select(col("doc_id"), col("toks"),
+        explode(typedLit(ns)).as("n"))
+      .filter(size(col("toks")) >= col("n"))
+      .select(col("doc_id"), col("n"),
+        explode(transform(sequence(lit(1), size(col("toks")) - col("n") + 1),
+          i => struct(i.cast("int").as("pos"),
+            concat_ws(" ", slice(col("toks"), i, col("n"))).as("gram")))).as("g"))
+      .select(col("doc_id"), col("n"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+
+    // Top n-gram char coverage: count per gram, argmax of
+    // count * token-char-length (struct max = mass then gram bytewise).
+    val topW = grid(topNs)
+      .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("n"),
+        struct((col("c") * (length(col("gram")) - (col("n") - 1))).as("mass"),
+          col("gram").as("gram")).as("mg"))
+      .groupBy("doc_id", "n").agg(max(col("mg")).as("mg"))
+      .groupBy("doc_id").agg(
+        max(when(col("n") === topNs.head, col("mg.mass"))).as(s"top_${topNs.head}"),
+        topNs.tail.map(n =>
+          max(when(col("n") === n, col("mg.mass"))).as(s"top_$n")): _*)
+
+    // Duplicate n-gram coverage: union of positions covered by any
+    // occurrence of a >1-count gram, charged at token char length.
+    val dupU = grid(dupNs)
+      .groupBy("doc_id", "n", "gram").agg(collect_list(col("pos")).as("ps"))
+      .filter(size(col("ps")) > 1)
+      .select(col("doc_id"), col("n"),
+        flatten(transform(col("ps"), p => sequence(p, p + col("n") - 1))).as("cov"))
+      .groupBy("doc_id", "n")
+      .agg(array_distinct(flatten(collect_list(col("cov")))).as("cov"))
+    val dupW = dupU.join(base, Seq("doc_id"))
+      .select(col("doc_id"), col("n"),
+        aggregate(col("cov"), lit(0L),
+          (acc, p) => acc + length(element_at(col("toks"), p))).as("mass"))
+      .groupBy("doc_id").agg(
+        max(when(col("n") === dupNs.head, col("mass"))).as(s"dup_${dupNs.head}"),
+        dupNs.tail.map(n =>
+          max(when(col("n") === n, col("mass"))).as(s"dup_$n")): _*)
+
+    val linesA = nonEmptyTrimmed(split(rawT, "\n"))
+    val parasA = nonEmptyTrimmed(split(rawT, "\n{2,}"))
+    val perRow = docs.select(
+      col("doc_id"),
+      length(regexp_replace(TextDedup.normalize(rawT), " ", "")).cast("long").as("cm"),
+      size(linesA).as("nl"), size(array_distinct(linesA)).as("ndl"),
+      charMass(linesA).as("lc"), charMass(array_distinct(linesA)).as("dlc"),
+      size(parasA).as("np"), size(array_distinct(parasA)).as("ndp"),
+      charMass(parasA).as("pc"), charMass(array_distinct(parasA)).as("dpc"))
+
+    val joined = perRow
+      .join(topW, Seq("doc_id"), "left")
+      .join(dupW, Seq("doc_id"), "left")
+
+    val cmD = greatest(col("cm"), lit(1L)).cast("double")
+    val dupLine = (col("nl") - col("ndl")).cast("double") / greatest(col("nl"), lit(1))
+    val dupPara = (col("np") - col("ndp")).cast("double") / greatest(col("np"), lit(1))
+    val dupLineCh = (col("lc") - col("dlc")).cast("double") / greatest(col("lc"), lit(1L))
+    val dupParaCh = (col("pc") - col("dpc")).cast("double") / greatest(col("pc"), lit(1L))
+    def frac(c: String): Column = coalesce(col(c), lit(0L)).cast("double") / cmD
+
+    val rules =
+      (dupLine <= 0.30) && (dupPara <= 0.30) &&
+        (dupLineCh <= 0.20) && (dupParaCh <= 0.20) &&
+        topNs.map(n => frac(s"top_$n") <= topThresh(n)).reduce(_ && _) &&
+        dupNs.map(n => frac(s"dup_$n") <= dupThresh(n)).reduce(_ && _)
+
+    joined.select(
+      Seq(col("doc_id"),
+        round(dupLine, 6).as("dup_line_frac"),
+        round(dupPara, 6).as("dup_para_frac"),
+        round(dupLineCh, 6).as("dup_line_char_frac"),
+        round(dupParaCh, 6).as("dup_para_char_frac")) ++
+        topNs.map(n => round(frac(s"top_$n"), 6).as(s"top_${n}gram_char_frac")) ++
+        dupNs.map(n => round(frac(s"dup_$n"), 6).as(s"dup_${n}gram_char_frac")) :+
+        rules.as("pass"): _*)
+  }
 }

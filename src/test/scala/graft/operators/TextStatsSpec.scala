@@ -128,6 +128,43 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("gopher repetition battery: hand-computed metrics per family") {
+    val clean = (1 to 50).map(i => f"w$i%02d").mkString(" ") // 50 distinct 3-char tokens
+    val df = Seq(
+      // repeated lines + repeated paragraph
+      (1L, "alpha beta\nalpha beta\ngamma delta\n\npara one\n\npara one"),
+      // dominant 2-gram
+      (2L, "spam ham spam ham spam ham eggs"),
+      // one duplicated 5-gram, nothing at 6
+      (3L, "a b c d e a b c d e x y z w v"),
+      (4L, clean),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val r = TextStats.gopherRepetition(df).collect()
+      .map(row => row.getAs[Long]("doc_id") -> row).toMap
+
+    def d(id: Long, c: String): Double = r(id).getAs[Double](c)
+    // doc 1: 5 nonempty lines (2 dups), line chars 47 vs 29 distinct;
+    // 3 paragraphs (1 dup), para chars 49 vs 41 distinct.
+    assert(d(1L, "dup_line_frac") == 0.4)
+    assert(d(1L, "dup_line_char_frac") == math.rint(18.0 / 47 * 1e6) / 1e6)
+    assert(d(1L, "dup_para_frac") == 0.333333)
+    assert(d(1L, "dup_para_char_frac") == math.rint(8.0 / 49 * 1e6) / 1e6)
+    // doc 2: 'spam ham' x3, token char mass 25 -> 3*7/25
+    assert(d(2L, "top_2gram_char_frac") == 0.84)
+    assert(d(2L, "top_3gram_char_frac") == 0.88) // 'spam ham spam' x2 -> 2*11/25
+    assert(!r(2L).getAs[Boolean]("pass"))
+    // doc 3: 'a b c d e' covers positions 1-10 of 15 single-char tokens
+    assert(d(3L, "dup_5gram_char_frac") == 0.666667)
+    assert(d(3L, "dup_6gram_char_frac") == 0.0)
+    // doc 4: 50 distinct tokens -> every metric tiny, passes
+    assert(d(4L, "top_2gram_char_frac") == math.rint(6.0 / 150 * 1e6) / 1e6)
+    assert(r(4L).getAs[Boolean]("pass"))
+    // null text: zero everywhere (no repetition to flag)
+    assert(d(5L, "dup_line_frac") == 0.0 && d(5L, "dup_10gram_char_frac") == 0.0)
+    assert(r(5L).getAs[Boolean]("pass"))
+  }
+
   test("gopher rules stay shuffle-free") {
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val plan = TextStats.gopherRules(docs).queryExecution.executedPlan.toString
