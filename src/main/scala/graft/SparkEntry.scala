@@ -1163,6 +1163,18 @@ object SparkEntry {
         .select("doc_id", "kept_segments", "removed_segments", "clean_hash")
         .orderBy("doc_id")),
 
+    // WITHIN-doc repeated-line strip (keep-first): fixture doubles the
+    // whole body plus a planted repeat, so every body line loses its
+    // second copy; oracle replays the first-occurrence filter and the
+    // reassembly hash.
+    "doc_strip_repeated_lines" -> ((s, dir) =>
+      TextDedup.stripRepeatedLines(
+        docs(s, dir).select(col("doc_id"),
+          concat_ws("\n", col("text"), lit("repeat me"), col("text"),
+            lit("repeat me")).as("text")))
+        .select("doc_id", "kept_segments", "removed_segments", "clean_hash")
+        .orderBy("doc_id")),
+
     // The FULL curation pipeline (CurationPipeline.runFull) as ONE
     // oracle-gated query — quality gate → (no-op) decontaminate →
     // minhash near-dup dedup → CCNet boilerplate strip → duplicate-span
@@ -2899,6 +2911,28 @@ object SparkEntry {
         |FROM (SELECT DISTINCT doc_id FROM fixture) f
         |LEFT JOIN agg a USING (doc_id)
         |ORDER BY f.doc_id""".stripMargin,
+
+    // Within-doc keep-first line strip: DuckDB's 1-based indexed
+    // list_filter lambda is exactly Spark's array_position test.
+    "doc_strip_repeated_lines" ->
+      """WITH fixture AS (
+        |  SELECT doc_id,
+        |         concat_ws(chr(10), text, 'repeat me', text, 'repeat me') AS text
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         list_filter(list_transform(string_split(COALESCE(text, ''), chr(10)),
+        |           l -> trim(l)), l -> length(l) > 0) AS ls
+        |  FROM fixture),
+        |k AS (
+        |  SELECT doc_id, ls,
+        |         list_filter(ls, (l, i) -> list_position(ls, l) = i) AS keep
+        |  FROM b)
+        |SELECT doc_id,
+        |       CAST(len(keep) AS BIGINT) AS kept_segments,
+        |       CAST(len(ls) - len(keep) AS BIGINT) AS removed_segments,
+        |       md5(array_to_string(keep, chr(10))) AS clean_hash
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // Full-pipeline replay, stage for stage: planted fixture → quality
     // rules (the doc_quality_quantiles regexes at qualityFilter's

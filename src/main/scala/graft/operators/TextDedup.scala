@@ -432,6 +432,30 @@ object TextDedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** WITHIN-document repeated-line removal — the C4/Dolma-style
+    * companion to the corpus-wide [[stripCommonLines]]: each trimmed
+    * non-empty line keeps its FIRST occurrence and later repeats are
+    * dropped (nav menus, footer stacks, chat-log echoes). Same segment
+    * universe and output contract as [[stripCommonLines]] (blank lines
+    * vanish, reassembly joins with "\n", counters + md5 hash + clean
+    * text), but the whole operator is a single per-row projection:
+    * first-occurrence testing is array_position within the line array,
+    * so it runs at scan speed with NO shuffle — the within-doc analog
+    * needs no document-frequency join at all. */
+  def stripRepeatedLines(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val linesA = filter(transform(split(coalesce(col(textCol), lit("")), "\n"),
+      l => trim(l)), l => length(l) > 0)
+    docs
+      .select(col("doc_id"), linesA.as("__ls"))
+      .select(col("doc_id"), col("__ls"),
+        filter(col("__ls"), (l, i) => array_position(col("__ls"), l) === i + 1).as("__keep"))
+      .select(col("doc_id"),
+        size(col("__keep")).cast("long").as("kept_segments"),
+        (size(col("__ls")) - size(col("__keep"))).cast("long").as("removed_segments"),
+        md5(concat_ws("\n", col("__keep"))).as("clean_hash"),
+        concat_ws("\n", col("__keep")).as("text_clean"))
+  }
+
   // ------------------------------------------------------------------
   // MinHash + LSH
   // ------------------------------------------------------------------

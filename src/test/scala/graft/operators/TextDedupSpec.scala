@@ -416,6 +416,28 @@ class TextDedupSpec extends SparkSpec {
     assert(out(3L) == ((2L, 0L, hex("solo line\nsolo line"))))
   }
 
+  test("stripRepeatedLines: keep-first within doc, order kept, shuffle-free") {
+    val md5d = java.security.MessageDigest.getInstance("MD5")
+    def hex(s: String) = md5d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docsDf = Seq(
+      // 'a' and 'b' repeat within the doc (one copy each via trim);
+      // blank line dropped; first occurrences keep original order
+      (1L, "a\nb\na\n\n b \nb\nc"),
+      (2L, "only line"),
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val byId = TextDedup.stripRepeatedLines(docsDf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("kept_segments"), r.getAs[Long]("removed_segments"),
+          r.getAs[String]("clean_hash")))).toMap
+    assert(byId(1L) == ((3L, 3L, hex("a\nb\nc"))))
+    assert(byId(2L) == ((1L, 0L, hex("only line"))))
+    assert(byId(3L) == ((0L, 0L, hex(""))))
+    // within-doc semantics never need a shuffle
+    val plan = TextDedup.stripRepeatedLines(docsDf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
   test("dedupNearByPriority keeps the highest-score member, ties to min id") {
     val base = (0 until 20).map(i => s"tok$i").mkString(" ")
     val longer = base + " extra trailing tokens here"
