@@ -1653,6 +1653,12 @@ object SparkEntry {
     "doc_source_mix" -> ((s, dir) =>
       Curation.sourceMix(docs(s, dir)).orderBy("source")),
 
+    // Temperature-flattened sampling weights (alpha = 0.5 -> sqrt,
+    // correctly rounded on both engines; normalizer is a source-sorted
+    // sequential fold, so every double is order-pinned).
+    "doc_source_temperature" -> ((s, dir) =>
+      Curation.temperatureWeights(docs(s, dir)).orderBy("source")),
+
     // Concat-then-slice training batch assembly: global token offsets
     // via the two-level prefix sum (never a global window).
     "doc_pack_sequences" -> ((s, dir) =>
@@ -1947,6 +1953,28 @@ object SparkEntry {
         |       CAST(ROUND(token_sum::DOUBLE / (SELECT sum(token_sum) FROM s), 6) AS DOUBLE) AS weight
         |FROM s ORDER BY source""".stripMargin,
 
+    // Alpha-sampling replay: same exact-int shares, sqrt, and the same
+    // sequential left fold over the source-sorted q list (list_reduce
+    // == Spark aggregate since 0.0 + q1 == q1 exactly).
+    "doc_source_temperature" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS tc
+        |  FROM documents),
+        |s AS (SELECT source, count(*) AS doc_count, CAST(sum(tc) AS BIGINT) AS token_sum FROM t GROUP BY 1),
+        |q AS (
+        |  SELECT source, doc_count, token_sum,
+        |         token_sum::DOUBLE / (SELECT sum(token_sum) FROM s) AS share_raw,
+        |         sqrt(token_sum::DOUBLE / (SELECT sum(token_sum) FROM s)) AS q
+        |  FROM s),
+        |n AS (SELECT list_reduce(list(q ORDER BY source), (a, b) -> a + b) AS qsum FROM q)
+        |SELECT source, doc_count, token_sum,
+        |       CAST(ROUND(share_raw, 6) AS DOUBLE) AS share,
+        |       CAST(ROUND(q / n.qsum, 6) AS DOUBLE) AS weight,
+        |       CAST(ROUND(q / n.qsum / share_raw, 6) AS DOUBLE) AS oversample
+        |FROM q, n ORDER BY source""".stripMargin,
+
     "doc_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -2168,6 +2196,14 @@ object SparkEntry {
         t(s, dir)("orders"), t(s, dir)("lineitem"), t(s, dir)("supplier"))
         .orderBy("n_name")),
 
+    // Q7-shape bilateral trade: pair filter pushed into 2-row nation
+    // broadcasts, crossing residual after, exact-decimal revenue.
+    "q7_volume_shipping" -> ((s, dir) =>
+      Analytics.volumeShipping(
+        t(s, dir)("nation"), t(s, dir)("customer"), t(s, dir)("orders"),
+        t(s, dir)("lineitem"), t(s, dir)("supplier"))
+        .orderBy("supp_nation", "cust_nation", "l_year")),
+
     "q_top_order_per_customer" -> ((s, dir) =>
       Analytics.topOrderPerCustomer(t(s, dir)("customer"), t(s, dir)("orders"))
         .orderBy("c_custkey")),
@@ -2356,6 +2392,22 @@ object SparkEntry {
         |  AND s_suppkey = l_suppkey AND s_nationkey = c_nationkey
         |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,
+        |       CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+        |           * CAST(1 - CAST(l_discount AS DECIMAL(8,4)) AS DECIMAL(8,4))), 4)
+        |                 AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+        |FROM lineitem, supplier, nation n1, orders, customer, nation n2
+        |WHERE l_suppkey = s_suppkey AND s_nationkey = n1.n_nationkey
+        |  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_nationkey = n2.n_nationkey
+        |  AND n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // Q2's correlated-subquery form verbatim — the Spark side must
     // reproduce it from the decorrelated window shape.

@@ -122,6 +122,36 @@ object Analytics {
       .groupBy(col("n_name"))
       .agg(cmpDouble(sum(discounted), 4).as("revenue"))
 
+  /** Q7-style volume shipping: bilateral trade revenue between two
+    * nations by direction and ship year. The nation-pair predicate is
+    * split scale-consciously: each nation dimension is filtered to the
+    * two named nations BEFORE its join (2-row broadcasts, so the fact
+    * scan drops every non-participating supplier/customer at the
+    * earliest join), and only the cheap "crossing" residual
+    * (supp != cust) runs after — the classic disjunctive-pair filter
+    * without a disjunction in the join condition. */
+  def volumeShipping(nation: DataFrame, customer: DataFrame, orders: DataFrame,
+                     lineitem: DataFrame, supplier: DataFrame,
+                     nationA: String = "NATION_1", nationB: String = "NATION_2",
+                     from: String = "1995-01-01", until: String = "1999-01-01"): DataFrame = {
+    val pair = Seq(nationA, nationB)
+    val n1 = nation.filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = nation.filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    lineitem
+      .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .join(supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(cmpDouble(sum(discounted), 4).as("revenue"))
+  }
+
   /** Per-customer top order by value: ranking window after a join. */
   def topOrderPerCustomer(customer: DataFrame, orders: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))

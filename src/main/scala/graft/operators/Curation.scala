@@ -487,6 +487,45 @@ object Curation {
         / sum(col("token_sum")).over(Window.partitionBy()), 6))
   }
 
+  /** Temperature-flattened sampling weights over the [[sourceMix]]
+    * shares — the multilingual alpha-sampling scheme (Conneau &
+    * Lample 2019 §3.1; mT5's sampling temperature): p_i ∝ share_i^α
+    * with α ∈ (0,1] flattening the head so low-resource sources are
+    * upsampled. Output per source: exact doc/token counts, raw token
+    * share, temperature weight, and the oversample factor
+    * weight/share an epoch-builder multiplies into per-source
+    * sampling rates.
+    *
+    * Determinism contract (what makes this gateable cross-engine):
+    * shares are one IEEE division of exact BIGINT sums; α = 0.5 (the
+    * gated default) goes through sqrt, which is correctly rounded on
+    * both engines where pow's last ulp is libm-dependent; and the
+    * weight normalizer folds the SOURCE-SORTED q list sequentially
+    * (Spark `aggregate`, DuckDB `list_reduce` — same left fold, so
+    * the float sum is order-pinned, not partition-order luck).
+    * General α uses pow and keeps the same shape. Scale: one
+    * map-side-combined aggregate to ~|sources| rows; everything after
+    * is driver-trivial (broadcast 1-row normalizer join). */
+  def temperatureWeights(docs: DataFrame, alpha: Double = 0.5,
+                         srcCol: String = "source",
+                         textCol: String = "text"): DataFrame = {
+    val agg = docs.groupBy(col(srcCol).as("source"))
+      .agg(count(lit(1)).as("doc_count"),
+        sum(TextStats.tokenCount(col(textCol))).as("token_sum"))
+    val shareRaw = col("token_sum").cast("double") /
+      sum(col("token_sum")).over(Window.partitionBy())
+    val qCol = if (alpha == 0.5) sqrt(shareRaw) else pow(shareRaw, lit(alpha))
+    val withQ = agg.withColumn("share_raw", shareRaw).withColumn("q", qCol)
+    val qsum = withQ
+      .select(sort_array(collect_list(struct(col("source"), col("q")))).as("l"))
+      .select(aggregate(col("l"), lit(0.0), (a, s) => a + s("q")).as("qsum"))
+    withQ.crossJoin(broadcast(qsum))
+      .select(col("source"), col("doc_count"), col("token_sum"),
+        round(col("share_raw"), 6).as("share"),
+        round(col("q") / col("qsum"), 6).as("weight"),
+        round(col("q") / col("qsum") / col("share_raw"), 6).as("oversample"))
+  }
+
   // ------------------------------------------------------------------
   // Training-sequence packing
   // ------------------------------------------------------------------

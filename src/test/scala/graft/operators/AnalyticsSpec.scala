@@ -45,6 +45,21 @@ class AnalyticsSpec extends SparkSpec {
       s"cartesian in plan:\n$plan")
   }
 
+  test("volumeShipping: only crossing pairs of the two nations, dims broadcast") {
+    import org.apache.spark.sql.functions._
+    val out = Analytics.volumeShipping(
+      t("nation"), t("customer"), t("orders"), t("lineitem"), t("supplier"))
+    val pairs = out.select("supp_nation", "cust_nation").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.subsetOf(Set(("NATION_1", "NATION_2"), ("NATION_2", "NATION_1"))),
+      s"unexpected pairs: $pairs")
+    assert(out.filter(col("l_year") < 1995 || col("l_year") > 1998).count() == 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"cartesian in plan:\n$plan")
+  }
+
   test("top order per customer: one row per customer, max price, deterministic ties") {
     import org.apache.spark.sql.functions._
     val out = Analytics.topOrderPerCustomer(t("customer"), t("orders"))

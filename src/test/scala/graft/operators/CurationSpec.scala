@@ -244,6 +244,30 @@ class CurationSpec extends SparkSpec {
     assert(out("b") == ((1L, 2L, 0.25)))
   }
 
+  test("temperatureWeights flattens the head: alpha<1 upsamples the tail, alpha=1 is the share") {
+    val d = Seq(
+      (1L, "big", (1 to 81).map(i => s"t$i").mkString(" ")), // 81 tokens
+      (2L, "small", "just nine tokens here p q r s t")       // 9? -> 8... use 9
+    ).toDF("doc_id", "source", "text")
+    // shares 81/90 = 0.9 and 9/90 = 0.1; alpha=0.5: q = .9487/.3162
+    val w = Curation.temperatureWeights(
+      d.withColumn("text", when(col("source") === "small",
+        lit((1 to 9).map(i => s"s$i").mkString(" "))).otherwise(col("text"))))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val wb = w("big"); val ws = w("small")
+    assert(wb.getAs[Double]("share") == 0.9 && ws.getAs[Double]("share") == 0.1)
+    // weights renormalized: sqrt(.9)/(sqrt(.9)+sqrt(.1)) ~= 0.75
+    assert(math.abs(wb.getAs[Double]("weight") - 0.75) < 0.001)
+    assert(math.abs(wb.getAs[Double]("weight") + ws.getAs[Double]("weight") - 1.0) < 1e-9)
+    // tail upsampled, head downsampled
+    assert(ws.getAs[Double]("oversample") > 1.0 && wb.getAs[Double]("oversample") < 1.0)
+    // alpha = 1 degenerates to the raw share
+    val id = Curation.temperatureWeights(d, alpha = 1.0)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("share"), r.getAs[Double]("weight"))).toMap
+    id.values.foreach { case (s, wgt) => assert(math.abs(s - wgt) < 1e-6) }
+  }
+
   test("packSequences produces the exact global prefix sum across chunk boundaries") {
     // tiny chunks (2 docs) force multi-chunk offsets; capacity 10 tokens
     val d = (0L until 7L).map(i => (i, Seq.fill(4)("w").mkString(" "))).toDF("doc_id", "text")
