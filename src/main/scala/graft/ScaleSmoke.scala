@@ -203,6 +203,30 @@ object ScaleSmoke {
       require(n == nDocs, s"one row per doc: $n of $nDocs")
       n
     }
+    timed("gopher_repetition_50k") {
+      val out = operators.TextStats.gopherRepetition(docs).localCheckpoint(true)
+      val n = out.count()
+      require(n == nDocs, s"one row per doc: $n of $nDocs")
+      // repetition is strictly within-document, so clone families must
+      // score identically metric for metric
+      val bad = out.withColumn("fam", col("doc_id") % 1000000L)
+        .groupBy("fam").agg(
+          countDistinct(col("dup_5gram_char_frac")).as("d5"),
+          countDistinct(col("top_2gram_char_frac")).as("t2"))
+        .filter(col("d5") > 1 || col("t2") > 1).count()
+      require(bad == 0, s"$bad clone families with diverging repetition metrics")
+      n
+    }
+    timed("strip_repeated_lines_50k") {
+      val out = operators.TextDedup.stripRepeatedLines(docs).localCheckpoint(true)
+      val n = out.count()
+      require(n == nDocs, s"one row per doc: $n of $nDocs")
+      val bad = out.withColumn("fam", col("doc_id") % 1000000L)
+        .groupBy("fam").agg(countDistinct(col("clean_hash")).as("d"))
+        .filter(col("d") > 1).count()
+      require(bad == 0, s"$bad clone families with diverging cleaned text")
+      n
+    }
     timed("containment_pairs_50k") {
       // 10x clone families: every doc fully contains its 9 clones, so
       // each doc appears in at least 9 ordered pairs — unless the

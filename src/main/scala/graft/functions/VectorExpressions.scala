@@ -173,6 +173,126 @@ object ShingleHashes {
   }
 }
 
+/** Within-document n-gram repetition masses, one O(P) pass — the
+  * kernel behind TextStats.gopherRepetition's gram family. Returns
+  * `[top_mass, dup_mass]` for the token array's word n-grams:
+  *
+  *   - `top_mass`  = max over n-grams of occurrence-count × the gram's
+  *     token char mass (joining spaces excluded) — the numerator of
+  *     Gopher's top-n-gram character fraction. Ties need no break: all
+  *     occurrences of a gram share one mass, and only the max VALUE is
+  *     returned.
+  *   - `dup_mass`  = char mass of the UNION of token positions covered
+  *     by any occurrence of a gram appearing more than once — the
+  *     numerator of the duplicate-n-gram coverage fraction (overlaps
+  *     counted once).
+  *
+  * Because repetition is strictly WITHIN-document, the whole battery
+  * needs no explode, no shuffle, and no n-gram string: windows are
+  * chained XXH64 over per-token hashes ([[ShingleHashes]]' family;
+  * same collision-free-equivalence contract vs the string-keyed
+  * oracle as duplicateSpans' hash grid), counted in one open HashMap
+  * pass and charged via a token-length prefix sum. The composable
+  * grid rendition (explode 9·P rows → per-doc hash aggregate) spent
+  * 10+ s at the 50k smoke on shuffle + list aggregation; this is a
+  * per-row projection at scan speed. Fewer than `n` tokens → both
+  * masses 0 (no window can repeat). */
+case class NgramRepMass(tokens: Expression, n: Expression)
+  extends BinaryExpression {
+
+  override def left: Expression = tokens
+  override def right: Expression = n
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (tokens.dataType, n.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "ngram_rep_mass requires (array<string>, int)")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_rep_mass"
+  override def nullable: Boolean = tokens.nullable || n.nullable
+
+  override def nullSafeEval(t: Any, nv: Any): Any =
+    NgramRepMass.compute(t.asInstanceOf[ArrayData], nv.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (tok, nv) =>
+      s"${ev.value} = graft.functions.NgramRepMass.compute($tok, $nv);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): NgramRepMass =
+    copy(tokens = newLeft, n = newRight)
+}
+
+object NgramRepMass {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private final val Seed = 42L
+
+  private def hashToken(s: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
+
+  /** `[top_mass, dup_mass]` per the class doc. O(P) time, O(P) space. */
+  def compute(tokens: ArrayData, n: Int): ArrayData = {
+    val t = tokens.numElements()
+    if (n <= 0 || t < n) return new GenericArrayData(Array(0L, 0L))
+    val th = new Array[Long](t)
+    val lenPrefix = new Array[Long](t + 1) // char mass prefix (UTF-16 units, = length())
+    var i = 0
+    while (i < t) {
+      if (tokens.isNullAt(i)) {
+        th(i) = Seed
+        lenPrefix(i + 1) = lenPrefix(i)
+      } else {
+        val s = tokens.getUTF8String(i)
+        th(i) = hashToken(s)
+        lenPrefix(i + 1) = lenPrefix(i) + s.numChars()
+      }
+      i += 1
+    }
+    val wins = t - n + 1
+    val wh = new Array[Long](wins)
+    val counts = new java.util.HashMap[java.lang.Long, Int](wins * 2)
+    i = 0
+    while (i < wins) {
+      var h = Seed
+      var j = 0
+      while (j < n) {
+        h = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(th(i + j), h)
+        j += 1
+      }
+      wh(i) = h
+      counts.merge(h, 1, Integer.sum)
+      i += 1
+    }
+    var topMass = 0L
+    val covered = new Array[Boolean](t)
+    i = 0
+    while (i < wins) {
+      val c = counts.get(wh(i)).toLong
+      val mass = lenPrefix(i + n) - lenPrefix(i)
+      val m = c * mass
+      if (m > topMass) topMass = m
+      if (c > 1) {
+        var j = i
+        while (j < i + n) { covered(j) = true; j += 1 }
+      }
+      i += 1
+    }
+    var dupMass = 0L
+    i = 0
+    while (i < t) {
+      if (covered(i)) dupMass += lenPrefix(i + 1) - lenPrefix(i)
+      i += 1
+    }
+    new GenericArrayData(Array(topMass, dupMass))
+  }
+}
+
 /** Native 64-bit SimHash over a token array — bit-for-bit identical to
   * the composable fold (`xxhash64(token)` per token with seed 42, ±1
   * per bit position, sign threshold), but one tight loop instead of
@@ -921,6 +1041,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (children: Seq[Expression]) => ShingleHashes(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("ngram_rep_mass"),
+      new ExpressionInfo(classOf[NgramRepMass].getName, "ngram_rep_mass"),
+      (children: Seq[Expression]) => NgramRepMass(children.head, children(1))))
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),

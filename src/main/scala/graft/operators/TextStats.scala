@@ -244,17 +244,19 @@ object TextStats {
     *   - verdicts compare the RAW (unrounded) fractions; the projected
     *     columns are rounded to 6dp ([[gopherRules]] discipline).
     *
-    * Scale shape: the line/paragraph family is a pure per-row
-    * projection (scan speed). The gram family is ONE explode of a
-    * (doc_id, n, pos, gram) grid — ~9·P rows per P-token document —
-    * into a (doc_id, n, gram) hash-aggregate: grouping keys carry
-    * doc_id, so the shuffle is uniformly spread and each group is
-    * bounded by a single document's length (no corpus-wide hot keys —
-    * unlike dedup's corpus-global gram joins, repetition is strictly
-    * WITHIN-document). The alternative per-row rendition is O(P²) per
-    * document in the multiplicity probe; the grid keeps it linear.
-    * Post-aggregate rows are <= 9 per document; the rejoin to the
-    * token arrays is an AQE-planned equi-join on doc_id. */
+    * Scale shape: the ENTIRE battery — lines, paragraphs, and all nine
+    * gram metrics — is a per-row projection with NO shuffle and no
+    * n-gram string ever built: repetition is strictly within-document,
+    * so the gram family runs through the native `ngram_rep_mass`
+    * kernel ([[graft.functions.NgramRepMass]] — one O(P) hash-count
+    * pass per n, prefix-summed char masses), and the whole operator is
+    * column-pruned scan work like [[gopherRules]]. The composable
+    * explode-grid rendition (9·P rows into per-doc hash aggregates)
+    * measured 10-30 s at the 50k smoke; the kernel projection is ~1 s.
+    * The cross-engine oracle still replays the grid from first
+    * principles in SQL, so the kernel's semantics are gated against an
+    * independent string-keyed rendition (hash-vs-string equivalence:
+    * duplicateSpans' collision-free contract). */
   def gopherRepetition(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val topNs = Seq(2, 3, 4)
     val dupNs = Seq(5, 6, 7, 8, 9, 10)
@@ -269,63 +271,23 @@ object TextStats {
       aggregate(arr, lit(0L), (acc, x) => acc + length(x))
 
     val toksE = split(TextDedup.normalize(rawT), " ")
-    val base = docs.select(col("doc_id"), toksE.as("toks"))
-
-    // (doc_id, n, pos, gram) grid — one explode for all nine n values.
-    def grid(ns: Seq[Int]) = base
-      .select(col("doc_id"), col("toks"),
-        explode(typedLit(ns)).as("n"))
-      .filter(size(col("toks")) >= col("n"))
-      .select(col("doc_id"), col("n"),
-        explode(transform(sequence(lit(1), size(col("toks")) - col("n") + 1),
-          i => struct(i.cast("int").as("pos"),
-            concat_ws(" ", slice(col("toks"), i, col("n"))).as("gram")))).as("g"))
-      .select(col("doc_id"), col("n"), col("g.pos").as("pos"), col("g.gram").as("gram"))
-
-    // Top n-gram char coverage: count per gram, argmax of
-    // count * token-char-length (struct max = mass then gram bytewise).
-    val topW = grid(topNs)
-      .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("c"))
-      .select(col("doc_id"), col("n"),
-        struct((col("c") * (length(col("gram")) - (col("n") - 1))).as("mass"),
-          col("gram").as("gram")).as("mg"))
-      .groupBy("doc_id", "n").agg(max(col("mg")).as("mg"))
-      .groupBy("doc_id").agg(
-        max(when(col("n") === topNs.head, col("mg.mass"))).as(s"top_${topNs.head}"),
-        topNs.tail.map(n =>
-          max(when(col("n") === n, col("mg.mass"))).as(s"top_$n")): _*)
-
-    // Duplicate n-gram coverage: union of positions covered by any
-    // occurrence of a >1-count gram, charged at token char length.
-    val dupU = grid(dupNs)
-      .groupBy("doc_id", "n", "gram").agg(collect_list(col("pos")).as("ps"))
-      .filter(size(col("ps")) > 1)
-      .select(col("doc_id"), col("n"),
-        flatten(transform(col("ps"), p => sequence(p, p + col("n") - 1))).as("cov"))
-      .groupBy("doc_id", "n")
-      .agg(array_distinct(flatten(collect_list(col("cov")))).as("cov"))
-    val dupW = dupU.join(base, Seq("doc_id"))
-      .select(col("doc_id"), col("n"),
-        aggregate(col("cov"), lit(0L),
-          (acc, p) => acc + length(element_at(col("toks"), p))).as("mass"))
-      .groupBy("doc_id").agg(
-        max(when(col("n") === dupNs.head, col("mass"))).as(s"dup_${dupNs.head}"),
-        dupNs.tail.map(n =>
-          max(when(col("n") === n, col("mass"))).as(s"dup_$n")): _*)
-
     val linesA = nonEmptyTrimmed(split(rawT, "\n"))
     val parasA = nonEmptyTrimmed(split(rawT, "\n{2,}"))
-    val perRow = docs.select(
-      col("doc_id"),
-      length(regexp_replace(TextDedup.normalize(rawT), " ", "")).cast("long").as("cm"),
-      size(linesA).as("nl"), size(array_distinct(linesA)).as("ndl"),
-      charMass(linesA).as("lc"), charMass(array_distinct(linesA)).as("dlc"),
-      size(parasA).as("np"), size(array_distinct(parasA)).as("ndp"),
-      charMass(parasA).as("pc"), charMass(array_distinct(parasA)).as("dpc"))
-
-    val joined = perRow
-      .join(topW, Seq("doc_id"), "left")
-      .join(dupW, Seq("doc_id"), "left")
+    val joined = docs.select(
+      Seq(col("doc_id"),
+        length(regexp_replace(TextDedup.normalize(rawT), " ", "")).cast("long").as("cm"),
+        size(linesA).as("nl"), size(array_distinct(linesA)).as("ndl"),
+        charMass(linesA).as("lc"), charMass(array_distinct(linesA)).as("dlc"),
+        size(parasA).as("np"), size(array_distinct(parasA)).as("ndp"),
+        charMass(parasA).as("pc"), charMass(array_distinct(parasA)).as("dpc"),
+        toksE.as("__toks")): _*)
+      .select(
+        Seq(col("doc_id"), col("cm"), col("nl"), col("ndl"), col("lc"), col("dlc"),
+          col("np"), col("ndp"), col("pc"), col("dpc")) ++
+          topNs.map(n => element_at(
+            call_function("ngram_rep_mass", col("__toks"), lit(n)), 1).as(s"top_$n")) ++
+          dupNs.map(n => element_at(
+            call_function("ngram_rep_mass", col("__toks"), lit(n)), 2).as(s"dup_$n")): _*)
 
     val cmD = greatest(col("cm"), lit(1L)).cast("double")
     val dupLine = (col("nl") - col("ndl")).cast("double") / greatest(col("nl"), lit(1))

@@ -78,6 +78,32 @@ class VecDotSpec extends SparkSpec {
     assert(out(1L).toSet.intersect(out(2L).toSet).isEmpty)
   }
 
+  test("ngram_rep_mass: hand-computed top/dup masses, short-doc zeros, codegen==interpreted") {
+    import org.apache.spark.sql.functions.{call_function, lit => slit, split => ssplit}
+    val df = Seq(
+      // trigram "a b c" occurs twice (positions 1,4 overlap-free):
+      // top = 2*3, dup covers positions 1-3 and 4-6 of 7 1-char tokens
+      (1L, "a b c a b c x"),
+      (2L, "x y"),                 // shorter than n -> both masses 0
+      (3L, "ab cd ef"),            // all distinct: top = 1*(2+2+2), dup 0
+      (4L, "w w w w")              // overlapping dup windows union, not sum
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        call_function("ngram_rep_mass", ssplit($"text", " "), slit(3)).as("m"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    assert(out(1L) == Seq(6L, 6L))
+    assert(out(2L) == Seq(0L, 0L))
+    assert(out(3L) == Seq(6L, 0L))
+    // "w w w": 2 windows, both the same gram (count 2) -> top = 2*3;
+    // union coverage = all 4 tokens (overlap counted once) -> dup = 4
+    assert(out(4L) == Seq(6L, 4L))
+    // interpreted == codegen
+    val toks = "a b c a b c x".split(" ")
+      .map(org.apache.spark.unsafe.types.UTF8String.fromString)
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(toks.asInstanceOf[Array[Any]])
+    assert(graft.functions.NgramRepMass.compute(arr, 3).toLongArray().toSeq == out(1L))
+  }
+
   test("shingle_hashes interpreted eval equals codegen output") {
     import graft.operators.TextDedup
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")

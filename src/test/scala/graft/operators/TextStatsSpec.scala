@@ -170,4 +170,11 @@ class TextStatsSpec extends SparkSpec {
     val plan = TextStats.gopherRules(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("gopher repetition battery is a shuffle-free projection (kernel path)") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val plan = TextStats.gopherRepetition(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    assert(plan.contains("ngram_rep_mass"), s"kernel missing from plan:\n$plan")
+  }
 }
