@@ -1529,7 +1529,9 @@ object SparkEntry {
     // computes from first principles over raw floats. sim is excluded
     // (PQ sims are approximate by design; recall is the contract).
     "emb_topk_ivfpq" -> ((s, dir) => {
-      val planted = embDupFixture(s, dir)
+      // three consumers (centroid trainer, book trainer, the query
+      // itself) each fire multiple jobs — pin the fixture once
+      val planted = embDupFixture(s, dir).localCheckpoint(true)
       val cents = Similarity.trainCentroids(planted, k = 8, iters = 2)
       val books = Similarity.trainPqBooks(planted, m = 4, ksub = 8, iters = 2)
       Similarity.topKIvfPq(planted, planted.filter(col("vec_id") >= 100000), 3,
@@ -1631,6 +1633,21 @@ object SparkEntry {
       Curation.splitAssign(docs(s, dir),
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select("doc_id", "split").orderBy("doc_id")),
+
+    // Split assignment leakage-safe against NEAR-DUPS: the split key is
+    // the near-dup family representative (min id of the connected
+    // component), so a paraphrase family can never straddle train/test.
+    // Banding recall = the doc_dedup_near argument (qualifying pairs
+    // all have j >= 0.9); oracle replays all-pairs + recursive-CTE
+    // components + the same md5-bucket split on the representative.
+    "doc_split_leakage_safe" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      Curation.splitAssignByFamily(d,
+          TextDedup.nearDupPairsMinhash(d, numHashes = 32, bands = 16,
+            jaccardThreshold = 0.5),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "family_rep", "split").orderBy("doc_id")
+    }),
 
     // Model-based quality gate: hashed-bag-of-words linear classifier
     // (deterministic stand-in model; integer milli-weight sums so the
@@ -1891,6 +1908,44 @@ object SparkEntry {
          |FROM (SELECT doc_id,
          |             CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) AS h
          |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // Family-keyed split: all-pairs 0.5-jaccard edges → recursive-CTE
+    // min-label components → the SAME md5-bucket split, hashed on the
+    // family representative instead of the doc id.
+    "doc_split_leakage_safe" -> {
+      val c1 = math.floor(0.8 * 4294967296.0).toLong
+      val c2 = math.floor((0.8 + 0.1) * 4294967296.0).toLong
+      s"""WITH RECURSIVE sh AS ($docShingles),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sh a, sh b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.s, b.s))::DOUBLE
+         |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT id, MIN(lbl) AS rep FROM (
+         |    SELECT src AS id, dst AS lbl FROM reach
+         |    UNION SELECT src, src FROM edges)
+         |  GROUP BY 1),
+         |fam AS (
+         |  SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS family_rep
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+         |SELECT doc_id, family_rep,
+         |       CASE WHEN h < $c1 THEN 'train'
+         |            WHEN h < $c2 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT doc_id, family_rep,
+         |             CAST('0x' || substr(md5(family_rep::VARCHAR), 1, 8) AS BIGINT) AS h
+         |      FROM fam)
          |ORDER BY doc_id""".stripMargin
     },
 

@@ -186,6 +186,31 @@ object Curation {
     df.withColumn("split", assigned)
   }
 
+  /** [[splitAssign]] made leakage-safe against NEAR-DUPLICATES, not
+    * just id identity: the split key is the document's near-dup FAMILY
+    * representative (min doc_id of its connected component; singletons
+    * are their own representative), so a family can never straddle
+    * train/test — the classic eval-contamination hole a per-id split
+    * leaves open (a paraphrase of a training doc lands in test with
+    * probability = test weight). Pure composition: near-dup `pairs`
+    * (any of the minhash/simhash/containment paths) → large-star/
+    * small-star components → [[splitAssign]] hashing the
+    * representative. Non-family docs never join anything heavier than
+    * a left join against the (tiny) component table; the component
+    * table itself is bounded by documents-with-a-near-dup, not the
+    * corpus. Output adds `family_rep` beside `split` so the
+    * leakage invariant (one split per family) is directly auditable. */
+  def splitAssignByFamily(docs: DataFrame, pairs: DataFrame,
+                          splits: Seq[(String, Double)],
+                          idCol: String = "doc_id"): DataFrame = {
+    val comp = Components.connectedComponents(pairs)
+      .select(col("id").as(idCol), col("component").as("__rep"))
+    val withRep = docs.join(comp, Seq(idCol), "left")
+      .withColumn("family_rep", coalesce(col("__rep"), col(idCol)))
+      .drop("__rep")
+    splitAssign(withRep, splits, "family_rep")
+  }
+
   /** Per-stratum deterministic sample: within each `strataCol` value,
     * keep the ceil(rate · |stratum|) rows with the smallest (id hash,
     * id) — exact per-stratum proportions (a plain hash filter only hits

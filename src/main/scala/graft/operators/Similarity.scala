@@ -745,17 +745,25 @@ object Similarity {
   def trainPqBooks(vectors: DataFrame, m: Int, ksub: Int, iters: Int = 2,
                    seed: Long = 42L, idCol: String = "vec_id",
                    vecCol: String = "embedding"): Seq[Seq[Seq[Int]]] = {
+    // Training fires m·(1+iters)+1 separate jobs; without pinning, each
+    // re-executes the whole quantize lineage (interpreted higher-order
+    // lambdas over every vector) — measured 22 of emb_topk_ivfpq's
+    // 24 s at sf0.1. The (id, codes) frame is m bytes/vector: cheap to
+    // checkpoint once, released before returning.
     val q = quantizeInt8(vectors, idCol, vecCol).filter(col("codes").isNotNull)
-    val dim = q.select(size(col("codes"))).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
-    require(dim > 0 && dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
-    val dsub = dim / m
-    (0 until m).map { j =>
-      val sub = q.select(col(idCol).as("vec_id"),
-        transform(slice(col("codes"), j * dsub + 1, dsub), c => c.cast("float")).as("embedding"))
-      trainCentroids(sub, ksub, iters, seed + j)
-        .map(_.map(v => math.min(255, math.max(0, math.round(v)))).toSeq).toSeq
-    }
+      .select(col(idCol), col("codes")).localCheckpoint(true)
+    try {
+      val dim = q.select(size(col("codes"))).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(0)
+      require(dim > 0 && dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+      val dsub = dim / m
+      (0 until m).map { j =>
+        val sub = q.select(col(idCol).as("vec_id"),
+          transform(slice(col("codes"), j * dsub + 1, dsub), c => c.cast("float")).as("embedding"))
+        trainCentroids(sub, ksub, iters, seed + j)
+          .map(_.map(v => math.min(255, math.max(0, math.round(v)))).toSeq).toSeq
+      }
+    } finally q.unpersist(blocking = false)
   }
 
   /** Per-subspace argmin-L2 assignment over an int8 `codes` column:

@@ -244,6 +244,29 @@ class CurationSpec extends SparkSpec {
     assert(out("b") == ((1L, 2L, 0.25)))
   }
 
+  test("splitAssignByFamily: near-dup families never straddle splits") {
+    import graft.operators.TextDedup
+    val base = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (1L, base),                 // family {1, 3}: rep = 1 -> train
+      (3L, base + " tiny tail"),  // per-id split would be 'test' (the leak)
+      (5L, "completely different words nothing shared at all here now")
+    ).toDF("doc_id", "text")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val pairs = TextDedup.nearDupPairsMinhash(d, numHashes = 32, bands = 16,
+      jaccardThreshold = 0.5)
+    val out = Curation.splitAssignByFamily(d, pairs, splits).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("family_rep"), r.getAs[String]("split")))).toMap
+    assert(out(1L) == ((1L, "train")))
+    assert(out(3L) == ((1L, "train"))) // follows its family, not its own hash
+    assert(out(5L) == ((5L, "val")))   // singleton keeps the per-id assignment
+    // the per-id split WOULD have leaked doc 3's family into test
+    val plain = Curation.splitAssign(d, splits).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(plain(3L) == "test" && plain(1L) == "train")
+  }
+
   test("temperatureWeights flattens the head: alpha<1 upsamples the tail, alpha=1 is the share") {
     val d = Seq(
       (1L, "big", (1 to 81).map(i => s"t$i").mkString(" ")), // 81 tokens
