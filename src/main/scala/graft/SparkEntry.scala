@@ -1326,6 +1326,22 @@ object SparkEntry {
         .orderBy("media_id", "slot")
     }),
 
+    // Thumbnail/resize pass through the same partition-batch seam:
+    // stub path = byte decimation at stride ceil(len/cap) — a pure
+    // function of the payload, replayed byte for byte by the oracle
+    // (the pixel-true ImageIo path is spec-gated on real PNGs).
+    "mm_resize" -> ((s, dir) => {
+      val media = docs(s, dir).select(
+        col("doc_id").as("media_id"), lit("blob").as("kind"), lit("raw").as("format"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        md5(col("text")).cast("binary").as("bytes"))
+      Multimodal.resizeMedia(media, maxW = 4, maxH = 2)
+        .select(col("media_id"), col("out_width"), col("out_height"),
+          md5(col("resized_bytes")).as("thumb_hash"))
+        .orderBy("media_id")
+    }),
+
     // Video frame-sampling plan (pure plan-side explode; the decoder
     // would fetch only sampled frames).
     "mm_frame_sample" -> ((s, dir) => {
@@ -3553,6 +3569,16 @@ object SparkEntry {
         |         + ascii(substr(md5(text), CAST(s.slot + 17 AS INT), 1)) AS byte_sum
         |FROM documents, slots s
         |ORDER BY 1, 2""".stripMargin,
+
+    // Byte-decimation replay: the 32-byte md5-hex payload at cap
+    // 4*2=8 keeps stride-4 positions 1,5,...,29.
+    "mm_resize" ->
+      """SELECT doc_id AS media_id,
+        |       8 AS out_width, 1 AS out_height,
+        |       md5(array_to_string(
+        |         list_transform(generate_series(1, 32, 4),
+        |           i -> substr(md5(text), CAST(i AS INT), 1)), '')) AS thumb_hash
+        |FROM documents ORDER BY 1""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH f AS (

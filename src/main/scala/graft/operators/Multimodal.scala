@@ -220,6 +220,97 @@ object Multimodal {
     }(enc)
   }
 
+  /** A partition-batch resizer: bytes → downscaled bytes + output
+    * dims. Same seam shape as [[Decoder]]: the Spark-side plumbing
+    * (schema, lazy partition iterator, null passthrough) is identical
+    * whether the pixel path is real or stubbed. */
+  trait Resizer extends Serializable {
+    /** (resizedBytes, outWidth, outHeight). */
+    def resize(kind: String, format: String, bytes: Array[Byte],
+               maxW: Int, maxH: Int): (Array[Byte], Int, Int)
+  }
+
+  /** Deterministic stub for opaque payloads: "thumbnail" by byte
+    * decimation — stride = ceil(len / (maxW·maxH)), keeping bytes at
+    * positions 0, stride, 2·stride, …. A pure function of the payload,
+    * so the DuckDB oracle replays it byte for byte (the pixel-true
+    * path is [[ImageIoResizer]]; this is the documented stand-in for
+    * codecs the environment lacks). Output dims: (kept bytes, 1). */
+  object StubResizer extends Resizer {
+    def resize(kind: String, format: String, bytes: Array[Byte],
+               maxW: Int, maxH: Int): (Array[Byte], Int, Int) = {
+      val cap = math.max(maxW * maxH, 1)
+      if (bytes.length <= cap) (bytes, bytes.length, 1)
+      else {
+        val stride = (bytes.length + cap - 1) / cap
+        val out = bytes.indices.by(stride).map(bytes).toArray
+        (out, out.length, 1)
+      }
+    }
+  }
+
+  /** Real image downscale on `javax.imageio` + `Graphics2D`: decode,
+    * fit inside maxW×maxH preserving aspect (never upscale), bilinear
+    * draw, re-encode PNG. Anything undecodable falls through to
+    * `fallback` — same chain discipline as [[ImageIoDecoder]]. */
+  class ImageIoResizer(fallback: Resizer) extends Resizer {
+    def resize(kind: String, format: String, bytes: Array[Byte],
+               maxW: Int, maxH: Int): (Array[Byte], Int, Int) = {
+      if (kind != "image") return fallback.resize(kind, format, bytes, maxW, maxH)
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) return fallback.resize(kind, format, bytes, maxW, maxH)
+        val (w, h) = (img.getWidth, img.getHeight)
+        if (w <= maxW && h <= maxH) return (bytes, w, h)
+        val scale = math.min(maxW.toDouble / w, maxH.toDouble / h)
+        val (ow, oh) = (math.max(1, math.round(w * scale).toInt),
+          math.max(1, math.round(h * scale).toInt))
+        val out = new java.awt.image.BufferedImage(ow, oh,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, ow, oh, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        (bos.toByteArray, ow, oh)
+      } catch {
+        case _: Exception => fallback.resize(kind, format, bytes, maxW, maxH)
+      }
+    }
+  }
+
+  def realResizer: Resizer = new ImageIoResizer(StubResizer)
+
+  /** Downscale pass: adds (resized_bytes, out_width, out_height), the
+    * resizer run per partition with the iterator consumed lazily —
+    * the training-data shape where original media stays in object
+    * store and only thumbnails flow on. */
+  def resizeMedia(media: DataFrame, maxW: Int = 64, maxH: Int = 64,
+                  resizer: Resizer = StubResizer): DataFrame = {
+    val outSchema = StructType(media.schema.fields ++ Seq(
+      StructField("resized_bytes", org.apache.spark.sql.types.BinaryType),
+      StructField("out_width", org.apache.spark.sql.types.IntegerType),
+      StructField("out_height", org.apache.spark.sql.types.IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val kindIdx = media.schema.fieldIndex("kind")
+    val fmtIdx = media.schema.fieldIndex("format")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](bytesIdx)
+        if (bytes == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        else {
+          val (out, w, h) = resizer.resize(
+            r.getString(kindIdx), r.getString(fmtIdx), bytes, maxW, maxH)
+          Row.fromSeq(r.toSeq ++ Seq(out, w, h))
+        }
+      }
+    }(enc)
+  }
+
   /** Frame sampling plan for video rows: one row per sampled frame
     * index at `everyMs` spacing — pure plan-side explode; the decoder
     * then fetches only sampled frames. */

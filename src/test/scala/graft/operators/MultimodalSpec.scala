@@ -70,6 +70,43 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.StubDecoder.decode("audio", "wav", Array[Byte](9, 9))))
   }
 
+  test("resizeMedia: real PNG downscale fits the box; stub decimates opaque bytes") {
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, "image", "png", png(8, 4, 0xFF0000)),  // downscale 2x -> 4x2
+      (2L, "image", "png", png(2, 2, 0x00FF00)),  // already fits -> passthrough
+      (3L, "blob", "raw", (0 until 32).map(_.toByte).toArray) // stub decimation
+    ).toDF("media_id", "kind", "format", "bytes")
+      .withColumn("width", lit(null).cast("int"))
+      .withColumn("height", lit(null).cast("int"))
+      .withColumn("duration_ms", lit(null).cast("long"))
+      .select("media_id", "kind", "format", "width", "height", "duration_ms", "bytes")
+    val out = Multimodal.resizeMedia(media, maxW = 4, maxH = 2, Multimodal.realResizer)
+      .select("media_id", "resized_bytes", "out_width", "out_height").collect()
+      .map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Array[Byte]]("resized_bytes"), r.getAs[Int]("out_width"),
+          r.getAs[Int]("out_height")))).toMap
+
+    val (b1, w1, h1) = out(1L)
+    assert(w1 == 4 && h1 == 2)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b1))
+    assert(back.getWidth == 4 && back.getHeight == 2)
+    assert((back.getRGB(0, 0) & 0xFFFFFF) == 0xFF0000) // still red after bilinear
+    val (b2, w2, h2) = out(2L)
+    assert(w2 == 2 && h2 == 2 && b2.sameElements(media.collect()(1).getAs[Array[Byte]]("bytes")))
+    // stub: 32 bytes at cap 8 -> stride 4 -> bytes 0,4,...,28
+    val (b3, w3, h3) = out(3L)
+    assert(w3 == 8 && h3 == 1)
+    assert(b3.toSeq == (0 until 32 by 4).map(_.toByte).toSeq)
+  }
+
   test("WavDecoder decodes a real PCM WAV through withFeatures") {
     import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
     // 0.25 s of a 440 Hz sine at half amplitude, 16-bit mono 8 kHz
