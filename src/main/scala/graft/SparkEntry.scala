@@ -1692,6 +1692,12 @@ object SparkEntry {
     "doc_source_temperature" -> ((s, dir) =>
       Curation.temperatureWeights(docs(s, dir)).orderBy("source")),
 
+    // The actionable epoch plan on top of the temperature weights:
+    // per-source target tokens for a 1M-token epoch + repeat factor
+    // (>1 upsample-with-repetition, <1 subsample).
+    "doc_epoch_plan" -> ((s, dir) =>
+      Curation.epochPlan(docs(s, dir), budgetTokens = 1000000L).orderBy("source")),
+
     // Concat-then-slice training batch assembly: global token offsets
     // via the two-level prefix sum (never a global window).
     "doc_pack_sequences" -> ((s, dir) =>
@@ -2045,6 +2051,30 @@ object SparkEntry {
         |       CAST(ROUND(q / n.qsum, 6) AS DOUBLE) AS weight,
         |       CAST(ROUND(q / n.qsum / share_raw, 6) AS DOUBLE) AS oversample
         |FROM q, n ORDER BY source""".stripMargin,
+
+    // Epoch plan replay: floor on the ALREADY-6dp-ROUNDED weight (the
+    // value the operator floors), then one IEEE division.
+    "doc_epoch_plan" ->
+      """WITH t AS (
+        |  SELECT source,
+        |         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS tc
+        |  FROM documents),
+        |s AS (SELECT source, count(*) AS doc_count, CAST(sum(tc) AS BIGINT) AS token_sum FROM t GROUP BY 1),
+        |q AS (
+        |  SELECT source, doc_count, token_sum,
+        |         sqrt(token_sum::DOUBLE / (SELECT sum(token_sum) FROM s)) AS q
+        |  FROM s),
+        |n AS (SELECT list_reduce(list(q ORDER BY source), (a, b) -> a + b) AS qsum FROM q),
+        |w AS (
+        |  SELECT source, doc_count, token_sum,
+        |         CAST(ROUND(q / n.qsum, 6) AS DOUBLE) AS weight
+        |  FROM q, n)
+        |SELECT source, doc_count, token_sum, weight,
+        |       CAST(FLOOR(weight * 1000000) AS BIGINT) AS target_tokens,
+        |       CAST(ROUND(CAST(FLOOR(weight * 1000000) AS BIGINT)::DOUBLE
+        |                  / greatest(token_sum, 1), 6) AS DOUBLE) AS repeat_factor
+        |FROM w ORDER BY source""".stripMargin,
 
     "doc_pack_sequences" ->
       """WITH t AS (

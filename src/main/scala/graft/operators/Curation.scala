@@ -551,6 +551,24 @@ object Curation {
         round(col("q") / col("qsum") / col("share_raw"), 6).as("oversample"))
   }
 
+  /** The epoch plan that makes [[temperatureWeights]] actionable: given
+    * a total token `budget` for one training epoch, each source's
+    * target token count is floor(weight · budget) and its repeat
+    * factor target/token_sum tells the sampler how often to cycle the
+    * source (>1 = upsample with repetition, <1 = subsample). All
+    * integer arithmetic except the already-pinned weight doubles and
+    * one final IEEE division, so the plan is engine-exact and
+    * growth-stable. One ~|sources|-row frame — driver-trivial after
+    * the same single aggregate as the weights. */
+  def epochPlan(docs: DataFrame, budgetTokens: Long, alpha: Double = 0.5,
+                srcCol: String = "source", textCol: String = "text"): DataFrame =
+    temperatureWeights(docs, alpha, srcCol, textCol)
+      .select(col("source"), col("doc_count"), col("token_sum"), col("weight"),
+        floor(col("weight") * budgetTokens).cast("long").as("target_tokens"))
+      .withColumn("repeat_factor",
+        round(col("target_tokens").cast("double") /
+          greatest(col("token_sum"), lit(1L)), 6))
+
   // ------------------------------------------------------------------
   // Training-sequence packing
   // ------------------------------------------------------------------

@@ -291,6 +291,26 @@ class CurationSpec extends SparkSpec {
     id.values.foreach { case (s, wgt) => assert(math.abs(s - wgt) < 1e-6) }
   }
 
+  test("epochPlan: targets honor the budget; repeat factors up/down-sample correctly") {
+    val d = Seq(
+      (1L, "big", (1 to 81).map(i => s"t$i").mkString(" ")),
+      (2L, "small", (1 to 9).map(i => s"s$i").mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val plan = Curation.epochPlan(d, budgetTokens = 1000L).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val big = plan("big"); val small = plan("small")
+    // floor(weight * budget) sums to <= budget, within one floor per source
+    val total = big.getAs[Long]("target_tokens") + small.getAs[Long]("target_tokens")
+    assert(total <= 1000L && total >= 1000L - 2)
+    // temperature flattening: the tail source cycles RELATIVELY more
+    // often than the head (27.8x vs 9.3x at this budget)
+    assert(small.getAs[Double]("repeat_factor") > big.getAs[Double]("repeat_factor"))
+    assert(big.getAs[Long]("target_tokens") > small.getAs[Long]("target_tokens"))
+    // exact values: weights 0.75/0.25 -> targets 750/250 over 81/9 tokens
+    assert(big.getAs[Long]("target_tokens") == 750L)
+    assert(small.getAs[Double]("repeat_factor") == math.rint(250.0 / 9 * 1e6) / 1e6)
+  }
+
   test("packSequences produces the exact global prefix sum across chunk boundaries") {
     // tiny chunks (2 docs) force multi-chunk offsets; capacity 10 tokens
     val d = (0L until 7L).map(i => (i, Seq.fill(4)("w").mkString(" "))).toDF("doc_id", "text")
