@@ -366,6 +366,25 @@ object SparkEntry {
 
     // C1/C2/C5 + S9/S11: the pipeline's transform chain — staging dedup,
     // anti-join insert, curated union, summary refresh — as one plan.
+    // Snapshot time travel over the versioned-dir chain: publish two
+    // refreshes of a summary table, then read BOTH the previous
+    // snapshot (VERSION AS OF -1, via tableAsOf) and the current one.
+    // The oracle recomputes each snapshot's content from the source
+    // parquet — proving the retained v(n-1) directory still serves the
+    // pre-refresh result after the flip.
+    "ref_time_travel" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val v1 = e.filter(col("event_type") === "purchase")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      val v2 = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+      graft.plans.Catalog.ctasOverwrite(v1, "tt_demo", keepVersions = 3)
+      graft.plans.Catalog.ctasOverwrite(v2, "tt_demo", keepVersions = 3)
+      graft.plans.Catalog.tableAsOf(s, "tt_demo", 1)
+        .withColumn("snapshot", lit("previous"))
+        .unionByName(s.table("tt_demo").withColumn("snapshot", lit("current")))
+        .orderBy("snapshot", "event_type")
+    }),
+
     "ref_pipeline_summary" -> ((s, dir) => {
       val staging = stagingFixture(s, dir).dropDuplicates("event_id")
       val target = targetFixture(s, dir)
@@ -793,6 +812,16 @@ object SparkEntry {
         |SELECT event_id, event_type, value
         |FROM events WHERE event_id % 3 = 0 AND event_id % 5 <> 0
         |ORDER BY event_id""".stripMargin,
+
+    // Each snapshot's content recomputed from source — time travel must
+    // serve the PRE-refresh result for 'previous'.
+    "ref_time_travel" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n, 'previous' AS snapshot
+        |FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |UNION ALL
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n, 'current' AS snapshot
+        |FROM events GROUP BY 1
+        |ORDER BY snapshot, event_type""".stripMargin,
 
     "ref_pipeline_summary" ->
       """WITH staging AS (
@@ -1534,6 +1563,21 @@ object SparkEntry {
           Similarity.pqBooksMd5(4, 8, 16))
         .select(col("probe_id"), col("rank"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
         .orderBy("probe_id", "rank")
+    }),
+
+    // IVF-PQ + EXACT re-rank (ADC+refine): the compressed domain
+    // proposes 16 candidates, floats re-score only those — so unlike
+    // the PQ-only gate the sim column is exact and compared full-value
+    // against brute force (same oracle shape as emb_topk_ivf).
+    "emb_topk_ivfpq_refine" -> ((s, dir) => {
+      val planted = embDupFixture(s, dir).localCheckpoint(true)
+      val cents = Similarity.trainCentroids(planted, k = 8, iters = 2)
+      val books = Similarity.trainPqBooks(planted, m = 4, ksub = 8, iters = 2)
+      Similarity.topKIvfPqRefine(planted, planted.filter(col("vec_id") >= 100000), 3,
+          cents, books, nprobe = 2, refine = 16)
+        .filter(col("rank") === 1)
+        .select(col("probe_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("probe_id")
     }),
 
     // IVF-PQ (IVFADC shape) twin-recall gate: TRAINED coarse centroids
@@ -3895,6 +3939,25 @@ object SparkEntry {
     // IVF candidate set always contains the true nearest neighbor and
     // IVF rank-1 == exact rank-1 by construction.
     "emb_topk_ivf" ->
+      """WITH fixture AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 50 = 0),
+        |probes AS (SELECT vec_id AS probe_id, v AS p FROM fixture WHERE vec_id >= 100000),
+        |scored AS (
+        |  SELECT pr.probe_id, c.vec_id AS neighbor_id,
+        |         list_dot_product(pr.p, c.v)
+        |           / (sqrt(list_dot_product(pr.p, pr.p)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |  FROM probes pr, fixture c WHERE c.vec_id <> pr.probe_id)
+        |SELECT probe_id, neighbor_id, CAST(ROUND(sim, 6) AS DOUBLE) AS sim
+        |FROM (SELECT probe_id, neighbor_id, sim,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |WHERE rank = 1 ORDER BY probe_id""".stripMargin,
+
+    // Refined rank-1 is EXACT: brute-force top-1 with its true cosine
+    // (the refine join re-scores in floats, so sim compares full-value).
+    "emb_topk_ivfpq_refine" ->
       """WITH fixture AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |  UNION ALL

@@ -857,6 +857,32 @@ object Similarity {
     * planted-twin invariant (identical vector ⇒ identical cell AND
     * identical reconstruction ⇒ maximal sim) makes rank-1 provable
     * against the exact brute-force oracle. */
+  /** [[topKIvfPq]] with an EXACT re-rank tail — the ADC+refine shape
+    * every production IVF-PQ deployment runs: the compressed domain
+    * proposes `refine` (>k) candidates per probe, and only those
+    * (probe, candidate) pairs join back to the float corpus for a true
+    * cosine. At 100 TB the floats are touched for refine·|probes| rows
+    * via an equi-join on candidate id — never a corpus scan in the
+    * float domain — so the scan cost stays the ~m-bytes/vector PQ tier
+    * while the returned sims are EXACT (the gate can compare them
+    * full-value, which the PQ-only path cannot). */
+  def topKIvfPqRefine(corpus: DataFrame, probes: DataFrame, k: Int,
+                      cents: Array[Array[Float]], books: Seq[Seq[Seq[Int]]],
+                      nprobe: Int = 2, refine: Int = 32): DataFrame = {
+    val cand = topKIvfPq(corpus, probes, refine, cents, books, nprobe)
+      .select("probe_id", "neighbor_id")
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
+    val p = broadcast(probes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("p_emb"), norm(col("embedding")).as("p_norm")))
+    val exact = cand.join(c, Seq("neighbor_id")).join(p, Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        (dot(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm"))).as("sim"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "sim")
+  }
+
   def topKIvfPq(corpus: DataFrame, probes: DataFrame, k: Int,
                 cents: Array[Array[Float]], books: Seq[Seq[Seq[Int]]],
                 nprobe: Int = 2): DataFrame = {

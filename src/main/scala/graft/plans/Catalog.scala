@@ -105,6 +105,43 @@ object Catalog {
     }
   }
 
+  /** Committed snapshot versions of a [[ctasOverwrite]]-published
+    * table, NEWEST FIRST — only directories carrying the `_SUCCESS`
+    * marker count (a dead partial write is invisible here exactly as
+    * it is to the flip). */
+  def tableVersions(spark: SparkSession, name: String): Seq[Long] = {
+    val base = new Path(new Path(spark.conf.get("spark.sql.warehouse.dir")), s"${name}__versions")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val VersionName = """v(\d+)(?:__(.*))?""".r
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq.flatMap(s => s.getPath.getName match {
+      case VersionName(n, _) if fs.exists(new Path(s.getPath, "_SUCCESS")) => Some(n.toLong)
+      case _ => None
+    }).sorted.reverse
+  }
+
+  /** Time travel over the retained snapshot chain: the table as of
+    * `versionsBack` refreshes ago (0 = the newest committed snapshot).
+    * Bounded by [[ctasOverwrite]]'s `keepVersions` retention — the
+    * Delta/Iceberg `VERSION AS OF` contract re-expressed on the
+    * versioned-directory layout (README "Permanent divergences": the
+    * table FORMAT is still plain parquet; history depth is the
+    * retention knob, not an unbounded log). Reads bind to the version
+    * DIRECTORY, so a concurrent refresh never changes what this frame
+    * scans. */
+  def tableAsOf(spark: SparkSession, name: String, versionsBack: Int): DataFrame = {
+    val versions = tableVersions(spark, name)
+    require(versionsBack >= 0 && versionsBack < versions.length,
+      s"version $versionsBack not retained for $name (have ${versions.length} snapshots)")
+    val base = new Path(new Path(spark.conf.get("spark.sql.warehouse.dir")), s"${name}__versions")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val n = versions(versionsBack)
+    // the tag suffix varies; resolve the concrete dir name
+    val dir = fs.listStatus(base).map(_.getPath)
+      .find(p => p.getName == s"v$n" || p.getName.startsWith(s"v${n}__")).get
+    spark.read.parquet(dir.toString)
+  }
+
   /** Reclaim a managed-table location whose catalog entry is gone — a
     * NEW session over a surviving warehouse dir (the in-memory catalog
     * dies with the process; the parquet directories don't). saveAsTable

@@ -433,6 +433,31 @@ class SimilaritySpec extends SparkSpec {
       s"probe ${id + 100000}: rank-1 was ${top1(id + 100000)}, expected twin $id"))
   }
 
+  test("topKIvfPqRefine: refined sims are the exact cosines, twins at rank 1") {
+    val planted = emb.select($"vec_id", $"embedding").unionByName(
+      emb.filter($"vec_id" % 50 === 0).select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+      .localCheckpoint(true)
+    val probes = planted.filter($"vec_id" >= 100000)
+    val cents = Similarity.trainCentroids(planted, k = 8, iters = 2)
+    val books = Similarity.trainPqBooks(planted, m = 4, ksub = 8, iters = 2)
+    val refined = Similarity.topKIvfPqRefine(planted, probes, 3, cents, books,
+      nprobe = 2, refine = 16).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("sim")).toMap
+    // every refined sim equals the direct float cosine of that pair
+    val exact = Similarity.topKExact(planted, probes, 16).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("sim")).toMap
+    refined.foreach { case (pair, s) =>
+      exact.get(pair).foreach(e => assert(s == e, s"$pair: refined $s != exact $e"))
+    }
+    // and the twin invariant holds end-to-end
+    val r1 = Similarity.topKIvfPqRefine(planted, probes, 1, cents, books,
+      nprobe = 2, refine = 16).collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("neighbor_id")).toMap
+    r1.foreach { case (p, n) => assert(n == p - 100000, s"probe $p rank-1 $n") }
+  }
+
   test("topKIvfPq plan: candidates stay an equi-join on the cell id") {
     val planted = emb.select($"vec_id", $"embedding")
     val cents = Similarity.trainCentroids(planted, k = 4, iters = 1)

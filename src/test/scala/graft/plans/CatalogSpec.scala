@@ -9,8 +9,26 @@ import graft.operators.EventOps
 class CatalogSpec extends SparkSpec with BeforeAndAfterAll {
 
   override def afterAll(): Unit =
-    Seq("cat_t1", "cat_view_src", "ev_bucketed", "staging_bucketed", "cat_atomic", "cat_tagged", "cat_dead")
+    Seq("cat_t1", "cat_view_src", "ev_bucketed", "staging_bucketed", "cat_atomic", "cat_tagged", "cat_dead", "cat_tt")
       .foreach(t => Catalog.dropIfExists(spark, t))
+
+  test("tableAsOf serves retained snapshots newest-first; beyond retention throws") {
+    import spark.implicits._
+    Catalog.dropIfExists(spark, "cat_tt")
+    def snap(n: Int) = spark.range(n.toLong).select($"id", lit(n).as("gen"))
+    for (g <- 1 to 4) Catalog.ctasOverwrite(snap(g), "cat_tt", keepVersions = 3)
+
+    val vs = Catalog.tableVersions(spark, "cat_tt")
+    assert(vs.length == 3 && vs == vs.sorted.reverse)   // retention + newest first
+    assert(spark.table("cat_tt").agg(max("gen")).head().getInt(0) == 4)
+    assert(Catalog.tableAsOf(spark, "cat_tt", 0).count() == 4)
+    assert(Catalog.tableAsOf(spark, "cat_tt", 1)
+      .agg(max("gen")).head().getInt(0) == 3)           // VERSION AS OF -1
+    assert(Catalog.tableAsOf(spark, "cat_tt", 2).count() == 2)
+    intercept[IllegalArgumentException] {
+      Catalog.tableAsOf(spark, "cat_tt", 3)             // pruned by retention
+    }
+  }
 
   test("ctasOverwrite publishes atomically: a looping reader never sees a missing or partial table") {
     import spark.implicits._
