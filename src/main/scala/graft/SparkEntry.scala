@@ -1326,6 +1326,32 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // The ingest treadmill as a STREAM: slice 1 lands and drains
+    // through the checkpointed file source (bootstrap), slice 2 (new
+    // ids + planted copies of tier docs) lands and a RESTARTED query
+    // on the same checkpoint picks up only the new files — the
+    // scheduled-batch deployment shape. Final tier must equal
+    // batch-global near-dup dedup over both slices (nearDupAgainst's
+    // convergence contract), which the oracle computes all-pairs.
+    "stream_doc_ingest" -> ((s, dir) => {
+      import graft.pipeline.CurationPipeline
+      CurationPipeline.resetTreadmill(s)
+      val land = Files.createTempDirectory("graft_doc_land").toString
+      val cp = Files.createTempDirectory("graft_doc_cp").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      val slice1 = d.filter(col("doc_id") < 250)
+      val slice2 = d.filter(col("doc_id") >= 250)
+        .unionByName(slice1.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      slice1.coalesce(1).write.mode("append").json(land)
+      val q1 = CurationPipeline.streamIngest(s, land, cp, jaccardThreshold = 0.5)
+      require(q1.awaitTermination(300000), "stream_doc_ingest: slice 1 drain timed out")
+      slice2.coalesce(1).write.mode("append").json(land)
+      val q2 = CurationPipeline.streamIngest(s, land, cp, jaccardThreshold = 0.5)
+      require(q2.awaitTermination(300000), "stream_doc_ingest: slice 2 drain timed out")
+      s.table(CurationPipeline.TierTable).select("doc_id").orderBy("doc_id")
+    }),
+
     // SimHash near-dup on the md5 signature: the Spark plan is the
     // chunked-LSH pipeline (pigeonhole bucketing is EXACT for
     // hamming ≤ 3 of 4 chunks, recall 1 by construction), so the
@@ -3614,6 +3640,42 @@ object SparkEntry {
         |SELECT doc_id FROM corpus
         |WHERE doc_id >= 250
         |  AND doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same fixture and all-pairs machinery, but the FULL surviving tier
+    // (both slices): min-id canonical of every 0.5-jaccard cluster.
+    "stream_doc_ingest" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents
+        |  WHERE doc_id % 5 = 0 AND doc_id < 250),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(toks)-1),
+        |                            i -> array_to_string(toks[i:i+2], ' '))) END AS s
+        |  FROM (SELECT doc_id,
+        |               string_split_regex(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |        FROM corpus)),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s))::DOUBLE
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |clusters AS (
+        |  SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM (
+        |    SELECT src AS id, dst AS lbl FROM reach
+        |    UNION SELECT src, src FROM edges)
+        |  GROUP BY 1)
+        |SELECT doc_id FROM corpus
+        |WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
         |ORDER BY doc_id""".stripMargin,
 
     "doc_simhash_sig" ->

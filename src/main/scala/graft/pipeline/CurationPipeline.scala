@@ -304,4 +304,60 @@ object CurationPipeline {
       })
     new Runner(stages, RetryPolicy(retries = 1), notify).run(Map("batch_in" -> batch.count()))
   }
+
+  /** The ingest treadmill as a STREAM: a checkpointed file source over
+    * the document landing layout drives [[ingestBatch]] once per
+    * micro-batch via foreachBatch — the same composition StreamingPipeline
+    * runs for the event tables, applied to the corpus treadmill. The
+    * checkpoint dedups FILES (a restart resumes at the first
+    * undiscovered slice); the treadmill's own band/span indexes dedup
+    * CONTENT, so redelivered text cannot re-enter the tier either way.
+    * With Trigger.AvailableNow the query drains everything landed and
+    * stops — the scheduled-batch deployment shape; a processing-time
+    * trigger turns the same code into a continuous service. */
+  def streamIngest(spark: SparkSession, landingDir: String, checkpointDir: String,
+                   jaccardThreshold: Double = 0.8,
+                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .json(landingDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // Run the WHOLE treadmill on the micro-batch's session clone,
+        // not the outer session: the scratch-table overwrites refresh
+        // the relation cache of the session that wrote them, and a
+        // plan mixing the clone's batch with outer-session tables
+        // splits that cache — batch 2 then reads batch-1 file listings
+        // of the survivors scratch table (observed as FAILED_READ_FILE
+        // FILE_NOT_EXIST). Each micro-batch clone starts with a fresh
+        // cache over the SHARED external catalog, so per-batch reads
+        // are coherent and later outer-session reads list fresh.
+        // pin the batch: the treadmill's stages fire ~5 actions over it,
+        // and an unpersisted micro-batch re-reads the landing files for
+        // each (observed as numInputRows = 5x the file rows)
+        val pinned = batch.toDF().persist()
+        val r = try ingestBatch(batch.sparkSession, pinned, jaccardThreshold, maxBucketSize)
+        finally pinned.unpersist(blocking = false)
+        require(r.ok, s"ingestBatch failed in micro-batch $id: " +
+          r.stages.filterNot(_.ok).map(s => s"${s.stage}: ${s.error.getOrElse("?")}").mkString("; "))
+        // ...and the OUTER session (the one that started the stream and
+        // will read the tier afterwards) must drop ITS cached file
+        // listings of the published tables — the clone's refreshes
+        // don't reach it, and a pre-stream read would otherwise pin a
+        // stale listing (same split, opposite direction).
+        Seq(TierTable, BandIndexTable, SpanIndexTable, CleanTierTable)
+          .foreach(t => if (Catalog.tableExists(spark, t)) spark.catalog.refreshTable(t))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Drop every treadmill table — a fresh-tier reset for
+    * self-contained runs (the stream gate query and specs). */
+  def resetTreadmill(spark: SparkSession): Unit =
+    Seq(TierTable, BandIndexTable, SpanIndexTable, CleanTierTable,
+      BatchSurvivorsTable, BatchCleanTable, BatchSpanIndexTable)
+      .foreach(Catalog.dropIfExists(spark, _))
 }

@@ -166,6 +166,36 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     assert(report.metrics("near_dup_pairs") == 0L) // capped buckets emit no pairs
   }
 
+  test("streamIngest: checkpointed landing slices + restart converge to the batch-global tier") {
+    val land = java.nio.file.Files.createTempDirectory("graft_sil").toString
+    val cp = java.nio.file.Files.createTempDirectory("graft_sic").toString
+    val s1 = docs.filter($"doc_id" < 100)
+    val s2 = docs.filter($"doc_id" >= 100 && $"doc_id" < 200)
+      .unionByName(docs.filter($"doc_id" % 10 === 0 && $"doc_id" < 100)
+        .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+
+    s1.coalesce(1).write.mode("append").json(land)
+    assert(CurationPipeline.streamIngest(spark, land, cp, jaccardThreshold = 0.5)
+      .awaitTermination(120000))
+    val afterS1 = spark.table(CurationPipeline.TierTable).count()
+
+    s2.coalesce(1).write.mode("append").json(land)
+    assert(CurationPipeline.streamIngest(spark, land, cp, jaccardThreshold = 0.5)
+      .awaitTermination(120000))
+    val tierIds = spark.table(CurationPipeline.TierTable).select("doc_id")
+      .as[Long].collect().toSet
+    assert(afterS1 > 0 && tierIds.size > afterS1)
+    assert(!tierIds.exists(_ >= 100000L), "planted copies of tier docs must reconcile away")
+    val global = graft.operators.TextDedup.dedupNearMinhash(
+      s1.unionByName(s2), jaccardThreshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tierIds == global)
+    // restart with NO new files is a no-op (checkpoint dedups files)
+    assert(CurationPipeline.streamIngest(spark, land, cp, jaccardThreshold = 0.5)
+      .awaitTermination(120000))
+    assert(spark.table(CurationPipeline.TierTable).count() == tierIds.size)
+  }
+
   test("ingestBatch: bootstrap, then incremental slices converge to the batch-global tier") {
     // slice 1 (ids 0..99) carries an internal near-dup family; slice 2
     // (ids 100..199 + planted copies of slice-1 docs) carries cross dups
