@@ -162,6 +162,23 @@ object ScaleSmoke {
       require(bad == 0, s"$bad vectors whose rank-1 is not an identical clone")
       n
     }
+    timed("ivfpq_refine_8k") {
+      // the production ANN read path end-to-end: train coarse cells +
+      // PQ books, propose in the compressed domain, re-rank exact.
+      // Clone corpus invariant: every probe's refined rank-1 must be
+      // an identical clone (cosine exactly 1).
+      val cents = operators.Similarity.trainCentroids(emb, k = 16, iters = 2)
+      val books = operators.Similarity.trainPqBooks(emb, m = 4, ksub = 8, iters = 2)
+      val probes = emb.filter(col("vec_id") % 200 === 0)
+      val out = operators.Similarity.topKIvfPqRefine(emb, probes, 3, cents, books,
+        nprobe = 2, refine = 32).localCheckpoint(true)
+      val n = out.count()
+      val bad = out.filter(col("rank") === 1 &&
+        (col("probe_id") % 1000000L =!= col("neighbor_id") % 1000000L ||
+          col("sim") < 0.999999)).count()
+      require(bad == 0, s"$bad probes whose refined rank-1 is not an identical clone")
+      n
+    }
     timed("bigram_topk_50k") {
       val n = operators.Curation.ngramTopK(docs, n = 2, topK = 50).count()
       require(n == 50, s"top-k must cap at 50: $n")

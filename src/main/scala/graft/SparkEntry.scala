@@ -1414,6 +1414,20 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // Contrastive triplet mining: hardest positive + hardest negative
+    // per anchor from the top-8 candidate graph (exact graph here —
+    // full first-principles oracle; the banded knnGraph is the drop-in
+    // production provider, the triplet algebra is graph-agnostic).
+    "emb_triplet_mining" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.mineTriplets(Similarity.topKExact(e, e, 8),
+          e.select("vec_id", "label"))
+        .select(col("anchor_id"),
+          col("positive_id"), round(col("pos_sim"), 6).as("pos_sim"),
+          col("negative_id"), round(col("neg_sim"), 6).as("neg_sim"))
+        .orderBy("anchor_id")
+    }),
+
     // Embedding near-dup via sign-LSH buckets + exact cosine verify.
     // Planted identical copies share buckets deterministically, and
     // they are provably the ONLY pairs the all-pairs oracle can emit:
@@ -3736,6 +3750,36 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM scored)
         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    // Triplet replay: exact top-8 candidates (same ranking as the
+    // Spark graph), then per anchor the max-(sim, id) same-label and
+    // different-label rows; anchors missing either class are dropped.
+    "emb_triplet_mining" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id AS anchor_id, b.vec_id AS neighbor_id,
+        |         a.label AS a_label, b.label AS n_label,
+        |         list_dot_product(a.v, b.v)
+        |           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+        |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
+        |cand AS (
+        |  SELECT * FROM (SELECT *,
+        |           row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neighbor_id) AS rk
+        |         FROM scored) WHERE rk <= 8),
+        |pos AS (
+        |  SELECT anchor_id, neighbor_id AS positive_id, sim AS pos_sim,
+        |         row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neighbor_id DESC) AS rn
+        |  FROM cand WHERE a_label = n_label),
+        |neg AS (
+        |  SELECT anchor_id, neighbor_id AS negative_id, sim AS neg_sim,
+        |         row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neighbor_id DESC) AS rn
+        |  FROM cand WHERE a_label <> n_label)
+        |SELECT p.anchor_id,
+        |       positive_id, CAST(ROUND(pos_sim, 6) AS DOUBLE) AS pos_sim,
+        |       negative_id, CAST(ROUND(neg_sim, 6) AS DOUBLE) AS neg_sim
+        |FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+        |WHERE p.rn = 1 AND n.rn = 1
+        |ORDER BY p.anchor_id""".stripMargin,
 
     // Cluster = 6-plane md5 sign bucket (same plane family the LSH
     // oracles replay); kept ⇔ no lower-id cluster-mate at cosine

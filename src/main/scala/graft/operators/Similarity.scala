@@ -56,6 +56,36 @@ object Similarity {
       .select("probe_id", "rank", "neighbor_id", "sim")
   }
 
+  /** Contrastive TRIPLET MINING over a neighbor graph: for each anchor
+    * that has both a same-label and a different-label neighbor among
+    * its graph candidates, emit (anchor, hardest positive = most
+    * similar same-label, hardest negative = most similar
+    * different-label) with both sims — the (a, p, n) batch shape
+    * contrastive/metric training consumes, with the negative "hard" by
+    * construction. Graph-agnostic algebra: pass [[topKExact]] output
+    * for provable small-scale mining (the gate shape) or [[knnGraph]]
+    * for the banded-LSH production path — the 100 TB cost profile is
+    * whatever the graph provider's is, this step adds only two label
+    * joins (broadcast-sized (id, label) dims) and one per-anchor
+    * struct-max aggregate. Ties: greater neighbor id. */
+  def mineTriplets(graph: DataFrame, labels: DataFrame): DataFrame = {
+    val anchor = if (graph.columns.contains("probe_id")) "probe_id" else "src_id"
+    val g = graph.select(col(anchor).as("anchor_id"), col("neighbor_id"), col("sim"))
+    val a = labels.select(col("vec_id").as("anchor_id"), col("label").as("a_label"))
+    val n = labels.select(col("vec_id").as("neighbor_id"), col("label").as("n_label"))
+    g.join(a, Seq("anchor_id")).join(n, Seq("neighbor_id"))
+      .groupBy("anchor_id")
+      .agg(
+        max(when(col("a_label") === col("n_label"),
+          struct(col("sim"), col("neighbor_id")))).as("p"),
+        max(when(col("a_label") =!= col("n_label"),
+          struct(col("sim"), col("neighbor_id")))).as("n"))
+      .filter(col("p").isNotNull && col("n").isNotNull)
+      .select(col("anchor_id"),
+        col("p.neighbor_id").as("positive_id"), col("p.sim").as("pos_sim"),
+        col("n.neighbor_id").as("negative_id"), col("n.sim").as("neg_sim"))
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
     * plane `p`, dimension `d`. */
   private def planeComponent(p: Column, d: Column, seed: Long): Column =

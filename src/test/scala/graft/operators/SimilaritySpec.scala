@@ -433,6 +433,30 @@ class SimilaritySpec extends SparkSpec {
       s"probe ${id + 100000}: rank-1 was ${top1(id + 100000)}, expected twin $id"))
   }
 
+  test("mineTriplets: hardest same/different-label picks; anchors missing a class drop") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(0.99f, 0.14f), 0),   // nearest same-label to 1
+      (3L, Array(0.9f, 0.44f), 1),    // nearest diff-label to 1
+      (4L, Array(0f, 1f), 1),
+      (5L, Array(-1f, 0f), 0)         // far-away same-label
+    ).toDF("vec_id", "embedding", "label")
+    val graph = Similarity.topKExact(vecs, vecs, 4) // all others are candidates
+    val out = Similarity.mineTriplets(graph, vecs.select("vec_id", "label"))
+      .collect().map(r => r.getAs[Long]("anchor_id") -> r).toMap
+    val t1 = out(1L)
+    assert(t1.getAs[Long]("positive_id") == 2L)
+    assert(t1.getAs[Long]("negative_id") == 3L)
+    assert(t1.getAs[Double]("pos_sim") > t1.getAs[Double]("neg_sim"))
+    // every anchor here sees both classes among 4 candidates -> 5 triplets
+    assert(out.size == 5)
+    // k=1 graph: anchor 1's only candidate is same-label 2 -> dropped
+    val k1 = Similarity.mineTriplets(Similarity.topKExact(vecs, vecs, 1),
+      vecs.select("vec_id", "label")).collect()
+      .map(_.getAs[Long]("anchor_id")).toSet
+    assert(!k1.contains(1L))
+  }
+
   test("topKIvfPqRefine: refined sims are the exact cosines, twins at rank 1") {
     val planted = emb.select($"vec_id", $"embedding").unionByName(
       emb.filter($"vec_id" % 50 === 0).select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
