@@ -589,6 +589,13 @@ object SparkEntry {
       DataQuality.valuePercentiles(ev(s, dir), "event_type", "value")
         .orderBy("event_type")),
 
+    // Mergeable histogram-sketch quantiles: 1024 integer bucket counts
+    // (one map-side-combinable agg, no per-value state), linear
+    // interpolation in the crossing bucket — every floor/divide
+    // replayed by the oracle.
+    "ref_value_hist_quantiles" -> ((s, dir) =>
+      DataQuality.histogramQuantiles(ev(s, dir), "value").orderBy("q")),
+
     // Ordered 3-stage funnel: earliest qualifying event per user per
     // stage, chained; counts are one union-aggregate job.
     "ref_funnel" -> ((s, dir) =>
@@ -1001,6 +1008,25 @@ object SparkEntry {
         |       CAST(ROUND(quantile_cont(value, 0.99), 6) AS DOUBLE) AS p99
         |FROM events WHERE value IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Histogram-sketch replay: same min/max, same 1024-bucket floor
+    // assignment, same cumulative crossing + in-bucket interpolation.
+    "ref_value_hist_quantiles" ->
+      """WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+        |mm AS (SELECT CAST(min(value) AS DOUBLE) AS lo,
+        |              CAST(max(value) AS DOUBLE) AS hi, count(*) AS n FROM v),
+        |bk AS (SELECT CAST(least(floor((value - mm.lo) / ((mm.hi - mm.lo) / 1024)), 1023) AS INT) AS b
+        |       FROM v, mm),
+        |c AS (SELECT b, count(*) AS c FROM bk GROUP BY 1),
+        |cm AS (SELECT b, c, sum(c) OVER (ORDER BY b) AS cum FROM c),
+        |qv AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+        |SELECT qv.q AS q,
+        |       CAST(ROUND(mm.lo + ((mm.hi - mm.lo) / 1024)
+        |              * (f.b + (qv.q * mm.n - (f.cum - f.c)) / f.c), 6) AS DOUBLE) AS estimate,
+        |       CAST(mm.n AS BIGINT) AS n_values
+        |FROM qv, mm,
+        |  LATERAL (SELECT b, c, cum FROM cm WHERE cum >= qv.q * mm.n ORDER BY b LIMIT 1) f
+        |ORDER BY q""".stripMargin,
 
     "ref_funnel" ->
       """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's data-quality gate (SURVEY §2 A2/A3/C5), as a
@@ -120,5 +121,51 @@ object DataQuality {
         percentiles.zipWithIndex.map { case (p, i) =>
           round(col("__p").getItem(i), 6).as(s"p${(p * 100).round}")
         }: _*)
+  }
+
+  /** Quantile estimation from a fixed-width HISTOGRAM SKETCH — the
+    * 100 TB path where [[valuePercentiles]]' exact per-group sort is
+    * too much state: the sketch is `buckets` integer counts, built in
+    * one map-side-combinable aggregate, mergeable across partitions /
+    * days / tables by plain addition (counts are order-free integers),
+    * with NO per-value memory. Estimates interpolate linearly inside
+    * the crossing bucket (mass definition t = q·n), so accuracy is
+    * bounded by the bucket width — (max−min)/buckets — not by data
+    * volume. Deterministic end to end: min/max are exact, bucket
+    * assignment is floor IEEE arithmetic, interpolation is one integer
+    * subtraction and one division — the DuckDB oracle replays every
+    * step. The min/max pass can come from scan metadata at scale; here
+    * it is one aggregate. Degenerate range (all values equal) returns
+    * the value for every quantile. */
+  def histogramQuantiles(df: DataFrame, valueCol: String, buckets: Int = 1024,
+                         qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.{min => smin, max => smax}
+    val vals = df.filter(col(valueCol).isNotNull)
+    val mm = vals.agg(smin(col(valueCol)).cast("double").as("lo"),
+      smax(col(valueCol)).cast("double").as("hi"), count(lit(1)).as("n")).head()
+    val (lo, hi, n) = (mm.getDouble(0), mm.getDouble(1), mm.getLong(2))
+    if (n == 0L || hi == lo) {
+      import spark.implicits._
+      return qs.map(q => (q, if (n == 0L) 0.0 else lo, n)).toDF("q", "estimate", "n_values")
+    }
+    val width = (hi - lo) / buckets
+    val counts = vals
+      .groupBy(least(floor((col(valueCol) - lo) / width), lit(buckets - 1))
+        .cast("int").as("b"))
+      .agg(count(lit(1)).as("c"))
+    // the cum window runs over <= `buckets` AGGREGATED rows — k-sized,
+    // same class as the IVF centroid collects, never the raw data
+    val cum = counts.withColumn("cum",
+      sum(col("c")).over(Window.orderBy(col("b"))))
+    import spark.implicits._
+    cum.crossJoin(qs.toDF("q"))
+      .filter(col("cum") >= col("q") * n)
+      .groupBy("q")
+      .agg(min(struct(col("b"), col("c"), col("cum"))).as("f"))
+      .select(col("q"),
+        round(lit(lo) + lit(width) * (col("f.b") +
+          (col("q") * n - (col("f.cum") - col("f.c"))) / col("f.c")), 6).as("estimate"),
+        lit(n).as("n_values"))
   }
 }

@@ -57,4 +57,23 @@ class DataQualitySpec extends SparkSpec {
       .select("event_id", "z_score").orderBy("event_id").collect()
     assert(out1.toSeq == out2.toSeq)
   }
+
+  test("histogramQuantiles: within one bucket width of exact; degenerate range collapses") {
+    import spark.implicits._
+    val df = (1 to 10000).map(_.toDouble).toDF("value")
+    val out = DataQuality.histogramQuantiles(df, "value", buckets = 1024).collect()
+      .map(r => r.getAs[Double]("q") -> r.getAs[Double]("estimate")).toMap
+    val width = (10000.0 - 1.0) / 1024
+    Seq(0.5 -> 5000.0, 0.9 -> 9000.0, 0.99 -> 9900.0).foreach { case (q, exact) =>
+      assert(math.abs(out(q) - exact) <= width + 1e-6,
+        s"q=$q est=${out(q)} exact=$exact width=$width")
+    }
+    // partition-invariance: the sketch is integer counts, so merges are exact
+    val out2 = DataQuality.histogramQuantiles(df.repartition(7), "value", buckets = 1024)
+      .collect().map(r => r.getAs[Double]("q") -> r.getAs[Double]("estimate")).toMap
+    assert(out == out2)
+    // all-equal values: every quantile is the value itself
+    DataQuality.histogramQuantiles(Seq.fill(100)(7.5).toDF("value"), "value").collect()
+      .foreach(r => assert(r.getAs[Double]("estimate") == 7.5))
+  }
 }
