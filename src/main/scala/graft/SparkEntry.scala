@@ -596,6 +596,13 @@ object SparkEntry {
     "ref_value_hist_quantiles" -> ((s, dir) =>
       DataQuality.histogramQuantiles(ev(s, dir), "value").orderBy("q")),
 
+    // Per-group sketch: group ranges ride as columns (no driver
+    // scalars), cum window partitions by group — the surface of
+    // ref_value_percentiles at sketch cost.
+    "ref_value_hist_quantiles_by_type" -> ((s, dir) =>
+      DataQuality.histogramQuantilesBy(ev(s, dir), "event_type", "value")
+        .orderBy("event_type", "q")),
+
     // Ordered 3-stage funnel: earliest qualifying event per user per
     // stage, chained; counts are one union-aggregate job.
     "ref_funnel" -> ((s, dir) =>
@@ -1027,6 +1034,30 @@ object SparkEntry {
         |FROM qv, mm,
         |  LATERAL (SELECT b, c, cum FROM cm WHERE cum >= qv.q * mm.n ORDER BY b LIMIT 1) f
         |ORDER BY q""".stripMargin,
+
+    // Per-group replay: same machinery keyed by event_type; degenerate
+    // groups (hi = lo) emit the value itself.
+    "ref_value_hist_quantiles_by_type" ->
+      """WITH v AS (SELECT event_type AS g, value FROM events WHERE value IS NOT NULL),
+        |mm AS (SELECT g, CAST(min(value) AS DOUBLE) AS lo,
+        |              CAST(max(value) AS DOUBLE) AS hi, count(*) AS n FROM v GROUP BY 1),
+        |bk AS (SELECT v.g,
+        |              CASE WHEN mm.hi = mm.lo THEN 0
+        |                   ELSE CAST(least(floor((value - mm.lo) / ((mm.hi - mm.lo) / 1024)), 1023) AS INT)
+        |              END AS b
+        |       FROM v JOIN mm ON v.g = mm.g),
+        |c AS (SELECT g, b, count(*) AS c FROM bk GROUP BY 1, 2),
+        |cm AS (SELECT g, b, c, sum(c) OVER (PARTITION BY g ORDER BY b) AS cum FROM c),
+        |qv AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+        |SELECT mm.g AS event_type, qv.q AS q,
+        |       CAST(ROUND(CASE WHEN mm.hi = mm.lo THEN mm.lo
+        |             ELSE mm.lo + ((mm.hi - mm.lo) / 1024)
+        |                  * (f.b + (qv.q * mm.n - (f.cum - f.c)) / f.c) END, 6) AS DOUBLE) AS estimate,
+        |       CAST(mm.n AS BIGINT) AS n_values
+        |FROM mm, qv,
+        |  LATERAL (SELECT b, c, cum FROM cm
+        |           WHERE cm.g = mm.g AND cum >= qv.q * mm.n ORDER BY b LIMIT 1) f
+        |ORDER BY event_type, q""".stripMargin,
 
     "ref_funnel" ->
       """WITH s1 AS (SELECT user_id AS u, min(ts) AS t FROM events

@@ -168,4 +168,49 @@ object DataQuality {
           (col("q") * n - (col("f.cum") - col("f.c"))) / col("f.c")), 6).as("estimate"),
         lit(n).as("n_values"))
   }
+
+  /** PER-GROUP [[histogramQuantiles]], fully distributed: each group's
+    * (lo, hi, n) range rides as COLUMNS from one aggregate rejoined
+    * broadcast-style (no driver scalars at all, so a million groups
+    * cost a million 3-scalar rows, never a collect), bucket counts
+    * aggregate on (group, bucket), the cumulative window partitions BY
+    * GROUP (each partition <= `buckets` aggregated rows — no global
+    * single-task window), and the crossing pick is a per-(group, q)
+    * struct-min. Degenerate groups (all values equal) emit the value
+    * for every quantile. Same sketch contract as the ungrouped form:
+    * mergeable integer counts, bucket-width error bound, IEEE
+    * arithmetic the oracle replays. */
+  def histogramQuantilesBy(df: DataFrame, groupCol: String, valueCol: String,
+                           buckets: Int = 1024,
+                           qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.{min => smin, max => smax}
+    val vals = df.filter(col(valueCol).isNotNull)
+    val rng = vals.groupBy(col(groupCol).as("g"))
+      .agg(smin(col(valueCol)).cast("double").as("lo"),
+        smax(col(valueCol)).cast("double").as("hi"), count(lit(1)).as("n"))
+    val width = (col("hi") - col("lo")) / buckets
+    val counts = vals.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .join(broadcast(rng), Seq("g"))
+      .withColumn("b",
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(floor((col("v") - col("lo")) / width), lit(buckets - 1)))
+          .cast("int"))
+      .groupBy("g", "b").agg(count(lit(1)).as("c"))
+    val cum = counts.withColumn("cum",
+      sum(col("c")).over(Window.partitionBy(col("g")).orderBy(col("b"))))
+    import spark.implicits._
+    cum.crossJoin(qs.toDF("q"))
+      .join(rng, Seq("g"))
+      .filter(col("cum") >= col("q") * col("n"))
+      .groupBy("g", "q")
+      .agg(min(struct(col("b"), col("c"), col("cum"))).as("f"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"), first(col("n")).as("n"))
+      .select(col("g").as(groupCol), col("q"),
+        round(when(col("hi") === col("lo"), col("lo"))
+          .otherwise(col("lo") + (col("hi") - col("lo")) / buckets * (col("f.b") +
+            (col("q") * col("n") - (col("f.cum") - col("f.c"))) / col("f.c"))), 6)
+          .as("estimate"),
+        col("n").as("n_values"))
+  }
 }

@@ -76,4 +76,24 @@ class DataQualitySpec extends SparkSpec {
     DataQuality.histogramQuantiles(Seq.fill(100)(7.5).toDF("value"), "value").collect()
       .foreach(r => assert(r.getAs[Double]("estimate") == 7.5))
   }
+
+  test("histogramQuantilesBy: per-group equals the single-group op; degenerate group collapses") {
+    import spark.implicits._
+    val df = ((1 to 5000).map(v => ("a", v.toDouble)) ++
+      (1 to 300).map(v => ("b", v * 10.0)) ++
+      Seq.fill(40)(("flat", 3.25))).toDF("g", "value")
+    val by = DataQuality.histogramQuantilesBy(df, "g", "value").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Double]("q")) ->
+        ((r.getAs[Double]("estimate"), r.getAs[Long]("n_values")))).toMap
+    for (g <- Seq("a", "b", "flat")) {
+      val solo = DataQuality.histogramQuantiles(
+        df.filter($"g" === g).select("value"), "value").collect()
+        .map(r => r.getAs[Double]("q") -> r.getAs[Double]("estimate")).toMap
+      solo.foreach { case (q, est) =>
+        assert(by((g, q))._1 == est, s"$g q=$q: by=${by((g, q))._1} solo=$est")
+      }
+    }
+    assert(by(("flat", 0.9)) == ((3.25, 40L)))
+    assert(by.size == 9)
+  }
 }
