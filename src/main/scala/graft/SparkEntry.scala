@@ -366,6 +366,40 @@ object SparkEntry {
 
     // C1/C2/C5 + S9/S11: the pipeline's transform chain — staging dedup,
     // anti-join insert, curated union, summary refresh — as one plan.
+    // Dynamic-partition overwrite: full partitioned landing, then ONE
+    // day re-lands corrected (+1000) — only that partition's files are
+    // replaced, every other day must read back byte-identical. Oracle
+    // computes the expected post-correction per-day profile.
+    "ref_partition_overwrite_dynamic" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_dpo").toString
+      val base = ev(s, dir).select(col("event_id"), col("event_type"),
+        col("value"), to_date(col("ts")).as("event_date"))
+      graft.plans.Catalog.overwritePartitions(base, tmp, Seq("event_date"))
+      val fix = base.filter(col("event_date") === lit("2024-01-05"))
+        .withColumn("value", col("value") + 1000)
+      graft.plans.Catalog.overwritePartitions(fix, tmp, Seq("event_date"))
+      s.read.parquet(tmp)
+        .groupBy("event_date")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("sum_value"))
+        .orderBy("event_date")
+    }),
+
+    // Schema-evolution read: two parquet landings with DIFFERENT
+    // schemas (one lacks `value`) unified by mergeSchema — old files
+    // surface the missing column as NULL.
+    "ref_schema_merge" -> ((s, dir) => {
+      val tmp = Files.createTempDirectory("graft_sm").toString
+      ev(s, dir).filter(col("event_id") % 2 === 0)
+        .select("event_id", "event_type").write.parquet(s"$tmp/a")
+      ev(s, dir).filter(col("event_id") % 2 =!= 0)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.parquet(s"$tmp/b")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/a", s"$tmp/b")
+        .select(col("event_id"), col("event_type"), round(col("value"), 6).as("value"))
+        .orderBy("event_id")
+    }),
+
     // Snapshot time travel over the versioned-dir chain: publish two
     // refreshes of a summary table, then read BOTH the previous
     // snapshot (VERSION AS OF -1, via tableAsOf) and the current one.
@@ -825,6 +859,24 @@ object SparkEntry {
         |UNION ALL
         |SELECT event_id, event_type, value
         |FROM events WHERE event_id % 3 = 0 AND event_id % 5 <> 0
+        |ORDER BY event_id""".stripMargin,
+
+    // Post-correction per-day profile: day 2024-01-05 carries +1000
+    // per row, every other day the original values.
+    "ref_partition_overwrite_dynamic" ->
+      """SELECT CAST(ts AS DATE) AS event_date, count(*) AS n,
+        |       CAST(CAST(ROUND(SUM(CAST(value +
+        |              CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05' THEN 1000 ELSE 0 END
+        |            AS DECIMAL(18,6))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // mergeSchema union: even ids came from the value-less landing.
+    "ref_schema_merge" ->
+      """SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT event_id, event_type, CAST(ROUND(value, 6) AS DOUBLE) AS value
+        |FROM events WHERE event_id % 2 <> 0
         |ORDER BY event_id""".stripMargin,
 
     // Each snapshot's content recomputed from source — time travel must

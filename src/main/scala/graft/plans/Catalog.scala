@@ -105,6 +105,22 @@ object Catalog {
     }
   }
 
+  /** Dynamic-partition overwrite: replaces ONLY the partition
+    * directories present in `df` — untouched partitions keep their
+    * files, where a static overwrite would truncate the whole layout.
+    * THE incremental-refresh primitive at scale: re-landing one
+    * corrected hour/day touches that partition's files and nothing
+    * else (reference analog: the hour-scoped partition refresh of
+    * scripts/kinesis_to_snowflake.py's landing layout). Spark handles
+    * the swap per partition via the committer, so a concurrent reader
+    * of an untouched partition never sees churn. */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** Committed snapshot versions of a [[ctasOverwrite]]-published
     * table, NEWEST FIRST — only directories carrying the `_SUCCESS`
     * marker count (a dead partial write is invisible here exactly as

@@ -12,6 +12,21 @@ class CatalogSpec extends SparkSpec with BeforeAndAfterAll {
     Seq("cat_t1", "cat_view_src", "ev_bucketed", "staging_bucketed", "cat_atomic", "cat_tagged", "cat_dead", "cat_tt")
       .foreach(t => Catalog.dropIfExists(spark, t))
 
+  test("overwritePartitions replaces only the re-landed partitions") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dpo_spec").toString
+    Catalog.overwritePartitions(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)).toDF("id", "p", "v"), tmp, Seq("p"))
+    def files(part: String) = new java.io.File(s"$tmp/p=$part").listFiles()
+      .filter(_.getName.endsWith("parquet")).map(f => f.getName -> f.lastModified).toMap
+    val bBefore = files("b")
+    Catalog.overwritePartitions(Seq((9L, "a", 9.0)).toDF("id", "p", "v"), tmp, Seq("p"))
+    assert(files("b") == bBefore, "untouched partition must keep its exact files")
+    val back = spark.read.parquet(tmp)
+    assert(back.filter($"p" === "a").select("id").as[Long].collect().toSet == Set(9L))
+    assert(back.filter($"p" === "b").select("id").as[Long].collect().toSet == Set(2L))
+  }
+
   test("tableAsOf serves retained snapshots newest-first; beyond retention throws") {
     import spark.implicits._
     Catalog.dropIfExists(spark, "cat_tt")
