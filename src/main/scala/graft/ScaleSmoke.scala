@@ -162,6 +162,26 @@ object ScaleSmoke {
       require(bad == 0, s"$bad vectors whose rank-1 is not an identical clone")
       n
     }
+    timed("stream_ingest_50k") {
+      // the STREAMING treadmill at corpus scale: clone replicas split
+      // into two landed slices, two checkpointed drains (the second a
+      // restart) — cross-slice clone families must reconcile so the
+      // tier collapses to ~one survivor per family
+      graft.pipeline.CurationPipeline.resetTreadmill(spark)
+      val land = java.nio.file.Files.createTempDirectory("scale_si_land").toString
+      val cp = java.nio.file.Files.createTempDirectory("scale_si_cp").toString
+      val half = (mult / 2).toLong * 1000000L
+      docs.filter(col("doc_id") < half).coalesce(4).write.mode("append").json(land)
+      require(graft.pipeline.CurationPipeline.streamIngest(spark, land, cp)
+        .awaitTermination(600000), "slice 1 drain timed out")
+      docs.filter(col("doc_id") >= half).coalesce(4).write.mode("append").json(land)
+      require(graft.pipeline.CurationPipeline.streamIngest(spark, land, cp)
+        .awaitTermination(600000), "slice 2 drain timed out")
+      val tier = spark.table(graft.pipeline.CurationPipeline.TierTable).count()
+      require(tier <= nDocs / mult,
+        s"cross-slice clone families must collapse: tier $tier of $nDocs")
+      tier
+    }
     timed("ivfpq_refine_8k") {
       // the production ANN read path end-to-end: train coarse cells +
       // PQ books, propose in the compressed domain, re-rank exact.
