@@ -38,7 +38,13 @@ object Bench {
       // timings swung 10-15x vs builder-run in round 7 (storage-memory
       // state dependent); unconditional median-of-3 + the per-query
       // storage reset below pin them
-      "doc_neardup_minhash", "doc_neardup_levenshtein")
+      "doc_neardup_minhash", "doc_neardup_levenshtein",
+      // training/pipeline-heavy cluster: many short driver-coordinated
+      // jobs (k-means/PQ training loops, staged table writes, stream
+      // drains) whose single-rep numbers swung 1.5-2x between two
+      // clean round-8 runs of the SAME commit; median-of-3 pins them
+      "emb_topk_ivfpq", "emb_topk_ivfpq_refine", "emb_triplet_mining",
+      "stream_doc_ingest", "ref_curation_clean")
     val medianUnderSec = 3.0
     // local-iteration filter (unset in driver runs): comma-separated
     // query names
