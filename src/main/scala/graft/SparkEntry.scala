@@ -1523,6 +1523,16 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     }),
 
+    // kNN label audit: neighborhood-majority label vs own label
+    // (ties -> smallest label), suspects flagged — full all-pairs
+    // top-8 replay like the triplet gate.
+    "emb_knn_label_audit" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnLabelAudit(Similarity.topKExact(e, e, 8),
+          e.select("vec_id", "label"))
+        .orderBy("vec_id")
+    }),
+
     // Contrastive triplet mining: hardest positive + hardest negative
     // per anchor from the top-8 candidate graph (exact graph here —
     // full first-principles oracle; the banded knnGraph is the drop-in
@@ -3859,6 +3869,29 @@ object SparkEntry {
         |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM scored)
         |WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+
+    // Label-audit replay: same exact top-8 candidates, per-anchor
+    // label vote counts, majority by (count DESC, label ASC).
+    "emb_knn_label_audit" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id AS anchor_id, b.vec_id AS neighbor_id, b.label AS n_label,
+        |         list_dot_product(a.v, b.v)
+        |           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+        |  FROM e a, e b WHERE a.vec_id <> b.vec_id),
+        |cand AS (
+        |  SELECT * FROM (SELECT *,
+        |           row_number() OVER (PARTITION BY anchor_id ORDER BY sim DESC, neighbor_id) AS rk
+        |         FROM scored) WHERE rk <= 8),
+        |votes AS (SELECT anchor_id, n_label, count(*) AS c FROM cand GROUP BY 1, 2),
+        |maj AS (
+        |  SELECT anchor_id, n_label AS knn_label, CAST(c AS BIGINT) AS votes,
+        |         row_number() OVER (PARTITION BY anchor_id ORDER BY c DESC, n_label) AS rn
+        |  FROM votes)
+        |SELECT e.vec_id, e.label, m.knn_label, m.votes,
+        |       e.label <> m.knn_label AS suspect
+        |FROM e JOIN maj m ON e.vec_id = m.anchor_id
+        |WHERE m.rn = 1 ORDER BY e.vec_id""".stripMargin,
 
     // Triplet replay: exact top-8 candidates (same ranking as the
     // Spark graph), then per anchor the max-(sim, id) same-label and

@@ -86,6 +86,29 @@ object Similarity {
         col("n.neighbor_id").as("negative_id"), col("n.sim").as("neg_sim"))
   }
 
+  /** kNN LABEL AUDIT (label-denoise, the Confident-Learning-lite
+    * shape): each vector's neighborhood label is the majority label
+    * among its k graph neighbors (ties → smallest label), and rows
+    * whose OWN label disagrees are flagged `suspect` — the label-error
+    * triage pass a labeled training set runs before fine-tuning. Same
+    * graph-agnostic contract as [[mineTriplets]]: [[topKExact]] for
+    * the provable gate, [[knnGraph]] at scale; the audit itself is one
+    * broadcast label join + two bounded aggregates. */
+  def knnLabelAudit(graph: DataFrame, labels: DataFrame): DataFrame = {
+    val anchor = if (graph.columns.contains("probe_id")) "probe_id" else "src_id"
+    val n = labels.select(col("vec_id").as("neighbor_id"), col("label").as("n_label"))
+    val votes = graph.select(col(anchor).as("vec_id"), col("neighbor_id"))
+      .join(n, Seq("neighbor_id"))
+      .groupBy("vec_id", "n_label").agg(count(lit(1)).as("c"))
+    val maj = votes.groupBy("vec_id")
+      .agg(max(struct(col("c"),
+        (-col("n_label")).as("neg"), col("n_label").as("knn_label"))).as("m"))
+      .select(col("vec_id"), col("m.knn_label").as("knn_label"), col("m.c").as("votes"))
+    labels.join(maj, Seq("vec_id"))
+      .select(col("vec_id"), col("label"), col("knn_label"), col("votes"),
+        (col("label") =!= col("knn_label")).as("suspect"))
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
     * plane `p`, dimension `d`. */
   private def planeComponent(p: Column, d: Column, seed: Long): Column =

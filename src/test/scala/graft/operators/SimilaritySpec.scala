@@ -433,6 +433,26 @@ class SimilaritySpec extends SparkSpec {
       s"probe ${id + 100000}: rank-1 was ${top1(id + 100000)}, expected twin $id"))
   }
 
+  test("knnLabelAudit: majority vote flags the planted mislabel; ties go to the smaller label") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f), 0),
+      (2L, Array(0.98f, 0.2f), 0),
+      (3L, Array(0.96f, 0.28f), 1),  // mislabeled member of the 0-cluster
+      (4L, Array(0f, 1f), 1),
+      (5L, Array(0.1f, 0.99f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelAudit(Similarity.topKExact(vecs, vecs, 2),
+      vecs.select("vec_id", "label"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    // 3's two nearest are 1 and 2 (both label 0) -> majority 0, suspect
+    assert(out(3L).getAs[Int]("knn_label") == 0 && out(3L).getAs[Boolean]("suspect"))
+    assert(out(3L).getAs[Long]("votes") == 2L)
+    // 4's neighbors are 5 (l1) and 3 (l1): consistent
+    assert(!out(4L).getAs[Boolean]("suspect"))
+    // tie case: 1's neighbors are 2 (l0) and 3 (l1) -> 1-1 tie, smaller label wins
+    assert(out(1L).getAs[Int]("knn_label") == 0 && !out(1L).getAs[Boolean]("suspect"))
+  }
+
   test("mineTriplets: hardest same/different-label picks; anchors missing a class drop") {
     val vecs = Seq(
       (1L, Array(1f, 0f), 0),
