@@ -623,6 +623,12 @@ object SparkEntry {
       DataQuality.valuePercentiles(ev(s, dir), "event_type", "value")
         .orderBy("event_type")),
 
+    // Median/MAD robust outliers (heavy-tail-safe z-score sibling);
+    // exact interpolated percentiles both engines, raw-value threshold.
+    "ref_dq_robust_outliers" -> ((s, dir) =>
+      DataQuality.robustOutliers(ev(s, dir), "event_type", "value")
+        .orderBy("event_id")),
+
     // Mergeable histogram-sketch quantiles: 1024 integer bucket counts
     // (one map-side-combinable agg, no per-value state), linear
     // interpolation in the crossing bucket — every floor/divide
@@ -1067,6 +1073,22 @@ object SparkEntry {
         |       CAST(ROUND(quantile_cont(value, 0.99), 6) AS DOUBLE) AS p99
         |FROM events WHERE value IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // Robust-z replay: median and MAD via quantile_cont (the same
+    // interpolated definition as Spark's percentile), threshold on the
+    // RAW ratio, zero-MAD groups excluded.
+    "ref_dq_robust_outliers" ->
+      """WITH v AS (SELECT event_id, event_type, value FROM events WHERE value IS NOT NULL),
+        |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM v GROUP BY 1),
+        |st AS (
+        |  SELECT v.event_type, med.med,
+        |         quantile_cont(abs(v.value - med.med), 0.5) AS mad
+        |  FROM v JOIN med ON v.event_type = med.event_type GROUP BY 1, 2)
+        |SELECT event_id, v.event_type, value,
+        |       CAST(ROUND((value - st.med) / (1.4826 * st.mad), 6) AS DOUBLE) AS robust_z
+        |FROM v JOIN st ON v.event_type = st.event_type
+        |WHERE st.mad > 0 AND abs((value - st.med) / (1.4826 * st.mad)) > 3.5
+        |ORDER BY event_id""".stripMargin,
 
     // Histogram-sketch replay: same min/max, same 1024-bucket floor
     // assignment, same cumulative crossing + in-bucket interpolation.

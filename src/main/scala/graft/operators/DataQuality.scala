@@ -123,6 +123,32 @@ object DataQuality {
         }: _*)
   }
 
+  /** Median/MAD robust outliers — [[zScoreOutliers]]' heavy-tail-safe
+    * sibling: a single extreme value inflates mean AND std enough to
+    * hide itself from a z-score, while the median and the median
+    * absolute deviation barely move. robust_z = (x − med)/(1.4826·MAD)
+    * (the Gaussian consistency constant), flagged at |rz| > threshold;
+    * groups with MAD 0 (over half the values identical) flag nothing —
+    * a spike there is better caught by the exact-duplicate DQ rules.
+    * Two exact interpolated-percentile aggregates (cross-engine parity
+    * proven by ref_value_percentiles) + broadcast stat joins; the sort
+    * is per-group inside the aggregate, never a global window. */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     threshold: Double = 3.5): DataFrame = {
+    val vals = df.filter(col(valueCol).isNotNull)
+    val med = vals.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5D)").as("med"))
+    val stats = vals.join(broadcast(med), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(first(col("med")).as("med"),
+        expr(s"percentile(abs($valueCol - med), 0.5D)").as("mad"))
+    val rz = (col(valueCol) - col("med")) / (lit(1.4826) * col("mad"))
+    vals.join(broadcast(stats), Seq(groupCol))
+      .filter(col("mad") > 0 && abs(rz) > threshold)
+      .select(col("event_id"), col(groupCol), col(valueCol),
+        round(rz, 6).as("robust_z"))
+  }
+
   /** Quantile estimation from a fixed-width HISTOGRAM SKETCH — the
     * 100 TB path where [[valuePercentiles]]' exact per-group sort is
     * too much state: the sketch is `buckets` integer counts, built in

@@ -77,6 +77,26 @@ class DataQualitySpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Double]("estimate") == 7.5))
   }
 
+  test("robustOutliers: catches the spike a z-score misses; zero-MAD group flags nothing") {
+    import spark.implicits._
+    // 30 benign values + FOUR identical huge spikes: the spikes inflate
+    // mean AND std enough to mask each other from a classic z-score
+    // (z ~= 2.7 < 3), while median/MAD barely move
+    val benign = (1 to 30).map(i => (i.toLong, "a", 100.0 + (i % 5)))
+    val spikes = (96 to 99).map(i => (i.toLong, "a", 1e6))
+    val df = (benign ++ spikes :+ ((50L, "flat", 7.0)) :+ ((51L, "flat", 7.0)))
+      .toDF("event_id", "event_type", "value")
+    val flagged = DataQuality.robustOutliers(df, "event_type", "value").collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    assert(flagged == (96L to 99L).toSet, s"got $flagged")
+    val classic = DataQuality.zScoreOutliers(
+        df.filter($"event_type" === "a").withColumnRenamed("event_type", "g")
+          .withColumnRenamed("value", "v"), "g", "v", threshold = 3.0)
+      .collect().map(_.getAs[Long]("event_id")).toSet
+    assert(classic.intersect((96L to 99L).toSet).isEmpty,
+      s"masked spikes should evade the classic z-score: $classic")
+  }
+
   test("histogramQuantilesBy: per-group equals the single-group op; degenerate group collapses") {
     import spark.implicits._
     val df = ((1 to 5000).map(v => ("a", v.toDouble)) ++
