@@ -1897,6 +1897,12 @@ object SparkEntry {
       Curation.classifierScore(docs(s, dir), Curation.hashedModel(s, 4096), dim = 4096)
         .orderBy("doc_id")),
 
+    // Soft quality sampling: per-doc keep probability = squashed
+    // classifier score, decided by the id-hash vs floor(rate*2^32).
+    "doc_sample_quality_weighted" -> ((s, dir) =>
+      Curation.sampleByQuality(docs(s, dir), Curation.hashedModel(s, 4096), dim = 4096)
+        .orderBy("doc_id")),
+
     // Rational-idf TF-IDF: top-3 terms per document.
     "doc_tfidf_top_terms" -> ((s, dir) =>
       Curation.tfidfTopTerms(docs(s, dir), topK = 3).orderBy("doc_id", "rank")),
@@ -2222,6 +2228,35 @@ object SparkEntry {
         |       COALESCE(CAST(a.w_sum_milli AS DOUBLE) / (1000.0 * a.n_tokens) > 0.0, false) AS keep
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // Soft-sampling replay: the classifier CTEs, the clamp squash, and
+    // the same md5-hash-vs-floor(rate*2^32) decision.
+    "doc_sample_quality_weighted" ->
+      """WITH w AS (
+        |  SELECT b AS bucket,
+        |         CAST('0x' || substr(md5(b::VARCHAR), 1, 8) AS BIGINT) % 2001 - 1000 AS w_milli
+        |  FROM (SELECT unnest(range(0, 4096)) AS b)),
+        |toks AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 4096 AS bucket
+        |  FROM toks WHERE tok <> ''),
+        |agg AS (
+        |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CAST(sum(w.w_milli) AS BIGINT) AS w_sum_milli
+        |  FROM feat f JOIN w USING (bucket) GROUP BY 1),
+        |r AS (
+        |  SELECT d.doc_id,
+        |         COALESCE(least(greatest(
+        |           (CAST(a.w_sum_milli AS DOUBLE) / (1000.0 * a.n_tokens) + 1) / 2,
+        |           0.0), 1.0), 0.0) AS rate
+        |  FROM documents d LEFT JOIN agg a USING (doc_id))
+        |SELECT doc_id, CAST(ROUND(rate, 6) AS DOUBLE) AS keep_rate,
+        |       CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT)
+        |         < CAST(floor(rate * 4294967296.0) AS BIGINT) AS sampled
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "doc_repetition" ->
       """WITH t AS (

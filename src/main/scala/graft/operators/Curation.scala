@@ -464,6 +464,29 @@ object Curation {
         coalesce(score > threshold, lit(false)).as("keep"))
   }
 
+  /** Quality-WEIGHTED soft sampling — the DCLM/FineWeb-style
+    * probabilistic quality filter: instead of a cliff-edge keep/drop at
+    * a score threshold, each document survives with probability equal
+    * to its squashed classifier score (rate = clamp((score+1)/2, 0, 1);
+    * scoreless empty docs rate 0), decided DETERMINISTICALLY by
+    * comparing the doc-id hash against the per-row integer cutoff
+    * floor(rate·2^32) — [[sampleByHash]]'s cutoff discipline with a
+    * per-document rate. A doc's fate is a pure function of (id, its
+    * own text): growth-stable, engine-portable, and monotone in the
+    * rate (raising a doc's quality can only ever ADD it to the
+    * sample). Scan-shaped on top of [[classifierScore]]'s one feature
+    * aggregate; the verdict rides on the RAW rate, rounding is
+    * display-only. */
+  def sampleByQuality(docs: DataFrame, weights: DataFrame, dim: Int,
+                      textCol: String = "text"): DataFrame = {
+    val scored = classifierScore(docs, weights, dim, textCol)
+    val rate = coalesce(
+      least(greatest((col("score") + 1) / 2, lit(0.0)), lit(1.0)), lit(0.0))
+    scored.select(col("doc_id"), round(rate, 6).as("keep_rate"),
+      (hashU32(col("doc_id")) < floor(rate * lit(4294967296.0)).cast("long"))
+        .as("sampled"))
+  }
+
   // ------------------------------------------------------------------
   // Intra-document repetition profile
   // ------------------------------------------------------------------

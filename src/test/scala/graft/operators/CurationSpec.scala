@@ -291,6 +291,30 @@ class CurationSpec extends SparkSpec {
     id.values.foreach { case (s, wgt) => assert(math.abs(s - wgt) < 1e-6) }
   }
 
+  test("sampleByQuality: rate tracks the score, decision is deterministic and monotone") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val model = Curation.hashedModel(spark, 4096)
+    val out = Curation.sampleByQuality(docs, model, 4096).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("keep_rate"), r.getAs[Boolean]("sampled")))).toMap
+    assert(out.nonEmpty)
+    out.values.foreach { case (rate, sampled) =>
+      assert(rate >= 0.0 && rate <= 1.0)
+      if (rate == 0.0) assert(!sampled)   // zero rate can never sample
+      if (rate == 1.0) assert(sampled)    // certain rate always samples
+    }
+    // the realized fraction tracks the mean rate (law of large numbers
+    // over the uniform id hash; 500 docs -> generous tolerance)
+    val meanRate = out.values.map(_._1).sum / out.size
+    val frac = out.values.count(_._2).toDouble / out.size
+    assert(math.abs(frac - meanRate) < 0.15, s"frac=$frac meanRate=$meanRate")
+    // determinism across partitioning
+    val again = Curation.sampleByQuality(docs.repartition(7), model, 4096).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("sampled")).toMap
+    out.foreach { case (id, (_, s)) => assert(again(id) == s) }
+  }
+
   test("epochPlan: targets honor the budget; repeat factors up/down-sample correctly") {
     val d = Seq(
       (1L, "big", (1 to 81).map(i => s"t$i").mkString(" ")),
