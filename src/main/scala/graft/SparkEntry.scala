@@ -627,6 +627,7 @@ object SparkEntry {
     // exact interpolated percentiles both engines, raw-value threshold.
     "ref_dq_robust_outliers" -> ((s, dir) =>
       DataQuality.robustOutliers(ev(s, dir), "event_type", "value")
+        .select("event_id", "event_type", "value", "robust_z")
         .orderBy("event_id")),
 
     // Mergeable histogram-sketch quantiles: 1024 integer bucket counts
@@ -1100,7 +1101,7 @@ object SparkEntry {
         |       FROM v, mm),
         |c AS (SELECT b, count(*) AS c FROM bk GROUP BY 1),
         |cm AS (SELECT b, c, sum(c) OVER (ORDER BY b) AS cum FROM c),
-        |qv AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+        |qv AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q)
         |SELECT qv.q AS q,
         |       CAST(ROUND(mm.lo + ((mm.hi - mm.lo) / 1024)
         |              * (f.b + (qv.q * mm.n - (f.cum - f.c)) / f.c), 6) AS DOUBLE) AS estimate,
@@ -1122,7 +1123,7 @@ object SparkEntry {
         |       FROM v JOIN mm ON v.g = mm.g),
         |c AS (SELECT g, b, count(*) AS c FROM bk GROUP BY 1, 2),
         |cm AS (SELECT g, b, c, sum(c) OVER (PARTITION BY g ORDER BY b) AS cum FROM c),
-        |qv AS (SELECT unnest([0.5, 0.9, 0.99]) AS q)
+        |qv AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q)
         |SELECT mm.g AS event_type, qv.q AS q,
         |       CAST(ROUND(CASE WHEN mm.hi = mm.lo THEN mm.lo
         |             ELSE mm.lo + ((mm.hi - mm.lo) / 1024)
@@ -1662,6 +1663,20 @@ object SparkEntry {
           md5Derived = true, maxBucketSize = 64)
         .select(col("a_id"), col("b_id"), round(col("sim"), 6).as("sim"))
         .orderBy("a_id", "b_id")),
+
+    // Graph COVERAGE: per-anchor degree over the full corpus, degree-0
+    // anchors included — the observability row for the graph's bucket
+    // cap (a vector whose every bucket is hot or singleton has NO graph
+    // rows; this query is where that becomes a number instead of an
+    // absence). Oracle replays the banded candidate generation and
+    // right-joins back to all ids.
+    "emb_knn_coverage" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.knnCoverage(e,
+          Similarity.knnGraph(e, k = 3, bands = 4, planesPerBand = 8,
+            md5Derived = true, maxBucketSize = 64))
+        .orderBy("vec_id")
+    }),
 
     // ANN path #2: IVF with a k-means-lite coarse quantizer, gated on
     // the provable recall property: each planted probe's identical twin
@@ -4199,6 +4214,47 @@ object SparkEntry {
         |  ON r.src_id = t.neighbor_id AND r.neighbor_id = t.src_id
         |WHERE t.src_id < t.neighbor_id
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // Coverage replay: the emb_knn_graph candidate/rank machinery,
+    // aggregated to per-anchor degree and RIGHT-joined to every vec_id
+    // so cap-starved anchors surface as degree 0.
+    "emb_knn_coverage" ->
+      """WITH dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+        |planes AS (
+        |  SELECT q // 8 AS band, q % 8 AS p,
+        |         list_transform(range(0, (SELECT dim FROM dims)), d ->
+        |      CAST(CAST('0x' || substr(md5(q::VARCHAR || ':' || d::VARCHAR), 1, 8) AS BIGINT) AS DOUBLE)
+        |        / 2147483648.0 - 1.0) AS plane
+        |  FROM range(0, 32) t(q)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |keyed AS (
+        |  SELECT e.vec_id, pl.band,
+        |         SUM(CASE WHEN list_dot_product(e.v, pl.plane) > 0
+        |             THEN 1::BIGINT << CAST(pl.p AS INT) ELSE 0 END) AS bucket
+        |  FROM e, planes pl GROUP BY 1, 2),
+        |ok AS (SELECT band, bucket FROM keyed
+        |       GROUP BY band, bucket HAVING count(*) BETWEEN 2 AND 64),
+        |kb AS (SELECT keyed.* FROM keyed JOIN ok USING (band, bucket)),
+        |cands AS (
+        |  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS neighbor_id
+        |  FROM kb a JOIN kb b ON a.band = b.band AND a.bucket = b.bucket
+        |  WHERE a.vec_id <> b.vec_id),
+        |scored AS (
+        |  SELECT cd.src_id, cd.neighbor_id,
+        |         list_dot_product(s.v, n.v)
+        |           / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(n.v, n.v))) AS sim
+        |  FROM cands cd
+        |  JOIN e s ON s.vec_id = cd.src_id
+        |  JOIN e n ON n.vec_id = cd.neighbor_id),
+        |topk AS (
+        |  SELECT src_id
+        |  FROM (SELECT src_id, neighbor_id,
+        |               row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, neighbor_id) AS rank
+        |        FROM scored)
+        |  WHERE rank <= 3)
+        |SELECT e.vec_id, CAST(count(t.src_id) AS BIGINT) AS degree
+        |FROM e LEFT JOIN topk t ON t.src_id = e.vec_id
+        |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin,
 
     // Full replica of the BANDED md5-plane LSH ANN path: global plane
     // index q = band*planesPerBand + p over the same md5 derivation,

@@ -131,22 +131,28 @@ object DataQuality {
     * groups with MAD 0 (over half the values identical) flag nothing —
     * a spike there is better caught by the exact-duplicate DQ rules.
     * Two exact interpolated-percentile aggregates (cross-engine parity
-    * proven by ref_value_percentiles) + broadcast stat joins; the sort
-    * is per-group inside the aggregate, never a global window. */
+    * proven by ref_value_percentiles) + per-group stat joins; the sort
+    * is per-group inside the aggregate, never a global window. The
+    * stat frames are one row per group and carry NO broadcast hint —
+    * AQE picks the broadcast at sane group cardinality, and a
+    * 10⁷-group corpus degrades to a shuffle join instead of a driver
+    * OOM. Output: the input columns plus `robust_z` (same shape as
+    * [[zScoreOutliers]] — no column of the caller's frame is assumed
+    * beyond `groupCol`/`valueCol`). */
   def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
                      threshold: Double = 3.5): DataFrame = {
     val vals = df.filter(col(valueCol).isNotNull)
     val med = vals.groupBy(col(groupCol))
-      .agg(expr(s"percentile($valueCol, 0.5D)").as("med"))
-    val stats = vals.join(broadcast(med), Seq(groupCol))
+      .agg(expr(s"percentile($valueCol, 0.5D)").as("__med"))
+    val stats = vals.join(med, Seq(groupCol))
       .groupBy(col(groupCol))
-      .agg(first(col("med")).as("med"),
-        expr(s"percentile(abs($valueCol - med), 0.5D)").as("mad"))
-    val rz = (col(valueCol) - col("med")) / (lit(1.4826) * col("mad"))
-    vals.join(broadcast(stats), Seq(groupCol))
-      .filter(col("mad") > 0 && abs(rz) > threshold)
-      .select(col("event_id"), col(groupCol), col(valueCol),
-        round(rz, 6).as("robust_z"))
+      .agg(first(col("__med")).as("__med"),
+        expr(s"percentile(abs($valueCol - __med), 0.5D)").as("__mad"))
+    val rz = (col(valueCol) - col("__med")) / (lit(1.4826) * col("__mad"))
+    vals.join(stats, Seq(groupCol))
+      .filter(col("__mad") > 0 && abs(rz) > threshold)
+      .withColumn("robust_z", round(rz, 6))
+      .drop("__med", "__mad")
   }
 
   /** Quantile estimation from a fixed-width HISTOGRAM SKETCH — the
@@ -170,10 +176,17 @@ object DataQuality {
     val vals = df.filter(col(valueCol).isNotNull)
     val mm = vals.agg(smin(col(valueCol)).cast("double").as("lo"),
       smax(col(valueCol)).cast("double").as("hi"), count(lit(1)).as("n")).head()
-    val (lo, hi, n) = (mm.getDouble(0), mm.getDouble(1), mm.getLong(2))
-    if (n == 0L || hi == lo) {
+    // n first: on an empty/all-null input min/max aggregate to NULL and
+    // getDouble would throw before the n == 0 branch could run
+    val n = mm.getLong(2)
+    if (n == 0L) {
       import spark.implicits._
-      return qs.map(q => (q, if (n == 0L) 0.0 else lo, n)).toDF("q", "estimate", "n_values")
+      return qs.map(q => (q, 0.0, 0L)).toDF("q", "estimate", "n_values")
+    }
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    if (hi == lo) {
+      import spark.implicits._
+      return qs.map(q => (q, lo, n)).toDF("q", "estimate", "n_values")
     }
     val width = (hi - lo) / buckets
     val counts = vals

@@ -100,10 +100,16 @@ object Similarity {
     val votes = graph.select(col(anchor).as("vec_id"), col("neighbor_id"))
       .join(n, Seq("neighbor_id"))
       .groupBy("vec_id", "n_label").agg(count(lit(1)).as("c"))
-    val maj = votes.groupBy("vec_id")
-      .agg(max(struct(col("c"),
-        (-col("n_label")).as("neg"), col("n_label").as("knn_label"))).as("m"))
-      .select(col("vec_id"), col("m.knn_label").as("knn_label"), col("m.c").as("votes"))
+    // the tie-break is a per-anchor window ORDER BY c DESC, label ASC —
+    // sort-order-safe for ANY orderable label type (the earlier
+    // struct-max used unary minus on the label, which silently
+    // null-casts non-numeric labels and flips ties to the LARGEST);
+    // the window partitions carry <= |labels| aggregated rows each
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c").desc, col("n_label").asc)
+    val maj = votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("n_label").as("knn_label"), col("c").as("votes"))
     labels.join(maj, Seq("vec_id"))
       .select(col("vec_id"), col("label"), col("knn_label"), col("votes"),
         (col("label") =!= col("knn_label")).as("suspect"))
@@ -625,10 +631,28 @@ object Similarity {
     * window (WindowGroupLimit: per-task k-heaps, no global sort). */
   def knnGraph(vectors: DataFrame, k: Int, bands: Int = 4, planesPerBand: Int = 8,
                seed: Long = 42L, md5Derived: Boolean = false,
-               maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+               maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
+    knnGraphAndSkips(vectors, k, bands, planesPerBand, seed, md5Derived, maxBucketSize)._1
+
+  /** [[knnGraph]] AND its skipped-bucket metric from ONE banding pass —
+    * the [[TextDedup.nearDupPairsAndSkipsMinhash]] discipline for the
+    * graph: the slim (vec_id, band, bucket) index is checkpointed and
+    * feeds both the capped candidate join and the oversize reporter
+    * (band, bucket, member_count), so the cap NEVER truncates silently.
+    * For a kNN graph the stake is higher than for pair mining: a
+    * vector whose every bucket is hot gets ZERO candidates — pipe the
+    * graph through [[knnCoverage]] to make those anchors observable as
+    * degree-0 rows. */
+  def knnGraphAndSkips(vectors: DataFrame, k: Int, bands: Int = 4, planesPerBand: Int = 8,
+                       seed: Long = 42L, md5Derived: Boolean = false,
+                       maxBucketSize: Int = TextDedup.DefaultMaxBucketSize)
+      : (DataFrame, DataFrame) = {
     val idx = lshBanded(vectors.select(col("vec_id"), col("embedding")),
-      bands, planesPerBand, seed, md5Derived)
-    val okBuckets = idx.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+      bands, planesPerBand, seed, md5Derived).localCheckpoint(true)
+    val counts = idx.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+    val skipped = counts.filter(col("__n") > maxBucketSize)
+      .select(col("band"), col("bucket"), col("__n").as("member_count"))
+    val okBuckets = counts
       .filter(col("__n") >= 2 && col("__n") <= maxBucketSize)
       .select("band", "bucket")
     val kept = idx.join(okBuckets, Seq("band", "bucket"))
@@ -646,8 +670,25 @@ object Similarity {
       .select(col("src_id"), col("neighbor_id"),
         (dot(col("s_emb"), col("n_emb")) / (col("s_norm") * col("n_norm"))).as("sim"))
     val w = Window.partitionBy(col("src_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("src_id", "rank", "neighbor_id", "sim")
+    (scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("src_id", "rank", "neighbor_id", "sim"),
+      skipped)
+  }
+
+  /** Per-anchor DEGREE of a kNN graph over the FULL corpus: every
+    * vec_id with its neighbor count, INCLUDING the degree-0 anchors
+    * the graph has no row for (every bucket the vector landed in was
+    * hot or a singleton). The coverage read a graph consumer (label
+    * audit, triplet mining, clustering) runs before trusting the
+    * graph: a dropped bucket costs pairs; a degree-0 anchor is a
+    * vector the graph SILENTLY knows nothing about. One slim count
+    * aggregate + a left join on ids — no embeddings move. */
+  def knnCoverage(vectors: DataFrame, graph: DataFrame): DataFrame = {
+    val anchor = if (graph.columns.contains("probe_id")) "probe_id" else "src_id"
+    val deg = graph.groupBy(col(anchor).as("vec_id")).agg(count(lit(1)).as("degree"))
+    vectors.select(col("vec_id"))
+      .join(deg, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("degree"), lit(0L)).as("degree"))
   }
 
   /** Mutual-kNN edges: (a, b) kept only when b is in a's top-k AND a is
@@ -661,14 +702,24 @@ object Similarity {
     * the two directions carry bit-identical sims — `a < b` dedups. */
   def mutualKnn(vectors: DataFrame, k: Int, bands: Int = 4, planesPerBand: Int = 8,
                 seed: Long = 42L, md5Derived: Boolean = false,
-                maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
-    val g = knnGraph(vectors, k, bands, planesPerBand, seed, md5Derived, maxBucketSize)
-      .select(col("src_id"), col("neighbor_id"), col("sim"))
+                maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
+    mutualKnnAndSkips(vectors, k, bands, planesPerBand, seed, md5Derived, maxBucketSize)._1
+
+  /** [[mutualKnn]] with the same skipped-bucket reporter as
+    * [[knnGraphAndSkips]] (whose graph it sparsifies). */
+  def mutualKnnAndSkips(vectors: DataFrame, k: Int, bands: Int = 4, planesPerBand: Int = 8,
+                        seed: Long = 42L, md5Derived: Boolean = false,
+                        maxBucketSize: Int = TextDedup.DefaultMaxBucketSize)
+      : (DataFrame, DataFrame) = {
+    val (g0, skipped) = knnGraphAndSkips(
+      vectors, k, bands, planesPerBand, seed, md5Derived, maxBucketSize)
+    val g = g0.select(col("src_id"), col("neighbor_id"), col("sim"))
       .localCheckpoint(true)
     val fwd = g.select(col("src_id").as("a_id"), col("neighbor_id").as("b_id"), col("sim"))
     val rev = g.select(col("neighbor_id").as("a_id"), col("src_id").as("b_id"))
-    fwd.join(rev, Seq("a_id", "b_id"), "left_semi")
-      .filter(col("a_id") < col("b_id"))
+    (fwd.join(rev, Seq("a_id", "b_id"), "left_semi")
+      .filter(col("a_id") < col("b_id")),
+      skipped)
   }
 
   /** Per-label mean embedding — class prototypes / cluster centroids

@@ -75,6 +75,12 @@ class DataQualitySpec extends SparkSpec {
     // all-equal values: every quantile is the value itself
     DataQuality.histogramQuantiles(Seq.fill(100)(7.5).toDF("value"), "value").collect()
       .foreach(r => assert(r.getAs[Double]("estimate") == 7.5))
+    // empty / all-null input: the guard frame, not an NPE on a NULL min
+    Seq(Seq.empty[Option[Double]], Seq[Option[Double]](None, None)).foreach { vs =>
+      val out3 = DataQuality.histogramQuantiles(vs.toDF("value"), "value").collect()
+      assert(out3.length == 3 && out3.forall(r =>
+        r.getAs[Double]("estimate") == 0.0 && r.getAs[Long]("n_values") == 0L))
+    }
   }
 
   test("robustOutliers: catches the spike a z-score misses; zero-MAD group flags nothing") {
@@ -95,6 +101,12 @@ class DataQualitySpec extends SparkSpec {
       .collect().map(_.getAs[Long]("event_id")).toSet
     assert(classic.intersect((96L to 99L).toSet).isEmpty,
       s"masked spikes should evade the classic z-score: $classic")
+    // zScoreOutliers shape contract: input columns preserved + robust_z,
+    // nothing hardcoded — a frame WITHOUT event_id works
+    val noId = DataQuality.robustOutliers(
+      df.select($"event_type".as("grp"), $"value".as("v")), "grp", "v")
+    assert(noId.columns.toSeq == Seq("grp", "v", "robust_z"))
+    assert(noId.count() == 4L)
   }
 
   test("histogramQuantilesBy: per-group equals the single-group op; degenerate group collapses") {

@@ -451,6 +451,22 @@ class SimilaritySpec extends SparkSpec {
     assert(!out(4L).getAs[Boolean]("suspect"))
     // tie case: 1's neighbors are 2 (l0) and 3 (l1) -> 1-1 tie, smaller label wins
     assert(out(1L).getAs[Int]("knn_label") == 0 && !out(1L).getAs[Boolean]("suspect"))
+    // the tie-break must hold for NON-NUMERIC labels too (the former
+    // struct-max negated the label — a silent null-cast on strings that
+    // flipped ties to the LARGEST label)
+    val sVecs = Seq(
+      (1L, Array(1f, 0f), "alpha"),
+      (2L, Array(0.98f, 0.2f), "alpha"),
+      (3L, Array(0.96f, 0.28f), "beta"),
+      (4L, Array(0f, 1f), "beta"),
+      (5L, Array(0.1f, 0.99f), "beta")
+    ).toDF("vec_id", "embedding", "label")
+    val sOut = Similarity.knnLabelAudit(Similarity.topKExact(sVecs, sVecs, 2),
+      sVecs.select("vec_id", "label"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(sOut(3L).getAs[String]("knn_label") == "alpha" && sOut(3L).getAs[Boolean]("suspect"))
+    // 1's neighbors: 2 (alpha) and 3 (beta) -> tie, SMALLEST label wins
+    assert(sOut(1L).getAs[String]("knn_label") == "alpha" && !sOut(1L).getAs[Boolean]("suspect"))
   }
 
   test("mineTriplets: hardest same/different-label picks; anchors missing a class drop") {
