@@ -204,9 +204,35 @@ class SimilaritySpec extends SparkSpec {
     }
 
     // a degenerate corpus (one identical family larger than the cap)
-    // yields no edges — reported skip, never a quadratic task
+    // yields no edges — REPORTED skip, never a quadratic task, and
+    // never a silent one: the skip metric carries the hot buckets and
+    // coverage shows every family member at degree 0
     val family = (0L until 100L).map(i => (i, Array(1.0f, 0.0f, 0.5f))).toDF("vec_id", "embedding")
-    assert(Similarity.knnGraph(family, k = 3, maxBucketSize = 64).count() == 0)
+    val (g, skipped) = Similarity.knnGraphAndSkips(family, k = 3, maxBucketSize = 64)
+    assert(g.count() == 0)
+    val sk = skipped.collect()
+    assert(sk.nonEmpty, "hot buckets past the cap must be reported, not silently dropped")
+    assert(sk.forall(_.getAs[Long]("member_count") == 100L), sk.mkString(","))
+    val cov = Similarity.knnCoverage(family, g).collect()
+    assert(cov.length == 100 && cov.forall(_.getAs[Long]("degree") == 0L),
+      "cap-starved anchors must surface as degree 0")
+    // mutualKnn pipes the same reporter through
+    val (mg, msk) = Similarity.mutualKnnAndSkips(family, k = 3, maxBucketSize = 64)
+    assert(mg.count() == 0 && msk.count() == sk.length)
+  }
+
+  test("knnCoverage: degrees match the graph's own group-by; full corpus covered on the twin fixture") {
+    val planted = emb.select($"vec_id", $"embedding")
+      .unionByName(emb.select(($"vec_id" + 1000).as("vec_id"), $"embedding"))
+    val g = Similarity.knnGraph(planted, k = 2, bands = 4, planesPerBand = 8, md5Derived = true)
+      .localCheckpoint(true)
+    val cov = Similarity.knnCoverage(planted, g).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("degree")).toMap
+    assert(cov.size == planted.count())
+    val byGraph = g.collect().groupBy(_.getAs[Long]("src_id")).view.mapValues(_.length.toLong).toMap
+    byGraph.foreach { case (id, d) => assert(cov(id) == d, s"anchor $id: cov=${cov(id)} graph=$d") }
+    // twins guarantee every anchor has a bucket-mate: no degree-0 rows here
+    assert(cov.values.forall(_ >= 1L))
   }
 
   test("knnGraph plan: no broadcast-nested-loop, no cartesian — candidates stay equi-join") {
