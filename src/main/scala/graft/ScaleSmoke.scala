@@ -199,6 +199,33 @@ object ScaleSmoke {
       require(bad == 0, s"$bad probes whose refined rank-1 is not an identical clone")
       n
     }
+    // the stored-tier split of the same path: index build (train +
+    // encode, paid once per tier generation) vs query-only wall
+    // (reads codes + scalars — at 100 TB this is the only per-query
+    // cost, so it must be a small fraction of the build)
+    var storedIdx: org.apache.spark.sql.DataFrame = null
+    var storedCents: Array[Array[Float]] = null
+    var storedBooks: Seq[Seq[Seq[Int]]] = null
+    timed("ivfpq_index_build_8k") {
+      storedCents = operators.Similarity.trainCentroids(emb, k = 16, iters = 2)
+      storedBooks = operators.Similarity.trainPqBooks(emb, m = 4, ksub = 8, iters = 2)
+      storedIdx = operators.Similarity.pqIndex(emb, storedCents, storedBooks)
+        .localCheckpoint(true)
+      val n = storedIdx.count()
+      require(n == nVecs, s"one index row per vector: $n of $nVecs")
+      n
+    }
+    timed("ivfpq_stored_query_8k") {
+      val probes = emb.filter(col("vec_id") % 200 === 0)
+      val out = operators.Similarity.topKIvfPqStoredRefine(storedIdx, emb, probes, 3,
+        storedCents, storedBooks, nprobe = 2, refine = 32).localCheckpoint(true)
+      val n = out.count()
+      val bad = out.filter(col("rank") === 1 &&
+        (col("probe_id") % 1000000L =!= col("neighbor_id") % 1000000L ||
+          col("sim") < 0.999999)).count()
+      require(bad == 0, s"$bad probes whose stored-tier rank-1 is not an identical clone")
+      n
+    }
     timed("bigram_topk_50k") {
       val n = operators.Curation.ngramTopK(docs, n = 2, topK = 50).count()
       require(n == 50, s"top-k must cap at 50: $n")

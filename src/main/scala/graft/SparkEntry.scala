@@ -1795,6 +1795,31 @@ object SparkEntry {
         .filter(col("rank") === 1)
         .select(col("probe_id"), col("neighbor_id"))
         .orderBy("probe_id")
+    }),
+
+    // STORED IVF-PQ tier — the production read shape: the index
+    // (vec_id, cell, v_min, v_max, pq_codes) persists as a catalog
+    // table, the new batch (the planted twins) APPEND-encodes without
+    // touching the base corpus (pqIndex is row-local, so
+    // index(base) ∪ index(batch) ≡ index(base ∪ batch)), and the query
+    // reads codes + two scalars from the table — no float corpus and
+    // no re-encode anywhere in the read plan. Same twin-recall oracle
+    // as emb_topk_ivfpq (training on the base tier only; the twin
+    // invariant is training-independent).
+    "emb_topk_ivfpq_stored" -> ((s, dir) => {
+      val base = emb(s, dir).select("vec_id", "embedding").localCheckpoint(true)
+      val cents = Similarity.trainCentroids(base, k = 8, iters = 2)
+      val books = Similarity.trainPqBooks(base, m = 4, ksub = 8, iters = 2)
+      val tbl = "emb_pq_index"
+      graft.plans.Catalog.dropIfExists(s, tbl)
+      graft.plans.Catalog.overwriteTable(Similarity.pqIndex(base, cents, books), tbl)
+      val batch = base.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      graft.plans.Catalog.insertAppend(s, tbl, Similarity.pqIndex(batch, cents, books))
+      Similarity.topKIvfPqStored(s.table(tbl), batch, 3, cents, books, nprobe = 2)
+        .filter(col("rank") === 1)
+        .select(col("probe_id"), col("neighbor_id"))
+        .orderBy("probe_id")
     })
   )
 
@@ -4513,6 +4538,26 @@ object SparkEntry {
     // rank-1 to coincide. Same oracle shape as emb_topk_ivf, minus
     // the approximate sim column.
     "emb_topk_ivfpq" ->
+      """WITH fixture AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 50 = 0),
+        |probes AS (SELECT vec_id AS probe_id, v AS p FROM fixture WHERE vec_id >= 100000),
+        |scored AS (
+        |  SELECT pr.probe_id, c.vec_id AS neighbor_id,
+        |         list_dot_product(pr.p, c.v)
+        |           / (sqrt(list_dot_product(pr.p, pr.p)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |  FROM probes pr, fixture c WHERE c.vec_id <> pr.probe_id)
+        |SELECT probe_id, neighbor_id
+        |FROM (SELECT probe_id, neighbor_id, sim,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |WHERE rank = 1 ORDER BY probe_id""".stripMargin,
+
+    // Stored-tier twin gate: the index content equals the inline
+    // encode of base ∪ twins (row-local encode), so the oracle is the
+    // same exact brute-force rank-1 over raw floats.
+    "emb_topk_ivfpq_stored" ->
       """WITH fixture AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
         |  UNION ALL

@@ -915,7 +915,16 @@ object Similarity {
     * fixed IEEE expression — scores are bit-deterministic. */
   private def pqSide(df: DataFrame, books: Seq[Seq[Seq[Int]]], id: String,
                      p: String, keep: Seq[String] = Nil): DataFrame =
-    pqEncode(df, books, keep = keep).select(col("vec_id").as(id) +: keep.map(col) :+
+    pqScoreSide(pqEncode(df, books, keep = keep), books, id, p, keep)
+
+  /** [[pqSide]] starting from an ALREADY-ENCODED frame
+    * (vec_id, v_min, v_max, pq_codes [, keep…]) — the read path of the
+    * stored index tier: reconstruction and the affine scalars derive
+    * from the m-byte codes in the scan stage, the float corpus is
+    * never touched. */
+  private def pqScoreSide(encoded: DataFrame, books: Seq[Seq[Seq[Int]]], id: String,
+                          p: String, keep: Seq[String] = Nil): DataFrame =
+    encoded.select(col("vec_id").as(id) +: keep.map(col) :+
         col("v_min").as(s"${p}mn") :+
         ((col("v_max") - col("v_min")) / lit(255.0)).as(s"${p}s") :+
         pqRecon(col("pq_codes"), books).as(s"${p}rc"): _*)
@@ -972,25 +981,46 @@ object Similarity {
     * full-value, which the PQ-only path cannot). */
   def topKIvfPqRefine(corpus: DataFrame, probes: DataFrame, k: Int,
                       cents: Array[Array[Float]], books: Seq[Seq[Seq[Int]]],
-                      nprobe: Int = 2, refine: Int = 32): DataFrame = {
-    val cand = topKIvfPq(corpus, probes, refine, cents, books, nprobe)
-      .select("probe_id", "neighbor_id")
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
-    val p = broadcast(probes.select(col("vec_id").as("probe_id"),
-      col("embedding").as("p_emb"), norm(col("embedding")).as("p_norm")))
-    val exact = cand.join(c, Seq("neighbor_id")).join(p, Seq("probe_id"))
-      .select(col("probe_id"), col("neighbor_id"),
-        (dot(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm"))).as("sim"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("probe_id", "rank", "neighbor_id", "sim")
-  }
+                      nprobe: Int = 2, refine: Int = 32): DataFrame =
+    topKIvfPqStoredRefine(pqIndex(corpus, cents, books), corpus, probes, k,
+      cents, books, nprobe, refine)
 
   def topKIvfPq(corpus: DataFrame, probes: DataFrame, k: Int,
                 cents: Array[Array[Float]], books: Seq[Seq[Seq[Int]]],
-                nprobe: Int = 2): DataFrame = {
-    val c = pqSide(corpus.withColumn("__cid", argmaxCentroid(col("embedding"), cents)),
+                nprobe: Int = 2): DataFrame =
+    topKIvfPqStored(pqIndex(corpus, cents, books), probes, k, cents, books, nprobe)
+
+  /** The PERSISTABLE IVF-PQ index tier of a corpus:
+    * (vec_id, cell, v_min, v_max, pq_codes) — coarse cell + m sub-codes
+    * + two quantization scalars per vector, ~m+12 bytes instead of 4·d
+    * floats, built in ONE shuffle-free Project (cell assignment and PQ
+    * encode share the scan stage; centroids/codebooks are plan
+    * literals). This row IS the stored ANN tier: write it once via
+    * `Catalog.overwriteTable`, append-encode each new batch with
+    * another `pqIndex(batch, …)` + `insertAppend` (the
+    * `doc_dedup_exact_incr` treadmill discipline — the corpus is never
+    * re-encoded), and serve reads with [[topKIvfPqStored]] /
+    * [[topKIvfPqStoredRefine]]. The codebook/centroid literals are the
+    * index's versioning key: retraining them means rebuilding the
+    * tier, so at 100 TB they are trained once on a hash-sample and
+    * frozen per index generation. */
+  def pqIndex(vectors: DataFrame, cents: Array[Array[Float]],
+              books: Seq[Seq[Seq[Int]]]): DataFrame =
+    pqEncode(vectors.withColumn("cell", argmaxCentroid(col("embedding"), cents)),
+      books, keep = Seq("cell"))
+      .select("vec_id", "cell", "v_min", "v_max", "pq_codes")
+
+  /** IVF-PQ top-k against the STORED index (the [[pqIndex]] row shape):
+    * probes encode inline (probe sets are small), the corpus side reads
+    * cell + codes + two scalars from the index table and reconstructs
+    * in the scan stage — no float corpus anywhere in the plan, no
+    * re-encode per query. The read is an equi-join on cell id, so scan
+    * cost is the m-bytes/vector tier and candidate volume is bounded by
+    * nprobe cell populations per probe. */
+  def topKIvfPqStored(index: DataFrame, probes: DataFrame, k: Int,
+                      cents: Array[Array[Float]], books: Seq[Seq[Seq[Int]]],
+                      nprobe: Int = 2): DataFrame = {
+    val c = pqScoreSide(index.withColumnRenamed("cell", "__cid"),
       books, "neighbor_id", "c_", keep = Seq("__cid"))
     val p = broadcast(
       pqSide(probes.withColumn("__cids", topCentroids(col("embedding"), cents, nprobe)),
@@ -1001,6 +1031,29 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), pqSim)
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("probe_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** [[topKIvfPqStored]] + the exact re-rank tail: the stored index
+    * proposes `refine` (>k) candidates per probe in the compressed
+    * domain, and ONLY those (probe, candidate) pairs equi-join back to
+    * the float `corpus` for a true cosine — floats are touched for
+    * refine·|probes| rows, never a corpus scan. */
+  def topKIvfPqStoredRefine(index: DataFrame, corpus: DataFrame, probes: DataFrame,
+                            k: Int, cents: Array[Array[Float]],
+                            books: Seq[Seq[Seq[Int]]],
+                            nprobe: Int = 2, refine: Int = 32): DataFrame = {
+    val cand = topKIvfPqStored(index, probes, refine, cents, books, nprobe)
+      .select("probe_id", "neighbor_id")
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
+    val p = broadcast(probes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("p_emb"), norm(col("embedding")).as("p_norm")))
+    val exact = cand.join(c, Seq("neighbor_id")).join(p, Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        (dot(col("p_emb"), col("c_emb")) / (col("p_norm") * col("c_norm"))).as("sim"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("probe_id", "rank", "neighbor_id", "sim")
   }
 }

@@ -459,6 +459,42 @@ class SimilaritySpec extends SparkSpec {
       s"probe ${id + 100000}: rank-1 was ${top1(id + 100000)}, expected twin $id"))
   }
 
+  test("stored IVF-PQ tier: catalog round-trip + append-encode equals the inline path") {
+    val base = emb.select($"vec_id", $"embedding").localCheckpoint(true)
+    val cents = Similarity.trainCentroids(base, k = 8, iters = 2)
+    val books = Similarity.trainPqBooks(base, m = 4, ksub = 8, iters = 2)
+    val tbl = "test_emb_pq_index"
+    graft.plans.Catalog.dropIfExists(spark, tbl)
+    graft.plans.Catalog.overwriteTable(Similarity.pqIndex(base, cents, books), tbl)
+    // a new batch append-encodes WITHOUT re-encoding the base tier
+    val batch = base.filter($"vec_id" % 50 === 0)
+      .select(($"vec_id" + 100000).as("vec_id"), $"embedding")
+    graft.plans.Catalog.insertAppend(spark, tbl, Similarity.pqIndex(batch, cents, books))
+    val full = base.unionByName(batch)
+    // encode is row-local, so index(base) ∪ index(batch) ≡ index(full):
+    // the stored read must be row-identical to the inline path
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    val stored = rows(Similarity.topKIvfPqStored(spark.table(tbl), batch, 3,
+      cents, books, nprobe = 2))
+    val inline = rows(Similarity.topKIvfPq(full, batch, 3, cents, books, nprobe = 2))
+    assert(stored == inline && stored.nonEmpty, s"stored=${stored.size} inline=${inline.size}")
+    // refine tail from the stored tier: sims are exact, twins at rank 1
+    val refined = Similarity.topKIvfPqStoredRefine(spark.table(tbl), full, batch, 3,
+        cents, books, nprobe = 2, refine = 16)
+      .filter($"rank" === 1).collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("neighbor_id")).toMap
+    refined.foreach { case (p, n) => assert(n == p - 100000, s"probe $p rank-1 $n") }
+    // the stored read plan scans codes, never the corpus embeddings:
+    // the only float-vector work is the broadcast-probe side
+    val plan = Similarity.topKIvfPqStored(spark.table(tbl), batch, 3,
+      cents, books, nprobe = 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"stored IVF-PQ read must stay an equi-join:\n$plan")
+    graft.plans.Catalog.dropIfExists(spark, tbl)
+  }
+
   test("knnLabelAudit: majority vote flags the planted mislabel; ties go to the smaller label") {
     val vecs = Seq(
       (1L, Array(1f, 0f), 0),
