@@ -302,6 +302,20 @@ object ScaleSmoke {
         s"clone containment must surface: $nPairs pairs, $nSkipped capped postings")
       nPairs
     }
+    timed("containment_summary_50k") {
+      // the DOC-BOUND rendition: same verified pair stream, collapsed
+      // to one row per contained doc before anything materializes —
+      // at this smoke the pair set is ~mult² per family; the summary
+      // must stay <= nDocs rows
+      val out = operators.TextDedup.containmentSummary(docs, threshold = 0.99)
+        .localCheckpoint(true)
+      val n = out.count()
+      require(n <= nDocs, s"summary must be doc-bound: $n rows for $nDocs docs")
+      val skipped = operators.TextDedup.skippedPostingsContainment(docs).count()
+      require(n > 0 || skipped > 0,
+        s"clone containment must surface in the summary or the skip metric")
+      n
+    }
     timed("semdedup_8k") {
       val out = operators.Similarity.semDedup(emb, tau = 0.999).localCheckpoint(true)
       val n = out.count()

@@ -1393,6 +1393,23 @@ object SparkEntry {
         .select(col("a_id"), col("b_id"), round(col("containment"), 6).as("containment"))
         .orderBy("a_id", "b_id")),
 
+    // Doc-BOUND containment: the pair stream collapses to one row per
+    // contained doc (count, max, argmax container — ties → smallest
+    // id) inside a map-side-combinable aggregate, so nothing pair-sized
+    // is ever output — the 100 TB consumer shape.
+    "doc_containment_summary" -> ((s, dir) =>
+      TextDedup.containmentSummary(docs(s, dir), shingleN = 3, threshold = 0.5)
+        .select(col("doc_id"), col("n_containers"),
+          round(col("max_containment"), 6).as("max_containment"), col("top_container"))
+        .orderBy("doc_id")),
+
+    // Containment dedup: survivors after dropping every doc ≥0.5-
+    // contained in a dominating doc (larger shingle set, ties → smaller
+    // id) — dominated-by-ANY semantics, one SQL EXISTS, no closure.
+    "doc_dedup_contained" -> ((s, dir) =>
+      TextDedup.dedupContained(docs(s, dir), shingleN = 3, threshold = 0.5)
+        .select("doc_id").orderBy("doc_id")),
+
     // Cross-engine-checkable SimHash signatures (md5 variant, emitted
     // as a 64-char bit string MSB-first).
     "doc_simhash_sig" -> ((s, dir) =>
@@ -3538,6 +3555,43 @@ object SparkEntry {
          |WHERE a.doc_id <> b.doc_id
          |  AND len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.5
          |ORDER BY 1, 2""".stripMargin,
+
+    // Doc-bound collapse of the same ordered pair truth: per contained
+    // doc, count/max/argmax-container with the (containment DESC,
+    // b_id ASC) tie order the struct-max implements.
+    "doc_containment_summary" ->
+      s"""WITH sh AS ($docShingles),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) AS containment
+         |  FROM sh a, sh b
+         |  WHERE a.doc_id <> b.doc_id
+         |    AND len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.5),
+         |ranked AS (
+         |  SELECT a_id, b_id, containment,
+         |         row_number() OVER (PARTITION BY a_id ORDER BY containment DESC, b_id ASC) AS rn,
+         |         count(*) OVER (PARTITION BY a_id) AS nc,
+         |         max(containment) OVER (PARTITION BY a_id) AS mc
+         |  FROM pairs)
+         |SELECT a_id AS doc_id,
+         |       CAST(nc AS BIGINT) AS n_containers,
+         |       CAST(ROUND(mc, 6) AS DOUBLE) AS max_containment,
+         |       b_id AS top_container
+         |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // Containment-dedup survivors: NOT EXISTS a dominating container
+    // (bigger distinct-shingle set, ties → smaller id).
+    "doc_dedup_contained" ->
+      s"""WITH sh AS ($docShingles),
+         |losers AS (
+         |  SELECT DISTINCT a.doc_id
+         |  FROM sh a, sh b
+         |  WHERE a.doc_id <> b.doc_id
+         |    AND len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.5
+         |    AND (len(b.s) > len(a.s) OR (len(b.s) = len(a.s) AND b.doc_id < a.doc_id)))
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY doc_id""".stripMargin,
 
     // Same all-pairs truth as doc_neardup_minhash: the exact prefix-
     // filtered path must reproduce it with NO probabilistic argument.

@@ -985,7 +985,21 @@ object TextDedup {
       shingleN: Int = 3,
       threshold: Double = 0.9,
       maxPostings: Int = DefaultMaxPostings,
-      minShingles: Int = 1): DataFrame = {
+      minShingles: Int = 1): DataFrame =
+    containmentPairsWithSizes(docs, textCol, shingleN, threshold, maxPostings, minShingles)
+      .select("a_id", "b_id", "containment")
+
+  /** [[containmentPairs]] plus both sides' distinct-shingle-set sizes —
+    * the internal shape [[containmentSummary]]/[[dedupContained]] build
+    * their dominance rule on (sizes come free from the verify join's
+    * shingle projections, no extra pass). */
+  private def containmentPairsWithSizes(
+      docs: DataFrame,
+      textCol: String,
+      shingleN: Int,
+      threshold: Double,
+      maxPostings: Int,
+      minShingles: Int): DataFrame = {
     val sets = shingleSets(docs, textCol, shingleN)
       .filter(col("sz") >= minShingles)
       .select(col("doc_id"), array_sort(col("sh")).as("sh"), col("sz"))
@@ -1011,11 +1025,65 @@ object TextDedup {
       .filter(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id").distinct()
     candidates
-      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
-      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("sz").as("a_sz")),
+        Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh"), col("sz").as("b_sz")),
+        Seq("b_id"))
       .select(col("a_id"), col("b_id"),
-        call_function("contain_long_sets", col("a_sh"), col("b_sh")).as("containment"))
+        call_function("contain_long_sets", col("a_sh"), col("b_sh")).as("containment"),
+        col("a_sz"), col("b_sz"))
       .filter(col("containment") >= threshold)
+  }
+
+  /** Per-document containment SUMMARY — the doc-bound rendition of
+    * [[containmentPairs]] for 100 TB: a curation consumer rarely wants
+    * the ordered pair SET (26 M rows at the 500 k clone smoke, pair-
+    * bound by construction); it wants, per contained doc, how contained
+    * it is and by what. The verified pair stream collapses through one
+    * map-side-combinable aggregate to ONE row per contained doc
+    * (container count, max containment, the argmax container — ties →
+    * smallest container id), so the operator's output — and anything a
+    * pipeline would persist — is bounded by |docs|, never by |pairs|.
+    * The pair stream itself exists only inside the stage pipeline
+    * between the verify join and the partial aggregate. */
+  def containmentSummary(
+      docs: DataFrame,
+      textCol: String = "text",
+      shingleN: Int = 3,
+      threshold: Double = 0.9,
+      maxPostings: Int = DefaultMaxPostings,
+      minShingles: Int = 1): DataFrame =
+    containmentPairsWithSizes(docs, textCol, shingleN, threshold, maxPostings, minShingles)
+      .groupBy(col("a_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_containers"),
+        max(struct(col("containment").as("c"), (-col("b_id")).as("nb"))).as("m"))
+      .select(col("doc_id"), col("n_containers"),
+        col("m.c").as("max_containment"),
+        (-col("m.nb")).as("top_container"))
+
+  /** Containment DEDUP: drop every document ≥`threshold`-contained in a
+    * DOMINATING document — larger distinct-shingle set, ties → smaller
+    * doc_id (so two mutually-containing near-identical docs keep
+    * exactly the earlier one, and a quote is dropped in favor of the
+    * fuller text that contains it). Dominance is a plain per-pair
+    * predicate (dominated-by-ANY, the [[Similarity.semDedup]] EXISTS
+    * shape — no transitive closure, so the oracle is one subquery and a
+    * chain of partial containments cannot collapse a whole corpus).
+    * The corpus anti-joins the distinct loser ids; like
+    * [[containmentSummary]] the pair stream never leaves the plan. */
+  def dedupContained(
+      docs: DataFrame,
+      textCol: String = "text",
+      shingleN: Int = 3,
+      threshold: Double = 0.9,
+      maxPostings: Int = DefaultMaxPostings,
+      minShingles: Int = 1): DataFrame = {
+    val losers =
+      containmentPairsWithSizes(docs, textCol, shingleN, threshold, maxPostings, minShingles)
+        .filter(col("b_sz") > col("a_sz") ||
+          (col("b_sz") === col("a_sz") && col("b_id") < col("a_id")))
+        .select(col("a_id").as("doc_id")).distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
   // ------------------------------------------------------------------

@@ -649,4 +649,30 @@ class TextDedupSpec extends SparkSpec {
     assert(skipped.count() == 1)      // and the metric reports exactly it
     assert(skipped.head().getAs[Long]("member_count") == 40L)
   }
+
+  test("containmentSummary: doc-bound rollup with (max DESC, id ASC) argmax; dedupContained drops the quote") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j"), // 8 shingles — the fullest text
+      (2L, "a b c d e f g h i j"), // identical twin of 1
+      (3L, "a b c d e"),           // 3 shingles, all inside 1 and 2 (the "quote")
+      (4L, "x y z w q r")          // disjoint bystander
+    ).toDF("doc_id", "text")
+    val sum = TextDedup.containmentSummary(df, threshold = 0.9)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_containers"), r.getAs[Double]("max_containment"),
+          r.getAs[Long]("top_container")))).toMap
+    // 3 is fully contained in BOTH 1 and 2: count 2, max 1.0, tie → smaller id
+    assert(sum(3L) == ((2L, 1.0, 1L)), sum.toString)
+    // the twins contain each other: one container each
+    assert(sum(1L) == ((1L, 1.0, 2L)) && sum(2L) == ((1L, 1.0, 1L)))
+    assert(!sum.contains(4L)) // uncontained docs have no row
+    // summary row count is doc-bound even though 4 ordered pairs exist
+    assert(sum.size == 3)
+
+    // dedup: 3 is dominated by the bigger 1 and 2 (dropped); of the
+    // equal-size twins the SMALLER id survives; the bystander stays
+    val kept = TextDedup.dedupContained(df, threshold = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L), kept.toString)
+  }
 }
