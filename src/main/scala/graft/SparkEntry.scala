@@ -1359,6 +1359,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The pipeline ENDING IN THE MIX: quality gate → (no-op)
+    // decontaminate → 0.5-jaccard dedup → (no-op strips: boilerMinDocs
+    // maxed, spanK above any doc length) → 100% train split →
+    // temperature-0.5 epoch plan over the survivors at a 1M-token
+    // budget. The strips preserve token SEQUENCES (reconstruction
+    // normalizes whitespace only), so the oracle counts tokens on the
+    // raw text of the replayed survivor set and replays the α=0.5
+    // weight/target arithmetic exactly (the doc_epoch_plan algebra
+    // downstream of the ref_curation_clean survivor replay).
+    "ref_curation_mix" -> ((s, dir) => {
+      val report = graft.pipeline.CurationPipeline.runFull(s,
+        docs(s, dir).select("doc_id", "text", "source"),
+        s.emptyDataFrame.withColumn("text", lit("")).select("text"),
+        jaccardThreshold = 0.5,
+        boilerMinDocs = Int.MaxValue, spanK = 1000000,
+        mixBudgetTokens = 1000000L)
+      require(report.ok, s"runFull(mix) failed: ${report.stages}")
+      require(report.metrics.contains("mix_sources"),
+        "epoch_mix stage must report its source count")
+      s.table(graft.pipeline.CurationPipeline.MixPlanTable).orderBy("source")
+    }),
+
     // Cross-engine-checkable MinHash signatures (md5 variant).
     "doc_minhash_sig" -> ((s, dir) =>
       docs(s, dir).select(
@@ -3523,6 +3545,70 @@ object SparkEntry {
          |       md5(COALESCE(string_agg(k.tok, ' ' ORDER BY k.i), '')) AS clean_hash
          |FROM boiled b LEFT JOIN keep k USING (doc_id)
          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    // Mix replay: the ref_curation_clean survivor chain (quality rules
+    // at the same thresholds + all-pairs 0.5-jaccard dedup with
+    // recursive components; strips are parameterized to no-ops, which
+    // preserve token sequences) → the doc_epoch_plan α=0.5 arithmetic
+    // over the survivor set with source joined from the raw table and
+    // token counts on the raw text.
+    "ref_curation_mix" ->
+      s"""WITH RECURSIVE qt AS (
+         |  SELECT doc_id, text, source,
+         |         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []::VARCHAR[]
+         |              ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, text, source, len(toks) AS tc FROM qt
+         |  WHERE len(toks) >= 25 AND len(toks) <= 20000
+         |    AND length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+         |        / greatest(length(text), 1) <= 0.25
+         |    AND len(list_filter(toks, w -> list_contains($statsEn, w)))::DOUBLE
+         |        / greatest(len(toks), 1) >= 0.02),
+         |sh AS (
+         |  SELECT doc_id, CASE WHEN len(lt) < 3 THEN [array_to_string(lt, ' ')]
+         |         ELSE list_distinct(list_transform(range(1, len(lt)-1),
+         |                            i -> array_to_string(lt[i:i+2], ' '))) END AS s
+         |  FROM (SELECT doc_id,
+         |               string_split_regex(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS lt
+         |        FROM q)),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         |  FROM sh a, sh b
+         |  WHERE a.doc_id < b.doc_id
+         |    AND len(list_intersect(a.s, b.s))::DOUBLE
+         |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION SELECT b_id, a_id FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |clusters AS (
+         |  SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM (
+         |    SELECT src AS id, dst AS lbl FROM reach
+         |    UNION SELECT src, src FROM edges)
+         |  GROUP BY 1),
+         |surv AS (
+         |  SELECT source, tc FROM q
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)),
+         |cnt AS (SELECT source, count(*) AS doc_count,
+         |               CAST(sum(tc) AS BIGINT) AS token_sum FROM surv GROUP BY 1),
+         |tw AS (
+         |  SELECT source, doc_count, token_sum,
+         |         sqrt(token_sum::DOUBLE / (SELECT sum(token_sum) FROM cnt)) AS qv
+         |  FROM cnt),
+         |nz AS (SELECT list_reduce(list(qv ORDER BY source), (a, b) -> a + b) AS qsum FROM tw),
+         |wt AS (
+         |  SELECT source, doc_count, token_sum,
+         |         CAST(ROUND(qv / nz.qsum, 6) AS DOUBLE) AS weight
+         |  FROM tw, nz)
+         |SELECT source, doc_count, token_sum, weight,
+         |       CAST(FLOOR(weight * 1000000) AS BIGINT) AS target_tokens,
+         |       CAST(ROUND(CAST(FLOOR(weight * 1000000) AS BIGINT)::DOUBLE
+         |                  / greatest(token_sum, 1), 6) AS DOUBLE) AS repeat_factor
+         |FROM wt ORDER BY source""".stripMargin,
 
     "doc_minhash_sig" ->
       s"""WITH sh AS ($docShingles)

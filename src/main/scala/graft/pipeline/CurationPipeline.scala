@@ -93,7 +93,18 @@ object CurationPipeline {
     * skip decontamination (count 0 → stage is a recorded no-op). The
     * quality thresholds are corpus-tuning parameters (identity values —
     * minTokens 0, maxPunctRatio 1, minStopwordRatio 0 — make the gate a
-    * recorded pass-through, same contract as the empty benchmark). */
+    * recorded pass-through, same contract as the empty benchmark).
+    *
+    * `mixBudgetTokens` > 0 adds the SOURCE-MIX stage — the step that
+    * turns a curated corpus into a training RECIPE: the epoch plan
+    * (temperature-α token targets + repeat factors per source,
+    * [[Curation.epochPlan]]) over the train split, published to
+    * [[MixPlanTable]] with every source's target token count in the
+    * metric map. Source attribution joins back from the INPUT corpus
+    * (the strip stages carry only (doc_id, text) forward); a corpus
+    * with no `mixSourceCol` column fails analysis rather than silently
+    * mixing (pass 0 to skip for sourceless corpora), and NULL sources
+    * group as their own bucket — visible in the plan, never dropped. */
   def runFull(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
               jaccardThreshold: Double = 0.8,
               maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
@@ -103,6 +114,8 @@ object CurationPipeline {
               minTokens: Int = 25, maxTokens: Int = 20000,
               maxPunctRatio: Double = 0.25, minStopwordRatio: Double = 0.02,
               segTokens: Int = 10, boilerMinDocs: Int = 2, spanK: Int = 20,
+              mixBudgetTokens: Long = 0L, mixAlpha: Double = 0.5,
+              mixSourceCol: String = "source",
               notify: PipelineReport => Unit = _ => ()): PipelineReport = {
     val stages = Seq[Stage](
       Stage("quality_gate") { m =>
@@ -174,8 +187,29 @@ object CurationPipeline {
         Catalog.overwriteTable(assigned, SplitTable)
         spark.table(SplitTable).groupBy("split").count().collect()
           .map(r => s"split_${r.getString(0)}" -> r.getLong(1)).toMap
-      },
-      Stage("pack_sequences") { _ =>
+      }) ++
+      (if (mixBudgetTokens <= 0L) Seq.empty[Stage] else Seq(
+        Stage("epoch_mix") { _ =>
+          // the training recipe over the TRAIN split: token counts come
+          // from the cleaned text (what training will actually see),
+          // source attribution joins back from the input corpus
+          val train = spark.table(SplitTable)
+            .filter(col("split") === "train").select("doc_id", "text")
+          val withSrc = train.join(
+            docs.select(col("doc_id"), col(mixSourceCol).as("source")),
+            Seq("doc_id"), "left")
+          val plan = Curation.epochPlan(withSrc, mixBudgetTokens, mixAlpha)
+          Catalog.overwriteTable(plan, MixPlanTable)
+          // |sources|-bounded collect: per-source targets belong in the
+          // run report — a mix that silently starves a source is the
+          // exact failure this stage exists to surface
+          val rows = spark.table(MixPlanTable)
+            .select("source", "target_tokens").collect()
+          rows.map(r => s"mix_target_tokens_${r.getString(0)}" -> r.getLong(1)).toMap ++
+            Map("mix_sources" -> rows.length.toLong,
+              "mix_budget_tokens" -> mixBudgetTokens)
+        })) ++
+      Seq(Stage("pack_sequences") { _ =>
         val packed = Curation.packSequences(
           spark.table(SplitTable).filter(col("split") === "train").drop("split"),
           seqLen = seqLen)
@@ -203,6 +237,7 @@ object CurationPipeline {
   }
 
   val TrainOrderTable = "documents_train_order"
+  val MixPlanTable = "documents_mix_plan"
   val SplitTable = "documents_split"
   val BoilerTable = "documents_boiler"
   val CleanTable = "documents_clean"

@@ -154,6 +154,44 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     assert(m("train_order_rows") == trainIds.size.toLong)
   }
 
+  test("runFull epoch_mix: plan lands in the catalog, per-source targets in the metric map") {
+    val srcDocs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "source")
+    val budget = 500000L
+    val report = CurationPipeline.runFull(spark, srcDocs,
+      spark.emptyDataFrame.withColumn("text", lit("")).select("text"),
+      jaccardThreshold = 0.5, mixBudgetTokens = budget)
+    assert(report.ok, report.stages.toString)
+    val m = report.metrics
+    val plan = spark.table(CurationPipeline.MixPlanTable).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("token_sum"), r.getAs[Double]("weight"), r.getAs[Long]("target_tokens"))))
+      .toMap
+    assert(plan.nonEmpty && m("mix_sources") == plan.size.toLong)
+    assert(m("mix_budget_tokens") == budget)
+    // every source's target is in the metric map and matches the table
+    plan.foreach { case (src, (_, _, target)) =>
+      assert(m(s"mix_target_tokens_$src") == target, s"$src: $m")
+    }
+    // targets = floor(weight * budget): sum within |sources| of budget
+    val totalTarget = plan.values.map(_._3).sum
+    assert(totalTarget <= budget && totalTarget >= budget - plan.size,
+      s"targets $totalTarget vs budget $budget")
+    // α = 0.5 flattens: smallest-share source gets weight > raw share
+    val tokens = plan.view.mapValues(_._1).toMap
+    val total = tokens.values.sum.toDouble
+    val smallest = tokens.minBy(_._2)._1
+    assert(plan(smallest)._2 > tokens(smallest) / total,
+      s"temperature must upsample the smallest source: $plan")
+    // without the budget the stage does not run and no plan is (re)written
+    graft.plans.Catalog.dropIfExists(spark, CurationPipeline.MixPlanTable)
+    val noMix = CurationPipeline.runFull(spark, srcDocs,
+      spark.emptyDataFrame.withColumn("text", lit("")).select("text"),
+      jaccardThreshold = 0.5)
+    assert(noMix.ok && !noMix.metrics.contains("mix_sources"))
+    assert(!graft.plans.Catalog.tableExists(spark, CurationPipeline.MixPlanTable))
+  }
+
   test("degenerate identical corpus: cap triggers, run still succeeds, skips are REPORTED") {
     val one = docs.filter($"doc_id" === 0).select("text").head().getString(0)
     val degenerate = spark.range(3000)
