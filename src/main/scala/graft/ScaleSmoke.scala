@@ -226,6 +226,23 @@ object ScaleSmoke {
       require(bad == 0, s"$bad probes whose stored-tier rank-1 is not an identical clone")
       n
     }
+    timed("knn_graph_pq_8k") {
+      // the stored-tier answer to knn_graph's hot-LSH-bucket cost:
+      // cells from a WIDE coarse quantizer (~sqrt-sized populations),
+      // same-cell pairs scored in the compressed domain — no floats in
+      // the plan. Clone invariant: every anchor's rank-1 sim is exactly
+      // 1 (its clones share cell, codes, and scalars).
+      val cents = operators.Similarity.trainCentroids(emb, k = 256, iters = 1)
+      val idx = operators.Similarity.pqIndex(emb, cents, storedBooks)
+        .localCheckpoint(true)
+      val g = operators.Similarity.knnGraphPq(idx, storedBooks, k = 1,
+        maxCellSize = 8192).localCheckpoint(true)
+      val n = g.count()
+      require(n == nVecs, s"every vector needs a rank-1 row: $n of $nVecs")
+      val bad = g.filter(col("sim") < 0.999999).count()
+      require(bad == 0, s"$bad anchors whose rank-1 is not sim-1")
+      n
+    }
     timed("bigram_topk_50k") {
       val n = operators.Curation.ngramTopK(docs, n = 2, topK = 50).count()
       require(n == 50, s"top-k must cap at 50: $n")

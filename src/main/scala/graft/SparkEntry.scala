@@ -1717,6 +1717,26 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // kNN graph FROM THE STORED PQ TIER: the index self-joins on its
+    // coarse cell and pairs score in the compressed domain — no float
+    // vector anywhere in the plan (the 100 TB answer to the LSH
+    // graph's hot-bucket cost: the scan is m codes + 2 scalars per
+    // row). md5 cells + md5 books so the oracle replays cell
+    // assignment, encode, reconstruction, scoring, and the [2, 64]
+    // cell cap from first principles.
+    "emb_knn_graph_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val dim = e.filter(col("embedding").isNotNull)
+        .select(size(col("embedding"))).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(0)
+      val books = Similarity.pqBooksMd5(4, 8, dim / 4)
+      val idx = Similarity.pqIndexBy(e, Similarity.lshBucketMd5(_, 6, dim), books)
+      Similarity.knnGraphPq(idx, books, k = 3, maxCellSize = 64)
+        .select(col("src_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("src_id", "rank")
+    }),
+
     // ANN path #2: IVF with a k-means-lite coarse quantizer, gated on
     // the provable recall property: each planted probe's identical twin
     // shares its argmax centroid (identical vector), so IVF rank-1 MUST
@@ -4420,6 +4440,73 @@ object SparkEntry {
         |SELECT e.vec_id, CAST(count(t.src_id) AS BIGINT) AS degree
         |FROM e LEFT JOIN topk t ON t.src_id = e.vec_id
         |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin,
+
+    // PQ-graph replay: md5-plane cell assignment (the emb_semdedup
+    // block), int8 quantize + md5 codebooks + argmin assignment +
+    // reconstruction (the emb_topk_pq blocks), [2, 64] cell cap,
+    // same-cell pairs scored with the affine PQ cosine, rank <= 3.
+    "emb_knn_graph_pq" ->
+      """WITH dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+        |planes AS (
+        |  SELECT p, list_transform(range(0, (SELECT dim FROM dims)), d ->
+        |      CAST(CAST('0x' || substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 8) AS BIGINT) AS DOUBLE)
+        |        / 2147483648.0 - 1.0) AS plane
+        |  FROM range(0, 6) t(p)),
+        |vd AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cells AS (
+        |  SELECT vec_id, v,
+        |    CAST((SELECT SUM(CASE WHEN list_dot_product(f.v, pl.plane) > 0
+        |                THEN 1::BIGINT << CAST(pl.p AS INT) ELSE 0 END) FROM planes pl)
+        |         AS BIGINT) AS cell
+        |  FROM vd f),
+        |mm AS (SELECT vec_id, cell, v, list_min(v) AS v_min, list_max(v) AS v_max FROM cells),
+        |q AS (
+        |  SELECT vec_id, cell, v_min, v_max,
+        |         CASE WHEN v_max = v_min THEN list_transform(v, x -> 0)
+        |              ELSE list_transform(v, x ->
+        |                CAST(least(floor((x - v_min) * 255.0 / (v_max - v_min)), 255.0) AS INT)) END AS codes
+        |  FROM mm),
+        |books AS (
+        |  SELECT j, c, list_transform(range(0, 16), i ->
+        |      CAST('0x' || substr(md5('pq:' || (j * 8 + c)::VARCHAR || ':' || i::VARCHAR), 1, 2) AS INT)) AS cent
+        |  FROM range(0, 4) t(j), range(0, 8) u(c)),
+        |dists AS (
+        |  SELECT q.vec_id, b.j, b.c, b.cent,
+        |         CAST(list_sum(list_transform(range(1, 17), i ->
+        |           (q.codes[CAST(b.j * 16 + i AS INT)] - b.cent[CAST(i AS INT)])
+        |             * (q.codes[CAST(b.j * 16 + i AS INT)] - b.cent[CAST(i AS INT)]))) AS BIGINT) AS dist
+        |  FROM q, books b),
+        |assign AS (
+        |  SELECT vec_id, j, c, cent,
+        |         row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        |  FROM dists),
+        |recon AS (
+        |  SELECT vec_id, flatten(list(cent ORDER BY j)) AS rc
+        |  FROM assign WHERE rn = 1 GROUP BY vec_id),
+        |n AS (
+        |  SELECT q.vec_id, q.cell, q.v_min AS mn, (q.v_max - q.v_min) / 255.0 AS s, r.rc,
+        |         CAST(len(r.rc) AS DOUBLE) AS d,
+        |         CAST(CAST(list_sum(r.rc) AS BIGINT) AS DOUBLE) AS csum,
+        |         CAST(CAST(list_sum(list_transform(r.rc, c -> c * c)) AS BIGINT) AS DOUBLE) AS csq
+        |  FROM q JOIN recon r USING (vec_id)),
+        |nn AS (SELECT *, d * mn * mn + 2.0 * mn * s * csum + s * s * csq AS normsq FROM n),
+        |ok AS (SELECT cell FROM nn GROUP BY cell HAVING count(*) BETWEEN 2 AND 64),
+        |kb AS (SELECT nn.* FROM nn JOIN ok USING (cell)),
+        |scored AS (
+        |  SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
+        |         (a.d * a.mn * b.mn
+        |           + a.mn * b.s * b.csum
+        |           + b.mn * a.s * a.csum
+        |           + a.s * b.s * CAST(CAST(list_sum(list_transform(range(1, CAST(a.d AS INT) + 1),
+        |               i -> a.rc[CAST(i AS INT)] * b.rc[CAST(i AS INT)])) AS BIGINT) AS DOUBLE))
+        |         / (sqrt(a.normsq) * sqrt(b.normsq)) AS sim
+        |  FROM kb a JOIN kb b ON a.cell = b.cell AND a.vec_id <> b.vec_id)
+        |SELECT src_id, rank, neighbor_id, CAST(ROUND(sim, 6) AS DOUBLE) AS sim
+        |FROM (SELECT src_id, neighbor_id, sim,
+        |             row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin,
 
     // Full replica of the BANDED md5-plane LSH ANN path: global plane
     // index q = band*planesPerBand + p over the same md5 derivation,

@@ -1006,9 +1006,66 @@ object Similarity {
     * frozen per index generation. */
   def pqIndex(vectors: DataFrame, cents: Array[Array[Float]],
               books: Seq[Seq[Seq[Int]]]): DataFrame =
-    pqEncode(vectors.withColumn("cell", argmaxCentroid(col("embedding"), cents)),
+    pqIndexBy(vectors, argmaxCentroid(_, cents), books)
+
+  /** [[pqIndex]] with a caller-chosen coarse-cell function — any pure
+    * column function of the embedding (k-means argmax in production,
+    * [[lshBucketMd5]] when a gate needs DuckDB to replay the cell
+    * assignment from first principles). */
+  def pqIndexBy(vectors: DataFrame, cellOf: Column => Column,
+                books: Seq[Seq[Seq[Int]]]): DataFrame =
+    pqEncode(vectors.withColumn("cell", cellOf(col("embedding"))),
       books, keep = Seq("cell"))
       .select("vec_id", "cell", "v_min", "v_max", "pq_codes")
+
+  /** Corpus-wide kNN GRAPH served ENTIRELY from the stored PQ tier —
+    * the compressed-domain answer to [[knnGraph]]'s LSH hotspot (the
+    * 500 k smoke's 166.8 s knn_graph is candidate-bound on hot LSH
+    * buckets): the [[pqIndex]] table self-equi-joins on the coarse
+    * cell, pairs score with the symmetric-distance PQ cosine (one
+    * integer dot + O(1) float corrections), and top-k is the per-task
+    * rank window. NO float vector appears anywhere in the plan — the
+    * scan is m codes + two scalars per row, so at 100 TB the graph
+    * build reads the ~m+12-byte tier, not the 4·d-byte corpus.
+    *
+    * Same candidate discipline as every capped path: cells pre-count,
+    * only [2, maxCellSize] populations expand (a degenerate cell
+    * degrades to a REPORTED skip — see the AndSkips form — never a
+    * quadratic task), and work per cell is population-bounded, so
+    * total cost is Σ|cell|² — the SemDeDup trade: more cells, less
+    * quadratic work, slightly more cross-cell misses. Neighbors are
+    * same-cell only (nprobe=1 by construction); sims are approximate
+    * (PQ-domain) — pipe through an exact re-rank where exactness
+    * matters, as [[topKIvfPqStoredRefine]] does for probe reads. */
+  def knnGraphPq(index: DataFrame, books: Seq[Seq[Seq[Int]]], k: Int,
+                 maxCellSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
+    knnGraphPqAndSkips(index, books, k, maxCellSize)._1
+
+  /** [[knnGraphPq]] AND its skipped-cell reporter (cell,
+    * member_count) from the same pre-count — no silent caps. */
+  def knnGraphPqAndSkips(index: DataFrame, books: Seq[Seq[Seq[Int]]], k: Int,
+                         maxCellSize: Int = TextDedup.DefaultMaxBucketSize)
+      : (DataFrame, DataFrame) = {
+    val counts = index.groupBy("cell").agg(count(lit(1)).as("__n"))
+    val skipped = counts.filter(col("__n") > maxCellSize)
+      .select(col("cell"), col("__n").as("member_count"))
+    val ok = counts.filter(col("__n") >= 2 && col("__n") <= maxCellSize).select("cell")
+    val kept = index.join(ok, Seq("cell"))
+    val a = pqScoreSide(kept, books, "src_id", "s_", keep = Seq("cell"))
+    val b = pqScoreSide(kept, books, "neighbor_id", "n_", keep = Seq("cell"))
+    val scored = a.join(b, Seq("cell"))
+      .filter(col("src_id") =!= col("neighbor_id"))
+      .select(col("src_id"), col("neighbor_id"),
+        ((col("s_d") * col("s_mn") * col("n_mn")
+          + col("s_mn") * col("n_s") * col("n_csum")
+          + col("n_mn") * col("s_s") * col("s_csum")
+          + col("s_s") * col("n_s") * call_function("vec_dot", col("s_cd"), col("n_cd")))
+          / (sqrt(col("s_normsq")) * sqrt(col("n_normsq")))).as("sim"))
+    val w = Window.partitionBy(col("src_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    (scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("src_id", "rank", "neighbor_id", "sim"),
+      skipped)
+  }
 
   /** IVF-PQ top-k against the STORED index (the [[pqIndex]] row shape):
     * probes encode inline (probe sets are small), the corpus side reads

@@ -495,6 +495,39 @@ class SimilaritySpec extends SparkSpec {
     graft.plans.Catalog.dropIfExists(spark, tbl)
   }
 
+  test("knnGraphPq: compressed-domain graph off the index — twins at sim 1, hot cells reported") {
+    val planted = emb.select($"vec_id", $"embedding")
+      .unionByName(emb.select(($"vec_id" + 1000).as("vec_id"), $"embedding"))
+    val dim = emb.select(size($"embedding")).head().getInt(0)
+    val books = Similarity.pqBooksMd5(4, 8, dim / 4)
+    val idx = Similarity.pqIndexBy(planted, Similarity.lshBucketMd5(_, 4, dim), books)
+      .localCheckpoint(true)
+    val g = Similarity.knnGraphPq(idx, books, k = 1, maxCellSize = 4096)
+      .collect()
+    // identical twins share cell, codes, and scalars, so a sim-1
+    // candidate exists for every anchor: rank-1 sim must be exactly 1
+    val n = emb.count()
+    assert(g.length == 2 * n, s"expected ${2 * n} anchors, got ${g.length}")
+    g.foreach(r => assert(math.abs(r.getAs[Double]("sim") - 1.0) < 1e-9,
+      s"anchor ${r.getAs[Long]("src_id")} rank-1 sim ${r.getAs[Double]("sim")}"))
+    // the plan reads codes only — no float embedding survives into the join
+    val plan = Similarity.knnGraphPq(idx, books, k = 1, maxCellSize = 4096)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"PQ graph must stay an equi-join:\n$plan")
+
+    // one identical family larger than the cap: no edges, REPORTED skip
+    val family = (0L until 100L).map(i => (i, Array(1.0f, 0.0f, 0.5f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val fIdx = Similarity.pqIndexBy(family, Similarity.lshBucketMd5(_, 4, 4),
+      Similarity.pqBooksMd5(2, 4, 2))
+    val (fg, skipped) = Similarity.knnGraphPqAndSkips(fIdx,
+      Similarity.pqBooksMd5(2, 4, 2), k = 3, maxCellSize = 64)
+    assert(fg.count() == 0)
+    val sk = skipped.collect()
+    assert(sk.length == 1 && sk.head.getAs[Long]("member_count") == 100L, sk.mkString(","))
+  }
+
   test("knnLabelAudit: majority vote flags the planted mislabel; ties go to the smaller label") {
     val vecs = Seq(
       (1L, Array(1f, 0f), 0),
