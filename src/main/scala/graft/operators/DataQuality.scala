@@ -59,9 +59,11 @@ object DataQuality {
     * fixed-point, so the result is identical for any partition order or
     * engine), then mean/variance/σ/z derive through a fixed sequence of
     * double ops. Two scans by design: the tiny per-group moment table
-    * broadcasts back onto the row scan — at 100 TB this beats a
+    * joins back onto the row scan — at 100 TB this beats a
     * group-window (which would shuffle every row) by carrying only
-    * |groups| rows across the wire. */
+    * |groups| rows across the wire. No broadcast hint: AQE picks the
+    * broadcast at sane group cardinality, and a 10⁷-group frame
+    * degrades to a shuffle join instead of a driver OOM. */
   def zScoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
                      threshold: Double = 3.0): DataFrame = {
     val v = col(valueCol)
@@ -75,7 +77,7 @@ object DataQuality {
           (col("__s1").cast("double") / col("__n")) *
             (col("__s1").cast("double") / col("__n"))).as("__sd"))
     df.filter(v.isNotNull)
-      .join(broadcast(stats), Seq(groupCol))
+      .join(stats, Seq(groupCol))
       .withColumn("z_score", (v - col("__mean")) / col("__sd"))
       .filter(abs(col("z_score")) > threshold)
       .drop("__mean", "__sd")
@@ -210,8 +212,10 @@ object DataQuality {
 
   /** PER-GROUP [[histogramQuantiles]], fully distributed: each group's
     * (lo, hi, n) range rides as COLUMNS from one aggregate rejoined
-    * broadcast-style (no driver scalars at all, so a million groups
-    * cost a million 3-scalar rows, never a collect), bucket counts
+    * onto the scan (no driver scalars at all, so a million groups
+    * cost a million 3-scalar rows, never a collect; no forced
+    * broadcast either — AQE picks it while extreme group counts
+    * degrade to a shuffle join), bucket counts
     * aggregate on (group, bucket), the cumulative window partitions BY
     * GROUP (each partition <= `buckets` aggregated rows — no global
     * single-task window), and the crossing pick is a per-(group, q)
@@ -230,7 +234,7 @@ object DataQuality {
         smax(col(valueCol)).cast("double").as("hi"), count(lit(1)).as("n"))
     val width = (col("hi") - col("lo")) / buckets
     val counts = vals.select(col(groupCol).as("g"), col(valueCol).as("v"))
-      .join(broadcast(rng), Seq("g"))
+      .join(rng, Seq("g"))
       .withColumn("b",
         when(col("hi") === col("lo"), lit(0))
           .otherwise(least(floor((col("v") - col("lo")) / width), lit(buckets - 1)))
