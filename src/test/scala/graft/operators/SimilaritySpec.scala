@@ -528,6 +528,40 @@ class SimilaritySpec extends SparkSpec {
     assert(sk.length == 1 && sk.head.getAs[Long]("member_count") == 100L, sk.mkString(","))
   }
 
+  test("knnGraphPq over a CELL-BUCKETED stored tier: the self-join never shuffles the index") {
+    val dim = emb.select(size($"embedding")).head().getInt(0)
+    val books = Similarity.pqBooksMd5(4, 8, dim / 4)
+    val idx = Similarity.pqIndexBy(emb.select($"vec_id", $"embedding"),
+      Similarity.lshBucketMd5(_, 4, dim), books)
+    val tbl = "test_pq_idx_bucketed"
+    graft.plans.Catalog.dropIfExists(spark, tbl)
+    graft.plans.Catalog.ctasBucketed(idx, tbl, "cell", 8)
+    // force the sort-merge path so the assertion is about DATA LAYOUT,
+    // not about AQE happening to broadcast a small test fixture
+    val thresholdBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // unbucketed baseline: cell pre-count + the a×b self-join each
+      // repartition the index by cell
+      val inlinePlan = Similarity.knnGraphPq(idx, books, k = 1, maxCellSize = 4096)
+        .queryExecution.executedPlan.toString
+      assert(inlinePlan.contains("hashpartitioning(cell"),
+        s"baseline should shuffle on cell:\n$inlinePlan")
+      // bucketed tier: bucket layout satisfies every cell distribution —
+      // pre-count, cap join, and the self-join all read buckets in place
+      val g = Similarity.knnGraphPq(spark.table(tbl), books, k = 1, maxCellSize = 4096)
+      val bucketedPlan = g.queryExecution.executedPlan.toString
+      assert(!bucketedPlan.contains("hashpartitioning(cell"),
+        s"bucketed tier must not re-shuffle on cell:\n$bucketedPlan")
+      // and the results are identical to the inline index
+      val fromTable = g.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val fromInline = Similarity.knnGraphPq(idx, books, k = 1, maxCellSize = 4096)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(fromTable == fromInline && fromTable.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdBefore)
+    graft.plans.Catalog.dropIfExists(spark, tbl)
+  }
+
   test("knnLabelAudit: majority vote flags the planted mislabel; ties go to the smaller label") {
     val vecs = Seq(
       (1L, Array(1f, 0f), 0),
