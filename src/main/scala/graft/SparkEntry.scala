@@ -1656,6 +1656,31 @@ object SparkEntry {
         .select("vec_id").orderBy("vec_id")
     }),
 
+    // The VECTOR ingest treadmill end-to-end: slice 1 bootstraps the
+    // tier + band index + PQ index (and freezes the quantizer
+    // generation), slice 2 (new ids + planted twins of slice-1 and
+    // slice-2 vectors) reconciles against the STORED artifacts — tier
+    // never re-hashed, never re-encoded. Final tier must equal
+    // batch-global keep-min dedup over the whole fixture (the
+    // emb_dedup_near oracle), and the PQ index must cover the tier
+    // row-for-row.
+    "emb_ingest_incremental" -> ((s, dir) => {
+      graft.pipeline.VectorPipeline.resetTreadmill(s)
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val slice1 = e.filter(col("vec_id") < 250)
+      val slice2 = e.filter(col("vec_id") >= 250)
+        .unionByName(e.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      val r1 = graft.pipeline.VectorPipeline.ingestBatch(s, slice1)
+      require(r1.ok, s"slice 1 failed: ${r1.stages}")
+      val r2 = graft.pipeline.VectorPipeline.ingestBatch(s, slice2)
+      require(r2.ok, s"slice 2 failed: ${r2.stages}")
+      val tier = s.table(graft.pipeline.VectorPipeline.TierTable)
+      require(s.table(graft.pipeline.VectorPipeline.PqIndexTable).count() == tier.count(),
+        "PQ index must cover the tier exactly")
+      tier.select("vec_id").orderBy("vec_id")
+    }),
+
     // ANN path: LSH-bucketed top-3 on md5-derived hyperplanes — the
     // ENTIRE approximate path (bucket assignment, candidate join,
     // ranking) is replicated in the DuckDB oracle, so this is a full
@@ -4229,6 +4254,37 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 50 = 0)
         |SELECT MIN(vec_id) AS vec_id FROM fixture GROUP BY embedding ORDER BY 1""".stripMargin,
+
+    // Treadmill convergence oracle: the running tier after both slices
+    // equals batch-global keep-min dedup over the whole fixture —
+    // the same SQL as emb_dedup_near (tier ids precede batch ids, the
+    // nearDupAgainst contract).
+    "emb_ingest_incremental" ->
+      """WITH RECURSIVE fixture AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 50 = 0),
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM fixture a, fixture b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_dot_product(a.v, b.v)
+        |        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.999),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |clusters AS (
+        |  SELECT id AS vec_id, MIN(lbl) AS cluster_id FROM (
+        |    SELECT src AS id, dst AS lbl FROM reach
+        |    UNION SELECT src, src FROM edges)
+        |  GROUP BY 1)
+        |SELECT vec_id FROM fixture
+        |WHERE vec_id NOT IN (SELECT vec_id FROM clusters WHERE vec_id <> cluster_id)
+        |ORDER BY vec_id""".stripMargin,
 
     "emb_dedup_near" ->
       """WITH RECURSIVE fixture AS (
