@@ -243,6 +243,26 @@ object ScaleSmoke {
       require(bad == 0, s"$bad anchors whose rank-1 is not sim-1")
       n
     }
+    timed("vector_ingest_8k") {
+      // the VECTOR treadmill at corpus scale: clone replicas split into
+      // two slices — slice 2's clones of slice-1 vectors must reconcile
+      // against the STORED band index, and the tier (plus its PQ index)
+      // collapses to one survivor per clone family
+      graft.pipeline.VectorPipeline.resetTreadmill(spark)
+      val half = (vmult / 2).toLong * 1000000L
+      val r1 = graft.pipeline.VectorPipeline.ingestBatch(spark,
+        emb.filter(col("vec_id") < half))
+      require(r1.ok, r1.stages.toString)
+      val r2 = graft.pipeline.VectorPipeline.ingestBatch(spark,
+        emb.filter(col("vec_id") >= half))
+      require(r2.ok, r2.stages.toString)
+      val tier = spark.table(graft.pipeline.VectorPipeline.TierTable).count()
+      require(tier <= nVecs / vmult,
+        s"cross-slice clone families must collapse: tier $tier of $nVecs")
+      require(spark.table(graft.pipeline.VectorPipeline.PqIndexTable).count() == tier,
+        "PQ index must cover the tier")
+      tier
+    }
     timed("bigram_topk_50k") {
       val n = operators.Curation.ngramTopK(docs, n = 2, topK = 50).count()
       require(n == 50, s"top-k must cap at 50: $n")
