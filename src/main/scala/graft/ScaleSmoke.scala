@@ -259,7 +259,7 @@ object ScaleSmoke {
       val tier = spark.table(graft.pipeline.VectorPipeline.TierTable).count()
       require(tier <= nVecs / vmult,
         s"cross-slice clone families must collapse: tier $tier of $nVecs")
-      require(spark.table(graft.pipeline.VectorPipeline.PqIndexTable).count() == tier,
+      require(spark.table(graft.pipeline.VectorPipeline.pqIndexTable(spark)).count() == tier,
         "PQ index must cover the tier")
       tier
     }

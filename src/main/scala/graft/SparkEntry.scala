@@ -1676,9 +1676,71 @@ object SparkEntry {
       val r2 = graft.pipeline.VectorPipeline.ingestBatch(s, slice2)
       require(r2.ok, s"slice 2 failed: ${r2.stages}")
       val tier = s.table(graft.pipeline.VectorPipeline.TierTable)
-      require(s.table(graft.pipeline.VectorPipeline.PqIndexTable).count() == tier.count(),
+      require(s.table(graft.pipeline.VectorPipeline.pqIndexTable(s)).count() == tier.count(),
         "PQ index must cover the tier exactly")
       tier.select("vec_id").orderBy("vec_id")
+    }),
+
+    // The VECTOR treadmill as a STREAM: same fixture as
+    // emb_ingest_incremental, driven through the checkpointed file
+    // source — slice 1 lands and drains (bootstrap + generation
+    // freeze), slice 2 lands and a RESTARTED query on the same
+    // checkpoint picks up only the new file. Final tier must equal
+    // batch-global keep-min cosine dedup over both slices (the
+    // nearDupAgainstCosine convergence contract), which the oracle
+    // computes all-pairs; the PQ index must cover the tier
+    // row-for-row.
+    "stream_vec_ingest" -> ((s, dir) => {
+      import graft.pipeline.VectorPipeline
+      VectorPipeline.resetTreadmill(s)
+      val land = Files.createTempDirectory("graft_vec_land").toString
+      val cp = Files.createTempDirectory("graft_vec_cp").toString
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val slice1 = e.filter(col("vec_id") < 250)
+      val slice2 = e.filter(col("vec_id") >= 250)
+        .unionByName(e.filter(col("vec_id") % 50 === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+      slice1.coalesce(1).write.mode("append").json(land)
+      val q1 = VectorPipeline.streamIngest(s, land, cp)
+      require(q1.awaitTermination(300000), "stream_vec_ingest: slice 1 drain timed out")
+      slice2.coalesce(1).write.mode("append").json(land)
+      val q2 = VectorPipeline.streamIngest(s, land, cp)
+      require(q2.awaitTermination(300000), "stream_vec_ingest: slice 2 drain timed out")
+      val tier = s.table(VectorPipeline.TierTable)
+      require(s.table(VectorPipeline.pqIndexTable(s)).count() == tier.count(),
+        "PQ index must cover the tier exactly")
+      tier.select("vec_id").orderBy("vec_id")
+    }),
+
+    // GENERATION ROLLOVER end-to-end: treadmill over two slices (no
+    // planted twins — the tier is provably the whole corpus, max
+    // natural cosine far below 0.999), then regenerate retrains on a
+    // 70% hash-sample, re-encodes the tier into generation 2, and
+    // flips the pointer atomically. The serve read
+    // (VectorPipeline.queryTopK — generation-consistent stored
+    // IVF-PQ + exact refine) then answers twin probes: each probe's
+    // identical twin shares its argmax cell under ANY centroid set, so
+    // refined rank-1 MUST equal brute-force exact rank-1 — which
+    // DuckDB computes from first principles, exact sims included.
+    "emb_pq_regenerate" -> ((s, dir) => {
+      import graft.pipeline.VectorPipeline
+      VectorPipeline.resetTreadmill(s)
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val r1 = VectorPipeline.ingestBatch(s, e.filter(col("vec_id") < 250))
+      require(r1.ok, s"slice 1 failed: ${r1.stages}")
+      val r2 = VectorPipeline.ingestBatch(s, e.filter(col("vec_id") >= 250))
+      require(r2.ok, s"slice 2 failed: ${r2.stages}")
+      val rg = VectorPipeline.regenerate(s, coarseK = 12, pqM = 4, pqKsub = 8,
+        sampleFraction = 0.7)
+      require(rg.ok, s"regenerate failed: ${rg.stages}")
+      require(VectorPipeline.currentGeneration(s) == 2L, "pointer must flip to generation 2")
+      require(rg.metrics("tier_encoded") == s.table(VectorPipeline.TierTable).count(),
+        "generation 2 must cover the tier row-for-row")
+      val probes = e.filter(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
+      VectorPipeline.queryTopK(s, probes, k = 1, nprobe = 2, refine = 8)
+        .select(col("probe_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("probe_id")
     }),
 
     // ANN path: LSH-bucketed top-3 on md5-derived hyperplanes — the
@@ -1760,6 +1822,48 @@ object SparkEntry {
         .select(col("src_id"), col("rank"), col("neighbor_id"),
           round(col("sim"), 6).as("sim"))
         .orderBy("src_id", "rank")
+    }),
+
+    // The PQ graph's EXACT re-rank tail: the compressed domain
+    // (emb_knn_graph_pq's exact replayed machinery) proposes top-8
+    // candidates per anchor, floats join back ONLY for those pairs,
+    // and the top-3 re-rank returns TRUE cosines — the full oracle
+    // replays the md5 cells, encode, PQ ranking, the refine cut, and
+    // the exact re-rank, so the gate compares exact sims full-value
+    // (which the PQ-only graph cannot).
+    "emb_knn_graph_pq_refine" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val dim = e.filter(col("embedding").isNotNull)
+        .select(size(col("embedding"))).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(0)
+      val books = Similarity.pqBooksMd5(4, 8, dim / 4)
+      val idx = Similarity.pqIndexBy(e, Similarity.lshBucketMd5(_, 6, dim), books)
+      Similarity.knnGraphPqRefine(idx, e, books, k = 3, refine = 8, maxCellSize = 64)
+        .select(col("src_id"), col("rank"), col("neighbor_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy("src_id", "rank")
+    }),
+
+    // CROSS-CELL PQ graph (nprobe > 1): anchors probe their assigned
+    // cell PLUS their top recon-ranked cells, with trained k-means
+    // cells and trained codebooks — the production shape. Gated on the
+    // twin invariant (the emb_topk_ivf style): a planted anchor's
+    // identical twin shares its assigned cell under ANY quantizer, so
+    // it is ALWAYS proposed, and the exact re-rank tail must put it at
+    // rank 1 with sim 1 — which DuckDB computes from first principles
+    // over the fixture. Output restricted to the planted anchors
+    // (natural anchors' neighbors are quantizer artifacts).
+    "emb_knn_graph_pq_probed" -> ((s, dir) => {
+      val planted = embDupFixture(s, dir)
+      val cents = Similarity.trainCentroids(planted, k = 8, iters = 2)
+      val books = Similarity.trainPqBooks(planted, m = 4, ksub = 8, iters = 2)
+      val idx = Similarity.pqIndex(planted, cents, books)
+      val cand = Similarity.knnGraphPqProbed(idx, cents, books, k = 8, nprobe = 2,
+        maxCellSize = 4096)
+      Similarity.graphRefineExact(cand, planted, k = 1)
+        .filter(col("src_id") >= 100000)
+        .select(col("src_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+        .orderBy("src_id")
     }),
 
     // ANN path #2: IVF with a k-means-lite coarse quantizer, gated on
@@ -2052,6 +2156,16 @@ object SparkEntry {
     // (>1 upsample-with-repetition, <1 subsample).
     "doc_epoch_plan" -> ((s, dir) =>
       Curation.epochPlan(docs(s, dir), budgetTokens = 1000000L).orderBy("source")),
+
+    // The plan MATERIALIZED into the actual epoch stream: per source,
+    // ⌊target/token_sum⌋ integer passes + a fractional fill in
+    // (id-hash, id) order (boundary doc kept), every emitted copy
+    // shuffled to a dense global position on md5(seed:doc#copy). The
+    // oracle replays targets, fill order, repeat expansion, and
+    // shuffle rank from first principles.
+    "doc_epoch_materialize" -> ((s, dir) =>
+      Curation.epochMaterialize(docs(s, dir), budgetTokens = 1000000L, seed = 42L)
+        .orderBy("position")),
 
     // Concat-then-slice training batch assembly: global token offsets
     // via the two-level prefix sum (never a global window).
@@ -2459,6 +2573,62 @@ object SparkEntry {
         |       CAST(ROUND(CAST(FLOOR(weight * 1000000) AS BIGINT)::DOUBLE
         |                  / greatest(token_sum, 1), 6) AS DOUBLE) AS repeat_factor
         |FROM w ORDER BY source""".stripMargin,
+
+    // Epoch materialization replay: the doc_epoch_plan arithmetic ->
+    // per-source integer passes ⌊target/token_sum⌋ + a fractional fill
+    // in (md5-hash, id) order kept while tokens-before < remainder
+    // (boundary doc kept — the doc_sample_budget window form), then
+    // copy expansion and the doc_shuffle_epoch md5 rank over
+    // "seed:doc#copy" replica keys.
+    "doc_epoch_materialize" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS tc
+        |  FROM documents),
+        |s AS (SELECT source, count(*) AS doc_count, CAST(sum(tc) AS BIGINT) AS token_sum FROM t GROUP BY 1),
+        |q AS (
+        |  SELECT source, doc_count, token_sum,
+        |         sqrt(token_sum::DOUBLE / (SELECT sum(token_sum) FROM s)) AS q
+        |  FROM s),
+        |n AS (SELECT list_reduce(list(q ORDER BY source), (a, b) -> a + b) AS qsum FROM q),
+        |w AS (
+        |  SELECT source, token_sum,
+        |         CAST(ROUND(q / n.qsum, 6) AS DOUBLE) AS weight
+        |  FROM q, n),
+        |plan AS (
+        |  SELECT source, token_sum,
+        |         CAST(FLOOR(weight * 1000000) AS BIGINT) AS target_tokens
+        |  FROM w),
+        |rem AS (
+        |  SELECT source, token_sum, target_tokens,
+        |         CASE WHEN token_sum > 0
+        |              THEN CAST(FLOOR(target_tokens / token_sum) AS BIGINT) ELSE 0 END AS nfull,
+        |         target_tokens - CASE WHEN token_sum > 0
+        |              THEN CAST(FLOOR(target_tokens / token_sum) AS BIGINT) ELSE 0 END * token_sum AS rem_budget
+        |  FROM plan),
+        |fill AS (
+        |  SELECT doc_id, source,
+        |         coalesce(sum(tc) OVER (PARTITION BY source
+        |             ORDER BY CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT), doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM t),
+        |extra AS (
+        |  SELECT f.doc_id FROM fill f JOIN rem r USING (source)
+        |  WHERE f.before < r.rem_budget),
+        |copies AS (
+        |  SELECT t.doc_id, t.source, t.tc,
+        |         r.nfull + CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS c
+        |  FROM t JOIN rem r USING (source)
+        |  LEFT JOIN extra e ON e.doc_id = t.doc_id),
+        |expanded AS (
+        |  SELECT doc_id, source, tc, unnest(range(0, c)) AS copy
+        |  FROM copies WHERE c > 0)
+        |SELECT CAST(row_number() OVER (
+        |         ORDER BY md5('42:' || doc_id::VARCHAR || '#' || copy::VARCHAR),
+        |                  doc_id::VARCHAR || '#' || copy::VARCHAR) - 1 AS BIGINT) AS position,
+        |       doc_id, CAST(copy AS BIGINT) AS copy, source, tc AS token_count
+        |FROM expanded ORDER BY position""".stripMargin,
 
     "doc_pack_sequences" ->
       """WITH t AS (
@@ -4286,6 +4456,80 @@ object SparkEntry {
         |WHERE vec_id NOT IN (SELECT vec_id FROM clusters WHERE vec_id <> cluster_id)
         |ORDER BY vec_id""".stripMargin,
 
+    // The streamed treadmill lands the SAME fixture through the
+    // checkpointed file source, so batch-global keep-min dedup is the
+    // identical truth (nearDupAgainstCosine's convergence contract is
+    // transport-independent).
+    "stream_vec_ingest" ->
+      """WITH RECURSIVE fixture AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 50 = 0),
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM fixture a, fixture b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_dot_product(a.v, b.v)
+        |        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.999),
+        |edges AS (
+        |  SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION SELECT b_id, a_id FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |clusters AS (
+        |  SELECT id AS vec_id, MIN(lbl) AS cluster_id FROM (
+        |    SELECT src AS id, dst AS lbl FROM reach
+        |    UNION SELECT src, src FROM edges)
+        |  GROUP BY 1)
+        |SELECT vec_id FROM fixture
+        |WHERE vec_id NOT IN (SELECT vec_id FROM clusters WHERE vec_id <> cluster_id)
+        |ORDER BY vec_id""".stripMargin,
+
+    // Rollover serve gate: the tier is the whole corpus (no planted
+    // twins in the slices; max natural cosine is far below the 0.999
+    // threshold, so treadmill dedup drops nothing — the
+    // emb_ingest_incremental oracle run on this twin-free fixture
+    // returns every vec_id). Each +200000 probe's identical twin is
+    // proposed under ANY generation (same argmax cell) and the refine
+    // tail returns exact cosines, so refined rank-1 = brute-force
+    // exact rank-1, sims compared full-value at 6dp.
+    "emb_pq_regenerate" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |probes AS (SELECT vec_id + 200000 AS probe_id, v AS p FROM e WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT pr.probe_id, c.vec_id AS neighbor_id,
+        |         list_dot_product(pr.p, c.v)
+        |           / (sqrt(list_dot_product(pr.p, pr.p)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |  FROM probes pr, e c)
+        |SELECT probe_id, neighbor_id, CAST(ROUND(sim, 6) AS DOUBLE) AS sim
+        |FROM (SELECT probe_id, neighbor_id, sim,
+        |             row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |WHERE rank = 1 ORDER BY probe_id""".stripMargin,
+
+    // Probed-graph twin gate: exact rank-1 over the fixture for every
+    // planted anchor — the twin shares the anchor's assigned cell
+    // under ANY trained quantizer, is therefore always proposed, and
+    // the exact re-rank tail must surface it with its true cosine.
+    "emb_knn_graph_pq_probed" ->
+      """WITH fixture AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id % 50 = 0),
+        |anchors AS (SELECT vec_id AS src_id, v AS a FROM fixture WHERE vec_id >= 100000),
+        |scored AS (
+        |  SELECT an.src_id, c.vec_id AS neighbor_id,
+        |         list_dot_product(an.a, c.v)
+        |           / (sqrt(list_dot_product(an.a, an.a)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |  FROM anchors an, fixture c WHERE c.vec_id <> an.src_id)
+        |SELECT src_id, neighbor_id, CAST(ROUND(sim, 6) AS DOUBLE) AS sim
+        |FROM (SELECT src_id, neighbor_id, sim,
+        |             row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM scored)
+        |WHERE rank = 1 ORDER BY src_id""".stripMargin,
+
     "emb_dedup_near" ->
       """WITH RECURSIVE fixture AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -4562,6 +4806,87 @@ object SparkEntry {
         |FROM (SELECT src_id, neighbor_id, sim,
         |             row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, neighbor_id) AS rank
         |      FROM scored)
+        |WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin,
+
+    // The refine oracle: the emb_knn_graph_pq machinery verbatim
+    // through the PQ-scored pairs, then the top-8 refine cut on the
+    // full-precision PQ sims (whose cross-engine ordering the base
+    // gate already proves), then the exact-cosine re-rank over the
+    // float vectors for ONLY those pairs — rank <= 3 with TRUE sims.
+    "emb_knn_graph_pq_refine" ->
+      """WITH dims AS (SELECT len(embedding) AS dim FROM embeddings LIMIT 1),
+        |planes AS (
+        |  SELECT p, list_transform(range(0, (SELECT dim FROM dims)), d ->
+        |      CAST(CAST('0x' || substr(md5(p::VARCHAR || ':' || d::VARCHAR), 1, 8) AS BIGINT) AS DOUBLE)
+        |        / 2147483648.0 - 1.0) AS plane
+        |  FROM range(0, 6) t(p)),
+        |vd AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |cells AS (
+        |  SELECT vec_id, v,
+        |    CAST((SELECT SUM(CASE WHEN list_dot_product(f.v, pl.plane) > 0
+        |                THEN 1::BIGINT << CAST(pl.p AS INT) ELSE 0 END) FROM planes pl)
+        |         AS BIGINT) AS cell
+        |  FROM vd f),
+        |mm AS (SELECT vec_id, cell, v, list_min(v) AS v_min, list_max(v) AS v_max FROM cells),
+        |q AS (
+        |  SELECT vec_id, cell, v_min, v_max,
+        |         CASE WHEN v_max = v_min THEN list_transform(v, x -> 0)
+        |              ELSE list_transform(v, x ->
+        |                CAST(least(floor((x - v_min) * 255.0 / (v_max - v_min)), 255.0) AS INT)) END AS codes
+        |  FROM mm),
+        |books AS (
+        |  SELECT j, c, list_transform(range(0, 16), i ->
+        |      CAST('0x' || substr(md5('pq:' || (j * 8 + c)::VARCHAR || ':' || i::VARCHAR), 1, 2) AS INT)) AS cent
+        |  FROM range(0, 4) t(j), range(0, 8) u(c)),
+        |dists AS (
+        |  SELECT q.vec_id, b.j, b.c, b.cent,
+        |         CAST(list_sum(list_transform(range(1, 17), i ->
+        |           (q.codes[CAST(b.j * 16 + i AS INT)] - b.cent[CAST(i AS INT)])
+        |             * (q.codes[CAST(b.j * 16 + i AS INT)] - b.cent[CAST(i AS INT)]))) AS BIGINT) AS dist
+        |  FROM q, books b),
+        |assign AS (
+        |  SELECT vec_id, j, c, cent,
+        |         row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn
+        |  FROM dists),
+        |recon AS (
+        |  SELECT vec_id, flatten(list(cent ORDER BY j)) AS rc
+        |  FROM assign WHERE rn = 1 GROUP BY vec_id),
+        |n AS (
+        |  SELECT q.vec_id, q.cell, q.v_min AS mn, (q.v_max - q.v_min) / 255.0 AS s, r.rc,
+        |         CAST(len(r.rc) AS DOUBLE) AS d,
+        |         CAST(CAST(list_sum(r.rc) AS BIGINT) AS DOUBLE) AS csum,
+        |         CAST(CAST(list_sum(list_transform(r.rc, c -> c * c)) AS BIGINT) AS DOUBLE) AS csq
+        |  FROM q JOIN recon r USING (vec_id)),
+        |nn AS (SELECT *, d * mn * mn + 2.0 * mn * s * csum + s * s * csq AS normsq FROM n),
+        |ok AS (SELECT cell FROM nn GROUP BY cell HAVING count(*) BETWEEN 2 AND 64),
+        |kb AS (SELECT nn.* FROM nn JOIN ok USING (cell)),
+        |scored AS (
+        |  SELECT a.vec_id AS src_id, b.vec_id AS neighbor_id,
+        |         (a.d * a.mn * b.mn
+        |           + a.mn * b.s * b.csum
+        |           + b.mn * a.s * a.csum
+        |           + a.s * b.s * CAST(CAST(list_sum(list_transform(range(1, CAST(a.d AS INT) + 1),
+        |               i -> a.rc[CAST(i AS INT)] * b.rc[CAST(i AS INT)])) AS BIGINT) AS DOUBLE))
+        |         / (sqrt(a.normsq) * sqrt(b.normsq)) AS sim
+        |  FROM kb a JOIN kb b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |refine AS (
+        |  SELECT src_id, neighbor_id
+        |  FROM (SELECT src_id, neighbor_id,
+        |               row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, neighbor_id) AS rank
+        |        FROM scored)
+        |  WHERE rank <= 8),
+        |exact AS (
+        |  SELECT r.src_id, r.neighbor_id,
+        |         list_dot_product(s.v, n2.v)
+        |           / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(n2.v, n2.v))) AS sim
+        |  FROM refine r
+        |  JOIN vd s ON s.vec_id = r.src_id
+        |  JOIN vd n2 ON n2.vec_id = r.neighbor_id)
+        |SELECT src_id, rank, neighbor_id, CAST(ROUND(sim, 6) AS DOUBLE) AS sim
+        |FROM (SELECT src_id, neighbor_id, sim,
+        |             row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, neighbor_id) AS rank
+        |      FROM exact)
         |WHERE rank <= 3 ORDER BY src_id, rank""".stripMargin,
 
     // Full replica of the BANDED md5-plane LSH ANN path: global plane

@@ -276,19 +276,43 @@ object Curation {
   def sampleByTokenBudget(df: DataFrame, strataCol: String, rate: Double,
                           idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
-    val withH = df
-      .withColumn("__sk", struct(col(strataCol)))
+    val withH = budgetKeyed(df, strataCol, idCol, textCol)
+    val counts = withH.groupBy(col("__sk"), col("__b")).agg(sum(col("__tc")).as("__bt"))
+    // budget is ONE IEEE product per stratum (rate × exact integer total)
+    // — bit-identical across engines, like the sourceMix weight division
+    val budgets = counts.groupBy(col("__sk")).agg(sum(col("__bt")).as("__tot"))
+      .select(col("__sk"), (col("__tot").cast("double") * rate).as("__budget"))
+    fillCore(withH, counts, budgets, idCol).drop("__sk", "__tc", "__h", "__b")
+  }
+
+  /** The (__sk, __tc, __h, __b)-keyed frame the fill machinery runs
+    * over: struct-wrapped stratum (NULL strata join as their own
+    * bucket), exact token counts, the cross-engine id hash, and its
+    * 2¹⁶-range bucket prefix. */
+  private def budgetKeyed(df: DataFrame, strataCol: String, idCol: String,
+                          textCol: String): DataFrame =
+    df.withColumn("__sk", struct(col(strataCol)))
       .withColumn("__tc", TextStats.tokenCount(col(textCol)).cast("long"))
       .withColumn("__h", hashU32(col(idCol)))
       .withColumn("__b", floor(col("__h") / 65536L))
-    val counts = withH.groupBy(col("__sk"), col("__b")).agg(sum(col("__tc")).as("__bt"))
-    val wStratum = Window.partitionBy(col("__sk"))
-    val wCum = wStratum.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)
-    // budget is ONE IEEE product per stratum (rate × exact integer total)
-    // — bit-identical across engines, like the sourceMix weight division
+
+  /** The two-level fill-until-budget cut, shared by
+    * [[sampleByTokenBudget]] (budget = rate × stratum total) and
+    * [[epochMaterialize]] (budget = the plan's fractional remainder):
+    * keep each stratum's docs in (id-hash, id) order while tokens-
+    * before < budget (boundary doc kept). Never a per-stratum global
+    * sort — bucket token sums locate the one boundary bucket per
+    * stratum on a tiny count table; buckets wholly inside keep every
+    * row via a broadcast semi-join, and only the ~|stratum|/2¹⁶ rows
+    * of the boundary bucket are ranked. `budgets` is |strata|-sized:
+    * (__sk, __budget DOUBLE). */
+  private def fillCore(withH: DataFrame, counts: DataFrame, budgets: DataFrame,
+                       idCol: String): DataFrame = {
+    val wCum = Window.partitionBy(col("__sk")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val cuts = counts
       .withColumn("__before", coalesce(sum(col("__bt")).over(wCum), lit(0L)))
-      .withColumn("__budget", sum(col("__bt")).over(wStratum).cast("double") * rate)
+      .join(broadcast(budgets), Seq("__sk"))
     // strictly-inside buckets keep every row: each member doc's
     // tokens-before is < bucket_end ≤ budget only when bucket_end <
     // budget OR the doc has tokens; bucket_end == budget with a
@@ -307,7 +331,7 @@ object Curation {
       .withColumn("__run", col("__before") + coalesce(sum(col("__tc")).over(wBucket), lit(0L)))
       .filter(col("__run") < col("__budget"))
       .drop("__before", "__budget", "__run")
-    keptWhole.unionByName(keptBoundary).drop("__sk", "__tc", "__h", "__b")
+    keptWhole.unionByName(keptBoundary)
   }
 
   /** Fixed-size per-stratum sample: the `k` rows with the smallest id
@@ -591,6 +615,73 @@ object Curation {
       .withColumn("repeat_factor",
         round(col("target_tokens").cast("double") /
           greatest(col("token_sum"), lit(1L)), 6))
+
+  /** EPOCH MATERIALIZATION — the last step a training-data pipeline
+    * exists for: turn the [[epochPlan]] RECIPE into the actual epoch's
+    * document stream. Per source with target T and token sum S:
+    *
+    *  - every doc repeats ⌊T / S⌋ times (integer full passes over the
+    *    source — upsampling-with-repetition when the temperature weight
+    *    oversamples it);
+    *  - the FRACTIONAL remainder T − ⌊T/S⌋·S is filled by one more copy
+    *    of the docs that come first in (id-hash, id) order, kept while
+    *    tokens-before < remainder with the boundary doc included — the
+    *    [[sampleByTokenBudget]] fill contract, via the same two-level
+    *    bucket cut (never a per-source global sort);
+    *  - every emitted copy then takes a [[globalShuffle]] position
+    *    keyed on (seed, doc_id#copy), so repeats of one document
+    *    scatter across the epoch instead of clumping.
+    *
+    * Output: (position, doc_id, copy, source, token_count) — one row
+    * per emitted copy, `position` a dense global permutation.
+    * Deterministic end-to-end (plan arithmetic, md5 fill order, md5
+    * shuffle), so the same corpus + budget + seed yields the same
+    * epoch on any cluster — and the DuckDB oracle replays targets,
+    * fill order, repeat expansion, and shuffle rank from first
+    * principles.
+    *
+    * Scale shape: one plan aggregate (|sources| rows, broadcast back),
+    * the bucket-cut fill ([[fillCore]]), one row-local bounded explode
+    * (expansion factor = the epoch's oversampling, known from the
+    * plan), and the bucketed-rank shuffle — no global windows, no
+    * corpus-sized driver state. */
+  def epochMaterialize(docs: DataFrame, budgetTokens: Long, alpha: Double = 0.5,
+                       seed: Long = 42L, srcCol: String = "source",
+                       textCol: String = "text"): DataFrame = {
+    val plan = epochPlan(docs, budgetTokens, alpha, srcCol, textCol)
+      .select(col("source"), col("token_sum"), col("target_tokens"))
+      .withColumn("__nfull",
+        when(col("token_sum") > 0,
+          floor(col("target_tokens") / col("token_sum")).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("__rem", col("target_tokens") - col("__nfull") * col("token_sum"))
+
+    val withH = budgetKeyed(docs, srcCol, "doc_id", textCol)
+    val counts = withH.groupBy(col("__sk"), col("__b")).agg(sum(col("__tc")).as("__bt"))
+    val budgets = plan.select(struct(col("source")).as("__sk"),
+      col("__rem").cast("double").as("__budget"))
+    val extra = fillCore(withH, counts, budgets, "doc_id")
+      .select(col("doc_id"), lit(1L).as("__extra"))
+
+    val expanded = withH
+      .select(col("doc_id"), col(srcCol).as("source"), col("__tc").as("token_count"))
+      .join(broadcast(plan.select(col("source"), col("__nfull"))), Seq("source"), "left")
+      .join(extra, Seq("doc_id"), "left")
+      .withColumn("__copies",
+        coalesce(col("__nfull"), lit(0L)) + coalesce(col("__extra"), lit(0L)))
+      .filter(col("__copies") > 0)
+      .select(col("doc_id"), col("source"), col("token_count"),
+        explode(sequence(lit(0L), col("__copies") - 1)).as("copy"))
+
+    // one replica id per emitted copy: repeats of a doc shuffle
+    // independently (md5 of "seed:doc#copy"), ties broken on the
+    // replica string — both replayable byte-for-byte cross-engine
+    val replicas = expanded.withColumn("__replica",
+      concat_ws("#", col("doc_id").cast("string"), col("copy").cast("string")))
+    globalShuffle(replicas, seed, "__replica")
+      .select(col("position"), col("doc_id"), col("copy"), col("source"),
+        col("token_count"))
+  }
 
   // ------------------------------------------------------------------
   // Training-sequence packing

@@ -1067,6 +1067,122 @@ object Similarity {
       skipped)
   }
 
+  /** EXACT re-rank tail for a corpus-wide graph: `cand` (src_id,
+    * neighbor_id [, …]) proposes candidates — from [[knnGraphPq]],
+    * [[knnGraphPqProbed]], or any other provider — and ONLY those
+    * pairs equi-join back to the float `corpus` for a true cosine,
+    * re-ranked to top-`k` per anchor. The graph twin of
+    * [[topKIvfPqStoredRefine]]: floats are touched for |cand| rows via
+    * two id-keyed hash joins, never a corpus scan in the float domain,
+    * so a PQ-proposed graph keeps its ~m+12-byte scan cost while the
+    * returned sims are EXACT (what triplet mining / label audit should
+    * consume when sim VALUES matter, not just ranks). */
+  def graphRefineExact(cand: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val v = corpus.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("__nrm"))
+    val exact = cand.select("src_id", "neighbor_id")
+      .join(v.select(col("vec_id").as("src_id"), col("embedding").as("s_emb"),
+        col("__nrm").as("s_norm")), Seq("src_id"))
+      .join(v.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+        col("__nrm").as("n_norm")), Seq("neighbor_id"))
+      .select(col("src_id"), col("neighbor_id"),
+        (dot(col("s_emb"), col("n_emb")) / (col("s_norm") * col("n_norm"))).as("sim"))
+    val w = Window.partitionBy(col("src_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("src_id", "rank", "neighbor_id", "sim")
+  }
+
+  /** [[knnGraphPq]] + the exact re-rank tail: the compressed domain
+    * proposes `refine` (>k) candidates per anchor, floats join back
+    * only for those pairs — the graph consumer gets EXACT sims at
+    * PQ-tier scan cost. */
+  def knnGraphPqRefine(index: DataFrame, corpus: DataFrame,
+                       books: Seq[Seq[Seq[Int]]], k: Int, refine: Int = 16,
+                       maxCellSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
+    graphRefineExact(knnGraphPq(index, books, refine, maxCellSize), corpus, k)
+
+  /** Reconstruction-vs-centroid cosine scores, entirely in the
+    * COMPRESSED domain: the dequantized vector is affine in the codes
+    * (v̂ᵢ = mn + s·rcᵢ), so dot(v̂, c) = mn·Σcⱼ + s·Σ(rcᵢ·cᵢ) — the
+    * centroid component sums and norms are plan literals, the per-cell
+    * work is one [[dot]] over the reconstruction. What lets a stored
+    * index row rank coarse cells WITHOUT its float vector. */
+  private def reconCentroidScores(p: String, cents: Array[Array[Float]]): Column = {
+    val centsLit = typedLit(cents.map(_.map(_.toDouble).toSeq).toSeq)
+    val sumsLit = typedLit(cents.map(_.map(_.toDouble).sum).toSeq)
+    val normsLit = typedLit(cents.map(c => math.sqrt(c.map(x => x.toDouble * x).sum)).toSeq)
+    transform(sequence(lit(0), lit(cents.length - 1)), i =>
+      (col(s"${p}mn") * element_at(sumsLit, i + 1)
+        + col(s"${p}s") * dot(col(s"${p}cd"), element_at(centsLit, i + 1)))
+        / (sqrt(col(s"${p}normsq")) * element_at(normsLit, i + 1)))
+  }
+
+  /** [[knnGraphPq]] with CROSS-CELL candidates — the nprobe>1 answer
+    * to the same-cell-only blind spot (a boundary vector's true
+    * nearest neighbor in an adjacent cell is invisible to the nprobe=1
+    * graph, and unlike the capped cells that miss is not reported):
+    * each anchor ranks the coarse centroids against its PQ
+    * RECONSTRUCTION (compressed domain — no float vector anywhere in
+    * the plan) and probes its top-`nprobe` cells; neighbors join on
+    * their ASSIGNED cell as before. Candidate volume is bounded by
+    * nprobe cell populations per anchor; the same [2, maxCellSize]
+    * cap applies on the neighbor side with the skipped cells reported.
+    * The probe set ALWAYS includes the anchor's assigned cell (it was
+    * chosen from the float vector at encode time — strictly better
+    * information than any recon ranking), so the candidate set is a
+    * SUPERSET of [[knnGraphPq]]'s for every nprobe ≥ 1, plus up to
+    * `nprobe` recon-ranked cells beyond it; an anchor stranded in a
+    * skipped hot cell still reaches neighbors through its other
+    * probes. Recall vs the LSH graph is characterized in
+    * SimilaritySpec and measured at the 80k tier in ScaleSmoke. */
+  def knnGraphPqProbed(index: DataFrame, cents: Array[Array[Float]],
+                       books: Seq[Seq[Seq[Int]]], k: Int, nprobe: Int = 2,
+                       maxCellSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
+    knnGraphPqProbedAndSkips(index, cents, books, k, nprobe, maxCellSize)._1
+
+  /** [[knnGraphPqProbed]] AND its skipped-cell reporter. */
+  def knnGraphPqProbedAndSkips(index: DataFrame, cents: Array[Array[Float]],
+                               books: Seq[Seq[Seq[Int]]], k: Int, nprobe: Int = 2,
+                               maxCellSize: Int = TextDedup.DefaultMaxBucketSize)
+      : (DataFrame, DataFrame) = {
+    val counts = index.groupBy("cell").agg(count(lit(1)).as("__n"))
+    val skipped = counts.filter(col("__n") > maxCellSize)
+      .select(col("cell"), col("__n").as("member_count"))
+    val ok = counts.filter(col("__n") <= maxCellSize).select("cell")
+    // neighbor side: assigned cell, capped (singleton cells stay — an
+    // anchor probing INTO a 1-member cell is a real candidate)
+    val b = pqScoreSide(index.join(ok, Seq("cell")), books, "neighbor_id", "n_",
+      keep = Seq("cell"))
+    // anchor side: assigned cell + top-nprobe recon-ranked cells —
+    // scores zip with cell ids, ascending struct sort, take the tail
+    // (the topCentroids shape in the compressed domain), dedup against
+    // the assigned cell
+    val a0 = pqScoreSide(index.withColumnRenamed("cell", "__assigned"),
+      books, "src_id", "s_", keep = Seq("__assigned"))
+    val scoredCells = zip_with(reconCentroidScores("s_", cents),
+      sequence(lit(0), lit(cents.length - 1)), (s, i) => struct(s.as("s"), i.as("i")))
+    val a = a0.withColumn("cell",
+      explode(array_distinct(concat(
+        array(col("__assigned")),
+        transform(
+          slice(array_sort(scoredCells), lit(math.max(cents.length - nprobe + 1, 1)), lit(nprobe)),
+          x => x.getField("i"))))))
+      .drop("__assigned")
+    val scored = a.join(b, Seq("cell"))
+      .filter(col("src_id") =!= col("neighbor_id"))
+      .select(col("src_id"), col("neighbor_id"),
+        ((col("s_d") * col("s_mn") * col("n_mn")
+          + col("s_mn") * col("n_s") * col("n_csum")
+          + col("n_mn") * col("s_s") * col("s_csum")
+          + col("s_s") * col("n_s") * call_function("vec_dot", col("s_cd"), col("n_cd")))
+          / (sqrt(col("s_normsq")) * sqrt(col("n_normsq")))).as("sim"))
+      // an anchor probing two cells can meet the same neighbor only
+      // once (a neighbor has ONE assigned cell) — no pair dedup needed
+    val w = Window.partitionBy(col("src_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    (scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("src_id", "rank", "neighbor_id", "sim"),
+      skipped)
+  }
+
   /** IVF-PQ top-k against the STORED index (the [[pqIndex]] row shape):
     * probes encode inline (probe sets are small), the corpus side reads
     * cell + codes + two scalars from the index table and reconstructs

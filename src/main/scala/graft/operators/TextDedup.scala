@@ -1056,10 +1056,19 @@ object TextDedup {
     containmentPairsWithSizes(docs, textCol, shingleN, threshold, maxPostings, minShingles)
       .groupBy(col("a_id").as("doc_id"))
       .agg(count(lit(1)).as("n_containers"),
-        max(struct(col("containment").as("c"), (-col("b_id")).as("nb"))).as("m"))
-      .select(col("doc_id"), col("n_containers"),
-        col("m.c").as("max_containment"),
-        (-col("m.nb")).as("top_container"))
+        max(col("containment")).as("max_containment"),
+        // argmax container, ties -> smallest b_id: min_by over
+        // (-containment, b_id). Only the containment RATIO (a double by
+        // construction) is ever negated — never the id, so the
+        // tie-break stays correct for string/any orderable id types
+        // (the knnLabelAudit lesson: unary minus on a non-numeric
+        // column silently null-casts and corrupts the order). min_by is
+        // a declarative aggregate, so the pair stream still collapses
+        // map-side.
+        min_by(col("b_id"),
+          struct((-col("containment")).as("nc"), col("b_id").as("b")))
+          .as("top_container"))
+      .select("doc_id", "n_containers", "max_containment", "top_container")
 
   /** Containment DEDUP: drop every document ≥`threshold`-contained in a
     * DOMINATING document — larger distinct-shingle set, ties → smaller

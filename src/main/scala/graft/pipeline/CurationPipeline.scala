@@ -95,6 +95,13 @@ object CurationPipeline {
     * minTokens 0, maxPunctRatio 1, minStopwordRatio 0 — make the gate a
     * recorded pass-through, same contract as the empty benchmark).
     *
+    * `containmentThreshold` > 0 adds the CONTAINMENT-DEDUP stage after
+    * near-dup dedup (the RefinedWeb-style quote/excerpt drop — Jaccard
+    * misses asymmetric overlap by construction); `materializeEpoch`
+    * (with `mixBudgetTokens` > 0) appends the EPOCH-MATERIALIZE stage
+    * publishing the actual shuffled epoch stream to [[EpochTable]]
+    * with per-source emitted-token counts in the metric map.
+    *
     * `mixBudgetTokens` > 0 adds the SOURCE-MIX stage — the step that
     * turns a curated corpus into a training RECIPE: the epoch plan
     * (temperature-α token targets + repeat factors per source,
@@ -114,8 +121,9 @@ object CurationPipeline {
               minTokens: Int = 25, maxTokens: Int = 20000,
               maxPunctRatio: Double = 0.25, minStopwordRatio: Double = 0.02,
               segTokens: Int = 10, boilerMinDocs: Int = 2, spanK: Int = 20,
+              containmentThreshold: Double = 0.0,
               mixBudgetTokens: Long = 0L, mixAlpha: Double = 0.5,
-              mixSourceCol: String = "source",
+              mixSourceCol: String = "source", materializeEpoch: Boolean = false,
               notify: PipelineReport => Unit = _ => ()): PipelineReport = {
     val stages = Seq[Stage](
       Stage("quality_gate") { m =>
@@ -148,6 +156,23 @@ object CurationPipeline {
       }) ++
       dedupStages(spark, () => spark.table(QualityTable + "_clean"),
         "decontaminated_kept", jaccardThreshold, maxBucketSize) ++
+      // containment dedup AFTER near-dup (RefinedWeb-style pipelines
+      // run both): a ≥threshold-contained doc — the quote, the excerpt
+      // — is dropped in favor of the dominating fuller text. Optional
+      // (containmentThreshold <= 0 skips the stage entirely): Jaccard
+      // near-dup alone misses asymmetric overlap by construction.
+      // Re-publishes the curated tier through the same atomic flip,
+      // with the drop count in the metric map.
+      (if (containmentThreshold <= 0.0) Seq.empty[Stage] else Seq(
+        Stage("dedup_contained") { m =>
+          val cur = spark.table(CuratedTable)
+          Catalog.ctasOverwrite(
+            TextDedup.dedupContained(cur, threshold = containmentThreshold),
+            CuratedTable)
+          val kept = spark.table(CuratedTable).count()
+          Map("contained_dropped" -> (m("docs_kept") - kept),
+            "docs_kept_after_containment" -> kept)
+        })) ++
       Seq(Stage("strip_boilerplate") { _ =>
         // CCNet segment removal over the deduped tier: a segment in
         // >= boilerMinDocs docs disappears from EVERY occurrence. The
@@ -208,7 +233,29 @@ object CurationPipeline {
           rows.map(r => s"mix_target_tokens_${r.getString(0)}" -> r.getLong(1)).toMap ++
             Map("mix_sources" -> rows.length.toLong,
               "mix_budget_tokens" -> mixBudgetTokens)
-        })) ++
+        }) ++
+        (if (!materializeEpoch) Seq.empty[Stage] else Seq(
+          Stage("epoch_materialize") { _ =>
+            // the recipe made real: the mix plan's targets filled into
+            // the actual epoch stream (integer passes + hash-order
+            // fractional fill + global shuffle — Curation.epochMaterialize)
+            // over the same train-split + source frame the plan read
+            val train = spark.table(SplitTable)
+              .filter(col("split") === "train").select("doc_id", "text")
+            val withSrc = train.join(
+              docs.select(col("doc_id"), col(mixSourceCol).as("source")),
+              Seq("doc_id"), "left")
+            Catalog.ctasOverwrite(
+              Curation.epochMaterialize(withSrc, mixBudgetTokens, mixAlpha,
+                seed = shuffleSeed), EpochTable)
+            // emitted tokens per source — |sources|-bounded: the row
+            // that says whether the fill actually met each target
+            val rows = spark.table(EpochTable)
+              .groupBy("source").agg(coalesce(sum("token_count"), lit(0L)).as("toks"),
+                count(lit(1)).as("n")).collect()
+            rows.map(r => s"epoch_tokens_${r.getString(0)}" -> r.getLong(1)).toMap ++
+              Map("epoch_rows" -> rows.map(_.getLong(2)).sum)
+          }))) ++
       Seq(Stage("pack_sequences") { _ =>
         val packed = Curation.packSequences(
           spark.table(SplitTable).filter(col("split") === "train").drop("split"),
@@ -238,6 +285,7 @@ object CurationPipeline {
 
   val TrainOrderTable = "documents_train_order"
   val MixPlanTable = "documents_mix_plan"
+  val EpochTable = "documents_epoch"
   val SplitTable = "documents_split"
   val BoilerTable = "documents_boiler"
   val CleanTable = "documents_clean"
@@ -331,10 +379,15 @@ object CurationPipeline {
           Catalog.ensureTable(spark, CleanTierTable, clean.schema)
           Catalog.ensureTable(spark, SpanIndexTable, fps.schema)
         }
-        Catalog.insertAppend(spark, TierTable, survivors)
-        Catalog.insertAppend(spark, BandIndexTable, keys)
-        Catalog.insertAppend(spark, CleanTierTable, clean)
-        Catalog.insertAppend(spark, SpanIndexTable, fps)
+        // idempotent appends: this stage runs under a retrying Runner
+        // and writes FOUR tables — a transient failure between them
+        // must converge on retry, not double-append the tables that
+        // already committed (batch doc_ids are fresh+monotone, so each
+        // probe prunes to the newest appends — Catalog.insertAppendOnce)
+        Catalog.insertAppendOnce(spark, TierTable, survivors, "doc_id")
+        Catalog.insertAppendOnce(spark, BandIndexTable, keys, "doc_id")
+        Catalog.insertAppendOnce(spark, CleanTierTable, clean, "doc_id")
+        Catalog.insertAppendOnce(spark, SpanIndexTable, fps, "doc_id")
         Map("tier_docs_after" -> spark.table(TierTable).count())
       })
     new Runner(stages, RetryPolicy(retries = 1), notify).run(Map("batch_in" -> batch.count()))

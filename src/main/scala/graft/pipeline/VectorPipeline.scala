@@ -15,21 +15,40 @@ import graft.plans.Catalog
   *  - its sign-LSH BAND INDEX (`embeddings_band_index`): what each new
   *    batch equi-joins for near-dup reconciliation — the tier is never
   *    re-hashed;
-  *  - its PQ INDEX (`embeddings_pq_index`): the compressed ANN tier
-  *    ([[Similarity.pqIndex]] rows) serving [[Similarity.topKIvfPqStored]]
-  *    and [[Similarity.knnGraphPq]] — the tier is never re-encoded.
+  *  - its PQ INDEX (the current generation's `embeddings_pq_index_g<N>`):
+  *    the compressed ANN tier ([[Similarity.pqIndex]] rows) serving
+  *    [[Similarity.topKIvfPqStored]] and [[Similarity.knnGraphPq]] —
+  *    the tier is never re-encoded.
   *
   * Per-batch cost is O(batch + matched candidates), independent of tier
-  * size; all three artifacts grow by append only.
+  * size; all three artifacts grow by append only, and every append is
+  * IDEMPOTENT ([[Catalog.insertAppendOnce]]): the publish stage runs
+  * under a retrying Runner, and a transient failure between its three
+  * appends must converge on retry instead of double-appending the
+  * tables that already committed.
   *
-  * The PQ coarse quantizer and codebooks are FROZEN at bootstrap (an
-  * index GENERATION): the first batch trains them and persists both as
-  * k-sized catalog tables ([[PqCentsTable]], [[PqBooksTable]]), and
-  * every later batch loads the same literals — append-encoded rows stay
-  * comparable forever. Retraining means a new generation: drop the
-  * tables and rebuild the PQ index from the tier (the quantizer is a
-  * quality knob, never a correctness one — encode/score arithmetic is
-  * exact for ANY codebook).
+  * GENERATIONS. The PQ coarse quantizer and codebooks are frozen per
+  * index GENERATION: bootstrap trains generation 1 and persists
+  * centroids + codebooks as k-sized catalog tables; every later batch
+  * encodes with the same literals, so append-encoded rows stay
+  * comparable forever. The banding parameters (bands, planesPerBand,
+  * seed) and the dedup threshold are persisted at bootstrap too
+  * ([[GenParamsTable]]) and VALIDATED on every later batch — a batch
+  * banded with different planes would produce keys that never match the
+  * stored index and let near-duplicates through silently.
+  *
+  * A growing corpus eventually outgrows its bootstrap quantizer (cells
+  * skew, recall decays). [[regenerate]] is the rollover: retrain on a
+  * hash-sample of the tier, re-encode the WHOLE tier into the next
+  * generation's tables, then flip the single-row generation pointer
+  * atomically ([[Catalog.ctasOverwrite]]'s versioned view flip — one
+  * catalog op), so serving never sees a half-encoded index: a reader
+  * resolves the pointer once and reads that generation's
+  * centroids/books/index consistently ([[queryTopK]]). The previous
+  * generation is retained through the flip for in-flight readers;
+  * older ones are pruned. [[generationDrift]] is the when-to-roll
+  * signal: current cell populations vs the histogram snapshotted at
+  * generation birth, plus the over-cap (would-skip) flag per cell.
   *
   * Batch vec_ids must be fresh (monotone ingest discipline, the
   * [[CurationPipeline.ingestBatch]] contract): under it the running
@@ -40,45 +59,102 @@ object VectorPipeline {
 
   val TierTable = "embeddings_tier"
   val BandIndexTable = "embeddings_band_index"
-  val PqIndexTable = "embeddings_pq_index"
-  val PqCentsTable = "embeddings_pq_cents"
-  val PqBooksTable = "embeddings_pq_books"
   val BatchSurvivorsTable = "embeddings_batch_survivors"
+  val GenParamsTable = "embeddings_gen_params"
+  val GenPointerTable = "embeddings_pq_generation"
 
-  /** Load the frozen coarse centroids (k-sized driver collect — the
-    * same class as training's own driver literal). Public because
-    * serving reads need the SAME generation literals the index was
-    * encoded with ([[Similarity.topKIvfPqStored]], [[Similarity.knnGraphPq]]). */
-  def loadCents(spark: SparkSession): Array[Array[Float]] =
-    spark.table(PqCentsTable).orderBy("cell").select("centroid").collect()
+  /** Per-generation physical table names. The generation-suffixed
+    * layout is what makes the rollover publishable atomically: the next
+    * generation is staged under names no reader resolves, and the ONLY
+    * shared mutable state is the one-row pointer. */
+  private def indexTableG(gen: Long) = s"embeddings_pq_index_g$gen"
+  private def centsTableG(gen: Long) = s"embeddings_pq_cents_g$gen"
+  private def booksTableG(gen: Long) = s"embeddings_pq_books_g$gen"
+  private def cellHistTableG(gen: Long) = s"embeddings_pq_cellhist_g$gen"
+
+  /** The current index generation (1 = bootstrap). One 1-row read of
+    * the atomically-published pointer. */
+  def currentGeneration(spark: SparkSession): Long =
+    if (Catalog.tableExists(spark, GenPointerTable))
+      spark.table(GenPointerTable).head().getLong(0)
+    else 1L
+
+  /** The current generation's PQ index table name — resolve ONCE per
+    * serving read and use it for cents + books + index so the read is
+    * generation-consistent even if a rollover lands mid-query. */
+  def pqIndexTable(spark: SparkSession): String =
+    indexTableG(currentGeneration(spark))
+
+  /** Load the frozen coarse centroids of a generation (k-sized driver
+    * collect — the same class as training's own driver literal).
+    * gen < 0 resolves the current generation. */
+  def loadCents(spark: SparkSession, gen: Long = -1L): Array[Array[Float]] = {
+    val g = if (gen < 0) currentGeneration(spark) else gen
+    spark.table(centsTableG(g)).orderBy("cell").select("centroid").collect()
       .map(_.getSeq[Float](0).toArray)
+  }
 
-  /** Load the frozen PQ codebooks (m·ksub·dsub ints). */
-  def loadBooks(spark: SparkSession): Seq[Seq[Seq[Int]]] =
-    spark.table(PqBooksTable).orderBy("j", "c").select("j", "c", "cent").collect()
+  /** Load the frozen PQ codebooks of a generation (m·ksub·dsub ints). */
+  def loadBooks(spark: SparkSession, gen: Long = -1L): Seq[Seq[Seq[Int]]] = {
+    val g = if (gen < 0) currentGeneration(spark) else gen
+    spark.table(booksTableG(g)).orderBy("j", "c").select("j", "c", "cent").collect()
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map(_._2.sortBy(_.getInt(1)).toSeq.map(_.getSeq[Int](2).toList))
+  }
 
-  private def saveCents(spark: SparkSession, cents: Array[Array[Float]]): Unit = {
+  private def saveCents(spark: SparkSession, gen: Long, cents: Array[Array[Float]]): Unit = {
     import spark.implicits._
     Catalog.overwriteTable(
       cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-        .toDF("cell", "centroid"), PqCentsTable)
+        .toDF("cell", "centroid"), centsTableG(gen))
   }
 
-  private def saveBooks(spark: SparkSession, books: Seq[Seq[Seq[Int]]]): Unit = {
+  private def saveBooks(spark: SparkSession, gen: Long, books: Seq[Seq[Seq[Int]]]): Unit = {
     import spark.implicits._
     Catalog.overwriteTable(
       books.zipWithIndex.flatMap { case (book, j) =>
         book.zipWithIndex.map { case (cent, c) => (j, c, cent) }
-      }.toDF("j", "c", "cent"), PqBooksTable)
+      }.toDF("j", "c", "cent"), booksTableG(gen))
+  }
+
+  /** Snapshot the generation's cell-population histogram at its birth —
+    * the [[generationDrift]] baseline. k-sized output (one row per
+    * coarse cell). */
+  private def saveCellHist(spark: SparkSession, gen: Long): Unit =
+    Catalog.overwriteTable(
+      spark.table(indexTableG(gen)).groupBy("cell").agg(count(lit(1)).as("n")),
+      cellHistTableG(gen))
+
+  private def saveGenParams(spark: SparkSession, bands: Int, planesPerBand: Int,
+                            seed: Long, threshold: Double): Unit = {
+    import spark.implicits._
+    Catalog.overwriteTable(
+      Seq((bands, planesPerBand, seed, threshold))
+        .toDF("bands", "planes_per_band", "seed", "threshold"), GenParamsTable)
+  }
+
+  /** Fail LOUDLY if a later batch arrives with banding parameters (or
+    * threshold) different from the ones frozen at bootstrap: band keys
+    * derived from different planes never match the stored index, so a
+    * mismatched batch would pass reconciliation with its near-dups
+    * UNDETECTED — the one failure mode worse than failing. */
+  private def validateGenParams(spark: SparkSession, bands: Int, planesPerBand: Int,
+                                seed: Long, threshold: Double): Unit = {
+    val r = spark.table(GenParamsTable).head()
+    val stored = (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    require(stored == ((bands, planesPerBand, seed, threshold)),
+      s"vector treadmill parameter mismatch: stored (bands, planesPerBand, seed, threshold) = " +
+        s"$stored but this batch passed ${(bands, planesPerBand, seed, threshold)}; " +
+        "the banding generation is frozen at bootstrap — pass the stored values " +
+        "(or resetTreadmill for a fresh tier)")
   }
 
   /** Reconcile one batch of new vectors against the stored tier and
     * append the survivors to all three artifacts. First call
-    * bootstraps: batch-global dedup, quantizer training, table
-    * creation. Returns the standard [[PipelineReport]] with kept/
-    * dropped counts and the post-publish tier size in the metric map. */
+    * bootstraps: batch-global dedup, quantizer training (generation 1),
+    * parameter freeze, table creation. Returns the standard
+    * [[PipelineReport]] with kept/dropped counts and the post-publish
+    * tier size in the metric map. */
   def ingestBatch(spark: SparkSession, batch: DataFrame,
                   threshold: Double = 0.999,
                   bands: Int = 8, planesPerBand: Int = 12, seed: Long = 42L,
@@ -87,8 +163,10 @@ object VectorPipeline {
                   notify: PipelineReport => Unit = _ => ()): PipelineReport = {
     val stages = Seq(
       Stage("probe_tier") { _ =>
-        Map("tier_vecs" -> (if (Catalog.tableExists(spark, TierTable))
-          spark.table(TierTable).count() else 0L))
+        val tierVecs =
+          if (Catalog.tableExists(spark, TierTable)) spark.table(TierTable).count() else 0L
+        if (tierVecs > 0L) validateGenParams(spark, bands, planesPerBand, seed, threshold)
+        Map("tier_vecs" -> tierVecs)
       },
       Stage("incremental_neardup") { m =>
         val survivors =
@@ -105,36 +183,203 @@ object VectorPipeline {
       },
       Stage("publish_batch") { m =>
         val survivors = spark.table(BatchSurvivorsTable)
-        if (m("tier_vecs") == 0L) {
-          // bootstrap: freeze the index generation on the first slice
-          saveCents(spark, Similarity.trainCentroids(
+        val bootstrap = m("tier_vecs") == 0L
+        if (bootstrap) {
+          // freeze the index generation + banding parameters on slice 1
+          saveGenParams(spark, bands, planesPerBand, seed, threshold)
+          saveCents(spark, 1L, Similarity.trainCentroids(
             survivors.filter(col("embedding").isNotNull), coarseK, iters = 2, seed))
-          saveBooks(spark, Similarity.trainPqBooks(
+          saveBooks(spark, 1L, Similarity.trainPqBooks(
             survivors.filter(col("embedding").isNotNull), pqM, pqKsub, iters = 2, seed))
         }
-        val cents = loadCents(spark)
-        val books = loadBooks(spark)
+        val gen = currentGeneration(spark)
+        val cents = loadCents(spark, gen)
+        val books = loadBooks(spark, gen)
         val keys = Similarity.vecBandIndex(survivors, bands, planesPerBand, seed)
         val pq = Similarity.pqIndex(survivors, cents, books)
         if (!Catalog.tableExists(spark, TierTable)) {
           Catalog.ensureTable(spark, TierTable, survivors.schema)
           Catalog.ensureTable(spark, BandIndexTable, keys.schema)
-          Catalog.ensureTable(spark, PqIndexTable, pq.schema)
+          Catalog.ensureTable(spark, indexTableG(gen), pq.schema)
         }
-        Catalog.insertAppend(spark, TierTable, survivors)
-        Catalog.insertAppend(spark, BandIndexTable, keys)
-        Catalog.insertAppend(spark, PqIndexTable, pq)
+        // idempotent appends: batch ids are fresh+monotone, so each
+        // table is probed for this batch's presence (row-group-pruned
+        // to the newest appends) before writing — a retry after a
+        // failure between appends completes the missing tables only
+        Catalog.insertAppendOnce(spark, TierTable, survivors, "vec_id")
+        Catalog.insertAppendOnce(spark, BandIndexTable, keys, "vec_id")
+        Catalog.insertAppendOnce(spark, indexTableG(gen), pq, "vec_id")
+        if (bootstrap) {
+          saveCellHist(spark, 1L) // drift baseline = generation-1 birth
+          Catalog.ctasOverwrite(
+            spark.range(1).select(lit(1L).as("generation")), GenPointerTable)
+        }
         Map("tier_vecs_after" -> spark.table(TierTable).count(),
-          "pq_rows_after" -> spark.table(PqIndexTable).count())
+          "pq_rows_after" -> spark.table(indexTableG(gen)).count(),
+          "generation" -> gen)
       })
     new Runner(stages, RetryPolicy(retries = 1), notify)
       .run(Map("batch_in" -> batch.count()))
   }
 
-  /** Drop every treadmill table — a fresh-generation reset for
-    * self-contained runs (the gate query and specs). */
-  def resetTreadmill(spark: SparkSession): Unit =
-    Seq(TierTable, BandIndexTable, PqIndexTable, PqCentsTable, PqBooksTable,
-      BatchSurvivorsTable)
+  /** GENERATION ROLLOVER — the maintenance event a growing corpus is
+    * guaranteed to hit: retrain the coarse quantizer + PQ codebooks on
+    * a deterministic hash-sample of the stored tier, re-encode the
+    * WHOLE tier into the next generation's index table (staged under
+    * names no reader resolves), then flip the one-row generation
+    * pointer atomically — a reader resolves either the old generation
+    * or the new one, never a mixed or half-encoded index. The encode
+    * scan is the one unavoidable full-tier pass (it IS the re-index);
+    * training reads only the sample. The previous generation's tables
+    * survive the flip for in-flight readers; generations ≤ N−2 are
+    * dropped.
+    *
+    * Encode/score arithmetic is exact for ANY codebook, so rollover is
+    * a QUALITY operation with a correctness-grade publish: for probes
+    * whose true neighbor is proposed under both generations (e.g.
+    * exact twins, which share the probe's argmax cell under every
+    * centroid set), [[queryTopK]] answers are IDENTICAL before and
+    * after — asserted by VectorPipelineSpec. */
+  def regenerate(spark: SparkSession, coarseK: Int = 16, pqM: Int = 4, pqKsub: Int = 8,
+                 iters: Int = 2, seed: Long = 42L, sampleFraction: Double = 1.0,
+                 notify: PipelineReport => Unit = _ => ()): PipelineReport = {
+    require(sampleFraction > 0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    val stages = Seq(
+      Stage("train_generation") { _ =>
+        val nextGen = currentGeneration(spark) + 1
+        val tier = spark.table(TierTable).filter(col("embedding").isNotNull)
+        // deterministic id-hash sample: same tier + seed -> same sample
+        // on any cluster; at 100 TB training never reads the full tier
+        val sample =
+          if (sampleFraction >= 1.0) tier
+          else tier.filter(
+            pmod(xxhash64(col("vec_id"), lit(seed)), lit(1000000L)) <
+              lit((sampleFraction * 1000000L).toLong))
+        saveCents(spark, nextGen, Similarity.trainCentroids(sample, coarseK, iters, seed))
+        saveBooks(spark, nextGen, Similarity.trainPqBooks(sample, pqM, pqKsub, iters, seed))
+        Map("next_generation" -> nextGen, "train_sample" -> sample.count())
+      },
+      Stage("encode_tier") { m =>
+        val nextGen = m("next_generation")
+        val cents = loadCents(spark, nextGen)
+        val books = loadBooks(spark, nextGen)
+        Catalog.overwriteTable(
+          Similarity.pqIndex(spark.table(TierTable), cents, books), indexTableG(nextGen))
+        saveCellHist(spark, nextGen) // drift baseline = rollover time
+        Map("tier_encoded" -> spark.table(indexTableG(nextGen)).count())
+      },
+      Stage("publish_generation") { m =>
+        val nextGen = m("next_generation")
+        // THE atomic step: one versioned view flip of the pointer
+        Catalog.ctasOverwrite(
+          spark.range(1).select(lit(nextGen).as("generation")), GenPointerTable)
+        // prune generations no in-flight reader can still hold
+        // (previous generation retained through the flip)
+        (1L to nextGen - 2).foreach { g =>
+          Seq(indexTableG(g), centsTableG(g), booksTableG(g), cellHistTableG(g))
+            .foreach(Catalog.dropIfExists(spark, _))
+        }
+        Map("generation" -> nextGen)
+      })
+    new Runner(stages, RetryPolicy(retries = 1), notify).run()
+  }
+
+  /** The WHEN-TO-ROLL signal: the current generation's cell populations
+    * vs the histogram snapshotted when the generation was born (cells
+    * the bootstrap never saw appear as baseline_n = 0), with each
+    * cell's share of its epoch and the drift between them, plus the
+    * over-cap flag ([[Similarity.knnGraphPq]] SKIPS cells past
+    * `maxCellSize` — a growing over-cap population is recall silently
+    * decaying). k-sized output (one row per cell); share arithmetic is
+    * two integer counts and one divide. */
+  def generationDrift(spark: SparkSession,
+                      maxCellSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+    val gen = currentGeneration(spark)
+    val base = spark.table(cellHistTableG(gen))
+      .select(col("cell"), col("n").as("baseline_n"))
+    val cur = spark.table(indexTableG(gen))
+      .groupBy("cell").agg(count(lit(1)).as("current_n"))
+    val joined = base.join(cur, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("baseline_n"), lit(0L)).as("baseline_n"),
+        coalesce(col("current_n"), lit(0L)).as("current_n"))
+    val tot = joined.agg(
+      sum("baseline_n").as("__bt"), sum("current_n").as("__ct"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("cell"), col("baseline_n"), col("current_n"),
+        (col("baseline_n").cast("double") / col("__bt")).as("baseline_share"),
+        (col("current_n").cast("double") / col("__ct")).as("current_share"),
+        abs(col("current_n").cast("double") / col("__ct")
+          - col("baseline_n").cast("double") / col("__bt")).as("share_drift"),
+        (col("current_n") > maxCellSize).as("over_cap"))
+  }
+
+  /** Generation-consistent ANN serve: resolve the pointer ONCE, then
+    * read that generation's centroids, codebooks, and stored index —
+    * the compressed domain proposes `refine` candidates per probe and
+    * only those pairs touch the float tier ([[Similarity.topKIvfPqStoredRefine]]),
+    * so a query's scan cost is the ~m+12-byte index regardless of
+    * corpus width, and a concurrent [[regenerate]] can never mix
+    * generations inside one read. */
+  def queryTopK(spark: SparkSession, probes: DataFrame, k: Int,
+                nprobe: Int = 2, refine: Int = 32): DataFrame = {
+    val gen = currentGeneration(spark)
+    Similarity.topKIvfPqStoredRefine(
+      spark.table(indexTableG(gen)), spark.table(TierTable), probes, k,
+      loadCents(spark, gen), loadBooks(spark, gen), nprobe, refine)
+  }
+
+  /** The vector ingest treadmill as a STREAM — the embedding twin of
+    * [[CurationPipeline.streamIngest]]: a checkpointed file source over
+    * the vector landing layout drives [[ingestBatch]] once per
+    * micro-batch via foreachBatch. The checkpoint dedups FILES (a
+    * restart resumes at the first undiscovered slice); the treadmill's
+    * band index dedups CONTENT, so redelivered vectors cannot re-enter
+    * the tier either way. Trigger.AvailableNow drains everything landed
+    * and stops — the scheduled-batch deployment shape. */
+  def streamIngest(spark: SparkSession, landingDir: String, checkpointDir: String,
+                   threshold: Double = 0.999,
+                   bands: Int = 8, planesPerBand: Int = 12, seed: Long = 42L,
+                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .json(landingDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // Run the WHOLE treadmill on the micro-batch's session clone
+        // (the CurationPipeline.streamIngest cache-coherence
+        // discipline: scratch overwrites refresh the WRITING session's
+        // relation cache; mixing sessions in one plan splits it), and
+        // pin the batch — the treadmill fires several actions over it
+        // and an unpersisted micro-batch re-reads the landing files
+        // for each.
+        val pinned = batch.toDF().persist()
+        val r = try ingestBatch(batch.sparkSession, pinned, threshold,
+          bands, planesPerBand, seed, maxBucketSize)
+        finally pinned.unpersist(blocking = false)
+        require(r.ok, s"ingestBatch failed in micro-batch $id: " +
+          r.stages.filterNot(_.ok).map(s => s"${s.stage}: ${s.error.getOrElse("?")}").mkString("; "))
+        // ...and the OUTER session must drop ITS cached listings of the
+        // published tables (the clone's refreshes don't reach it)
+        (Seq(TierTable, BandIndexTable, GenParamsTable) :+
+          indexTableG(currentGeneration(batch.sparkSession)))
+          .foreach(t => if (Catalog.tableExists(spark, t)) spark.catalog.refreshTable(t))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Drop every treadmill table across ALL generations — a
+    * fresh-generation reset for self-contained runs (the gate queries
+    * and specs). */
+  def resetTreadmill(spark: SparkSession): Unit = {
+    val genTables = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("embeddings_pq_"))
+    (Seq(TierTable, BandIndexTable, BatchSurvivorsTable,
+      GenParamsTable, GenPointerTable) ++ genTables)
       .foreach(Catalog.dropIfExists(spark, _))
+  }
 }

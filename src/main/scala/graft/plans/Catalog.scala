@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, min}
 import org.apache.spark.sql.types.StructType
 
 /** DDL surface (SURVEY §2 S8/S9/S10/S11) over the session catalog.
@@ -220,6 +221,36 @@ object Catalog {
       spark.catalog.refreshTable(name)
       n
     } finally aligned.unpersist()
+  }
+
+  /** Idempotent [[insertAppend]] for RETRY-EXPOSED multi-table
+    * publishes (the treadmill publish stages run under a retrying
+    * Runner, and a transient failure between appends re-runs the whole
+    * stage — a plain re-append would double-write the tables that
+    * already committed). Parquet appends are job-atomic (files become
+    * visible only at task-commit + job-commit), so after such a failure
+    * each table holds ALL of the batch's rows or NONE: one membership
+    * probe on `idCol` decides skip-vs-append per table, and the retry
+    * converges to exactly-once instead of corrupting the tier.
+    *
+    * The probe never scans the whole table: batch ids are fresh and
+    * monotone (the treadmill ingest contract), so filtering the scan to
+    * `idCol >= min(batch)` lets parquet row-group min/max pruning skip
+    * every older append — the probe cost is O(recent appends),
+    * independent of tier size. Returns rows appended (0 = batch was
+    * already published to this table, or the batch is empty). */
+  def insertAppendOnce(spark: SparkSession, name: String, df: DataFrame,
+                       idCol: String): Long = {
+    val ids = df.select(col(idCol)).persist()
+    try {
+      val minId = ids.agg(min(col(idCol))).head().get(0)
+      if (minId == null) 0L // nothing to publish (also: no probe key)
+      else {
+        val already = spark.table(name).filter(col(idCol) >= lit(minId))
+          .join(ids, Seq(idCol), "left_semi").limit(1).count() > 0
+        if (already) 0L else insertAppend(spark, name, df)
+      }
+    } finally ids.unpersist(blocking = false)
   }
 
   /** MERGE (upsert) as a relational expression — Snowflake's

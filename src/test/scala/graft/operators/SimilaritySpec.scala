@@ -654,4 +654,80 @@ class SimilaritySpec extends SparkSpec {
       Similarity.pqBooksMd5(4, 8, 16), nprobe = 2).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "IVF-PQ must not degrade to a cartesian product")
   }
+
+  test("knnGraphPqRefine: refined sims are the true cosines; twins at exact rank 1") {
+    val planted = emb.select($"vec_id", $"embedding")
+      .unionByName(emb.filter($"vec_id" % 10 === 0)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+      .localCheckpoint(true)
+    val dim = emb.select(size($"embedding")).head().getInt(0)
+    val books = Similarity.pqBooksMd5(4, 8, dim / 4)
+    val idx = Similarity.pqIndexBy(planted, Similarity.lshBucketMd5(_, 4, dim), books)
+    val refined = Similarity.knnGraphPqRefine(idx, planted, books, k = 1,
+      refine = 8, maxCellSize = 4096).collect()
+    // every planted anchor's refined rank-1 is its twin, with sim
+    // exactly the float cosine (1 for identical vectors)
+    refined.filter(_.getAs[Long]("src_id") >= 100000).foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("src_id") - 100000, r.toString)
+      assert(math.abs(r.getAs[Double]("sim") - 1.0) < 1e-9, r.toString)
+    }
+    // and the refine tail never degrades the plan to a float corpus scan
+    val plan = Similarity.knnGraphPqRefine(idx, planted, books, k = 1,
+      refine = 8, maxCellSize = 4096).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"refine tail must stay id-keyed equi-joins:\n$plan")
+  }
+
+  test("knnGraphPqProbed: candidate superset of the same-cell graph; cross-cell neighbors appear") {
+    val planted = emb.select($"vec_id", $"embedding")
+      .unionByName(emb.filter($"vec_id" % 10 === 0)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+      .localCheckpoint(true)
+    val cents = Similarity.trainCentroids(planted, k = 8, iters = 2)
+    val books = Similarity.trainPqBooks(planted, m = 4, ksub = 8, iters = 2)
+    val idx = Similarity.pqIndex(planted, cents, books).localCheckpoint(true)
+
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // with a big k both graphs return their FULL candidate sets: the
+    // probed graph (assigned cell always probed + top recon cells)
+    // must be a strict-or-equal superset of the same-cell graph
+    val sameCell = pairs(Similarity.knnGraphPq(idx, books, k = 10000, maxCellSize = 4096))
+    val probed = pairs(Similarity.knnGraphPqProbed(idx, cents, books, k = 10000,
+      nprobe = 2, maxCellSize = 4096))
+    assert(sameCell.subsetOf(probed),
+      s"probed candidates must cover the same-cell graph; missing ${(sameCell -- probed).take(3)}")
+    assert(probed.size > sameCell.size,
+      "nprobe=2 should reach at least one cross-cell candidate on a natural corpus")
+
+    // twin invariant through the exact re-rank tail: the twin shares
+    // the assigned cell, is always proposed, and wins rank 1
+    val top1 = Similarity.graphRefineExact(
+        Similarity.knnGraphPqProbed(idx, cents, books, k = 8, nprobe = 2,
+          maxCellSize = 4096), planted, k = 1)
+      .filter($"src_id" >= 100000).collect()
+    assert(top1.nonEmpty)
+    top1.foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("src_id") - 100000, r.toString)
+      assert(math.abs(r.getAs[Double]("sim") - 1.0) < 1e-9, r.toString)
+    }
+
+    // skipped-cell reporting carries over, and anchors STRANDED in a
+    // skipped hot cell still reach neighbors through their other
+    // probes (explicit centroids — fully deterministic cells): a
+    // 100-member family lands in cell 0 (over cap 64, reported), the
+    // lone cell-1 vector is every family anchor's cross-cell candidate
+    val cents2 = Array(Array(1.0f, 0f, 0f, 0f), Array(0f, 1.0f, 0f, 0f))
+    val books2 = Similarity.pqBooksMd5(2, 4, 2)
+    val df2 = ((0L until 100L).map(i => (i, Array(1.0f, 0.05f, 0f, 0f))) :+
+      ((200L, Array(0.1f, 1.0f, 0f, 0f)))).toDF("vec_id", "embedding")
+    val idx2 = Similarity.pqIndex(df2, cents2, books2)
+    val (g2, sk2) = Similarity.knnGraphPqProbedAndSkips(idx2, cents2, books2,
+      k = 3, nprobe = 2, maxCellSize = 64)
+    val sk2r = sk2.collect()
+    assert(sk2r.length == 1 && sk2r.head.getAs[Long]("member_count") == 100L,
+      sk2r.mkString(","))
+    assert(g2.filter($"src_id" < 100).count() == 100,
+      "every stranded family anchor must reach the cross-cell neighbor")
+  }
 }

@@ -38,8 +38,90 @@ class VectorPipelineSpec extends SparkSpec with BeforeAndAfterEach {
 
     // artifacts cover the tier exactly: one band row per (vec, band),
     // one PQ row per vec — nothing re-hashed, nothing re-encoded
-    assert(spark.table(VectorPipeline.PqIndexTable).count() == tier.size.toLong)
+    assert(spark.table(VectorPipeline.pqIndexTable(spark)).count() == tier.size.toLong)
     assert(spark.table(VectorPipeline.BandIndexTable).count() == tier.size.toLong * 8)
+  }
+
+  test("publish is idempotent: re-appending the same batch is a no-op per table") {
+    val slice1 = emb.filter($"vec_id" < 50)
+    VectorPipeline.ingestBatch(spark, slice1)
+    val tierN = spark.table(VectorPipeline.TierTable).count()
+    val bandN = spark.table(VectorPipeline.BandIndexTable).count()
+    // simulate the retry-after-partial-failure path: the batch's rows
+    // are already in every table, so each appendOnce must skip
+    val survivors = spark.table(VectorPipeline.BatchSurvivorsTable)
+    val appended = graft.plans.Catalog.insertAppendOnce(
+      spark, VectorPipeline.TierTable, survivors, "vec_id")
+    assert(appended == 0L, "already-published batch must not re-append")
+    assert(spark.table(VectorPipeline.TierTable).count() == tierN)
+    assert(spark.table(VectorPipeline.BandIndexTable).count() == bandN)
+  }
+
+  test("banding parameters are frozen at bootstrap: a mismatched batch fails loudly") {
+    VectorPipeline.ingestBatch(spark, emb.filter($"vec_id" < 50))
+    val e = intercept[PipelineFailedException] {
+      VectorPipeline.ingestBatch(spark, emb.filter($"vec_id" >= 50), bands = 4)
+    }
+    assert(e.getCause.getMessage.contains("parameter mismatch"), e.getCause.getMessage)
+    // same params: accepted
+    val ok = VectorPipeline.ingestBatch(spark, emb.filter($"vec_id" >= 50))
+    assert(ok.ok)
+  }
+
+  test("regenerate: atomic rollover, serve-continuity for twin probes, drift baseline resets") {
+    VectorPipeline.ingestBatch(spark, emb.filter($"vec_id" < 60))
+    VectorPipeline.ingestBatch(spark, emb.filter($"vec_id" >= 60))
+    assert(VectorPipeline.currentGeneration(spark) == 1L)
+
+    // twin probes: identical to tier vectors, so the true neighbor is
+    // proposed under ANY quantizer generation and the refined answer
+    // must be identical before and after the rollover
+    val probes = emb.filter($"vec_id" % 10 === 0)
+      .select(($"vec_id" + 500000).as("vec_id"), $"embedding")
+    def serve() = VectorPipeline.queryTopK(spark, probes, k = 1, nprobe = 2, refine = 8)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val before = serve()
+    assert(before.forall { case (p, n) => n == p - 500000 },
+      s"twin rank-1 must be the twin: ${before.take(3)}")
+
+    val r = VectorPipeline.regenerate(spark, coarseK = 8, pqM = 4, pqKsub = 8,
+      sampleFraction = 0.8)
+    assert(r.ok, r.stages.toString)
+    assert(VectorPipeline.currentGeneration(spark) == 2L)
+    assert(r.metrics("tier_encoded") == spark.table(VectorPipeline.TierTable).count(),
+      "the new generation must cover the tier row-for-row")
+    // training read a strict hash-sample, encode covered everything
+    assert(r.metrics("train_sample") < r.metrics("tier_encoded"))
+
+    assert(serve() == before, "rollover must not change twin answers")
+
+    // previous generation retained through the flip for in-flight readers
+    assert(spark.catalog.tableExists("embeddings_pq_index_g1"))
+    assert(spark.catalog.tableExists("embeddings_pq_index_g2"))
+
+    // drift baseline resets at rollover: freshly after, current == baseline
+    val drift = VectorPipeline.generationDrift(spark)
+    assert(drift.filter($"share_drift" > 1e-12).count() == 0L, "fresh generation must show zero drift")
+
+    // ...and a third generation prunes generation 1
+    val r3 = VectorPipeline.regenerate(spark, coarseK = 8)
+    assert(r3.ok)
+    assert(VectorPipeline.currentGeneration(spark) == 3L)
+    assert(!spark.catalog.tableExists("embeddings_pq_index_g1"))
+    assert(spark.catalog.tableExists("embeddings_pq_index_g2"))
+    assert(serve() == before, "second rollover must not change twin answers either")
+  }
+
+  test("generationDrift flags growth the bootstrap never saw") {
+    VectorPipeline.ingestBatch(spark, emb.filter($"vec_id" < 50))
+    // post-bootstrap growth: more vectors land AFTER the baseline snapshot
+    VectorPipeline.ingestBatch(spark, emb.filter($"vec_id" >= 50))
+    val drift = VectorPipeline.generationDrift(spark, maxCellSize = 3)
+    val rows = drift.collect()
+    assert(rows.map(_.getAs[Long]("current_n")).sum ==
+      spark.table(VectorPipeline.TierTable).count())
+    assert(rows.exists(_.getAs[Double]("share_drift") > 0), "growth must register as drift")
+    assert(rows.exists(_.getAs[Boolean]("over_cap")), "cells past the cap must be flagged")
   }
 
   test("index generation freezes at bootstrap; stored ANN read finds the twin") {
@@ -59,7 +141,7 @@ class VectorPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     val probe = emb.filter($"vec_id" === 3)
       .select(($"vec_id" + 500000).as("vec_id"), $"embedding")
     val top1 = Similarity.topKIvfPqStored(
-        spark.table(VectorPipeline.PqIndexTable), probe, 1,
+        spark.table(VectorPipeline.pqIndexTable(spark)), probe, 1,
         VectorPipeline.loadCents(spark), VectorPipeline.loadBooks(spark), nprobe = 1)
       .head()
     assert(top1.getAs[Long]("probe_id") == 500003L)
