@@ -39,8 +39,18 @@ object ScaleSmoke {
     val nVecs = emb.count()
 
     var results = Vector.empty[(String, Double, Long)]
-    def timed(name: String)(body: => Long): Unit =
+    // State hygiene (round-10): ops localCheckpoint intermediates, and
+    // in ONE shared JVM those blocks accumulate — the round-9 500k
+    // containment run OOM'd an 8g heap only because three PRIOR ops'
+    // checkpoint state was still resident. After each op, every RDD it
+    // persisted (the set difference against the pre-op snapshot) is
+    // released blocking + the DF cache cleared, so each op starts from
+    // the same storage state and the full op list shares a JVM.
+    // `retain = true` marks ops that EXPORT checkpointed state to later
+    // ops (the stored-index build feeding the query-only op).
+    def timed(name: String, retain: Boolean = false)(body: => Long): Unit =
       if (only.forall(_.contains(name))) {
+        val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
         val t0 = System.nanoTime()
         val rows = body
         val sec = (System.nanoTime() - t0) / 1e9
@@ -48,6 +58,12 @@ object ScaleSmoke {
         // lose the measurements already taken
         System.err.println(f"[scale] $name%s ${sec}%.3f s, $rows%d rows")
         results :+= ((name, sec, rows))
+        if (!retain) {
+          spark.sparkContext.getPersistentRDDs
+            .filter { case (id, _) => !before(id) }
+            .values.foreach(_.unpersist(blocking = true))
+          spark.sharedState.cacheManager.clearCache()
+        }
       }
 
     timed("dedup_near_minhash_50k") {
@@ -206,7 +222,7 @@ object ScaleSmoke {
     var storedIdx: org.apache.spark.sql.DataFrame = null
     var storedCents: Array[Array[Float]] = null
     var storedBooks: Seq[Seq[Seq[Int]]] = null
-    timed("ivfpq_index_build_8k") {
+    timed("ivfpq_index_build_8k", retain = true) {
       storedCents = operators.Similarity.trainCentroids(emb, k = 16, iters = 2)
       storedBooks = operators.Similarity.trainPqBooks(emb, m = 4, ksub = 8, iters = 2)
       storedIdx = operators.Similarity.pqIndex(emb, storedCents, storedBooks)
@@ -243,6 +259,36 @@ object ScaleSmoke {
       require(bad == 0, s"$bad anchors whose rank-1 is not sim-1")
       n
     }
+    timed("knn_graph_pq_recall") {
+      // TRUE rank-1 recall vs exact all-pairs ground truth, natural
+      // corpus (the sf base set — small enough to brute-force): the
+      // same-cell graph's cross-cell blind spot becomes a NUMBER, and
+      // nprobe=2 must close part of it. Both variants go through the
+      // exact refine tail so candidate recall is isolated from PQ
+      // score error.
+      val base = emb0.localCheckpoint(true)
+      val nBase = base.count()
+      val cents = operators.Similarity.trainCentroids(base, k = 64, iters = 2)
+      val books = operators.Similarity.trainPqBooks(base, m = 4, ksub = 8, iters = 2)
+      val idx = operators.Similarity.pqIndex(base, cents, books).localCheckpoint(true)
+      val exact1 = operators.Similarity.topKExact(base, base, 1)
+        .select(col("probe_id").as("src_id"), col("neighbor_id").as("true_id"))
+        .localCheckpoint(true)
+      def recall(g: org.apache.spark.sql.DataFrame): Long =
+        operators.Similarity.graphRefineExact(g, base, 1)
+          .join(exact1, Seq("src_id"))
+          .filter(col("neighbor_id") === col("true_id")).count()
+      val sameCell = recall(
+        operators.Similarity.knnGraphPq(idx, books, k = 8, maxCellSize = 8192))
+      val probed = recall(
+        operators.Similarity.knnGraphPqProbed(idx, cents, books, k = 8, nprobe = 2,
+          maxCellSize = 8192))
+      require(probed >= sameCell,
+        s"probing must not lose recall: $probed < $sameCell of $nBase")
+      System.err.println(
+        s"[scale] knn_graph_pq_recall rank-1: same-cell $sameCell/$nBase, nprobe=2 $probed/$nBase")
+      probed
+    }
     timed("vector_ingest_8k") {
       // the VECTOR treadmill at corpus scale: clone replicas split into
       // two slices — slice 2's clones of slice-1 vectors must reconcile
@@ -262,6 +308,24 @@ object ScaleSmoke {
       require(spark.table(graft.pipeline.VectorPipeline.pqIndexTable(spark)).count() == tier,
         "PQ index must cover the tier")
       tier
+    }
+    timed("pq_regenerate_8k") {
+      // generation rollover at tier scale (depends on vector_ingest_8k
+      // having built the treadmill tier): retrain on a 50% hash-sample,
+      // re-encode the whole tier, flip the pointer — then a clone probe
+      // must still return its sim-1 twin from the NEW generation via
+      // the generation-consistent serve read
+      val r = graft.pipeline.VectorPipeline.regenerate(spark, coarseK = 32,
+        sampleFraction = 0.5)
+      require(r.ok, r.stages.toString)
+      require(graft.pipeline.VectorPipeline.currentGeneration(spark) == 2L)
+      val probes = emb0.filter(col("vec_id") % 500 === 0)
+        .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+      val out = graft.pipeline.VectorPipeline.queryTopK(spark, probes, k = 1,
+        nprobe = 2, refine = 16).localCheckpoint(true)
+      val bad = out.filter(col("sim") < 0.999999).count()
+      require(bad == 0, s"$bad probes without a sim-1 twin after rollover")
+      r.metrics("tier_encoded")
     }
     timed("bigram_topk_50k") {
       val n = operators.Curation.ngramTopK(docs, n = 2, topK = 50).count()

@@ -641,4 +641,56 @@ class CurationSpec extends SparkSpec {
       .count()
     assert(skew == 0, "head bucket cannot exceed half a populated language")
   }
+
+  test("epochMaterialize matches the naive per-source replay; positions are a dense shuffle") {
+    val src = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "source")
+    val budget = 300000L
+    val out = Curation.epochMaterialize(src, budget).localCheckpoint(true)
+
+    // positions form a dense permutation over all emitted copies
+    val agg = out.agg(count(lit(1)), countDistinct($"position"), max($"position")).head()
+    assert(agg.getLong(0) == agg.getLong(1) && agg.getLong(2) == agg.getLong(0) - 1,
+      s"dense permutation violated: $agg")
+
+    // naive driver replay of copies-per-doc: ⌊target/S⌋ everywhere +
+    // one extra for docs first in (hash, id) order while before < rem
+    val plan = Curation.epochPlan(src, budget).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("token_sum"), r.getAs[Long]("target_tokens")))).toMap
+    val rows = src.select($"doc_id", $"source",
+        graft.operators.TextStats.tokenCount($"text").cast("long").as("tc"),
+        Curation.hashU32($"doc_id").as("h")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("tc"), r.getAs[Long]("h")))
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (source, docs) =>
+      val (s, target) = plan(source)
+      val nfull = if (s > 0) math.floor(target.toDouble / s).toLong else 0L
+      val rem = target - nfull * s
+      var before = 0L
+      docs.sortBy(d => (d._4, d._1)).map { case (id, _, tc, _) =>
+        val extra = if (before < rem) 1L else 0L
+        before += tc
+        id -> (nfull + extra)
+      }
+    }.filter(_._2 > 0).toMap
+    val actual = out.groupBy("doc_id").count().collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("count")).toMap
+    assert(actual == expected,
+      s"copies diverge, e.g. ${(actual.toSet -- expected.toSet).take(3)} vs ${(expected.toSet -- actual.toSet).take(3)}")
+
+    // copies of one doc scatter: some doc with >= 2 copies must not sit
+    // at adjacent positions (the shuffle is per-copy, not per-doc)
+    val multi = out.filter($"copy" >= 1).select("doc_id", "position")
+      .as[(Long, Long)].collect().groupBy(_._1)
+    if (multi.nonEmpty) {
+      val adjacentEverywhere = out.select("doc_id", "position").as[(Long, Long)]
+        .collect().groupBy(_._1).filter(_._2.length >= 2)
+        .forall { case (_, ps) =>
+          val sorted = ps.map(_._2).sorted
+          sorted.zip(sorted.tail).forall { case (a, b) => b == a + 1 }
+        }
+      assert(!adjacentEverywhere, "per-copy shuffle must scatter repeats")
+    }
+  }
 }

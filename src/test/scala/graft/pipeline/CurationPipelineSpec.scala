@@ -192,6 +192,69 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     assert(!graft.plans.Catalog.tableExists(spark, CurationPipeline.MixPlanTable))
   }
 
+  test("runFull dedup_contained: the quote drops in favor of the containing doc; off by default") {
+    // a long base doc + a ≥0.9-contained excerpt that is NOT a Jaccard
+    // near-dup (asymmetric overlap: |quote| ≪ |doc|), on top of enough
+    // natural corpus to keep the pipeline honest
+    val base = (0 until 120).map(i => s"tok$i").mkString(" ")
+    val quote = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val planted = docs.unionByName(Seq(
+      (500000L, base), (500001L, quote)).toDF("doc_id", "text"))
+    val report = CurationPipeline.runFull(spark, planted,
+      spark.emptyDataFrame.withColumn("text", lit("")).select("text"),
+      jaccardThreshold = 0.5, minTokens = 0, maxPunctRatio = 1.0,
+      minStopwordRatio = 0.0, containmentThreshold = 0.9)
+    assert(report.ok, report.stages.toString)
+    assert(report.stages.exists(_.stage == "dedup_contained"))
+    assert(report.metrics("contained_dropped") >= 1L, report.metrics.toString)
+    assert(report.metrics("docs_kept_after_containment") +
+      report.metrics("contained_dropped") == report.metrics("docs_kept"))
+    val kept = spark.table(CurationPipeline.CuratedTable)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(500000L) && !kept.contains(500001L),
+      "the contained quote must drop, the containing doc must survive")
+    // default threshold 0: no containment stage at all
+    val off = CurationPipeline.runFull(spark, planted,
+      spark.emptyDataFrame.withColumn("text", lit("")).select("text"),
+      jaccardThreshold = 0.5, minTokens = 0, maxPunctRatio = 1.0,
+      minStopwordRatio = 0.0)
+    assert(off.ok && !off.stages.exists(_.stage == "dedup_contained"))
+  }
+
+  test("runFull epoch_materialize: the mix plan becomes a shuffled epoch with per-source tokens") {
+    val srcDocs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "source")
+    val budget = 200000L
+    val report = CurationPipeline.runFull(spark, srcDocs,
+      spark.emptyDataFrame.withColumn("text", lit("")).select("text"),
+      jaccardThreshold = 0.5, mixBudgetTokens = budget, materializeEpoch = true)
+    assert(report.ok, report.stages.toString)
+    assert(report.stages.exists(_.stage == "epoch_materialize"))
+    val epoch = spark.table(CurationPipeline.EpochTable)
+    // dense permutation of positions
+    val agg = epoch.agg(count(lit(1)), countDistinct($"position"),
+      max($"position")).head()
+    assert(agg.getLong(0) == agg.getLong(1) && agg.getLong(2) == agg.getLong(0) - 1,
+      s"positions must be a dense permutation: $agg")
+    assert(report.metrics("epoch_rows") == agg.getLong(0))
+    // per-source emitted tokens in the metric map, and each source's
+    // emitted tokens reach its target (fill-until-budget overshoots by
+    // at most the boundary doc; integer passes + fill never undershoot)
+    val targets = spark.table(CurationPipeline.MixPlanTable).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("target_tokens")).toMap
+    val emitted = epoch.groupBy("source").agg(sum("token_count").as("t")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("t")).toMap
+    targets.foreach { case (src, tgt) =>
+      assert(report.metrics(s"epoch_tokens_$src") == emitted(src))
+      assert(emitted(src) >= tgt, s"$src emitted ${emitted(src)} < target $tgt")
+    }
+    // without the flag the stage does not run
+    assert(!CurationPipeline.runFull(spark, srcDocs,
+      spark.emptyDataFrame.withColumn("text", lit("")).select("text"),
+      jaccardThreshold = 0.5, mixBudgetTokens = budget)
+      .stages.exists(_.stage == "epoch_materialize"))
+  }
+
   test("degenerate identical corpus: cap triggers, run still succeeds, skips are REPORTED") {
     val one = docs.filter($"doc_id" === 0).select("text").head().getString(0)
     val degenerate = spark.range(3000)
