@@ -261,11 +261,18 @@ object ScaleSmoke {
     }
     timed("knn_graph_pq_recall") {
       // TRUE rank-1 recall vs exact all-pairs ground truth, natural
-      // corpus (the sf base set — small enough to brute-force): the
-      // same-cell graph's cross-cell blind spot becomes a NUMBER, and
-      // nprobe=2 must close part of it. Both variants go through the
-      // exact refine tail so candidate recall is isolated from PQ
-      // score error.
+      // corpus (the sf base set — small enough to brute-force). Two
+      // measurements, because they answer different questions:
+      //  - CANDIDATE recall (uncapped refine): is the true NN proposed
+      //    at all? Here the probed set is a strict superset of the
+      //    same-cell set, so nprobe=2 can only gain — asserted.
+      //  - FIXED-BUDGET recall (refine = 8): what a bounded re-rank
+      //    actually returns. Probing at a fixed budget can LOSE hits —
+      //    the gate-friendly 12-bit PQ code (m=4, ksub=8) ranks so
+      //    coarsely that cross-cell candidates crowd true neighbors
+      //    out of the top-8 — so this pair is MEASURED and reported,
+      //    not asserted: the 100 TB lesson is that the refine budget
+      //    must scale with nprobe (or PQ resolution with the corpus).
       val base = emb0.localCheckpoint(true)
       val nBase = base.count()
       val cents = operators.Similarity.trainCentroids(base, k = 64, iters = 2)
@@ -278,16 +285,23 @@ object ScaleSmoke {
         operators.Similarity.graphRefineExact(g, base, 1)
           .join(exact1, Seq("src_id"))
           .filter(col("neighbor_id") === col("true_id")).count()
-      val sameCell = recall(
+      val all = Int.MaxValue // uncapped: candidate recall
+      val scCand = recall(
+        operators.Similarity.knnGraphPq(idx, books, k = all, maxCellSize = 8192))
+      val prCand = recall(
+        operators.Similarity.knnGraphPqProbed(idx, cents, books, k = all, nprobe = 2,
+          maxCellSize = 8192))
+      require(prCand >= scCand,
+        s"probed candidates are a superset — candidate recall cannot drop: $prCand < $scCand")
+      val sc8 = recall(
         operators.Similarity.knnGraphPq(idx, books, k = 8, maxCellSize = 8192))
-      val probed = recall(
+      val pr8 = recall(
         operators.Similarity.knnGraphPqProbed(idx, cents, books, k = 8, nprobe = 2,
           maxCellSize = 8192))
-      require(probed >= sameCell,
-        s"probing must not lose recall: $probed < $sameCell of $nBase")
       System.err.println(
-        s"[scale] knn_graph_pq_recall rank-1: same-cell $sameCell/$nBase, nprobe=2 $probed/$nBase")
-      probed
+        s"[scale] knn_graph_pq_recall rank-1 of $nBase: candidate same-cell $scCand, " +
+          s"nprobe=2 $prCand; refine-8 same-cell $sc8, nprobe=2 $pr8")
+      prCand
     }
     timed("vector_ingest_8k") {
       // the VECTOR treadmill at corpus scale: clone replicas split into

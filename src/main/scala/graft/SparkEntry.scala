@@ -2167,6 +2167,16 @@ object SparkEntry {
       Curation.epochMaterialize(docs(s, dir), budgetTokens = 1000000L, seed = 42L)
         .orderBy("position")),
 
+    // ...and the epoch packed into training sequences in SHUFFLED
+    // position order — the last step of the plan → epoch → batches
+    // chain (two-level prefix sum over the dense positions, never a
+    // global window).
+    "doc_epoch_pack" -> ((s, dir) =>
+      Curation.packEpoch(
+        Curation.epochMaterialize(docs(s, dir), budgetTokens = 1000000L, seed = 42L),
+        seqLen = 2048)
+        .orderBy("position")),
+
     // Concat-then-slice training batch assembly: global token offsets
     // via the two-level prefix sum (never a global window).
     "doc_pack_sequences" -> ((s, dir) =>
@@ -2629,6 +2639,68 @@ object SparkEntry {
         |                  doc_id::VARCHAR || '#' || copy::VARCHAR) - 1 AS BIGINT) AS position,
         |       doc_id, CAST(copy AS BIGINT) AS copy, source, tc AS token_count
         |FROM expanded ORDER BY position""".stripMargin,
+
+    // Epoch packing replay: the doc_epoch_materialize machinery
+    // wrapped as a CTE, then the doc_pack_sequences prefix sum in
+    // POSITION order.
+    "doc_epoch_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |              ELSE len(string_split_regex(trim(text), '\s+')) END AS tc
+        |  FROM documents),
+        |s AS (SELECT source, count(*) AS doc_count, CAST(sum(tc) AS BIGINT) AS token_sum FROM t GROUP BY 1),
+        |q AS (
+        |  SELECT source, doc_count, token_sum,
+        |         sqrt(token_sum::DOUBLE / (SELECT sum(token_sum) FROM s)) AS q
+        |  FROM s),
+        |n AS (SELECT list_reduce(list(q ORDER BY source), (a, b) -> a + b) AS qsum FROM q),
+        |w AS (
+        |  SELECT source, token_sum,
+        |         CAST(ROUND(q / n.qsum, 6) AS DOUBLE) AS weight
+        |  FROM q, n),
+        |plan AS (
+        |  SELECT source, token_sum,
+        |         CAST(FLOOR(weight * 1000000) AS BIGINT) AS target_tokens
+        |  FROM w),
+        |rem AS (
+        |  SELECT source, token_sum, target_tokens,
+        |         CASE WHEN token_sum > 0
+        |              THEN CAST(FLOOR(target_tokens / token_sum) AS BIGINT) ELSE 0 END AS nfull,
+        |         target_tokens - CASE WHEN token_sum > 0
+        |              THEN CAST(FLOOR(target_tokens / token_sum) AS BIGINT) ELSE 0 END * token_sum AS rem_budget
+        |  FROM plan),
+        |fill AS (
+        |  SELECT doc_id, source,
+        |         coalesce(sum(tc) OVER (PARTITION BY source
+        |             ORDER BY CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT), doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM t),
+        |extra AS (
+        |  SELECT f.doc_id FROM fill f JOIN rem r USING (source)
+        |  WHERE f.before < r.rem_budget),
+        |copies AS (
+        |  SELECT t.doc_id, t.source, t.tc,
+        |         r.nfull + CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS c
+        |  FROM t JOIN rem r USING (source)
+        |  LEFT JOIN extra e ON e.doc_id = t.doc_id),
+        |expanded AS (
+        |  SELECT doc_id, source, tc, unnest(range(0, c)) AS copy
+        |  FROM copies WHERE c > 0),
+        |epoch AS (
+        |  SELECT CAST(row_number() OVER (
+        |           ORDER BY md5('42:' || doc_id::VARCHAR || '#' || copy::VARCHAR),
+        |                    doc_id::VARCHAR || '#' || copy::VARCHAR) - 1 AS BIGINT) AS position,
+        |         doc_id, CAST(copy AS BIGINT) AS copy, tc
+        |  FROM expanded),
+        |packed AS (
+        |  SELECT position, doc_id, copy, tc,
+        |         CAST(coalesce(sum(tc) OVER (ORDER BY position
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+        |  FROM epoch)
+        |SELECT position, doc_id, copy, tc AS token_count,
+        |       prev AS start_offset, CAST(prev // 2048 AS BIGINT) AS seq_no
+        |FROM packed ORDER BY position""".stripMargin,
 
     "doc_pack_sequences" ->
       """WITH t AS (

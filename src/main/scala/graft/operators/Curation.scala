@@ -700,11 +700,44 @@ object Curation {
     * unpartitioned step), and the broadcast-joined chunk offsets add
     * up to the exact global prefix. */
   def packSequences(docs: DataFrame, seqLen: Int = 2048, chunkDocs: Int = 1024,
-                    textCol: String = "text"): DataFrame = {
-    val t = docs.select(col("doc_id"),
-      TextStats.tokenCount(col(textCol)).cast("long").as("token_count"),
-      floor(col("doc_id") / chunkDocs).as("__chunk"))
-    val win = Window.partitionBy(col("__chunk")).orderBy(col("doc_id"))
+                    textCol: String = "text"): DataFrame =
+    twoLevelPrefix(
+      docs.select(col("doc_id"),
+        TextStats.tokenCount(col(textCol)).cast("long").as("token_count")),
+      "doc_id", chunkDocs)
+      .select(col("doc_id"), col("token_count"),
+        col("__start").as("start_offset"),
+        floor(col("__start") / seqLen).cast("long").as("seq_no"))
+
+  /** Pack the MATERIALIZED epoch stream ([[epochMaterialize]] rows)
+    * into fixed training sequences — the same concat-then-slice model
+    * as [[packSequences]], but in epoch POSITION order: the sequences
+    * respect the shuffled training order and each repeated copy packs
+    * independently at its own position. The last step of the
+    * plan → epoch → batches chain; `position` is already a dense
+    * permutation, so the chunked prefix sum is uniformly loaded by
+    * construction. */
+  def packEpoch(epoch: DataFrame, seqLen: Int = 2048,
+                chunkPositions: Int = 1024): DataFrame =
+    twoLevelPrefix(
+      epoch.select(col("position"), col("doc_id"), col("copy"), col("token_count")),
+      "position", chunkPositions)
+      .select(col("position"), col("doc_id"), col("copy"), col("token_count"),
+        col("__start").as("start_offset"),
+        floor(col("__start") / seqLen).cast("long").as("seq_no"))
+
+  /** The TWO-LEVEL global prefix sum shared by [[packSequences]] and
+    * [[packEpoch]] — never a global window (an unpartitioned window
+    * funnels the corpus through one task): rows prefix-sum of
+    * `token_count` within `orderCol` chunks of `chunkSize` (a
+    * partitioned window), chunk totals prefix-sum on the driver-sized
+    * chunk list (one row per ~1k rows — the only unpartitioned step),
+    * and the broadcast-joined chunk offsets add up to the exact global
+    * prefix, emitted as `__start`. */
+  private def twoLevelPrefix(df: DataFrame, orderCol: String,
+                             chunkSize: Int): DataFrame = {
+    val t = df.withColumn("__chunk", floor(col(orderCol) / chunkSize))
+    val win = Window.partitionBy(col("__chunk")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val inChunk = t.withColumn("__prev", coalesce(sum(col("token_count")).over(win), lit(0L)))
     val wChunks = Window.orderBy(col("__chunk"))
@@ -713,9 +746,8 @@ object Curation {
       .withColumn("__off", coalesce(sum(col("__ct")).over(wChunks), lit(0L)))
       .select("__chunk", "__off")
     inChunk.join(broadcast(offsets), Seq("__chunk"))
-      .select(col("doc_id"), col("token_count"),
-        (col("__prev") + col("__off")).as("start_offset"),
-        floor((col("__prev") + col("__off")) / seqLen).cast("long").as("seq_no"))
+      .withColumn("__start", col("__prev") + col("__off"))
+      .drop("__chunk", "__prev", "__off")
   }
 
   /** The per-sequence slices behind [[packSequences]] — the actual

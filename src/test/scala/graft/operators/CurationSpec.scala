@@ -679,6 +679,18 @@ class CurationSpec extends SparkSpec {
     assert(actual == expected,
       s"copies diverge, e.g. ${(actual.toSet -- expected.toSet).take(3)} vs ${(expected.toSet -- actual.toSet).take(3)}")
 
+    // packEpoch: the two-level prefix in position order equals the
+    // naive global running sum, and sequences tile without gaps
+    val packed = Curation.packEpoch(out, seqLen = 128).collect()
+      .sortBy(_.getAs[Long]("position"))
+    var run = 0L
+    packed.foreach { r =>
+      assert(r.getAs[Long]("start_offset") == run,
+        s"prefix diverges at position ${r.getAs[Long]("position")}")
+      assert(r.getAs[Long]("seq_no") == run / 128)
+      run += r.getAs[Long]("token_count")
+    }
+
     // copies of one doc scatter: some doc with >= 2 copies must not sit
     // at adjacent positions (the shuffle is per-copy, not per-doc)
     val multi = out.filter($"copy" >= 1).select("doc_id", "position")

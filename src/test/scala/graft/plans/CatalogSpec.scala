@@ -168,4 +168,31 @@ class CatalogSpec extends SparkSpec with BeforeAndAfterAll {
       assert(state() == once)
     } finally Catalog.dropIfExists(spark, "cat_merge")
   }
+
+  test("insertAppendOnce: appends once, skips re-publish, probe pushes the min-id filter") {
+    import spark.implicits._
+    val tbl = "cat_append_once"
+    Catalog.dropIfExists(spark, tbl)
+    try {
+      val b1 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      Catalog.ensureTable(spark, tbl, b1.schema)
+      assert(Catalog.insertAppendOnce(spark, tbl, b1, "id") == 2L)
+      // retry of the same batch: converges, no double-append
+      assert(Catalog.insertAppendOnce(spark, tbl, b1, "id") == 0L)
+      assert(spark.table(tbl).count() == 2L)
+      // a later (monotone-id) batch appends normally
+      val b2 = Seq((3L, "c")).toDF("id", "v")
+      assert(Catalog.insertAppendOnce(spark, tbl, b2, "id") == 1L)
+      assert(spark.table(tbl).count() == 3L)
+      // empty batch: no probe key, no append
+      assert(Catalog.insertAppendOnce(spark, tbl, b1.limit(0), "id") == 0L)
+      // the probe's min-id filter reaches the parquet scan, so the
+      // membership check prunes to the newest row groups at scale
+      val probePlan = spark.table(tbl).filter($"id" >= 3L)
+        .queryExecution.executedPlan.toString
+      assert(probePlan.contains("PushedFilters") &&
+        probePlan.contains("GreaterThanOrEqual(id,3)"),
+        s"min-id probe must push down:\n$probePlan")
+    } finally Catalog.dropIfExists(spark, tbl)
+  }
 }
