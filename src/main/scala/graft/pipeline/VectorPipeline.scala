@@ -315,6 +315,37 @@ object VectorPipeline {
         (col("current_n") > maxCellSize).as("over_cap"))
   }
 
+  /** Drift-TRIGGERED rollover — the operational closure of
+    * [[generationDrift]]: measure, decide, roll. Rolls the generation
+    * when the worst per-cell share drift exceeds `maxShareDrift`
+    * (cell populations no longer look like the training distribution)
+    * OR the fraction of index rows sitting in over-cap cells exceeds
+    * `maxOverCapShare` (the share of the corpus [[Similarity.knnGraphPq]]
+    * would silently skip — recall decay made a number). Returns the
+    * rollover report when one ran, None when the generation is still
+    * healthy; the decision read is one k-sized aggregate. A scheduled
+    * pipeline calls this after each ingest wave instead of guessing
+    * when to retrain. */
+  def maybeRegenerate(spark: SparkSession,
+                      maxShareDrift: Double = 0.05, maxOverCapShare: Double = 0.10,
+                      maxCellSize: Int = TextDedup.DefaultMaxBucketSize,
+                      coarseK: Int = 16, pqM: Int = 4, pqKsub: Int = 8,
+                      iters: Int = 2, seed: Long = 42L,
+                      sampleFraction: Double = 1.0,
+                      notify: PipelineReport => Unit = _ => ()): Option[PipelineReport] = {
+    val d = generationDrift(spark, maxCellSize).agg(
+      coalesce(max(col("share_drift")), lit(0.0)).as("worst"),
+      coalesce(sum(when(col("over_cap"), col("current_n")).otherwise(lit(0L))), lit(0L))
+        .as("over"),
+      coalesce(sum(col("current_n")), lit(0L)).as("total")).head()
+    val worst = d.getDouble(0)
+    val overShare =
+      if (d.getLong(2) == 0L) 0.0 else d.getLong(1).toDouble / d.getLong(2)
+    if (worst > maxShareDrift || overShare > maxOverCapShare)
+      Some(regenerate(spark, coarseK, pqM, pqKsub, iters, seed, sampleFraction, notify))
+    else None
+  }
+
   /** Generation-consistent ANN serve: resolve the pointer ONCE, then
     * read that generation's centroids, codebooks, and stored index —
     * the compressed domain proposes `refine` candidates per probe and

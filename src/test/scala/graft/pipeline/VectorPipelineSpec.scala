@@ -112,6 +112,21 @@ class VectorPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     assert(serve() == before, "second rollover must not change twin answers either")
   }
 
+  test("maybeRegenerate: healthy generation holds; crossed thresholds roll it") {
+    VectorPipeline.ingestBatch(spark, emb.filter($"vec_id" < 50))
+    VectorPipeline.ingestBatch(spark, emb.filter($"vec_id" >= 50))
+    // loose thresholds: post-bootstrap growth alone must NOT trigger
+    assert(VectorPipeline.maybeRegenerate(spark,
+      maxShareDrift = 0.99, maxOverCapShare = 0.99).isEmpty)
+    assert(VectorPipeline.currentGeneration(spark) == 1L)
+    // tight over-cap threshold: with cap 1 nearly every row sits in an
+    // over-cap cell -> rollover fires and the pointer advances
+    val r = VectorPipeline.maybeRegenerate(spark,
+      maxShareDrift = 0.99, maxOverCapShare = 0.01, maxCellSize = 1, coarseK = 24)
+    assert(r.exists(_.ok), r.toString)
+    assert(VectorPipeline.currentGeneration(spark) == 2L)
+  }
+
   test("generationDrift flags growth the bootstrap never saw") {
     VectorPipeline.ingestBatch(spark, emb.filter($"vec_id" < 50))
     // post-bootstrap growth: more vectors land AFTER the baseline snapshot
