@@ -580,10 +580,19 @@ object Curation {
     * is driver-trivial (broadcast 1-row normalizer join). */
   def temperatureWeights(docs: DataFrame, alpha: Double = 0.5,
                          srcCol: String = "source",
-                         textCol: String = "text"): DataFrame = {
-    val agg = docs.groupBy(col(srcCol).as("source"))
-      .agg(count(lit(1)).as("doc_count"),
-        sum(TextStats.tokenCount(col(textCol))).as("token_sum"))
+                         textCol: String = "text"): DataFrame =
+    temperatureWeightsFromAgg(
+      docs.groupBy(col(srcCol).as("source"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(TextStats.tokenCount(col(textCol))).as("token_sum")),
+      alpha)
+
+  /** [[temperatureWeights]] from an ALREADY-AGGREGATED
+    * (source, doc_count, token_sum) frame — the seam that lets a
+    * caller holding a profiled corpus (e.g. [[epochMaterialize]]'s
+    * checkpointed keyed frame) derive the weights without a second
+    * corpus scan. Identical arithmetic, |sources|-sized input. */
+  def temperatureWeightsFromAgg(agg: DataFrame, alpha: Double = 0.5): DataFrame = {
     val shareRaw = col("token_sum").cast("double") /
       sum(col("token_sum")).over(Window.partitionBy())
     val qCol = if (alpha == 0.5) sqrt(shareRaw) else pow(shareRaw, lit(alpha))
@@ -609,7 +618,16 @@ object Curation {
     * the same single aggregate as the weights. */
   def epochPlan(docs: DataFrame, budgetTokens: Long, alpha: Double = 0.5,
                 srcCol: String = "source", textCol: String = "text"): DataFrame =
-    temperatureWeights(docs, alpha, srcCol, textCol)
+    planFromWeights(temperatureWeights(docs, alpha, srcCol, textCol), budgetTokens)
+
+  /** [[epochPlan]] from pre-aggregated (source, doc_count, token_sum)
+    * rows — see [[temperatureWeightsFromAgg]]. */
+  def epochPlanFromAgg(agg: DataFrame, budgetTokens: Long,
+                       alpha: Double = 0.5): DataFrame =
+    planFromWeights(temperatureWeightsFromAgg(agg, alpha), budgetTokens)
+
+  private def planFromWeights(weights: DataFrame, budgetTokens: Long): DataFrame =
+    weights
       .select(col("source"), col("doc_count"), col("token_sum"), col("weight"),
         floor(col("weight") * budgetTokens).cast("long").as("target_tokens"))
       .withColumn("repeat_factor",
@@ -648,23 +666,38 @@ object Curation {
   def epochMaterialize(docs: DataFrame, budgetTokens: Long, alpha: Double = 0.5,
                        seed: Long = 42L, srcCol: String = "source",
                        textCol: String = "text"): DataFrame = {
-    val plan = epochPlan(docs, budgetTokens, alpha, srcCol, textCol)
+    // ONE corpus scan: the slim keyed frame (id, stratum, tokens, hash,
+    // bucket — a few dozen bytes/doc) is pinned and every consumer —
+    // the plan aggregate, the bucket counts, the fill's two join arms,
+    // the expansion — reads IT, not the corpus. Unpinned, the tokenCount
+    // profile re-evaluated in ~6 subtrees (42 shuffles at the gate; at
+    // 100 TB, 6 corpus scans).
+    val keyed = budgetKeyed(docs, srcCol, "doc_id", textCol)
+      .select(col("doc_id"), col("__sk"), col("__tc"), col("__h"), col("__b"))
+      .localCheckpoint(true)
+    val agg = keyed.groupBy(col("__sk").getField(srcCol).as("source"))
+      .agg(count(lit(1)).as("doc_count"), sum(col("__tc")).as("token_sum"))
+    val plan = epochPlanFromAgg(agg, budgetTokens, alpha)
       .select(col("source"), col("token_sum"), col("target_tokens"))
       .withColumn("__nfull",
         when(col("token_sum") > 0,
           floor(col("target_tokens") / col("token_sum")).cast("long"))
           .otherwise(lit(0L)))
       .withColumn("__rem", col("target_tokens") - col("__nfull") * col("token_sum"))
+      // |sources|-sized and referenced by three consumers (budgets,
+      // the copies join, the fill) — pin it so the weight machinery
+      // (windows + ordered fold) evaluates once, not per consumer
+      .localCheckpoint(true)
 
-    val withH = budgetKeyed(docs, srcCol, "doc_id", textCol)
-    val counts = withH.groupBy(col("__sk"), col("__b")).agg(sum(col("__tc")).as("__bt"))
-    val budgets = plan.select(struct(col("source")).as("__sk"),
+    val counts = keyed.groupBy(col("__sk"), col("__b")).agg(sum(col("__tc")).as("__bt"))
+    val budgets = plan.select(struct(col("source").as(srcCol)).as("__sk"),
       col("__rem").cast("double").as("__budget"))
-    val extra = fillCore(withH, counts, budgets, "doc_id")
+    val extra = fillCore(keyed, counts, budgets, "doc_id")
       .select(col("doc_id"), lit(1L).as("__extra"))
 
-    val expanded = withH
-      .select(col("doc_id"), col(srcCol).as("source"), col("__tc").as("token_count"))
+    val expanded = keyed
+      .select(col("doc_id"), col("__sk").getField(srcCol).as("source"),
+        col("__tc").as("token_count"))
       .join(broadcast(plan.select(col("source"), col("__nfull"))), Seq("source"), "left")
       .join(extra, Seq("doc_id"), "left")
       .withColumn("__copies",
@@ -720,7 +753,12 @@ object Curation {
   def packEpoch(epoch: DataFrame, seqLen: Int = 2048,
                 chunkPositions: Int = 1024): DataFrame =
     twoLevelPrefix(
-      epoch.select(col("position"), col("doc_id"), col("copy"), col("token_count")),
+      // pin the slim projection: the prefix sum reads its input twice
+      // (per-chunk window + chunk totals), and when `epoch` is a LIVE
+      // epochMaterialize plan rather than a stored table, re-evaluating
+      // it doubles the whole materialization
+      epoch.select(col("position"), col("doc_id"), col("copy"), col("token_count"))
+        .localCheckpoint(true),
       "position", chunkPositions)
       .select(col("position"), col("doc_id"), col("copy"), col("token_count"),
         col("__start").as("start_offset"),
