@@ -303,6 +303,65 @@ object ScaleSmoke {
           s"nprobe=2 $prCand; refine-8 same-cell $sc8, nprobe=2 $pr8")
       prCand
     }
+    timed("knn_graph_pq_recall_hires") {
+      // Does PRODUCTION-resolution PQ close the fixed-budget gap the
+      // 12-bit measurement exposed (probing at refine-8 LOSING hits
+      // because coarse sims let cross-cell candidates crowd out true
+      // neighbors)? Same coarse cells both ways, so the candidate sets
+      // are IDENTICAL — asserted below: candidates depend only on the
+      // cell assignment (and nprobe), never on the codebooks — and the
+      // only thing that changes between 12-bit (m=4, ksub=8, the
+      // oracle-replayable gate setting) and 128-bit (m=16, ksub=256,
+      // what a real corpus would run) is the compressed-domain RANKING
+      // that decides which candidates survive the refine cut.
+      val base = emb0.localCheckpoint(true)
+      val nBase = base.count()
+      val cents = operators.Similarity.trainCentroids(base, k = 64, iters = 2)
+      val books12 = operators.Similarity.trainPqBooks(base, m = 4, ksub = 8, iters = 2)
+      val books128 = operators.Similarity.trainPqBooks(base, m = 16, ksub = 256, iters = 2)
+      val idx12 = operators.Similarity.pqIndex(base, cents, books12).localCheckpoint(true)
+      val idx128 = operators.Similarity.pqIndex(base, cents, books128).localCheckpoint(true)
+      val exact1 = operators.Similarity.topKExact(base, base, 1)
+        .select(col("probe_id").as("src_id"), col("neighbor_id").as("true_id"))
+        .localCheckpoint(true)
+      def recall(g: org.apache.spark.sql.DataFrame): Long =
+        operators.Similarity.graphRefineExact(g, base, 1)
+          .join(exact1, Seq("src_id"))
+          .filter(col("neighbor_id") === col("true_id")).count()
+      val all = Int.MaxValue
+      // SAME-CELL candidate sets are books-independent (cells alone
+      // decide membership) — asserted. PROBED candidate sets are NOT:
+      // the probe ranking reads the PQ reconstruction, so finer codes
+      // pick better cells too — measured separately below, so the
+      // candidate-set gain and the ranking gain are distinguishable.
+      val cand12 = recall(
+        operators.Similarity.knnGraphPq(idx12, books12, k = all, maxCellSize = 8192))
+      val cand128 = recall(
+        operators.Similarity.knnGraphPq(idx128, books128, k = all, maxCellSize = 8192))
+      require(cand12 == cand128,
+        s"same-cell candidate recall is a function of the cells alone: $cand12 vs $cand128")
+      val rows = Seq(("12-bit", idx12, books12), ("128-bit", idx128, books128)).map {
+        case (label, idx, books) =>
+          val prCand = recall(
+            operators.Similarity.knnGraphPqProbed(idx, cents, books, k = all, nprobe = 2,
+              maxCellSize = 8192))
+          val sc8 = recall(
+            operators.Similarity.knnGraphPq(idx, books, k = 8, maxCellSize = 8192))
+          val pr8 = recall(
+            operators.Similarity.knnGraphPqProbed(idx, cents, books, k = 8, nprobe = 2,
+              maxCellSize = 8192))
+          System.err.println(
+            s"[scale] knn_graph_pq_recall_hires $label rank-1 of $nBase: " +
+              s"candidates same-cell $cand12, nprobe=2 $prCand; " +
+              s"refine-8 same-cell $sc8, nprobe=2 $pr8")
+          (prCand, sc8, pr8)
+      }
+      // the measured answer: production-resolution refine-8 probed
+      // recall — bounded by its own probed candidate recall
+      require(rows.last._3 <= rows.last._1,
+        "refined hits cannot exceed the candidate ceiling")
+      rows.last._3
+    }
     timed("vector_ingest_8k") {
       // the VECTOR treadmill at corpus scale: clone replicas split into
       // two slices — slice 2's clones of slice-1 vectors must reconcile
@@ -340,6 +399,69 @@ object ScaleSmoke {
       val bad = out.filter(col("sim") < 0.999999).count()
       require(bad == 0, s"$bad probes without a sim-1 twin after rollover")
       r.metrics("tier_encoded")
+    }
+    timed("epoch_materialize_50k") {
+      // the plan→epoch→pack chain at corpus scale: ONE corpus scan
+      // builds the keyed profile (the pinned budgetKeyed frame — the
+      // single-scan rework), the fill meets every per-source target,
+      // the shuffled stream is a dense permutation, and the packed
+      // offsets' global prefix equals the emitted token sum.
+      val docsSrc = (0 until mult).map(i =>
+        Tables.load(spark, sfDir, "documents")
+          .select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            col("text"), col("source")))
+        .reduce(_ unionByName _).localCheckpoint(true)
+      val corpusToks = docsSrc
+        .agg(sum(operators.TextStats.tokenCount(col("text")).cast("long"))).head().getLong(0)
+      val budget = corpusToks * 3 / 2 // 1.5 epochs: integer pass + fractional fill
+      val epoch = operators.Curation.epochMaterialize(docsSrc, budget)
+        .localCheckpoint(true)
+      val n = epoch.count()
+      require(epoch.agg(max("position")).head().getLong(0) == n - 1,
+        "epoch positions must be a dense permutation")
+      // fill-until-budget never undershoots: emitted >= target per source
+      val plan = operators.Curation.epochPlan(docsSrc, budget)
+        .select(col("source"), col("target_tokens"))
+      val short = epoch.groupBy("source").agg(sum("token_count").as("toks"))
+        .join(plan, Seq("source"))
+        .filter(col("toks") < col("target_tokens")).count()
+      require(short == 0, s"$short sources under their token target")
+      val packed = operators.Curation.packEpoch(epoch).localCheckpoint(true)
+      val agg = packed
+        .agg(max(col("start_offset") + col("token_count")).as("end"),
+          sum(col("token_count")).as("toks")).head()
+      require(agg.getLong(0) == agg.getLong(1),
+        s"global prefix must equal the token sum: ${agg.getLong(0)} vs ${agg.getLong(1)}")
+      n
+    }
+    timed("curation_full_50k") {
+      // the FLAGSHIP end-to-end at corpus scale: quality gate →
+      // decontaminate → minhash near-dup (clone families must
+      // collapse) → boilerplate/span strips → split → mix plan →
+      // epoch materialization → packing → train order, all through
+      // the staged catalog tables and the retrying Runner.
+      val docsSrc = (0 until mult).map(i =>
+        Tables.load(spark, sfDir, "documents")
+          .select((col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+            col("text"), col("source")))
+        .reduce(_ unionByName _).localCheckpoint(true)
+      val bench = docs0.filter(col("doc_id") % 50 === 0)
+        .select(substring(col("text"), 1, 200).as("text"))
+      val report = graft.pipeline.CurationPipeline.runFull(spark, docsSrc, bench,
+        mixBudgetTokens = 2000000L, materializeEpoch = true)
+      require(report.ok, report.stages.toString)
+      val kept = report.metrics("docs_kept")
+      require(kept <= nDocs / mult,
+        s"${mult}x clone families must collapse through the pipeline: kept $kept")
+      // the epoch stage met every per-source target (fill-until-budget)
+      val shortSources = report.metrics.collect {
+        case (k, target) if k.startsWith("mix_target_tokens_") =>
+          (k.stripPrefix("mix_target_tokens_"), target)
+      }.count { case (src, target) =>
+        report.metrics.getOrElse(s"epoch_tokens_$src", 0L) < target
+      }
+      require(shortSources == 0, s"$shortSources sources under their mix target")
+      kept
     }
     timed("bigram_topk_50k") {
       val n = operators.Curation.ngramTopK(docs, n = 2, topK = 50).count()

@@ -705,4 +705,29 @@ class CurationSpec extends SparkSpec {
       assert(!adjacentEverywhere, "per-copy shuffle must scatter repeats")
     }
   }
+
+  test("epochMaterialize emits a plan over the pinned profile, never re-tokenizing the corpus") {
+    // The keyed (id, source, tokens, hash, bucket) profile is built in
+    // ONE corpus scan and checkpointed; every downstream consumer (the
+    // plan aggregate, the fill, the expansion, the shuffle) must read
+    // THAT, not re-derive tokenCount from text. Before the single-scan
+    // rework the emitted plan re-evaluated the tokenization regex in
+    // ~6 subtrees — at corpus scale, 6 full scans. Guard the shape:
+    // the final plan scans checkpointed RDDs and contains no trace of
+    // the text column or the \s+ tokenizer.
+    val src = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "source")
+    val out = Curation.epochMaterialize(src, 300000L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"epoch plan must read the pinned profile:\n$plan")
+    assert(!plan.contains("split("), s"tokenizer leaked into the epoch plan:\n$plan")
+    assert(!plan.contains("text#"), s"corpus text column leaked into the epoch plan:\n$plan")
+    // packEpoch on the LIVE frame pins its input once: the prefix-sum
+    // plan reads a checkpoint, not a second materialization
+    val packPlan = Curation.packEpoch(out, seqLen = 128)
+      .queryExecution.executedPlan.toString
+    assert(!packPlan.contains("split("), s"pack plan re-derives the profile:\n$packPlan")
+    assert(!packPlan.contains("text#"), s"pack plan re-reads the corpus:\n$packPlan")
+  }
 }
