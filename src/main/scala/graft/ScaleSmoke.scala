@@ -463,6 +463,22 @@ object ScaleSmoke {
       require(shortSources == 0, s"$shortSources sources under their mix target")
       kept
     }
+    timed("bpe_train_50k") {
+      // tokenizer training at corpus scale: the ONE corpus-sized job
+      // is the word count; each of the 16 merge rounds runs on the
+      // |vocab|-bounded table. Clone invariance is the structural
+      // assertion: replicating every doc mult x scales every pair
+      // count by exactly mult, so the merge SEQUENCE must equal the
+      // base corpus's and the counts must divide by mult exactly.
+      val merges = operators.Bpe.train(docs, numMerges = 16)
+      val base = operators.Bpe.train(docs0, numMerges = 16)
+      require(merges.map(m => (m.rank, m.leftSym, m.rightSym)) ==
+        base.map(m => (m.rank, m.leftSym, m.rightSym)),
+        s"merge sequence must be clone-invariant:\n$merges\n$base")
+      require(merges.zip(base).forall { case (m, b) => m.pairCount == b.pairCount * mult },
+        "pair counts must scale by the clone multiplier")
+      merges.length.toLong
+    }
     timed("bigram_topk_50k") {
       val n = operators.Curation.ngramTopK(docs, n = 2, topK = 50).count()
       require(n == 50, s"top-k must cap at 50: $n")

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Analytics, AsofJoin, Behavior, Curation, DataQuality, EventOps, Layout, Multimodal, RangeJoin, Resample, Scd2, Similarity, Skew, TextDedup, TextStats}
+import graft.operators.{Analytics, AsofJoin, Behavior, Bpe, Curation, DataQuality, EventOps, Layout, Multimodal, RangeJoin, Resample, Scd2, Similarity, Skew, TextDedup, TextStats}
 import graft.sources.{JsonIngest, PartitionedJsonSink}
 import graft.streaming.StreamIngest
 
@@ -2224,6 +2224,26 @@ object SparkEntry {
       Curation.ngramTopK(docs(s, dir), n = 2, topK = 50)
         .orderBy(col("gram_count").desc, col("gram"))),
 
+    // BPE tokenizer training (Sennrich'16): corpus scanned ONCE into
+    // the |vocab|-bounded word table; each merge = one pair-count
+    // aggregate + a 1-row argmax collect + a row-local replace pass.
+    // doc_bpe_pairs is the iteration-0 candidate profile; doc_bpe_train
+    // the 6-merge artifact (the oracle replays the whole loop with the
+    // same separator-string replace algebra); doc_bpe_encode applies
+    // the learned merges back to the corpus (distinct words segmented
+    // once, symbol counts joined to occurrences).
+    "doc_bpe_pairs" -> ((s, dir) =>
+      Bpe.charPairCounts(docs(s, dir))
+        .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+        .limit(50)),
+
+    "doc_bpe_train" -> ((s, dir) =>
+      Bpe.trainTable(docs(s, dir), numMerges = 6).orderBy("rank")),
+
+    "doc_bpe_encode" -> ((s, dir) =>
+      Bpe.encodedTokenCounts(docs(s, dir), Bpe.train(docs(s, dir), numMerges = 6))
+        .orderBy("doc_id")),
+
     // Unigram-LM quality signal: mean corpus frequency of each doc's
     // tokens (BIGINT sums; the mean is the single double op).
     // CCNet-style head/middle/tail per language by LM-score percentile
@@ -2812,6 +2832,22 @@ object SparkEntry {
         |GROUP BY gram
         |ORDER BY gram_count DESC, gram
         |LIMIT 50""".stripMargin,
+
+    // BPE: the word table + iteration-0 pair counts, then the full
+    // 6-merge training replay (see bpeChainSql), then the encode
+    // (distinct-word symbol counts joined back to occurrences).
+    "doc_bpe_pairs" ->
+      s"""WITH $BpeWordTableSql
+         |SELECT s[i] AS left_sym, s[i+1] AS right_sym, sum(freq)::BIGINT AS pair_count
+         |FROM (SELECT string_split(trim(seg), '  ') AS s, freq FROM w0),
+         |     unnest(range(1, len(s))) AS t(i)
+         |GROUP BY 1, 2
+         |ORDER BY pair_count DESC, left_sym, right_sym
+         |LIMIT 50""".stripMargin,
+
+    "doc_bpe_train" -> bpeTrainSql(6),
+
+    "doc_bpe_encode" -> bpeEncodeSql(6),
 
     // CASTs on the sums: DuckDB sum(BIGINT) widens to HUGEINT, which
     // the gate's hasher rejects even at identical values.
@@ -5254,6 +5290,64 @@ object SparkEntry {
         |      FROM scored)
         |WHERE rank = 1 ORDER BY probe_id""".stripMargin
   )
+
+  /** The BPE word table: normalized lowercase-ascii words (length ≥ 2)
+    * with their separator-string segmentation " h  e  l  l  o " —
+    * every symbol wrapped in its own leading+trailing space. Shared
+    * seed of the three BPE oracles. */
+  private def BpeWordTableSql: String =
+    """w0 AS MATERIALIZED (
+      |  SELECT w, ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS seg,
+      |         count(*)::BIGINT AS freq
+      |  FROM (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+      |        FROM documents)
+      |  WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** First-principles DuckDB replay of the BPE training loop: round i
+    * MATERIALIZED-selects the (count DESC, left, right) argmax pair
+    * p{i} over the current segments, then rewrites them with the SAME
+    * two-space-boundary replace the Spark side uses (SQL replace is
+    * left-to-right non-overlapping — exactly one greedy merge pass;
+    * the private spaces make partial-symbol matches impossible).
+    * MATERIALIZED is load-bearing: inlined, each CTE level would
+    * re-evaluate its whole prefix and the chain goes exponential. */
+  private def bpeChainSql(n: Int): String = {
+    val steps = (1 to n).flatMap { i =>
+      val pick =
+        s"""p$i AS MATERIALIZED (
+           |  SELECT s[i] AS l, s[i+1] AS r, sum(freq)::BIGINT AS cnt
+           |  FROM (SELECT string_split(trim(seg), '  ') AS s, freq FROM w${i - 1}),
+           |       unnest(range(1, len(s))) AS t(i)
+           |  GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+      val rewrite =
+        s"""w$i AS MATERIALIZED (
+           |  SELECT w, replace(seg, ' ' || (SELECT l FROM p$i) || '  ' || (SELECT r FROM p$i) || ' ',
+           |                    ' ' || (SELECT l FROM p$i) || (SELECT r FROM p$i) || ' ') AS seg, freq
+           |  FROM w${i - 1})""".stripMargin
+      Seq(pick, rewrite)
+    }
+    (BpeWordTableSql +: steps).mkString(",\n")
+  }
+
+  private def bpeTrainSql(n: Int): String =
+    "WITH " + bpeChainSql(n) + "\n" +
+      (1 to n).map(i =>
+        s"SELECT $i::BIGINT AS rank, l AS left_sym, r AS right_sym, cnt AS pair_count FROM p$i")
+        .mkString("\nUNION ALL ") + "\nORDER BY rank"
+
+  private def bpeEncodeSql(n: Int): String =
+    "WITH " + bpeChainSql(n) + s""",
+       |fin AS MATERIALIZED (
+       |  SELECT w, len(string_split(trim(seg), '  '))::BIGINT AS word_syms FROM w$n),
+       |docw AS (
+       |  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+       |  FROM documents)
+       |SELECT d.doc_id, sum(f.word_syms)::BIGINT AS bpe_tokens
+       |FROM (SELECT doc_id, w FROM docw
+       |      WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) >= 2) d
+       |JOIN fin f USING (w)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Every query has an oracle: the

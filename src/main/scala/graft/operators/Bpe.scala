@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING and application — the
+  * vocabulary-building step of a training-data pipeline (Sennrich,
+  * Haddow & Birch, "Neural Machine Translation of Rare Words with
+  * Subword Units", ACL'16; the reference pipeline stops at word
+  * counts — `scripts/transform_model.sql`-style aggregates — so this
+  * is north-star surface, not a port).
+  *
+  * Scale shape: the corpus is scanned ONCE into a (word, freq) table
+  * — |vocab|-bounded (Zipf: ~10⁶–10⁷ distinct lowercase words at ANY
+  * corpus size, same argument as the classifier vocab broadcast).
+  * Every merge iteration is one map-side-combinable pair-count
+  * aggregate over that table plus a LIMIT 1 collect (one driver row),
+  * and the per-iteration segment rewrite is a row-local string
+  * replace — no corpus re-scan, no shuffle growth with iterations;
+  * the working table localCheckpoints each round so lineage stays
+  * O(1) instead of O(merges).
+  *
+  * Segmentations travel as SEPARATOR STRINGS — `" h  e  l  l  o "`,
+  * every symbol wrapped in its own leading+trailing space, symbols
+  * joined by a two-space boundary. Applying merge (L,R) is then
+  * EXACTLY `replace(seg, " L  R ", " LR ")`: SQL replace rewrites
+  * non-overlapping occurrences left-to-right, which is precisely one
+  * greedy BPE merge pass ("aaaa" + (a,a) → [aa,aa]), the private
+  * spaces make a partial-symbol match impossible, and the identical
+  * builtin exists in DuckDB — so the whole training loop is
+  * replayable by the oracle with the same string algebra.
+  *
+  * Domain: lowercase ascii words of length ≥ 2 (the normalized-token
+  * stream filtered to `^[a-z]+$`) — the gate-provable core; symbols
+  * are then single chars, never spaces. Production would widen the
+  * alphabet (byte-level with escaping), which changes the seed
+  * segmentation only, not the loop.
+  */
+object Bpe {
+
+  /** The ONE corpus-sized job: normalized-token word counts over the
+    * trainable domain. (word, freq), |vocab|-bounded. */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(TextDedup.normalize(col(textCol)), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** " h  e  l  l  o " — each symbol owns a leading AND trailing
+    * space, so a replace pattern can never match inside a symbol. */
+  private[operators] def segInit(word: Column): Column =
+    concat(lit(" "),
+      array_join(filter(split(word, ""), s => length(s) > 0), "  "),
+      lit(" "))
+
+  private def syms(seg: Column): Column = split(trim(seg), "  ")
+
+  /** One greedy merge pass on a segment string: SQL replace is
+    * left-to-right and non-overlapping — the BPE pass semantics. */
+  private[operators] def applyMerge(seg: Column, l: String, r: String): Column =
+    call_function("replace", seg, lit(s" $l  $r "), lit(s" ${l}${r} "))
+
+  /** Adjacent-pair counts over a (seg, freq) table — weighted by word
+    * frequency, overlapping occurrences counted (the Sennrich
+    * get_stats convention). Map-side combinable: one shuffle of at
+    * most the local distinct-pair count per task. */
+  def pairCounts(words: DataFrame): DataFrame = {
+    val s = syms(col("seg"))
+    words.select(s.as("s"), col("freq"))
+      .filter(size(col("s")) >= 2)
+      .select(col("freq"), explode(transform(sequence(lit(1), size(col("s")) - 1),
+        i => struct(element_at(col("s"), i).as("left_sym"),
+          element_at(col("s"), i + 1).as("right_sym")))).as("p"))
+      .groupBy(col("p.left_sym").as("left_sym"), col("p.right_sym").as("right_sym"))
+      .agg(sum(col("freq")).as("pair_count"))
+  }
+
+  /** Iteration-0 adjacent char-pair counts over the word table — the
+    * merge-candidate profile (what rank 1 will pick, and the
+    * SQL-provable seed of the training replay). */
+  def charPairCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    pairCounts(wordCounts(docs, textCol)
+      .select(segInit(col("word")).as("seg"), col("freq")))
+
+  final case class Merge(rank: Int, leftSym: String, rightSym: String, pairCount: Long)
+
+  /** Learn `numMerges` merges: per round, the (count DESC, left ASC,
+    * right ASC) argmax pair — fully deterministic, DuckDB-identical
+    * ordering — then one replace pass over the |vocab|-sized table.
+    * Stops early when the best pair's count falls below
+    * `minPairCount`. The merge list is the tokenizer artifact: k-sized
+    * driver/catalog state by definition (a 32k-merge vocabulary is 32k
+    * rows), never corpus-sized. */
+  def train(docs: DataFrame, numMerges: Int, minPairCount: Long = 2L,
+            textCol: String = "text"): Seq[Merge] = {
+    var words = wordCounts(docs, textCol)
+      .select(segInit(col("word")).as("seg"), col("freq"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var r = 1
+    var done = false
+    while (r <= numMerges && !done) {
+      val top = pairCounts(words)
+        .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getAs[Long]("pair_count") < minPairCount) done = true
+      else {
+        val (l, rr, c) = (top(0).getAs[String]("left_sym"),
+          top(0).getAs[String]("right_sym"), top(0).getAs[Long]("pair_count"))
+        out += Merge(r, l, rr, c)
+        // lineage stays O(1): each round's rewrite checkpoints before
+        // the next round's aggregate reads it
+        words = words.select(applyMerge(col("seg"), l, rr).as("seg"), col("freq"))
+          .localCheckpoint(true)
+      }
+      r += 1
+    }
+    out.toSeq
+  }
+
+  /** The learned merges as a (rank, left_sym, right_sym, pair_count)
+    * frame — the gate/catalog rendition of the tokenizer artifact. */
+  def trainTable(docs: DataFrame, numMerges: Int, minPairCount: Long = 2L,
+                 textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    train(docs, numMerges, minPairCount, textCol)
+      .map(m => (m.rank, m.leftSym, m.rightSym, m.pairCount))
+      .toDF("rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** Segment a word column with an already-learned merge list: the
+    * rank-ordered replace chain — one codegen'd StringReplace per
+    * merge, row-local, no joins. Sequential rank-order passes are the
+    * canonical apply (and provably what training itself produced for
+    * every in-vocabulary word). */
+  def segment(word: Column, merges: Seq[Merge]): Column =
+    syms(merges.sortBy(_.rank).foldLeft(segInit(word)) {
+      (seg, m) => applyMerge(seg, m.leftSym, m.rightSym)
+    })
+
+  /** Per-document BPE token counts over the trainable domain: the
+    * distinct-word table is segmented ONCE (|vocab| replace chains,
+    * not one per occurrence), then the per-word symbol count joins
+    * back to the exploded occurrence stream and sums per doc. */
+  def encodedTokenCounts(docs: DataFrame, merges: Seq[Merge],
+                         textCol: String = "text"): DataFrame = {
+    val occurrences = docs
+      .select(col("doc_id"), explode(split(TextDedup.normalize(col(textCol)), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+    val perWord = occurrences.select("word").distinct()
+      .select(col("word"), size(segment(col("word"), merges)).cast("long").as("word_syms"))
+    occurrences.join(perWord, Seq("word"))
+      .groupBy("doc_id").agg(sum(col("word_syms")).as("bpe_tokens"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Components, Curation, TextDedup}
+import graft.operators.{Bpe, Components, Curation, TextDedup}
 import graft.plans.Catalog
 
 /** LLM-corpus curation as a [[Runner]] pipeline: near-dup pair mining →
@@ -124,6 +124,7 @@ object CurationPipeline {
               containmentThreshold: Double = 0.0,
               mixBudgetTokens: Long = 0L, mixAlpha: Double = 0.5,
               mixSourceCol: String = "source", materializeEpoch: Boolean = false,
+              bpeMerges: Int = 0,
               notify: PipelineReport => Unit = _ => ()): PipelineReport = {
     val stages = Seq[Stage](
       Stage("quality_gate") { m =>
@@ -213,6 +214,19 @@ object CurationPipeline {
         spark.table(SplitTable).groupBy("split").count().collect()
           .map(r => s"split_${r.getString(0)}" -> r.getLong(1)).toMap
       }) ++
+      (if (bpeMerges <= 0) Seq.empty[Stage] else Seq(
+        Stage("tokenizer_train") { _ =>
+          // the tokenizer artifact over what training will actually
+          // see: BPE merges learned on the TRAIN split's cleaned text
+          // (ONE corpus-sized word count, then |vocab|-bounded merge
+          // rounds — operators.Bpe). The merge table is k-sized by
+          // definition; published like every other pipeline artifact.
+          val train = spark.table(SplitTable)
+            .filter(col("split") === "train").select("doc_id", "text")
+          val merges = Bpe.trainTable(train, bpeMerges)
+          Catalog.overwriteTable(merges, BpeMergesTable)
+          Map("bpe_merges" -> spark.table(BpeMergesTable).count())
+        })) ++
       (if (mixBudgetTokens <= 0L) Seq.empty[Stage] else Seq(
         Stage("epoch_mix") { _ =>
           // the training recipe over the TRAIN split: token counts come
@@ -283,6 +297,7 @@ object CurationPipeline {
     new Runner(stages, RetryPolicy(retries = 1), notify).run(Map("docs_in" -> docs.count()))
   }
 
+  val BpeMergesTable = "documents_bpe_merges"
   val TrainOrderTable = "documents_train_order"
   val MixPlanTable = "documents_mix_plan"
   val EpochTable = "documents_epoch"

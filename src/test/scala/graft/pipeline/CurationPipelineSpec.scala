@@ -221,6 +221,31 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     assert(off.ok && !off.stages.exists(_.stage == "dedup_contained"))
   }
 
+  test("runFull tokenizer_train: merges learned on the cleaned train split, published; off by default") {
+    val report = CurationPipeline.runFull(spark, docs,
+      spark.emptyDataFrame.withColumn("text", lit("")).select("text"),
+      jaccardThreshold = 0.5, minTokens = 0, maxPunctRatio = 1.0,
+      minStopwordRatio = 0.0, bpeMerges = 5)
+    assert(report.ok, report.stages.toString)
+    assert(report.stages.exists(_.stage == "tokenizer_train"))
+    val merges = spark.table(CurationPipeline.BpeMergesTable)
+    assert(merges.count() == report.metrics("bpe_merges"))
+    assert(report.metrics("bpe_merges") == 5L)
+    // the artifact equals training directly on the published split —
+    // the stage reads SplitTable's train rows, nothing else
+    val want = graft.operators.Bpe.trainTable(
+      spark.table(CurationPipeline.SplitTable)
+        .filter($"split" === "train").select("doc_id", "text"), 5)
+      .collect().map(_.toSeq)
+    assert(merges.orderBy("rank").collect().map(_.toSeq).toSeq == want.toSeq)
+    // absent unless asked for
+    val off = CurationPipeline.runFull(spark, docs,
+      spark.emptyDataFrame.withColumn("text", lit("")).select("text"),
+      jaccardThreshold = 0.5, minTokens = 0, maxPunctRatio = 1.0,
+      minStopwordRatio = 0.0)
+    assert(off.ok && !off.stages.exists(_.stage == "tokenizer_train"))
+  }
+
   test("runFull epoch_materialize: the mix plan becomes a shuffled epoch with per-source tokens") {
     val srcDocs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text", "source")
