@@ -90,6 +90,15 @@ object Bpe {
     * `minPairCount`. The merge list is the tokenizer artifact: k-sized
     * driver/catalog state by definition (a 32k-merge vocabulary is 32k
     * rows), never corpus-sized. */
+  /** The RDD a localCheckpoint pinned — so a replaced round's blocks
+    * can be released PRECISELY (never a getPersistentRDDs sweep, which
+    * would race concurrent sessions). Only safe once nothing will read
+    * the frame again: the next round is materialized EAGERLY first. */
+  private def pinnedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+
   def train(docs: DataFrame, numMerges: Int, minPairCount: Long = 2L,
             textCol: String = "text"): Seq[Merge] = {
     var words = wordCounts(docs, textCol)
@@ -108,12 +117,18 @@ object Bpe {
           top(0).getAs[String]("right_sym"), top(0).getAs[Long]("pair_count"))
         out += Merge(r, l, rr, c)
         // lineage stays O(1): each round's rewrite checkpoints before
-        // the next round's aggregate reads it
+        // the next round's aggregate reads it — and the REPLACED
+        // round's blocks release immediately (the new checkpoint is
+        // eager, so nothing can read them again): without this, a 32k-
+        // merge vocabulary would leave 32k resident |vocab|-sized pins
+        val prev = words
         words = words.select(applyMerge(col("seg"), l, rr).as("seg"), col("freq"))
           .localCheckpoint(true)
+        pinnedRdd(prev).foreach(_.unpersist(blocking = false))
       }
       r += 1
     }
+    pinnedRdd(words).foreach(_.unpersist(blocking = false))
     out.toSeq
   }
 
@@ -141,7 +156,11 @@ object Bpe {
   /** Per-document BPE token counts over the trainable domain: the
     * distinct-word table is segmented ONCE (|vocab| replace chains,
     * not one per occurrence), then the per-word symbol count joins
-    * back to the exploded occurrence stream and sums per doc. */
+    * back to the exploded occurrence stream and sums per doc. The
+    * occurrence stream is deliberately NOT pinned although both join
+    * arms derive from it: it is corpus-token-sized, so re-tokenizing
+    * in two subtrees is the cheaper trade (contrast epochMaterialize,
+    * whose pinned profile is doc-sized). */
   def encodedTokenCounts(docs: DataFrame, merges: Seq[Merge],
                          textCol: String = "text"): DataFrame = {
     val occurrences = docs

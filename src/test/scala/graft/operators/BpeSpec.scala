@@ -120,6 +120,15 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("train releases every per-round checkpoint: no resident blocks after it returns") {
+    val df = Seq((1L, "the cat sat on the mat"), (2L, "that cat hid the hat"))
+      .toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Bpe.train(df, numMerges = 6)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"train leaked ${leaked.size} pinned RDDs: $leaked")
+  }
+
   test("encodedTokenCounts sums the per-occurrence symbol counts over the trainable domain") {
     val texts = Seq(
       "aa bb aa cc 123 X?",     // '123'/'X?' outside the domain
