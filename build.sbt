@@ -30,4 +30,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // G1's GCLocker gives an allocation TWO retries by default before
+  // throwing a SPURIOUS OutOfMemoryError ("Retried waiting for
+  // GCLocker too often") — with 32 executor threads making ~128 MB
+  // tungsten array allocations (the containment aggregate at the 500k
+  // smoke tier), those retries exhaust while heap is still free.
+  // Raising the retry budget is the standard Spark-on-JDK17 fix
+  // (diagnostic flag on JDK 17, hence the unlock).
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 )

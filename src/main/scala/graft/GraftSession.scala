@@ -45,6 +45,18 @@ object GraftSession {
       // self-heal path would delete
       .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "true")
       .config("spark.ui.enabled", "false")
+      // The app/SQL status stores retain per-task and per-execution
+      // metadata even with the UI off, at six-figure defaults
+      // (retainedTasks 100k, retainedExecutions 1000) — across a
+      // 40-op scale run (~2 500 stages) that metadata alone tipped
+      // the peak-heap aggregate over an 8g heap (measured: per-op
+      // post-release baseline stays ~300 MiB flat; the OOM was
+      // cumulative driver bookkeeping, not operator state). A long-
+      // lived 100 TB driver wants the same trim.
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "5000")
+      .config("spark.sql.ui.retainedExecutions", "20")
       // NOTE: the v2 output committer was A/B-tested for the
       // many-partition JSON sink and is SLOWER on local filesystems
       // (12.2 s vs 9.7 s for the sf0.1 ingest roundtrip) — renames are

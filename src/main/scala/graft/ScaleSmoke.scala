@@ -63,6 +63,16 @@ object ScaleSmoke {
             .filter { case (id, _) => !before(id) }
             .values.foreach(_.unpersist(blocking = true))
           spark.sharedState.cacheManager.clearCache()
+          // broadcast blocks (join builds, literal tables) are reaped
+          // by the ContextCleaner only AFTER a driver GC collects
+          // their references — without a nudge they accumulate across
+          // 40 ops and the peak-heap op (containment_summary's 26 M
+          // pair aggregate) tips over; one explicit GC per op keeps
+          // the shared-JVM baseline flat
+          System.gc()
+          val rt = Runtime.getRuntime
+          System.err.println(f"[scale] $name%s post-release heap " +
+            f"${(rt.totalMemory - rt.freeMemory) / (1 << 20)}%d MiB")
         }
       }
 
