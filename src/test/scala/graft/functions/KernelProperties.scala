@@ -144,6 +144,18 @@ class KernelProperties extends Properties("kernels") {
           (r.isNullAt(0) || r.getLong(0) == r.getLong(1)))
     }
 
+  property("word_ngrams equals the composable slice rendition on random token arrays") =
+    Prop.forAll(Gen.listOfN(30, genText), Gen.choose(1, 4)) { (texts, n) =>
+      import spark.implicits._
+      import graft.operators.Curation
+      val toks = split(graft.operators.TextDedup.normalize($"text"), " ")
+      texts.toDF("text")
+        .select(call_function("word_ngrams", toks, lit(n)).as("native"),
+          Curation.ngramsComposable(toks, n).as("comp"))
+        .collect()
+        .forall(r => r.getSeq[String](0) == r.getSeq[String](1))
+    }
+
   property("minhash_band_keys equals the composable banding on random hash sets") =
     Prop.forAll(Gen.listOfN(30, genArr.map(_.flatten)), Gen.choose(1, 4), Gen.choose(1, 4)) {
       (sets, bands, rows) =>
