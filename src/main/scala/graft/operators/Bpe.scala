@@ -132,6 +132,85 @@ object Bpe {
     out.toSeq
   }
 
+  /** [[train]] with BATCHED rounds — the production form at a 32k-merge
+    * vocabulary, where one-merge-per-round is ~64k sequential driver
+    * jobs (hours of scheduler latency on |vocab|-sized data). Per round
+    * ONE pair-count job collects the top `batchSize` pairs and the
+    * driver selects a batch that is PROVABLY what the sequential loop
+    * would have picked, then ONE rewrite pass applies all of them:
+    *
+    *  1. walk the collected rank order (count DESC, left, right) and
+    *     accept the maximal CONSECUTIVE prefix of mutually
+    *     symbol-disjoint pairs (no pair consumes or produces a symbol
+    *     another accepted pair touches), stopping at the FIRST
+    *     conflict — a skipped conflicting pair has an unknown
+    *     post-merge count, so nothing past it can be trusted;
+    *  2. truncate the prefix to pairs whose count STRICTLY exceeds
+    *     `bound` = the count of the first non-accepted pair (the
+    *     conflict, or the last collected row when none conflicted).
+    *
+    * Why 2 makes batched ≡ sequential EXACTLY: a merge (L,R) only
+    * changes counts of pairs touching L or R, and every pair it
+    * CREATES — (X, LR), (LR, Y), (LR, LR) — is count-bounded by an old
+    * pair adjacent to L or R ((X,L), (R,Y), (R,L) respectively: each
+    * new occurrence maps injectively to an old one). All such pairs
+    * conflict with the accepted pair, so they rank at or below the
+    * first conflict — i.e. count ≤ `bound`. Accepted pairs are
+    * symbol-disjoint, so their counts are invariant under the batch's
+    * earlier merges, and with every accepted count > bound the
+    * sequential argmax at each inner step is exactly the next accepted
+    * pair (ties among accepted pairs keep their lexicographic order —
+    * both engines' tie rule). An empty batch (top-1 ties its own
+    * conflict) falls back to one sequential merge, so progress is
+    * guaranteed; reported pair counts equal the sequential loop's by
+    * the same invariance.
+    *
+    * Early rounds batch small (the top character pairs share e/t/h/…);
+    * the 30k-merge TAIL — where the job count lives — is sparse and
+    * disjoint, so rounds approach `batchSize` merges each. */
+  def trainBatched(docs: DataFrame, numMerges: Int, batchSize: Int = 64,
+                   minPairCount: Long = 2L, textCol: String = "text"): Seq[Merge] = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    var words = wordCounts(docs, textCol)
+      .select(segInit(col("word")).as("seg"), col("freq"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var done = false
+    while (out.size < numMerges && !done) {
+      val top = pairCounts(words)
+        .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+        .limit(batchSize).collect()
+        .map(t => (t.getAs[String]("left_sym"), t.getAs[String]("right_sym"),
+          t.getAs[Long]("pair_count")))
+      if (top.isEmpty || top(0)._3 < minPairCount) done = true
+      else {
+        val touched = scala.collection.mutable.Set.empty[String]
+        val prefix = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var bound = top.last._3 // uncollected pairs all rank at or below the last row
+        var walking = true
+        for (p @ (l, r, c) <- top if walking) {
+          if (c < minPairCount || touched(l) || touched(r) || touched(l + r)) {
+            bound = c; walking = false // first non-accepted pair caps everything below
+          } else {
+            prefix += p; touched += l; touched += r; touched += (l + r)
+          }
+        }
+        val batch = prefix.filter(_._3 > bound)
+          .take(numMerges - out.size)
+        val applied = if (batch.nonEmpty) batch.toSeq else Seq(top(0)) // sequential fallback
+        applied.foreach { case (l, r, c) => out += Merge(out.size + 1, l, r, c) }
+        val prev = words
+        words = words.select(
+          applied.foldLeft(col("seg")) { case (seg, (l, r, _)) => applyMerge(seg, l, r) }
+            .as("seg"), col("freq"))
+          .localCheckpoint(true)
+        pinnedRdd(prev).foreach(_.unpersist(blocking = false))
+      }
+    }
+    pinnedRdd(words).foreach(_.unpersist(blocking = false))
+    out.toSeq
+  }
+
   /** The learned merges as a (rank, left_sym, right_sym, pair_count)
     * frame — the gate/catalog rendition of the tokenizer artifact. */
   def trainTable(docs: DataFrame, numMerges: Int, minPairCount: Long = 2L,
@@ -162,13 +241,14 @@ object Bpe {
     * in two subtrees is the cheaper trade (contrast epochMaterialize,
     * whose pinned profile is doc-sized). */
   def encodedTokenCounts(docs: DataFrame, merges: Seq[Merge],
-                         textCol: String = "text"): DataFrame = {
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
     val occurrences = docs
-      .select(col("doc_id"), explode(split(TextDedup.normalize(col(textCol)), " ")).as("word"))
+      .select(col(idCol), explode(split(TextDedup.normalize(col(textCol)), " ")).as("word"))
       .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
     val perWord = occurrences.select("word").distinct()
       .select(col("word"), size(segment(col("word"), merges)).cast("long").as("word_syms"))
     occurrences.join(perWord, Seq("word"))
-      .groupBy("doc_id").agg(sum(col("word_syms")).as("bpe_tokens"))
+      .groupBy(idCol).agg(sum(col("word_syms")).as("bpe_tokens"))
   }
 }

@@ -289,12 +289,26 @@ object Curation {
     * over: struct-wrapped stratum (NULL strata join as their own
     * bucket), exact token counts, the cross-engine id hash, and its
     * 2¹⁶-range bucket prefix. */
+  /** The slim per-row budget profile (stratum key, token count, id
+    * hash, fill bucket). `merges` switches the token unit: empty →
+    * whitespace tokens (row-local regex); non-empty → BPE tokens under
+    * the learned merge list ([[Bpe.encodedTokenCounts]] — a
+    * distinct-word segment + occurrence join, coalesced to 0 for docs
+    * with no trainable words), so epoch targets and fills are in the
+    * SAME unit training will consume. At 100 TB the two units diverge
+    * per-source (code vs prose tokenize very differently) — mixing
+    * them would systematically mis-budget the epoch. */
   private def budgetKeyed(df: DataFrame, strataCol: String, idCol: String,
-                          textCol: String): DataFrame =
-    df.withColumn("__sk", struct(col(strataCol)))
-      .withColumn("__tc", TextStats.tokenCount(col(textCol)).cast("long"))
+                          textCol: String,
+                          merges: Seq[Bpe.Merge] = Nil): DataFrame = {
+    val tc =
+      if (merges.isEmpty) df.withColumn("__tc", TextStats.tokenCount(col(textCol)).cast("long"))
+      else df.join(Bpe.encodedTokenCounts(df, merges, textCol, idCol), Seq(idCol), "left")
+        .withColumn("__tc", coalesce(col("bpe_tokens"), lit(0L))).drop("bpe_tokens")
+    tc.withColumn("__sk", struct(col(strataCol)))
       .withColumn("__h", hashU32(col(idCol)))
       .withColumn("__b", floor(col("__h") / 65536L))
+  }
 
   /** The two-level fill-until-budget cut, shared by
     * [[sampleByTokenBudget]] (budget = rate × stratum total) and
@@ -617,8 +631,20 @@ object Curation {
     * growth-stable. One ~|sources|-row frame — driver-trivial after
     * the same single aggregate as the weights. */
   def epochPlan(docs: DataFrame, budgetTokens: Long, alpha: Double = 0.5,
-                srcCol: String = "source", textCol: String = "text"): DataFrame =
-    planFromWeights(temperatureWeights(docs, alpha, srcCol, textCol), budgetTokens)
+                srcCol: String = "source", textCol: String = "text",
+                merges: Seq[Bpe.Merge] = Nil): DataFrame =
+    if (merges.isEmpty)
+      planFromWeights(temperatureWeights(docs, alpha, srcCol, textCol), budgetTokens)
+    else
+      // tokenizer-aware plan: the SAME weight/floor arithmetic over
+      // per-source BPE token sums, so targets are in the unit the
+      // packed corpus is measured in (see budgetKeyed's merges note)
+      epochPlanFromAgg(
+        docs.join(Bpe.encodedTokenCounts(docs, merges, textCol), Seq("doc_id"), "left")
+          .groupBy(col(srcCol).as("source"))
+          .agg(count(lit(1)).as("doc_count"),
+            sum(coalesce(col("bpe_tokens"), lit(0L))).as("token_sum")),
+        budgetTokens, alpha)
 
   /** [[epochPlan]] from pre-aggregated (source, doc_count, token_sum)
     * rows — see [[temperatureWeightsFromAgg]]. */
@@ -665,14 +691,17 @@ object Curation {
     * corpus-sized driver state. */
   def epochMaterialize(docs: DataFrame, budgetTokens: Long, alpha: Double = 0.5,
                        seed: Long = 42L, srcCol: String = "source",
-                       textCol: String = "text"): DataFrame = {
+                       textCol: String = "text",
+                       merges: Seq[Bpe.Merge] = Nil): DataFrame = {
     // ONE corpus scan: the slim keyed frame (id, stratum, tokens, hash,
     // bucket — a few dozen bytes/doc) is pinned and every consumer —
     // the plan aggregate, the bucket counts, the fill's two join arms,
     // the expansion — reads IT, not the corpus. Unpinned, the tokenCount
     // profile re-evaluated in ~6 subtrees (42 shuffles at the gate; at
-    // 100 TB, 6 corpus scans).
-    val keyed = budgetKeyed(docs, srcCol, "doc_id", textCol)
+    // 100 TB, 6 corpus scans). `merges` switches token accounting to
+    // BPE units (budgetKeyed) — the whole downstream chain (plan,
+    // fill, emitted token_count, packEpoch) inherits the unit.
+    val keyed = budgetKeyed(docs, srcCol, "doc_id", textCol, merges)
       .select(col("doc_id"), col("__sk"), col("__tc"), col("__h"), col("__b"))
       .localCheckpoint(true)
     val agg = keyed.groupBy(col("__sk").getField(srcCol).as("source"))
@@ -696,9 +725,15 @@ object Curation {
       .select(col("doc_id"), lit(1L).as("__extra"))
 
     val expanded = keyed
-      .select(col("doc_id"), col("__sk").getField(srcCol).as("source"),
-        col("__tc").as("token_count"))
-      .join(broadcast(plan.select(col("source"), col("__nfull"))), Seq("source"), "left")
+      .select(col("doc_id"), col("__sk"), col("__tc").as("token_count"))
+      // join on the struct key, not the bare column: struct equality
+      // treats NULL fields as equal (same mechanism as fillCore's
+      // budgets join), so a NULL-source stratum — a real bucket in
+      // budgetKeyed/epochPlan — keeps its ⌊T/S⌋ full passes instead of
+      // null-rejecting its way to fractional-fill-only
+      .join(broadcast(plan.select(struct(col("source").as(srcCol)).as("__sk"),
+        col("__nfull"))), Seq("__sk"), "left")
+      .withColumn("source", col("__sk").getField(srcCol))
       .join(extra, Seq("doc_id"), "left")
       .withColumn("__copies",
         coalesce(col("__nfull"), lit(0L)) + coalesce(col("__extra"), lit(0L)))

@@ -218,12 +218,18 @@ object CurationPipeline {
         Stage("tokenizer_train") { _ =>
           // the tokenizer artifact over what training will actually
           // see: BPE merges learned on the TRAIN split's cleaned text
-          // (ONE corpus-sized word count, then |vocab|-bounded merge
-          // rounds — operators.Bpe). The merge table is k-sized by
-          // definition; published like every other pipeline artifact.
+          // (ONE corpus-sized word count, then BATCHED |vocab|-bounded
+          // merge rounds — Bpe.trainBatched, provably ≡ the sequential
+          // loop). The merge table is k-sized by definition; published
+          // like every other pipeline artifact, and the epoch stages
+          // below read it back so their token accounting is in BPE
+          // units — the unit the trained model will actually consume.
           val train = spark.table(SplitTable)
             .filter(col("split") === "train").select("doc_id", "text")
-          val merges = Bpe.trainTable(train, bpeMerges)
+          import spark.implicits._
+          val merges = Bpe.trainBatched(train, bpeMerges)
+            .map(m => (m.rank, m.leftSym, m.rightSym, m.pairCount))
+            .toDF("rank", "left_sym", "right_sym", "pair_count")
           Catalog.overwriteTable(merges, BpeMergesTable)
           Map("bpe_merges" -> spark.table(BpeMergesTable).count())
         })) ++
@@ -237,7 +243,11 @@ object CurationPipeline {
           val withSrc = train.join(
             docs.select(col("doc_id"), col(mixSourceCol).as("source")),
             Seq("doc_id"), "left")
-          val plan = Curation.epochPlan(withSrc, mixBudgetTokens, mixAlpha)
+          // tokenizer-aware when a tokenizer was trained: targets in
+          // BPE units (otherwise whitespace tokens — mixing units
+          // would systematically mis-budget per source)
+          val plan = Curation.epochPlan(withSrc, mixBudgetTokens, mixAlpha,
+            merges = loadBpeMerges(spark, bpeMerges))
           Catalog.overwriteTable(plan, MixPlanTable)
           // |sources|-bounded collect: per-source targets belong in the
           // run report — a mix that silently starves a source is the
@@ -261,7 +271,8 @@ object CurationPipeline {
               Seq("doc_id"), "left")
             Catalog.ctasOverwrite(
               Curation.epochMaterialize(withSrc, mixBudgetTokens, mixAlpha,
-                seed = shuffleSeed), EpochTable)
+                seed = shuffleSeed,
+                merges = loadBpeMerges(spark, bpeMerges)), EpochTable)
             // emitted tokens per source — |sources|-bounded: the row
             // that says whether the fill actually met each target
             val rows = spark.table(EpochTable)
@@ -296,6 +307,16 @@ object CurationPipeline {
       })
     new Runner(stages, RetryPolicy(retries = 1), notify).run(Map("docs_in" -> docs.count()))
   }
+
+  /** The published tokenizer artifact read back as a merge list —
+    * k-sized by definition (a 32k-merge vocabulary is 32k rows). Empty
+    * when no tokenizer stage ran, which keeps the epoch chain in
+    * whitespace-token units. */
+  private def loadBpeMerges(spark: SparkSession, bpeMerges: Int): Seq[Bpe.Merge] =
+    if (bpeMerges <= 0 || !Catalog.tableExists(spark, BpeMergesTable)) Nil
+    else spark.table(BpeMergesTable).orderBy("rank").collect()
+      .map(r => Bpe.Merge(r.getAs[Int]("rank"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("pair_count"))).toSeq
 
   val BpeMergesTable = "documents_bpe_merges"
   val TrainOrderTable = "documents_train_order"

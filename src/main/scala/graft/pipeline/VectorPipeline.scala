@@ -159,7 +159,7 @@ object VectorPipeline {
                   threshold: Double = 0.999,
                   bands: Int = 8, planesPerBand: Int = 12, seed: Long = 42L,
                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
-                  pqM: Int = 4, pqKsub: Int = 8, coarseK: Int = 16,
+                  pqM: Int = 16, pqKsub: Int = 256, coarseK: Int = 16,
                   notify: PipelineReport => Unit = _ => ()): PipelineReport = {
     val stages = Seq(
       Stage("probe_tier") { _ =>
@@ -239,12 +239,28 @@ object VectorPipeline {
     * whose true neighbor is proposed under both generations (e.g.
     * exact twins, which share the probe's argmax cell under every
     * centroid set), [[queryTopK]] answers are IDENTICAL before and
-    * after — asserted by VectorPipelineSpec. */
-  def regenerate(spark: SparkSession, coarseK: Int = 16, pqM: Int = 4, pqKsub: Int = 8,
+    * after — asserted by VectorPipelineSpec.
+    *
+    * CONCURRENT-INGEST SAFE: an [[ingestBatch]] that publishes between
+    * the encode snapshot and the pointer flip appends its PQ rows to
+    * the OLD generation's index only — without repair, those vectors
+    * would be invisible to ANN under the new generation until the next
+    * rollover. The publish stage therefore anti-joins the tier against
+    * the staged index and encodes the (normally empty) delta BEFORE
+    * flipping, so the published generation covers the tier
+    * row-for-row under interleaving.
+    *
+    * `keepGenerations` predecessors are retained after the flip (an
+    * in-flight reader that resolved the pointer up to that many
+    * rollovers ago still reads consistently); older ones are dropped. */
+  def regenerate(spark: SparkSession, coarseK: Int = 16, pqM: Int = 16, pqKsub: Int = 256,
                  iters: Int = 2, seed: Long = 42L, sampleFraction: Double = 1.0,
-                 notify: PipelineReport => Unit = _ => ()): PipelineReport = {
+                 keepGenerations: Int = 2,
+                 notify: PipelineReport => Unit = _ => (),
+                 afterEncode: () => Unit = () => ()): PipelineReport = {
     require(sampleFraction > 0 && sampleFraction <= 1.0,
       s"sampleFraction must be in (0, 1], got $sampleFraction")
+    require(keepGenerations >= 1, s"keepGenerations must be >= 1, got $keepGenerations")
     val stages = Seq(
       Stage("train_generation") { _ =>
         val nextGen = currentGeneration(spark) + 1
@@ -271,16 +287,34 @@ object VectorPipeline {
       },
       Stage("publish_generation") { m =>
         val nextGen = m("next_generation")
+        // test seam: VectorPipelineSpec injects an ingestBatch here to
+        // prove the delta pass repairs the encode→flip window
+        afterEncode()
+        // close the encode→flip interleave window: vectors an
+        // interleaved ingestBatch appended after the encode snapshot
+        // are missing from the staged index — encode exactly that
+        // delta (normally zero rows) so the generation about to be
+        // published covers the tier row-for-row. Idempotent under the
+        // stage's own retry (insertAppendOnce appends the remainder).
+        val staged = spark.table(indexTableG(nextGen)).select(col("vec_id"))
+        val late = spark.table(TierTable).join(staged, Seq("vec_id"), "left_anti")
+          .localCheckpoint(true)
+        val lateN = late.count()
+        if (lateN > 0)
+          Catalog.insertAppendOnce(spark, indexTableG(nextGen),
+            Similarity.pqIndex(late, loadCents(spark, nextGen), loadBooks(spark, nextGen)),
+            "vec_id")
         // THE atomic step: one versioned view flip of the pointer
         Catalog.ctasOverwrite(
           spark.range(1).select(lit(nextGen).as("generation")), GenPointerTable)
-        // prune generations no in-flight reader can still hold
-        // (previous generation retained through the flip)
-        (1L to nextGen - 2).foreach { g =>
+        // prune generations no in-flight reader can still hold (the
+        // newest `keepGenerations` predecessors retained through the
+        // flip — the documented read window is that many rollovers)
+        (1L to nextGen - 1 - keepGenerations).foreach { g =>
           Seq(indexTableG(g), centsTableG(g), booksTableG(g), cellHistTableG(g))
             .foreach(Catalog.dropIfExists(spark, _))
         }
-        Map("generation" -> nextGen)
+        Map("generation" -> nextGen, "late_encoded" -> lateN)
       })
     new Runner(stages, RetryPolicy(retries = 1), notify).run()
   }
@@ -329,9 +363,10 @@ object VectorPipeline {
   def maybeRegenerate(spark: SparkSession,
                       maxShareDrift: Double = 0.05, maxOverCapShare: Double = 0.10,
                       maxCellSize: Int = TextDedup.DefaultMaxBucketSize,
-                      coarseK: Int = 16, pqM: Int = 4, pqKsub: Int = 8,
+                      coarseK: Int = 16, pqM: Int = 16, pqKsub: Int = 256,
                       iters: Int = 2, seed: Long = 42L,
                       sampleFraction: Double = 1.0,
+                      keepGenerations: Int = 2,
                       notify: PipelineReport => Unit = _ => ()): Option[PipelineReport] = {
     val d = generationDrift(spark, maxCellSize).agg(
       coalesce(max(col("share_drift")), lit(0.0)).as("worst"),
@@ -342,24 +377,39 @@ object VectorPipeline {
     val overShare =
       if (d.getLong(2) == 0L) 0.0 else d.getLong(1).toDouble / d.getLong(2)
     if (worst > maxShareDrift || overShare > maxOverCapShare)
-      Some(regenerate(spark, coarseK, pqM, pqKsub, iters, seed, sampleFraction, notify))
+      Some(regenerate(spark, coarseK, pqM, pqKsub, iters, seed, sampleFraction,
+        keepGenerations, notify))
     else None
   }
 
   /** Generation-consistent ANN serve: resolve the pointer ONCE, then
     * read that generation's centroids, codebooks, and stored index —
-    * the compressed domain proposes `refine` candidates per probe and
-    * only those pairs touch the float tier ([[Similarity.topKIvfPqStoredRefine]]),
-    * so a query's scan cost is the ~m+12-byte index regardless of
-    * corpus width, and a concurrent [[regenerate]] can never mix
-    * generations inside one read. */
+    * the compressed domain proposes the refine-budget candidates per
+    * probe and only those pairs touch the float tier
+    * ([[Similarity.topKIvfPqStoredRefine]]), so a query's scan cost is
+    * the ~m+12-byte index regardless of corpus width, and a concurrent
+    * [[regenerate]] can never mix generations inside one read.
+    *
+    * The effective refine budget SCALES WITH THE ASK: a fixed budget
+    * loses recall as nprobe grows (cross-cell candidates crowd true
+    * neighbors out of the cut — the measured 12-bit crowd-out,
+    * PLANS.md "Production-resolution PQ recall"), so the compressed
+    * domain always proposes at least nprobe·k·[[RefineScale]]
+    * candidates; `refine` is a floor the caller can raise further. */
   def queryTopK(spark: SparkSession, probes: DataFrame, k: Int,
                 nprobe: Int = 2, refine: Int = 32): DataFrame = {
     val gen = currentGeneration(spark)
     Similarity.topKIvfPqStoredRefine(
       spark.table(indexTableG(gen)), spark.table(TierTable), probes, k,
-      loadCents(spark, gen), loadBooks(spark, gen), nprobe, refine)
+      loadCents(spark, gen), loadBooks(spark, gen), nprobe,
+      math.max(refine, nprobe * k * RefineScale))
   }
+
+  /** Per-(nprobe·k) multiplier for [[queryTopK]]'s derived refine
+    * budget — 4 keeps refine-budget recall within a few percent of
+    * candidate recall at production PQ resolution (the hires
+    * ScaleSmoke row asserts the ratio). */
+  val RefineScale = 4
 
   /** The vector ingest treadmill as a STREAM — the embedding twin of
     * [[CurationPipeline.streamIngest]]: a checkpointed file source over
@@ -372,7 +422,8 @@ object VectorPipeline {
   def streamIngest(spark: SparkSession, landingDir: String, checkpointDir: String,
                    threshold: Double = 0.999,
                    bands: Int = 8, planesPerBand: Int = 12, seed: Long = 42L,
-                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize)
+                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
+                   pqM: Int = 16, pqKsub: Int = 256, coarseK: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream
       .schema("vec_id LONG, embedding ARRAY<FLOAT>")
@@ -388,7 +439,7 @@ object VectorPipeline {
         // for each.
         val pinned = batch.toDF().persist()
         val r = try ingestBatch(batch.sparkSession, pinned, threshold,
-          bands, planesPerBand, seed, maxBucketSize)
+          bands, planesPerBand, seed, maxBucketSize, pqM, pqKsub, coarseK)
         finally pinned.unpersist(blocking = false)
         require(r.ok, s"ingestBatch failed in micro-batch $id: " +
           r.stages.filterNot(_.ok).map(s => s"${s.stage}: ${s.error.getOrElse("?")}").mkString("; "))
@@ -402,6 +453,39 @@ object VectorPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** The UNATTENDED deployment shape: drain everything landed
+    * ([[streamIngest]], Trigger.AvailableNow), then run the drift
+    * check and roll the generation if it fires ([[maybeRegenerate]]).
+    * The check runs AFTER `awaitTermination`, never inside
+    * foreachBatch — a rollover interleaved with a draining batch is
+    * exactly the encode→flip window [[regenerate]]'s delta pass exists
+    * to repair; sequencing them keeps that pass a no-op. Returns the
+    * rollover report when drift triggered one, None when the
+    * generation is still healthy. A scheduler loops this one call —
+    * ingest cadence and retrain cadence stop being separate jobs an
+    * operator has to keep consistent. */
+  def streamIngestAndMaintain(spark: SparkSession, landingDir: String,
+                              checkpointDir: String,
+                              threshold: Double = 0.999,
+                              bands: Int = 8, planesPerBand: Int = 12,
+                              seed: Long = 42L,
+                              maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
+                              pqM: Int = 16, pqKsub: Int = 256, coarseK: Int = 16,
+                              maxShareDrift: Double = 0.05,
+                              maxOverCapShare: Double = 0.10,
+                              sampleFraction: Double = 1.0,
+                              keepGenerations: Int = 2,
+                              notify: PipelineReport => Unit = _ => ())
+      : Option[PipelineReport] = {
+    streamIngest(spark, landingDir, checkpointDir, threshold,
+      bands, planesPerBand, seed, maxBucketSize, pqM, pqKsub, coarseK)
+      .awaitTermination()
+    maybeRegenerate(spark, maxShareDrift, maxOverCapShare, maxBucketSize,
+      coarseK, pqM, pqKsub, iters = 2, seed = seed,
+      sampleFraction = sampleFraction, keepGenerations = keepGenerations,
+      notify = notify)
+  }
 
   /** Drop every treadmill table across ALL generations — a
     * fresh-generation reset for self-contained runs (the gate queries

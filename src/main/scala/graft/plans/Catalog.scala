@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.hadoop.fs.Path
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, min}
+import org.apache.spark.sql.functions.{broadcast, col, lit, min}
 import org.apache.spark.sql.types.StructType
 
 /** DDL surface (SURVEY §2 S8/S9/S10/S11) over the session catalog.
@@ -227,30 +227,32 @@ object Catalog {
     * publishes (the treadmill publish stages run under a retrying
     * Runner, and a transient failure between appends re-runs the whole
     * stage — a plain re-append would double-write the tables that
-    * already committed). Parquet appends are job-atomic (files become
-    * visible only at task-commit + job-commit), so after such a failure
-    * each table holds ALL of the batch's rows or NONE: one membership
-    * probe on `idCol` decides skip-vs-append per table, and the retry
-    * converges to exactly-once instead of corrupting the tier.
+    * already committed). Rather than a skip-vs-append membership probe
+    * (which assumes appends are all-or-nothing — true for an in-process
+    * Runner retry, but a driver crash mid job-commit can leave a
+    * PARTIAL batch visible, which a skip would then freeze forever),
+    * the batch is anti-joined against the rows already present and only
+    * the REMAINDER is appended. Full batch present → remainder empty →
+    * no-op; nothing present → whole batch appends; partial batch →
+    * exactly the missing rows append. The retry converges to
+    * exactly-once under every visibility outcome.
     *
-    * The probe never scans the whole table: batch ids are fresh and
+    * The anti-join never scans the whole table: batch ids are fresh and
     * monotone (the treadmill ingest contract), so filtering the scan to
     * `idCol >= min(batch)` lets parquet row-group min/max pruning skip
-    * every older append — the probe cost is O(recent appends),
-    * independent of tier size. Returns rows appended (0 = batch was
-    * already published to this table, or the batch is empty). */
+    * every older append — probe cost is O(recent appends), independent
+    * of tier size, and the O(batch) id set broadcasts. Returns rows
+    * appended (0 = batch already fully published, or batch empty). */
   def insertAppendOnce(spark: SparkSession, name: String, df: DataFrame,
                        idCol: String): Long = {
-    val ids = df.select(col(idCol)).persist()
-    try {
-      val minId = ids.agg(min(col(idCol))).head().get(0)
-      if (minId == null) 0L // nothing to publish (also: no probe key)
-      else {
-        val already = spark.table(name).filter(col(idCol) >= lit(minId))
-          .join(ids, Seq(idCol), "left_semi").limit(1).count() > 0
-        if (already) 0L else insertAppend(spark, name, df)
-      }
-    } finally ids.unpersist(blocking = false)
+    val minId = df.agg(min(col(idCol))).head().get(0)
+    if (minId == null) 0L // nothing to publish (also: no probe key)
+    else {
+      val existing = spark.table(name)
+        .filter(col(idCol) >= lit(minId)).select(col(idCol))
+      val remainder = df.join(broadcast(existing), Seq(idCol), "left_anti")
+      insertAppend(spark, name, remainder)
+    }
   }
 
   /** MERGE (upsert) as a relational expression — Snowflake's

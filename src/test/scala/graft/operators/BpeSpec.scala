@@ -120,6 +120,63 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("trainBatched == train on corpora WITH conflicts in the top-B") {
+    // English-ish text: the top char pairs share h/e/t, so the walk's
+    // first-conflict stop and strict count bound must both bite while
+    // the sequence stays exactly sequential
+    val texts = Seq(
+      "the cat sat on the mat with the other cat",
+      "that hat that cat wore is the hat the cat hid",
+      "low lower lowest newer newest wider widest")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val seq = Bpe.train(df, numMerges = 12)
+    for (b <- Seq(2, 4, 8, 64)) {
+      val bat = Bpe.trainBatched(df, numMerges = 12, batchSize = b)
+      assert(bat == seq, s"batchSize=$b diverges:\n bat=$bat\n seq=$seq")
+    }
+  }
+
+  test("trainBatched == reference on random tiny-alphabet corpora (conflict-dense)") {
+    // a 3-letter alphabet makes nearly every top pair share symbols and
+    // makes merges CREATE high-count pairs — the adversarial regime for
+    // the new-pair domination argument
+    for (seed <- Seq(1, 7, 42, 99, 123); b <- Seq(2, 5, 32)) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "abc"
+      def word() = (0 until (1 + rnd.nextInt(6)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val texts = (0 until 12).map(_ => (0 until (2 + rnd.nextInt(8))).map(_ => word()).mkString(" "))
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val bat = Bpe.trainBatched(df, numMerges = 8, batchSize = b)
+      val (want, _) = refTrain(refWordCounts(texts), 8)
+      assert(bat.map(m => (m.leftSym, m.rightSym, m.pairCount)) == want,
+        s"seed=$seed batchSize=$b: bat=$bat want=$want")
+    }
+  }
+
+  test("trainBatched actually batches: disjoint-pair corpus learns all merges in one round") {
+    // frequencies strictly separate xy > qr > vw and the pairs share no
+    // symbols — one round must accept 2 of them (the last collected row
+    // caps the bound, holding vw back one round), still == sequential
+    val texts = Seq(Seq.fill(9)("xy").mkString(" "), Seq.fill(7)("qr").mkString(" "),
+      Seq.fill(5)("vw").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val seq = Bpe.train(df, numMerges = 3)
+    val bat = Bpe.trainBatched(df, numMerges = 3, batchSize = 8)
+    assert(bat == seq, s"bat=$bat seq=$seq")
+    assert(bat.map(m => (m.leftSym, m.rightSym)) ==
+      Seq(("x", "y"), ("q", "r"), ("v", "w")))
+  }
+
+  test("trainBatched releases every per-round checkpoint") {
+    val df = Seq((1L, "the cat sat on the mat"), (2L, "that cat hid the hat"))
+      .toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Bpe.trainBatched(df, numMerges = 6, batchSize = 4)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"trainBatched leaked ${leaked.size} pinned RDDs: $leaked")
+  }
+
   test("train releases every per-round checkpoint: no resident blocks after it returns") {
     val df = Seq((1L, "the cat sat on the mat"), (2L, "that cat hid the hat"))
       .toDF("doc_id", "text")

@@ -706,6 +706,38 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("epochMaterialize: a NULL-source stratum keeps its integer full passes") {
+    // budgetKeyed/epochPlan deliberately treat NULL source as its own
+    // bucket; before the struct-key join fix the integer-pass arm
+    // null-rejected the NULL stratum (it got only its fractional fill),
+    // silently under-emitting its target. Corpus: one named source and
+    // one NULL source, budget sized so every stratum's ⌊T/S⌋ ≥ 1.
+    val docs = Seq(
+      (1L, "a b c d e f g h", "web"), (2L, "i j k l m n o p", "web"),
+      (3L, "q r s t u v w x", null), (4L, "y z aa bb cc dd ee ff", null)
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.epochMaterialize(docs, budgetTokens = 64L)
+      .localCheckpoint(true)
+    val plan = Curation.epochPlan(docs, 64L).collect()
+      .map(r => Option(r.getAs[String]("source")) ->
+        ((r.getAs[Long]("token_sum"), r.getAs[Long]("target_tokens")))).toMap
+    val (sNull, tNull) = plan(None)
+    val nfullNull = math.floor(tNull.toDouble / sNull).toLong
+    assert(nfullNull >= 1, s"test corpus must force >=1 full pass, got $nfullNull")
+    // every NULL-source doc appears at least nfull times
+    val nullCopies = out.filter($"source".isNull).groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(Set(3L, 4L).subsetOf(nullCopies.keySet), s"NULL docs missing: $nullCopies")
+    assert(nullCopies.values.forall(_ >= nfullNull),
+      s"NULL stratum lost its full passes: $nullCopies (nfull=$nfullNull)")
+    // and the NULL stratum's emitted tokens hit its target exactly
+    // (integer passes + boundary-inclusive fractional fill >= target)
+    val nullTokens = out.filter($"source".isNull)
+      .agg(sum($"token_count")).head().getLong(0)
+    assert(nullTokens >= tNull && nullTokens <= tNull + 8,
+      s"NULL stratum tokens $nullTokens vs target $tNull")
+  }
+
   test("epochMaterialize emits a plan over the pinned profile, never re-tokenizing the corpus") {
     // The keyed (id, source, tokens, hash, bucket) profile is built in
     // ONE corpus scan and checkpointed; every downstream consumer (the

@@ -186,6 +186,17 @@ class CatalogSpec extends SparkSpec with BeforeAndAfterAll {
       assert(spark.table(tbl).count() == 3L)
       // empty batch: no probe key, no append
       assert(Catalog.insertAppendOnce(spark, tbl, b1.limit(0), "id") == 0L)
+      // PARTIAL batch visible (driver crash mid job-commit): simulate by
+      // appending only half of batch 3 out-of-band, then re-publishing the
+      // full batch — the anti-join remainder must land exactly the missing
+      // row, not skip (the old probe froze the partial state forever)
+      val b3 = Seq((4L, "d"), (5L, "e")).toDF("id", "v")
+      b3.filter($"id" === 4L).write.mode("append").insertInto(tbl)
+      assert(Catalog.insertAppendOnce(spark, tbl, b3, "id") == 1L)
+      assert(spark.table(tbl).orderBy("id").as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+      // and the converged batch re-publish is still a no-op
+      assert(Catalog.insertAppendOnce(spark, tbl, b3, "id") == 0L)
       // the probe's min-id filter reaches the parquet scan, so the
       // membership check prunes to the newest row groups at scale
       val probePlan = spark.table(tbl).filter($"id" >= 3L)
