@@ -1184,6 +1184,36 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
+  /** Media fixture for the perceptual-hash gates: a 96-char md5-hex
+    * payload per doc (ASCII — both engines see identical octets; the
+    * dHash grid reads cells 0..71, chars 73..96 are "encoder tail"),
+    * plus planted duplicates: RE-ENCODES (same 72 grid chars, fresh
+    * tail — different octets, hamming 0) and CORRUPTED re-encodes (grid
+    * char 10 → 'z': exactly one cell changes, and dHash's locality —
+    * cell c feeds at most the two comparisons touching it; cell 9 is
+    * the right operand of no bit and the left operand of bit 8 only —
+    * bounds the damage to ≤ 1 bit). */
+  private def phashMedia(s: SparkSession, dir: String): DataFrame = {
+    val payload = concat(md5(col("text")),
+      md5(concat(col("text"), lit(":1"))), md5(concat(col("text"), lit(":2"))))
+    val base = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"), payload.as("payload"))
+    val originals = base.select(col("doc_id").as("media_id"), col("payload"))
+    val reencoded = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000L).as("media_id"),
+        concat(substring(col("payload"), 1, 72),
+          substring(md5(concat(col("text"), lit(":3"))), 1, 24)).as("payload"))
+    val corrupted = base.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 200000L).as("media_id"),
+        concat(substring(col("payload"), 1, 9), lit("z"),
+          substring(col("payload"), 11, 86)).as("payload"))
+    originals.unionByName(reencoded).unionByName(corrupted)
+      .select(col("media_id"), lit("image").as("kind"), lit("raw").as("format"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        col("payload").cast("binary").as("bytes"))
+  }
+
   private def docDupFixture(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
     d.unionByName(d.filter(col("doc_id") % 5 === 0)
@@ -1568,6 +1598,25 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Perceptual-hash NEAR-dup over media payloads: dHash (8×9
+    // grayscale grid → 64 horizontal-gradient bits) through the
+    // simhash 4×16-bit pigeonhole banding, exact-recall at hamming ≤ 3.
+    // Plants: re-encodes (identical grid bytes, different tail —
+    // hamming 0) and corrupted re-encodes (ONE grid cell bumped —
+    // dHash's comparison locality bounds that to ≤ 1 bit). The stub
+    // grid is byte-decimation over the md5-hex payload, so the oracle
+    // replays grid → bits → hamming from first principles.
+    "mm_dedup_phash" -> ((s, dir) =>
+      Multimodal.phashNearDupPairs(phashMedia(s, dir), maxHamming = 3)
+        .orderBy("a_id", "b_id")),
+
+    // EXACT perceptual-dup clusters on dHash equality (the re-encode
+    // plants: different octets, same gradients): cluster id = smallest
+    // member, |media|-bounded output.
+    "mm_phash_clusters" -> ((s, dir) =>
+      Multimodal.phashClusters(phashMedia(s, dir))
+        .orderBy("media_id")),
+
     // Video frame-sampling plan (pure plan-side explode; the decoder
     // would fetch only sampled frames).
     "mm_frame_sample" -> ((s, dir) => {
@@ -1671,9 +1720,11 @@ object SparkEntry {
       val slice2 = e.filter(col("vec_id") >= 250)
         .unionByName(e.filter(col("vec_id") % 50 === 0)
           .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
-      val r1 = graft.pipeline.VectorPipeline.ingestBatch(s, slice1)
+      // explicit 12-bit gate PQ resolution (treadmill defaults are
+      // production m=16/ksub=256 — overkill for a 500-vector fixture)
+      val r1 = graft.pipeline.VectorPipeline.ingestBatch(s, slice1, pqM = 4, pqKsub = 8)
       require(r1.ok, s"slice 1 failed: ${r1.stages}")
-      val r2 = graft.pipeline.VectorPipeline.ingestBatch(s, slice2)
+      val r2 = graft.pipeline.VectorPipeline.ingestBatch(s, slice2, pqM = 4, pqKsub = 8)
       require(r2.ok, s"slice 2 failed: ${r2.stages}")
       val tier = s.table(graft.pipeline.VectorPipeline.TierTable)
       require(s.table(graft.pipeline.VectorPipeline.pqIndexTable(s)).count() == tier.count(),
@@ -1701,10 +1752,10 @@ object SparkEntry {
         .unionByName(e.filter(col("vec_id") % 50 === 0)
           .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
       slice1.coalesce(1).write.mode("append").json(land)
-      val q1 = VectorPipeline.streamIngest(s, land, cp)
+      val q1 = VectorPipeline.streamIngest(s, land, cp, pqM = 4, pqKsub = 8)
       require(q1.awaitTermination(300000), "stream_vec_ingest: slice 1 drain timed out")
       slice2.coalesce(1).write.mode("append").json(land)
-      val q2 = VectorPipeline.streamIngest(s, land, cp)
+      val q2 = VectorPipeline.streamIngest(s, land, cp, pqM = 4, pqKsub = 8)
       require(q2.awaitTermination(300000), "stream_vec_ingest: slice 2 drain timed out")
       val tier = s.table(VectorPipeline.TierTable)
       require(s.table(VectorPipeline.pqIndexTable(s)).count() == tier.count(),
@@ -1726,9 +1777,9 @@ object SparkEntry {
       import graft.pipeline.VectorPipeline
       VectorPipeline.resetTreadmill(s)
       val e = emb(s, dir).select("vec_id", "embedding")
-      val r1 = VectorPipeline.ingestBatch(s, e.filter(col("vec_id") < 250))
+      val r1 = VectorPipeline.ingestBatch(s, e.filter(col("vec_id") < 250), pqM = 4, pqKsub = 8)
       require(r1.ok, s"slice 1 failed: ${r1.stages}")
-      val r2 = VectorPipeline.ingestBatch(s, e.filter(col("vec_id") >= 250))
+      val r2 = VectorPipeline.ingestBatch(s, e.filter(col("vec_id") >= 250), pqM = 4, pqKsub = 8)
       require(r2.ok, s"slice 2 failed: ${r2.stages}")
       val rg = VectorPipeline.regenerate(s, coarseK = 12, pqM = 4, pqKsub = 8,
         sampleFraction = 0.7)
@@ -2177,6 +2228,20 @@ object SparkEntry {
         seqLen = 2048)
         .orderBy("position")),
 
+    // TOKENIZER-AWARE epoch materialization: the same plan → fill →
+    // shuffle chain, but every token count is the BPE symbol count
+    // under a 6-merge tokenizer learned on the same corpus — the unit
+    // training actually consumes (whitespace vs BPE diverge per-source
+    // at scale, skewing mix targets). The oracle replays the ENTIRE
+    // composition: BPE training loop → per-doc symbol counts → epoch
+    // arithmetic, all from first principles.
+    "doc_epoch_materialize_bpe" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.epochMaterialize(d, budgetTokens = 1000000L, seed = 42L,
+        merges = Bpe.trainBatched(d, numMerges = 6))
+        .orderBy("position")
+    }),
+
     // Concat-then-slice training batch assembly: global token offsets
     // via the two-level prefix sum (never a global window).
     "doc_pack_sequences" -> ((s, dir) =>
@@ -2603,6 +2668,10 @@ object SparkEntry {
         |       CAST(ROUND(CAST(FLOOR(weight * 1000000) AS BIGINT)::DOUBLE
         |                  / greatest(token_sum, 1), 6) AS DOUBLE) AS repeat_factor
         |FROM w ORDER BY source""".stripMargin,
+
+    // Tokenizer-aware epoch replay: BPE chain -> per-doc symbol counts
+    // -> the doc_epoch_materialize arithmetic over BPE units.
+    "doc_epoch_materialize_bpe" -> epochMaterializeBpeSql(6),
 
     // Epoch materialization replay: the doc_epoch_plan arithmetic ->
     // per-source integer passes ⌊target/token_sum⌋ + a fractional fill
@@ -3389,6 +3458,33 @@ object SparkEntry {
        |          t -> substr(md5(t), 1, 16)) AS hxs
        |      FROM documents)""".stripMargin
   }
+
+  // The phash gates' media payloads + dHash signatures as 64-char bit
+  // strings: payload per phashMedia (originals + re-encode + corrupted
+  // plants), bit k (position k+1 in the string) = 1 iff cell(k + k//8)
+  // < cell(k + k//8 + 1), cell c = ascii(payload char c+1) — StubGrid
+  // byte decimation at payload length (96) >= grid size (72).
+  private val phashSigsSql =
+    """base AS (
+      |  SELECT doc_id, text,
+      |         md5(text) || md5(text || ':1') || md5(text || ':2') AS payload
+      |  FROM documents WHERE text IS NOT NULL),
+      |media AS (
+      |  SELECT doc_id AS media_id, payload FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |         substr(payload, 1, 72) || substr(md5(text || ':3'), 1, 24)
+      |  FROM base WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000,
+      |         substr(payload, 1, 9) || 'z' || substr(payload, 11, 86)
+      |  FROM base WHERE doc_id % 7 = 3),
+      |sigs AS (
+      |  SELECT media_id, array_to_string(list_transform(range(0, 64),
+      |    k -> CASE WHEN ascii(substr(payload, CAST(k + k // 8 + 1 AS INT), 1))
+      |               < ascii(substr(payload, CAST(k + k // 8 + 2 AS INT), 1))
+      |         THEN '1' ELSE '0' END), '') AS sig
+      |  FROM media)""".stripMargin
 
   // Shared doc_stats SQL fragments (also power the quantile oracle).
   private val statsEn = TextStats.Stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -4409,6 +4505,32 @@ object SparkEntry {
         |           i -> substr(md5(text), CAST(i AS INT), 1)), '')) AS thumb_hash
         |FROM documents ORDER BY 1""".stripMargin,
 
+    // dHash replay from first principles: rebuild the 96-char payloads
+    // with the plants, derive bit k as (cell(k + k//8) < cell(k+k//8+1))
+    // where cell c = ascii of payload char c (the StubGrid byte-
+    // decimation at payload length >= grid size), then all-pairs
+    // hamming <= 3 (the 4-chunk pigeonhole banding is exact-recall
+    // there, so the plans match row-for-row).
+    "mm_dedup_phash" ->
+      s"""WITH $phashSigsSql
+         |SELECT a.media_id AS a_id, b.media_id AS b_id,
+         |       CAST(len(list_filter(range(1, 65),
+         |                i -> substr(a.sig, CAST(i AS INT), 1) <> substr(b.sig, CAST(i AS INT), 1))) AS INT) AS hamming
+         |FROM sigs a, sigs b
+         |WHERE a.media_id < b.media_id
+         |  AND len(list_filter(range(1, 65),
+         |          i -> substr(a.sig, CAST(i AS INT), 1) <> substr(b.sig, CAST(i AS INT), 1))) <= 3
+         |ORDER BY 1, 2""".stripMargin,
+
+    "mm_phash_clusters" ->
+      s"""WITH $phashSigsSql,
+         |cl AS (
+         |  SELECT sig, min(media_id) AS cluster_id, count(*) AS cluster_size
+         |  FROM sigs GROUP BY 1 HAVING count(*) >= 2)
+         |SELECT s.media_id, c.cluster_id, c.cluster_size
+         |FROM sigs s JOIN cl c USING (sig)
+         |ORDER BY 1""".stripMargin,
+
     "mm_frame_sample" ->
       """WITH f AS (
         |  SELECT doc_id, unnest(range(0, (doc_id % 5000) + 1000, 1000)) AS ts
@@ -5335,6 +5457,70 @@ object SparkEntry {
       (1 to n).map(i =>
         s"SELECT $i::BIGINT AS rank, l AS left_sym, r AS right_sym, cnt AS pair_count FROM p$i")
         .mkString("\nUNION ALL ") + "\nORDER BY rank"
+
+  /** Tokenizer-aware epoch replay: the BPE training chain, per-doc BPE
+    * symbol counts (the doc_bpe_encode algebra, LEFT-joined so
+    * no-trainable-word docs count 0), then the doc_epoch_materialize
+    * arithmetic verbatim over those counts. */
+  private def epochMaterializeBpeSql(n: Int): String =
+    "WITH " + bpeChainSql(n) + s""",
+       |fin AS MATERIALIZED (
+       |  SELECT w, len(string_split(trim(seg), '  '))::BIGINT AS word_syms FROM w$n),""".stripMargin +
+      """
+        |docw AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+        |  FROM documents),
+        |bpetc AS (
+        |  SELECT d.doc_id, sum(f.word_syms)::BIGINT AS tc
+        |  FROM (SELECT doc_id, w FROM docw
+        |        WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2) d
+        |  JOIN fin f USING (w) GROUP BY 1),
+        |t AS (
+        |  SELECT d.doc_id, d.source, coalesce(b.tc, 0)::BIGINT AS tc
+        |  FROM documents d LEFT JOIN bpetc b USING (doc_id)),
+        |s AS (SELECT source, count(*) AS doc_count, CAST(sum(tc) AS BIGINT) AS token_sum FROM t GROUP BY 1),
+        |q AS (
+        |  SELECT source, doc_count, token_sum,
+        |         sqrt(token_sum::DOUBLE / (SELECT sum(token_sum) FROM s)) AS q
+        |  FROM s),
+        |n AS (SELECT list_reduce(list(q ORDER BY source), (a, b) -> a + b) AS qsum FROM q),
+        |w AS (
+        |  SELECT source, token_sum,
+        |         CAST(ROUND(q / n.qsum, 6) AS DOUBLE) AS weight
+        |  FROM q, n),
+        |plan AS (
+        |  SELECT source, token_sum,
+        |         CAST(FLOOR(weight * 1000000) AS BIGINT) AS target_tokens
+        |  FROM w),
+        |rem AS (
+        |  SELECT source, token_sum, target_tokens,
+        |         CASE WHEN token_sum > 0
+        |              THEN CAST(FLOOR(target_tokens / token_sum) AS BIGINT) ELSE 0 END AS nfull,
+        |         target_tokens - CASE WHEN token_sum > 0
+        |              THEN CAST(FLOOR(target_tokens / token_sum) AS BIGINT) ELSE 0 END * token_sum AS rem_budget
+        |  FROM plan),
+        |fill AS (
+        |  SELECT doc_id, source,
+        |         coalesce(sum(tc) OVER (PARTITION BY source
+        |             ORDER BY CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT), doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM t),
+        |extra AS (
+        |  SELECT f.doc_id FROM fill f JOIN rem r USING (source)
+        |  WHERE f.before < r.rem_budget),
+        |copies AS (
+        |  SELECT t.doc_id, t.source, t.tc,
+        |         r.nfull + CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS c
+        |  FROM t JOIN rem r USING (source)
+        |  LEFT JOIN extra e ON e.doc_id = t.doc_id),
+        |expanded AS (
+        |  SELECT doc_id, source, tc, unnest(range(0, c)) AS copy
+        |  FROM copies WHERE c > 0)
+        |SELECT CAST(row_number() OVER (
+        |         ORDER BY md5('42:' || doc_id::VARCHAR || '#' || copy::VARCHAR),
+        |                  doc_id::VARCHAR || '#' || copy::VARCHAR) - 1 AS BIGINT) AS position,
+        |       doc_id, CAST(copy AS BIGINT) AS copy, source, tc AS token_count
+        |FROM expanded ORDER BY position""".stripMargin
 
   private def bpeEncodeSql(n: Int): String =
     "WITH " + bpeChainSql(n) + s""",

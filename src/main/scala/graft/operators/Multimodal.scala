@@ -198,6 +198,179 @@ object Multimodal {
     * whose codecs this environment lacks (video, compressed audio). */
   def realDecoder: Decoder = new ImageIoDecoder(new WavDecoder(StubDecoder))
 
+  // ------------------------------------------------------------------
+  // Perceptual-hash dedup (dHash)
+  // ------------------------------------------------------------------
+
+  /** dHash grid geometry: 8 rows × 9 columns of grayscale cells yield
+    * 8 left<right comparisons per row = 64 bits. */
+  val HashRows = 8
+  val HashCols = 9
+
+  /** Bytes → row-major grayscale grid (values 0..255), the only
+    * media-specific step of the perceptual hash. Same seam shape as
+    * [[Decoder]]/[[Resizer]]: implementations are pure per input and
+    * instantiated once per partition; `null` marks an undecodable
+    * payload (the row gets a null hash, never an exception — one
+    * corrupt blob must not kill a 100 TB dedup pass). */
+  trait GridExtractor extends Serializable {
+    def grid(kind: String, format: String, bytes: Array[Byte],
+             rows: Int, cols: Int): Array[Int]
+  }
+
+  /** Deterministic stand-in for codecs this environment lacks: cell k
+    * is byte k of the payload (wrapping when the payload is shorter
+    * than the grid) — a pure function of the octets, so the DuckDB
+    * oracle replays the whole hash bit for bit (the pixel-true path is
+    * [[ImageIoGrid]], spec-gated on real PNGs). */
+  object StubGrid extends GridExtractor {
+    def grid(kind: String, format: String, bytes: Array[Byte],
+             rows: Int, cols: Int): Array[Int] =
+      if (bytes == null || bytes.isEmpty) null
+      else Array.tabulate(rows * cols)(k => bytes(k % bytes.length) & 0xFF)
+  }
+
+  /** Pixel-true grid on `javax.imageio`: decode, average luminance over
+    * an evenly-spaced rows×cols block partition of the image. Block
+    * averaging (not point sampling) is what makes the hash survive
+    * re-encoding and mild resizing — the property perceptual dedup
+    * exists for. Non-image kinds fall through to `fallback`;
+    * undecodable image bytes yield null. */
+  final class ImageIoGrid(fallback: GridExtractor = StubGrid) extends GridExtractor {
+    def grid(kind: String, format: String, bytes: Array[Byte],
+             rows: Int, cols: Int): Array[Int] = {
+      if (kind != "image") return fallback.grid(kind, format, bytes, rows, cols)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (img == null) return null
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Int](rows * cols)
+      var i = 0
+      while (i < rows) {
+        val y0 = (i.toLong * h / rows).toInt
+        val y1 = math.max(y0 + 1, ((i + 1).toLong * h / rows).toInt)
+        var j = 0
+        while (j < cols) {
+          val x0 = (j.toLong * w / cols).toInt
+          val x1 = math.max(x0 + 1, ((j + 1).toLong * w / cols).toInt)
+          var s = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              s += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+              x += 1
+            }
+            y += 1
+          }
+          out(i * cols + j) = (s / ((y1 - y0).toLong * (x1 - x0))).toInt
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** 64-bit dHash over an 8×9 grid: bit i·8+j is 1 iff cell (i,j) <
+    * cell (i,j+1) — horizontal luminance gradients, invariant to
+    * global brightness/contrast shifts (any monotone per-image
+    * transform preserves every comparison). Plain bitwise packing —
+    * no arithmetic, so no ANSI overflow surface. */
+  def dHash64(g: Array[Int]): Long = {
+    var hash = 0L
+    var i = 0
+    while (i < HashRows) {
+      var j = 0
+      while (j < HashRows) { // 8 comparisons per row
+        if (g(i * HashCols + j) < g(i * HashCols + j + 1))
+          hash |= 1L << (i * HashRows + j)
+        j += 1
+      }
+      i += 1
+    }
+    hash
+  }
+
+  /** Adds a `phash` LONG column (null for undecodable payloads) —
+    * row-local `mapPartitions` like [[withFeatures]]: no shuffle, lazy
+    * iterator, decoder init amortized per partition. */
+  def withPhash(media: DataFrame, grid: GridExtractor = StubGrid): DataFrame = {
+    val outSchema = StructType(media.schema.fields :+
+      StructField("phash", LongType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val kindIdx = media.schema.fieldIndex("kind")
+    val fmtIdx = media.schema.fieldIndex("format")
+    val bytesIdx = media.schema.fieldIndex("bytes")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](bytesIdx)
+        val g =
+          if (bytes == null) null
+          else grid.grid(r.getString(kindIdx), r.getString(fmtIdx), bytes,
+            HashRows, HashCols)
+        Row.fromSeq(r.toSeq :+ (if (g == null) null else dHash64(g)))
+      }
+    }(enc)
+  }
+
+  /** EXACT perceptual-dup clusters: identical dHash (e.g. the same
+    * image re-encoded — different octets, same gradients). One
+    * hash-partitioned groupBy; cluster id = smallest member. Output is
+    * one row per media asset in a cluster of ≥ 2, bounded by |media|.
+    * Undecodable (null-hash) rows never cluster. */
+  def phashClusters(media: DataFrame, grid: GridExtractor = StubGrid): DataFrame = {
+    val hashed = withPhash(media, grid).filter(col("phash").isNotNull)
+      .select("media_id", "phash")
+    val clusters = hashed.groupBy("phash")
+      .agg(min(col("media_id")).as("cluster_id"), count(lit(1)).as("cluster_size"))
+      .filter(col("cluster_size") >= 2)
+    hashed.join(clusters, Seq("phash"))
+      .select("media_id", "cluster_id", "cluster_size")
+  }
+
+  /** NEAR-dup pairs by dHash Hamming distance ≤ `maxHamming` — the
+    * [[TextDedup.nearDupPairsSimhash]] banding discipline on the
+    * perceptual hash: bucket on each of the 4 16-bit chunks
+    * (pigeonhole: hamming ≤ 3 bits cannot touch all 4 chunks, so
+    * probing every chunk table has recall 1 by construction), verify
+    * with exact popcount of the XOR, dedup pairs found under several
+    * chunks with a min-agg. Buckets outside [2, maxBucketSize] never
+    * build an aggregation buffer; skips are observable via
+    * [[skippedPhashBuckets]] — the cap must never truncate silently. */
+  def phashNearDupPairs(media: DataFrame, maxHamming: Int = 3,
+                        grid: GridExtractor = StubGrid,
+                        maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+    require(maxHamming < 4, s"4-chunk pigeonhole covers hamming <= 3, got $maxHamming")
+    val pairs = TextDedup.cappedBucketPairs(phChunked(media, grid),
+        Seq("chunk", "key"), "m", maxBucketSize, TextDedup.memberPairs)
+      .select(col("p.a.media_id").as("a_id"), col("p.b.media_id").as("b_id"),
+        bit_count(col("p.a.phash").bitwiseXOR(col("p.b.phash"))).as("hamming"))
+    pairs.filter(col("hamming") <= maxHamming)
+      .groupBy("a_id", "b_id").agg(min("hamming").cast("int").as("hamming"))
+  }
+
+  /** The dropped-bucket METRIC for [[phashNearDupPairs]]: one row per
+    * skipped (chunk, key) with its member count. */
+  def skippedPhashBuckets(media: DataFrame, grid: GridExtractor = StubGrid,
+                          maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
+    TextDedup.oversized(phChunked(media, grid), Seq("chunk", "key"), maxBucketSize)
+
+  /** Slim ((media_id, phash), chunk, key) rows — ONE hash evaluation
+    * per asset, fanned to its 4 chunk buckets. */
+  private def phChunked(media: DataFrame, grid: GridExtractor): DataFrame =
+    withPhash(media, grid).filter(col("phash").isNotNull)
+      .select(col("media_id"), col("phash"))
+      .select(struct(col("media_id"), col("phash")).as("m"),
+        explode(transform(sequence(lit(0), lit(3)),
+          k => struct(k.as("chunk"),
+            call_function("shiftright", col("phash"), k * 16)
+              .bitwiseAND(0xFFFFL).as("key")))).as("ck"))
+      .select(col("m"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
+
   /** Feature extraction: adds a `features` array<float> column, decoder
     * run per partition. The partition iterator is consumed lazily —
     * constant memory regardless of partition size. */

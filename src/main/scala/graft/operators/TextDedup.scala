@@ -1004,25 +1004,7 @@ object TextDedup {
       .filter(col("sz") >= minShingles)
       .select(col("doc_id"), array_sort(col("sh")).as("sh"), col("sz"))
       .localCheckpoint(true)
-    val post = sets.select(col("doc_id"), explode(col("sh")).as("h"))
-    // stop-shingle cap: document frequency pre-counted, hot shingles
-    // excluded from both join sides before any candidate forms
-    val ok = post.groupBy("h").agg(count(lit(1)).as("__df"))
-      .filter(col("__df").between(2, maxPostings)).select("h")
-    val full = post.join(ok, Seq("h"), "left_semi")
-    // the directed small side: each doc's first (1-t)·|A|+1 sorted
-    // shingles — the only elements that can witness a ≥t containment
-    val prefix = sets
-      .select(col("doc_id"),
-        // same epsilon-guarded ceiling as jaccardPrefixed: an ulp-high
-        // t·|A| product would shorten the prefix and lose at-threshold
-        // containment pairs with suffix-only witnesses
-        explode(slice(col("sh"), lit(1),
-          (size(col("sh")) - ceil(size(col("sh")) * threshold - lit(1e-9)).cast("int") + 1))).as("h"))
-      .join(ok, Seq("h"), "left_semi")
-    val candidates = prefix.select(col("h"), col("doc_id").as("a_id"))
-      .join(full.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
-      .filter(col("a_id") =!= col("b_id"))
+    val candidates = containmentCandidates(sets, threshold, maxPostings)
       .select("a_id", "b_id").distinct()
     candidates
       .join(sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("sz").as("a_sz")),
@@ -1033,6 +1015,75 @@ object TextDedup {
         call_function("contain_long_sets", col("a_sh"), col("b_sh")).as("containment"),
         col("a_sz"), col("b_sz"))
       .filter(col("containment") >= threshold)
+  }
+
+  /** The directed candidate generator shared by the containment family:
+    * A's sorted-shingle PREFIX postings joined against full postings
+    * (complete for C ≥ t — see [[containmentPairs]]), with a SIZE
+    * prefilter applied at the join itself, where row count peaks:
+    * C(A→B) = |A∩B|/|A| and |A∩B| ≤ |B| force |B| ≥ ⌈t·|A|⌉, a
+    * necessary condition checkable from the two ints already riding
+    * the postings — pairs failing it never reach the distinct, the
+    * array-fetch joins, or the O(|A|+|B|) verify kernel. (On corpora
+    * of mixed lengths most spurious prefix collisions are short-doc →
+    * long-doc-boilerplate in the PASSING direction but long → short in
+    * the pruned one; the cut is measured per run by
+    * [[containmentPruningStats]].) Output: (a_id, b_id, a_sz, b_sz)
+    * with possible duplicates (one per witnessing shingle). */
+  private def containmentCandidates(sets: DataFrame, threshold: Double,
+                                    maxPostings: Int,
+                                    sizeFilter: Boolean = true): DataFrame = {
+    val post = sets.select(col("doc_id"), col("sz"), explode(col("sh")).as("h"))
+    // stop-shingle cap: document frequency pre-counted, hot shingles
+    // excluded from both join sides before any candidate forms
+    val ok = post.groupBy("h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df").between(2, maxPostings)).select("h")
+    val full = post.join(ok, Seq("h"), "left_semi")
+    // the directed small side: each doc's first (1-t)·|A|+1 sorted
+    // shingles — the only elements that can witness a ≥t containment
+    val prefix = sets
+      .select(col("doc_id"), col("sz"),
+        // same epsilon-guarded ceiling as jaccardPrefixed: an ulp-high
+        // t·|A| product would shorten the prefix and lose at-threshold
+        // containment pairs with suffix-only witnesses
+        explode(slice(col("sh"), lit(1),
+          (size(col("sh")) - ceil(size(col("sh")) * threshold - lit(1e-9)).cast("int") + 1))).as("h"))
+      .join(ok, Seq("h"), "left_semi")
+    val joined = prefix.select(col("h"), col("doc_id").as("a_id"), col("sz").as("a_sz"))
+      .join(full.select(col("h"), col("doc_id").as("b_id"), col("sz").as("b_sz")), Seq("h"))
+      .filter(col("a_id") =!= col("b_id"))
+    // the size prefilter (epsilon-guarded like the prefix length:
+    // never drop an at-threshold true pair to an ulp-high product)
+    val sized =
+      if (sizeFilter) joined.filter(col("b_sz") >= ceil(col("a_sz") * threshold - lit(1e-9)))
+      else joined
+    sized.select("a_id", "b_id", "a_sz", "b_sz")
+  }
+
+  /** The MEASURED cut of [[containmentCandidates]]' size prefilter —
+    * one row: raw prefix-join candidate rows, rows the necessary
+    * condition pruned, and surviving rows (what reaches distinct +
+    * verify). A diagnostic twin of the skipped-bucket reporters: a
+    * bound on coverage must be observable, and a prefilter's value
+    * must be measured, not assumed. Two passes over the same postings
+    * plan — run it beside the operator, not inside it. */
+  def containmentPruningStats(
+      docs: DataFrame,
+      textCol: String = "text",
+      shingleN: Int = 3,
+      threshold: Double = 0.9,
+      maxPostings: Int = DefaultMaxPostings,
+      minShingles: Int = 1): DataFrame = {
+    val sets = shingleSets(docs, textCol, shingleN)
+      .filter(col("sz") >= minShingles)
+      .select(col("doc_id"), array_sort(col("sh")).as("sh"), col("sz"))
+      .localCheckpoint(true)
+    val raw = containmentCandidates(sets, threshold, maxPostings, sizeFilter = false)
+    val kept = containmentCandidates(sets, threshold, maxPostings)
+    raw.agg(count(lit(1)).as("raw_rows")).crossJoin(
+      kept.agg(count(lit(1)).as("kept_rows")))
+      .select(col("raw_rows"), (col("raw_rows") - col("kept_rows")).as("pruned_rows"),
+        col("kept_rows"))
   }
 
   /** Per-document containment SUMMARY — the doc-bound rendition of
@@ -1171,8 +1222,9 @@ object TextDedup {
       .groupBy("a_id", "b_id").agg(min("hamming").as("hamming")) // distinct across chunks
   }
 
-  /** All unordered member pairs (by ascending doc_id) within a bucket. */
-  private def memberPairs(ms: Column): Column = {
+  /** All unordered member pairs (by ascending leading id field) within
+    * a bucket (shared with Multimodal's phash banding). */
+  private[operators] def memberPairs(ms: Column): Column = {
     val sorted = array_sort(ms) // struct sort: doc_id is the leading field
     flatten(transform(sorted, (x, i) =>
       transform(slice(sorted, i + 2, size(sorted)), y => struct(x.as("a"), y.as("b")))))

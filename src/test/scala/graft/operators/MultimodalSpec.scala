@@ -180,4 +180,131 @@ class MultimodalSpec extends SparkSpec {
     assert(scan.contains("ReadSchema") && !scan.contains("bytes"),
       s"binary column not pruned:\n$scan")
   }
+
+  // ------------------------------------------------------------------
+  // Perceptual-hash dedup
+  // ------------------------------------------------------------------
+
+  private def mediaRow(id: Long, bytes: Array[Byte], kind: String = "image") =
+    (id, kind, "raw", bytes)
+
+  private def mediaDf(rows: Seq[(Long, String, String, Array[Byte])]) =
+    rows.toDF("media_id", "kind", "format", "bytes")
+      .withColumn("width", lit(null).cast("int"))
+      .withColumn("height", lit(null).cast("int"))
+      .withColumn("duration_ms", lit(null).cast("long"))
+      .select("media_id", "kind", "format", "width", "height", "duration_ms", "bytes")
+
+  test("dHash64 packs left<right comparisons; StubGrid wraps short payloads") {
+    // ramp grid: every left < right -> all 64 bits set
+    assert(Multimodal.dHash64(Array.tabulate(72)(identity)) == -1L)
+    // flat grid: no strict inequality -> 0
+    assert(Multimodal.dHash64(Array.fill(72)(7)) == 0L)
+    // StubGrid on a 2-byte payload alternates, wrapping mod len
+    val g = Multimodal.StubGrid.grid("image", "raw", Array[Byte](1, 2), 8, 9)
+    assert(g.length == 72 && g(0) == 1 && g(1) == 2 && g(2) == 1 && g(71) == 2)
+    assert(Multimodal.StubGrid.grid("image", "raw", Array.emptyByteArray, 8, 9) == null)
+  }
+
+  test("phash: re-encoded duplicates (same grid bytes, fresh tail) collide at hamming 0") {
+    val rnd = new scala.util.Random(7)
+    def payload() = Array.fill[Byte](96)((33 + rnd.nextInt(90)).toByte)
+    val originals = (0L until 40L).map(i => mediaRow(i, payload()))
+    // plant: ids 0..9 re-encoded — identical first 72 bytes (the grid),
+    // different tail (a re-encode changes octets, not gradients)
+    val reencodes = (0L until 10L).map { i =>
+      val p = originals(i.toInt)._4.clone()
+      (72 until 96).foreach(k => p(k) = (p(k) ^ 0x55).toByte)
+      mediaRow(i + 1000L, p)
+    }
+    // plant: ids 20,21 corrupted — ONE grid cell changed => <= 2 bits
+    val corrupted = Seq(20L, 21L).map { i =>
+      val p = originals(i.toInt)._4.clone()
+      p(40) = (p(40) ^ 0x7F).toByte
+      mediaRow(i + 2000L, p)
+    }
+    val media = mediaDf(originals ++ reencodes ++ corrupted)
+    val pairs = Multimodal.phashNearDupPairs(media, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    // every re-encode pairs with its original at hamming exactly 0
+    (0L until 10L).foreach { i =>
+      assert(pairs.get((i, i + 1000L)).contains(0), s"re-encode of $i: ${pairs.get((i, i + 1000L))}")
+    }
+    // corrupted twins within <= 2 bits (cell 40 feeds two comparisons)
+    Seq(20L, 21L).foreach { i =>
+      val h = pairs.get((i, i + 2000L))
+      assert(h.exists(_ <= 2), s"corrupt twin of $i: $h")
+    }
+    // exact clusters: each planted re-encode joins its original's cluster
+    val clusters = Multimodal.phashClusters(media)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    (0L until 10L).foreach { i =>
+      assert(clusters.get(i).contains((i, 2L)), s"cluster of $i: ${clusters.get(i)}")
+      assert(clusters.get(i + 1000L).contains((i, 2L)))
+    }
+    assert(!clusters.contains(25L), "an unplanted original must not cluster")
+  }
+
+  test("phash hamming verify is exact: a far pair sharing one chunk is rejected") {
+    // two payloads identical in grid cells 0..17 (chunks share bits) but
+    // scrambled after: they may share a 16-bit chunk bucket, yet the
+    // XOR popcount filter must reject them; a third exact copy passes
+    val a = Array.tabulate[Byte](96)(k => (k % 97).toByte)
+    val b = a.clone(); (18 until 72 by 2).foreach(k => b(k) = (b(k) ^ 0x3F).toByte)
+    val media = mediaDf(Seq(mediaRow(1L, a), mediaRow(2L, b), mediaRow(3L, a.clone())))
+    val got = Multimodal.phashNearDupPairs(media, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 3L, 0)), s"got $got")
+  }
+
+  test("ImageIoGrid: brightness shift and re-encode keep the dHash; different image diverges") {
+    def img(w: Int, h: Int)(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) { val v = f(x, y) & 0xFF; im.setRGB(x, y, (v << 16) | (v << 8) | v) }
+      im
+    }
+    def png(im: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val grid = new Multimodal.ImageIoGrid()
+    def hash(bytes: Array[Byte]): Long =
+      Multimodal.dHash64(grid.grid("image", "png", bytes, 8, 9))
+    // a diagonal luminance gradient, its +30-brightness twin (monotone,
+    // clamp-free: max 252 — every left<right comparison is preserved),
+    // and a 2× upscale (block averaging sees the same gradients)
+    val base = img(36, 32)((x, y) => 20 + x * 4 + y * 2)
+    val bright = img(36, 32)((x, y) => 50 + x * 4 + y * 2)
+    val big = img(72, 64)((x, y) => 20 + (x / 2) * 4 + (y / 2) * 2)
+    val other = img(36, 32)((x, y) => 20 + (35 - x) * 4 + y * 2) // reversed gradient
+    val h0 = hash(png(base))
+    assert(hash(png(bright)) == h0, "brightness shift must preserve dHash")
+    val hBig = hash(png(big))
+    assert(java.lang.Long.bitCount(h0 ^ hBig) <= 3,
+      s"2x upscale drifted ${java.lang.Long.bitCount(h0 ^ hBig)} bits")
+    val hOther = hash(png(other))
+    assert(java.lang.Long.bitCount(h0 ^ hOther) > 16,
+      s"reversed gradient too close: ${java.lang.Long.bitCount(h0 ^ hOther)} bits")
+    // end-to-end through the frame: the upscaled re-render pairs with
+    // the original through banding + verify
+    val media = mediaDf(Seq(
+      (10L, "image", "png", png(base)), (11L, "image", "png", png(big)),
+      (12L, "image", "png", png(other)), (13L, "image", "png", Array[Byte](1, 2)))) // corrupt -> null hash
+    val pairs = Multimodal.phashNearDupPairs(media, maxHamming = 3,
+        grid = new Multimodal.ImageIoGrid())
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((10L, 11L)), pairs.mkString(","))
+  }
+
+  test("phash bucket cap: a degenerate hash family is skipped and REPORTED, never exploded") {
+    val same = Array.tabulate[Byte](96)(k => (k * 3 % 91).toByte)
+    val media = mediaDf((0L until 30L).map(i => mediaRow(i, same.clone())))
+    val pairs = Multimodal.phashNearDupPairs(media, maxBucketSize = 10)
+    assert(pairs.count() == 0L, "capped buckets must emit no pairs")
+    val skipped = Multimodal.skippedPhashBuckets(media, maxBucketSize = 10).collect()
+    assert(skipped.length == 4 && skipped.forall(_.getAs[Long]("member_count") == 30L),
+      s"skips must be reported per chunk: ${skipped.toSeq}")
+  }
 }

@@ -650,6 +650,36 @@ class TextDedupSpec extends SparkSpec {
     assert(skipped.head().getAs[Long]("member_count") == 40L)
   }
 
+  test("containment size prefilter: impossible directions pruned at the join, output unchanged") {
+    // doc 5 (12 words, 10 shingles) is windowed into ten 1-shingle docs
+    // 11..20 — each window is wholly contained (C = 1, kept), while the
+    // reverse direction 5 -> window is IMPOSSIBLE at t=0.9 (|B| = 1 <
+    // ceil(0.9·10) = 9). Whatever hash order the prefix picks, doc 5's
+    // 2 prefix shingles each live in exactly one window doc, so the
+    // 5 -> window raw candidates FORM deterministically — and must all
+    // be pruned by the size condition before the verify. Docs 3/4 pin
+    // the boundary: C exactly = t must survive the epsilon guard.
+    val windows = (1 to 10).map(k =>
+      (10L + k, (k to k + 2).map(i => s"m$i").mkString(" ")))
+    val df = (Seq(
+      (3L, "p q r s t u v w x y z z1"), // 10 shingles
+      (4L, "p q r s t u v w x y z q9"), // 10 shingles, 9 shared -> C = 0.9 both ways
+      (5L, (1 to 12).map(i => s"m$i").mkString(" "))
+    ) ++ windows).toDF("doc_id", "text")
+    val pairs = TextDedup.containmentPairs(df, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.keySet ==
+      (Set((3L, 4L), (4L, 3L)) ++ (1 to 10).map(k => (10L + k, 5L))), pairs.toString)
+    assert(pairs((3L, 4L)) == 0.9 && pairs((4L, 3L)) == 0.9,
+      "at-threshold pairs must survive the epsilon-guarded size cut")
+    val stats = TextDedup.containmentPruningStats(df, threshold = 0.9).head()
+    val (raw, pruned, kept) = (stats.getAs[Long]("raw_rows"),
+      stats.getAs[Long]("pruned_rows"), stats.getAs[Long]("kept_rows"))
+    assert(raw == pruned + kept)
+    assert(pruned >= 2L, s"doc 5's two prefix witnesses must be measured as pruned: $stats")
+    assert(kept > 0L)
+  }
+
   test("containmentSummary: doc-bound rollup with (max DESC, id ASC) argmax; dedupContained drops the quote") {
     val df = Seq(
       (1L, "a b c d e f g h i j"), // 8 shingles — the fullest text
