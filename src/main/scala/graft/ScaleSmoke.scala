@@ -410,6 +410,73 @@ object ScaleSmoke {
       require(bad == 0, s"$bad probes without a sim-1 twin after rollover")
       r.metrics("tier_encoded")
     }
+    timed("vector_maintain_8k", retain = true) {
+      // the UNATTENDED deployment shape at corpus scale: two landed
+      // slices drained through streamIngestAndMaintain at the
+      // production-resolution PQ defaults. Slice 2 lands the odd half
+      // of every clone family — post-baseline growth the birth
+      // histogram never saw — so the tight drift threshold makes the
+      // post-drain check fire and the rollover runs WITHOUT an
+      // operator scheduling it. Retained: serve_recall_defaults reads
+      // the maintained generation.
+      graft.pipeline.VectorPipeline.resetTreadmill(spark)
+      val land = java.nio.file.Files.createTempDirectory("scale_vm_land").toString
+      val cp = java.nio.file.Files.createTempDirectory("scale_vm_cp").toString
+      // the clone id offset (1M) is even, so id parity partitions the
+      // DISTINCT vectors, not the replicas: slice 2 genuinely grows
+      // the post-dedup tier instead of reconciling away
+      emb.filter(col("vec_id") % 2 === 0).coalesce(4).write.mode("append").json(land)
+      val r0 = graft.pipeline.VectorPipeline.streamIngestAndMaintain(spark, land, cp,
+        maxShareDrift = 0.99, maxOverCapShare = 0.99)
+      require(r0.isEmpty, "bootstrap drain must not trigger a rollover")
+      require(graft.pipeline.VectorPipeline.currentGeneration(spark) == 1L)
+      emb.filter(col("vec_id") % 2 =!= 0).coalesce(4).write.mode("append").json(land)
+      val r1 = graft.pipeline.VectorPipeline.streamIngestAndMaintain(spark, land, cp,
+        maxShareDrift = 1e-6, maxOverCapShare = 0.99, sampleFraction = 0.5)
+      require(r1.exists(_.ok), s"drift must trigger the rollover: $r1")
+      require(graft.pipeline.VectorPipeline.currentGeneration(spark) == 2L)
+      val tier = spark.table(graft.pipeline.VectorPipeline.TierTable).count()
+      require(tier <= nVecs / vmult,
+        s"cross-slice clone families must collapse: tier $tier of $nVecs")
+      require(spark.table(graft.pipeline.VectorPipeline.pqIndexTable(spark)).count() == tier,
+        "the maintained generation must cover the tier")
+      // clone-twin probes still serve rank-1 sim-1 under generation 2
+      val probes = emb0.filter(col("vec_id") % 500 === 0)
+        .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+      val bad = graft.pipeline.VectorPipeline.queryTopK(spark, probes, k = 1, nprobe = 2)
+        .filter(col("sim") < 0.999999).count()
+      require(bad == 0, s"$bad probes without a sim-1 twin after the maintained rollover")
+      tier
+    }
+    timed("serve_recall_defaults_8k") {
+      // the serve-path recall contract at PRODUCTION defaults: the
+      // derived refine budget (nprobe·k·RefineScale) must hold true-NN
+      // recall within 10% of the candidate ceiling (uncapped refine) —
+      // the measured closure of the 12-bit crowd-out lesson. Reads the
+      // generation vector_maintain_8k left behind.
+      val tier = spark.table(graft.pipeline.VectorPipeline.TierTable)
+        .localCheckpoint(true)
+      val nTier = tier.count()
+      val exact1 = operators.Similarity.topKExact(tier, tier, 1)
+        .select(col("probe_id"), col("neighbor_id").as("true_id"))
+        .localCheckpoint(true)
+      val probes = tier.select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+      def hits(refine: Int): Long =
+        graft.pipeline.VectorPipeline.queryTopK(spark, probes, k = 2, nprobe = 2,
+            refine = refine)
+          .withColumn("probe_id", col("probe_id") - 900000000L)
+          .filter(col("neighbor_id") =!= col("probe_id")) // rank-1 is the twin
+          .groupBy("probe_id").agg(min_by(col("neighbor_id"), col("rank")).as("nn"))
+          .join(exact1, Seq("probe_id"))
+          .filter(col("nn") === col("true_id")).count()
+      val derived = hits(0) // floor: the derived nprobe·k·RefineScale budget
+      val ceiling = hits(Int.MaxValue)
+      System.err.println(s"[scale] serve_recall_defaults rank-1 of $nTier: " +
+        s"derived-budget $derived, candidate ceiling $ceiling")
+      require(derived * 10L >= ceiling * 9L,
+        s"derived refine budget loses >10% vs the candidate ceiling: $derived of $ceiling")
+      derived
+    }
     timed("epoch_materialize_50k") {
       // the plan→epoch→pack chain at corpus scale: ONE corpus scan
       // builds the keyed profile (the pinned budgetKeyed frame — the
@@ -488,6 +555,43 @@ object ScaleSmoke {
       require(merges.zip(base).forall { case (m, b) => m.pairCount == b.pairCount * mult },
         "pair counts must scale by the clone multiplier")
       merges.length.toLong
+    }
+    timed("bpe_train_batched_50k") {
+      // the production training shape (one pair-count job learns up to
+      // batchSize merges). The natural synthetic corpus has only ~30
+      // distinct trainable words (~89 possible merges), so vocabulary
+      // DEPTH is planted: one md5-derived 8-char word per doc (digits
+      // translated to letters — a 16-letter alphabet with a long
+      // sparse merge tail, exactly where one-merge-per-round dies).
+      // 512 merges batched; the sequential loop is measured on the
+      // first 64 only (full-depth sequential is the ~1000-job
+      // pathology batching exists to remove) with equality asserted on
+      // that shared prefix; counts non-increasing anchors the rest
+      // (every pair a merge CREATES is count-bounded by an old pair
+      // adjacent to it — the domination argument the batch bound
+      // rests on).
+      val deep = docs.select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          translate(substring(md5(col("doc_id").cast("string")), 1, 8),
+            "0123456789", "ghijklmnop")).as("text"))
+        .localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val batched = operators.Bpe.trainBatched(deep, numMerges = 512, batchSize = 64)
+      val tBat = (System.nanoTime() - t0) / 1e9
+      require(batched.size == 512, s"expected 512 merges, got ${batched.size}")
+      require(batched.sliding(2).forall {
+        case scala.collection.Seq(a, b) => a.pairCount >= b.pairCount
+        case _ => true
+      }, "selected pair counts must be non-increasing")
+      val t1 = System.nanoTime()
+      val seq64 = operators.Bpe.train(deep, numMerges = 64)
+      val tSeq = (System.nanoTime() - t1) / 1e9
+      require(batched.take(64) == seq64,
+        s"batched prefix must equal the sequential loop:\n${batched.take(64)}\n$seq64")
+      System.err.println(f"[scale] bpe_train_batched 512 merges in $tBat%.1f s; " +
+        f"sequential 64 merges $tSeq%.1f s (${tSeq / 64}%.2f s/merge -> " +
+        f"~${tSeq / 64 * 512}%.0f s at depth 512)")
+      batched.size.toLong
     }
     timed("bigram_topk_50k") {
       val n = operators.Curation.ngramTopK(docs, n = 2, topK = 50).count()
@@ -578,6 +682,20 @@ object ScaleSmoke {
       require(n > 0 || skipped > 0,
         s"clone containment must surface in the summary or the skip metric")
       n
+    }
+    timed("containment_pruning_50k") {
+      // the size prefilter's MEASURED cut (never assumed): raw
+      // prefix-join fan-out vs rows surviving |B| >= ceil(t·|A|) — the
+      // necessary condition removes long->short-direction candidates
+      // before the distinct, the array-fetch joins, and the
+      // O(|A|+|B|) verify kernel
+      val stats = operators.TextDedup.containmentPruningStats(docs, threshold = 0.99)
+        .head()
+      val (raw, pruned, kept) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+      require(raw == pruned + kept, s"stats must reconcile: $raw != $pruned + $kept")
+      System.err.println(f"[scale] containment_pruning raw $raw%d, pruned $pruned%d " +
+        f"(${100.0 * pruned / math.max(raw, 1)}%.1f%%), kept $kept%d")
+      pruned
     }
     timed("semdedup_8k") {
       val out = operators.Similarity.semDedup(emb, tau = 0.999).localCheckpoint(true)

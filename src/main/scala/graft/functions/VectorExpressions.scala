@@ -1010,6 +1010,166 @@ object WordNgrams {
   }
 }
 
+/** Native PQ sub-code assignment: per subspace j of m, the FIRST
+  * codebook row (ties → lowest id, both engines' rule) minimizing the
+  * exact integer L2 distance to the code slice. `books` is the
+  * codebook flattened [j][c][d] → j·ksub·dsub + c·dsub + d as ONE
+  * array<int> literal.
+  *
+  * This kernel exists for PLAN SIZE, not per-row arithmetic: the
+  * composable rendition (an `array` of m·ksub aggregate/zip_with
+  * expressions over per-centroid literal arrays) serializes a ~33 MiB
+  * task binary at production resolution (m=16, ksub=256) and falls off
+  * the codegen path; here the codebook is one flat literal and the
+  * argmin is a tight generated loop. Semantics are bit-identical
+  * (integer sums, first-minimum ties), so every oracle replay is
+  * unchanged. */
+case class PqAssign(codes: Expression, books: Expression, m: Expression, ksub: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def first: Expression = codes
+  override def second: Expression = books
+  override def third: Expression = m
+  override def fourth: Expression = ksub
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (codes.dataType, books.dataType, m.dataType, ksub.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _), IntegerType, IntegerType)
+        if books.foldable && m.foldable && ksub.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "pq_assign requires (array<int>, foldable array<int>, foldable int, foldable int)")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_assign"
+  override def nullable: Boolean = true
+
+  @transient private lazy val mV: Int = m.eval().asInstanceOf[Int]
+  @transient private lazy val ksubV: Int = ksub.eval().asInstanceOf[Int]
+
+  override def nullSafeEval(c: Any, b: Any, mv: Any, kv: Any): Any =
+    PqAssign.compute(c.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], mV, ksubV)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, b, _, _) => {
+      s"""
+         |${ev.value} = graft.functions.PqAssign.compute($c, $b, $mV, $ksubV);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): PqAssign =
+    copy(codes = newFirst, books = newSecond, m = newThird, ksub = newFourth)
+}
+
+object PqAssign {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Null on shape mismatch or any null element — mirroring the
+    * composable fold, where a null touches nullify the aggregate. */
+  def compute(codes: ArrayData, books: ArrayData, m: Int, ksub: Int): ArrayData = {
+    val dim = codes.numElements()
+    if (m <= 0 || ksub <= 0 || dim % m != 0) return null
+    val dsub = dim / m
+    if (books.numElements() != m * ksub * dsub) return null
+    var i = 0
+    while (i < dim) { if (codes.isNullAt(i)) return null; i += 1 }
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = 0
+      var bestDist = Long.MaxValue
+      var c = 0
+      while (c < ksub) {
+        var dist = 0L
+        var d = 0
+        val cOff = (j * ksub + c) * dsub
+        val sOff = j * dsub
+        while (d < dsub) {
+          val diff = (codes.getInt(sOff + d) - books.getInt(cOff + d)).toLong
+          dist += diff * diff
+          d += 1
+        }
+        if (dist < bestDist) { bestDist = dist; best = c } // strict: first min wins
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native PQ reconstruction: concatenation of the chosen codebook rows
+  * (books flattened as in [[PqAssign]]) — the serve-path twin of the
+  * assignment kernel, replacing an element_at lookup over an
+  * m·ksub·dsub literal-array-of-arrays expression per row. */
+case class PqRecon(pqCodes: Expression, books: Expression, m: Expression, ksub: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def first: Expression = pqCodes
+  override def second: Expression = books
+  override def third: Expression = m
+  override def fourth: Expression = ksub
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (pqCodes.dataType, books.dataType, m.dataType, ksub.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _), IntegerType, IntegerType)
+        if books.foldable && m.foldable && ksub.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "pq_recon requires (array<int>, foldable array<int>, foldable int, foldable int)")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_recon"
+  override def nullable: Boolean = true
+
+  @transient private lazy val mV: Int = m.eval().asInstanceOf[Int]
+  @transient private lazy val ksubV: Int = ksub.eval().asInstanceOf[Int]
+
+  override def nullSafeEval(c: Any, b: Any, mv: Any, kv: Any): Any =
+    PqRecon.compute(c.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], mV, ksubV)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, b, _, _) => {
+      s"""
+         |${ev.value} = graft.functions.PqRecon.compute($c, $b, $mV, $ksubV);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression, newFourth: Expression): PqRecon =
+    copy(pqCodes = newFirst, books = newSecond, m = newThird, ksub = newFourth)
+}
+
+object PqRecon {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  def compute(pqCodes: ArrayData, books: ArrayData, m: Int, ksub: Int): ArrayData = {
+    if (m <= 0 || ksub <= 0 || pqCodes.numElements() != m) return null
+    if (books.numElements() % (m * ksub) != 0) return null
+    val dsub = books.numElements() / (m * ksub)
+    val out = new Array[Int](m * dsub)
+    var j = 0
+    while (j < m) {
+      if (pqCodes.isNullAt(j)) return null
+      val c = pqCodes.getInt(j)
+      if (c < 0 || c >= ksub) return null
+      val cOff = (j * ksub + c) * dsub
+      var d = 0
+      while (d < dsub) { out(j * dsub + d) = books.getInt(cOff + d); d += 1 }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
   import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -1081,5 +1241,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("winnow_positions"),
       new ExpressionInfo(classOf[WinnowPositions].getName, "winnow_positions"),
       (children: Seq[Expression]) => WinnowPositions(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_assign"),
+      new ExpressionInfo(classOf[PqAssign].getName, "pq_assign"),
+      (children: Seq[Expression]) =>
+        PqAssign(children.head, children(1), children(2), children(3))))
+    ext.injectFunction((
+      new FunctionIdentifier("pq_recon"),
+      new ExpressionInfo(classOf[PqRecon].getName, "pq_recon"),
+      (children: Seq[Expression]) =>
+        PqRecon(children.head, children(1), children(2), children(3))))
   }
 }

@@ -872,10 +872,27 @@ object Similarity {
 
   /** Per-subspace argmin-L2 assignment over an int8 `codes` column:
     * for each of the m slices, distances to the ksub codebook rows are
-    * exact integer sums and `array_position` of the minimum returns the
-    * FIRST hit — ties resolve to the lowest centroid id on both
-    * engines. Plan-literal codebooks, scan-speed, no shuffle. */
-  private def pqAssign(codes: Column, books: Seq[Seq[Seq[Int]]]): Column = {
+    * exact integer sums with FIRST-hit ties — lowest centroid id on
+    * both engines. Native kernel (`graft.functions.PqAssign`): the
+    * codebook travels as ONE flat array<int> literal and the argmin is
+    * a generated loop — the composable rendition (kept below for
+    * property parity) builds m·ksub aggregate expressions, which at
+    * production resolution (m=16, ksub=256) serialized ~33 MiB task
+    * binaries and fell off the codegen path. */
+  private def pqAssign(codes: Column, books: Seq[Seq[Seq[Int]]]): Column =
+    call_function("pq_assign", codes, booksFlat(books),
+      lit(books.length), lit(books.head.length))
+
+  /** The codebook flattened [j][c][d]-major as one array<int> literal —
+    * plan size O(m·ksub·dsub) INTS IN ONE LITERAL NODE, not O(m·ksub)
+    * expression subtrees. */
+  private def booksFlat(books: Seq[Seq[Seq[Int]]]): Column =
+    lit(books.flatten.flatten.toArray)
+
+  /** The pre-kernel composable rendition of [[pqAssign]] — retained as
+    * the executable spec the KernelProperties suite checks the kernel
+    * against (same integer sums, same first-min tie rule). */
+  private[graft] def pqAssignComposable(codes: Column, books: Seq[Seq[Seq[Int]]]): Column = {
     val dsub = books.head.head.length
     array(books.indices.map { j =>
       val sub = slice(codes, j * dsub + 1, dsub)
@@ -900,8 +917,15 @@ object Similarity {
         pqAssign(col("codes"), books).as("pq_codes"): _*)
 
   /** Code-domain reconstruction: concatenation of the chosen codebook
-    * rows — a plan-literal lookup per subspace, no data movement. */
+    * rows — the serve-path twin of [[pqAssign]], same one-flat-literal
+    * kernel discipline (`graft.functions.PqRecon`). */
   private def pqRecon(pqCodes: Column, books: Seq[Seq[Seq[Int]]]): Column =
+    call_function("pq_recon", pqCodes, booksFlat(books),
+      lit(books.length), lit(books.head.length))
+
+  /** Pre-kernel composable rendition of [[pqRecon]], retained for
+    * property parity (KernelProperties). */
+  private[graft] def pqReconComposable(pqCodes: Column, books: Seq[Seq[Seq[Int]]]): Column =
     flatten(array(books.indices.map { j =>
       val bookLit = array(books(j).map(cent => array(cent.map(v => lit(v)): _*)): _*)
       element_at(bookLit, element_at(pqCodes, j + 1) + 1)

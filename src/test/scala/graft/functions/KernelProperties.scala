@@ -156,6 +156,54 @@ class KernelProperties extends Properties("kernels") {
         .forall(r => r.getSeq[String](0) == r.getSeq[String](1))
     }
 
+  // random PQ shapes: small value ranges force distance TIES, so the
+  // first-minimum rule is exercised, not just the arithmetic
+  private val genPqShape: Gen[(Int, Int, Int)] = for {
+    m <- Gen.oneOf(1, 2, 4)
+    ksub <- Gen.oneOf(2, 3, 8)
+    dsub <- Gen.oneOf(1, 2, 3)
+  } yield (m, ksub, dsub)
+
+  private def genCode(hi: Int): Gen[Int] = Gen.frequency(
+    6 -> Gen.choose(0, math.min(4, hi)), // tie-dense
+    4 -> Gen.choose(0, hi))
+
+  property("pq_assign equals the composable argmin rendition (incl. distance ties)") =
+    Prop.forAll(genPqShape.flatMap { case (m, ksub, dsub) =>
+      for {
+        books <- Gen.listOfN(m, Gen.listOfN(ksub, Gen.listOfN(dsub, genCode(255))))
+        rows <- Gen.listOfN(20, Gen.listOfN(m * dsub, genCode(255)))
+      } yield (books.map(_.map(_.toSeq).toSeq).toSeq, rows)
+    }) { case (books, rows) =>
+      import spark.implicits._
+      import graft.operators.Similarity
+      rows.toDF("codes")
+        .select(Similarity.pqAssignComposable($"codes", books).as("comp"),
+          call_function("pq_assign", $"codes",
+            lit(books.flatten.flatten.toArray),
+            lit(books.length), lit(books.head.length)).as("native"))
+        .collect()
+        .forall(r => r.getSeq[Int](0) == r.getSeq[Int](1))
+    }
+
+  property("pq_recon equals the composable lookup rendition") =
+    Prop.forAll(genPqShape.flatMap { case (m, ksub, dsub) =>
+      for {
+        books <- Gen.listOfN(m, Gen.listOfN(ksub, Gen.listOfN(dsub, genCode(255))))
+        rows <- Gen.listOfN(20, Gen.listOfN(m, Gen.choose(0, ksub - 1)))
+      } yield (books.map(_.map(_.toSeq).toSeq).toSeq, rows)
+    }) { case (books, rows) =>
+      import spark.implicits._
+      import graft.operators.Similarity
+      rows.toDF("pq_codes")
+        .select(Similarity.pqReconComposable($"pq_codes", books).as("comp"),
+          call_function("pq_recon", $"pq_codes",
+            lit(books.flatten.flatten.toArray),
+            lit(books.length), lit(books.head.length)).as("native"))
+        .collect()
+        .forall(r => r.getSeq[Int](0) == r.getSeq[Int](1))
+    }
+
   property("minhash_band_keys equals the composable banding on random hash sets") =
     Prop.forAll(Gen.listOfN(30, genArr.map(_.flatten)), Gen.choose(1, 4), Gen.choose(1, 4)) {
       (sets, bands, rows) =>

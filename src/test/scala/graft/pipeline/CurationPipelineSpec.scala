@@ -280,6 +280,53 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
       .stages.exists(_.stage == "epoch_materialize"))
   }
 
+  test("runFull with a tokenizer: epoch plan and emitted tokens are in BPE units") {
+    val srcDocs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text", "source")
+    val budget = 200000L
+    val report = CurationPipeline.runFull(spark, srcDocs,
+      spark.emptyDataFrame.withColumn("text", lit("")).select("text"),
+      jaccardThreshold = 0.5, mixBudgetTokens = budget, materializeEpoch = true,
+      bpeMerges = 6)
+    assert(report.ok, report.stages.toString)
+    val merges = spark.table(CurationPipeline.BpeMergesTable).orderBy("rank").collect()
+      .map(r => graft.operators.Bpe.Merge(r.getAs[Int]("rank"),
+        r.getAs[String]("left_sym"), r.getAs[String]("right_sym"),
+        r.getAs[Long]("pair_count"))).toSeq
+    assert(merges.size == 6)
+    val train = spark.table(CurationPipeline.SplitTable)
+      .filter($"split" === "train").select("doc_id", "text")
+    val bpe = graft.operators.Bpe.encodedTokenCounts(train, merges)
+    // every emitted epoch row carries the doc's BPE symbol count — the
+    // unit training will consume — not its whitespace count
+    val epoch = spark.table(CurationPipeline.EpochTable)
+    val mismatch = epoch.select("doc_id", "token_count").distinct()
+      .join(bpe, Seq("doc_id"), "left")
+      .filter($"token_count" =!= coalesce($"bpe_tokens", lit(0L))).count()
+    assert(mismatch == 0L, "epoch token_count must be the BPE symbol count")
+    // and the two units genuinely diverge on this corpus, so the
+    // assertion above distinguishes them
+    val diverges = train.join(bpe, Seq("doc_id"), "left")
+      .filter(coalesce($"bpe_tokens", lit(0L)) =!=
+        graft.operators.TextStats.tokenCount($"text").cast("long")).count()
+    assert(diverges > 0L, "BPE and whitespace units must diverge on this corpus")
+    // the mix plan's targets derive from BPE token sums: recompute the
+    // plan independently under the published merges
+    val withSrc = train.join(srcDocs.select("doc_id", "source"), Seq("doc_id"), "left")
+    val wantPlan = graft.operators.Curation.epochPlan(withSrc, budget, merges = merges)
+      .select("source", "target_tokens").collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val gotPlan = spark.table(CurationPipeline.MixPlanTable)
+      .select("source", "target_tokens").collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(gotPlan == wantPlan, s"plan not in BPE units: $gotPlan vs $wantPlan")
+    // every source still meets its (BPE-unit) target
+    gotPlan.foreach { case (src, tgt) =>
+      val key = s"epoch_tokens_${src.orNull}"
+      assert(report.metrics.getOrElse(key, 0L) >= tgt, s"$key under target $tgt")
+    }
+  }
+
   test("degenerate identical corpus: cap triggers, run still succeeds, skips are REPORTED") {
     val one = docs.filter($"doc_id" === 0).select("text").head().getString(0)
     val degenerate = spark.range(3000)
