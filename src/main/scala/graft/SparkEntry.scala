@@ -1617,6 +1617,23 @@ object SparkEntry {
       Multimodal.phashClusters(phashMedia(s, dir))
         .orderBy("media_id")),
 
+    // Hamming pairs closed into connected components (the
+    // doc_neardup_clusters discipline on media): one row per asset in
+    // any qualifying pair, cluster = min id of the component; the
+    // oracle closes the all-pairs hamming graph with a recursive CTE.
+    "mm_phash_components" -> ((s, dir) =>
+      graft.operators.Components.connectedComponents(
+        Multimodal.phashNearDupPairs(phashMedia(s, dir), maxHamming = 3)
+          .select("a_id", "b_id"))
+        .select(col("id").as("media_id"), col("component").as("cluster_id"))
+        .orderBy("media_id")),
+
+    // Perceptual dedup end-to-end: the media corpus minus every
+    // non-canonical member of a hamming component (keep = smallest id).
+    "mm_dedup_keep" -> ((s, dir) =>
+      Multimodal.phashDedup(phashMedia(s, dir), maxHamming = 3)
+        .select("media_id").orderBy("media_id")),
+
     // Video frame-sampling plan (pure plan-side explode; the decoder
     // would fetch only sampled frames).
     "mm_frame_sample" -> ((s, dir) => {
@@ -3486,6 +3503,19 @@ object SparkEntry {
       |         THEN '1' ELSE '0' END), '') AS sig
       |  FROM media)""".stripMargin
 
+  // The phash components' undirected edge set: all-pairs hamming <= 3
+  // over the sigs CTE, symmetrized.
+  private val phashEdgesSql =
+    """pairs AS (
+      |  SELECT a.media_id AS a_id, b.media_id AS b_id
+      |  FROM sigs a, sigs b
+      |  WHERE a.media_id < b.media_id
+      |    AND len(list_filter(range(1, 65),
+      |        i -> substr(a.sig, CAST(i AS INT), 1) <> substr(b.sig, CAST(i AS INT), 1))) <= 3),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM pairs
+      |  UNION SELECT b_id, a_id FROM pairs)""".stripMargin
+
   // Shared doc_stats SQL fragments (also power the quantile oracle).
   private val statsEn = TextStats.Stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
   private val statsHitCols = TextStats.Stopwords.map { case (lang, stops) =>
@@ -4529,6 +4559,35 @@ object SparkEntry {
          |  FROM sigs GROUP BY 1 HAVING count(*) >= 2)
          |SELECT s.media_id, c.cluster_id, c.cluster_size
          |FROM sigs s JOIN cl c USING (sig)
+         |ORDER BY 1""".stripMargin,
+
+    "mm_phash_components" ->
+      s"""WITH RECURSIVE $phashSigsSql,
+         |$phashEdgesSql,
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT id AS media_id, MIN(lbl) AS cluster_id FROM (
+         |  SELECT src AS id, dst AS lbl FROM reach
+         |  UNION SELECT src, src FROM edges)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "mm_dedup_keep" ->
+      s"""WITH RECURSIVE $phashSigsSql,
+         |$phashEdgesSql,
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT id AS media_id, MIN(lbl) AS cluster_id FROM (
+         |    SELECT src AS id, dst AS lbl FROM reach
+         |    UNION SELECT src, src FROM edges)
+         |  GROUP BY 1)
+         |SELECT s.media_id FROM sigs s
+         |LEFT JOIN comp c USING (media_id)
+         |WHERE c.media_id IS NULL OR c.cluster_id = s.media_id
          |ORDER BY 1""".stripMargin,
 
     "mm_frame_sample" ->

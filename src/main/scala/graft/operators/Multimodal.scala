@@ -353,6 +353,23 @@ object Multimodal {
       .groupBy("a_id", "b_id").agg(min("hamming").cast("int").as("hamming"))
   }
 
+  /** Perceptual NEAR-dup dedup: the banded Hamming pairs closed into
+    * connected components (large-star/small-star, [[Components]]) and
+    * each component collapsed to its smallest media_id — the
+    * [[TextDedup.dedupNearMinhash]] keep policy carried to media. The
+    * corpus anti-joins the loser ids; pair and component streams never
+    * leave the plan. */
+  def phashDedup(media: DataFrame, maxHamming: Int = 3,
+                 grid: GridExtractor = StubGrid,
+                 maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+    val losers = Components.connectedComponents(
+        phashNearDupPairs(media, maxHamming, grid, maxBucketSize)
+          .select("a_id", "b_id"))
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("media_id"))
+    media.join(losers, Seq("media_id"), "left_anti")
+  }
+
   /** The dropped-bucket METRIC for [[phashNearDupPairs]]: one row per
     * skipped (chunk, key) with its member count. */
   def skippedPhashBuckets(media: DataFrame, grid: GridExtractor = StubGrid,

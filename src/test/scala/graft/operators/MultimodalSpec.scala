@@ -298,6 +298,27 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((10L, 11L)), pairs.mkString(","))
   }
 
+  test("phashDedup: hamming components close transitively, each keeps its smallest id") {
+    val rnd = new scala.util.Random(11)
+    val a = Array.fill[Byte](96)((33 + rnd.nextInt(90)).toByte)
+    val b = a.clone(); b(20) = (b(20) ^ 0x7F).toByte // <= 2 bits from a
+    val c = b.clone(); c(50) = (c(50) ^ 0x7F).toByte // <= 2 bits from b
+    val lone = Array.fill[Byte](96)((33 + rnd.nextInt(90)).toByte)
+    val media = mediaDf(Seq(
+      mediaRow(5L, a), mediaRow(6L, b), mediaRow(7L, c), mediaRow(8L, lone)))
+    // a~b and b~c qualify; whether a~c does depends on bit overlap —
+    // the component must close over the chain either way
+    val comps = graft.operators.Components.connectedComponents(
+        Multimodal.phashNearDupPairs(media, maxHamming = 3).select("a_id", "b_id"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert(comps.get(5L).contains(5L) && comps.get(6L).contains(5L) &&
+      comps.get(7L).contains(5L), s"chain must close into one component: $comps")
+    assert(!comps.contains(8L))
+    val kept = Multimodal.phashDedup(media, maxHamming = 3)
+      .select("media_id").as[Long].collect().toSet
+    assert(kept == Set(5L, 8L), s"keep the component minimum and the loner: $kept")
+  }
+
   test("phash bucket cap: a degenerate hash family is skipped and REPORTED, never exploded") {
     val same = Array.tabulate[Byte](96)(k => (k * 3 % 91).toByte)
     val media = mediaDf((0L until 30L).map(i => mediaRow(i, same.clone())))
