@@ -275,6 +275,81 @@ object Multimodal {
     }
   }
 
+  /** Pixel-true grid for AUDIO on `javax.sound.sampled`: the mono
+    * |amplitude| envelope averaged over rows×cols evenly-spaced frame
+    * windows, normalized by the clip's own peak (cell = mean/peak·255)
+    * — so the dHash fingerprints the temporal ENERGY SHAPE and a
+    * volume change (the audio analog of a brightness shift) leaves
+    * every cell ratio, hence every comparison, unchanged. Non-WAV
+    * audio falls through to `fallback` (codecs absent here);
+    * undecodable bytes yield null. */
+  final class WavGrid(fallback: GridExtractor = StubGrid) extends GridExtractor {
+    def grid(kind: String, format: String, bytes: Array[Byte],
+             rows: Int, cols: Int): Array[Int] = {
+      if (kind != "audio" || format != "wav") return fallback.grid(kind, format, bytes, rows, cols)
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case scala.util.control.NonFatal(_) => null }
+      if (in == null) return null
+      try {
+        val f = in.getFormat
+        val bits = f.getSampleSizeInBits
+        val signed = f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        if (bits != 16 && bits != 8) return null
+        val ch = f.getChannels
+        val frameBytes = f.getFrameSize
+        val data = in.readAllBytes()
+        val frames = data.length / frameBytes
+        if (frames == 0) return null
+        val amp = new Array[Double](frames)
+        var peak = 0.0
+        var fr = 0
+        while (fr < frames) {
+          var c = 0
+          var acc = 0.0
+          while (c < ch) {
+            val off = fr * frameBytes + c * (bits / 8)
+            val v =
+              if (bits == 16) {
+                val lo = data(off) & 0xFF
+                val hi = data(off + 1).toInt
+                ((hi << 8) | lo) / 32768.0
+              } else if (signed) data(off) / 128.0
+              else ((data(off) & 0xFF) - 128) / 128.0
+            acc += v
+            c += 1
+          }
+          val a = math.abs(acc / ch)
+          amp(fr) = a
+          if (a > peak) peak = a
+          fr += 1
+        }
+        val n = rows * cols
+        val out = new Array[Int](n)
+        if (peak > 0) {
+          var i = 0
+          while (i < n) {
+            val x0 = (i.toLong * frames / n).toInt
+            val x1 = math.max(x0 + 1, ((i + 1).toLong * frames / n).toInt)
+            var s = 0.0
+            var x = x0
+            while (x < x1) { s += amp(x); x += 1 }
+            out(i) = (s / (x1 - x0) / peak * 255).toInt
+            i += 1
+          }
+        }
+        out
+      } catch { case scala.util.control.NonFatal(_) => null }
+      finally in.close()
+    }
+  }
+
+  /** Production grid chain, mirroring [[realDecoder]]: pixel-true
+    * image grid, energy-envelope WAV grid, byte-decimation stub for
+    * the kinds whose codecs this environment lacks. */
+  def realGrid: GridExtractor = new ImageIoGrid(new WavGrid(StubGrid))
+
   /** 64-bit dHash over an 8×9 grid: bit i·8+j is 1 iff cell (i,j) <
     * cell (i,j+1) — horizontal luminance gradients, invariant to
     * global brightness/contrast shifts (any monotone per-image

@@ -298,6 +298,47 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((10L, 11L)), pairs.mkString(","))
   }
 
+  test("WavGrid: volume change keeps the audio dHash; a different envelope diverges") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    // amplitude-MODULATED 440 Hz sine (a flat tone has a flat energy
+    // envelope — nothing for a gradient hash to see)
+    def wav(amp: Double, envelope: Int => Double, frames: Int = 4000,
+            rate: Float = 8000f): Array[Byte] = {
+      val pcm = new Array[Byte](frames * 2)
+      for (i <- 0 until frames) {
+        val v = (amp * envelope(i) * math.sin(2 * math.Pi * 440 * i / rate) * 32767).toInt
+        pcm(2 * i) = (v & 0xFF).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val fmt = new AudioFormat(rate, 16, 1, true, false)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val grid = new Multimodal.WavGrid()
+    def hash(b: Array[Byte]): Long =
+      Multimodal.dHash64(grid.grid("audio", "wav", b, 8, 9))
+    val ramp = wav(0.9, i => i / 4000.0)             // rising energy
+    val quiet = wav(0.45, i => i / 4000.0)           // same shape, half volume
+    val decay = wav(0.9, i => 1.0 - i / 4000.0)      // reversed envelope
+    val h0 = hash(ramp)
+    assert(hash(quiet) == h0,
+      "peak normalization must make the audio hash volume-invariant")
+    assert(java.lang.Long.bitCount(h0 ^ hash(decay)) > 16,
+      s"reversed envelope too close: ${java.lang.Long.bitCount(h0 ^ hash(decay))} bits")
+    assert(grid.grid("audio", "wav", "not a wav".getBytes, 8, 9) == null)
+    // end-to-end: the realGrid chain routes audio rows to WavGrid and
+    // image rows to ImageIoGrid inside one phash pass
+    val media = mediaDf(Seq(
+      (30L, "audio", "wav", ramp), (31L, "audio", "wav", quiet),
+      (32L, "audio", "wav", decay)))
+    val pairs = Multimodal.phashNearDupPairs(media, maxHamming = 3,
+        grid = Multimodal.realGrid)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((30L, 31L)), pairs.mkString(","))
+  }
+
   test("phashDedup: hamming components close transitively, each keeps its smallest id") {
     val rnd = new scala.util.Random(11)
     val a = Array.fill[Byte](96)((33 + rnd.nextInt(90)).toByte)
