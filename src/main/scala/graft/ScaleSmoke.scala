@@ -697,6 +697,41 @@ object ScaleSmoke {
         f"(${100.0 * pruned / math.max(raw, 1)}%.1f%%), kept $kept%d")
       pruned
     }
+    timed("phash_dedup_50k") {
+      // the perceptual tier at corpus scale: one 96-byte payload per
+      // doc (md5-derived, the gate fixture shape) plus a planted
+      // re-encode per 10th doc (same 72 grid bytes, fresh tail —
+      // hamming 0). phashDedup must drop every planted re-encode and
+      // nothing else: original payloads are md5-random, so natural
+      // hamming <= 3 collisions are ~2⁻⁴⁵ per pair — none at this n.
+      val payload = concat(md5(col("text")),
+        md5(concat(col("text"), lit(":1"))), md5(concat(col("text"), lit(":2"))))
+      val base = docs.select(col("doc_id").as("media_id"), payload.as("payload"))
+      val reenc = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000000L).as("media_id"),
+          concat(substring(payload, 1, 72),
+            substring(md5(concat(col("text"), lit(":3"))), 1, 24)).as("payload"))
+      val media = base.unionByName(reenc)
+        .select(col("media_id"), lit("image").as("kind"), lit("raw").as("format"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms"),
+          col("payload").cast("binary").as("bytes"))
+      val nMedia = media.count()
+      val kept = operators.Multimodal.phashDedup(media).localCheckpoint(true)
+      val n = kept.count()
+      // every re-encode pairs with an ORIGINAL that has a smaller id,
+      // so survivors = the originals... minus originals that are
+      // themselves clones (mult x doc replication -> identical text ->
+      // identical payload -> one survivor per text family)
+      val distinctHashes = operators.Multimodal
+        .phashClusters(media).select("cluster_id").distinct().count()
+      require(n < nDocs, s"planted re-encodes and clone families must collapse: $n of $nMedia")
+      require(kept.filter(col("media_id") >= 100000000L).count() == 0,
+        "every planted re-encode must drop (its original has the smaller id)")
+      System.err.println(s"[scale] phash_dedup $nMedia media -> $n kept " +
+        s"($distinctHashes exact-dup cluster ids)")
+      n
+    }
     timed("semdedup_8k") {
       val out = operators.Similarity.semDedup(emb, tau = 0.999).localCheckpoint(true)
       val n = out.count()

@@ -398,14 +398,25 @@ object Multimodal {
     * one row per media asset in a cluster of ≥ 2, bounded by |media|.
     * Undecodable (null-hash) rows never cluster. */
   def phashClusters(media: DataFrame, grid: GridExtractor = StubGrid): DataFrame = {
-    val hashed = withPhash(media, grid).filter(col("phash").isNotNull)
-      .select("media_id", "phash")
+    val hashed = hashedSlim(media, grid)
     val clusters = hashed.groupBy("phash")
       .agg(min(col("media_id")).as("cluster_id"), count(lit(1)).as("cluster_size"))
       .filter(col("cluster_size") >= 2)
     hashed.join(clusters, Seq("phash"))
       .select("media_id", "cluster_id", "cluster_size")
   }
+
+  /** ONE decode pass: the slim (media_id, phash) frame pinned before
+    * any fan-out — every phash consumer reads two small columns, never
+    * the media bytes twice. Decode is the dominant cost of real media
+    * at scale (the plan-audit lesson: the bucket pre-count and the
+    * bucket join would otherwise each run the mapPartitions decoder);
+    * the pin is ~12 bytes/asset, the same profile discipline as
+    * epochMaterialize's keyed frame. */
+  private def hashedSlim(media: DataFrame, grid: GridExtractor): DataFrame =
+    withPhash(media, grid).filter(col("phash").isNotNull)
+      .select("media_id", "phash")
+      .localCheckpoint(true)
 
   /** NEAR-dup pairs by dHash Hamming distance ≤ `maxHamming` — the
     * [[TextDedup.nearDupPairsSimhash]] banding discipline on the
@@ -451,11 +462,10 @@ object Multimodal {
                           maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
     TextDedup.oversized(phChunked(media, grid), Seq("chunk", "key"), maxBucketSize)
 
-  /** Slim ((media_id, phash), chunk, key) rows — ONE hash evaluation
-    * per asset, fanned to its 4 chunk buckets. */
+  /** Slim ((media_id, phash), chunk, key) rows — ONE decode/hash pass
+    * per asset ([[hashedSlim]]'s pin), fanned to its 4 chunk buckets. */
   private def phChunked(media: DataFrame, grid: GridExtractor): DataFrame =
-    withPhash(media, grid).filter(col("phash").isNotNull)
-      .select(col("media_id"), col("phash"))
+    hashedSlim(media, grid)
       .select(struct(col("media_id"), col("phash")).as("m"),
         explode(transform(sequence(lit(0), lit(3)),
           k => struct(k.as("chunk"),
