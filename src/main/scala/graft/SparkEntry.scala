@@ -1634,6 +1634,23 @@ object SparkEntry {
       Multimodal.phashDedup(phashMedia(s, dir), maxHamming = 3)
         .select("media_id").orderBy("media_id")),
 
+    // INCREMENTAL perceptual dedup against the stored phash index:
+    // tier = media_id < 250 (curated), batch = the rest — which
+    // includes re-encodes and corrupted re-encodes of TIER assets
+    // (cross dups that must reconcile against the index without
+    // re-decoding tier bytes) and of batch assets (in-batch dups).
+    // Tier ids precede batch ids, so the oracle replays batch-global
+    // component closure over tier ∪ batch and keeps the batch rows
+    // that are their component's minimum (nearDupAgainst's documented
+    // convergence contract, carried to media).
+    "mm_dedup_incremental" -> ((s, dir) => {
+      val m = phashMedia(s, dir)
+      val tier = m.filter(col("media_id") < 250)
+      Multimodal.phashAgainst(m.filter(col("media_id") >= 250),
+          Multimodal.phashIndex(tier), maxHamming = 3)
+        .select("media_id").orderBy("media_id")
+    }),
+
     // Video frame-sampling plan (pure plan-side explode; the decoder
     // would fetch only sampled frames).
     "mm_frame_sample" -> ((s, dir) => {
@@ -4588,6 +4605,27 @@ object SparkEntry {
          |SELECT s.media_id FROM sigs s
          |LEFT JOIN comp c USING (media_id)
          |WHERE c.media_id IS NULL OR c.cluster_id = s.media_id
+         |ORDER BY 1""".stripMargin,
+
+    // Incremental = batch-global closure with tier ids preceding batch
+    // ids: a batch row survives iff it is its component's minimum
+    // (a tier-containing component's minimum is a tier id < 250).
+    "mm_dedup_incremental" ->
+      s"""WITH RECURSIVE $phashSigsSql,
+         |$phashEdgesSql,
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT id AS media_id, MIN(lbl) AS cluster_id FROM (
+         |    SELECT src AS id, dst AS lbl FROM reach
+         |    UNION SELECT src, src FROM edges)
+         |  GROUP BY 1)
+         |SELECT s.media_id FROM sigs s
+         |LEFT JOIN comp c USING (media_id)
+         |WHERE s.media_id >= 250
+         |  AND (c.media_id IS NULL OR c.cluster_id = s.media_id)
          |ORDER BY 1""".stripMargin,
 
     "mm_frame_sample" ->

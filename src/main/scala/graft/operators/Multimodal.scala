@@ -456,6 +456,70 @@ object Multimodal {
     media.join(losers, Seq("media_id"), "left_anti")
   }
 
+  /** The persistable perceptual index of a media corpus: one slim
+    * (media_id, phash, chunk, key) row per asset per 16-bit chunk —
+    * the stored-tier artifact an incremental deployment appends batch
+    * by batch ([[TextDedup.bandIndex]]'s role for media). Crucially
+    * the HASH rides the index, so reconciliation against the tier
+    * never re-decodes tier bytes — at 100 TB of media, decode is the
+    * cost that must be paid exactly once per asset. */
+  def phashIndex(media: DataFrame, grid: GridExtractor = StubGrid): DataFrame =
+    phChunked(media, grid)
+      .select(col("m.media_id").as("media_id"), col("m.phash").as("phash"),
+        col("chunk"), col("key"))
+
+  /** Incremental perceptual dedup: keep the members of `batch` (a new
+    * media crawl slice) that survive hamming reconciliation against an
+    * existing curated tier AND within the batch itself — the
+    * [[TextDedup.nearDupAgainst]] contract on media. Equal to running
+    * batch-global [[phashDedup]] over tier ∪ batch and keeping the
+    * batch rows whenever tier ids precede batch ids (monotone-id
+    * ingest): a batch asset drops iff its hamming component contains
+    * ANY tier asset, or it is a non-minimum member of a batch-only
+    * component. Tier–tier edges are irrelevant (first tier contact
+    * already decides).
+    *
+    * Plan shape: batch hashes ONCE (the [[phashIndex]] pin); cross
+    * candidates are a (chunk, key) equi-join of batch keys against the
+    * stored index with the combined bucket population capped; the
+    * hamming verify reads the two phash columns ALREADY RIDING the
+    * pair — unlike text's shingle re-projection, no payload is ever
+    * fetched again. Nothing shuffles the tier. */
+  def phashAgainst(batch: DataFrame, tierIndex: DataFrame, maxHamming: Int = 3,
+                   grid: GridExtractor = StubGrid,
+                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+    require(maxHamming < 4, s"4-chunk pigeonhole covers hamming <= 3, got $maxHamming")
+    val bIdx = phashIndex(batch, grid).localCheckpoint(true)
+    val tCnt = tierIndex.groupBy("chunk", "key").agg(count(lit(1)).as("__tc"))
+    val bCnt = bIdx.groupBy("chunk", "key").agg(count(lit(1)).as("__bc"))
+    val okBuckets = bCnt.join(tCnt, Seq("chunk", "key"))
+      .filter(col("__tc") + col("__bc") <= maxBucketSize)
+      .select("chunk", "key")
+    val cross = bIdx.join(okBuckets, Seq("chunk", "key"))
+      .select(col("chunk"), col("key"),
+        col("media_id").as("b_id"), col("phash").as("b_ph"))
+      .join(tierIndex.select(col("chunk"), col("key"),
+        col("media_id").as("t_id"), col("phash").as("t_ph")), Seq("chunk", "key"))
+      .filter(bit_count(col("b_ph").bitwiseXOR(col("t_ph"))) <= maxHamming)
+      .select(col("t_id").as("a_id"), col("b_id")).distinct()
+    val internal = TextDedup.cappedBucketPairs(
+        bIdx.select(struct(col("media_id"), col("phash")).as("m"), col("chunk"), col("key")),
+        Seq("chunk", "key"), "m", maxBucketSize, TextDedup.memberPairs)
+      .select(col("p.a.media_id").as("a_id"), col("p.b.media_id").as("b_id"),
+        bit_count(col("p.a.phash").bitwiseXOR(col("p.b.phash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id").distinct()
+    val comps = Components.connectedComponents(cross.unionByName(internal))
+    val tierIds = tierIndex.select(col("media_id").as("id")).distinct()
+    val tierComps = comps.join(tierIds, Seq("id"), "left_semi")
+      .select("component").distinct()
+    val batchComps = comps.join(tierIds, Seq("id"), "left_anti")
+    val losers = batchComps.join(tierComps, Seq("component"), "left_semi").select("id")
+      .unionByName(batchComps.filter(col("id") =!= col("component")).select("id"))
+      .distinct().withColumnRenamed("id", "media_id")
+    batch.join(losers, Seq("media_id"), "left_anti")
+  }
+
   /** The dropped-bucket METRIC for [[phashNearDupPairs]]: one row per
     * skipped (chunk, key) with its member count. */
   def skippedPhashBuckets(media: DataFrame, grid: GridExtractor = StubGrid,

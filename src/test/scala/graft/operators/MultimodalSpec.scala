@@ -360,6 +360,36 @@ class MultimodalSpec extends SparkSpec {
     assert(kept == Set(5L, 8L), s"keep the component minimum and the loner: $kept")
   }
 
+  test("phashAgainst converges to batch-global phashDedup (tier ids precede batch ids)") {
+    val rnd = new scala.util.Random(23)
+    def payload() = Array.fill[Byte](96)((33 + rnd.nextInt(90)).toByte)
+    val tierRows = (0L until 30L).map(i => mediaRow(i, payload()))
+    // batch: fresh assets + re-encodes of TIER assets (cross dups) +
+    // a batch-internal dup pair + a corrupted re-encode of a tier asset
+    val fresh = (100L until 120L).map(i => mediaRow(i, payload()))
+    val crossDups = Seq(3L, 7L).map { i =>
+      val p = tierRows(i.toInt)._4.clone()
+      (72 until 96).foreach(k => p(k) = (p(k) ^ 0x55).toByte)
+      mediaRow(i + 1000L, p)
+    }
+    val corrupt = { val p = tierRows(9)._4.clone(); p(40) = (p(40) ^ 0x7F).toByte
+      Seq(mediaRow(1009L + 1000L, p)) }
+    val internalDup = Seq(mediaRow(3100L, fresh(5)._4.clone()))
+    val tier = mediaDf(tierRows)
+    val batch = mediaDf(fresh ++ crossDups ++ corrupt ++ internalDup)
+    val kept = Multimodal.phashAgainst(batch, Multimodal.phashIndex(tier))
+      .select("media_id").as[Long].collect().toSet
+    // the contract: batch-global dedup over tier ∪ batch, batch rows
+    val want = Multimodal.phashDedup(tier.unionByName(batch))
+      .select("media_id").as[Long].collect().toSet
+      .filter(_ >= 100L)
+    assert(kept == want, s"diverges: ${kept -- want} vs ${want -- kept}")
+    // cross dups and the corrupted twin reconcile against the index;
+    // the internal dup loses to its smaller batch twin
+    assert(Set(1003L, 1007L, 2009L, 3100L).intersect(kept).isEmpty, kept.toString)
+    assert(kept.contains(105L))
+  }
+
   test("phash bucket cap: a degenerate hash family is skipped and REPORTED, never exploded") {
     val same = Array.tabulate[Byte](96)(k => (k * 3 % 91).toByte)
     val media = mediaDf((0L until 30L).map(i => mediaRow(i, same.clone())))
