@@ -405,7 +405,7 @@ object ScaleSmoke {
       val probes = emb0.filter(col("vec_id") % 500 === 0)
         .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
       val out = graft.pipeline.VectorPipeline.queryTopK(spark, probes, k = 1,
-        nprobe = 2, refine = 16).localCheckpoint(true)
+        nprobe = 2, refine = Some(16)).localCheckpoint(true)
       val bad = out.filter(col("sim") < 0.999999).count()
       require(bad == 0, s"$bad probes without a sim-1 twin after rollover")
       r.metrics("tier_encoded")
@@ -461,7 +461,7 @@ object ScaleSmoke {
         .select(col("probe_id"), col("neighbor_id").as("true_id"))
         .localCheckpoint(true)
       val probes = tier.select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
-      def hits(refine: Int): Long =
+      def hits(refine: Option[Int]): Long =
         graft.pipeline.VectorPipeline.queryTopK(spark, probes, k = 2, nprobe = 2,
             refine = refine)
           .withColumn("probe_id", col("probe_id") - 900000000L)
@@ -469,8 +469,8 @@ object ScaleSmoke {
           .groupBy("probe_id").agg(min_by(col("neighbor_id"), col("rank")).as("nn"))
           .join(exact1, Seq("probe_id"))
           .filter(col("nn") === col("true_id")).count()
-      val derived = hits(0) // floor: the derived nprobe·k·RefineScale budget
-      val ceiling = hits(Int.MaxValue)
+      val derived = hits(None) // the derived max(floor, nprobe·k·RefineScale) budget
+      val ceiling = hits(Some(Int.MaxValue))
       System.err.println(s"[scale] serve_recall_defaults rank-1 of $nTier: " +
         s"derived-budget $derived, candidate ceiling $ceiling")
       require(derived * 10L >= ceiling * 9L,

@@ -1214,6 +1214,14 @@ object SparkEntry {
         col("payload").cast("binary").as("bytes"))
   }
 
+  /** The non-ASCII BPE fixture: the corpus with vowels accent-
+    * translated (Spark and DuckDB `translate` are both codepoint-
+    * aware), so every trainable word becomes multi-byte unicode text
+    * while staying deterministic and SF-scaled. */
+  private def unicodeDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      translate(col("text"), "aeiou", "àéîöü").as("text"))
+
   private def docDupFixture(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
     d.unionByName(d.filter(col("doc_id") % 5 === 0)
@@ -1823,7 +1831,7 @@ object SparkEntry {
         "generation 2 must cover the tier row-for-row")
       val probes = e.filter(col("vec_id") % 50 === 0)
         .select((col("vec_id") + 200000L).as("vec_id"), col("embedding"))
-      VectorPipeline.queryTopK(s, probes, k = 1, nprobe = 2, refine = 8)
+      VectorPipeline.queryTopK(s, probes, k = 1, nprobe = 2, refine = Some(8))
         .select(col("probe_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
         .orderBy("probe_id")
     }),
@@ -2341,6 +2349,20 @@ object SparkEntry {
 
     "doc_bpe_encode" -> ((s, dir) =>
       Bpe.encodedTokenCounts(docs(s, dir), Bpe.train(docs(s, dir), numMerges = 6))
+        .orderBy("doc_id")),
+
+    // NON-ASCII BPE: the same train/encode composition over the corpus
+    // with vowels accent-translated (both engines' translate is
+    // codepoint-aware), so every trainable word is multi-byte unicode —
+    // gating the ^\p{L}+$ domain (round-11 finding: the ^[a-z]+$ filter
+    // made non-ASCII sources contribute ZERO BPE tokens) and the
+    // bpe_segment kernel's code-point seed segmentation end to end.
+    "doc_bpe_train_unicode" -> ((s, dir) =>
+      Bpe.trainTable(unicodeDocs(s, dir), numMerges = 6).orderBy("rank")),
+
+    "doc_bpe_encode_unicode" -> ((s, dir) =>
+      Bpe.encodedTokenCounts(unicodeDocs(s, dir),
+          Bpe.train(unicodeDocs(s, dir), numMerges = 6))
         .orderBy("doc_id")),
 
     // Unigram-LM quality signal: mean corpus frequency of each doc's
@@ -2940,7 +2962,7 @@ object SparkEntry {
     // 6-merge training replay (see bpeChainSql), then the encode
     // (distinct-word symbol counts joined back to occurrences).
     "doc_bpe_pairs" ->
-      s"""WITH $BpeWordTableSql
+      s"""WITH ${BpeWordTableSql()}
          |SELECT s[i] AS left_sym, s[i+1] AS right_sym, sum(freq)::BIGINT AS pair_count
          |FROM (SELECT string_split(trim(seg), '  ') AS s, freq FROM w0),
          |     unnest(range(1, len(s))) AS t(i)
@@ -2949,6 +2971,10 @@ object SparkEntry {
          |LIMIT 50""".stripMargin,
 
     "doc_bpe_train" -> bpeTrainSql(6),
+
+    "doc_bpe_train_unicode" -> bpeTrainSql(6, UnicodeCorpusSql),
+
+    "doc_bpe_encode_unicode" -> bpeEncodeSql(6, UnicodeCorpusSql),
 
     "doc_bpe_encode" -> bpeEncodeSql(6),
 
@@ -5510,18 +5536,19 @@ object SparkEntry {
         |WHERE rank = 1 ORDER BY probe_id""".stripMargin
   )
 
-  /** The BPE word table: normalized lowercase-ascii words (length ≥ 2)
+  /** The BPE word table: normalized unicode-letter words (length ≥ 2)
     * with their separator-string segmentation " h  e  l  l  o " —
     * every symbol wrapped in its own leading+trailing space. Shared
-    * seed of the three BPE oracles. */
-  private def BpeWordTableSql: String =
-    """w0 AS MATERIALIZED (
-      |  SELECT w, ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS seg,
-      |         count(*)::BIGINT AS freq
-      |  FROM (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
-      |        FROM documents)
-      |  WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
-      |  GROUP BY 1, 2)""".stripMargin
+    * seed of the BPE oracles; `from` lets a gate train on a derived
+    * corpus (the unicode gate's accent-translated rendition). */
+  private def BpeWordTableSql(from: String = "documents"): String =
+    s"""w0 AS MATERIALIZED (
+       |  SELECT w, ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS seg,
+       |         count(*)::BIGINT AS freq
+       |  FROM (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+       |        FROM $from)
+       |  WHERE regexp_matches(w, '^\\p{L}+$$') AND length(w) >= 2
+       |  GROUP BY 1, 2)""".stripMargin
 
   /** First-principles DuckDB replay of the BPE training loop: round i
     * MATERIALIZED-selects the (count DESC, left, right) argmax pair
@@ -5531,7 +5558,12 @@ object SparkEntry {
     * the private spaces make partial-symbol matches impossible).
     * MATERIALIZED is load-bearing: inlined, each CTE level would
     * re-evaluate its whole prefix and the chain goes exponential. */
-  private def bpeChainSql(n: Int): String = {
+  /** The unicode BPE gates' corpus: vowels accent-translated — the SQL
+    * twin of [[unicodeDocs]]. */
+  private val UnicodeCorpusSql =
+    "(SELECT doc_id, translate(text, 'aeiou', 'àéîöü') AS text FROM documents)"
+
+  private def bpeChainSql(n: Int, from: String = "documents"): String = {
     val steps = (1 to n).flatMap { i =>
       val pick =
         s"""p$i AS MATERIALIZED (
@@ -5546,11 +5578,11 @@ object SparkEntry {
            |  FROM w${i - 1})""".stripMargin
       Seq(pick, rewrite)
     }
-    (BpeWordTableSql +: steps).mkString(",\n")
+    (BpeWordTableSql(from) +: steps).mkString(",\n")
   }
 
-  private def bpeTrainSql(n: Int): String =
-    "WITH " + bpeChainSql(n) + "\n" +
+  private def bpeTrainSql(n: Int, from: String = "documents"): String =
+    "WITH " + bpeChainSql(n, from) + "\n" +
       (1 to n).map(i =>
         s"SELECT $i::BIGINT AS rank, l AS left_sym, r AS right_sym, cnt AS pair_count FROM p$i")
         .mkString("\nUNION ALL ") + "\nORDER BY rank"
@@ -5570,7 +5602,7 @@ object SparkEntry {
         |bpetc AS (
         |  SELECT d.doc_id, sum(f.word_syms)::BIGINT AS tc
         |  FROM (SELECT doc_id, w FROM docw
-        |        WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2) d
+        |        WHERE regexp_matches(w, '^\p{L}+$') AND length(w) >= 2) d
         |  JOIN fin f USING (w) GROUP BY 1),
         |t AS (
         |  SELECT d.doc_id, d.source, coalesce(b.tc, 0)::BIGINT AS tc
@@ -5619,16 +5651,16 @@ object SparkEntry {
         |       doc_id, CAST(copy AS BIGINT) AS copy, source, tc AS token_count
         |FROM expanded ORDER BY position""".stripMargin
 
-  private def bpeEncodeSql(n: Int): String =
-    "WITH " + bpeChainSql(n) + s""",
+  private def bpeEncodeSql(n: Int, from: String = "documents"): String =
+    "WITH " + bpeChainSql(n, from) + s""",
        |fin AS MATERIALIZED (
        |  SELECT w, len(string_split(trim(seg), '  '))::BIGINT AS word_syms FROM w$n),
        |docw AS (
        |  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
-       |  FROM documents)
+       |  FROM $from)
        |SELECT d.doc_id, sum(f.word_syms)::BIGINT AS bpe_tokens
        |FROM (SELECT doc_id, w FROM docw
-       |      WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) >= 2) d
+       |      WHERE regexp_matches(w, '^\\p{L}+$$') AND length(w) >= 2) d
        |JOIN fin f USING (w)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 

@@ -30,11 +30,14 @@ import org.apache.spark.sql.functions._
   * builtin exists in DuckDB — so the whole training loop is
   * replayable by the oracle with the same string algebra.
   *
-  * Domain: lowercase ascii words of length ≥ 2 (the normalized-token
-  * stream filtered to `^[a-z]+$`) — the gate-provable core; symbols
-  * are then single chars, never spaces. Production would widen the
-  * alphabet (byte-level with escaping), which changes the seed
-  * segmentation only, not the loop.
+  * Domain: UNICODE-LETTER words of length ≥ 2 (the normalized-token
+  * stream filtered to `^\p{L}+$` — both engines' regex class; the
+  * round-11 `^[a-z]+$` domain made every non-ASCII source contribute
+  * ZERO BPE tokens, systematically under-weighting non-English text in
+  * tokenizer-aware epoch budgets). Symbols are single code points at
+  * seed, never spaces, so the separator-string algebra is unchanged.
+  * A byte-level fallback (escaping non-letters) would widen further;
+  * it changes the seed segmentation only, not the loop.
   */
 object Bpe {
 
@@ -42,7 +45,7 @@ object Bpe {
     * trainable domain. (word, freq), |vocab|-bounded. */
   def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(explode(split(TextDedup.normalize(col(textCol)), " ")).as("word"))
-      .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+      .filter(col("word").rlike("^\\p{L}+$") && length(col("word")) >= 2)
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
   /** " h  e  l  l  o " — each symbol owns a leading AND trailing
@@ -222,12 +225,29 @@ object Bpe {
       .toDF("rank", "left_sym", "right_sym", "pair_count")
   }
 
-  /** Segment a word column with an already-learned merge list: the
-    * rank-ordered replace chain — one codegen'd StringReplace per
-    * merge, row-local, no joins. Sequential rank-order passes are the
-    * canonical apply (and provably what training itself produced for
-    * every in-vocabulary word). */
+  /** Segment a word column with an already-learned merge list.
+    * Sequential rank-order passes are the canonical apply (and
+    * provably what training itself produced for every in-vocabulary
+    * word). The execution path is the native `bpe_segment` kernel
+    * (graft.functions.BpeSegment): the merge list travels as ONE flat
+    * array<string> literal and the rank-order loop runs in plain JVM
+    * code — at a production 32k-merge vocabulary the
+    * [[segmentChain]] rendition is a 32k-deep nested StringReplace
+    * tree (MiB-scale task binaries, codegen bails, analyzer cost
+    * superlinear in depth: the PQ-kernel pathology class, PLANS.md
+    * round 11), while the kernel's plan size is O(vocabulary bytes).
+    * Bit-identical to the chain — property-gated by KernelProperties. */
   def segment(word: Column, merges: Seq[Merge]): Column =
+    call_function("bpe_segment", word,
+      typedLit(merges.sortBy(_.rank).flatMap(m => Seq(m.leftSym, m.rightSym))))
+
+  /** The composable replace-chain rendition of [[segment]] — one
+    * codegen'd StringReplace per merge, row-local. RETAINED as the
+    * kernel's oracle-shaped twin (exactly like PqAssign's composable
+    * rendition): correct at any merge count, but its expression tree
+    * is one node PER MERGE, so it must never be used at production
+    * vocabulary size. */
+  def segmentChain(word: Column, merges: Seq[Merge]): Column =
     syms(merges.sortBy(_.rank).foldLeft(segInit(word)) {
       (seg, m) => applyMerge(seg, m.leftSym, m.rightSym)
     })
@@ -245,7 +265,7 @@ object Bpe {
                          idCol: String = "doc_id"): DataFrame = {
     val occurrences = docs
       .select(col(idCol), explode(split(TextDedup.normalize(col(textCol)), " ")).as("word"))
-      .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+      .filter(col("word").rlike("^\\p{L}+$") && length(col("word")) >= 2)
     val perWord = occurrences.select("word").distinct()
       .select(col("word"), size(segment(col("word"), merges)).cast("long").as("word_syms"))
     occurrences.join(perWord, Seq("word"))

@@ -156,15 +156,7 @@ object Multimodal {
           var acc = 0.0
           while (c < ch) {
             val off = fr * frameBytes + c * (bits / 8)
-            val v =
-              if (bits == 16) {
-                // WAV PCM is little-endian signed
-                val lo = data(off) & 0xFF
-                val hi = data(off + 1).toInt
-                ((hi << 8) | lo) / 32768.0
-              } else if (signed) data(off) / 128.0
-              else ((data(off) & 0xFF) - 128) / 128.0
-            acc += v
+            acc += pcmSample(data, off, bits, signed, f.isBigEndian)
             c += 1
           }
           val s = acc / ch
@@ -197,6 +189,24 @@ object Multimodal {
     * WAV audio decode (javax.sound), stub fallback for the media kinds
     * whose codecs this environment lacks (video, compressed audio). */
   def realDecoder: Decoder = new ImageIoDecoder(new WavDecoder(StubDecoder))
+
+  /** One PCM sample at `off` as a double in [-1, 1) — honoring sample
+    * width, signedness AND byte order (RIFF/WAVE is little-endian, but
+    * AIFF-style streams javax.sound hands over are big-endian; decoding
+    * them as LE silently yields garbage amplitudes and a wrong hash,
+    * which is worse than no hash). 8-bit unsigned is the WAV
+    * convention (offset-128); 16-bit unsigned is rare but legal, so it
+    * gets the same explicit offset treatment rather than a fall-through
+    * that would misread it as two's complement. */
+  private[operators] def pcmSample(data: Array[Byte], off: Int, bits: Int,
+                                   signed: Boolean, bigEndian: Boolean): Double =
+    if (bits == 16) {
+      val b0 = data(off) & 0xFF
+      val b1 = data(off + 1) & 0xFF
+      val raw = if (bigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+      if (signed) raw.toShort / 32768.0 else (raw - 32768) / 32768.0
+    } else if (signed) data(off) / 128.0
+    else ((data(off) & 0xFF) - 128) / 128.0
 
   // ------------------------------------------------------------------
   // Perceptual-hash dedup (dHash)
@@ -310,14 +320,7 @@ object Multimodal {
           var acc = 0.0
           while (c < ch) {
             val off = fr * frameBytes + c * (bits / 8)
-            val v =
-              if (bits == 16) {
-                val lo = data(off) & 0xFF
-                val hi = data(off + 1).toInt
-                ((hi << 8) | lo) / 32768.0
-              } else if (signed) data(off) / 128.0
-              else ((data(off) & 0xFF) - 128) / 128.0
-            acc += v
+            acc += pcmSample(data, off, bits, signed, f.isBigEndian)
             c += 1
           }
           val a = math.abs(acc / ch)
@@ -360,9 +363,9 @@ object Multimodal {
     var i = 0
     while (i < HashRows) {
       var j = 0
-      while (j < HashRows) { // 8 comparisons per row
+      while (j < HashCols - 1) { // comparisons per row = columns - 1
         if (g(i * HashCols + j) < g(i * HashCols + j + 1))
-          hash |= 1L << (i * HashRows + j)
+          hash |= 1L << (i * (HashCols - 1) + j)
         j += 1
       }
       i += 1
@@ -487,9 +490,13 @@ object Multimodal {
     * fetched again. Nothing shuffles the tier. */
   def phashAgainst(batch: DataFrame, tierIndex: DataFrame, maxHamming: Int = 3,
                    grid: GridExtractor = StubGrid,
-                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
+                   batchIndex: Option[DataFrame] = None): DataFrame = {
     require(maxHamming < 4, s"4-chunk pigeonhole covers hamming <= 3, got $maxHamming")
-    val bIdx = phashIndex(batch, grid).localCheckpoint(true)
+    // a caller that already built the batch index (e.g. to publish it,
+    // or for skippedPhashBucketsAgainst) passes it in so the batch
+    // decodes exactly once across reconcile + publish + metric
+    val bIdx = batchIndex.getOrElse(phashIndex(batch, grid).localCheckpoint(true))
     val tCnt = tierIndex.groupBy("chunk", "key").agg(count(lit(1)).as("__tc"))
     val bCnt = bIdx.groupBy("chunk", "key").agg(count(lit(1)).as("__bc"))
     val okBuckets = bCnt.join(tCnt, Seq("chunk", "key"))
@@ -525,6 +532,23 @@ object Multimodal {
   def skippedPhashBuckets(media: DataFrame, grid: GridExtractor = StubGrid,
                           maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
     TextDedup.oversized(phChunked(media, grid), Seq("chunk", "key"), maxBucketSize)
+
+  /** The dropped-bucket METRIC for [[phashAgainst]]'s CROSS join — the
+    * module's "the cap must never truncate silently" rule carried to
+    * the incremental path, which drops (chunk, key) buckets whose
+    * COMBINED batch+tier population exceeds the cap. Takes the two
+    * INDEXES (batch side via [[phashIndex]]) so the caller pays the
+    * batch decode once across reconcile + metric; one row per skipped
+    * bucket with the combined member count. The in-batch expansion's
+    * skips remain [[skippedPhashBuckets]] over the batch alone. */
+  def skippedPhashBucketsAgainst(batchIndex: DataFrame, tierIndex: DataFrame,
+                                 maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
+    batchIndex.groupBy("chunk", "key").agg(count(lit(1)).as("__bc"))
+      .join(tierIndex.groupBy("chunk", "key").agg(count(lit(1)).as("__tc")),
+        Seq("chunk", "key"))
+      .filter(col("__tc") + col("__bc") > maxBucketSize)
+      .select(col("chunk"), col("key"),
+        (col("__tc") + col("__bc")).as("member_count"))
 
   /** Slim ((media_id, phash), chunk, key) rows — ONE decode/hash pass
     * per asset ([[hashedSlim]]'s pin), fanned to its 4 chunk buckets. */

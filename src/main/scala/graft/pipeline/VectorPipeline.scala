@@ -390,20 +390,27 @@ object VectorPipeline {
     * the ~m+12-byte index regardless of corpus width, and a concurrent
     * [[regenerate]] can never mix generations inside one read.
     *
-    * The effective refine budget SCALES WITH THE ASK: a fixed budget
+    * The DEFAULT refine budget SCALES WITH THE ASK: a fixed budget
     * loses recall as nprobe grows (cross-cell candidates crowd true
     * neighbors out of the cut — the measured 12-bit crowd-out,
-    * PLANS.md "Production-resolution PQ recall"), so the compressed
-    * domain always proposes at least nprobe·k·[[RefineScale]]
-    * candidates; `refine` is a floor the caller can raise further. */
+    * PLANS.md "Production-resolution PQ recall"), so `refine = None`
+    * derives max([[DefaultRefineFloor]], nprobe·k·[[RefineScale]]).
+    * `Some(n)` is the EXACT caller budget — a caller pinning serve
+    * cost can request a budget tighter than the derived one (and owns
+    * the recall consequence). */
   def queryTopK(spark: SparkSession, probes: DataFrame, k: Int,
-                nprobe: Int = 2, refine: Int = 32): DataFrame = {
+                nprobe: Int = 2, refine: Option[Int] = None): DataFrame = {
     val gen = currentGeneration(spark)
     Similarity.topKIvfPqStoredRefine(
       spark.table(indexTableG(gen)), spark.table(TierTable), probes, k,
       loadCents(spark, gen), loadBooks(spark, gen), nprobe,
-      math.max(refine, nprobe * k * RefineScale))
+      refine.getOrElse(math.max(DefaultRefineFloor, nprobe * k * RefineScale)))
   }
+
+  /** Floor of the DERIVED refine budget — keeps tiny asks (k=1,
+    * nprobe=1) from starving the re-rank at coarse PQ resolution. An
+    * explicit `Some(n)` budget bypasses it. */
+  val DefaultRefineFloor = 32
 
   /** Per-(nprobe·k) multiplier for [[queryTopK]]'s derived refine
     * budget — 4 keeps refine-budget recall within a few percent of

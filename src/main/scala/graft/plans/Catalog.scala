@@ -241,8 +241,15 @@ object Catalog {
     * monotone (the treadmill ingest contract), so filtering the scan to
     * `idCol >= min(batch)` lets parquet row-group min/max pruning skip
     * every older append — probe cost is O(recent appends), independent
-    * of tier size, and the O(batch) id set broadcasts. Returns rows
-    * appended (0 = batch already fully published, or batch empty). */
+    * of tier size. Returns rows appended (0 = batch already fully
+    * published, or batch empty).
+    *
+    * Deliberately NO broadcast hint on the probe: in steady state the
+    * filtered slice is one recent append and AQE broadcasts it on its
+    * own, but if the monotone-id contract is ever violated (an old
+    * batch re-published with a small min id) the slice is unbounded —
+    * a forced broadcast would OOM the driver where a shuffled anti-join
+    * merely degrades. */
   def insertAppendOnce(spark: SparkSession, name: String, df: DataFrame,
                        idCol: String): Long = {
     val minId = df.agg(min(col(idCol))).head().get(0)
@@ -250,7 +257,7 @@ object Catalog {
     else {
       val existing = spark.table(name)
         .filter(col(idCol) >= lit(minId)).select(col(idCol))
-      val remainder = df.join(broadcast(existing), Seq(idCol), "left_anti")
+      val remainder = df.join(existing, Seq(idCol), "left_anti")
       insertAppend(spark, name, remainder)
     }
   }

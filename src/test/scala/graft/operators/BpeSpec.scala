@@ -186,6 +186,30 @@ class BpeSpec extends SparkSpec {
     assert(leaked.isEmpty, s"train leaked ${leaked.size} pinned RDDs: $leaked")
   }
 
+  test("non-ASCII sources train, encode, and earn a NON-ZERO epoch target") {
+    // the round-11 ^[a-z]+$ domain made every non-ASCII word contribute
+    // ZERO BPE tokens, so a non-English source's tokenizer-aware epoch
+    // target silently collapsed — the widened ^\p{L}+$ domain must give
+    // it real weight
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the data table scan the data", "en"),
+      (2L, "данные таблица скан данные поток данные", "ru"),
+      (3L, "données flux données modèle données", "fr")).toDF("doc_id", "text", "source")
+    val merges = Bpe.train(docs, numMerges = 4)
+    assert(merges.nonEmpty)
+    // cyrillic/accented words are IN the trainable domain now
+    val counts = Bpe.encodedTokenCounts(docs, merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse(2L, 0L) > 0L, s"cyrillic doc must encode to >0 BPE tokens: $counts")
+    assert(counts.getOrElse(3L, 0L) > 0L, s"accented doc must encode to >0 BPE tokens: $counts")
+    val plan = Curation.epochPlan(docs, budgetTokens = 1000L, merges = merges)
+      .select("source", "target_tokens")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plan("ru") > 0L, s"non-ASCII source must earn a non-zero epoch target: $plan")
+    assert(plan("fr") > 0L, s"non-ASCII source must earn a non-zero epoch target: $plan")
+  }
+
   test("encodedTokenCounts sums the per-occurrence symbol counts over the trainable domain") {
     val texts = Seq(
       "aa bb aa cc 123 X?",     // '123'/'X?' outside the domain

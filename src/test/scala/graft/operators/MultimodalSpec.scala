@@ -339,6 +339,45 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((30L, 31L)), pairs.mkString(","))
   }
 
+  test("WavGrid honors byte order and 16-bit signedness (pcmSample contract)") {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    // the same amplitude-modulated sine rendered little-endian (WAVE)
+    // and big-endian (AIFF) must produce the SAME energy-envelope grid
+    // — decoding a BE stream as LE yields garbage amplitudes and a
+    // silently wrong hash (the round-11 ADVICE finding)
+    def pcmBytes(frames: Int, bigEndian: Boolean): Array[Byte] = {
+      val pcm = new Array[Byte](frames * 2)
+      for (i <- 0 until frames) {
+        val v = (0.9 * (i.toDouble / frames) * math.sin(2 * math.Pi * 440 * i / 8000.0) * 32767).toInt
+        if (bigEndian) { pcm(2 * i) = ((v >> 8) & 0xFF).toByte; pcm(2 * i + 1) = (v & 0xFF).toByte }
+        else { pcm(2 * i) = (v & 0xFF).toByte; pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte }
+      }
+      pcm
+    }
+    def container(bigEndian: Boolean, tpe: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+      val fmt = new AudioFormat(8000f, 16, 1, true, bigEndian)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcmBytes(4000, bigEndian)), fmt, 4000L)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, tpe, bos)
+      bos.toByteArray
+    }
+    val grid = new Multimodal.WavGrid()
+    val le = grid.grid("audio", "wav", container(bigEndian = false,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE), 8, 9)
+    val be = grid.grid("audio", "wav", container(bigEndian = true,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF), 8, 9)
+    assert(le != null && be != null)
+    assert(le.toSeq == be.toSeq,
+      s"big-endian stream must decode to the same envelope grid: ${le.toSeq} vs ${be.toSeq}")
+    // 16-bit unsigned is offset-coded, not two's complement: 0x0000 is
+    // the NEGATIVE rail (-1.0), not silence
+    assert(Multimodal.pcmSample(Array[Byte](0, 0), 0, 16, signed = false, bigEndian = false) == -1.0)
+    assert(Multimodal.pcmSample(Array[Byte](0x00, 0x80.toByte), 0, 16, signed = false, bigEndian = false) == 0.0)
+    assert(Multimodal.pcmSample(Array[Byte](0x00, 0x80.toByte), 0, 16, signed = true, bigEndian = false) == -1.0)
+    assert(Multimodal.pcmSample(Array[Byte](0x80.toByte, 0x00), 0, 16, signed = true, bigEndian = true) == -1.0)
+  }
+
   test("phashDedup: hamming components close transitively, each keeps its smallest id") {
     val rnd = new scala.util.Random(11)
     val a = Array.fill[Byte](96)((33 + rnd.nextInt(90)).toByte)

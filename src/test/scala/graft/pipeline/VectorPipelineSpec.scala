@@ -78,7 +78,7 @@ class VectorPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     // must be identical before and after the rollover
     val probes = emb.filter($"vec_id" % 10 === 0)
       .select(($"vec_id" + 500000).as("vec_id"), $"embedding")
-    def serve() = VectorPipeline.queryTopK(spark, probes, k = 1, nprobe = 2, refine = 8)
+    def serve() = VectorPipeline.queryTopK(spark, probes, k = 1, nprobe = 2, refine = Some(8))
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val before = serve()
     assert(before.forall { case (p, n) => n == p - 500000 },
@@ -151,7 +151,7 @@ class VectorPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     // its twin probe must come back rank-1
     val probe = emb.filter($"vec_id" === 70)
       .select(($"vec_id" + 500000).as("vec_id"), $"embedding")
-    val top = VectorPipeline.queryTopK(spark, probe, k = 1, nprobe = 2, refine = 8).head()
+    val top = VectorPipeline.queryTopK(spark, probe, k = 1, nprobe = 2, refine = Some(8)).head()
     assert(top.getAs[Long]("neighbor_id") == 70L, top.toString)
   }
 
