@@ -593,6 +593,87 @@ object ScaleSmoke {
         f"~${tSeq / 64 * 512}%.0f s at depth 512)")
       batched.size.toLong
     }
+    timed("bpe_segment_4k") {
+      // the APPLY side at PRODUCTION VOCABULARY DEPTH: segmenting the
+      // corpus's distinct trainable words against a ≥4k-merge list.
+      // Depth is planted structurally (training 4k merges is the
+      // batched row's business): each planted md5 word contributes its
+      // left-prefix merge chain — a well-formed rank-ordered list. The
+      // retained chain rendition is one StringReplace node PER MERGE
+      // (the pq_assign plan-size pathology: MiB task binaries, codegen
+      // bail, analyzer superlinear in depth), so it is timed only at
+      // shallow prefixes of the same list and extrapolated; the kernel
+      // carries the whole list as ONE flat array literal. Correctness
+      // at depth is anchored by an INDEPENDENT driver-side greedy
+      // reference over a deterministic word sample (the chain itself
+      // is the property-gated semantic ground at shallow depth).
+      val deep = docs.select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          translate(substring(md5(col("doc_id").cast("string")), 1, 8),
+            "0123456789", "ghijklmnop")).as("text"))
+      val wordsDf = operators.Bpe.wordCounts(deep).select("word")
+        .localCheckpoint(true) // |vocab|-bounded: planted 8-char words + ~30 natural
+      val planted = wordsDf.filter(length(col("word")) === 8)
+        .orderBy("word").limit(600).collect().map(_.getString(0))
+      val mergeList = planted.flatMap { w =>
+        (1 until w.length).map(i => (w.substring(0, i), w.substring(i, i + 1)))
+      }.zipWithIndex.map { case ((l, r), k) => operators.Bpe.Merge(k + 1, l, r, 0L) }.toSeq
+      require(mergeList.size >= 4000, s"planted vocabulary too shallow: ${mergeList.size}")
+      val t0 = System.nanoTime()
+      val segged = wordsDf.select(col("word"),
+          size(operators.Bpe.segment(col("word"), mergeList)).as("n_syms"))
+        .localCheckpoint(true)
+      val totalSyms = segged.agg(sum("n_syms")).head().getLong(0)
+      val tKernel = (System.nanoTime() - t0) / 1e9
+      // independent greedy reference on a deterministic sample
+      val sample = segged.filter(pmod(xxhash64(col("word")), lit(37)) === 0)
+        .collect().map(r => r.getString(0) -> r.getInt(1))
+      require(sample.nonEmpty)
+      val ranked = mergeList.map(m => (m.leftSym, m.rightSym))
+      def refSegLen(w: String): Int = {
+        var syms = w.map(_.toString).toVector
+        for ((l, r) <- ranked) {
+          if (syms.contains(l) && syms.contains(r)) {
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                out += (l + r); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            syms = out.result()
+          }
+        }
+        syms.length
+      }
+      sample.foreach { case (w, n) =>
+        val e = refSegLen(w)
+        require(n == e, s"kernel segmented '$w' to $n symbols, reference says $e")
+      }
+      // the chain's wall at shallow prefixes of the SAME list. The
+      // pathology is harder than "slow": at depth 256 the nested
+      // Column tree overflows the driver stack in Spark 4's
+      // ColumnNodeToExpressionConverter BEFORE any data is touched —
+      // the chain cannot even be PLANNED at production depth (measured
+      // here, not extrapolated). Shallow prefixes give the per-merge
+      // slope for the regime where it still plans.
+      def chainTime(depth: Int): Double = {
+        val t = System.nanoTime()
+        wordsDf.select(size(operators.Bpe.segmentChain(col("word"), mergeList.take(depth))).as("n"))
+          .agg(sum("n")).head().getLong(0)
+        (System.nanoTime() - t) / 1e9
+      }
+      val t64 = chainTime(64)
+      val t256 = chainTime(256)
+      val chain512 =
+        try f"${chainTime(512)}%.1f s" catch {
+          case _: StackOverflowError => "StackOverflowError at analysis"
+        }
+      System.err.println(f"[scale] bpe_segment kernel ${mergeList.size} merges over " +
+        f"${wordsDf.count()} distinct words: $tKernel%.1f s; chain 64/256 merges " +
+        f"$t64%.1f/$t256%.1f s; chain 512 merges: $chain512")
+      totalSyms
+    }
     timed("bigram_topk_50k") {
       val n = operators.Curation.ngramTopK(docs, n = 2, topK = 50).count()
       require(n == 50, s"top-k must cap at 50: $n")
