@@ -1659,6 +1659,45 @@ object SparkEntry {
         .select("media_id").orderBy("media_id")
     }),
 
+    // The MEDIA ingest treadmill as a STREAM — the third modality's
+    // production shape (docs and vectors each already have one): slice
+    // 1 (tier originals) lands as parquet and drains through the
+    // checkpointed file source (bootstrap = in-batch perceptual dedup),
+    // slice 2 (new originals + their re-encodes + re-encodes AND
+    // corrupted re-encodes of TIER assets) lands and a RESTARTED query
+    // on the same checkpoint picks up only the new files; cross-slice
+    // dups reconcile against the STORED phash index (tier bytes never
+    // re-decoded). Final tier must equal batch-global phashDedup over
+    // both slices (phashAgainst's convergence contract: tier ids
+    // precede batch ids), which the oracle replays grid → dHash bits →
+    // hamming → recursive component closure; the stored index must
+    // cover the tier 4 chunk rows per asset, id-for-id.
+    "stream_media_ingest" -> ((s, dir) => {
+      import graft.pipeline.MediaPipeline
+      MediaPipeline.resetTreadmill(s)
+      val land = Files.createTempDirectory("graft_media_land").toString
+      val cp = Files.createTempDirectory("graft_media_cp").toString
+      val m = phashMedia(s, dir)
+      val slice1 = m.filter(col("media_id") < 250)
+      val slice2 = m.filter(col("media_id") >= 250)
+      slice1.coalesce(1).write.mode("append").parquet(land)
+      val q1 = MediaPipeline.streamIngest(s, land, cp)
+      require(q1.awaitTermination(300000), "stream_media_ingest: slice 1 drain timed out")
+      slice2.coalesce(1).write.mode("append").parquet(land)
+      val q2 = MediaPipeline.streamIngest(s, land, cp)
+      require(q2.awaitTermination(300000), "stream_media_ingest: slice 2 drain timed out")
+      val tier = s.table(MediaPipeline.TierTable)
+      val idx = s.table(MediaPipeline.PhashIndexTable)
+      require(idx.count() == 4 * tier.count(),
+        "stored index must cover the tier with 4 chunk rows per asset")
+      require(idx.select("media_id").distinct()
+          .join(tier.select("media_id"), Seq("media_id"), "left_anti").isEmpty &&
+        tier.select("media_id")
+          .join(idx.select("media_id"), Seq("media_id"), "left_anti").isEmpty,
+        "stored index ids must equal tier ids")
+      tier.select("media_id").orderBy("media_id")
+    }),
+
     // Video frame-sampling plan (pure plan-side explode; the decoder
     // would fetch only sampled frames).
     "mm_frame_sample" -> ((s, dir) => {
@@ -4652,6 +4691,25 @@ object SparkEntry {
          |LEFT JOIN comp c USING (media_id)
          |WHERE s.media_id >= 250
          |  AND (c.media_id IS NULL OR c.cluster_id = s.media_id)
+         |ORDER BY 1""".stripMargin,
+
+    // The stream treadmill converges to batch-global perceptual dedup
+    // over both slices — mm_dedup_keep's replay verbatim.
+    "stream_media_ingest" ->
+      s"""WITH RECURSIVE $phashSigsSql,
+         |$phashEdgesSql,
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT id AS media_id, MIN(lbl) AS cluster_id FROM (
+         |    SELECT src AS id, dst AS lbl FROM reach
+         |    UNION SELECT src, src FROM edges)
+         |  GROUP BY 1)
+         |SELECT s.media_id FROM sigs s
+         |LEFT JOIN comp c USING (media_id)
+         |WHERE c.media_id IS NULL OR c.cluster_id = s.media_id
          |ORDER BY 1""".stripMargin,
 
     "mm_frame_sample" ->

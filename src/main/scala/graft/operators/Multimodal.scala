@@ -541,6 +541,13 @@ object Multimodal {
     * batch decode once across reconcile + metric; one row per skipped
     * bucket with the combined member count. The in-batch expansion's
     * skips remain [[skippedPhashBuckets]] over the batch alone. */
+  /** [[skippedPhashBuckets]] over an ALREADY-BUILT index — the no-decode
+    * rendition for callers holding the [[phashIndex]] pin (the media
+    * treadmill reports both skip metrics from one decode pass). */
+  def skippedPhashBucketsFromIndex(index: DataFrame,
+                                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
+    TextDedup.oversized(index, Seq("chunk", "key"), maxBucketSize)
+
   def skippedPhashBucketsAgainst(batchIndex: DataFrame, tierIndex: DataFrame,
                                  maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
     batchIndex.groupBy("chunk", "key").agg(count(lit(1)).as("__bc"))

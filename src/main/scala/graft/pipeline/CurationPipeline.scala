@@ -71,6 +71,8 @@ object CurationPipeline {
   val QualityTable = "documents_quality"
   val QualityFlagsTable = "documents_quality_flags"
   val SequencesTable = "documents_sequences"
+  val MediaRefTable = "documents_media_referenced"
+  val MediaTable = "documents_media_curated"
 
   /** The FULL training-data flow: quality gate → benchmark
     * decontamination → near-dup dedup → boilerplate strip → duplicate-
@@ -111,7 +113,15 @@ object CurationPipeline {
     * (the strip stages carry only (doc_id, text) forward); a corpus
     * with no `mixSourceCol` column fails analysis rather than silently
     * mixing (pass 0 to skip for sourceless corpora), and NULL sources
-    * group as their own bucket — visible in the plan, never dropped. */
+    * group as their own bucket — visible in the plan, never dropped.
+    *
+    * `media` (assets with a `doc_id` reference to their owning doc)
+    * adds the MEDIA-DEDUP stage after the split: assets of dropped
+    * docs are cut first, the referenced set perceptually dedups
+    * ([[graft.operators.Multimodal.phashDedup]]), the curated assets
+    * publish to [[MediaTable]], and both cuts land in the metric map —
+    * the one-call pipeline then covers text, embedding-adjacent
+    * artifacts, and media. */
   def runFull(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
               jaccardThreshold: Double = 0.8,
               maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
@@ -125,6 +135,10 @@ object CurationPipeline {
               mixBudgetTokens: Long = 0L, mixAlpha: Double = 0.5,
               mixSourceCol: String = "source", materializeEpoch: Boolean = false,
               bpeMerges: Int = 0,
+              media: Option[DataFrame] = None,
+              mediaGrid: graft.operators.Multimodal.GridExtractor =
+                graft.operators.Multimodal.StubGrid,
+              mediaMaxHamming: Int = 3,
               notify: PipelineReport => Unit = _ => ()): PipelineReport = {
     val stages = Seq[Stage](
       Stage("quality_gate") { m =>
@@ -214,6 +228,32 @@ object CurationPipeline {
         spark.table(SplitTable).groupBy("split").count().collect()
           .map(r => s"split_${r.getString(0)}" -> r.getLong(1)).toMap
       }) ++
+      (if (media.isEmpty) Seq.empty[Stage] else Seq(
+        Stage("media_dedup") { _ =>
+          // the THIRD modality in the one-call pipeline: media assets
+          // carry a doc_id reference to their owning document (the
+          // crawl reality — images embedded in pages). Assets whose
+          // document did not survive curation are dropped first (no
+          // orphan decode cost), then the referenced set perceptually
+          // dedups (phash hamming components, keep-min) — both cuts
+          // land in the metric map; at 100 TB a silent media drop is
+          // exactly as bad as a silent text drop.
+          val md = media.get
+          val mediaIn = md.count()
+          val surviving = spark.table(SplitTable).select("doc_id")
+          Catalog.overwriteTable(
+            md.join(surviving, Seq("doc_id"), "left_semi"), MediaRefTable)
+          val refCount = spark.table(MediaRefTable).count()
+          Catalog.overwriteTable(
+            graft.operators.Multimodal.phashDedup(spark.table(MediaRefTable),
+              mediaMaxHamming, mediaGrid, maxBucketSize),
+            MediaTable)
+          val kept = spark.table(MediaTable).count()
+          Map("media_in" -> mediaIn,
+            "media_unreferenced_dropped" -> (mediaIn - refCount),
+            "media_neardup_dropped" -> (refCount - kept),
+            "media_kept" -> kept)
+        })) ++
       (if (bpeMerges <= 0) Seq.empty[Stage] else Seq(
         Stage("tokenizer_train") { _ =>
           // the tokenizer artifact over what training will actually

@@ -15,7 +15,8 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
       CurationPipeline.BandIndexTable, CurationPipeline.BatchSurvivorsTable,
       CurationPipeline.BoilerTable, CurationPipeline.CleanTable,
       CurationPipeline.SpanIndexTable, CurationPipeline.CleanTierTable,
-      CurationPipeline.BatchCleanTable, CurationPipeline.BatchSpanIndexTable)
+      CurationPipeline.BatchCleanTable, CurationPipeline.BatchSpanIndexTable,
+      CurationPipeline.MediaRefTable, CurationPipeline.MediaTable)
       .foreach(t => graft.plans.Catalog.dropIfExists(spark, t))
 
   private def docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
@@ -432,5 +433,44 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     val fpDocs = spark.table(CurationPipeline.SpanIndexTable)
       .select("doc_id").distinct().as[Long].collect().toSet
     assert(fpDocs.subsetOf(tierIds) && fpDocs.contains(70000L))
+  }
+
+  test("runFull media stage: unreferenced and near-dup media are cut, counts reported") {
+    // mixed doc+media fixture: doc 3 dies at the quality gate, so its
+    // asset drops as UNREFERENCED; asset 11 is a re-encode of asset 10
+    // (same 72 grid bytes, fresh tail — hamming 0) and drops as a
+    // perceptual NEAR-DUP; both cuts must land in the metric map
+    def payload(seed: Int): Array[Byte] =
+      Array.tabulate(96)(i => (33 + (seed * 31 + i * 7) % 90).toByte)
+    def reencode(seed: Int): Array[Byte] = {
+      val p = payload(seed)
+      (0 until 24).foreach(i => p(72 + i) = (33 + (seed * 13 + i) % 90).toByte)
+      p
+    }
+    def body(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val planted = Seq(
+      (1L, body("alpha", 60)),
+      (2L, body("beta", 60)),
+      (3L, "tiny")).toDF("doc_id", "text")
+    val mediaDf = Seq(
+      (1L, 10L, payload(1)),  // survives
+      (1L, 11L, reencode(1)), // near-dup of 10 -> dropped
+      (2L, 12L, payload(2)),  // survives
+      (3L, 13L, payload(3))   // owner dies at quality gate -> unreferenced
+    ).toDF("doc_id", "media_id", "bytes")
+      .select($"doc_id", $"media_id", lit("image").as("kind"),
+        lit("raw").as("format"), $"bytes")
+    val report = CurationPipeline.runFull(spark, planted,
+      spark.emptyDataFrame.withColumn("text", lit("")).select("text"),
+      jaccardThreshold = 0.5, minTokens = 10, maxPunctRatio = 1.0,
+      minStopwordRatio = 0.0, media = Some(mediaDf))
+    assert(report.ok, report.stages.toString)
+    assert(report.metrics("media_in") == 4L, report.metrics.toString)
+    assert(report.metrics("media_unreferenced_dropped") == 1L, report.metrics.toString)
+    assert(report.metrics("media_neardup_dropped") == 1L, report.metrics.toString)
+    assert(report.metrics("media_kept") == 2L, report.metrics.toString)
+    val kept = spark.table(CurationPipeline.MediaTable)
+      .select("media_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 12L), kept.toString)
   }
 }

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
+
+import graft.SparkSpec
+import graft.operators.Multimodal
+
+class MediaPipelineSpec extends SparkSpec with BeforeAndAfterEach {
+  import spark.implicits._
+
+  override def beforeEach(): Unit = MediaPipeline.resetTreadmill(spark)
+
+  /** 96-byte ASCII payloads: the dHash grid reads bytes 0..71, so a
+    * "re-encode" shares the first 72 bytes and differs in the tail
+    * (hamming 0) — the phash gate fixture's shape. */
+  private def payload(seed: Int): Array[Byte] =
+    Array.tabulate(96)(i => (33 + (seed * 31 + i * 7) % 90).toByte)
+
+  private def reencode(seed: Int): Array[Byte] = {
+    val p = payload(seed)
+    (0 until 24).foreach(i => p(72 + i) = (33 + (seed * 13 + i) % 90).toByte)
+    p
+  }
+
+  private def media(rows: (Long, Array[Byte])*) =
+    rows.toSeq.toDF("media_id", "bytes")
+      .select($"media_id", lit("image").as("kind"), lit("raw").as("format"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"), $"bytes")
+
+  test("bootstrap self-dedups, second batch reconciles against the STORED index only") {
+    val slice1 = media(1L -> payload(1), 2L -> payload(2), 3L -> reencode(1))
+    val r1 = MediaPipeline.ingestBatch(spark, slice1)
+    assert(r1.ok, r1.stages.toString)
+    assert(r1.metrics("tier_media") == 0L) // bootstrap
+    assert(r1.metrics("batch_kept") == 2L && r1.metrics("batch_dropped") == 1L,
+      r1.metrics.toString) // the in-batch re-encode collapses to min id
+    assert(spark.table(MediaPipeline.TierTable).select("media_id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+
+    // slice 2: a re-encode of a TIER asset (cross dup: must reconcile
+    // against the stored index), a fresh asset, and an in-batch pair
+    val slice2 = media(10L -> reencode(2), 11L -> payload(7), 12L -> reencode(7))
+    val r2 = MediaPipeline.ingestBatch(spark, slice2)
+    assert(r2.ok, r2.stages.toString)
+    assert(r2.metrics("batch_kept") == 1L && r2.metrics("batch_dropped") == 2L,
+      r2.metrics.toString)
+    val tier = spark.table(MediaPipeline.TierTable).select("media_id").as[Long].collect().toSet
+    assert(tier == Set(1L, 2L, 11L), tier.toString)
+
+    // the index covers the tier 4 chunk rows per asset, id-for-id, and
+    // equals a fresh hash of the tier (nothing stale, nothing extra)
+    val idx = spark.table(MediaPipeline.PhashIndexTable)
+    assert(idx.count() == 4 * tier.size)
+    val fresh = Multimodal.phashIndex(spark.table(MediaPipeline.TierTable))
+      .select("media_id", "phash", "chunk", "key")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val stored = idx.select("media_id", "phash", "chunk", "key")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(stored == fresh)
+  }
+
+  test("tier equals batch-global phashDedup across slices (convergence contract)") {
+    val all = media(
+      1L -> payload(1), 2L -> payload(2), 3L -> payload(3),
+      20L -> reencode(1), 21L -> payload(4), 22L -> reencode(4), 23L -> reencode(3))
+    val r1 = MediaPipeline.ingestBatch(spark, media(
+      1L -> payload(1), 2L -> payload(2), 3L -> payload(3)))
+    val r2 = MediaPipeline.ingestBatch(spark, media(
+      20L -> reencode(1), 21L -> payload(4), 22L -> reencode(4), 23L -> reencode(3)))
+    assert(r1.ok && r2.ok)
+    val expected = Multimodal.phashDedup(all).select("media_id").as[Long].collect().toSet
+    val tier = spark.table(MediaPipeline.TierTable).select("media_id").as[Long].collect().toSet
+    assert(tier == expected, s"$tier vs $expected")
+  }
+
+  test("capped cross buckets are REPORTED, never silent") {
+    // a degenerate family: many assets sharing one phash — with
+    // maxBucketSize 2 the combined (chunk, key) population exceeds the
+    // cap and the skip must surface in the metric map
+    val r1 = MediaPipeline.ingestBatch(spark,
+      media(1L -> payload(1), 2L -> payload(2)), maxBucketSize = 2)
+    assert(r1.ok)
+    val r2 = MediaPipeline.ingestBatch(spark,
+      media(10L -> reencode(1), 11L -> reencode(1), 12L -> reencode(1)),
+      maxBucketSize = 2)
+    assert(r2.ok)
+    assert(r2.metrics("skipped_cross_buckets") > 0L, r2.metrics.toString)
+    assert(r2.metrics("skipped_batch_buckets") > 0L, r2.metrics.toString)
+  }
+}
