@@ -1222,6 +1222,21 @@ object SparkEntry {
     docs(s, dir).select(col("doc_id"),
       translate(col("text"), "aeiou", "àéîöü").as("text"))
 
+  /** Caption variants for the cross-modal gate — one caption per
+    * [[phashMedia]] asset (same id plants: re-encodes %10, corrupted
+    * %7==3), wording varied per variant so the per-component argmax
+    * has real choices. */
+  private def captionFixture(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(col("text").isNotNull)
+    base.select(col("doc_id").as("media_id"), col("text").as("caption"))
+      .unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("media_id"),
+          concat(col("text"), lit(" crisp studio photograph")).as("caption")))
+      .unionByName(base.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 200000L).as("media_id"),
+          concat(col("text"), lit(" blurry snapshot")).as("caption")))
+  }
+
   private def docDupFixture(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
     d.unionByName(d.filter(col("doc_id") % 5 === 0)
@@ -1696,6 +1711,25 @@ object SparkEntry {
           .join(idx.select("media_id"), Seq("media_id"), "left_anti").isEmpty,
         "stored index ids must equal tier ids")
       tier.select("media_id").orderBy("media_id")
+    }),
+
+    // CROSS-MODAL caption curation: caption↔image pairs where the
+    // image is a perceptual near-dup (hamming component over the
+    // phashMedia plants) but captions differ — keep the best caption
+    // per component by the deterministic hashed-classifier score
+    // (integer milli-sums, engine-exact), tie-broken (media_id,
+    // caption). The oracle replays grid → dHash → hamming → recursive
+    // component closure, the classifier arithmetic, and the argmax via
+    // the row_number idiom.
+    "mm_caption_keep_best" -> ((s, dir) => {
+      val caps = captionFixture(s, dir)
+      val scored = Curation.classifierScore(
+          caps.withColumnRenamed("media_id", "doc_id"),
+          Curation.hashedModel(s, 4096), dim = 4096, textCol = "caption")
+        .select(col("doc_id").as("media_id"), col("score"))
+      Multimodal.captionKeepBest(phashMedia(s, dir),
+          caps.join(scored, Seq("media_id")))
+        .orderBy("media_id")
     }),
 
     // Video frame-sampling plan (pure plan-side explode; the decoder
@@ -4711,6 +4745,62 @@ object SparkEntry {
          |LEFT JOIN comp c USING (media_id)
          |WHERE c.media_id IS NULL OR c.cluster_id = s.media_id
          |ORDER BY 1""".stripMargin,
+
+    // Component closure + classifier replay + row_number argmax: kept
+    // caption per perceptual component, (score DESC, media_id, caption)
+    // — score is bit-exact cross-engine (integer milli-sums, one double
+    // division), NULLs rank last under DESC in both engines.
+    "mm_caption_keep_best" ->
+      s"""WITH RECURSIVE $phashSigsSql,
+         |$phashEdgesSql,
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT id AS media_id, MIN(lbl) AS cluster_id FROM (
+         |    SELECT src AS id, dst AS lbl FROM reach
+         |    UNION SELECT src, src FROM edges)
+         |  GROUP BY 1),
+         |caps AS (
+         |  SELECT doc_id AS media_id, text AS caption
+         |  FROM documents WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text || ' crisp studio photograph'
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text || ' blurry snapshot'
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 3),
+         |wts AS (
+         |  SELECT b AS bucket,
+         |         CAST('0x' || substr(md5(b::VARCHAR), 1, 8) AS BIGINT) % 2001 - 1000 AS w_milli
+         |  FROM (SELECT unnest(range(0, 4096)) AS b)),
+         |toks AS (
+         |  SELECT media_id,
+         |         unnest(string_split(lower(trim(regexp_replace(coalesce(caption, ''), '\\s+', ' ', 'g'))), ' ')) AS tok
+         |  FROM caps),
+         |feat AS (
+         |  SELECT media_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 4096 AS bucket
+         |  FROM toks WHERE tok <> ''),
+         |agg AS (
+         |  SELECT f.media_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |         CAST(sum(wts.w_milli) AS BIGINT) AS w_sum_milli
+         |  FROM feat f JOIN wts USING (bucket) GROUP BY 1),
+         |scored AS (
+         |  SELECT c.media_id, c.caption,
+         |         CAST(a.w_sum_milli AS DOUBLE) / (1000.0 * a.n_tokens) AS score,
+         |         COALESCE(cm.cluster_id, c.media_id) AS component
+         |  FROM caps c LEFT JOIN agg a USING (media_id)
+         |  LEFT JOIN comp cm USING (media_id)),
+         |ranked AS (
+         |  SELECT component, media_id, caption,
+         |         row_number() OVER (PARTITION BY component
+         |           ORDER BY score DESC, media_id, caption) AS rk,
+         |         count(*) OVER (PARTITION BY component) AS n
+         |  FROM scored)
+         |SELECT component AS media_id, caption AS kept_caption,
+         |       media_id AS kept_from, CAST(n - 1 AS BIGINT) AS dropped_count
+         |FROM ranked WHERE rk = 1 ORDER BY 1""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH f AS (

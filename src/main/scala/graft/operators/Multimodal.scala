@@ -568,6 +568,54 @@ object Multimodal {
               .bitwiseAND(0xFFFFL).as("key")))).as("ck"))
       .select(col("m"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
 
+  /** CROSS-MODAL pair curation: caption↔image pairs where the IMAGE is
+    * a perceptual near-dup (same hamming component) but the captions
+    * differ — the multimodal-training-set shape where one photo
+    * circulates as many re-encodes, each with its own alt-text, and the
+    * pair set must keep exactly one (image, caption) per distinct
+    * image, choosing the BEST caption by a quality score rather than an
+    * arbitrary one.
+    *
+    * `captions` is (media_id, caption, score) — score from any existing
+    * quality battery (e.g. `Curation.classifierScore` / `lmScore` over
+    * the caption text); NULL scores rank worst. Per component the kept
+    * caption is the (score DESC, media_id ASC, caption ASC) argmax —
+    * fully deterministic, engine-exact when the score is (both
+    * batteries are integer-sum + one division). Output: one row per
+    * component — (media_id = the component's canonical asset,
+    * kept_caption, kept_from = the asset that contributed it,
+    * dropped_count). Assets with captions but no near-dups pass through
+    * as their own singleton component.
+    *
+    * Plan shape: the hamming components ride the slim banded-pairs
+    * stream ([[phashNearDupPairs]] — decode once, capped buckets);
+    * captions join on media_id and the per-component argmax is ONE
+    * min_by aggregate (no window, no per-component sort). */
+  def captionKeepBest(media: DataFrame, captions: DataFrame,
+                      maxHamming: Int = 3, grid: GridExtractor = StubGrid,
+                      maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+    val comps = Components.connectedComponents(
+      phashNearDupPairs(media, maxHamming, grid, maxBucketSize)
+        .select("a_id", "b_id"))
+      .withColumnRenamed("id", "media_id")
+    // min_by over struct(-score, id, caption): the id-safe argmax idiom
+    // (negate only the double, never ids); null score -> -inf = worst
+    val key = struct(
+      negate(coalesce(col("score"), lit(Double.NegativeInfinity))),
+      col("media_id"), col("caption"))
+    captions.join(comps, Seq("media_id"), "left")
+      .select(col("media_id"), col("caption"), col("score"),
+        coalesce(col("component"), col("media_id")).as("component"))
+      .groupBy("component")
+      .agg(
+        min_by(struct(col("caption"), col("media_id")), key).as("best"),
+        (count(lit(1)) - 1).cast("long").as("dropped_count"))
+      .select(col("component").as("media_id"),
+        col("best.caption").as("kept_caption"),
+        col("best.media_id").as("kept_from"),
+        col("dropped_count"))
+  }
+
   /** Feature extraction: adds a `features` array<float> column, decoder
     * run per partition. The partition iterator is consumed lazily —
     * constant memory regardless of partition size. */

@@ -339,6 +339,36 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((30L, 31L)), pairs.mkString(","))
   }
 
+  test("captionKeepBest: one caption per perceptual component, best score wins, singletons pass") {
+    // assets 1/2/3 are one hamming-0 family (same grid bytes, fresh
+    // tails), asset 9 is a singleton; captions score 2.0/3.0/NULL/1.0 —
+    // the component keeps asset 2's caption (best score), reports 2
+    // dropped, and is labeled by the canonical (min) asset id
+    val a = Array.tabulate[Byte](96)(i => (40 + i % 60).toByte)
+    def tail(seed: Int): Array[Byte] = {
+      val p = a.clone(); (72 until 96).foreach(i => p(i) = (33 + (seed * 7 + i) % 90).toByte); p
+    }
+    val b = Array.tabulate[Byte](96)(i => (40 + (i * 13) % 60).toByte)
+    val media = mediaDf(Seq(
+      (1L, "image", "raw", tail(1)), (2L, "image", "raw", tail(2)),
+      (3L, "image", "raw", tail(3)), (9L, "image", "raw", b)))
+    val captions = Seq(
+      (1L, "ok caption", Some(2.0)),
+      (2L, "best caption", Some(3.0)),
+      (3L, "scoreless caption", None),
+      (9L, "lone caption", Some(1.0))).toDF("media_id", "caption", "score")
+    val out = Multimodal.captionKeepBest(media, captions)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(out == Set((1L, "best caption", 2L, 2L), (9L, "lone caption", 9L, 0L)), out.toString)
+    // tie on score -> smaller media_id's caption
+    val tied = Seq(
+      (1L, "from one", Some(2.0)), (2L, "from two", Some(2.0)),
+      (3L, "worse", Some(1.0))).toDF("media_id", "caption", "score")
+    val out2 = Multimodal.captionKeepBest(media, tied)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(out2 == Set((1L, "from one", 1L, 2L)), out2.toString)
+  }
+
   test("WavGrid honors byte order and 16-bit signedness (pcmSample contract)") {
     import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
     // the same amplitude-modulated sine rendered little-endian (WAVE)
