@@ -1237,6 +1237,28 @@ object SparkEntry {
           concat(col("text"), lit(" blurry snapshot")).as("caption")))
   }
 
+  /** Video fixture for the video-dedup gate: one 8-frame video per
+    * doc, frame k's payload = md5(text || ":f" || k) — ASCII, StubGrid
+    * wraps the 32 bytes over the 72-cell grid, so the oracle replays
+    * every frame hash bit for bit. Plants: RE-MUXES (+100000 for
+    * doc_id % 10 == 0 — identical frames, new container: jaccard 1)
+    * and TRIMS (+200000 for doc_id % 7 == 3 — source frames 2..7 only:
+    * jaccard 0.75, containment 1). */
+  private def videoFrames(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).filter(col("text").isNotNull)
+    def frames(vidOffset: Long, cond: org.apache.spark.sql.Column, off: Int, nf: Int) =
+      base.filter(cond)
+        .select((col("doc_id") + vidOffset).as("video_id"), col("text"),
+          explode(sequence(lit(0), lit(nf - 1))).as("k"))
+        .select(col("video_id"), col("k").as("frame_no"),
+          md5(concat(col("text"), lit(":f"), (col("k") + off).cast("string"))).as("p"))
+    frames(0L, lit(true), 0, 8)
+      .unionByName(frames(100000L, col("doc_id") % 10 === 0, 0, 8))
+      .unionByName(frames(200000L, col("doc_id") % 7 === 3, 2, 6))
+      .select(col("video_id"), col("frame_no"), lit("image").as("kind"),
+        lit("raw").as("format"), col("p").cast("binary").as("bytes"))
+  }
+
   private def docDupFixture(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
     d.unionByName(d.filter(col("doc_id") % 5 === 0)
@@ -1731,6 +1753,22 @@ object SparkEntry {
           caps.join(scored, Seq("media_id")))
         .orderBy("media_id")
     }),
+
+    // VIDEO-level dedup over frame-phash sets: re-muxes (identical
+    // frames, new container) match on Jaccard 1; trims (a suffix cut)
+    // match on directional containment 1 where Jaccard alone (0.75)
+    // would miss them. Candidates bucket on shared exact frame hashes
+    // (capped), verification is the native long-set kernels; the
+    // oracle replays per-frame grid → dHash bits → set overlap.
+    "mm_video_dedup" -> ((s, dir) =>
+      Multimodal.videoNearDupPairs(Multimodal.frameHashes(videoFrames(s, dir)))
+        .orderBy("a_id", "b_id")),
+
+    // The keep side: pair graph closed into components, smallest
+    // video_id survives — batch video dedup end to end.
+    "mm_video_dedup_keep" -> ((s, dir) =>
+      Multimodal.videoDedup(Multimodal.frameHashes(videoFrames(s, dir)))
+        .select("video_id").orderBy("video_id")),
 
     // Video frame-sampling plan (pure plan-side explode; the decoder
     // would fetch only sampled frames).
@@ -3632,6 +3670,39 @@ object SparkEntry {
       |  SELECT a_id AS src, b_id AS dst FROM pairs
       |  UNION SELECT b_id, a_id FROM pairs)""".stripMargin
 
+  // The video gates' fixture + per-frame dHash sigs + all-pairs set
+  // overlap, as one reusable CTE chain (videoFrames' SQL twin).
+  private val videoSigsSql =
+    """vids AS (
+      |  SELECT doc_id AS video_id, doc_id AS src_doc, 0 AS off, 8 AS nf
+      |  FROM documents WHERE text IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_id + 100000, doc_id, 0, 8 FROM documents
+      |  WHERE text IS NOT NULL AND doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, doc_id, 2, 6 FROM documents
+      |  WHERE text IS NOT NULL AND doc_id % 7 = 3),
+      |pay AS (
+      |  SELECT v.video_id, md5(d.text || ':f' || (t.k + v.off)::VARCHAR) AS p
+      |  FROM vids v, documents d, unnest(range(0, v.nf)) AS t(k)
+      |  WHERE d.doc_id = v.src_doc),
+      |fsigs AS (
+      |  SELECT video_id, array_to_string(list_transform(range(0, 64),
+      |    k -> CASE WHEN ascii(substr(p, CAST((k + k // 8) % 32 + 1 AS INT), 1))
+      |               < ascii(substr(p, CAST((k + k // 8 + 1) % 32 + 1 AS INT), 1))
+      |         THEN '1' ELSE '0' END), '') AS sig
+      |  FROM pay),
+      |vsets AS (
+      |  SELECT video_id, list_distinct(list(sig)) AS hs FROM fsigs GROUP BY 1),
+      |vpairs AS (
+      |  SELECT a.video_id AS a_id, b.video_id AS b_id,
+      |         len(list_intersect(a.hs, b.hs))::DOUBLE
+      |           / len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard,
+      |         greatest(
+      |           len(list_intersect(a.hs, b.hs))::DOUBLE / len(a.hs),
+      |           len(list_intersect(a.hs, b.hs))::DOUBLE / len(b.hs)) AS containment
+      |  FROM vsets a, vsets b WHERE a.video_id < b.video_id)""".stripMargin
+
   // Shared doc_stats SQL fragments (also power the quantile oracle).
   private val statsEn = TextStats.Stopwords.head._2.map(w => s"'$w'").mkString("[", ", ", "]")
   private val statsHitCols = TextStats.Stopwords.map { case (lang, stops) =>
@@ -4801,6 +4872,37 @@ object SparkEntry {
          |SELECT component AS media_id, caption AS kept_caption,
          |       media_id AS kept_from, CAST(n - 1 AS BIGINT) AS dropped_count
          |FROM ranked WHERE rk = 1 ORDER BY 1""".stripMargin,
+
+    // Per-frame dHash replay (StubGrid wraps the 32-byte md5 payload
+    // over the 72-cell grid: byte index = cell % 32), then set overlap
+    // over the distinct frame-sig lists.
+    "mm_video_dedup" ->
+      s"""WITH $videoSigsSql
+         |SELECT a_id, b_id, jaccard, containment FROM vpairs
+         |WHERE jaccard >= 0.9 OR containment >= 0.9
+         |ORDER BY 1, 2""".stripMargin,
+
+    "mm_video_dedup_keep" ->
+      s"""WITH RECURSIVE $videoSigsSql,
+         |qpairs AS (
+         |  SELECT a_id, b_id FROM vpairs
+         |  WHERE jaccard >= 0.9 OR containment >= 0.9),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM qpairs
+         |  UNION SELECT b_id, a_id FROM qpairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT id AS video_id, MIN(lbl) AS cluster_id FROM (
+         |    SELECT src AS id, dst AS lbl FROM reach
+         |    UNION SELECT src, src FROM edges)
+         |  GROUP BY 1)
+         |SELECT v.video_id FROM vsets v
+         |LEFT JOIN comp c USING (video_id)
+         |WHERE c.video_id IS NULL OR c.cluster_id = v.video_id
+         |ORDER BY 1""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH f AS (

@@ -568,6 +568,71 @@ object Multimodal {
               .bitwiseAND(0xFFFFL).as("key")))).as("ck"))
       .select(col("m"), col("ck.chunk").as("chunk"), col("ck.key").as("key"))
 
+  // ------------------------------------------------------------------
+  // Video-level dedup (frame-phash sequences)
+  // ------------------------------------------------------------------
+
+  /** A video as its ORDERED frame-phash array: per-frame dHash over a
+    * frames table (video_id, frame_no, kind, format, bytes — the shape
+    * [[sampleFrames]] + a frame fetcher produces), grouped back to one
+    * row per video with hashes in frame order. Undecodable frames drop
+    * out (never an exception); a video with zero decodable frames
+    * disappears rather than matching everything on an empty set. ONE
+    * decode pass — the |frames|-sized mapPartitions — then every
+    * downstream consumer rides the slim (video_id, array<long>) frame. */
+  def frameHashes(frames: DataFrame, grid: GridExtractor = StubGrid): DataFrame =
+    withPhash(frames, grid).filter(col("phash").isNotNull)
+      .groupBy("video_id")
+      .agg(transform(array_sort(collect_list(struct(col("frame_no"), col("phash")))),
+        f => f.getField("phash")).as("frame_hashes"))
+
+  /** VIDEO near-dup pairs over frame-hash SETS: candidates share at
+    * least one exact frame phash (bucket on each distinct hash — the
+    * capped-bucket discipline; a qualifying pair must share ≥ 1 frame,
+    * so recall is complete by construction), verified with the native
+    * set kernels: Jaccard (re-encodes and re-muxes — same frames, new
+    * container/octets) and max-directional containment (TRIMS: the
+    * short cut's hash set is fully contained in the full video's).
+    * Emits (a_id, b_id, jaccard, containment) for pairs passing either
+    * threshold; both ratios are small-integer divisions, engine-exact. */
+  def videoNearDupPairs(videos: DataFrame, jaccardThreshold: Double = 0.9,
+                        containThreshold: Double = 0.9,
+                        maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+    val slim = videos.select(
+      struct(col("video_id"), col("frame_hashes")).as("v"),
+      explode(array_distinct(col("frame_hashes"))).as("h"))
+    val pairs = TextDedup.cappedBucketPairs(slim, Seq("h"), "v", maxBucketSize,
+        TextDedup.memberPairs)
+      .select(col("p.a.video_id").as("a_id"), col("p.b.video_id").as("b_id"),
+        call_function("jaccard_long_sets",
+          col("p.a.frame_hashes"), col("p.b.frame_hashes")).as("jaccard"),
+        greatest(
+          call_function("contain_long_sets",
+            col("p.a.frame_hashes"), col("p.b.frame_hashes")),
+          call_function("contain_long_sets",
+            col("p.b.frame_hashes"), col("p.a.frame_hashes"))).as("containment"))
+    pairs.filter(col("jaccard") >= jaccardThreshold ||
+        col("containment") >= containThreshold)
+      .groupBy("a_id", "b_id")
+      .agg(max("jaccard").as("jaccard"), max("containment").as("containment"))
+  }
+
+  /** Video dedup end-to-end: near-dup pairs closed into connected
+    * components, each collapsed to its smallest video_id — the
+    * [[phashDedup]] keep policy one level up the media hierarchy.
+    * Input is the (video_id, frame_hashes) frame so the caller decides
+    * where decode happened; the survivors keep their hash arrays. */
+  def videoDedup(videos: DataFrame, jaccardThreshold: Double = 0.9,
+                 containThreshold: Double = 0.9,
+                 maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+    val losers = Components.connectedComponents(
+        videoNearDupPairs(videos, jaccardThreshold, containThreshold, maxBucketSize)
+          .select("a_id", "b_id"))
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as("video_id"))
+    videos.join(losers, Seq("video_id"), "left_anti")
+  }
+
   /** CROSS-MODAL pair curation: caption↔image pairs where the IMAGE is
     * a perceptual near-dup (same hamming component) but the captions
     * differ — the multimodal-training-set shape where one photo

@@ -339,6 +339,43 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((30L, 31L)), pairs.mkString(","))
   }
 
+  test("videoDedup: re-muxes match on jaccard, trims on containment, distinct videos survive") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // frame payloads: distinct ASCII strings per (family, frame)
+    def fb(fam: Int, k: Int): Array[Byte] =
+      Array.tabulate(40)(i => (33 + (fam * 53 + k * 17 + i * 7) % 90).toByte)
+    val rows = Seq(
+      // video 1: family A frames 0..7; video 2: re-mux (same frames)
+      (1L, 0 until 8, 0), (2L, 0 until 8, 0),
+      // video 3: trim of family A — frames 2..7 only (jaccard 0.75)
+      (3L, 0 until 6, 2),
+      // video 9: family B — disjoint
+      (9L, 0 until 8, 100)).flatMap { case (vid, ks, off) =>
+      ks.map(k => Row(vid, k, "image", "raw", fb(if (off >= 100) 2 else 1, k + (off % 100))))
+    }
+    val schema = StructType(Seq(
+      StructField("video_id", LongType), StructField("frame_no", IntegerType),
+      StructField("kind", StringType), StructField("format", StringType),
+      StructField("bytes", BinaryType)))
+    val frames = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val vids = Multimodal.frameHashes(frames)
+    val pairs = Multimodal.videoNearDupPairs(vids)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(p => (p._1, p._2) -> (p._3, p._4)).toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 3L), (2L, 3L)), pairs.toString)
+    assert(pairs((1L, 2L))._1 == 1.0)              // re-mux: jaccard 1
+    assert(pairs((1L, 3L))._1 == 0.75 && pairs((1L, 3L))._2 == 1.0) // trim: containment 1
+    // jaccard alone (containment off) must MISS the trim
+    val jOnly = Multimodal.videoNearDupPairs(vids, containThreshold = 1.01)
+      .as[(Long, Long, Double, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(jOnly == Set((1L, 2L)), jOnly.toString)
+    val kept = Multimodal.videoDedup(vids)
+      .select("video_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 9L), kept.toString)
+  }
+
   test("captionKeepBest: one caption per perceptual component, best score wins, singletons pass") {
     // assets 1/2/3 are one hamming-0 family (same grid bytes, fresh
     // tails), asset 9 is a singleton; captions score 2.0/3.0/NULL/1.0 —
