@@ -46,7 +46,8 @@ object Bench {
       "emb_topk_ivfpq", "emb_topk_ivfpq_refine", "emb_topk_ivfpq_stored",
       "emb_triplet_mining", "emb_ingest_incremental",
       "emb_pq_regenerate", "stream_vec_ingest",
-      "stream_doc_ingest", "ref_curation_clean", "ref_curation_mix")
+      "stream_doc_ingest", "stream_media_ingest",
+      "ref_curation_clean", "ref_curation_mix")
     val medianUnderSec = 3.0
     // local-iteration filter (unset in driver runs): comma-separated
     // query names

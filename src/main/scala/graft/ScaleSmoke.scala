@@ -77,9 +77,32 @@ object ScaleSmoke {
       }
 
     timed("dedup_near_minhash_50k") {
-      val kept = operators.TextDedup.dedupNearMinhash(docs, jaccardThreshold = 0.5)
-      val n = kept.count()
+      // MEDIAN-OF-3 row (r11 finding: this row moved 97.5→147.5 s
+      // across rounds with zero code changes in its path — the same-JVM
+      // reps below pin whether that spread is ambient or real; per-rep
+      // times print so PLANS.md can record the measured spread, and the
+      // row's wall time is the MEDIAN rep, the Bench fixtureHeavy
+      // discipline carried to the decade table). The timed() wrapper
+      // still reports total wall; the [scale-ab] line is the signal.
+      var n = 0L
+      val reps = (1 to 3).map { _ =>
+        val pre = spark.sparkContext.getPersistentRDDs.keySet.toSet
+        val t = System.nanoTime()
+        n = operators.TextDedup.dedupNearMinhash(docs, jaccardThreshold = 0.5).count()
+        val sec = (System.nanoTime() - t) / 1e9
+        // release the rep's checkpoint pins so every rep starts from
+        // the same storage state (timed() only releases at op end)
+        spark.sparkContext.getPersistentRDDs
+          .filter { case (id, _) => !pre(id) }
+          .values.foreach(_.unpersist(blocking = true))
+        spark.sharedState.cacheManager.clearCache()
+        sec
+      }
       require(n <= nDocs / mult, s"${mult}x duplication families must collapse: kept $n of $nDocs")
+      val sorted = reps.sorted
+      System.err.println(f"[scale-ab] dedup_near_minhash reps " +
+        f"${reps.map(r => f"$r%.1f").mkString("/")} s; median ${sorted(1)}%.1f s; " +
+        f"spread ${(sorted(2) - sorted(0)) / sorted(1) * 100}%.0f%% of median")
       n
     }
     timed("dedup_blocks_50k") {
@@ -187,6 +210,40 @@ object ScaleSmoke {
         col("sim") < 0.999999).count()
       require(bad == 0, s"$bad vectors whose rank-1 is not an identical clone")
       n
+    }
+    timed("media_ingest_50k") {
+      // the MEDIA treadmill at corpus scale: one 96-byte payload per
+      // doc (md5-hex triple — clone replicas share text, hence payload,
+      // hence phash: mult-member exact-dup families), replica halves
+      // split into two slices so every family STRADDLES the slice
+      // boundary and must reconcile against the STORED index. The tier
+      // must equal batch-global phashDedup over everything — the
+      // convergence contract, asserted exactly.
+      import graft.pipeline.MediaPipeline
+      MediaPipeline.resetTreadmill(spark)
+      val payload = concat(md5(col("text")),
+        md5(concat(col("text"), lit(":1"))), md5(concat(col("text"), lit(":2"))))
+      val media = docs.filter(col("text").isNotNull).select(
+          col("doc_id").as("media_id"), lit("image").as("kind"), lit("raw").as("format"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms"), payload.cast("binary").as("bytes"))
+        .localCheckpoint(true)
+      val cut = (mult / 2).max(1) * 1000000L
+      val r1 = MediaPipeline.ingestBatch(spark, media.filter(col("media_id") < cut))
+      require(r1.ok, r1.stages.toString)
+      val r2 = MediaPipeline.ingestBatch(spark, media.filter(col("media_id") >= cut))
+      require(r2.ok, r2.stages.toString)
+      require(r1.metrics("skipped_cross_buckets") == 0L &&
+        r2.metrics("skipped_cross_buckets") == 0L,
+        s"no bucket may skip on a sane corpus: ${r2.metrics}")
+      val tier = spark.table(MediaPipeline.TierTable).count()
+      val expected = operators.Multimodal.phashDedup(media).count()
+      require(tier == expected,
+        s"treadmill must converge to batch-global phashDedup: $tier vs $expected")
+      require(spark.table(MediaPipeline.PhashIndexTable).count() == 4 * tier,
+        "stored index must cover the tier 4 rows per asset")
+      MediaPipeline.resetTreadmill(spark)
+      tier
     }
     timed("stream_ingest_50k") {
       // the STREAMING treadmill at corpus scale: clone replicas split
