@@ -708,12 +708,16 @@ object ScaleSmoke {
         require(n == e, s"kernel segmented '$w' to $n symbols, reference says $e")
       }
       // the chain's wall at shallow prefixes of the SAME list. The
-      // pathology is harder than "slow": at depth 256 the nested
-      // Column tree overflows the driver stack in Spark 4's
-      // ColumnNodeToExpressionConverter BEFORE any data is touched —
-      // the chain cannot even be PLANNED at production depth (measured
-      // here, not extrapolated). Shallow prefixes give the per-merge
-      // slope for the regime where it still plans.
+      // pathology is harder than "slow": past a few hundred merges the
+      // nested tree overflows a stack — the driver's during Column
+      // conversion at analysis (~512 nodes, 8 MB stack), or an
+      // EXECUTOR's during whole-stage codegen of StringReplace
+      // (~256 nodes, 1 MB task stack; this one killed the first 500k
+      // decade run) — the chain cannot even be PLANNED/CODEGEN'D at
+      // production depth. Probes stay at the gate-proven 64/128; the
+      // deep attempt is made once and its failure mode is REPORTED,
+      // whole failure chain caught (a task-side StackOverflowError
+      // surfaces on the driver wrapped in SparkException layers).
       def chainTime(depth: Int): Double = {
         val t = System.nanoTime()
         wordsDf.select(size(operators.Bpe.segmentChain(col("word"), mergeList.take(depth))).as("n"))
@@ -721,14 +725,16 @@ object ScaleSmoke {
         (System.nanoTime() - t) / 1e9
       }
       val t64 = chainTime(64)
-      val t256 = chainTime(256)
+      val t128 = chainTime(128)
+      def rootOf(t: Throwable): Throwable =
+        if (t.getCause == null || t.getCause == t) t else rootOf(t.getCause)
       val chain512 =
         try f"${chainTime(512)}%.1f s" catch {
-          case _: StackOverflowError => "StackOverflowError at analysis"
+          case t: Throwable => s"${rootOf(t).getClass.getSimpleName} (unplannable at depth)"
         }
       System.err.println(f"[scale] bpe_segment kernel ${mergeList.size} merges over " +
-        f"${wordsDf.count()} distinct words: $tKernel%.1f s; chain 64/256 merges " +
-        f"$t64%.1f/$t256%.1f s; chain 512 merges: $chain512")
+        f"${wordsDf.count()} distinct words: $tKernel%.1f s; chain 64/128 merges " +
+        f"$t64%.1f/$t128%.1f s; chain 512 merges: $chain512")
       totalSyms
     }
     timed("bigram_topk_50k") {
