@@ -245,6 +245,60 @@ object ScaleSmoke {
       MediaPipeline.resetTreadmill(spark)
       tier
     }
+    timed("caption_keep_best_50k") {
+      // cross-modal keep-best at corpus scale: clone families (every
+      // replica shares its base doc's payload, hence phash) collapse to
+      // ONE caption each, chosen by the classifier score over per-clone
+      // caption variants. Exact structural assertion: the output ids
+      // equal phashDedup's survivors (both are the component minima)
+      // and the dropped counts sum to the caption total minus one per
+      // component.
+      val payload = concat(md5(col("text")),
+        md5(concat(col("text"), lit(":1"))), md5(concat(col("text"), lit(":2"))))
+      val media = docs.filter(col("text").isNotNull).select(
+          col("doc_id").as("media_id"), lit("image").as("kind"), lit("raw").as("format"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms"), payload.cast("binary").as("bytes"))
+        .localCheckpoint(true)
+      val caps = docs.filter(col("text").isNotNull)
+        .select(col("doc_id").as("media_id"),
+          concat(col("text"), lit(" v"), pmod(col("doc_id"), lit(7)).cast("string")).as("caption"))
+      val scored = operators.Curation.classifierScore(
+          caps.withColumnRenamed("media_id", "doc_id"),
+          operators.Curation.hashedModel(spark, 4096), dim = 4096, textCol = "caption")
+        .select(col("doc_id").as("media_id"), col("score"))
+      val out = operators.Multimodal.captionKeepBest(media, caps.join(scored, Seq("media_id")))
+        .localCheckpoint(true)
+      val n = out.count()
+      val keepIds = operators.Multimodal.phashDedup(media)
+        .select("media_id").localCheckpoint(true)
+      require(n == keepIds.count(), s"one caption per component: $n vs ${keepIds.count()}")
+      require(out.join(keepIds, Seq("media_id"), "left_anti").count() == 0,
+        "output ids must be exactly the component minima")
+      val dropped = out.agg(sum("dropped_count")).head().getLong(0)
+      require(n + dropped == caps.count(), s"drop accounting: $n kept + $dropped != ${caps.count()}")
+      n
+    }
+    timed("video_dedup_50k") {
+      // video dedup at corpus scale: one 8-frame video per doc, clone
+      // families share every frame payload. With 8-frame sets, BOTH
+      // thresholds (jaccard/containment >= 0.9) require identical sets
+      // (k/8 >= 0.9 -> k = 8), so survivors must equal the distinct
+      // frame-set classes EXACTLY — individual frame-hash collisions
+      // cannot create a qualifying pair.
+      val frames = docs.filter(col("text").isNotNull)
+        .select(col("doc_id").as("video_id"),
+          explode(sequence(lit(0), lit(7))).as("frame_no"), col("text"))
+        .select(col("video_id"), col("frame_no"), lit("image").as("kind"),
+          lit("raw").as("format"),
+          md5(concat(col("text"), lit(":f"), col("frame_no").cast("string")))
+            .cast("binary").as("bytes"))
+      val vids = operators.Multimodal.frameHashes(frames).localCheckpoint(true)
+      val kept = operators.Multimodal.videoDedup(vids).count()
+      val classes = vids.select("frame_hashes").distinct().count()
+      require(kept == classes, s"survivors must equal distinct frame-set classes: $kept vs $classes")
+      kept
+    }
     timed("stream_ingest_50k") {
       // the STREAMING treadmill at corpus scale: clone replicas split
       // into two landed slices, two checkpointed drains (the second a
@@ -724,17 +778,20 @@ object ScaleSmoke {
           .agg(sum("n")).head().getLong(0)
         (System.nanoTime() - t) / 1e9
       }
-      val t64 = chainTime(64)
-      val t128 = chainTime(128)
       def rootOf(t: Throwable): Throwable =
         if (t.getCause == null || t.getCause == t) t else rootOf(t.getCause)
-      val chain512 =
-        try f"${chainTime(512)}%.1f s" catch {
-          case t: Throwable => s"${rootOf(t).getClass.getSimpleName} (unplannable at depth)"
+      // EVERY probe is failure-isolated: the chain's overflow point is
+      // JVM-state dependent (standalone it planned 256; in the decade
+      // JVM the executor-side codegen recursion died at ≤128), so a
+      // probe must never kill the op — the kernel requires above are
+      // the assertions; the probes just REPORT where the wall fell.
+      def chainProbe(depth: Int): String =
+        try f"${chainTime(depth)}%.1f s" catch {
+          case t: Throwable => rootOf(t).getClass.getSimpleName
         }
       System.err.println(f"[scale] bpe_segment kernel ${mergeList.size} merges over " +
-        f"${wordsDf.count()} distinct words: $tKernel%.1f s; chain 64/128 merges " +
-        f"$t64%.1f/$t128%.1f s; chain 512 merges: $chain512")
+        f"${wordsDf.count()} distinct words: $tKernel%.1f s; chain at 64/128/512 " +
+        f"merges: ${chainProbe(64)}/${chainProbe(128)}/${chainProbe(512)}")
       totalSyms
     }
     timed("bigram_topk_50k") {
