@@ -780,18 +780,29 @@ object ScaleSmoke {
       }
       def rootOf(t: Throwable): Throwable =
         if (t.getCause == null || t.getCause == t) t else rootOf(t.getCause)
-      // EVERY probe is failure-isolated: the chain's overflow point is
-      // JVM-state dependent (standalone it planned 256; in the decade
-      // JVM the executor-side codegen recursion died at ≤128), so a
-      // probe must never kill the op — the kernel requires above are
-      // the assertions; the probes just REPORT where the wall fell.
       def chainProbe(depth: Int): String =
         try f"${chainTime(depth)}%.1f s" catch {
           case t: Throwable => rootOf(t).getClass.getSimpleName
         }
+      // The DEEP probe is opt-in (standalone runs only): past ~512
+      // nodes the chain StackOverflows — on the driver during Column
+      // conversion (recoverable), or on an EXECUTOR during whole-stage
+      // codegen, where a StackOverflowError is FATAL to Spark's
+      // uncaught-exception handler and kills the whole SparkContext a
+      // moment later (measured: decade runs 2 and 3 lost the context
+      // right after the 512 probe and died on the NEXT op's action).
+      // That is the definitive form of the pathology — a production
+      // vocabulary doesn't make the chain slow, it makes the chain
+      // take down the JVM — but it cannot run inside the shared-JVM
+      // decade, so it reports only under SPARK_GRAFT_CHAIN_WALL=1.
+      val wall =
+        if (sys.env.contains("SPARK_GRAFT_CHAIN_WALL"))
+          s"; chain at 512: ${chainProbe(512)} (context is lost after this)"
+        else ""
+      val nWords = wordsDf.count()
       System.err.println(f"[scale] bpe_segment kernel ${mergeList.size} merges over " +
-        f"${wordsDf.count()} distinct words: $tKernel%.1f s; chain at 64/128/512 " +
-        f"merges: ${chainProbe(64)}/${chainProbe(128)}/${chainProbe(512)}")
+        f"$nWords%d distinct words: $tKernel%.1f s; chain at 64/128 " +
+        f"merges: ${chainProbe(64)}/${chainProbe(128)}$wall")
       totalSyms
     }
     timed("bigram_topk_50k") {
