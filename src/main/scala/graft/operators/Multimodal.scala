@@ -533,6 +533,13 @@ object Multimodal {
                           maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
     TextDedup.oversized(phChunked(media, grid), Seq("chunk", "key"), maxBucketSize)
 
+  /** [[skippedPhashBuckets]] over an ALREADY-BUILT index — the no-decode
+    * rendition for callers holding the [[phashIndex]] pin (the media
+    * treadmill reports both skip metrics from one decode pass). */
+  def skippedPhashBucketsFromIndex(index: DataFrame,
+                                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
+    TextDedup.oversized(index, Seq("chunk", "key"), maxBucketSize)
+
   /** The dropped-bucket METRIC for [[phashAgainst]]'s CROSS join — the
     * module's "the cap must never truncate silently" rule carried to
     * the incremental path, which drops (chunk, key) buckets whose
@@ -541,13 +548,6 @@ object Multimodal {
     * batch decode once across reconcile + metric; one row per skipped
     * bucket with the combined member count. The in-batch expansion's
     * skips remain [[skippedPhashBuckets]] over the batch alone. */
-  /** [[skippedPhashBuckets]] over an ALREADY-BUILT index — the no-decode
-    * rendition for callers holding the [[phashIndex]] pin (the media
-    * treadmill reports both skip metrics from one decode pass). */
-  def skippedPhashBucketsFromIndex(index: DataFrame,
-                                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
-    TextDedup.oversized(index, Seq("chunk", "key"), maxBucketSize)
-
   def skippedPhashBucketsAgainst(batchIndex: DataFrame, tierIndex: DataFrame,
                                  maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
     batchIndex.groupBy("chunk", "key").agg(count(lit(1)).as("__bc"))

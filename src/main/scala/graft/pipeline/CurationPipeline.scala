@@ -252,7 +252,14 @@ object CurationPipeline {
           Map("media_in" -> mediaIn,
             "media_unreferenced_dropped" -> (mediaIn - refCount),
             "media_neardup_dropped" -> (refCount - kept),
-            "media_kept" -> kept)
+            "media_kept" -> kept,
+            // the module's "the cap must never truncate silently" rule:
+            // phashDedup drops oversized (chunk, key) buckets, so the
+            // run report must say how many — like the text stage's
+            // skipped_buckets_minhash
+            "skipped_media_buckets" ->
+              graft.operators.Multimodal.skippedPhashBuckets(
+                spark.table(MediaRefTable), mediaGrid, maxBucketSize).count())
         })) ++
       (if (bpeMerges <= 0) Seq.empty[Stage] else Seq(
         Stage("tokenizer_train") { _ =>

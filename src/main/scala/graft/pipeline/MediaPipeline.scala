@@ -56,23 +56,31 @@ object MediaPipeline {
       Stage("incremental_phash_dedup") { m =>
         // the ONE decode pass of the whole batch lifecycle
         val bIdx = Multimodal.phashIndex(batch, grid).localCheckpoint(true)
-        val tierIdx =
-          if (m("tier_media") > 0L) spark.table(PhashIndexTable)
-          else bIdx.limit(0) // empty tier: reconcile degenerates to in-batch dedup
-        val survivors = Multimodal.phashAgainst(batch, tierIdx, maxHamming, grid,
-          maxBucketSize, batchIndex = Some(bIdx))
-        Catalog.overwriteTable(survivors, BatchSurvivorsTable)
-        // survivor index rows come from the PIN, never a second decode
-        Catalog.overwriteTable(
-          bIdx.join(spark.table(BatchSurvivorsTable).select("media_id"),
-            Seq("media_id"), "left_semi"),
-          BatchIndexTable)
-        val kept = spark.table(BatchSurvivorsTable).count()
-        Map("batch_kept" -> kept, "batch_dropped" -> (m("batch_in") - kept),
-          "skipped_cross_buckets" ->
-            Multimodal.skippedPhashBucketsAgainst(bIdx, tierIdx, maxBucketSize).count(),
-          "skipped_batch_buckets" ->
-            Multimodal.skippedPhashBucketsFromIndex(bIdx, maxBucketSize).count())
+        try {
+          val tierIdx =
+            if (m("tier_media") > 0L) spark.table(PhashIndexTable)
+            else bIdx.limit(0) // empty tier: reconcile degenerates to in-batch dedup
+          val survivors = Multimodal.phashAgainst(batch, tierIdx, maxHamming, grid,
+            maxBucketSize, batchIndex = Some(bIdx))
+          Catalog.overwriteTable(survivors, BatchSurvivorsTable)
+          // survivor index rows come from the PIN, never a second decode
+          Catalog.overwriteTable(
+            bIdx.join(spark.table(BatchSurvivorsTable).select("media_id"),
+              Seq("media_id"), "left_semi"),
+            BatchIndexTable)
+          val kept = spark.table(BatchSurvivorsTable).count()
+          Map("batch_kept" -> kept, "batch_dropped" -> (m("batch_in") - kept),
+            "skipped_cross_buckets" ->
+              Multimodal.skippedPhashBucketsAgainst(bIdx, tierIdx, maxBucketSize).count(),
+            "skipped_batch_buckets" ->
+              Multimodal.skippedPhashBucketsFromIndex(bIdx, maxBucketSize).count())
+        } finally {
+          // everything reading the pin (scratch tables, both skip
+          // metrics) has materialized above — release it NOW, or a
+          // long-lived treadmill session accumulates one eagerly-pinned
+          // RDD per batch (the BpeSpec pin-leak discipline)
+          Catalog.releasePin(bIdx)
+        }
       },
       Stage("publish_batch") { _ =>
         val survivors = spark.table(BatchSurvivorsTable)

@@ -303,4 +303,17 @@ object Catalog {
       .sortBy(key)
       .option("overwriteSchema", "true")
       .saveAsTable(name)
+
+  /** Release the RDD a `localCheckpoint(eager = true)` pinned —
+    * PRECISELY, by collecting the checkpoint's own LogicalRDD from the
+    * plan (never a `getPersistentRDDs` sweep, which would race
+    * concurrent sessions). Only safe once every consumer of the pin has
+    * materialized: driver-loop operators (Bpe.train) and the ingest
+    * treadmills call this at the end of a round/batch so a long-lived
+    * session holds at most one pin per concurrent batch, not one per
+    * batch ever run. */
+  def releasePin(df: DataFrame): Unit =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 }
