@@ -46,8 +46,15 @@ object Bench {
       "emb_topk_ivfpq", "emb_topk_ivfpq_refine", "emb_topk_ivfpq_stored",
       "emb_triplet_mining", "emb_ingest_incremental",
       "emb_pq_regenerate", "stream_vec_ingest",
-      "stream_doc_ingest", "stream_media_ingest",
-      "ref_curation_clean", "ref_curation_mix")
+      "stream_doc_ingest", "stream_media_ingest", "stream_video_ingest",
+      "ref_curation_clean", "ref_curation_mix",
+      // round-12 cross-context movers with UNTOUCHED code paths
+      // (1.5-1.9x close-to-close, ~1x driver-run): same cold-first-rep
+      // signature as dedup_near_minhash — their first reps sit right at
+      // the 3 s adaptive-median cutoff, so a slow first rep skips the
+      // median path exactly when it is most needed; pin them
+      // unconditionally (A/B spread: PLANS.md round 13)
+      "doc_dedup_contained", "doc_winnowed_spans")
     val medianUnderSec = 3.0
     // local-iteration filter (unset in driver runs): comma-separated
     // query names

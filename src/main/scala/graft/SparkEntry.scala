@@ -35,6 +35,25 @@ object SparkEntry {
 
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.load(s, dir, "events")
 
+  /** A gate-scoped temp dir that CLEANS UP: repeated gate runs were
+    * accumulating parquet-bearing landing/checkpoint dirs under /tmp
+    * (round-12 ADVICE). Deletion is a JVM shutdown hook, not inline —
+    * a gate's result DataFrame is often consumed (written/compared)
+    * AFTER the gate function returns, and a stream checkpoint must
+    * outlive its last drain within the run. */
+  private def tempDir(prefix: String): String = {
+    val p = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   // ---------------------------------------------------------------
   // Reference surface (SURVEY §2). Dedup fixtures are built by
   // unioning slices of `events` with itself, per FIXTURES.md §B —
@@ -1222,6 +1241,17 @@ object SparkEntry {
     docs(s, dir).select(col("doc_id"),
       translate(col("text"), "aeiou", "àéîöü").as("text"))
 
+  /** The CODE-LIKE BPE fixture: lowercase vowels + s/t translated to
+    * digits, punctuation, and a CJK code point — every word becomes the
+    * mixed letter/digit/punct/CJK soup a code-heavy crawl source looks
+    * like, with the same determinism/SF-scaling as [[unicodeDocs]]
+    * (both engines' `translate` is codepoint-aware). Under the
+    * [[Bpe.LetterWords]] domain most of these words contribute ZERO
+    * tokens; the AllTokens gates train and encode over all of them. */
+  private def codeDocs(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      translate(col("text"), "aeioust", "01!,.子9").as("text"))
+
   /** Caption variants for the cross-modal gate — one caption per
     * [[phashMedia]] asset (same id plants: re-encodes %10, corrupted
     * %7==3), wording varied per variant so the per-component argmax
@@ -1712,8 +1742,8 @@ object SparkEntry {
     "stream_media_ingest" -> ((s, dir) => {
       import graft.pipeline.MediaPipeline
       MediaPipeline.resetTreadmill(s)
-      val land = Files.createTempDirectory("graft_media_land").toString
-      val cp = Files.createTempDirectory("graft_media_cp").toString
+      val land = tempDir("graft_media_land")
+      val cp = tempDir("graft_media_cp")
       val m = phashMedia(s, dir)
       val slice1 = m.filter(col("media_id") < 250)
       val slice2 = m.filter(col("media_id") >= 250)
@@ -2476,6 +2506,58 @@ object SparkEntry {
           Bpe.train(unicodeDocs(s, dir), numMerges = 6))
         .orderBy("doc_id")),
 
+    // FULL-COVERAGE BPE (the AllTokens domain): every whitespace token
+    // enters — digits, punctuation, CJK — over the code-like fixture,
+    // so code-heavy sources stop contributing zero tokens. The oracle
+    // is the same training-loop replay with the domain predicate
+    // swapped (the separator algebra is charset-agnostic).
+    "doc_bpe_train_alltext" -> ((s, dir) =>
+      Bpe.trainTable(codeDocs(s, dir), numMerges = 6, domain = Bpe.AllTokens)
+        .orderBy("rank")),
+
+    "doc_bpe_encode_alltext" -> ((s, dir) =>
+      Bpe.encodedTokenCounts(codeDocs(s, dir),
+          Bpe.train(codeDocs(s, dir), numMerges = 6, domain = Bpe.AllTokens),
+          domain = Bpe.AllTokens)
+        .orderBy("doc_id")),
+
+    // The tokenizer VOCAB artifact: seed alphabet in binary UTF-8
+    // order, then merge outputs in rank order (first occurrence keeps
+    // the id) — the symbol→id function tokenize-to-ids consumes.
+    "doc_bpe_vocab" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Bpe.vocabTable(d, Bpe.train(d, numMerges = 6)).orderBy("id")
+    }),
+
+    // Tokenize-to-IDS: the artifact a training run actually consumes —
+    // (doc_id, token id sequence) against the vocab table. Emitted as
+    // the comma-joined id string (the driver comparator is scalar-typed);
+    // the oracle replays training → per-word segmentation → symbol→id
+    // join → positional flatten.
+    "doc_tokenize_ids" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = Bpe.train(d, numMerges = 6)
+      Bpe.tokenizeIds(d, merges, Bpe.vocabTable(d, merges))
+        .select(col("doc_id"),
+          array_join(col("token_ids"), ",").as("token_ids_csv"),
+          size(col("token_ids")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Pack REAL id sequences: docs concatenate in doc_id order and
+    // slice at 256-id boundaries — every sequence except the last
+    // must carry exactly 256 ids, replayed id-for-id by the oracle.
+    "doc_pack_ids" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = Bpe.train(d, numMerges = 6)
+      Bpe.packIdSequences(
+          Bpe.tokenizeIds(d, merges, Bpe.vocabTable(d, merges)), seqLen = 256)
+        .select(col("seq_no"),
+          array_join(col("token_ids"), ",").as("token_ids_csv"),
+          size(col("token_ids")).cast("long").as("n_tokens"))
+        .orderBy("seq_no")
+    }),
+
     // Unigram-LM quality signal: mean corpus frequency of each doc's
     // tokens (BIGINT sums; the mean is the single double op).
     // CCNet-style head/middle/tail per language by LM-score percentile
@@ -3088,6 +3170,54 @@ object SparkEntry {
     "doc_bpe_encode_unicode" -> bpeEncodeSql(6, UnicodeCorpusSql),
 
     "doc_bpe_encode" -> bpeEncodeSql(6),
+
+    "doc_bpe_train_alltext" -> bpeTrainSql(6, CodeCorpusSql, AllTokensDomainSql),
+
+    "doc_bpe_encode_alltext" -> bpeEncodeSql(6, CodeCorpusSql, AllTokensDomainSql),
+
+    "doc_bpe_vocab" ->
+      ("WITH " + bpeChainSql(6) + ",\n" + bpeVocabCtes(6) +
+        "\nSELECT symbol, id FROM vocab ORDER BY id"),
+
+    "doc_tokenize_ids" ->
+      ("WITH " + bpeChainSql(6) + ",\n" + bpeVocabCtes(6) + ",\n" +
+        bpeTokenizeCtes(6) +
+        """,
+          |wids AS (
+          |  SELECT s.w, string_agg(v.id::VARCHAR, ',' ORDER BY s.ord) AS idcsv,
+          |         count(*)::BIGINT AS nsym
+          |  FROM wsyms s JOIN vocab v ON v.symbol = s.sym GROUP BY 1)
+          |SELECT d.doc_id, string_agg(wi.idcsv, ',' ORDER BY d.ord) AS token_ids_csv,
+          |       sum(wi.nsym)::BIGINT AS n_tokens
+          |FROM dw d JOIN wids wi USING (w)
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "doc_pack_ids" ->
+      ("WITH " + bpeChainSql(6) + ",\n" + bpeVocabCtes(6) + ",\n" +
+        bpeTokenizeCtes(6) +
+        """,
+          |wlist AS (
+          |  SELECT s.w, list(v.id ORDER BY s.ord) AS idl
+          |  FROM wsyms s JOIN vocab v ON v.symbol = s.sym GROUP BY 1),
+          |dids AS (
+          |  SELECT d.doc_id, flatten(list(wl.idl ORDER BY d.ord)) AS ids
+          |  FROM dw d JOIN wlist wl USING (w) GROUP BY 1),
+          |off AS (
+          |  SELECT doc_id, ids, len(ids)::BIGINT AS n,
+          |         coalesce(sum(len(ids)) OVER (ORDER BY doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS strt
+          |  FROM dids),
+          |segs AS (
+          |  SELECT u.seq_no AS seq_no, o.doc_id,
+          |         list_slice(o.ids,
+          |           CAST(greatest(o.strt, u.seq_no * 256) - o.strt + 1 AS INT),
+          |           CAST(least(o.strt + o.n, (u.seq_no + 1) * 256) - o.strt AS INT)) AS part
+          |  FROM off o, unnest(range(o.strt // 256, (o.strt + o.n - 1) // 256 + 1)) AS u(seq_no)
+          |  WHERE o.n > 0)
+          |SELECT CAST(seq_no AS BIGINT) AS seq_no,
+          |       string_agg(array_to_string(part, ','), ',' ORDER BY doc_id) AS token_ids_csv,
+          |       sum(len(part))::BIGINT AS n_tokens
+          |FROM segs GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // CASTs on the sums: DuckDB sum(BIGINT) widens to HUGEINT, which
     // the gate's hasher rejects even at identical values.
@@ -5791,13 +5921,20 @@ object SparkEntry {
     * every symbol wrapped in its own leading+trailing space. Shared
     * seed of the BPE oracles; `from` lets a gate train on a derived
     * corpus (the unicode gate's accent-translated rendition). */
-  private def BpeWordTableSql(from: String = "documents"): String =
+  /** The two domain predicates' SQL twins (plain strings — `\\p`
+    * renders `\p` without s-interpolation escape games). */
+  private val LetterWordsDomainSql =
+    "regexp_matches(w, '^\\p{L}+$') AND length(w) >= 2"
+  private val AllTokensDomainSql = "w <> ''"
+
+  private def BpeWordTableSql(from: String = "documents",
+                              domainSql: String = LetterWordsDomainSql): String =
     s"""w0 AS MATERIALIZED (
        |  SELECT w, ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS seg,
        |         count(*)::BIGINT AS freq
        |  FROM (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
        |        FROM $from)
-       |  WHERE regexp_matches(w, '^\\p{L}+$$') AND length(w) >= 2
+       |  WHERE $domainSql
        |  GROUP BY 1, 2)""".stripMargin
 
   /** First-principles DuckDB replay of the BPE training loop: round i
@@ -5813,7 +5950,8 @@ object SparkEntry {
   private val UnicodeCorpusSql =
     "(SELECT doc_id, translate(text, 'aeiou', 'àéîöü') AS text FROM documents)"
 
-  private def bpeChainSql(n: Int, from: String = "documents"): String = {
+  private def bpeChainSql(n: Int, from: String = "documents",
+                          domainSql: String = LetterWordsDomainSql): String = {
     val steps = (1 to n).flatMap { i =>
       val pick =
         s"""p$i AS MATERIALIZED (
@@ -5828,11 +5966,12 @@ object SparkEntry {
            |  FROM w${i - 1})""".stripMargin
       Seq(pick, rewrite)
     }
-    (BpeWordTableSql(from) +: steps).mkString(",\n")
+    (BpeWordTableSql(from, domainSql) +: steps).mkString(",\n")
   }
 
-  private def bpeTrainSql(n: Int, from: String = "documents"): String =
-    "WITH " + bpeChainSql(n, from) + "\n" +
+  private def bpeTrainSql(n: Int, from: String = "documents",
+                          domainSql: String = LetterWordsDomainSql): String =
+    "WITH " + bpeChainSql(n, from, domainSql) + "\n" +
       (1 to n).map(i =>
         s"SELECT $i::BIGINT AS rank, l AS left_sym, r AS right_sym, cnt AS pair_count FROM p$i")
         .mkString("\nUNION ALL ") + "\nORDER BY rank"
@@ -5901,18 +6040,67 @@ object SparkEntry {
         |       doc_id, CAST(copy AS BIGINT) AS copy, source, tc AS token_count
         |FROM expanded ORDER BY position""".stripMargin
 
-  private def bpeEncodeSql(n: Int, from: String = "documents"): String =
-    "WITH " + bpeChainSql(n, from) + s""",
+  private def bpeEncodeSql(n: Int, from: String = "documents",
+                           domainSql: String = LetterWordsDomainSql): String =
+    "WITH " + bpeChainSql(n, from, domainSql) + s""",
        |fin AS MATERIALIZED (
        |  SELECT w, len(string_split(trim(seg), '  '))::BIGINT AS word_syms FROM w$n),
        |docw AS (
        |  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
        |  FROM $from)
        |SELECT d.doc_id, sum(f.word_syms)::BIGINT AS bpe_tokens
-       |FROM (SELECT doc_id, w FROM docw
-       |      WHERE regexp_matches(w, '^\\p{L}+$$') AND length(w) >= 2) d
+       |FROM (SELECT doc_id, w FROM docw WHERE $domainSql) d
        |JOIN fin f USING (w)
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The code-like AllTokens gates' corpus: vowels + s/t translated to
+    * digits/punctuation/CJK — the SQL twin of [[codeDocs]]. */
+  private val CodeCorpusSql =
+    "(SELECT doc_id, translate(text, 'aeioust', '01!,.\u5b509') AS text FROM documents)"
+
+  /** The VOCAB CTEs over a finished training chain (w0 + p1..pN):
+    * seed alphabet ids in binary UTF-8 sort order (both engines compare
+    * strings bytewise), then merge-output ids in rank order with first
+    * occurrence keeping the id — Bpe.vocabTable's replay. */
+  private def bpeVocabCtes(n: Int): String = {
+    val msym = (1 to n).map(i => s"SELECT $i AS rank, l || r AS symbol FROM p$i")
+      .mkString("\n  UNION ALL ")
+    s"""seeds AS (SELECT DISTINCT unnest(string_split(w, '')) AS symbol FROM w0),
+       |seedids AS (
+       |  SELECT symbol, row_number() OVER (ORDER BY symbol) - 1 AS id FROM seeds),
+       |msym AS (
+       |  $msym),
+       |mnew AS (
+       |  SELECT symbol, min(rank) AS rank FROM msym
+       |  WHERE symbol NOT IN (SELECT symbol FROM seeds) GROUP BY 1),
+       |mids AS (
+       |  SELECT symbol,
+       |         (SELECT count(*) FROM seeds) + row_number() OVER (ORDER BY rank) - 1 AS id
+       |  FROM mnew),
+       |vocab AS (
+       |  SELECT symbol, CAST(id AS BIGINT) AS id FROM seedids
+       |  UNION ALL SELECT symbol, CAST(id AS BIGINT) AS id FROM mids)""".stripMargin
+  }
+
+  /** Positional word/symbol streams for the tokenize-to-ids oracles:
+    * per-word symbols of the FINISHED segmentation (w$n) with their
+    * in-word position, the per-doc token stream with its in-doc
+    * position, and the domain-filtered rendition of the latter. */
+  private def bpeTokenizeCtes(n: Int,
+                              domainSql: String = LetterWordsDomainSql): String =
+    s"""wsyms AS (
+       |  SELECT w, u.ord AS ord, u.sym AS sym FROM (
+       |    SELECT w, unnest(list_transform(range(1, len(syms) + 1),
+       |        i -> struct_pack(ord := i, sym := syms[i]))) AS u
+       |    FROM (SELECT w, string_split(trim(seg), '  ') AS syms FROM w$n))),
+       |docw AS (
+       |  SELECT doc_id, u.ord AS ord, u.w AS w FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+       |        i -> struct_pack(ord := i, w := toks[i]))) AS u
+       |    FROM (SELECT doc_id,
+       |                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+       |          FROM documents))),
+       |dw AS (SELECT doc_id, ord, w FROM docw WHERE $domainSql)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Every query has an oracle: the

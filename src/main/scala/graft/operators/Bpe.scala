@@ -30,22 +30,53 @@ import org.apache.spark.sql.functions._
   * builtin exists in DuckDB — so the whole training loop is
   * replayable by the oracle with the same string algebra.
   *
-  * Domain: UNICODE-LETTER words of length ≥ 2 (the normalized-token
-  * stream filtered to `^\p{L}+$` — both engines' regex class; the
-  * round-11 `^[a-z]+$` domain made every non-ASCII source contribute
-  * ZERO BPE tokens, systematically under-weighting non-English text in
-  * tokenizer-aware epoch budgets). Symbols are single code points at
-  * seed, never spaces, so the separator-string algebra is unchanged.
-  * A byte-level fallback (escaping non-letters) would widen further;
-  * it changes the seed segmentation only, not the loop.
+  * Domain: selectable per [[Domain]]. [[LetterWords]] (the default)
+  * trains on unicode-letter words of length ≥ 2 (`^\p{L}+$` — both
+  * engines' regex class; the round-11 `^[a-z]+$` domain made every
+  * non-ASCII source contribute ZERO BPE tokens, systematically
+  * under-weighting non-English text in tokenizer-aware epoch budgets).
+  * [[AllTokens]] is the full-coverage fallback one ring further out:
+  * EVERY whitespace-delimited token enters — digits, punctuation,
+  * code, space-unsegmented CJK — so no source contributes zero tokens
+  * and code-heavy corpora stop being under-counted in epoch budgets.
+  * Symbols are single code points at seed in either domain and can
+  * never contain the one character the separator algebra reserves
+  * (U+0020 — tokens are split ON it), so no escape class is needed
+  * and the whole loop, the replace algebra, and the `bpe_segment`
+  * kernel are domain-agnostic: the domain changes WHICH words enter,
+  * never how they segment.
   */
 object Bpe {
 
+  /** Which normalized tokens enter the trainable word table — the ONE
+    * thing that distinguishes a letters-only tokenizer from a
+    * full-coverage one (seed segmentation, training loop, replace
+    * algebra, and kernel are all shared). */
+  sealed trait Domain {
+    private[graft] def keep(word: Column): Column
+  }
+
+  /** Unicode-letter words of length ≥ 2 — the natural-text domain. */
+  case object LetterWords extends Domain {
+    private[graft] def keep(word: Column): Column =
+      word.rlike("^\\p{L}+$") && length(word) >= 2
+  }
+
+  /** EVERY non-empty whitespace-delimited token: digits, punctuation,
+    * code, unsegmented CJK all contribute (single-codepoint tokens
+    * enter with a 1-symbol segmentation — countable, never mergeable).
+    * The codepoint-seed fallback a code-heavy corpus needs so its
+    * epoch budgets stop reading zero. */
+  case object AllTokens extends Domain {
+    private[graft] def keep(word: Column): Column = length(word) >= 1
+  }
+
   /** The ONE corpus-sized job: normalized-token word counts over the
     * trainable domain. (word, freq), |vocab|-bounded. */
-  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+  def wordCounts(docs: DataFrame, textCol: String = "text",
+                 domain: Domain = LetterWords): DataFrame =
     docs.select(explode(split(TextDedup.normalize(col(textCol)), " ")).as("word"))
-      .filter(col("word").rlike("^\\p{L}+$") && length(col("word")) >= 2)
+      .filter(domain.keep(col("word")))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
   /** " h  e  l  l  o " — each symbol owns a leading AND trailing
@@ -80,8 +111,9 @@ object Bpe {
   /** Iteration-0 adjacent char-pair counts over the word table — the
     * merge-candidate profile (what rank 1 will pick, and the
     * SQL-provable seed of the training replay). */
-  def charPairCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
-    pairCounts(wordCounts(docs, textCol)
+  def charPairCounts(docs: DataFrame, textCol: String = "text",
+                     domain: Domain = LetterWords): DataFrame =
+    pairCounts(wordCounts(docs, textCol, domain)
       .select(segInit(col("word")).as("seg"), col("freq")))
 
   final case class Merge(rank: Int, leftSym: String, rightSym: String, pairCount: Long)
@@ -93,18 +125,17 @@ object Bpe {
     * `minPairCount`. The merge list is the tokenizer artifact: k-sized
     * driver/catalog state by definition (a 32k-merge vocabulary is 32k
     * rows), never corpus-sized. */
-  /** The RDD a localCheckpoint pinned — so a replaced round's blocks
-    * can be released PRECISELY (never a getPersistentRDDs sweep, which
-    * would race concurrent sessions). Only safe once nothing will read
-    * the frame again: the next round is materialized EAGERLY first. */
-  private def pinnedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-    df.queryExecution.optimizedPlan.collectFirst {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }
+  /** A replaced round's pinned blocks release PRECISELY via
+    * [[graft.plans.Catalog.releasePin]] (never a getPersistentRDDs
+    * sweep, which would race concurrent sessions). Only safe once
+    * nothing will read the frame again: the next round is materialized
+    * EAGERLY first. */
+  private def releasePin(df: DataFrame): Unit =
+    graft.plans.Catalog.releasePin(df)
 
   def train(docs: DataFrame, numMerges: Int, minPairCount: Long = 2L,
-            textCol: String = "text"): Seq[Merge] = {
-    var words = wordCounts(docs, textCol)
+            textCol: String = "text", domain: Domain = LetterWords): Seq[Merge] = {
+    var words = wordCounts(docs, textCol, domain)
       .select(segInit(col("word")).as("seg"), col("freq"))
       .localCheckpoint(true)
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
@@ -127,11 +158,11 @@ object Bpe {
         val prev = words
         words = words.select(applyMerge(col("seg"), l, rr).as("seg"), col("freq"))
           .localCheckpoint(true)
-        pinnedRdd(prev).foreach(_.unpersist(blocking = false))
+        releasePin(prev)
       }
       r += 1
     }
-    pinnedRdd(words).foreach(_.unpersist(blocking = false))
+    releasePin(words)
     out.toSeq
   }
 
@@ -172,9 +203,10 @@ object Bpe {
     * the 30k-merge TAIL — where the job count lives — is sparse and
     * disjoint, so rounds approach `batchSize` merges each. */
   def trainBatched(docs: DataFrame, numMerges: Int, batchSize: Int = 64,
-                   minPairCount: Long = 2L, textCol: String = "text"): Seq[Merge] = {
+                   minPairCount: Long = 2L, textCol: String = "text",
+                   domain: Domain = LetterWords): Seq[Merge] = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
-    var words = wordCounts(docs, textCol)
+    var words = wordCounts(docs, textCol, domain)
       .select(segInit(col("word")).as("seg"), col("freq"))
       .localCheckpoint(true)
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
@@ -207,20 +239,20 @@ object Bpe {
           applied.foldLeft(col("seg")) { case (seg, (l, r, _)) => applyMerge(seg, l, r) }
             .as("seg"), col("freq"))
           .localCheckpoint(true)
-        pinnedRdd(prev).foreach(_.unpersist(blocking = false))
+        releasePin(prev)
       }
     }
-    pinnedRdd(words).foreach(_.unpersist(blocking = false))
+    releasePin(words)
     out.toSeq
   }
 
   /** The learned merges as a (rank, left_sym, right_sym, pair_count)
     * frame — the gate/catalog rendition of the tokenizer artifact. */
   def trainTable(docs: DataFrame, numMerges: Int, minPairCount: Long = 2L,
-                 textCol: String = "text"): DataFrame = {
+                 textCol: String = "text", domain: Domain = LetterWords): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    train(docs, numMerges, minPairCount, textCol)
+    train(docs, numMerges, minPairCount, textCol, domain)
       .map(m => (m.rank, m.leftSym, m.rightSym, m.pairCount))
       .toDF("rank", "left_sym", "right_sym", "pair_count")
   }
@@ -262,13 +294,117 @@ object Bpe {
     * whose pinned profile is doc-sized). */
   def encodedTokenCounts(docs: DataFrame, merges: Seq[Merge],
                          textCol: String = "text",
-                         idCol: String = "doc_id"): DataFrame = {
+                         idCol: String = "doc_id",
+                         domain: Domain = LetterWords): DataFrame = {
     val occurrences = docs
       .select(col(idCol), explode(split(TextDedup.normalize(col(textCol)), " ")).as("word"))
-      .filter(col("word").rlike("^\\p{L}+$") && length(col("word")) >= 2)
+      .filter(domain.keep(col("word")))
     val perWord = occurrences.select("word").distinct()
       .select(col("word"), size(segment(col("word"), merges)).cast("long").as("word_syms"))
     occurrences.join(perWord, Seq("word"))
       .groupBy(idCol).agg(sum(col("word_syms")).as("bpe_tokens"))
+  }
+
+  // ------------------------------------------------------------------
+  // Tokenize-to-ids: the artifact a training run actually consumes
+  // ------------------------------------------------------------------
+
+  /** Vocab id for symbols outside the table — the UNK convention. A
+    * word whose code points never appeared in the TRAINING corpus can
+    * surface a seed symbol the vocab lacks at encode time. */
+  val UnkId: Long = -1L
+
+  /** The tokenizer VOCAB: one (symbol, id) row per symbol — the seed
+    * alphabet (every distinct code point of the trainable word table,
+    * ids in the engines' shared binary UTF-8 sort order) followed by
+    * each merge's output string in rank order. A later merge CAN
+    * manufacture a string an earlier entry already owns ((a,bc) and
+    * (ab,c) both make "abc") — first occurrence keeps the id, so the
+    * symbol→id map is a function. k-sized by definition (|alphabet| +
+    * |merges| rows): the sorted-collect bootstrap is the same
+    * driver-k-sized class as the centroid/codebook pulls. */
+  def vocabTable(docs: DataFrame, merges: Seq[Merge], textCol: String = "text",
+                 domain: Domain = LetterWords): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val seeds = wordCounts(docs, textCol, domain)
+      .select(explode(split(col("word"), "")).as("symbol"))
+      .filter(length(col("symbol")) > 0).distinct()
+      .orderBy("symbol") // engine-side binary order — never Java UTF-16 compareTo
+      .as[String].collect()
+    val seen = scala.collection.mutable.LinkedHashSet(seeds.toSeq: _*)
+    merges.sortBy(_.rank).foreach(m => seen += (m.leftSym + m.rightSym))
+    seen.toSeq.zipWithIndex
+      .map { case (sym, i) => (sym, i.toLong) }
+      .toDF("symbol", "id")
+  }
+
+  /** (doc_id, token_ids): the SHIPPABLE tokenization — what a training
+    * run consumes against the vocab table, where [[encodedTokenCounts]]
+    * ships only the budget arithmetic. The distinct-word table is
+    * segmented ONCE through the native kernel, each word's symbols map
+    * to vocab ids ([[UnkId]] for out-of-vocab seeds — impossible when
+    * encoding the training corpus itself, pinned by spec for new text),
+    * and the per-word id arrays join back to the positional occurrence
+    * stream and flatten in token order. Same two-subtree trade as
+    * encodedTokenCounts: the occurrence stream is corpus-token-sized,
+    * so re-tokenizing in both join arms beats pinning it; the id map
+    * is |vocab|-bounded and broadcasts. */
+  def tokenizeIds(docs: DataFrame, merges: Seq[Merge], vocab: DataFrame,
+                  textCol: String = "text", idCol: String = "doc_id",
+                  domain: Domain = LetterWords): DataFrame = {
+    val occurrences = docs
+      .select(col(idCol),
+        posexplode(split(TextDedup.normalize(col(textCol)), " ")).as(Seq("pos", "word")))
+      .filter(domain.keep(col("word")))
+    val wordIds = occurrences.select("word").distinct()
+      .select(col("word"),
+        posexplode(segment(col("word"), merges)).as(Seq("sym_pos", "symbol")))
+      .join(broadcast(vocab.select(col("symbol"), col("id"))), Seq("symbol"), "left")
+      .groupBy("word")
+      .agg(transform(
+        array_sort(collect_list(struct(col("sym_pos"),
+          coalesce(col("id"), lit(UnkId)).as("id")))),
+        s => s.getField("id")).as("word_ids"))
+    occurrences.join(wordIds, Seq("word"))
+      .groupBy(idCol)
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("word_ids")))),
+        p => p.getField("word_ids"))).as("token_ids"))
+  }
+
+  /** Fixed-length training sequences of REAL token ids — the last step
+    * of train → vocab → tokenize: documents concatenate in `idCol`
+    * order and slice at `seqLen` boundaries (the concat-then-slice
+    * contract of [[Curation.packSegments]], but over materialized id
+    * arrays instead of token counts). Emits (seq_no, token_ids);
+    * every sequence except the final one carries exactly `seqLen` ids.
+    *
+    * Scale shape: the global offset is [[Curation.twoLevelPrefix]]
+    * (never an unpartitioned window), the straddle explode is
+    * row-local and bounded by ceil(doc_tokens/seqLen)+1, and the
+    * per-sequence reassembly is one hash-partitioned aggregate whose
+    * groups are ≤ seqLen ids by construction. */
+  def packIdSequences(tokenized: DataFrame, seqLen: Int = 2048,
+                      chunkDocs: Int = 1024, idCol: String = "doc_id"): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val counted = tokenized.select(col(idCol), col("token_ids"),
+      size(col("token_ids")).cast("long").as("token_count"))
+    val packed = Curation.twoLevelPrefix(counted, idCol, chunkDocs)
+    val start = col("__start")
+    val end = col("__start") + col("token_count")
+    val segStart = greatest(start, col("seq_no") * seqLen)
+    val segEnd = least(end, (col("seq_no") + 1) * seqLen)
+    packed.filter(col("token_count") > 0)
+      .withColumn("seq_no",
+        explode(sequence(floor(start / seqLen).cast("long"),
+          floor((end - 1) / seqLen).cast("long"))))
+      .select(col("seq_no"), col(idCol).as("__d"),
+        slice(col("token_ids"), (segStart - start + 1).cast("int"),
+          (segEnd - segStart).cast("int")).as("__ids"))
+      .groupBy("seq_no")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__d"), col("__ids")))),
+        s => s.getField("__ids"))).as("token_ids"))
   }
 }

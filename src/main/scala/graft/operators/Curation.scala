@@ -300,10 +300,12 @@ object Curation {
     * them would systematically mis-budget the epoch. */
   private def budgetKeyed(df: DataFrame, strataCol: String, idCol: String,
                           textCol: String,
-                          merges: Seq[Bpe.Merge] = Nil): DataFrame = {
+                          merges: Seq[Bpe.Merge] = Nil,
+                          domain: Bpe.Domain = Bpe.LetterWords): DataFrame = {
     val tc =
       if (merges.isEmpty) df.withColumn("__tc", TextStats.tokenCount(col(textCol)).cast("long"))
-      else df.join(Bpe.encodedTokenCounts(df, merges, textCol, idCol), Seq(idCol), "left")
+      else df.join(Bpe.encodedTokenCounts(df, merges, textCol, idCol, domain),
+          Seq(idCol), "left")
         .withColumn("__tc", coalesce(col("bpe_tokens"), lit(0L))).drop("bpe_tokens")
     tc.withColumn("__sk", struct(col(strataCol)))
       .withColumn("__h", hashU32(col(idCol)))
@@ -632,15 +634,20 @@ object Curation {
     * the same single aggregate as the weights. */
   def epochPlan(docs: DataFrame, budgetTokens: Long, alpha: Double = 0.5,
                 srcCol: String = "source", textCol: String = "text",
-                merges: Seq[Bpe.Merge] = Nil): DataFrame =
+                merges: Seq[Bpe.Merge] = Nil,
+                domain: Bpe.Domain = Bpe.LetterWords): DataFrame =
     if (merges.isEmpty)
       planFromWeights(temperatureWeights(docs, alpha, srcCol, textCol), budgetTokens)
     else
       // tokenizer-aware plan: the SAME weight/floor arithmetic over
       // per-source BPE token sums, so targets are in the unit the
-      // packed corpus is measured in (see budgetKeyed's merges note)
+      // packed corpus is measured in (see budgetKeyed's merges note).
+      // `domain` must match the merges' training domain: a code-heavy
+      // source budgeted under LetterWords reads ZERO tokens — the
+      // exact under-count AllTokens exists to fix
       epochPlanFromAgg(
-        docs.join(Bpe.encodedTokenCounts(docs, merges, textCol), Seq("doc_id"), "left")
+        docs.join(Bpe.encodedTokenCounts(docs, merges, textCol, domain = domain),
+            Seq("doc_id"), "left")
           .groupBy(col(srcCol).as("source"))
           .agg(count(lit(1)).as("doc_count"),
             sum(coalesce(col("bpe_tokens"), lit(0L))).as("token_sum")),
@@ -692,7 +699,8 @@ object Curation {
   def epochMaterialize(docs: DataFrame, budgetTokens: Long, alpha: Double = 0.5,
                        seed: Long = 42L, srcCol: String = "source",
                        textCol: String = "text",
-                       merges: Seq[Bpe.Merge] = Nil): DataFrame = {
+                       merges: Seq[Bpe.Merge] = Nil,
+                       domain: Bpe.Domain = Bpe.LetterWords): DataFrame = {
     // ONE corpus scan: the slim keyed frame (id, stratum, tokens, hash,
     // bucket — a few dozen bytes/doc) is pinned and every consumer —
     // the plan aggregate, the bucket counts, the fill's two join arms,
@@ -701,7 +709,7 @@ object Curation {
     // 100 TB, 6 corpus scans). `merges` switches token accounting to
     // BPE units (budgetKeyed) — the whole downstream chain (plan,
     // fill, emitted token_count, packEpoch) inherits the unit.
-    val keyed = budgetKeyed(docs, srcCol, "doc_id", textCol, merges)
+    val keyed = budgetKeyed(docs, srcCol, "doc_id", textCol, merges, domain)
       .select(col("doc_id"), col("__sk"), col("__tc"), col("__h"), col("__b"))
       .localCheckpoint(true)
     val agg = keyed.groupBy(col("__sk").getField(srcCol).as("source"))
@@ -807,8 +815,8 @@ object Curation {
     * chunk list (one row per ~1k rows — the only unpartitioned step),
     * and the broadcast-joined chunk offsets add up to the exact global
     * prefix, emitted as `__start`. */
-  private def twoLevelPrefix(df: DataFrame, orderCol: String,
-                             chunkSize: Int): DataFrame = {
+  private[operators] def twoLevelPrefix(df: DataFrame, orderCol: String,
+                                        chunkSize: Int): DataFrame = {
     val t = df.withColumn("__chunk", floor(col(orderCol) / chunkSize))
     val win = Window.partitionBy(col("__chunk")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)

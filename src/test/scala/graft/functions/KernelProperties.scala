@@ -212,7 +212,10 @@ class KernelProperties extends Properties("kernels") {
   // a symbol manufactured by a LATER rank, which the chain treats as a
   // dead pass (strict rank order), so the property also pins that the
   // kernel is rank-order-faithful rather than min-rank-present.
-  private val bpeAlphabet = Seq("a", "b", "à", "𝕒") // 𝕒 U+1D552
+  // widened with the AllTokens domain (round 13): a digit, punctuation
+  // and a CJK code point — the kernel and the chain must agree on the
+  // full seed alphabet, not just letters
+  private val bpeAlphabet = Seq("a", "b", "à", "𝕒", "7", ".", "你") // 𝕒 U+1D552
   private val genBpeWord: Gen[String] = for {
     n <- Gen.choose(0, 10)
     cs <- Gen.listOfN(n, Gen.frequency(

@@ -226,4 +226,107 @@ class BpeSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == wantPerDoc, s"$got vs $wantPerDoc")
   }
+
+  test("CODE-LIKE sources read zero under LetterWords and earn a NON-ZERO epoch target under AllTokens") {
+    // the AllTokens fallback exists for exactly this bias: digits,
+    // punctuation, code, and UNSEGMENTED CJK (real CJK text has no
+    // spaces, so its tokens carry fullwidth punctuation and digits
+    // inside — `\p{L}` alone can't admit them) contribute ZERO
+    // letter-words, so a code-heavy source's tokenizer-aware epoch
+    // target collapses — one ring beyond the round-12 unicode widening
+    val docs = Seq(
+      (1L, "the data table scan the data", "en"),
+      (2L, "x = f(3, 7); y += 42; x = f(3, 7); 0xff", "code"),
+      (3L, "你好，世界。 数据123。 你好，世界。 数据123。", "zh")).toDF("doc_id", "text", "source")
+    val letters = Bpe.encodedTokenCounts(docs, Bpe.train(docs, numMerges = 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(letters.getOrElse(2L, 0L) == 0L && letters.getOrElse(3L, 0L) == 0L,
+      s"letters domain must read zero on code/CJK (the bias under test): $letters")
+    val merges = Bpe.train(docs, numMerges = 4, domain = Bpe.AllTokens)
+    val counts = Bpe.encodedTokenCounts(docs, merges, domain = Bpe.AllTokens)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse(2L, 0L) > 0L, s"code doc must encode to >0 tokens: $counts")
+    assert(counts.getOrElse(3L, 0L) > 0L, s"CJK doc must encode to >0 tokens: $counts")
+    val plan = Curation.epochPlan(docs, budgetTokens = 1000L, merges = merges,
+        domain = Bpe.AllTokens)
+      .select("source", "target_tokens")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plan("code") > 0L, s"code source must earn a non-zero epoch target: $plan")
+    assert(plan("zh") > 0L, s"CJK source must earn a non-zero epoch target: $plan")
+  }
+
+  test("AllTokens training matches the reference loop over the widened domain") {
+    val texts = Seq("ab ab 12 12 12 x? x? 你好 你好 你好", "12 ab 你好 x?")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val words = texts.flatMap(_.toLowerCase.trim.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val (wantMerges, segs) = refTrain(words, 4)
+    val got = Bpe.train(df, numMerges = 4, domain = Bpe.AllTokens)
+      .map(m => (m.leftSym, m.rightSym, m.pairCount))
+    assert(got == wantMerges, s"$got vs $wantMerges")
+    val wantPerDoc = texts.zipWithIndex.map { case (t, i) =>
+      i.toLong -> t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        .map(w => segs(w).length.toLong).sum
+    }.toMap
+    val counts = Bpe.encodedTokenCounts(df,
+        Bpe.train(df, numMerges = 4, domain = Bpe.AllTokens), domain = Bpe.AllTokens)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == wantPerDoc, s"$counts vs $wantPerDoc")
+  }
+
+  test("vocabTable: seed alphabet in binary order, merge outputs in rank order, duplicates keep the first id") {
+    val df = Seq((1L, "abc abc abc bc bc ab")).toDF("doc_id", "text")
+    // hand-built merge list where TWO merges manufacture the same string:
+    // (a,bc) and (ab,c) both produce "abc" — the id must go to rank 2
+    val merges = Seq(Bpe.Merge(1, "b", "c", 5), Bpe.Merge(2, "a", "bc", 3),
+      Bpe.Merge(3, "a", "b", 1), Bpe.Merge(4, "ab", "c", 1))
+    val vocab = Bpe.vocabTable(df, merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // seeds a < b < c get 0,1,2; then bc=3, abc=4 (rank 2), ab=5; rank 4's
+    // "abc" is already present — no new row
+    assert(vocab == Map("a" -> 0L, "b" -> 1L, "c" -> 2L,
+      "bc" -> 3L, "abc" -> 4L, "ab" -> 5L), vocab.toString)
+  }
+
+  test("tokenizeIds: per-token id arrays flatten in token order; unseen code points map to UnkId") {
+    val train = Seq((1L, "hello hello world world hello")).toDF("doc_id", "text")
+    val merges = Bpe.train(train, numMerges = 3)
+    val vocab = Bpe.vocabTable(train, merges)
+    val idToSym = vocab.collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    // encode the training corpus itself: re-expanding ids through the
+    // vocab must reproduce the concatenated segmentations in order
+    val out = Bpe.tokenizeIds(train, merges, vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val wantSyms = "hello hello world world hello".split(" ")
+      .flatMap(w => Bpe.train(train, numMerges = 3) // same merges
+        .foldLeft(w.split("").toVector) { (s, m) => refPass(s, m.leftSym, m.rightSym) })
+    assert(out(1L).map(idToSym) == wantSyms.toSeq, s"${out(1L).map(idToSym)} vs ${wantSyms.toSeq}")
+    // NEW text with a code point the training corpus never saw → UnkId
+    val fresh = Seq((9L, "hellq")).toDF("doc_id", "text") // q unseen
+    val got = Bpe.tokenizeIds(fresh, merges, vocab).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(9L).contains(Bpe.UnkId), s"unseen code point must map to UnkId: $got")
+    assert(got(9L).count(_ == Bpe.UnkId) == 1, got.toString)
+  }
+
+  test("packIdSequences: exact seqLen slices whose concatenation is the doc_id-ordered id stream") {
+    val docs = Seq(
+      (1L, "aa bb aa bb aa"), (2L, "bb aa bb"), (3L, "aa aa aa aa"), (4L, "bb bb"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, numMerges = 1)
+    val vocab = Bpe.vocabTable(docs, merges)
+    val tokenized = Bpe.tokenizeIds(docs, merges, vocab)
+    val byDoc = tokenized.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val global = byDoc.toSeq.sortBy(_._1).flatMap(_._2)
+    for (seqLen <- Seq(3, 4, 7)) {
+      val seqs = Bpe.packIdSequences(tokenized, seqLen = seqLen, chunkDocs = 2)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
+      assert(seqs.map(_._1).toSeq == seqs.indices.map(_.toLong),
+        s"seq_nos must be dense from 0: ${seqs.map(_._1).toSeq}")
+      assert(seqs.init.forall(_._2.length == seqLen),
+        s"every sequence but the last must carry exactly $seqLen ids (seqLen=$seqLen)")
+      assert(seqs.flatMap(_._2).toSeq == global,
+        s"concatenated sequences must equal the global stream (seqLen=$seqLen)")
+    }
+  }
 }
