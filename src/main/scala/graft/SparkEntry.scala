@@ -1765,6 +1765,44 @@ object SparkEntry {
       tier.select("media_id").orderBy("media_id")
     }),
 
+    // The VIDEO ingest treadmill — the fourth incremental modality:
+    // slice 1 (the original videos) lands as parquet FRAMES and drains
+    // through the checkpointed file source (bootstrap = in-batch video
+    // dedup), slice 2 (the re-muxes and trims — BOTH planted variants
+    // are cross-slice dups of tier videos) lands and a RESTARTED query
+    // on the same checkpoint picks up only the new files; cross-slice
+    // dups reconcile against the STORED frame-hash index (tier frames
+    // never re-decoded). Final tier must equal batch-global videoDedup
+    // over both slices (videoAgainst's convergence contract: tier ids
+    // precede batch ids), which the oracle replays per-frame grid →
+    // dHash bits → set overlap → recursive closure; the stored index
+    // must carry each tier video's distinct hash set, id-for-id.
+    "stream_video_ingest" -> ((s, dir) => {
+      import graft.pipeline.VideoPipeline
+      VideoPipeline.resetTreadmill(s)
+      val land = tempDir("graft_video_land")
+      val cp = tempDir("graft_video_cp")
+      val f = videoFrames(s, dir)
+      f.filter(col("video_id") < 100000).coalesce(1).write.mode("append").parquet(land)
+      val q1 = VideoPipeline.streamIngest(s, land, cp)
+      require(q1.awaitTermination(300000), "stream_video_ingest: slice 1 drain timed out")
+      f.filter(col("video_id") >= 100000).coalesce(1).write.mode("append").parquet(land)
+      val q2 = VideoPipeline.streamIngest(s, land, cp)
+      require(q2.awaitTermination(300000), "stream_video_ingest: slice 2 drain timed out")
+      val tier = s.table(VideoPipeline.TierTable)
+      val idx = s.table(VideoPipeline.FrameIndexTable)
+      val expectedIdxRows = tier
+        .agg(coalesce(sum(size(array_distinct(col("frame_hashes")))), lit(0))).head().getLong(0)
+      require(idx.count() == expectedIdxRows,
+        "stored index must carry each tier video's distinct hash set")
+      require(idx.select("video_id").distinct()
+          .join(tier.select("video_id"), Seq("video_id"), "left_anti").isEmpty &&
+        tier.select("video_id")
+          .join(idx.select("video_id"), Seq("video_id"), "left_anti").isEmpty,
+        "stored index ids must equal tier ids")
+      tier.select("video_id").orderBy("video_id")
+    }),
+
     // CROSS-MODAL caption curation: caption↔image pairs where the
     // image is a perceptual near-dup (hamming component over the
     // phashMedia plants) but captions differ — keep the best caption
@@ -5013,6 +5051,30 @@ object SparkEntry {
          |ORDER BY 1, 2""".stripMargin,
 
     "mm_video_dedup_keep" ->
+      s"""WITH RECURSIVE $videoSigsSql,
+         |qpairs AS (
+         |  SELECT a_id, b_id FROM vpairs
+         |  WHERE jaccard >= 0.9 OR containment >= 0.9),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM qpairs
+         |  UNION SELECT b_id, a_id FROM qpairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT id AS video_id, MIN(lbl) AS cluster_id FROM (
+         |    SELECT src AS id, dst AS lbl FROM reach
+         |    UNION SELECT src, src FROM edges)
+         |  GROUP BY 1)
+         |SELECT v.video_id FROM vsets v
+         |LEFT JOIN comp c USING (video_id)
+         |WHERE c.video_id IS NULL OR c.cluster_id = v.video_id
+         |ORDER BY 1""".stripMargin,
+
+    // The video treadmill converges to batch-global video dedup over
+    // both slices — mm_video_dedup_keep's replay verbatim.
+    "stream_video_ingest" ->
       s"""WITH RECURSIVE $videoSigsSql,
          |qpairs AS (
          |  SELECT a_id, b_id FROM vpairs

@@ -35,6 +35,15 @@ object Multimodal {
     StructField("duration_ms", LongType),    // audio/video
     StructField("bytes", BinaryType)))
 
+  /** One sampled VIDEO frame — the landing shape [[frameHashes]]
+    * consumes (what [[sampleFrames]] plus a frame fetcher produces). */
+  val VideoFrameSchema: StructType = StructType(Seq(
+    StructField("video_id", LongType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("kind", StringType),
+    StructField("format", StringType),
+    StructField("bytes", BinaryType)))
+
   val FeatureDim = 16
 
   /** A partition-batch decoder: bytes → fixed-dim feature vector.
@@ -632,6 +641,106 @@ object Multimodal {
       .select(col("id").as("video_id"))
     videos.join(losers, Seq("video_id"), "left_anti")
   }
+
+  /** The persistable VIDEO index: one slim (video_id, frame_hash) row
+    * per distinct frame hash of each video — [[phashIndex]]'s role one
+    * level up the media hierarchy. The index IS the candidate-bucketing
+    * structure (a qualifying pair must share ≥ 1 exact frame hash) AND
+    * the verification payload (each video's distinct hash set, which
+    * the set kernels consume — they are order/duplication-invariant by
+    * property), so reconciliation against a stored tier never
+    * re-decodes a tier frame: at 100 TB of video, frame decode is the
+    * cost paid exactly once per video. */
+  def videoIndex(videos: DataFrame): DataFrame =
+    videos.select(col("video_id"),
+      explode(array_distinct(col("frame_hashes"))).as("frame_hash"))
+
+  /** Incremental VIDEO dedup: keep the members of `batch` (new
+    * (video_id, frame_hashes) rows — decode already happened, once,
+    * in [[frameHashes]]) that survive set-overlap reconciliation
+    * against the stored tier index AND within the batch itself — the
+    * [[phashAgainst]] contract for the fourth modality. A batch video
+    * drops iff its near-dup component (Jaccard ≥ `jaccardThreshold`
+    * for re-muxes/re-encodes, max-directional containment ≥
+    * `containThreshold` for trims) contains ANY tier video, or it is a
+    * non-minimum member of a batch-only component; under monotone-id
+    * ingest the running tier equals batch-global [[videoDedup]] over
+    * all slices so far.
+    *
+    * Plan shape: cross candidates are a frame_hash equi-join of the
+    * batch index against the stored index with the COMBINED bucket
+    * population capped (skips observable via
+    * [[skippedVideoBucketsAgainst]]); only candidate tier videos
+    * reassemble their hash sets (a semi-joined groupBy of index rows —
+    * never the whole tier, never a frame decode); the set-kernel verify
+    * reads arrays already riding the pair. Nothing shuffles tier
+    * payloads. */
+  def videoAgainst(batch: DataFrame, tierIndex: DataFrame,
+                   jaccardThreshold: Double = 0.9, containThreshold: Double = 0.9,
+                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
+                   batchIndex: Option[DataFrame] = None): DataFrame = {
+    // a caller that already built the batch index (to publish it, or
+    // for the skip metric) passes it in — built once, read three times
+    val bIdx = batchIndex.getOrElse(videoIndex(batch).localCheckpoint(true))
+    val tCnt = tierIndex.groupBy("frame_hash").agg(count(lit(1)).as("__tc"))
+    val bCnt = bIdx.groupBy("frame_hash").agg(count(lit(1)).as("__bc"))
+    val okBuckets = bCnt.join(tCnt, Seq("frame_hash"))
+      .filter(col("__tc") + col("__bc") <= maxBucketSize)
+      .select("frame_hash")
+    val candidates = bIdx.join(okBuckets, Seq("frame_hash"))
+      .select(col("frame_hash"), col("video_id").as("b_id"))
+      .join(tierIndex.select(col("frame_hash"), col("video_id").as("t_id")),
+        Seq("frame_hash"))
+      .select("t_id", "b_id").distinct()
+    val candTierSets = tierIndex
+      .join(candidates.select(col("t_id").as("video_id")).distinct(),
+        Seq("video_id"), "left_semi")
+      .groupBy("video_id").agg(collect_list(col("frame_hash")).as("t_hashes"))
+    val cross = candidates
+      .join(batch.select(col("video_id").as("b_id"),
+        col("frame_hashes").as("b_hashes")), Seq("b_id"))
+      .join(candTierSets.select(col("video_id").as("t_id"), col("t_hashes")),
+        Seq("t_id"))
+      .filter(call_function("jaccard_long_sets",
+          col("b_hashes"), col("t_hashes")) >= jaccardThreshold ||
+        greatest(
+          call_function("contain_long_sets", col("b_hashes"), col("t_hashes")),
+          call_function("contain_long_sets", col("t_hashes"), col("b_hashes")))
+          >= containThreshold)
+      .select(col("t_id").as("a_id"), col("b_id"))
+    val internal = videoNearDupPairs(batch, jaccardThreshold, containThreshold,
+        maxBucketSize)
+      .select("a_id", "b_id")
+    val comps = Components.connectedComponents(cross.unionByName(internal))
+    val tierIds = tierIndex.select(col("video_id").as("id")).distinct()
+    val tierComps = comps.join(tierIds, Seq("id"), "left_semi")
+      .select("component").distinct()
+    val batchComps = comps.join(tierIds, Seq("id"), "left_anti")
+    val losers = batchComps.join(tierComps, Seq("component"), "left_semi").select("id")
+      .unionByName(batchComps.filter(col("id") =!= col("component")).select("id"))
+      .distinct().withColumnRenamed("id", "video_id")
+    batch.join(losers, Seq("video_id"), "left_anti")
+  }
+
+  /** The dropped-bucket METRIC for [[videoNearDupPairs]] over an
+    * already-built [[videoIndex]] — one row per frame-hash bucket past
+    * the cap with its member count (the cap must never truncate
+    * silently; the index exists, so observing it costs no decode). */
+  def skippedVideoBucketsFromIndex(index: DataFrame,
+                                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
+    TextDedup.oversized(index, Seq("frame_hash"), maxBucketSize)
+
+  /** The dropped-bucket METRIC for [[videoAgainst]]'s CROSS join: one
+    * row per frame-hash bucket whose COMBINED batch+tier population
+    * exceeds the cap. */
+  def skippedVideoBucketsAgainst(batchIndex: DataFrame, tierIndex: DataFrame,
+                                 maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
+    batchIndex.groupBy("frame_hash").agg(count(lit(1)).as("__bc"))
+      .join(tierIndex.groupBy("frame_hash").agg(count(lit(1)).as("__tc")),
+        Seq("frame_hash"))
+      .filter(col("__tc") + col("__bc") > maxBucketSize)
+      .select(col("frame_hash"),
+        (col("__tc") + col("__bc")).as("member_count"))
 
   /** CROSS-MODAL pair curation: caption↔image pairs where the IMAGE is
     * a perceptual near-dup (same hamming component) but the captions

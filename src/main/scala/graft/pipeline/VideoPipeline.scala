@@ -1,0 +1,154 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.operators.TextDedup
+import graft.plans.Catalog
+
+/** The VIDEO ingest treadmill — the FOURTH incremental modality,
+  * completing the set next to docs ([[CurationPipeline.ingestBatch]]),
+  * embeddings ([[VectorPipeline.ingestBatch]]) and still-media assets
+  * ([[MediaPipeline.ingestBatch]]): each new crawl slice of sampled
+  * FRAMES decodes exactly once into per-video frame-hash sets
+  * ([[Multimodal.frameHashes]]), reconciles against the STORED
+  * frame-hash index of the curated tier ([[Multimodal.videoAgainst]] —
+  * tier frames are NEVER re-decoded; the index carries each tier
+  * video's distinct hash set, which is both the candidate bucketing
+  * structure and the verification payload), and only the surviving
+  * videos plus their index rows are appended.
+  *
+  * First call bootstraps: the batch self-dedups batch-globally (the
+  * same code path with an EMPTY tier index — cross candidates vanish,
+  * the in-batch closure is exactly [[Multimodal.videoDedup]]) and
+  * becomes the tier. Ingest discipline: batch video_ids must be fresh
+  * and monotone, and a video's frames must all land WITHIN one slice
+  * (a video split across drains would reconcile its first fragment as
+  * the tier copy — the per-video analog of the docs treadmill's
+  * whole-document rule). Under it the running tier equals batch-global
+  * [[Multimodal.videoDedup]] over all slices so far.
+  *
+  * Plan shape per batch: ONE decode pass ([[Multimodal.frameHashes]],
+  * pinned) → the batch index pin ([[Multimodal.videoIndex]]);
+  * reconcile, the survivor index (a semi-join of the pin — never a
+  * second decode), and both skip metrics all read the pins; publish
+  * appends tier + index through [[Catalog.insertAppendOnce]]. Capped
+  * frame-hash buckets are counted and REPORTED in the metric map —
+  * the cap never truncates silently. */
+object VideoPipeline {
+
+  val TierTable = "video_tier"                 // (video_id, frame_hashes)
+  val FrameIndexTable = "video_frame_index"    // (video_id, frame_hash)
+  val BatchSurvivorsTable = "video_batch_survivors"
+  val BatchIndexTable = "video_batch_index"
+
+  /** Ingest one slice of sampled frames: decode once, reconcile against
+    * the stored frame-hash index, publish surviving videos + their
+    * index rows. Returns the stage report with batch_frames/batch_in/
+    * batch_kept/batch_dropped/skipped_cross_buckets/
+    * skipped_batch_buckets/tier_videos_after metrics. */
+  def ingestBatch(spark: SparkSession, frames: DataFrame,
+                  jaccardThreshold: Double = 0.9, containThreshold: Double = 0.9,
+                  grid: Multimodal.GridExtractor = Multimodal.StubGrid,
+                  maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
+                  notify: PipelineReport => Unit = _ => ()): PipelineReport = {
+    val stages = Seq(
+      Stage("probe_tier") { _ =>
+        Map("tier_videos" -> (if (Catalog.tableExists(spark, TierTable))
+          spark.table(TierTable).count() else 0L))
+      },
+      Stage("incremental_video_dedup") { m =>
+        // the ONE decode pass of the whole batch lifecycle
+        val bVids = Multimodal.frameHashes(frames, grid).localCheckpoint(true)
+        try {
+          val bIdx = Multimodal.videoIndex(bVids).localCheckpoint(true)
+          try {
+            val tierIdx =
+              if (m("tier_videos") > 0L) spark.table(FrameIndexTable)
+              else bIdx.limit(0) // empty tier: reconcile = in-batch dedup
+            val survivors = Multimodal.videoAgainst(bVids, tierIdx,
+              jaccardThreshold, containThreshold, maxBucketSize,
+              batchIndex = Some(bIdx))
+            Catalog.overwriteTable(survivors, BatchSurvivorsTable)
+            // survivor index rows come from the PIN, never a re-decode
+            Catalog.overwriteTable(
+              bIdx.join(spark.table(BatchSurvivorsTable).select("video_id"),
+                Seq("video_id"), "left_semi"),
+              BatchIndexTable)
+            val in = bVids.count()
+            val kept = spark.table(BatchSurvivorsTable).count()
+            Map("batch_in" -> in, "batch_kept" -> kept,
+              "batch_dropped" -> (in - kept),
+              "skipped_cross_buckets" ->
+                Multimodal.skippedVideoBucketsAgainst(bIdx, tierIdx, maxBucketSize).count(),
+              "skipped_batch_buckets" ->
+                Multimodal.skippedVideoBucketsFromIndex(bIdx, maxBucketSize).count())
+          } finally Catalog.releasePin(bIdx)
+        } finally Catalog.releasePin(bVids)
+        // both pins release HERE — everything reading them (scratch
+        // tables, counts, skip metrics) materialized above, so a
+        // long-lived treadmill session never accumulates per-batch pins
+      },
+      Stage("publish_batch") { _ =>
+        val survivors = spark.table(BatchSurvivorsTable)
+        val idx = spark.table(BatchIndexTable)
+        if (!Catalog.tableExists(spark, TierTable)) {
+          Catalog.ensureTable(spark, TierTable, survivors.schema)
+          Catalog.ensureTable(spark, FrameIndexTable, idx.schema)
+        }
+        // idempotent multi-table publish under a retrying Runner
+        Catalog.insertAppendOnce(spark, TierTable, survivors, "video_id")
+        Catalog.insertAppendOnce(spark, FrameIndexTable, idx, "video_id")
+        Map("tier_videos_after" -> spark.table(TierTable).count())
+      })
+    new Runner(stages, RetryPolicy(retries = 1), notify)
+      .run(Map("batch_frames" -> frames.count()))
+  }
+
+  /** The video treadmill as a STREAM: a checkpointed file source over a
+    * PARQUET frame landing ([[Multimodal.VideoFrameSchema]] — binary
+    * frame payloads make parquet the natural landing format, the
+    * [[MediaPipeline.streamIngest]] argument) drives [[ingestBatch]]
+    * once per micro-batch via foreachBatch. The checkpoint dedups
+    * FILES (a restart resumes at the first undiscovered slice); the
+    * stored frame-hash index dedups CONTENT, so a redelivered video
+    * cannot re-enter the tier either way. Trigger.AvailableNow drains
+    * everything landed and stops — the scheduled-batch deployment
+    * shape. Frame files must respect the whole-video landing
+    * discipline (see the object doc). */
+  def streamIngest(spark: SparkSession, landingDir: String, checkpointDir: String,
+                   jaccardThreshold: Double = 0.9, containThreshold: Double = 0.9,
+                   grid: Multimodal.GridExtractor = Multimodal.StubGrid,
+                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(Multimodal.VideoFrameSchema)
+      .parquet(landingDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // the session-clone cache-coherence discipline (see
+        // CurationPipeline.streamIngest): the whole treadmill runs on
+        // the micro-batch's session clone, the batch pins across the
+        // stages' several actions, and the OUTER session refreshes its
+        // cached listings of the published tables afterwards.
+        val pinned = batch.toDF().persist()
+        val r = try ingestBatch(batch.sparkSession, pinned, jaccardThreshold,
+          containThreshold, grid, maxBucketSize)
+        finally pinned.unpersist(blocking = false)
+        require(r.ok, s"video ingestBatch failed in micro-batch $id: " +
+          r.stages.filterNot(_.ok).map(s => s"${s.stage}: ${s.error.getOrElse("?")}").mkString("; "))
+        Seq(TierTable, FrameIndexTable)
+          .foreach(t => if (Catalog.tableExists(spark, t)) spark.catalog.refreshTable(t))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Drop every treadmill table — a fresh-tier reset for self-contained
+    * runs (the stream gate query and specs). */
+  def resetTreadmill(spark: SparkSession): Unit =
+    Seq(TierTable, FrameIndexTable, BatchSurvivorsTable, BatchIndexTable)
+      .foreach(Catalog.dropIfExists(spark, _))
+}
