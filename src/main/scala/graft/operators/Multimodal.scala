@@ -441,9 +441,20 @@ object Multimodal {
     * [[skippedPhashBuckets]] — the cap must never truncate silently. */
   def phashNearDupPairs(media: DataFrame, maxHamming: Int = 3,
                         grid: GridExtractor = StubGrid,
-                        maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+                        maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
+    phashNearDupPairsFromIndex(phashIndex(media, grid), maxHamming, maxBucketSize)
+
+  /** [[phashNearDupPairs]] over an ALREADY-BUILT [[phashIndex]] — the
+    * no-decode rendition for callers holding the index pin: a stage
+    * that dedups, curates captions, AND reports skips pays ONE decode
+    * pass for all three (the media-stage discipline in
+    * [[graft.pipeline.CurationPipeline.runFull]]). */
+  def phashNearDupPairsFromIndex(index: DataFrame, maxHamming: Int = 3,
+                                 maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
     require(maxHamming < 4, s"4-chunk pigeonhole covers hamming <= 3, got $maxHamming")
-    val pairs = TextDedup.cappedBucketPairs(phChunked(media, grid),
+    val pairs = TextDedup.cappedBucketPairs(
+        index.select(struct(col("media_id"), col("phash")).as("m"),
+          col("chunk"), col("key")),
         Seq("chunk", "key"), "m", maxBucketSize, TextDedup.memberPairs)
       .select(col("p.a.media_id").as("a_id"), col("p.b.media_id").as("b_id"),
         bit_count(col("p.a.phash").bitwiseXOR(col("p.b.phash"))).as("hamming"))
@@ -459,9 +470,16 @@ object Multimodal {
     * leave the plan. */
   def phashDedup(media: DataFrame, maxHamming: Int = 3,
                  grid: GridExtractor = StubGrid,
-                 maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+                 maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
+    phashDedupFromIndex(media, phashIndex(media, grid), maxHamming, maxBucketSize)
+
+  /** [[phashDedup]] with the hash pass factored out: `index` is the
+    * already-built [[phashIndex]] of `media` (or a pin over it), so a
+    * multi-consumer stage decodes once. */
+  def phashDedupFromIndex(media: DataFrame, index: DataFrame, maxHamming: Int = 3,
+                          maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
     val losers = Components.connectedComponents(
-        phashNearDupPairs(media, maxHamming, grid, maxBucketSize)
+        phashNearDupPairsFromIndex(index, maxHamming, maxBucketSize)
           .select("a_id", "b_id"))
       .filter(col("id") =!= col("component"))
       .select(col("id").as("media_id"))
@@ -767,9 +785,19 @@ object Multimodal {
     * min_by aggregate (no window, no per-component sort). */
   def captionKeepBest(media: DataFrame, captions: DataFrame,
                       maxHamming: Int = 3, grid: GridExtractor = StubGrid,
-                      maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+                      maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
+    captionKeepBestFromIndex(phashIndex(media, grid), captions, maxHamming,
+      maxBucketSize)
+
+  /** [[captionKeepBest]] over an ALREADY-BUILT [[phashIndex]] — no
+    * decode: the components ride the index rows, so the runFull media
+    * stage curates captions from the same one hash pass its dedup and
+    * skip metric read. */
+  def captionKeepBestFromIndex(index: DataFrame, captions: DataFrame,
+                               maxHamming: Int = 3,
+                               maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
     val comps = Components.connectedComponents(
-      phashNearDupPairs(media, maxHamming, grid, maxBucketSize)
+      phashNearDupPairsFromIndex(index, maxHamming, maxBucketSize)
         .select("a_id", "b_id"))
       .withColumnRenamed("id", "media_id")
     // min_by over struct(-score, id, caption): the id-safe argmax idiom

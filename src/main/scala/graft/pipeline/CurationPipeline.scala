@@ -73,6 +73,7 @@ object CurationPipeline {
   val SequencesTable = "documents_sequences"
   val MediaRefTable = "documents_media_referenced"
   val MediaTable = "documents_media_curated"
+  val MediaCaptionsTable = "documents_media_captions"
 
   /** The FULL training-data flow: quality gate → benchmark
     * decontamination → near-dup dedup → boilerplate strip → duplicate-
@@ -121,7 +122,16 @@ object CurationPipeline {
     * ([[graft.operators.Multimodal.phashDedup]]), the curated assets
     * publish to [[MediaTable]], and both cuts land in the metric map —
     * the one-call pipeline then covers text, embedding-adjacent
-    * artifacts, and media. */
+    * artifacts, and media. `captions` (media_id, caption, score —
+    * score from any quality battery over the caption text) adds
+    * cross-modal caption curation to the same stage: the best-scored
+    * caption per perceptual component of the REFERENCED assets
+    * publishes to [[MediaCaptionsTable]]
+    * ([[graft.operators.Multimodal.captionKeepBestFromIndex]] — the
+    * kept wording may ride a re-encode the dedup drops), with
+    * kept/dropped counts in the metric map; the dedup, the caption
+    * argmax, and the skip metric all read ONE phash-index pin, so the
+    * stage decodes each asset exactly once. Requires `media`. */
   def runFull(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
               jaccardThreshold: Double = 0.8,
               maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
@@ -136,10 +146,13 @@ object CurationPipeline {
               mixSourceCol: String = "source", materializeEpoch: Boolean = false,
               bpeMerges: Int = 0,
               media: Option[DataFrame] = None,
+              captions: Option[DataFrame] = None,
               mediaGrid: graft.operators.Multimodal.GridExtractor =
                 graft.operators.Multimodal.StubGrid,
               mediaMaxHamming: Int = 3,
               notify: PipelineReport => Unit = _ => ()): PipelineReport = {
+    require(captions.isEmpty || media.nonEmpty,
+      "captions curate against the media assets' perceptual components — pass media too")
     val stages = Seq[Stage](
       Stage("quality_gate") { m =>
         // ONE qualityFilter evaluation: the (doc_id, keep, drop_reason)
@@ -238,28 +251,55 @@ object CurationPipeline {
           // dedups (phash hamming components, keep-min) — both cuts
           // land in the metric map; at 100 TB a silent media drop is
           // exactly as bad as a silent text drop.
+          //
+          // ONE decode pass for the whole stage: the referenced set's
+          // phash index pins once, and the dedup, the caption curation,
+          // AND the skip metric all read the pin (the treadmills'
+          // decode-once discipline carried into runFull).
           val md = media.get
           val mediaIn = md.count()
           val surviving = spark.table(SplitTable).select("doc_id")
           Catalog.overwriteTable(
             md.join(surviving, Seq("doc_id"), "left_semi"), MediaRefTable)
           val refCount = spark.table(MediaRefTable).count()
-          Catalog.overwriteTable(
-            graft.operators.Multimodal.phashDedup(spark.table(MediaRefTable),
-              mediaMaxHamming, mediaGrid, maxBucketSize),
-            MediaTable)
-          val kept = spark.table(MediaTable).count()
-          Map("media_in" -> mediaIn,
-            "media_unreferenced_dropped" -> (mediaIn - refCount),
-            "media_neardup_dropped" -> (refCount - kept),
-            "media_kept" -> kept,
-            // the module's "the cap must never truncate silently" rule:
-            // phashDedup drops oversized (chunk, key) buckets, so the
-            // run report must say how many — like the text stage's
-            // skipped_buckets_minhash
-            "skipped_media_buckets" ->
-              graft.operators.Multimodal.skippedPhashBuckets(
-                spark.table(MediaRefTable), mediaGrid, maxBucketSize).count())
+          val refIdx = graft.operators.Multimodal
+            .phashIndex(spark.table(MediaRefTable), mediaGrid).localCheckpoint(true)
+          try {
+            Catalog.overwriteTable(
+              graft.operators.Multimodal.phashDedupFromIndex(
+                spark.table(MediaRefTable), refIdx, mediaMaxHamming, maxBucketSize),
+              MediaTable)
+            val kept = spark.table(MediaTable).count()
+            // training-set emission wants (curated asset, best caption)
+            // in one call: keep the best-scored caption per perceptual
+            // component over the REFERENCED set — the winning wording
+            // may ride a re-encode the dedup drops
+            val captionMetrics = captions match {
+              case None => Map.empty[String, Long]
+              case Some(caps) =>
+                Catalog.overwriteTable(
+                  graft.operators.Multimodal.captionKeepBestFromIndex(refIdx,
+                    caps.join(spark.table(MediaRefTable).select("media_id"),
+                      Seq("media_id"), "left_semi"),
+                    mediaMaxHamming, maxBucketSize),
+                  MediaCaptionsTable)
+                val capsKept = spark.table(MediaCaptionsTable).count()
+                val capsDropped = spark.table(MediaCaptionsTable)
+                  .agg(coalesce(sum("dropped_count"), lit(0L))).head().getLong(0)
+                Map("caption_kept" -> capsKept, "caption_dropped" -> capsDropped)
+            }
+            Map("media_in" -> mediaIn,
+              "media_unreferenced_dropped" -> (mediaIn - refCount),
+              "media_neardup_dropped" -> (refCount - kept),
+              "media_kept" -> kept,
+              // the module's "the cap must never truncate silently"
+              // rule: oversized (chunk, key) buckets drop from the
+              // pair stream, so the run report must say how many —
+              // like the text stage's skipped_buckets_minhash
+              "skipped_media_buckets" ->
+                graft.operators.Multimodal.skippedPhashBucketsFromIndex(
+                  refIdx, maxBucketSize).count()) ++ captionMetrics
+          } finally Catalog.releasePin(refIdx)
         })) ++
       (if (bpeMerges <= 0) Seq.empty[Stage] else Seq(
         Stage("tokenizer_train") { _ =>

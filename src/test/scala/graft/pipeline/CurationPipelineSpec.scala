@@ -472,5 +472,54 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     val kept = spark.table(CurationPipeline.MediaTable)
       .select("media_id").as[Long].collect().toSet
     assert(kept == Set(10L, 12L), kept.toString)
+    // the cap metric reports (nothing skipped on this tiny fixture)
+    assert(report.metrics("skipped_media_buckets") == 0L, report.metrics.toString)
+  }
+
+  test("runFull caption curation: best caption per component, even when it rides a dropped re-encode") {
+    def payload(seed: Int): Array[Byte] =
+      Array.tabulate(96)(i => (33 + (seed * 31 + i * 7) % 90).toByte)
+    def reencode(seed: Int): Array[Byte] = {
+      val p = payload(seed)
+      (0 until 24).foreach(i => p(72 + i) = (33 + (seed * 13 + i) % 90).toByte)
+      p
+    }
+    def body(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val planted = Seq(
+      (1L, body("alpha", 60)),
+      (2L, body("beta", 60)),
+      (3L, "tiny")).toDF("doc_id", "text")
+    val mediaDf = Seq(
+      (1L, 10L, payload(1)),  // survives dedup (component minimum)
+      (1L, 11L, reencode(1)), // near-dup of 10 -> dropped by dedup
+      (2L, 12L, payload(2)),  // singleton
+      (3L, 13L, payload(3))   // owner dies -> unreferenced
+    ).toDF("doc_id", "media_id", "bytes")
+      .select($"doc_id", $"media_id", lit("image").as("kind"),
+        lit("raw").as("format"), $"bytes")
+    // the DROPPED re-encode carries the best caption; the unreferenced
+    // asset's caption must not leak into the output
+    val caps = Seq(
+      (10L, "a photo", 0.1),
+      (11L, "a crisp studio photograph of a prototype", 0.9),
+      (12L, "the beta bench", 0.5),
+      (13L, "orphan wording", 1.0)).toDF("media_id", "caption", "score")
+    val report = CurationPipeline.runFull(spark, planted,
+      spark.emptyDataFrame.withColumn("text", lit("")).select("text"),
+      jaccardThreshold = 0.5, minTokens = 10, maxPunctRatio = 1.0,
+      minStopwordRatio = 0.0, media = Some(mediaDf), captions = Some(caps))
+    assert(report.ok, report.stages.toString)
+    assert(report.metrics("caption_kept") == 2L, report.metrics.toString)
+    assert(report.metrics("caption_dropped") == 1L, report.metrics.toString)
+    val byId = spark.table(CurationPipeline.MediaCaptionsTable)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[String]("kept_caption"), r.getAs[Long]("kept_from"))).toMap
+    assert(byId.keySet == Set(10L, 12L), byId.toString) // = curated assets
+    assert(byId(10L) == (("a crisp studio photograph of a prototype", 11L)),
+      s"the dropped re-encode's better caption must win: $byId")
+    assert(byId(12L)._1 == "the beta bench", byId.toString)
+    // curated media unchanged by the caption pass
+    assert(spark.table(CurationPipeline.MediaTable)
+      .select("media_id").as[Long].collect().toSet == Set(10L, 12L))
   }
 }
