@@ -61,6 +61,61 @@ class MediaPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     assert(stored == fresh)
   }
 
+  test("REAL PNGs through the treadmill: brightness-shifted re-encodes reconcile via the stored index (ImageIoGrid)") {
+    // the grid seam composed with the pin/reconcile path: StubGrid is
+    // the gate/decade workhorse, so the real decoder must be proven to
+    // ride the same ingestBatch machinery — real PNG bytes, a real
+    // javax.imageio decode inside the ONE hash pass, cross-slice
+    // collapse through the STORED index only
+    def img(w: Int, h: Int)(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y) & 0xFF; im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      im
+    }
+    def png(im: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val grid = new Multimodal.ImageIoGrid()
+    val diag = png(img(36, 32)((x, y) => 20 + x * 4 + y * 2))
+    val rev = png(img(36, 32)((x, y) => 20 + (35 - x) * 4 + y * 2))
+    def slice(rows: (Long, Array[Byte])*) =
+      rows.toSeq.toDF("media_id", "bytes")
+        .select($"media_id", lit("image").as("kind"), lit("png").as("format"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms"), $"bytes")
+
+    val r1 = MediaPipeline.ingestBatch(spark, slice(1L -> diag, 2L -> rev), grid = grid)
+    assert(r1.ok && r1.metrics("batch_kept") == 2L, r1.metrics.toString)
+
+    // slice 2: a +30-brightness RE-RENDER of tier image 1 (different
+    // octets, dHash-identical — MultimodalSpec's proven invariance), a
+    // 2x UPSCALE of tier image 2 (within hamming 3), a genuinely new
+    // image, and a corrupt blob (must not kill the batch)
+    val bright = png(img(36, 32)((x, y) => 50 + x * 4 + y * 2))
+    val revBig = png(img(72, 64)((x, y) => 20 + (35 - x / 2) * 4 + (y / 2) * 2))
+    // fresh image: ascending rows on top, descending below — half the
+    // dHash bits flip vs either pure gradient (a y-only gradient would
+    // hash all-zeros and COLLIDE with the reversed-x gradient)
+    val vert = png(img(36, 32)((x, y) => if (y < 16) 20 + x * 4 else 170 - x * 4))
+    val r2 = MediaPipeline.ingestBatch(spark,
+      slice(10L -> bright, 11L -> revBig, 12L -> vert,
+        13L -> Array[Byte](9, 9, 9)), grid = grid)
+    assert(r2.ok, r2.stages.toString)
+    val tier = spark.table(MediaPipeline.TierTable).select("media_id").as[Long].collect().toSet
+    assert(tier == Set(1L, 2L, 12L, 13L),
+      s"re-render and upscale must collapse onto the tier; the fresh image enters; " +
+        s"the undecodable blob passes through (null hash never clusters — a corrupt " +
+        s"byte must not silently delete an asset): $tier")
+    // the corrupt blob contributed NO index rows: the stored index
+    // covers exactly the decodable survivors, 4 chunk rows each
+    assert(spark.table(MediaPipeline.PhashIndexTable).count() == 4 * 3)
+  }
+
   test("tier equals batch-global phashDedup across slices (convergence contract)") {
     val all = media(
       1L -> payload(1), 2L -> payload(2), 3L -> payload(3),
