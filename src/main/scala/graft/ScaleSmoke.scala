@@ -277,6 +277,29 @@ object ScaleSmoke {
         "output ids must be exactly the component minima")
       val dropped = out.agg(sum("dropped_count")).head().getLong(0)
       require(n + dropped == caps.count(), s"drop accounting: $n kept + $dropped != ${caps.count()}")
+      // cap-never-silent MEASURED at scale: per (chunk, key) bucket of
+      // size n the banding admits C(n,2) candidate pairs or the skip
+      // reporter owns them — ok(cap) + skipped(cap) must equal the raw
+      // bucket pair count, at the default cap AND at a cap the clone
+      // families (mult members) actually overflow
+      val idx = operators.Multimodal.phashIndex(media).localCheckpoint(true)
+      val cnts = idx.groupBy("chunk", "key").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).localCheckpoint(true)
+      def pairSum(df: org.apache.spark.sql.DataFrame): Long = df
+        .agg(coalesce(sum(((col("n") * (col("n") - 1)) / 2).cast("long")), lit(0L)))
+        .head().getLong(0)
+      val raw = pairSum(cnts)
+      val tinyCap = (mult / 2).max(2)
+      for (cap <- Seq(operators.TextDedup.DefaultMaxBucketSize, tinyCap)) {
+        val ok = pairSum(cnts.filter(col("n") <= cap))
+        val skipped = pairSum(operators.Multimodal
+          .skippedPhashBucketsFromIndex(idx, cap)
+          .select(col("member_count").as("n")))
+        require(ok + skipped == raw,
+          s"skip accounting must reconcile at cap $cap: $ok + $skipped != $raw")
+        if (cap == tinyCap) require(skipped > 0L,
+          s"cap $cap must actually skip the mult-sized clone families")
+      }
       n
     }
     timed("video_dedup_50k") {
@@ -297,6 +320,26 @@ object ScaleSmoke {
       val kept = operators.Multimodal.videoDedup(vids).count()
       val classes = vids.select("frame_hashes").distinct().count()
       require(kept == classes, s"survivors must equal distinct frame-set classes: $kept vs $classes")
+      // the same skip reconciliation one level up: frame-hash buckets
+      // of size n admit C(n,2) candidates or the reporter owns them
+      val vIdx = operators.Multimodal.videoIndex(vids).localCheckpoint(true)
+      val vcnts = vIdx.groupBy("frame_hash").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).localCheckpoint(true)
+      def vPairSum(df: org.apache.spark.sql.DataFrame): Long = df
+        .agg(coalesce(sum(((col("n") * (col("n") - 1)) / 2).cast("long")), lit(0L)))
+        .head().getLong(0)
+      val vRaw = vPairSum(vcnts)
+      val vTiny = (mult / 2).max(2)
+      for (cap <- Seq(operators.TextDedup.DefaultMaxBucketSize, vTiny)) {
+        val ok = vPairSum(vcnts.filter(col("n") <= cap))
+        val skipped = vPairSum(operators.Multimodal
+          .skippedVideoBucketsFromIndex(vIdx, cap)
+          .select(col("member_count").as("n")))
+        require(ok + skipped == vRaw,
+          s"video skip accounting must reconcile at cap $cap: $ok + $skipped != $vRaw")
+        if (cap == vTiny) require(skipped > 0L,
+          s"cap $cap must actually skip the mult-sized clone families")
+      }
       kept
     }
     timed("stream_ingest_50k") {
