@@ -388,8 +388,15 @@ object Bpe {
   def packIdSequences(tokenized: DataFrame, seqLen: Int = 2048,
                       chunkDocs: Int = 1024, idCol: String = "doc_id"): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    // pinned (the packEpoch discipline): the two-level prefix reads its
+    // input twice (per-chunk window + chunk totals), and when
+    // `tokenized` is a LIVE tokenizeIds plan re-evaluating it doubles
+    // the whole segment/join materialization. At 100 TB the caller
+    // passes the PUBLISHED tokenized table and the pin is a re-read of
+    // stored blocks, not a recompute.
     val counted = tokenized.select(col(idCol), col("token_ids"),
       size(col("token_ids")).cast("long").as("token_count"))
+      .localCheckpoint(true)
     val packed = Curation.twoLevelPrefix(counted, idCol, chunkDocs)
     val start = col("__start")
     val end = col("__start") + col("token_count")
