@@ -342,6 +342,39 @@ object ScaleSmoke {
       }
       kept
     }
+    timed("video_ingest_50k") {
+      // the VIDEO treadmill at corpus scale: one 8-frame video per doc,
+      // clone families share every frame payload, replica halves split
+      // at the same cut as media_ingest_50k so every family STRADDLES
+      // the slice boundary and must reconcile against the STORED
+      // frame-hash index. Tier must equal batch-global videoDedup over
+      // everything (videoAgainst's convergence contract), exactly.
+      import graft.pipeline.VideoPipeline
+      VideoPipeline.resetTreadmill(spark)
+      val frames = docs.filter(col("text").isNotNull)
+        .select(col("doc_id").as("video_id"),
+          explode(sequence(lit(0), lit(7))).as("frame_no"), col("text"))
+        .select(col("video_id"), col("frame_no"), lit("image").as("kind"),
+          lit("raw").as("format"),
+          md5(concat(col("text"), lit(":f"), col("frame_no").cast("string")))
+            .cast("binary").as("bytes"))
+        .localCheckpoint(true)
+      val cut = (mult / 2).max(1) * 1000000L
+      val r1 = VideoPipeline.ingestBatch(spark, frames.filter(col("video_id") < cut))
+      require(r1.ok, r1.stages.toString)
+      val r2 = VideoPipeline.ingestBatch(spark, frames.filter(col("video_id") >= cut))
+      require(r2.ok, r2.stages.toString)
+      require(r1.metrics("skipped_cross_buckets") == 0L &&
+        r2.metrics("skipped_cross_buckets") == 0L,
+        s"no bucket may skip on a sane corpus: ${r2.metrics}")
+      val tier = spark.table(VideoPipeline.TierTable).count()
+      val expected = operators.Multimodal.videoDedup(
+        operators.Multimodal.frameHashes(frames)).count()
+      require(tier == expected,
+        s"treadmill must converge to batch-global videoDedup: $tier vs $expected")
+      VideoPipeline.resetTreadmill(spark)
+      tier
+    }
     timed("stream_ingest_50k") {
       // the STREAMING treadmill at corpus scale: clone replicas split
       // into two landed slices, two checkpointed drains (the second a

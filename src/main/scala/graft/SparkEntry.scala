@@ -2582,6 +2582,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // tokenize-to-ids COMPOSED with the full-coverage domain: the
+    // code-like corpus tokenizes to real id sequences — digits, punct,
+    // CJK all carry ids, the artifact a code-heavy source ships.
+    "doc_tokenize_ids_alltext" -> ((s, dir) => {
+      val d = codeDocs(s, dir)
+      val merges = Bpe.train(d, numMerges = 6, domain = Bpe.AllTokens)
+      Bpe.tokenizeIds(d, merges,
+          Bpe.vocabTable(d, merges, domain = Bpe.AllTokens),
+          domain = Bpe.AllTokens)
+        .select(col("doc_id"),
+          array_join(col("token_ids"), ",").as("token_ids_csv"),
+          size(col("token_ids")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Pack REAL id sequences: docs concatenate in doc_id order and
     // slice at 256-id boundaries — every sequence except the last
     // must carry exactly 256 ids, replayed id-for-id by the oracle.
@@ -3220,6 +3235,20 @@ object SparkEntry {
     "doc_tokenize_ids" ->
       ("WITH " + bpeChainSql(6) + ",\n" + bpeVocabCtes(6) + ",\n" +
         bpeTokenizeCtes(6) +
+        """,
+          |wids AS (
+          |  SELECT s.w, string_agg(v.id::VARCHAR, ',' ORDER BY s.ord) AS idcsv,
+          |         count(*)::BIGINT AS nsym
+          |  FROM wsyms s JOIN vocab v ON v.symbol = s.sym GROUP BY 1)
+          |SELECT d.doc_id, string_agg(wi.idcsv, ',' ORDER BY d.ord) AS token_ids_csv,
+          |       sum(wi.nsym)::BIGINT AS n_tokens
+          |FROM dw d JOIN wids wi USING (w)
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "doc_tokenize_ids_alltext" ->
+      ("WITH " + bpeChainSql(6, CodeCorpusSql, AllTokensDomainSql) + ",\n" +
+        bpeVocabCtes(6) + ",\n" +
+        bpeTokenizeCtes(6, AllTokensDomainSql, CodeCorpusSql) +
         """,
           |wids AS (
           |  SELECT s.w, string_agg(v.id::VARCHAR, ',' ORDER BY s.ord) AS idcsv,
@@ -6149,7 +6178,8 @@ object SparkEntry {
     * in-word position, the per-doc token stream with its in-doc
     * position, and the domain-filtered rendition of the latter. */
   private def bpeTokenizeCtes(n: Int,
-                              domainSql: String = LetterWordsDomainSql): String =
+                              domainSql: String = LetterWordsDomainSql,
+                              from: String = "documents"): String =
     s"""wsyms AS (
        |  SELECT w, u.ord AS ord, u.sym AS sym FROM (
        |    SELECT w, unnest(list_transform(range(1, len(syms) + 1),
@@ -6161,7 +6191,7 @@ object SparkEntry {
        |        i -> struct_pack(ord := i, w := toks[i]))) AS u
        |    FROM (SELECT doc_id,
        |                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
-       |          FROM documents))),
+       |          FROM $from))),
        |dw AS (SELECT doc_id, ord, w FROM docw WHERE $domainSql)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
