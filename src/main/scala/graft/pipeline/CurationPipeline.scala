@@ -131,7 +131,17 @@ object CurationPipeline {
     * kept wording may ride a re-encode the dedup drops), with
     * kept/dropped counts in the metric map; the dedup, the caption
     * argmax, and the skip metric all read ONE phash-index pin, so the
-    * stage decodes each asset exactly once. Requires `media`. */
+    * stage decodes each asset exactly once. Requires `media`.
+    *
+    * `bpeMerges` > 0 trains the tokenizer on the train split
+    * (`bpeDomain` picks the trainable-token domain — [[Bpe.AllTokens]]
+    * for code-heavy/CJK corpora — and the epoch stages inherit it, so
+    * budgets stay in the tokenizer's unit); `materializeTokenIds` then
+    * publishes the SHIPPABLE artifacts: the vocab table
+    * ([[VocabTable]]), per-document token-id sequences
+    * ([[TokenIdsTable]]), and id-exact packed training sequences
+    * ([[IdSequencesTable]]), with a zero-UNK invariant enforced (the
+    * train corpus can never miss a seed of its own vocab). */
   def runFull(spark: SparkSession, docs: DataFrame, benchmark: DataFrame,
               jaccardThreshold: Double = 0.8,
               maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
@@ -145,6 +155,8 @@ object CurationPipeline {
               mixBudgetTokens: Long = 0L, mixAlpha: Double = 0.5,
               mixSourceCol: String = "source", materializeEpoch: Boolean = false,
               bpeMerges: Int = 0,
+              bpeDomain: Bpe.Domain = Bpe.LetterWords,
+              materializeTokenIds: Boolean = false,
               media: Option[DataFrame] = None,
               captions: Option[DataFrame] = None,
               mediaGrid: graft.operators.Multimodal.GridExtractor =
@@ -153,6 +165,8 @@ object CurationPipeline {
               notify: PipelineReport => Unit = _ => ()): PipelineReport = {
     require(captions.isEmpty || media.nonEmpty,
       "captions curate against the media assets' perceptual components — pass media too")
+    require(!materializeTokenIds || bpeMerges > 0,
+      "token-id materialization consumes the trained tokenizer — set bpeMerges > 0")
     val stages = Seq[Stage](
       Stage("quality_gate") { m =>
         // ONE qualityFilter evaluation: the (doc_id, keep, drop_reason)
@@ -314,12 +328,48 @@ object CurationPipeline {
           val train = spark.table(SplitTable)
             .filter(col("split") === "train").select("doc_id", "text")
           import spark.implicits._
-          val merges = Bpe.trainBatched(train, bpeMerges)
+          val merges = Bpe.trainBatched(train, bpeMerges, domain = bpeDomain)
             .map(m => (m.rank, m.leftSym, m.rightSym, m.pairCount))
             .toDF("rank", "left_sym", "right_sym", "pair_count")
           Catalog.overwriteTable(merges, BpeMergesTable)
           Map("bpe_merges" -> spark.table(BpeMergesTable).count())
-        })) ++
+        }) ++
+        (if (!materializeTokenIds) Seq.empty[Stage] else Seq(
+          Stage("tokenize_ids") { _ =>
+            // the SHIPPABLE tokenization: vocab table, per-doc token-id
+            // sequences, and id-exact packed training sequences over the
+            // TRAIN split — the artifacts a training job actually
+            // mounts, in the unit the epoch stages below budget in.
+            // packIdSequences reads the PUBLISHED id table (its pin is a
+            // stored-block re-read, not a recompute — the operator's
+            // documented 100 TB shape).
+            val train = spark.table(SplitTable)
+              .filter(col("split") === "train").select("doc_id", "text")
+            val merges = loadBpeMerges(spark, bpeMerges)
+            Catalog.overwriteTable(
+              Bpe.vocabTable(train, merges, domain = bpeDomain), VocabTable)
+            Catalog.overwriteTable(
+              Bpe.tokenizeIds(train, merges, spark.table(VocabTable),
+                domain = bpeDomain),
+              TokenIdsTable)
+            val tokenized = spark.table(TokenIdsTable)
+            Catalog.overwriteTable(
+              Bpe.packIdSequences(tokenized, seqLen = seqLen), IdSequencesTable)
+            val stats = tokenized.agg(
+              count(lit(1)).as("docs"),
+              coalesce(sum(size(col("token_ids"))), lit(0)).cast("long").as("ids"),
+              coalesce(sum(size(filter(col("token_ids"), i => i === Bpe.UnkId))),
+                lit(0)).cast("long").as("unks")).head()
+            // tokenizing the corpus the vocab was built FROM can never
+            // miss a seed symbol — a non-zero UNK count here means the
+            // vocab and the tokenizer drifted apart; fail loudly
+            require(stats.getLong(2) == 0L,
+              s"train-corpus tokenization produced ${stats.getLong(2)} UNK ids")
+            Map("vocab_size" -> spark.table(VocabTable).count(),
+              "tokenized_docs" -> stats.getLong(0),
+              "token_ids_total" -> stats.getLong(1),
+              "id_sequences" -> spark.table(IdSequencesTable).count())
+          }))) ++
       (if (mixBudgetTokens <= 0L) Seq.empty[Stage] else Seq(
         Stage("epoch_mix") { _ =>
           // the training recipe over the TRAIN split: token counts come
@@ -334,7 +384,7 @@ object CurationPipeline {
           // BPE units (otherwise whitespace tokens — mixing units
           // would systematically mis-budget per source)
           val plan = Curation.epochPlan(withSrc, mixBudgetTokens, mixAlpha,
-            merges = loadBpeMerges(spark, bpeMerges))
+            merges = loadBpeMerges(spark, bpeMerges), domain = bpeDomain)
           Catalog.overwriteTable(plan, MixPlanTable)
           // |sources|-bounded collect: per-source targets belong in the
           // run report — a mix that silently starves a source is the
@@ -359,7 +409,8 @@ object CurationPipeline {
             Catalog.ctasOverwrite(
               Curation.epochMaterialize(withSrc, mixBudgetTokens, mixAlpha,
                 seed = shuffleSeed,
-                merges = loadBpeMerges(spark, bpeMerges)), EpochTable)
+                merges = loadBpeMerges(spark, bpeMerges), domain = bpeDomain),
+              EpochTable)
             // emitted tokens per source — |sources|-bounded: the row
             // that says whether the fill actually met each target
             val rows = spark.table(EpochTable)
@@ -406,6 +457,9 @@ object CurationPipeline {
         r.getAs[String]("right_sym"), r.getAs[Long]("pair_count"))).toSeq
 
   val BpeMergesTable = "documents_bpe_merges"
+  val VocabTable = "documents_bpe_vocab"
+  val TokenIdsTable = "documents_token_ids"
+  val IdSequencesTable = "documents_id_sequences"
   val TrainOrderTable = "documents_train_order"
   val MixPlanTable = "documents_mix_plan"
   val EpochTable = "documents_epoch"

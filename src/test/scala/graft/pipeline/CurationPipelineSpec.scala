@@ -522,4 +522,56 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     assert(spark.table(CurationPipeline.MediaTable)
       .select("media_id").as[Long].collect().toSet == Set(10L, 12L))
   }
+
+  test("runFull tokenize_ids stage publishes vocab, id sequences, and id-exact packs (zero UNKs)") {
+    // pure-letter words: the default LetterWords domain keeps ^\p{L}+$
+    // only, so a digit suffix would zero out the whole corpus
+    def body(p: String, n: Int) =
+      (0 until n).map(i => s"$p${('a' + i % 9).toChar}").mkString(" ")
+    val planted = Seq(
+      (1L, body("alpha", 60)), (2L, body("beta", 60)), (3L, body("gamma", 60)))
+      .toDF("doc_id", "text")
+    val report = CurationPipeline.runFull(spark, planted,
+      spark.emptyDataFrame.withColumn("text", lit("")).select("text"),
+      jaccardThreshold = 0.99, minTokens = 10, maxPunctRatio = 1.0,
+      minStopwordRatio = 0.0, seqLen = 32,
+      bpeMerges = 4, materializeTokenIds = true)
+    assert(report.ok, report.stages.toString)
+    assert(report.metrics("tokenized_docs") == 3L, report.metrics.toString)
+    assert(report.metrics("vocab_size") ==
+      spark.table(CurationPipeline.VocabTable).count(), report.metrics.toString)
+    // the published ids reproduce the operator composition exactly
+    val merges = spark.table(CurationPipeline.BpeMergesTable).orderBy("rank").collect()
+      .map(r => graft.operators.Bpe.Merge(r.getAs[Int]("rank"),
+        r.getAs[String]("left_sym"), r.getAs[String]("right_sym"),
+        r.getAs[Long]("pair_count"))).toSeq
+    val train = spark.table(CurationPipeline.SplitTable)
+      .filter(col("split") === "train").select("doc_id", "text")
+    val want = graft.operators.Bpe.tokenizeIds(train, merges,
+        spark.table(CurationPipeline.VocabTable))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val got = spark.table(CurationPipeline.TokenIdsTable)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    assert(got == want)
+    assert(!got.values.exists(_.contains(graft.operators.Bpe.UnkId)))
+    assert(report.metrics("token_ids_total") == got.values.map(_.size.toLong).sum)
+    // packed sequences: exact 32-id slices whose concatenation is the
+    // doc_id-ordered stream
+    val seqs = spark.table(CurationPipeline.IdSequencesTable)
+      .collect().map(r => r.getAs[Long]("seq_no") -> r.getSeq[Long](1)).sortBy(_._1)
+    assert(report.metrics("id_sequences") == seqs.length.toLong)
+    assert(seqs.init.forall(_._2.length == 32), "every sequence but the last is full")
+    assert(seqs.flatMap(_._2).toSeq == got.toSeq.sortBy(_._1).flatMap(_._2))
+    // the recipe composes: AllTokens domain trains/tokenizes a digit-
+    // heavy corpus through the same stages
+    val codey = Seq((1L, body("x1!", 60)), (2L, body("7,z", 60))).toDF("doc_id", "text")
+    val r2 = CurationPipeline.runFull(spark, codey,
+      spark.emptyDataFrame.withColumn("text", lit("")).select("text"),
+      jaccardThreshold = 0.99, minTokens = 10, maxPunctRatio = 1.0,
+      minStopwordRatio = 0.0, seqLen = 32,
+      bpeMerges = 4, bpeDomain = graft.operators.Bpe.AllTokens,
+      materializeTokenIds = true)
+    assert(r2.ok, r2.stages.toString)
+    assert(r2.metrics("token_ids_total") > 0L, r2.metrics.toString)
+  }
 }
