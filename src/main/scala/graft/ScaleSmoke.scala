@@ -881,6 +881,42 @@ object ScaleSmoke {
         f"merges: ${chainProbe(64)}/${chainProbe(128)}$wall")
       totalSyms
     }
+    timed("tokenize_ids_50k") {
+      // the SHIPPABLE artifact at corpus scale: train a modest vocab
+      // (depth is the batched row's business), materialize REAL
+      // per-doc id sequences for the full tier, pack at seqLen=2048.
+      // Structural assertions: the ids path and the counts path agree
+      // token-for-token (sum(len(ids)) == encodedTokenCounts total),
+      // the train corpus is UNK-free against its own vocab, packing
+      // conserves the stream, and every non-final sequence is full.
+      val merges = operators.Bpe.trainBatched(docs, numMerges = 64)
+      val vocab = operators.Bpe.vocabTable(docs, merges)
+      val tokenized = operators.Bpe.tokenizeIds(docs, merges, vocab)
+        .localCheckpoint(true)
+      val stats = tokenized.agg(
+        count(lit(1)).cast("long"),
+        coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"),
+        coalesce(sum(size(filter(col("token_ids"),
+          i => i === lit(operators.Bpe.UnkId)))), lit(0)).cast("long")).head()
+      val totalIds = stats.getLong(1)
+      require(stats.getLong(2) == 0L, "train-corpus tokenization must be UNK-free")
+      val wantIds = operators.Bpe.encodedTokenCounts(docs, merges)
+        .agg(coalesce(sum(col("bpe_tokens")), lit(0L))).head().getLong(0)
+      require(totalIds == wantIds,
+        s"ids total $totalIds must equal the counts-path total $wantIds")
+      val packStats = operators.Bpe.packIdSequences(tokenized, seqLen = 2048)
+        .agg(count(lit(1)).cast("long"),
+          coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"),
+          coalesce(sum(when(size(col("token_ids")) === 2048, 1L)
+            .otherwise(0L)), lit(0L)).cast("long")).head()
+      require(packStats.getLong(1) == totalIds,
+        s"packed ids ${packStats.getLong(1)} must conserve the stream $totalIds")
+      require(packStats.getLong(2) >= packStats.getLong(0) - 1,
+        "every sequence but the last must carry exactly seqLen ids")
+      System.err.println(s"[scale] tokenize_ids ${stats.getLong(0)} docs, " +
+        s"$totalIds ids, ${packStats.getLong(0)} packed sequences")
+      stats.getLong(0)
+    }
     timed("bigram_topk_50k") {
       val n = operators.Curation.ngramTopK(docs, n = 2, topK = 50).count()
       require(n == 50, s"top-k must cap at 50: $n")

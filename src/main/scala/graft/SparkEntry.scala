@@ -1252,6 +1252,19 @@ object SparkEntry {
     docs(s, dir).select(col("doc_id"),
       translate(col("text"), "aeioust", "01!,.子9").as("text"))
 
+  /** The tokenize-treadmill fixture: 12 unique md5-derived LETTER
+    * words per doc (digits translated to letters so the LetterWords
+    * domain keeps every word) — distinct docs share ZERO shingles and
+    * zero n-grams by construction, so the only near-dup pairs are the
+    * planted exact copies and span-stripping is provably a no-op:
+    * survivorship is the fixture's construction, which keeps the
+    * oracle's tokenize replay honest without replaying the (separately
+    * gated) dedup/span machinery. */
+  private def tokText(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws(" ", (0 until 12).map(j =>
+      translate(substr(md5(concat(idCol.cast("string"), lit(":" + j))), lit(1), lit(8)),
+        "0123456789", "qwertzuiop")): _*)
+
   /** Caption variants for the cross-modal gate — one caption per
     * [[phashMedia]] asset (same id plants: re-encodes %10, corrupted
     * %7==3), wording varied per variant so the per-component argmax
@@ -1626,6 +1639,58 @@ object SparkEntry {
       val q2 = CurationPipeline.streamIngest(s, land, cp, jaccardThreshold = 0.5)
       require(q2.awaitTermination(300000), "stream_doc_ingest: slice 2 drain timed out")
       s.table(CurationPipeline.TierTable).select("doc_id").orderBy("doc_id")
+    }),
+
+    // INCREMENTAL TOKENIZATION on the ingest treadmill: a tokenizer
+    // published from slice 1 (merges + vocab + domain marker), then
+    // both slices drain through the checkpointed stream with
+    // tokenize=true — each batch's CLEAN text tokenizes against the
+    // FROZEN vocab and appends exactly-once to the id table. Slice 2
+    // plants an unseen code point ('éé' on %7 docs): its seeds map to
+    // UnkId — REPORTED, never failed; the batch UNK count is the
+    // vocab-drift signal that schedules a retrain. The planted-word
+    // fixture (tokText) makes survivorship = construction (exact
+    // copies drop, nothing else collides, span strip is a no-op), so
+    // the oracle replays ONLY what this gate tests: train on slice 1,
+    // apply the learned chain to the full corpus's words, LEFT-join
+    // the vocab (UNK = -1), flatten positionally.
+    "stream_tokenize_ingest" -> ((s, dir) => {
+      import graft.pipeline.CurationPipeline
+      CurationPipeline.resetTreadmill(s)
+      val land = tempDir("graft_tok_land")
+      val cp = tempDir("graft_tok_cp")
+      val d = docs(s, dir).select("doc_id")
+      val slice1 = d.filter(col("doc_id") < 250)
+        .select(col("doc_id"), tokText(col("doc_id")).as("text"))
+      val slice2 = d.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), when(col("doc_id") % 7 === 0,
+            concat(tokText(col("doc_id")), lit(" éé")))
+          .otherwise(tokText(col("doc_id"))).as("text"))
+        .unionByName(d.filter(col("doc_id") < 250 && col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            tokText(col("doc_id")).as("text")))
+      CurationPipeline.publishTokenizer(s, slice1, numMerges = 8)
+      slice1.coalesce(1).write.mode("append").json(land)
+      val q1 = CurationPipeline.streamIngest(s, land, cp,
+        jaccardThreshold = 0.5, tokenize = true)
+      require(q1.awaitTermination(300000), "stream_tokenize_ingest: slice 1 drain timed out")
+      slice2.coalesce(1).write.mode("append").json(land)
+      val q2 = CurationPipeline.streamIngest(s, land, cp,
+        jaccardThreshold = 0.5, tokenize = true)
+      require(q2.awaitTermination(300000), "stream_tokenize_ingest: slice 2 drain timed out")
+      // the id table must cover the tier doc-for-doc (every planted
+      // doc has kept tokens, so coverage is exact equality)
+      val tierIds = s.table(CurationPipeline.TierTable).select("doc_id")
+      val tokIds = s.table(CurationPipeline.TokenIdsTable).select("doc_id")
+      require(tierIds.exceptAll(tokIds).isEmpty && tokIds.exceptAll(tierIds).isEmpty,
+        "stream_tokenize_ingest: token-id coverage must equal the tier")
+      s.table(CurationPipeline.TokenIdsTable)
+        .select(col("doc_id"),
+          array_join(col("token_ids"), ",").as("token_ids_csv"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          size(filter(col("token_ids"), i => i === lit(Bpe.UnkId)))
+            .cast("long").as("n_unks"))
+        .orderBy("doc_id")
     }),
 
     // SimHash near-dup on the md5 signature: the Spark plan is the
@@ -2597,6 +2662,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BYTE-LEVEL BPE (the Bytes domain): every kept word seeds as ONE
+    // SYMBOL PER UTF-8 BYTE (latin-1 rendition — Domain.seed), so the
+    // alphabet is ≤256 at any corpus size and multi-byte CJK/accented
+    // characters re-assemble through merges instead of inflating the
+    // seed alphabet. Train + encode + tokenize-to-ids over the
+    // code-like fixture; the oracle applies the identical byte
+    // rendition (hex → chr per byte) to each kept word and replays the
+    // charset-agnostic training loop over the renditions.
+    "doc_bpe_train_bytes" -> ((s, dir) =>
+      Bpe.trainTable(codeDocs(s, dir), numMerges = 6, domain = Bpe.Bytes)
+        .orderBy("rank")),
+
+    "doc_bpe_encode_bytes" -> ((s, dir) =>
+      Bpe.encodedTokenCounts(codeDocs(s, dir),
+          Bpe.train(codeDocs(s, dir), numMerges = 6, domain = Bpe.Bytes),
+          domain = Bpe.Bytes)
+        .orderBy("doc_id")),
+
+    "doc_tokenize_ids_bytes" -> ((s, dir) => {
+      val d = codeDocs(s, dir)
+      val merges = Bpe.train(d, numMerges = 6, domain = Bpe.Bytes)
+      Bpe.tokenizeIds(d, merges,
+          Bpe.vocabTable(d, merges, domain = Bpe.Bytes), domain = Bpe.Bytes)
+        .select(col("doc_id"),
+          array_join(col("token_ids"), ",").as("token_ids_csv"),
+          size(col("token_ids")).cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Pack REAL id sequences: docs concatenate in doc_id order and
     // slice at 256-id boundaries — every sequence except the last
     // must carry exactly 256 ids, replayed id-for-id by the oracle.
@@ -3249,6 +3343,26 @@ object SparkEntry {
       ("WITH " + bpeChainSql(6, CodeCorpusSql, AllTokensDomainSql) + ",\n" +
         bpeVocabCtes(6) + ",\n" +
         bpeTokenizeCtes(6, AllTokensDomainSql, CodeCorpusSql) +
+        """,
+          |wids AS (
+          |  SELECT s.w, string_agg(v.id::VARCHAR, ',' ORDER BY s.ord) AS idcsv,
+          |         count(*)::BIGINT AS nsym
+          |  FROM wsyms s JOIN vocab v ON v.symbol = s.sym GROUP BY 1)
+          |SELECT d.doc_id, string_agg(wi.idcsv, ',' ORDER BY d.ord) AS token_ids_csv,
+          |       sum(wi.nsym)::BIGINT AS n_tokens
+          |FROM dw d JOIN wids wi USING (w)
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "doc_bpe_train_bytes" ->
+      bpeTrainSql(6, CodeCorpusSql, AllTokensDomainSql, ByteSeedWordSql),
+
+    "doc_bpe_encode_bytes" ->
+      bpeEncodeSql(6, CodeCorpusSql, AllTokensDomainSql, ByteSeedWordSql),
+
+    "doc_tokenize_ids_bytes" ->
+      ("WITH " + bpeChainSql(6, CodeCorpusSql, AllTokensDomainSql, ByteSeedWordSql) + ",\n" +
+        bpeVocabCtes(6) + ",\n" +
+        bpeTokenizeCtes(6, AllTokensDomainSql, CodeCorpusSql, ByteSeedWordSql) +
         """,
           |wids AS (
           |  SELECT s.w, string_agg(v.id::VARCHAR, ',' ORDER BY s.ord) AS idcsv,
@@ -4881,6 +4995,38 @@ object SparkEntry {
         |WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // train on slice 1 (the full sequential replay), apply the learned
+    // chain to the FULL surviving corpus's words (a0..a8), LEFT-join
+    // the vocab so unseen seeds become -1 (UnkId) — the planted 'éé'
+    // docs must carry exactly their UNK seeds, counted not failed.
+    "stream_tokenize_ingest" ->
+      ("WITH " + bpeChainSql(8, TokTrainCorpusSql) + ",\n" +
+        bpeVocabCtes(8) + ",\n" +
+        bpeApplyCtes(8, TokFullCorpusSql) +
+        s""",
+          |wsyms AS (
+          |  SELECT w, u.ord AS ord, u.sym AS sym FROM (
+          |    SELECT w, unnest(list_transform(range(1, len(syms) + 1),
+          |        i -> struct_pack(ord := i, sym := syms[i]))) AS u
+          |    FROM (SELECT w, string_split(trim(seg), '  ') AS syms FROM a8))),
+          |docw AS (
+          |  SELECT doc_id, u.ord AS ord, u.w AS w FROM (
+          |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+          |        i -> struct_pack(ord := i, w := toks[i]))) AS u
+          |    FROM (SELECT doc_id,
+          |                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+          |          FROM $TokFullCorpusSql))),
+          |dw AS (SELECT doc_id, ord, w FROM docw WHERE $LetterWordsDomainSql),
+          |wids AS (
+          |  SELECT s.w, string_agg(coalesce(v.id, -1)::VARCHAR, ',' ORDER BY s.ord) AS idcsv,
+          |         count(*)::BIGINT AS nsym,
+          |         sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END)::BIGINT AS nunk
+          |  FROM wsyms s LEFT JOIN vocab v ON v.symbol = s.sym GROUP BY 1)
+          |SELECT d.doc_id, string_agg(wi.idcsv, ',' ORDER BY d.ord) AS token_ids_csv,
+          |       sum(wi.nsym)::BIGINT AS n_tokens, sum(wi.nunk)::BIGINT AS n_unks
+          |FROM dw d JOIN wids wi USING (w)
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     "doc_simhash_sig" ->
       s"""WITH sigs AS ($simhashSigs)
          |SELECT doc_id, sig AS simhash_bits FROM sigs ORDER BY doc_id""".stripMargin,
@@ -6018,10 +6164,20 @@ object SparkEntry {
     "regexp_matches(w, '^\\p{L}+$') AND length(w) >= 2"
   private val AllTokensDomainSql = "w <> ''"
 
+  /** The Bytes domain's seed rendition, DuckDB twin of
+    * `decode(encode(w, UTF-8), ISO-8859-1)`: hex the word's UTF-8
+    * bytes, then chr() each byte value — one latin-1 code point per
+    * byte, the injective map the Spark side applies in Domain.seed. */
+  private val ByteSeedWordSql =
+    "array_to_string(list_transform(regexp_extract_all(hex(encode(w)), '..'), " +
+      "p -> chr(CAST((strpos('0123456789ABCDEF', p[1]) - 1) * 16 + " +
+      "strpos('0123456789ABCDEF', p[2]) - 1 AS INTEGER))), '')"
+
   private def BpeWordTableSql(from: String = "documents",
-                              domainSql: String = LetterWordsDomainSql): String =
+                              domainSql: String = LetterWordsDomainSql,
+                              wordSql: String = "w"): String =
     s"""w0 AS MATERIALIZED (
-       |  SELECT w, ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS seg,
+       |  SELECT $wordSql AS w, ' ' || array_to_string(string_split($wordSql, ''), '  ') || ' ' AS seg,
        |         count(*)::BIGINT AS freq
        |  FROM (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
        |        FROM $from)
@@ -6042,7 +6198,8 @@ object SparkEntry {
     "(SELECT doc_id, translate(text, 'aeiou', 'àéîöü') AS text FROM documents)"
 
   private def bpeChainSql(n: Int, from: String = "documents",
-                          domainSql: String = LetterWordsDomainSql): String = {
+                          domainSql: String = LetterWordsDomainSql,
+                          wordSql: String = "w"): String = {
     val steps = (1 to n).flatMap { i =>
       val pick =
         s"""p$i AS MATERIALIZED (
@@ -6057,12 +6214,13 @@ object SparkEntry {
            |  FROM w${i - 1})""".stripMargin
       Seq(pick, rewrite)
     }
-    (BpeWordTableSql(from, domainSql) +: steps).mkString(",\n")
+    (BpeWordTableSql(from, domainSql, wordSql) +: steps).mkString(",\n")
   }
 
   private def bpeTrainSql(n: Int, from: String = "documents",
-                          domainSql: String = LetterWordsDomainSql): String =
-    "WITH " + bpeChainSql(n, from, domainSql) + "\n" +
+                          domainSql: String = LetterWordsDomainSql,
+                          wordSql: String = "w"): String =
+    "WITH " + bpeChainSql(n, from, domainSql, wordSql) + "\n" +
       (1 to n).map(i =>
         s"SELECT $i::BIGINT AS rank, l AS left_sym, r AS right_sym, cnt AS pair_count FROM p$i")
         .mkString("\nUNION ALL ") + "\nORDER BY rank"
@@ -6132,15 +6290,16 @@ object SparkEntry {
         |FROM expanded ORDER BY position""".stripMargin
 
   private def bpeEncodeSql(n: Int, from: String = "documents",
-                           domainSql: String = LetterWordsDomainSql): String =
-    "WITH " + bpeChainSql(n, from, domainSql) + s""",
+                           domainSql: String = LetterWordsDomainSql,
+                           wordSql: String = "w"): String =
+    "WITH " + bpeChainSql(n, from, domainSql, wordSql) + s""",
        |fin AS MATERIALIZED (
        |  SELECT w, len(string_split(trim(seg), '  '))::BIGINT AS word_syms FROM w$n),
        |docw AS (
        |  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
        |  FROM $from)
        |SELECT d.doc_id, sum(f.word_syms)::BIGINT AS bpe_tokens
-       |FROM (SELECT doc_id, w FROM docw WHERE $domainSql) d
+       |FROM (SELECT doc_id, $wordSql AS w FROM docw WHERE $domainSql) d
        |JOIN fin f USING (w)
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -6148,6 +6307,49 @@ object SparkEntry {
     * digits/punctuation/CJK — the SQL twin of [[codeDocs]]. */
   private val CodeCorpusSql =
     "(SELECT doc_id, translate(text, 'aeioust', '01!,.\u5b509') AS text FROM documents)"
+
+  /** SQL twin of [[tokText]]: 12 md5-derived letter words per doc. */
+  private val TokTextSql =
+    "array_to_string(list_transform(range(0, 12), j -> " +
+      "translate(substr(md5(doc_id::VARCHAR || ':' || j::VARCHAR), 1, 8), " +
+      "'0123456789', 'qwertzuiop')), ' ')"
+
+  /** The tokenize-treadmill gate's TRAIN corpus (slice 1) and FULL
+    * surviving corpus. The +100000 exact copies are omitted from the
+    * full corpus BY CONSTRUCTION: each is byte-identical to an
+    * already-tiered doc (jaccard 1 \u2014 dropped), and no other pair
+    * shares a single shingle (per-doc-unique md5 words), so
+    * survivorship needs no dedup replay here (that machinery has its
+    * own gates). */
+  private val TokTrainCorpusSql =
+    s"(SELECT doc_id, $TokTextSql AS text FROM documents WHERE doc_id < 250)"
+  private val TokFullCorpusSql =
+    s"(SELECT doc_id, $TokTextSql AS text FROM documents WHERE doc_id < 250 " +
+      s"UNION ALL SELECT doc_id, $TokTextSql || " +
+      "CASE WHEN doc_id % 7 = 0 THEN ' \u00e9\u00e9' ELSE '' END AS text " +
+      "FROM documents WHERE doc_id >= 250)"
+
+  /** Apply an already-learned chain (the p1..pN CTEs of
+    * [[bpeChainSql]]) to a FRESH corpus's distinct words \u2014 the
+    * encode-new-text replay the tokenizing ingest treadmill needs;
+    * [[bpeTokenizeCtes]] only reads words the training corpus itself
+    * contained. Same MATERIALIZED discipline as the chain. */
+  private def bpeApplyCtes(n: Int, from: String,
+                           domainSql: String = LetterWordsDomainSql,
+                           wordSql: String = "w"): String = {
+    val steps = (1 to n).map { i =>
+      s"""a$i AS MATERIALIZED (
+         |  SELECT w, replace(seg, ' ' || (SELECT l FROM p$i) || '  ' || (SELECT r FROM p$i) || ' ',
+         |                    ' ' || (SELECT l FROM p$i) || (SELECT r FROM p$i) || ' ') AS seg
+         |  FROM a${i - 1})""".stripMargin
+    }
+    (s"""a0 AS MATERIALIZED (
+        |  SELECT DISTINCT $wordSql AS w,
+        |         ' ' || array_to_string(string_split($wordSql, ''), '  ') || ' ' AS seg
+        |  FROM (SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+        |        FROM $from)
+        |  WHERE $domainSql)""".stripMargin +: steps).mkString(",\n")
+  }
 
   /** The VOCAB CTEs over a finished training chain (w0 + p1..pN):
     * seed alphabet ids in binary UTF-8 sort order (both engines compare
@@ -6179,7 +6381,8 @@ object SparkEntry {
     * position, and the domain-filtered rendition of the latter. */
   private def bpeTokenizeCtes(n: Int,
                               domainSql: String = LetterWordsDomainSql,
-                              from: String = "documents"): String =
+                              from: String = "documents",
+                              wordSql: String = "w"): String =
     s"""wsyms AS (
        |  SELECT w, u.ord AS ord, u.sym AS sym FROM (
        |    SELECT w, unnest(list_transform(range(1, len(syms) + 1),
@@ -6192,7 +6395,7 @@ object SparkEntry {
        |    FROM (SELECT doc_id,
        |                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
        |          FROM $from))),
-       |dw AS (SELECT doc_id, ord, w FROM docw WHERE $domainSql)""".stripMargin
+       |dw AS (SELECT doc_id, ord, $wordSql AS w FROM docw WHERE $domainSql)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Every query has an oracle: the

@@ -39,12 +39,23 @@ import org.apache.spark.sql.functions._
   * EVERY whitespace-delimited token enters — digits, punctuation,
   * code, space-unsegmented CJK — so no source contributes zero tokens
   * and code-heavy corpora stop being under-counted in epoch budgets.
-  * Symbols are single code points at seed in either domain and can
-  * never contain the one character the separator algebra reserves
-  * (U+0020 — tokens are split ON it), so no escape class is needed
-  * and the whole loop, the replace algebra, and the `bpe_segment`
-  * kernel are domain-agnostic: the domain changes WHICH words enter,
-  * never how they segment.
+  * [[Bytes]] is the production byte-level seed (Radford et al.,
+  * GPT-2 tr; Sennrich'16 §3.2's open-vocabulary limit): the [[Domain.seed]]
+  * hook renders each kept word with ONE LATIN-1 CHARACTER PER UTF-8
+  * BYTE (`decode(encode(w, UTF-8), ISO-8859-1)` — injective, engine-
+  * builtin both sides), so the seed alphabet is bounded by 256 symbols
+  * at ANY corpus size and no code point is ever out-of-alphabet — the
+  * UNK surface shrinks from "unseen code point" to "unseen byte".
+  *
+  * Symbols can never contain the one character the separator algebra
+  * reserves (U+0020): code-point domains split tokens ON it, and the
+  * byte rendition cannot contain it either — 0x20 is the UTF-8
+  * encoding of the space itself, UTF-8 never reuses an ASCII byte
+  * inside a multi-byte sequence, and normalize collapsed every other
+  * whitespace code point away. So no escape class is needed in ANY
+  * domain and the whole loop, the replace algebra, and the
+  * `bpe_segment` kernel are domain-agnostic: the domain changes which
+  * words enter and what their seed symbols are, never how they merge.
   */
 object Bpe {
 
@@ -54,6 +65,17 @@ object Bpe {
     * algebra, and kernel are all shared). */
   sealed trait Domain {
     private[graft] def keep(word: Column): Column
+    /** Injective seed rendition of a kept word — identity for the
+      * code-point-seeded domains; [[Bytes]] maps each UTF-8 byte to
+      * its latin-1 code point so seeds are BYTES. Applied once, right
+      * where words enter ([[wordCounts]] and the occurrence streams),
+      * so training, the kernel, the vocab, and the id join all operate
+      * on the rendition consistently. */
+    private[graft] def seed(word: Column): Column = word
+    /** Inverse of [[seed]] on any concatenation of kept-word
+      * renditions (valid UTF-8 concatenates to valid UTF-8) — the
+      * decode direction of the tokenizer artifact. */
+    private[graft] def unseed(sym: Column): Column = sym
   }
 
   /** Unicode-letter words of length ≥ 2 — the natural-text domain. */
@@ -71,12 +93,49 @@ object Bpe {
     private[graft] def keep(word: Column): Column = length(word) >= 1
   }
 
+  /** BYTE-LEVEL seeds over every non-empty token — the production
+    * open-vocabulary domain. Seed symbols are single latin-1 code
+    * points standing for UTF-8 bytes (a 3-byte CJK character seeds as
+    * 3 symbols; merges re-assemble frequent multi-byte sequences), so
+    * the alphabet is ≤ 256 at ANY corpus size — the |alphabet| term of
+    * the vocab stops growing with corpus charset diversity, and encode
+    * of NEW text can only UNK on a byte value the training corpus
+    * never contained. Word boundaries are not tokens (the word model
+    * is shared with the other domains); [[decodeIds]] inverts the
+    * rendition back to UTF-8. */
+  case object Bytes extends Domain {
+    private[graft] def keep(word: Column): Column = length(word) >= 1
+    override private[graft] def seed(word: Column): Column =
+      decode(encode(word, "UTF-8"), "ISO-8859-1")
+    override private[graft] def unseed(sym: Column): Column =
+      decode(encode(sym, "ISO-8859-1"), "UTF-8")
+  }
+
+  /** Stable artifact names for the domains — a published tokenizer
+    * must carry WHICH domain trained it (encode under a different
+    * domain silently mis-tokenizes), so the catalog stores this name
+    * next to the merges/vocab and consumers resolve it back. */
+  def domainName(d: Domain): String = d match {
+    case LetterWords => "letter_words"
+    case AllTokens => "all_tokens"
+    case Bytes => "bytes"
+  }
+
+  def domainOf(name: String): Domain = name match {
+    case "letter_words" => LetterWords
+    case "all_tokens" => AllTokens
+    case "bytes" => Bytes
+    case other => throw new IllegalArgumentException(
+      s"unknown BPE domain '$other' (expected letter_words | all_tokens | bytes)")
+  }
+
   /** The ONE corpus-sized job: normalized-token word counts over the
     * trainable domain. (word, freq), |vocab|-bounded. */
   def wordCounts(docs: DataFrame, textCol: String = "text",
                  domain: Domain = LetterWords): DataFrame =
     docs.select(explode(split(TextDedup.normalize(col(textCol)), " ")).as("word"))
       .filter(domain.keep(col("word")))
+      .select(domain.seed(col("word")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
   /** " h  e  l  l  o " — each symbol owns a leading AND trailing
@@ -299,6 +358,7 @@ object Bpe {
     val occurrences = docs
       .select(col(idCol), explode(split(TextDedup.normalize(col(textCol)), " ")).as("word"))
       .filter(domain.keep(col("word")))
+      .select(col(idCol), domain.seed(col("word")).as("word"))
     val perWord = occurrences.select("word").distinct()
       .select(col("word"), size(segment(col("word"), merges)).cast("long").as("word_syms"))
     occurrences.join(perWord, Seq("word"))
@@ -357,6 +417,7 @@ object Bpe {
       .select(col(idCol),
         posexplode(split(TextDedup.normalize(col(textCol)), " ")).as(Seq("pos", "word")))
       .filter(domain.keep(col("word")))
+      .select(col(idCol), col("pos"), domain.seed(col("word")).as("word"))
     val wordIds = occurrences.select("word").distinct()
       .select(col("word"),
         posexplode(segment(col("word"), merges)).as(Seq("sym_pos", "symbol")))
@@ -414,4 +475,26 @@ object Bpe {
         array_sort(collect_list(struct(col("__d"), col("__ids")))),
         s => s.getField("__ids"))).as("token_ids"))
   }
+
+  /** Decode id sequences back to text — the inspection/debug inverse
+    * of [[tokenizeIds]] a curation run wants when auditing what a
+    * packed sequence actually says. Ids map to vocab symbols
+    * (broadcast — |vocab|-bounded), symbols concatenate in token
+    * order, and the domain's [[Domain.unseed]] undoes the seed
+    * rendition (identity except [[Bytes]], which re-reads the latin-1
+    * byte chars as UTF-8). [[UnkId]] (or any id outside the vocab)
+    * renders as U+FFFD. Inverse caveat shared with every word-model
+    * tokenizer here: word BOUNDARIES are not tokens, so the decode is
+    * the boundary-free concatenation of the kept words. */
+  def decodeIds(tokenized: DataFrame, vocab: DataFrame,
+                idCol: String = "doc_id",
+                domain: Domain = LetterWords): DataFrame =
+    tokenized
+      .select(col(idCol), posexplode(col("token_ids")).as(Seq("pos", "id")))
+      .join(broadcast(vocab.select(col("id"), col("symbol"))), Seq("id"), "left")
+      .groupBy(idCol)
+      .agg(domain.unseed(array_join(transform(
+        array_sort(collect_list(struct(col("pos"),
+          coalesce(col("symbol"), lit("�")).as("symbol")))),
+        s => s.getField("symbol")), "")).as("text"))
 }

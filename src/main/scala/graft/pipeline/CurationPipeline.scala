@@ -332,6 +332,11 @@ object CurationPipeline {
             .map(m => (m.rank, m.leftSym, m.rightSym, m.pairCount))
             .toDF("rank", "left_sym", "right_sym", "pair_count")
           Catalog.overwriteTable(merges, BpeMergesTable)
+          // the artifact must say WHICH domain trained it: an encode
+          // under a different domain silently mis-tokenizes, and the
+          // ingest treadmill's tokenize stage resolves this back
+          Catalog.overwriteTable(
+            Seq(Bpe.domainName(bpeDomain)).toDF("domain"), TokenizerMetaTable)
           Map("bpe_merges" -> spark.table(BpeMergesTable).count())
         }) ++
         (if (!materializeTokenIds) Seq.empty[Stage] else Seq(
@@ -458,7 +463,9 @@ object CurationPipeline {
 
   val BpeMergesTable = "documents_bpe_merges"
   val VocabTable = "documents_bpe_vocab"
+  val TokenizerMetaTable = "documents_bpe_tokenizer_meta"
   val TokenIdsTable = "documents_token_ids"
+  val BatchTokenIdsTable = "documents_batch_token_ids"
   val IdSequencesTable = "documents_id_sequences"
   val TrainOrderTable = "documents_train_order"
   val MixPlanTable = "documents_mix_plan"
@@ -503,7 +510,12 @@ object CurationPipeline {
   def ingestBatch(spark: SparkSession, batch: DataFrame,
                   jaccardThreshold: Double = 0.8,
                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
+                  tokenize: Boolean = false,
                   notify: PipelineReport => Unit = _ => ()): PipelineReport = {
+    require(!tokenize || (Catalog.tableExists(spark, BpeMergesTable) &&
+        Catalog.tableExists(spark, VocabTable)),
+      "tokenize needs a published tokenizer (merges + vocab) — train one first " +
+        "(runFull bpeMerges/materializeTokenIds, or publishTokenizer)")
     val stages = Seq(
       Stage("probe_tier") { _ =>
         Map("tier_docs" -> (if (Catalog.tableExists(spark, TierTable))
@@ -544,7 +556,31 @@ object CurationPipeline {
           .agg(coalesce(sum(size(graft.operators.TextStats.tokens(col("text")))), lit(0L)))
           .head().getLong(0)
         Map("span_tokens_removed" -> (toks(BatchSurvivorsTable) - toks(BatchCleanTable)))
-      },
+      }) ++
+      (if (!tokenize) Seq.empty[Stage] else Seq(
+        Stage("tokenize_batch") { _ =>
+          // incremental tokenization against the FROZEN published
+          // tokenizer: the batch's CLEAN text (what the tier keeps)
+          // tokenizes to id sequences and stages to scratch; publish
+          // appends. UNK ids are REPORTED, never failed — new text CAN
+          // carry seeds the training corpus lacked, and the batch UNK
+          // count is exactly the vocab-drift signal that schedules a
+          // retrain (the VectorPipeline drift-loop discipline, applied
+          // to the tokenizer artifact).
+          val merges = loadBpeMerges(spark, Int.MaxValue)
+          val domain = readTokenizerDomain(spark)
+          Catalog.overwriteTable(
+            Bpe.tokenizeIds(spark.table(BatchCleanTable), merges,
+              spark.table(VocabTable), domain = domain),
+            BatchTokenIdsTable)
+          val stats = spark.table(BatchTokenIdsTable).agg(
+            coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"),
+            coalesce(sum(size(filter(col("token_ids"),
+              i => i === lit(Bpe.UnkId)))), lit(0)).cast("long")).head()
+          Map("batch_token_ids" -> stats.getLong(0),
+            "batch_unk_ids" -> stats.getLong(1))
+        })) ++
+      Seq(
       Stage("publish_batch") { _ =>
         val survivors = spark.table(BatchSurvivorsTable)
         val keys = TextDedup.bandIndex(survivors)
@@ -565,6 +601,11 @@ object CurationPipeline {
         Catalog.insertAppendOnce(spark, BandIndexTable, keys, "doc_id")
         Catalog.insertAppendOnce(spark, CleanTierTable, clean, "doc_id")
         Catalog.insertAppendOnce(spark, SpanIndexTable, fps, "doc_id")
+        if (tokenize) {
+          val ids = spark.table(BatchTokenIdsTable)
+          Catalog.ensureTable(spark, TokenIdsTable, ids.schema)
+          Catalog.insertAppendOnce(spark, TokenIdsTable, ids, "doc_id")
+        }
         Map("tier_docs_after" -> spark.table(TierTable).count())
       })
     new Runner(stages, RetryPolicy(retries = 1), notify).run(Map("batch_in" -> batch.count()))
@@ -582,7 +623,8 @@ object CurationPipeline {
     * trigger turns the same code into a continuous service. */
   def streamIngest(spark: SparkSession, landingDir: String, checkpointDir: String,
                    jaccardThreshold: Double = 0.8,
-                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize)
+                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
+                   tokenize: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream
       .schema("doc_id LONG, text STRING")
@@ -602,7 +644,8 @@ object CurationPipeline {
         // and an unpersisted micro-batch re-reads the landing files for
         // each (observed as numInputRows = 5x the file rows)
         val pinned = batch.toDF().persist()
-        val r = try ingestBatch(batch.sparkSession, pinned, jaccardThreshold, maxBucketSize)
+        val r = try ingestBatch(batch.sparkSession, pinned, jaccardThreshold,
+          maxBucketSize, tokenize)
         finally pinned.unpersist(blocking = false)
         require(r.ok, s"ingestBatch failed in micro-batch $id: " +
           r.stages.filterNot(_.ok).map(s => s"${s.stage}: ${s.error.getOrElse("?")}").mkString("; "))
@@ -611,7 +654,7 @@ object CurationPipeline {
         // listings of the published tables — the clone's refreshes
         // don't reach it, and a pre-stream read would otherwise pin a
         // stale listing (same split, opposite direction).
-        Seq(TierTable, BandIndexTable, SpanIndexTable, CleanTierTable)
+        Seq(TierTable, BandIndexTable, SpanIndexTable, CleanTierTable, TokenIdsTable)
           .foreach(t => if (Catalog.tableExists(spark, t)) spark.catalog.refreshTable(t))
         ()
       }
@@ -623,6 +666,31 @@ object CurationPipeline {
     * self-contained runs (the stream gate query and specs). */
   def resetTreadmill(spark: SparkSession): Unit =
     Seq(TierTable, BandIndexTable, SpanIndexTable, CleanTierTable,
-      BatchSurvivorsTable, BatchCleanTable, BatchSpanIndexTable)
+      BatchSurvivorsTable, BatchCleanTable, BatchSpanIndexTable,
+      BatchTokenIdsTable, TokenIdsTable)
       .foreach(Catalog.dropIfExists(spark, _))
+
+  /** Train and publish the tokenizer artifact in one call — merges,
+    * vocab, and the domain marker — the bootstrap a tokenizing ingest
+    * treadmill consumes when no `runFull` has run yet. */
+  def publishTokenizer(spark: SparkSession, train: DataFrame, numMerges: Int,
+                       domain: Bpe.Domain = Bpe.LetterWords): Unit = {
+    import spark.implicits._
+    val merges = Bpe.trainBatched(train, numMerges, domain = domain)
+    Catalog.overwriteTable(
+      merges.map(m => (m.rank, m.leftSym, m.rightSym, m.pairCount))
+        .toDF("rank", "left_sym", "right_sym", "pair_count"), BpeMergesTable)
+    Catalog.overwriteTable(
+      Bpe.vocabTable(train, merges, domain = domain), VocabTable)
+    Catalog.overwriteTable(
+      Seq(Bpe.domainName(domain)).toDF("domain"), TokenizerMetaTable)
+  }
+
+  /** The domain the published tokenizer was trained under — stored
+    * next to the merges ([[TokenizerMetaTable]]); encode under any
+    * other domain silently mis-tokenizes. Missing marker (artifacts
+    * published before the marker existed) = the default domain. */
+  private def readTokenizerDomain(spark: SparkSession): Bpe.Domain =
+    if (!Catalog.tableExists(spark, TokenizerMetaTable)) Bpe.LetterWords
+    else Bpe.domainOf(spark.table(TokenizerMetaTable).head().getString(0))
 }

@@ -214,8 +214,11 @@ class KernelProperties extends Properties("kernels") {
   // kernel is rank-order-faithful rather than min-rank-present.
   // widened with the AllTokens domain (round 13): a digit, punctuation
   // and a CJK code point — the kernel and the chain must agree on the
-  // full seed alphabet, not just letters
-  private val bpeAlphabet = Seq("a", "b", "à", "𝕒", "7", ".", "你") // 𝕒 U+1D552
+  // full seed alphabet, not just letters. Widened again for the Bytes
+  // domain: latin-1 byte-rendition chars incl. a C1 control (U+0090 is
+  // what byte 0x90 of a CJK UTF-8 sequence seeds as)
+  private val bpeAlphabet =
+    Seq("a", "b", "à", "𝕒", "7", ".", "你", "Ã", "\u0090") // 𝕒 U+1D552
   private val genBpeWord: Gen[String] = for {
     n <- Gen.choose(0, 10)
     cs <- Gen.listOfN(n, Gen.frequency(

@@ -329,4 +329,90 @@ class BpeSpec extends SparkSpec {
         s"concatenated sequences must equal the global stream (seqLen=$seqLen)")
     }
   }
+
+  // ---- Bytes domain: UTF-8 byte seeds via the latin-1 rendition ----
+
+  /** The reference side of Domain.seed for Bytes: one latin-1 char per
+    * UTF-8 byte — the same injective map the engine applies. */
+  private def byteSeed(w: String): String =
+    new String(w.getBytes("UTF-8").map(b => (b & 0xFF).toChar))
+
+  test("Bytes domain: training matches the reference loop over byte-seeded words") {
+    val texts = Seq("héllo héllo 你好 你好 你好 x1! x1!", "你好 héllo x1! 🙂 🙂 🙂")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // reference: seed each kept token's BYTE rendition, then the
+    // untouched Sennrich loop — byte-level only changes the seeds
+    val words = texts.flatMap(_.toLowerCase.trim.split("\\s+")).filter(_.nonEmpty)
+      .map(byteSeed).groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val (wantMerges, segs) = refTrain(words, 5)
+    val got = Bpe.train(df, numMerges = 5, domain = Bpe.Bytes)
+      .map(m => (m.leftSym, m.rightSym, m.pairCount))
+    assert(got == wantMerges, s"$got vs $wantMerges")
+    val wantPerDoc = texts.zipWithIndex.map { case (t, i) =>
+      i.toLong -> t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+        .map(w => segs(byteSeed(w)).length.toLong).sum
+    }.toMap
+    val counts = Bpe.encodedTokenCounts(df,
+        Bpe.train(df, numMerges = 5, domain = Bpe.Bytes), domain = Bpe.Bytes)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts == wantPerDoc, s"$counts vs $wantPerDoc")
+  }
+
+  test("Bytes domain: tokenize → decode roundtrip reconstructs kept words (CJK, emoji, digits)") {
+    val texts = Map(1L -> "Héllo 你好，世界 42x 🙂🙂 done", 2L -> "x = f(3); 0xFF")
+    val df = texts.toSeq.toDF("doc_id", "text")
+    val merges = Bpe.train(df, numMerges = 6, domain = Bpe.Bytes)
+    val vocab = Bpe.vocabTable(df, merges, domain = Bpe.Bytes)
+    val decoded = Bpe.decodeIds(
+        Bpe.tokenizeIds(df, merges, vocab, domain = Bpe.Bytes), vocab,
+        domain = Bpe.Bytes)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // word boundaries are not tokens: the inverse is the boundary-free
+    // concatenation of the kept normalized words
+    def kept(t: String) = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).mkString("")
+    assert(decoded == texts.map { case (id, t) => id -> kept(t) },
+      decoded.toString)
+  }
+
+  test("Bytes domain: an unseen BYTE maps to UnkId; the alphabet stays byte-bounded") {
+    val train = Seq((1L, "abc abc cab")).toDF("doc_id", "text")
+    val merges = Bpe.train(train, numMerges = 2, domain = Bpe.Bytes)
+    val vocab = Bpe.vocabTable(train, merges, domain = Bpe.Bytes)
+    // é encodes to the two bytes C3 A9 — both unseen in the ascii-only
+    // corpus; c/a/b are seen, so exactly 2 UNKs
+    val fresh = Seq((9L, "cabé")).toDF("doc_id", "text")
+    val got = Bpe.tokenizeIds(fresh, merges, vocab, domain = Bpe.Bytes)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(9L).count(_ == Bpe.UnkId) == 2, got.toString)
+    // seed rows (single-char symbols) are all latin-1 byte chars
+    val seeds = vocab.collect().map(_.getString(0)).filter(_.length == 1)
+    assert(seeds.forall(_.charAt(0) <= 0xFF), seeds.mkString(","))
+  }
+
+  test("Bytes domain: code and CJK sources earn non-zero epoch targets") {
+    val docs = Seq(
+      (1L, "the data table scan the data", "en"),
+      (2L, "x = f(3, 7); y += 42; x = f(3, 7); 0xff", "code"),
+      (3L, "你好，世界。 数据123。 你好，世界。 数据123。", "zh")).toDF("doc_id", "text", "source")
+    val merges = Bpe.train(docs, numMerges = 4, domain = Bpe.Bytes)
+    val plan = Curation.epochPlan(docs, budgetTokens = 1000L, merges = merges,
+        domain = Bpe.Bytes)
+      .select("source", "target_tokens")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plan("code") > 0L, s"code source must earn a non-zero epoch target: $plan")
+    assert(plan("zh") > 0L, s"CJK source must earn a non-zero epoch target: $plan")
+  }
+
+  test("decodeIds inverts tokenizeIds on identity domains; out-of-vocab ids render U+FFFD") {
+    val train = Seq((1L, "hello hello world world hello")).toDF("doc_id", "text")
+    val merges = Bpe.train(train, numMerges = 3)
+    val vocab = Bpe.vocabTable(train, merges)
+    val decoded = Bpe.decodeIds(Bpe.tokenizeIds(train, merges, vocab), vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(decoded(1L) == "hellohelloworldworldhello", decoded.toString)
+    val fresh = Seq((9L, "hellq")).toDF("doc_id", "text") // q unseen
+    val d2 = Bpe.decodeIds(Bpe.tokenizeIds(fresh, merges, vocab), vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d2(9L).count(_ == '�') == 1, d2.toString)
+  }
 }

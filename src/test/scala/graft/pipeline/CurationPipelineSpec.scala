@@ -574,4 +574,63 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     assert(r2.ok, r2.stages.toString)
     assert(r2.metrics("token_ids_total") > 0L, r2.metrics.toString)
   }
+
+  test("ingestBatch tokenize: ids append against the FROZEN vocab; UNKs are reported, never failed") {
+    import graft.operators.Bpe
+    CurationPipeline.resetTreadmill(spark)
+    // per-doc-unique letter words (the gate fixture's argument): the
+    // only near-dup pair is the planted exact copy, spans are a no-op
+    def letters(n: Long) = n.toString.map(c => ('a' + (c - '0')).toChar).mkString
+    def words(id: Long) = (0 until 8).map(j => s"w${letters(id)}x${letters(j)}").mkString(" ")
+    val batch1 = Seq((1L, words(1)), (2L, words(2)), (3L, words(3))).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (4L, words(4) + " éé"), // unseen code point: 2 UNK seeds
+      (5L, words(5)),
+      (101L, words(1))) // exact copy of tiered doc 1 — must drop
+      .toDF("doc_id", "text")
+    CurationPipeline.publishTokenizer(spark, batch1, numMerges = 4)
+    val r1 = CurationPipeline.ingestBatch(spark, batch1, tokenize = true)
+    assert(r1.ok, r1.stages.toString)
+    assert(r1.metrics("batch_unk_ids") == 0L, r1.metrics.toString)
+    val r2 = CurationPipeline.ingestBatch(spark, batch2, tokenize = true)
+    assert(r2.ok, r2.stages.toString)
+    assert(r2.metrics("batch_unk_ids") == 2L, r2.metrics.toString)
+    assert(r2.metrics("batch_token_ids") > 0L, r2.metrics.toString)
+    // the published ids equal the batch-global replay over the tier's
+    // CLEAN text with the frozen tokenizer (copy 101 never tokenized)
+    val merges = spark.table(CurationPipeline.BpeMergesTable).orderBy("rank").collect()
+      .map(r => Bpe.Merge(r.getAs[Int]("rank"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("pair_count"))).toSeq
+    val want = Bpe.tokenizeIds(spark.table(CurationPipeline.CleanTierTable),
+        merges, spark.table(CurationPipeline.VocabTable))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val got = spark.table(CurationPipeline.TokenIdsTable)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    assert(got == want, s"$got vs $want")
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(got(4L).count(_ == Bpe.UnkId) == 2, got(4L).toString)
+    // no tokenizer published -> tokenize must refuse up front
+    CurationPipeline.resetTreadmill(spark)
+    Seq(CurationPipeline.BpeMergesTable, CurationPipeline.VocabTable,
+      CurationPipeline.TokenizerMetaTable)
+      .foreach(graft.plans.Catalog.dropIfExists(spark, _))
+    intercept[IllegalArgumentException] {
+      CurationPipeline.ingestBatch(spark, batch1, tokenize = true)
+    }
+  }
+
+  test("ingestBatch tokenize honors the stored domain marker (AllTokens artifacts tokenize digits)") {
+    import graft.operators.Bpe
+    CurationPipeline.resetTreadmill(spark)
+    def code(id: Long) = (0 until 8).map(j => s"$id=$j;").mkString(" ")
+    val batch = Seq((1L, code(1)), (2L, code(2))).toDF("doc_id", "text")
+    CurationPipeline.publishTokenizer(spark, batch, numMerges = 2,
+      domain = Bpe.AllTokens)
+    val r = CurationPipeline.ingestBatch(spark, batch, tokenize = true)
+    assert(r.ok, r.stages.toString)
+    // under the DEFAULT LetterWords domain these digit/punct tokens
+    // would tokenize to zero ids — the marker must win
+    assert(r.metrics("batch_token_ids") > 0L, r.metrics.toString)
+    assert(r.metrics("batch_unk_ids") == 0L, r.metrics.toString)
+  }
 }
