@@ -395,6 +395,54 @@ object ScaleSmoke {
         s"cross-slice clone families must collapse: tier $tier of $nDocs")
       tier
     }
+    timed("tokenize_ingest_50k") {
+      // the TOKENIZING + PACKING treadmill at corpus scale: tokenizer
+      // frozen up front, two ingestBatch slices tokenize against it
+      // and continue the packed stream through the carry cursor. The
+      // structural assertions are the incremental==global equalities:
+      // the id table equals the batch-global tokenize of the clean
+      // tier (token totals + UNK-free), every published sequence is
+      // full, and published+carry conserves the id stream exactly.
+      val cp = graft.pipeline.CurationPipeline
+      cp.resetTreadmill(spark)
+      cp.publishTokenizer(spark, docs, numMerges = 32)
+      val half = (mult / 2).toLong * 1000000L
+      val r1 = cp.ingestBatch(spark, docs.filter(col("doc_id") < half),
+        tokenize = true, packSeqLen = 2048)
+      require(r1.ok, r1.stages.toString)
+      val r2 = cp.ingestBatch(spark, docs.filter(col("doc_id") >= half),
+        tokenize = true, packSeqLen = 2048)
+      require(r2.ok, r2.stages.toString)
+      val merges = spark.table(cp.BpeMergesTable).orderBy("rank").collect()
+        .map(r => operators.Bpe.Merge(r.getAs[Int]("rank"),
+          r.getAs[String]("left_sym"), r.getAs[String]("right_sym"),
+          r.getAs[Long]("pair_count"))).toSeq
+      val idTotals = spark.table(cp.TokenIdsTable).agg(
+        count(lit(1)).cast("long"),
+        coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"),
+        coalesce(sum(size(filter(col("token_ids"),
+          i => i === lit(operators.Bpe.UnkId)))), lit(0)).cast("long")).head()
+      require(idTotals.getLong(2) == 0L, "tier tokenization must be UNK-free")
+      val wantIds = operators.Bpe.encodedTokenCounts(
+          spark.table(cp.CleanTierTable), merges)
+        .agg(coalesce(sum(col("bpe_tokens")), lit(0L))).head().getLong(0)
+      require(idTotals.getLong(1) == wantIds,
+        s"incremental ids ${idTotals.getLong(1)} must equal batch-global $wantIds")
+      val pub = spark.table(cp.IdSequencesTable).agg(
+        count(lit(1)).cast("long"),
+        coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"),
+        coalesce(min(size(col("token_ids"))), lit(2048)).cast("long")).head()
+      require(pub.getLong(2) == 2048L || pub.getLong(0) == 0L,
+        "every published sequence must be exactly full")
+      val st = spark.table(cp.PackStateTable).head()
+      val carry = Option(st.getSeq[Long](1)).map(_.size.toLong).getOrElse(0L)
+      require(st.getLong(0) == pub.getLong(0), "cursor must equal published count")
+      require(pub.getLong(1) + carry == idTotals.getLong(1),
+        "published + carry must conserve the id stream")
+      System.err.println(s"[scale] tokenize_ingest ${idTotals.getLong(0)} docs, " +
+        s"${idTotals.getLong(1)} ids, ${pub.getLong(0)} sequences, carry $carry")
+      idTotals.getLong(0)
+    }
     timed("ivfpq_refine_8k") {
       // the production ANN read path end-to-end: train coarse cells +
       // PQ books, propose in the compressed domain, re-rank exact.

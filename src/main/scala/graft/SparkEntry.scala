@@ -1693,6 +1693,56 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // INCREMENTAL PACKING: the packed-sequence artifact maintained by
+    // the treadmill itself — each batch continues the stream from the
+    // stored (next_seq_no, carry) cursor, publishes only FULL
+    // sequences (append-only), and the partial tail carries to the
+    // next batch. Because batches arrive doc_id-monotone (the
+    // treadmill's standing contract) the incremental stream must equal
+    // the batch-global pack ID-FOR-ID — published sequences plus the
+    // final carry against the oracle's global offset/slice replay.
+    "stream_pack_ingest" -> ((s, dir) => {
+      import graft.pipeline.CurationPipeline
+      import s.implicits._
+      CurationPipeline.resetTreadmill(s)
+      val land = tempDir("graft_pack_land")
+      val cp = tempDir("graft_pack_cp")
+      val d = docs(s, dir).select("doc_id")
+      val slice1 = d.filter(col("doc_id") < 250)
+        .select(col("doc_id"), tokText(col("doc_id")).as("text"))
+      val slice2 = d.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), when(col("doc_id") % 7 === 0,
+            concat(tokText(col("doc_id")), lit(" éé")))
+          .otherwise(tokText(col("doc_id"))).as("text"))
+        .unionByName(d.filter(col("doc_id") < 250 && col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            tokText(col("doc_id")).as("text")))
+      CurationPipeline.publishTokenizer(s, slice1, numMerges = 8)
+      slice1.coalesce(1).write.mode("append").json(land)
+      val q1 = CurationPipeline.streamIngest(s, land, cp,
+        jaccardThreshold = 0.5, tokenize = true, packSeqLen = 64)
+      require(q1.awaitTermination(300000), "stream_pack_ingest: slice 1 drain timed out")
+      slice2.coalesce(1).write.mode("append").json(land)
+      val q2 = CurationPipeline.streamIngest(s, land, cp,
+        jaccardThreshold = 0.5, tokenize = true, packSeqLen = 64)
+      require(q2.awaitTermination(300000), "stream_pack_ingest: slice 2 drain timed out")
+      val seqs = s.table(CurationPipeline.IdSequencesTable)
+      require(seqs.filter(size(col("token_ids")) =!= 64).isEmpty,
+        "stream_pack_ingest: every published sequence must be exactly full")
+      val st = s.table(CurationPipeline.PackStateTable).head()
+      require(st.getLong(0) == seqs.count(),
+        "stream_pack_ingest: the state cursor must equal the published count")
+      val carry = Option(st.getSeq[Long](1)).getOrElse(Seq.empty[Long])
+      val withCarry =
+        if (carry.isEmpty) seqs.select("seq_no", "token_ids")
+        else seqs.select("seq_no", "token_ids")
+          .unionByName(Seq((st.getLong(0), carry)).toDF("seq_no", "token_ids"))
+      withCarry.select(col("seq_no"),
+          array_join(col("token_ids"), ",").as("token_ids_csv"),
+          size(col("token_ids")).cast("long").as("n_tokens"))
+        .orderBy("seq_no")
+    }),
+
     // SimHash near-dup on the md5 signature: the Spark plan is the
     // chunked-LSH pipeline (pigeonhole bucketing is EXACT for
     // hamming ≤ 3 of 4 chunks, recall 1 by construction), so the
@@ -5026,6 +5076,50 @@ object SparkEntry {
           |       sum(wi.nsym)::BIGINT AS n_tokens, sum(wi.nunk)::BIGINT AS n_unks
           |FROM dw d JOIN wids wi USING (w)
           |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // the same train/apply/vocab replay, then the doc_pack_ids global
+    // offset + slice algebra at seqLen 64 — the incremental stream
+    // (published full sequences + final carry) must match it id-for-id.
+    "stream_pack_ingest" ->
+      ("WITH " + bpeChainSql(8, TokTrainCorpusSql) + ",\n" +
+        bpeVocabCtes(8) + ",\n" +
+        bpeApplyCtes(8, TokFullCorpusSql) +
+        s""",
+          |wsyms AS (
+          |  SELECT w, u.ord AS ord, u.sym AS sym FROM (
+          |    SELECT w, unnest(list_transform(range(1, len(syms) + 1),
+          |        i -> struct_pack(ord := i, sym := syms[i]))) AS u
+          |    FROM (SELECT w, string_split(trim(seg), '  ') AS syms FROM a8))),
+          |docw AS (
+          |  SELECT doc_id, u.ord AS ord, u.w AS w FROM (
+          |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+          |        i -> struct_pack(ord := i, w := toks[i]))) AS u
+          |    FROM (SELECT doc_id,
+          |                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+          |          FROM $TokFullCorpusSql))),
+          |dw AS (SELECT doc_id, ord, w FROM docw WHERE $LetterWordsDomainSql),
+          |wlist AS (
+          |  SELECT s.w, list(coalesce(v.id, -1) ORDER BY s.ord) AS idl
+          |  FROM wsyms s LEFT JOIN vocab v ON v.symbol = s.sym GROUP BY 1),
+          |dids AS (
+          |  SELECT d.doc_id, flatten(list(wl.idl ORDER BY d.ord)) AS ids
+          |  FROM dw d JOIN wlist wl USING (w) GROUP BY 1),
+          |off AS (
+          |  SELECT doc_id, ids, len(ids)::BIGINT AS n,
+          |         coalesce(sum(len(ids)) OVER (ORDER BY doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS strt
+          |  FROM dids),
+          |segs AS (
+          |  SELECT u.seq_no AS seq_no, o.doc_id,
+          |         list_slice(o.ids,
+          |           CAST(greatest(o.strt, u.seq_no * 64) - o.strt + 1 AS INT),
+          |           CAST(least(o.strt + o.n, (u.seq_no + 1) * 64) - o.strt AS INT)) AS part
+          |  FROM off o, unnest(range(o.strt // 64, (o.strt + o.n - 1) // 64 + 1)) AS u(seq_no)
+          |  WHERE o.n > 0)
+          |SELECT CAST(seq_no AS BIGINT) AS seq_no,
+          |       string_agg(array_to_string(part, ','), ',' ORDER BY doc_id) AS token_ids_csv,
+          |       sum(len(part))::BIGINT AS n_tokens
+          |FROM segs GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "doc_simhash_sig" ->
       s"""WITH sigs AS ($simhashSigs)

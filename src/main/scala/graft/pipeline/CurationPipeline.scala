@@ -467,6 +467,8 @@ object CurationPipeline {
   val TokenIdsTable = "documents_token_ids"
   val BatchTokenIdsTable = "documents_batch_token_ids"
   val IdSequencesTable = "documents_id_sequences"
+  val PackStateTable = "documents_pack_state"
+  val BatchPackTable = "documents_batch_pack"
   val TrainOrderTable = "documents_train_order"
   val MixPlanTable = "documents_mix_plan"
   val EpochTable = "documents_epoch"
@@ -511,11 +513,14 @@ object CurationPipeline {
                   jaccardThreshold: Double = 0.8,
                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
                   tokenize: Boolean = false,
+                  packSeqLen: Int = 0,
                   notify: PipelineReport => Unit = _ => ()): PipelineReport = {
     require(!tokenize || (Catalog.tableExists(spark, BpeMergesTable) &&
         Catalog.tableExists(spark, VocabTable)),
       "tokenize needs a published tokenizer (merges + vocab) — train one first " +
         "(runFull bpeMerges/materializeTokenIds, or publishTokenizer)")
+    require(packSeqLen <= 0 || tokenize,
+      "incremental packing consumes the batch's token ids — set tokenize = true")
     val stages = Seq(
       Stage("probe_tier") { _ =>
         Map("tier_docs" -> (if (Catalog.tableExists(spark, TierTable))
@@ -580,6 +585,38 @@ object CurationPipeline {
           Map("batch_token_ids" -> stats.getLong(0),
             "batch_unk_ids" -> stats.getLong(1))
         })) ++
+      (if (packSeqLen <= 0) Seq.empty[Stage] else Seq(
+        Stage("pack_batch") { _ =>
+          import spark.implicits._
+          // continue the packed-sequence stream from the stored state:
+          // the carry (the previous batch's partial tail) rides as a
+          // pseudo-doc that sorts FIRST (Long.MinValue doc_id), so
+          // packing carry ++ batch IS the global pack restricted to
+          // this batch's token window — batch doc_ids are monotone
+          // (the treadmill's standing contract), matching the global
+          // doc_id order id-for-id. Compute-only: publish_batch
+          // appends the FULL sequences and flips the state LAST, so a
+          // stage retry replays into insertAppendOnce dedup and never
+          // double-advances the offset.
+          val st = readPackState(spark)
+          val carryDf =
+            if (st.carry.isEmpty)
+              spark.emptyDataset[(Long, Seq[Long])].toDF("doc_id", "token_ids")
+            else Seq((Long.MinValue, st.carry)).toDF("doc_id", "token_ids")
+          val packed = Bpe.packIdSequences(
+              carryDf.unionByName(
+                spark.table(BatchTokenIdsTable).select("doc_id", "token_ids")),
+              seqLen = packSeqLen)
+            .select((col("seq_no") + st.nextSeqNo).as("seq_no"), col("token_ids"))
+          Catalog.overwriteTable(packed, BatchPackTable)
+          Catalog.releasePin(packed) // packIdSequences' internal input pin
+          val full = spark.table(BatchPackTable)
+            .filter(size(col("token_ids")) === packSeqLen).count()
+          val carryIds = spark.table(BatchPackTable)
+            .filter(size(col("token_ids")) < packSeqLen)
+            .agg(coalesce(sum(size(col("token_ids"))), lit(0)).cast("long")).head().getLong(0)
+          Map("batch_full_sequences" -> full, "pack_carry_ids" -> carryIds)
+        })) ++
       Seq(
       Stage("publish_batch") { _ =>
         val survivors = spark.table(BatchSurvivorsTable)
@@ -606,6 +643,22 @@ object CurationPipeline {
           Catalog.ensureTable(spark, TokenIdsTable, ids.schema)
           Catalog.insertAppendOnce(spark, TokenIdsTable, ids, "doc_id")
         }
+        if (packSeqLen > 0) {
+          // full sequences append (seq_no fresh + monotone — the same
+          // insertAppendOnce idempotence class); the state flips LAST,
+          // so a publish retry recomputes the SAME seq_nos from the
+          // old state and the append dedups instead of double-packing
+          val full = spark.table(BatchPackTable)
+            .filter(size(col("token_ids")) === packSeqLen)
+          Catalog.ensureTable(spark, IdSequencesTable, full.schema)
+          Catalog.insertAppendOnce(spark, IdSequencesTable, full, "seq_no")
+          val st = readPackState(spark)
+          val tail = spark.table(BatchPackTable)
+            .filter(size(col("token_ids")) < packSeqLen)
+            .collect() // ≤ 1 row of < seqLen ids — k-sized by construction
+          writePackState(spark, st.nextSeqNo + full.count(),
+            tail.headOption.map(_.getSeq[Long](1)).getOrElse(Seq.empty))
+        }
         Map("tier_docs_after" -> spark.table(TierTable).count())
       })
     new Runner(stages, RetryPolicy(retries = 1), notify).run(Map("batch_in" -> batch.count()))
@@ -624,7 +677,8 @@ object CurationPipeline {
   def streamIngest(spark: SparkSession, landingDir: String, checkpointDir: String,
                    jaccardThreshold: Double = 0.8,
                    maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
-                   tokenize: Boolean = false)
+                   tokenize: Boolean = false,
+                   packSeqLen: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream
       .schema("doc_id LONG, text STRING")
@@ -645,7 +699,7 @@ object CurationPipeline {
         // each (observed as numInputRows = 5x the file rows)
         val pinned = batch.toDF().persist()
         val r = try ingestBatch(batch.sparkSession, pinned, jaccardThreshold,
-          maxBucketSize, tokenize)
+          maxBucketSize, tokenize, packSeqLen)
         finally pinned.unpersist(blocking = false)
         require(r.ok, s"ingestBatch failed in micro-batch $id: " +
           r.stages.filterNot(_.ok).map(s => s"${s.stage}: ${s.error.getOrElse("?")}").mkString("; "))
@@ -654,7 +708,8 @@ object CurationPipeline {
         // listings of the published tables — the clone's refreshes
         // don't reach it, and a pre-stream read would otherwise pin a
         // stale listing (same split, opposite direction).
-        Seq(TierTable, BandIndexTable, SpanIndexTable, CleanTierTable, TokenIdsTable)
+        Seq(TierTable, BandIndexTable, SpanIndexTable, CleanTierTable,
+            TokenIdsTable, IdSequencesTable, PackStateTable)
           .foreach(t => if (Catalog.tableExists(spark, t)) spark.catalog.refreshTable(t))
         ()
       }
@@ -667,7 +722,8 @@ object CurationPipeline {
   def resetTreadmill(spark: SparkSession): Unit =
     Seq(TierTable, BandIndexTable, SpanIndexTable, CleanTierTable,
       BatchSurvivorsTable, BatchCleanTable, BatchSpanIndexTable,
-      BatchTokenIdsTable, TokenIdsTable)
+      BatchTokenIdsTable, TokenIdsTable, BatchPackTable, PackStateTable,
+      IdSequencesTable)
       .foreach(Catalog.dropIfExists(spark, _))
 
   /** Train and publish the tokenizer artifact in one call — merges,
@@ -693,4 +749,23 @@ object CurationPipeline {
   private def readTokenizerDomain(spark: SparkSession): Bpe.Domain =
     if (!Catalog.tableExists(spark, TokenizerMetaTable)) Bpe.LetterWords
     else Bpe.domainOf(spark.table(TokenizerMetaTable).head().getString(0))
+
+  /** The incremental-pack cursor: the next sequence number and the
+    * partial tail (< seqLen ids) the next batch continues. ONE row,
+    * ≤ seqLen ids — driver-k-sized by construction. */
+  private case class PackState(nextSeqNo: Long, carry: Seq[Long])
+
+  private def readPackState(spark: SparkSession): PackState =
+    if (!Catalog.tableExists(spark, PackStateTable)) PackState(0L, Seq.empty)
+    else {
+      val r = spark.table(PackStateTable).head()
+      PackState(r.getLong(0), Option(r.getSeq[Long](1)).getOrElse(Seq.empty))
+    }
+
+  private def writePackState(spark: SparkSession, nextSeqNo: Long,
+                             carry: Seq[Long]): Unit = {
+    import spark.implicits._
+    Catalog.overwriteTable(
+      Seq((nextSeqNo, carry)).toDF("next_seq_no", "carry_ids"), PackStateTable)
+  }
 }

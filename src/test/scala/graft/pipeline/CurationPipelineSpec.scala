@@ -619,6 +619,41 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     }
   }
 
+  test("ingestBatch packSeqLen: sequences straddle batches via the carry; incremental == global pack") {
+    import graft.operators.Bpe
+    CurationPipeline.resetTreadmill(spark)
+    def letters(n: Long) = n.toString.map(c => ('a' + (c - '0')).toChar).mkString
+    def words(id: Long) = (0 until 5).map(j => s"p${letters(id)}q${letters(j)}").mkString(" ")
+    val batch1 = Seq((1L, words(1)), (2L, words(2))).toDF("doc_id", "text")
+    val batch2 = Seq((3L, words(3)), (4L, words(4)), (5L, words(5))).toDF("doc_id", "text")
+    CurationPipeline.publishTokenizer(spark, batch1.unionByName(batch2), numMerges = 3)
+    // seqLen 7 over ~5-symbol-per-word docs: every batch boundary cuts
+    // mid-sequence, so the carry path is exercised on both batches
+    val r1 = CurationPipeline.ingestBatch(spark, batch1, tokenize = true, packSeqLen = 7)
+    assert(r1.ok, r1.stages.toString)
+    val r2 = CurationPipeline.ingestBatch(spark, batch2, tokenize = true, packSeqLen = 7)
+    assert(r2.ok, r2.stages.toString)
+    val published = spark.table(CurationPipeline.IdSequencesTable)
+      .collect().map(r => r.getAs[Long]("seq_no") -> r.getSeq[Long](1)).sortBy(_._1)
+    assert(published.forall(_._2.length == 7), "published sequences are all exactly full")
+    assert(r1.metrics("batch_full_sequences") + r2.metrics("batch_full_sequences") ==
+      published.length.toLong)
+    val st = spark.table(CurationPipeline.PackStateTable).head()
+    assert(st.getLong(0) == published.length.toLong, "cursor equals the published count")
+    val carry = Option(st.getSeq[Long](1)).getOrElse(Seq.empty[Long])
+    assert(carry.length.toLong == r2.metrics("pack_carry_ids"))
+    assert(carry.length < 7)
+    // incremental stream (published ++ carry) == the batch-global pack
+    // over the whole published id table
+    val globalPack = Bpe.packIdSequences(
+        spark.table(CurationPipeline.TokenIdsTable), seqLen = 7)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
+    val incremental = published ++
+      (if (carry.isEmpty) Seq.empty else Seq(st.getLong(0) -> carry))
+    assert(incremental.map(_._1).toSeq == globalPack.map(_._1).toSeq)
+    assert(incremental.map(_._2.toSeq).toSeq == globalPack.map(_._2.toSeq).toSeq)
+  }
+
   test("ingestBatch tokenize honors the stored domain marker (AllTokens artifacts tokenize digits)") {
     import graft.operators.Bpe
     CurationPipeline.resetTreadmill(spark)
