@@ -2741,6 +2741,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // DECODE roundtrip: decodeIds(tokenizeIds(corpus)) must equal the
+    // boundary-free concatenation of each doc's kept normalized words
+    // — the inverse property gated END-TO-END (the oracle needs no
+    // training replay: the identity IS the assertion; the id-exact
+    // forward direction has its own gates). The bytes variant runs the
+    // same identity through the seed/unseed byte rendition over the
+    // code-like corpus — every token kept, CJK/digits/punct included.
+    "doc_decode_ids" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = Bpe.train(d, numMerges = 6)
+      val vocab = Bpe.vocabTable(d, merges)
+      Bpe.decodeIds(Bpe.tokenizeIds(d, merges, vocab), vocab)
+        .orderBy("doc_id")
+    }),
+
+    "doc_decode_ids_bytes" -> ((s, dir) => {
+      val d = codeDocs(s, dir)
+      val merges = Bpe.train(d, numMerges = 6, domain = Bpe.Bytes)
+      val vocab = Bpe.vocabTable(d, merges, domain = Bpe.Bytes)
+      Bpe.decodeIds(
+          Bpe.tokenizeIds(d, merges, vocab, domain = Bpe.Bytes), vocab,
+          domain = Bpe.Bytes)
+        .orderBy("doc_id")
+    }),
+
     // Pack REAL id sequences: docs concatenate in doc_id order and
     // slice at 256-id boundaries — every sequence except the last
     // must carry exactly 256 ids, replayed id-for-id by the oracle.
@@ -3402,6 +3427,32 @@ object SparkEntry {
           |       sum(wi.nsym)::BIGINT AS n_tokens
           |FROM dw d JOIN wids wi USING (w)
           |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // the roundtrip identity needs no training replay: kept words
+    // concatenate boundary-free per doc, in token order
+    "doc_decode_ids" ->
+      s"""WITH docw AS (
+         |  SELECT doc_id, u.ord AS ord, u.w AS w FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+         |        i -> struct_pack(ord := i, w := toks[i]))) AS u
+         |    FROM (SELECT doc_id,
+         |                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+         |          FROM documents)))
+         |SELECT doc_id, string_agg(w, '' ORDER BY ord) AS text
+         |FROM docw WHERE $LetterWordsDomainSql
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "doc_decode_ids_bytes" ->
+      s"""WITH docw AS (
+         |  SELECT doc_id, u.ord AS ord, u.w AS w FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+         |        i -> struct_pack(ord := i, w := toks[i]))) AS u
+         |    FROM (SELECT doc_id,
+         |                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+         |          FROM $CodeCorpusSql)))
+         |SELECT doc_id, string_agg(w, '' ORDER BY ord) AS text
+         |FROM docw WHERE $AllTokensDomainSql
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "doc_bpe_train_bytes" ->
       bpeTrainSql(6, CodeCorpusSql, AllTokensDomainSql, ByteSeedWordSql),
