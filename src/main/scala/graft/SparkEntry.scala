@@ -2578,6 +2578,26 @@ object SparkEntry {
         .orderBy("position")
     }),
 
+    // THE TRAINING BATCHES THEMSELVES: the shuffled, upsampled epoch
+    // stream materialized as REAL id sequences — epochMaterialize
+    // fixes position order and repetition in BPE units, tokenizeIds
+    // supplies each doc's ids once (copies fan out through the join,
+    // never re-tokenize), packIdSequences slices in POSITION order.
+    // The oracle composes the full epoch replay (training loop → BPE
+    // counts → plan/fill/shuffle) with the tokenize and slice algebra.
+    "doc_epoch_pack_ids" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val merges = Bpe.train(d, numMerges = 6)
+      val epoch = Curation.epochMaterialize(d, budgetTokens = 1000000L,
+        seed = 42L, merges = merges)
+      Bpe.packEpochIds(epoch,
+          Bpe.tokenizeIds(d, merges, Bpe.vocabTable(d, merges)), seqLen = 256)
+        .select(col("seq_no"),
+          array_join(col("token_ids"), ",").as("token_ids_csv"),
+          size(col("token_ids")).cast("long").as("n_tokens"))
+        .orderBy("seq_no")
+    }),
+
     // Concat-then-slice training batch assembly: global token offsets
     // via the two-level prefix sum (never a global window).
     "doc_pack_sequences" -> ((s, dir) =>
@@ -3143,6 +3163,48 @@ object SparkEntry {
     // Tokenizer-aware epoch replay: BPE chain -> per-doc symbol counts
     // -> the doc_epoch_materialize arithmetic over BPE units.
     "doc_epoch_materialize_bpe" -> epochMaterializeBpeSql(6),
+
+    // the epoch replay composed with the tokenize + slice algebra:
+    // per-doc id lists join the epochpos stream (copies fan out), the
+    // global offset runs in POSITION order, slices at 256.
+    "doc_epoch_pack_ids" ->
+      ("WITH " + epochMaterializeBpeCtes(6) + ",\n" + bpeVocabCtes(6) +
+        s""",
+          |twsyms AS (
+          |  SELECT w, u.ord AS ord, u.sym AS sym FROM (
+          |    SELECT w, unnest(list_transform(range(1, len(syms) + 1),
+          |        i -> struct_pack(ord := i, sym := syms[i]))) AS u
+          |    FROM (SELECT w, string_split(trim(seg), '  ') AS syms FROM w6))),
+          |tdocw AS (
+          |  SELECT doc_id, u.ord AS ord, u.w AS w FROM (
+          |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+          |        i -> struct_pack(ord := i, w := toks[i]))) AS u
+          |    FROM (SELECT doc_id,
+          |                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+          |          FROM documents))),
+          |tdw AS (SELECT doc_id, ord, w FROM tdocw WHERE $LetterWordsDomainSql),
+          |wlist AS (
+          |  SELECT s.w, list(v.id ORDER BY s.ord) AS idl
+          |  FROM twsyms s JOIN vocab v ON v.symbol = s.sym GROUP BY 1),
+          |dids AS (
+          |  SELECT d.doc_id, flatten(list(wl.idl ORDER BY d.ord)) AS ids
+          |  FROM tdw d JOIN wlist wl USING (w) GROUP BY 1),
+          |eoff AS (
+          |  SELECT e.position, d.ids, len(d.ids)::BIGINT AS nn,
+          |         coalesce(sum(len(d.ids)) OVER (ORDER BY e.position
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS strt
+          |  FROM epochpos e JOIN dids d USING (doc_id)),
+          |esegs AS (
+          |  SELECT u.seq_no AS seq_no, o.position,
+          |         list_slice(o.ids,
+          |           CAST(greatest(o.strt, u.seq_no * 256) - o.strt + 1 AS INT),
+          |           CAST(least(o.strt + o.nn, (u.seq_no + 1) * 256) - o.strt AS INT)) AS part
+          |  FROM eoff o, unnest(range(o.strt // 256, (o.strt + o.nn - 1) // 256 + 1)) AS u(seq_no)
+          |  WHERE o.nn > 0)
+          |SELECT CAST(seq_no AS BIGINT) AS seq_no,
+          |       string_agg(array_to_string(part, ','), ',' ORDER BY position) AS token_ids_csv,
+          |       sum(len(part))::BIGINT AS n_tokens
+          |FROM esegs GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Epoch materialization replay: the doc_epoch_plan arithmetic ->
     // per-source integer passes ⌊target/token_sum⌋ + a fractional fill
@@ -6374,8 +6436,11 @@ object SparkEntry {
     * symbol counts (the doc_bpe_encode algebra, LEFT-joined so
     * no-trainable-word docs count 0), then the doc_epoch_materialize
     * arithmetic verbatim over those counts. */
-  private def epochMaterializeBpeSql(n: Int): String =
-    "WITH " + bpeChainSql(n) + s""",
+  /** The tokenizer-aware epoch replay as COMPOSABLE CTEs ending in
+    * `epochpos` (position, doc_id, copy, source, token_count) — shared
+    * by the materialize gate and the epoch-ids pack gate. */
+  private def epochMaterializeBpeCtes(n: Int): String =
+    bpeChainSql(n) + s""",
        |fin AS MATERIALIZED (
        |  SELECT w, len(string_split(trim(seg), '  '))::BIGINT AS word_syms FROM w$n),""".stripMargin +
       """
@@ -6427,12 +6492,17 @@ object SparkEntry {
         |  LEFT JOIN extra e ON e.doc_id = t.doc_id),
         |expanded AS (
         |  SELECT doc_id, source, tc, unnest(range(0, c)) AS copy
-        |  FROM copies WHERE c > 0)
-        |SELECT CAST(row_number() OVER (
-        |         ORDER BY md5('42:' || doc_id::VARCHAR || '#' || copy::VARCHAR),
-        |                  doc_id::VARCHAR || '#' || copy::VARCHAR) - 1 AS BIGINT) AS position,
-        |       doc_id, CAST(copy AS BIGINT) AS copy, source, tc AS token_count
-        |FROM expanded ORDER BY position""".stripMargin
+        |  FROM copies WHERE c > 0),
+        |epochpos AS (
+        |  SELECT CAST(row_number() OVER (
+        |           ORDER BY md5('42:' || doc_id::VARCHAR || '#' || copy::VARCHAR),
+        |                    doc_id::VARCHAR || '#' || copy::VARCHAR) - 1 AS BIGINT) AS position,
+        |         doc_id, CAST(copy AS BIGINT) AS copy, source, tc AS token_count
+        |  FROM expanded)""".stripMargin
+
+  private def epochMaterializeBpeSql(n: Int): String =
+    "WITH " + epochMaterializeBpeCtes(n) +
+      "\nSELECT position, doc_id, copy, source, token_count FROM epochpos ORDER BY position"
 
   private def bpeEncodeSql(n: Int, from: String = "documents",
                            domainSql: String = LetterWordsDomainSql,

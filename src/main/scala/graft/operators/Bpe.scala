@@ -476,6 +476,26 @@ object Bpe {
         s => s.getField("__ids"))).as("token_ids"))
   }
 
+  /** Pack the MATERIALIZED epoch stream as REAL id sequences — the
+    * training batches themselves: [[Curation.epochMaterialize]] fixes
+    * the shuffled position order and the per-source repetition, the
+    * tokenized table supplies each doc's ids (repeated copies SHARE
+    * one tokenization — the join fans out, never re-tokenizes), and
+    * [[packIdSequences]] slices in POSITION order (its `idCol` seam —
+    * positions are a dense permutation, so the chunked prefix is
+    * uniformly loaded by construction). The epoch's `token_count`
+    * equals `size(token_ids)` when both ride the same merges+domain —
+    * spec-pinned, so the counts-path plan arithmetic and the shipped
+    * batches can never drift apart. */
+  def packEpochIds(epoch: DataFrame, tokenized: DataFrame,
+                   seqLen: Int = 2048, chunkPositions: Int = 1024,
+                   idCol: String = "doc_id"): DataFrame =
+    packIdSequences(
+      epoch.select(col("position"), col(idCol))
+        .join(tokenized, Seq(idCol))
+        .select(col("position"), col("token_ids")),
+      seqLen, chunkPositions, idCol = "position")
+
   /** Decode id sequences back to text — the inspection/debug inverse
     * of [[tokenizeIds]] a curation run wants when auditing what a
     * packed sequence actually says. Ids map to vocab symbols

@@ -403,6 +403,33 @@ class BpeSpec extends SparkSpec {
     assert(plan("zh") > 0L, s"CJK source must earn a non-zero epoch target: $plan")
   }
 
+  test("packEpochIds: the epoch stream packs as REAL ids; plan counts equal shipped ids per copy") {
+    val docs = Seq((1L, "aa bb aa", "s1"), (2L, "bb aa", "s1"), (3L, "aa aa bb aa", "s2"))
+      .toDF("doc_id", "text", "source")
+    val merges = Bpe.train(docs, numMerges = 1)
+    val vocab = Bpe.vocabTable(docs, merges)
+    val tokenized = Bpe.tokenizeIds(docs, merges, vocab)
+    val epoch = Curation.epochMaterialize(docs, budgetTokens = 40L, seed = 7L,
+      merges = merges)
+    // the counts-path plan arithmetic and the shipped batches can
+    // never drift: same merges -> token_count == len(ids), every copy
+    val joined = epoch.join(tokenized, Seq("doc_id"))
+      .select(col("position"), col("token_count"),
+        size(col("token_ids")).cast("long").as("n")).collect()
+    assert(joined.nonEmpty && joined.forall(r => r.getLong(1) == r.getLong(2)),
+      joined.mkString(";"))
+    // hand composition: ids flatten in shuffled POSITION order
+    // (repeated copies re-emit their doc's ids) and slice exactly
+    val byDoc = tokenized.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val stream = epoch.orderBy("position").collect()
+      .map(_.getAs[Long]("doc_id")).flatMap(byDoc).toSeq
+    val got = Bpe.packEpochIds(epoch, tokenized, seqLen = 5, chunkPositions = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
+    assert(got.flatMap(_._2).toSeq == stream, s"${got.toSeq} vs $stream")
+    assert(got.init.forall(_._2.length == 5))
+    assert(got.map(_._1).toSeq == got.indices.map(_.toLong))
+  }
+
   test("decodeIds inverts tokenizeIds on identity domains; out-of-vocab ids render U+FFFD") {
     val train = Seq((1L, "hello hello world world hello")).toDF("doc_id", "text")
     val merges = Bpe.train(train, numMerges = 3)
