@@ -965,6 +965,36 @@ object ScaleSmoke {
         s"$totalIds ids, ${packStats.getLong(0)} packed sequences")
       stats.getLong(0)
     }
+    timed("epoch_pack_ids_50k") {
+      // the TRAINING BATCHES at corpus scale: shuffled, upsampled
+      // epoch stream → real id sequences. Structural assertions:
+      // every epoch copy ships exactly its plan-counted ids
+      // (join-conservation: packed total == Σ token_count over the
+      // epoch), every non-final sequence is full, and the copy fan-out
+      // never re-tokenizes (tokenized is computed once and joined).
+      val merges = operators.Bpe.trainBatched(docs, numMerges = 32)
+      val vocab = operators.Bpe.vocabTable(docs, merges)
+      val tokenized = operators.Bpe.tokenizeIds(docs, merges, vocab)
+        .localCheckpoint(true)
+      val epoch = operators.Curation.epochMaterialize(
+          docs.withColumn("source", (col("doc_id") % 4).cast("string")),
+          budgetTokens = 50000000L, seed = 42L, merges = merges)
+        .localCheckpoint(true)
+      val wantIds = epoch.join(tokenized, Seq("doc_id"))
+        .agg(coalesce(sum(col("token_count")), lit(0L))).head().getLong(0)
+      val packed = operators.Bpe.packEpochIds(epoch, tokenized, seqLen = 2048)
+      val st = packed.agg(count(lit(1)).cast("long"),
+        coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"),
+        coalesce(sum(when(size(col("token_ids")) === 2048, 1L)
+          .otherwise(0L)), lit(0L)).cast("long")).head()
+      require(st.getLong(1) == wantIds,
+        s"packed ids ${st.getLong(1)} must equal the epoch's planned total $wantIds")
+      require(st.getLong(2) >= st.getLong(0) - 1,
+        "every sequence but the last must carry exactly seqLen ids")
+      System.err.println(s"[scale] epoch_pack_ids ${st.getLong(1)} ids in " +
+        s"${st.getLong(0)} sequences")
+      st.getLong(0)
+    }
     timed("bigram_topk_50k") {
       val n = operators.Curation.ngramTopK(docs, n = 2, topK = 50).count()
       require(n == 50, s"top-k must cap at 50: $n")
