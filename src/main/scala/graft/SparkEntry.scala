@@ -1743,6 +1743,61 @@ object SparkEntry {
         .orderBy("seq_no")
     }),
 
+    // DRIFT-TRIGGERED TOKENIZER ROLLOVER: the unattended maintain loop
+    // (drain, then retrain if the generation's cumulative UNK share
+    // crossed the threshold — CurationPipeline.streamIngestAndMaintain,
+    // the VectorPipeline drift-loop discipline on the tokenizer
+    // artifact). Slice 1 drains healthy (zero UNKs → no rollover);
+    // slice 2 plants the unseen 'éé' seed on %7 docs, its batch UNKs
+    // land in the drift ledger, and the SAME one call that drained it
+    // rolls the generation: retrain on the clean tier, re-tokenize the
+    // tier under the new vocab, atomic pointer flip. The oracle replays
+    // the WHOLE second generation from first principles — train on the
+    // full surviving corpus (the tier: exact copies dropped by
+    // construction), vocab, tokenize — and the é seeds now resolve, so
+    // the published ids must carry ZERO UNKs.
+    "stream_tokenize_retrain" -> ((s, dir) => {
+      import graft.pipeline.CurationPipeline
+      CurationPipeline.resetTreadmill(s)
+      val land = tempDir("graft_retrain_land")
+      val cp = tempDir("graft_retrain_cp")
+      val d = docs(s, dir).select("doc_id")
+      val slice1 = d.filter(col("doc_id") < 250)
+        .select(col("doc_id"), tokText(col("doc_id")).as("text"))
+      val slice2 = d.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), when(col("doc_id") % 7 === 0,
+            concat(tokText(col("doc_id")), lit(" éé")))
+          .otherwise(tokText(col("doc_id"))).as("text"))
+        .unionByName(d.filter(col("doc_id") < 250 && col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            tokText(col("doc_id")).as("text")))
+      CurationPipeline.publishTokenizer(s, slice1, numMerges = 8)
+      slice1.coalesce(1).write.mode("append").json(land)
+      val roll1 = CurationPipeline.streamIngestAndMaintain(s, land, cp,
+        jaccardThreshold = 0.5, maxUnkShare = 1e-9)
+      require(roll1.isEmpty && CurationPipeline.currentTokenizerGeneration(s) == 0L,
+        "stream_tokenize_retrain: a healthy generation must not roll")
+      slice2.coalesce(1).write.mode("append").json(land)
+      val roll2 = CurationPipeline.streamIngestAndMaintain(s, land, cp,
+        jaccardThreshold = 0.5, maxUnkShare = 1e-9)
+      require(roll2.nonEmpty && roll2.get.ok,
+        "stream_tokenize_retrain: slice-2 UNK drift must trigger the rollover")
+      require(CurationPipeline.currentTokenizerGeneration(s) == 1L,
+        "stream_tokenize_retrain: the pointer must name generation 1")
+      // the published generation covers the tier doc-for-doc
+      val tierIds = s.table(CurationPipeline.TierTable).select("doc_id")
+      val tokIds = s.table(CurationPipeline.tokenIdsTable(s)).select("doc_id")
+      require(tierIds.exceptAll(tokIds).isEmpty && tokIds.exceptAll(tierIds).isEmpty,
+        "stream_tokenize_retrain: generation-1 ids must cover the tier")
+      s.table(CurationPipeline.tokenIdsTable(s))
+        .select(col("doc_id"),
+          array_join(col("token_ids"), ",").as("token_ids_csv"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          size(filter(col("token_ids"), i => i === lit(Bpe.UnkId)))
+            .cast("long").as("n_unks"))
+        .orderBy("doc_id")
+    }),
+
     // SimHash near-dup on the md5 signature: the Spark plan is the
     // chunked-LSH pipeline (pigeonhole bucketing is EXACT for
     // hamming ≤ 3 of 4 chunks, recall 1 by construction), so the
@@ -5233,6 +5288,26 @@ object SparkEntry {
           |       string_agg(array_to_string(part, ','), ',' ORDER BY doc_id) AS token_ids_csv,
           |       sum(len(part))::BIGINT AS n_tokens
           |FROM segs GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // the SECOND generation from first principles: the rollover trains
+    // on the clean tier — which IS the full surviving corpus here
+    // (exact copies dropped by construction, spans a no-op) — so the
+    // replay is train-on-full + vocab + tokenize, train corpus = apply
+    // corpus (no apply CTEs needed), and every é seed resolves
+    "stream_tokenize_retrain" ->
+      ("WITH " + bpeChainSql(8, TokFullCorpusSql) + ",\n" +
+        bpeVocabCtes(8) + ",\n" +
+        bpeTokenizeCtes(8, LetterWordsDomainSql, TokFullCorpusSql) +
+        """,
+          |wids AS (
+          |  SELECT s.w, string_agg(coalesce(v.id, -1)::VARCHAR, ',' ORDER BY s.ord) AS idcsv,
+          |         count(*)::BIGINT AS nsym,
+          |         sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END)::BIGINT AS nunk
+          |  FROM wsyms s LEFT JOIN vocab v ON v.symbol = s.sym GROUP BY 1)
+          |SELECT d.doc_id, string_agg(wi.idcsv, ',' ORDER BY d.ord) AS token_ids_csv,
+          |       sum(wi.nsym)::BIGINT AS n_tokens, sum(wi.nunk)::BIGINT AS n_unks
+          |FROM dw d JOIN wids wi USING (w)
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "doc_simhash_sig" ->
       s"""WITH sigs AS ($simhashSigs)

@@ -328,6 +328,9 @@ object CurationPipeline {
           val train = spark.table(SplitTable)
             .filter(col("split") === "train").select("doc_id", "text")
           import spark.implicits._
+          // a fresh bootstrap resets any prior rollover state — the new
+          // artifact is generation 0 and the pointer must say so
+          resetTokenizerGenerations(spark)
           val merges = Bpe.trainBatched(train, bpeMerges, domain = bpeDomain)
             .map(m => (m.rank, m.leftSym, m.rightSym, m.pairCount))
             .toDF("rank", "left_sym", "right_sym", "pair_count")
@@ -457,9 +460,7 @@ object CurationPipeline {
     * whitespace-token units. */
   private def loadBpeMerges(spark: SparkSession, bpeMerges: Int): Seq[Bpe.Merge] =
     if (bpeMerges <= 0 || !Catalog.tableExists(spark, BpeMergesTable)) Nil
-    else spark.table(BpeMergesTable).orderBy("rank").collect()
-      .map(r => Bpe.Merge(r.getAs[Int]("rank"), r.getAs[String]("left_sym"),
-        r.getAs[String]("right_sym"), r.getAs[Long]("pair_count"))).toSeq
+    else loadMergesFrom(spark, BpeMergesTable)
 
   val BpeMergesTable = "documents_bpe_merges"
   val VocabTable = "documents_bpe_vocab"
@@ -483,6 +484,37 @@ object CurationPipeline {
   val CleanTierTable = "documents_tier_clean"
   val BatchCleanTable = "documents_batch_clean"
   val BatchSpanIndexTable = "documents_batch_span_index"
+
+  val TokenizerGenPointerTable = "documents_tokenizer_gen"
+  val TokenizerStatsTable = "documents_tokenizer_stats"
+
+  /** Per-generation physical names for the tokenizer artifacts — the
+    * VectorPipeline rollover layout applied to the tokenizer: the next
+    * generation is STAGED under names no reader resolves, and the only
+    * shared mutable state is the one-row pointer. Generation 0 keeps
+    * the unsuffixed names (the runFull / publishTokenizer bootstrap),
+    * so every pre-rollover reader and gate sees the tables it always
+    * did. */
+  private def genName(base: String, gen: Long): String =
+    if (gen == 0L) base else s"${base}_g$gen"
+
+  /** The current tokenizer generation (0 = bootstrap). One 1-row read
+    * of the atomically-published pointer. */
+  def currentTokenizerGeneration(spark: SparkSession): Long =
+    if (Catalog.tableExists(spark, TokenizerGenPointerTable))
+      spark.table(TokenizerGenPointerTable).head().getLong(0)
+    else 0L
+
+  /** Current-generation artifact table names — resolve the pointer ONCE
+    * per read and take every artifact from that generation, so a read
+    * stays generation-consistent even if a rollover lands mid-query
+    * (ids are only meaningful against ONE vocab). */
+  def tokenIdsTable(spark: SparkSession): String =
+    genName(TokenIdsTable, currentTokenizerGeneration(spark))
+  def idSequencesTable(spark: SparkSession): String =
+    genName(IdSequencesTable, currentTokenizerGeneration(spark))
+  def vocabTableName(spark: SparkSession): String =
+    genName(VocabTable, currentTokenizerGeneration(spark))
 
   /** Incremental ingest — the 100 TB operating mode, where "dedup the
     * corpus" is not an event but a treadmill: each new crawl slice is
@@ -515,8 +547,20 @@ object CurationPipeline {
                   tokenize: Boolean = false,
                   packSeqLen: Int = 0,
                   notify: PipelineReport => Unit = _ => ()): PipelineReport = {
-    require(!tokenize || (Catalog.tableExists(spark, BpeMergesTable) &&
-        Catalog.tableExists(spark, VocabTable)),
+    // resolve the tokenizer generation ONCE per batch: every tokenizer
+    // artifact this batch touches (merges, vocab, meta, ids, sequences,
+    // pack state, drift stats) comes from the same generation, so a
+    // rollover landing mid-batch can never mix id spaces
+    val tokGen = currentTokenizerGeneration(spark)
+    val mergesT = genName(BpeMergesTable, tokGen)
+    val vocabT = genName(VocabTable, tokGen)
+    val metaT = genName(TokenizerMetaTable, tokGen)
+    val idsT = genName(TokenIdsTable, tokGen)
+    val seqT = genName(IdSequencesTable, tokGen)
+    val stateT = genName(PackStateTable, tokGen)
+    val statsT = genName(TokenizerStatsTable, tokGen)
+    require(!tokenize || (Catalog.tableExists(spark, mergesT) &&
+        Catalog.tableExists(spark, vocabT)),
       "tokenize needs a published tokenizer (merges + vocab) — train one first " +
         "(runFull bpeMerges/materializeTokenIds, or publishTokenizer)")
     require(packSeqLen <= 0 || tokenize,
@@ -572,11 +616,11 @@ object CurationPipeline {
           // count is exactly the vocab-drift signal that schedules a
           // retrain (the VectorPipeline drift-loop discipline, applied
           // to the tokenizer artifact).
-          val merges = loadBpeMerges(spark, Int.MaxValue)
-          val domain = readTokenizerDomain(spark)
+          val merges = loadMergesFrom(spark, mergesT)
+          val domain = readTokenizerDomain(spark, metaT)
           Catalog.overwriteTable(
             Bpe.tokenizeIds(spark.table(BatchCleanTable), merges,
-              spark.table(VocabTable), domain = domain),
+              spark.table(vocabT), domain = domain),
             BatchTokenIdsTable)
           val stats = spark.table(BatchTokenIdsTable).agg(
             coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"),
@@ -598,7 +642,7 @@ object CurationPipeline {
           // appends the FULL sequences and flips the state LAST, so a
           // stage retry replays into insertAppendOnce dedup and never
           // double-advances the offset.
-          val st = readPackState(spark)
+          val st = readPackState(spark, stateT)
           val carryDf =
             if (st.carry.isEmpty)
               spark.emptyDataset[(Long, Seq[Long])].toDF("doc_id", "token_ids")
@@ -618,7 +662,7 @@ object CurationPipeline {
           Map("batch_full_sequences" -> full, "pack_carry_ids" -> carryIds)
         })) ++
       Seq(
-      Stage("publish_batch") { _ =>
+      Stage("publish_batch") { m =>
         val survivors = spark.table(BatchSurvivorsTable)
         val keys = TextDedup.bandIndex(survivors)
         val clean = spark.table(BatchCleanTable)
@@ -640,8 +684,22 @@ object CurationPipeline {
         Catalog.insertAppendOnce(spark, SpanIndexTable, fps, "doc_id")
         if (tokenize) {
           val ids = spark.table(BatchTokenIdsTable)
-          Catalog.ensureTable(spark, TokenIdsTable, ids.schema)
-          Catalog.insertAppendOnce(spark, TokenIdsTable, ids, "doc_id")
+          Catalog.ensureTable(spark, idsT, ids.schema)
+          Catalog.insertAppendOnce(spark, idsT, ids, "doc_id")
+          // the drift ledger: ONE k-sized row per tokenized batch
+          // (keyed by the batch's min doc_id — fresh+monotone, so a
+          // publish retry dedups through insertAppendOnce like every
+          // other artifact). maybeRetrainTokenizer reads the CURRENT
+          // generation's cumulative UNK share from this table — the
+          // decision read never rescans the id tier.
+          val key = ids.agg(min(col("doc_id"))).head()
+          if (!key.isNullAt(0)) {
+            import spark.implicits._
+            val stat = Seq((key.getLong(0), m("batch_token_ids"), m("batch_unk_ids")))
+              .toDF("batch_key", "token_ids", "unk_ids")
+            Catalog.ensureTable(spark, statsT, stat.schema)
+            Catalog.insertAppendOnce(spark, statsT, stat, "batch_key")
+          }
         }
         if (packSeqLen > 0) {
           // full sequences append (seq_no fresh + monotone — the same
@@ -650,13 +708,13 @@ object CurationPipeline {
           // old state and the append dedups instead of double-packing
           val full = spark.table(BatchPackTable)
             .filter(size(col("token_ids")) === packSeqLen)
-          Catalog.ensureTable(spark, IdSequencesTable, full.schema)
-          Catalog.insertAppendOnce(spark, IdSequencesTable, full, "seq_no")
-          val st = readPackState(spark)
+          Catalog.ensureTable(spark, seqT, full.schema)
+          Catalog.insertAppendOnce(spark, seqT, full, "seq_no")
+          val st = readPackState(spark, stateT)
           val tail = spark.table(BatchPackTable)
             .filter(size(col("token_ids")) < packSeqLen)
             .collect() // ≤ 1 row of < seqLen ids — k-sized by construction
-          writePackState(spark, st.nextSeqNo + full.count(),
+          writePackState(spark, stateT, st.nextSeqNo + full.count(),
             tail.headOption.map(_.getSeq[Long](1)).getOrElse(Seq.empty))
         }
         Map("tier_docs_after" -> spark.table(TierTable).count())
@@ -708,8 +766,10 @@ object CurationPipeline {
         // listings of the published tables — the clone's refreshes
         // don't reach it, and a pre-stream read would otherwise pin a
         // stale listing (same split, opposite direction).
-        Seq(TierTable, BandIndexTable, SpanIndexTable, CleanTierTable,
-            TokenIdsTable, IdSequencesTable, PackStateTable)
+        val g = currentTokenizerGeneration(batch.sparkSession)
+        (Seq(TierTable, BandIndexTable, SpanIndexTable, CleanTierTable) ++
+          Seq(TokenIdsTable, IdSequencesTable, PackStateTable, TokenizerStatsTable)
+            .map(genName(_, g)))
           .foreach(t => if (Catalog.tableExists(spark, t)) spark.catalog.refreshTable(t))
         ()
       }
@@ -718,13 +778,19 @@ object CurationPipeline {
       .start()
 
   /** Drop every treadmill table — a fresh-tier reset for
-    * self-contained runs (the stream gate query and specs). */
-  def resetTreadmill(spark: SparkSession): Unit =
-    Seq(TierTable, BandIndexTable, SpanIndexTable, CleanTierTable,
+    * self-contained runs (the stream gate query and specs). Tokenizer
+    * artifacts drop across ALL generations (suffixed names enumerate
+    * through the catalog, the VectorPipeline reset discipline). */
+  def resetTreadmill(spark: SparkSession): Unit = {
+    val genTables = spark.catalog.listTables().collect().map(_.name)
+      .filter(n => Seq(BpeMergesTable, VocabTable, TokenizerMetaTable,
+        TokenIdsTable, IdSequencesTable, PackStateTable, TokenizerStatsTable)
+        .exists(b => n == b || n.startsWith(b + "_g")))
+    (Seq(TierTable, BandIndexTable, SpanIndexTable, CleanTierTable,
       BatchSurvivorsTable, BatchCleanTable, BatchSpanIndexTable,
-      BatchTokenIdsTable, TokenIdsTable, BatchPackTable, PackStateTable,
-      IdSequencesTable)
+      BatchTokenIdsTable, BatchPackTable, TokenizerGenPointerTable) ++ genTables)
       .foreach(Catalog.dropIfExists(spark, _))
+  }
 
   /** Train and publish the tokenizer artifact in one call — merges,
     * vocab, and the domain marker — the bootstrap a tokenizing ingest
@@ -732,6 +798,7 @@ object CurationPipeline {
   def publishTokenizer(spark: SparkSession, train: DataFrame, numMerges: Int,
                        domain: Bpe.Domain = Bpe.LetterWords): Unit = {
     import spark.implicits._
+    resetTokenizerGenerations(spark)
     val merges = Bpe.trainBatched(train, numMerges, domain = domain)
     Catalog.overwriteTable(
       merges.map(m => (m.rank, m.leftSym, m.rightSym, m.pairCount))
@@ -742,30 +809,267 @@ object CurationPipeline {
       Seq(Bpe.domainName(domain)).toDF("domain"), TokenizerMetaTable)
   }
 
+  /** A fresh tokenizer bootstrap is a GENERATION RESET: publishing new
+    * gen-0 artifacts while the pointer still names a survivor of an
+    * old rollover would leave readers on the stale generation — drop
+    * the pointer, every suffixed generation, and the drift ledger so
+    * the new artifact starts at generation 0 with a clean window. The
+    * gen-0 ID/SEQUENCE tables are left alone: the caller may be
+    * re-publishing the same tokenizer mid-treadmill, and dropping data
+    * tables is [[resetTreadmill]]'s job, not a publish side effect. */
+  private def resetTokenizerGenerations(spark: SparkSession): Unit = {
+    val suffixed = spark.catalog.listTables().collect().map(_.name)
+      .filter(n => Seq(BpeMergesTable, VocabTable, TokenizerMetaTable,
+        TokenIdsTable, IdSequencesTable, PackStateTable, TokenizerStatsTable)
+        .exists(b => n.startsWith(b + "_g")))
+    (suffixed.toSeq :+ TokenizerGenPointerTable :+ TokenizerStatsTable)
+      .foreach(Catalog.dropIfExists(spark, _))
+  }
+
+  /** Retrain the tokenizer on the current CLEAN TIER and roll the
+    * generation — the [[VectorPipeline.regenerate]] discipline applied
+    * to the tokenizer artifact. Token ids are only meaningful against
+    * ONE vocab, so a retrain is never an in-place vocab edit: the next
+    * generation (merges, vocab, domain marker, the re-tokenized tier's
+    * id table, and — when `packSeqLen > 0` — the re-packed sequence
+    * stream with a fresh cursor) is STAGED under names no reader
+    * resolves, the one-row pointer flips atomically, and generations
+    * older than `keepGenerations` predecessors are pruned. The retrain
+    * keeps the published artifact's DOMAIN and vocabulary budget
+    * (current merge count) unless overridden — a drift-triggered
+    * rollover must not silently change what kind of tokenizer it is.
+    *
+    * Cost shape at 100 TB: ONE wordCounts pass + |vocab|-bounded merge
+    * rounds (training), ONE tier tokenize through the native kernel,
+    * ONE pack pass — the same one-full-tier-pass class as
+    * regenerate's encode stage, plus a normally-empty delta pass that
+    * closes the retokenize→flip interleave window (an ingestBatch
+    * landing between the tier snapshot and the flip appends docs the
+    * staged ids lack; exactly those docs tokenize late and the staged
+    * pack stream continues over them). Sequence numbering restarts per
+    * generation: a training consumer reads one generation's stream
+    * end-to-end — mixing seq_nos across vocabs is the bug, not the
+    * feature. */
+  def retrainTokenizer(spark: SparkSession, packSeqLen: Int = 0,
+                       numMerges: Int = -1,
+                       keepGenerations: Int = 2,
+                       notify: PipelineReport => Unit = _ => (),
+                       afterRetokenize: () => Unit = () => ()): PipelineReport = {
+    require(keepGenerations >= 1, s"keepGenerations must be >= 1, got $keepGenerations")
+    val gen = currentTokenizerGeneration(spark)
+    require(Catalog.tableExists(spark, genName(BpeMergesTable, gen)),
+      "retrain needs a published tokenizer to roll from — publishTokenizer first")
+    require(Catalog.tableExists(spark, CleanTierTable),
+      "retrain reads the clean tier — run at least one ingestBatch first")
+    val next = gen + 1
+    val domain = readTokenizerDomain(spark, genName(TokenizerMetaTable, gen))
+    val mergesT = genName(BpeMergesTable, next)
+    val vocabT = genName(VocabTable, next)
+    val metaT = genName(TokenizerMetaTable, next)
+    val idsT = genName(TokenIdsTable, next)
+    val seqT = genName(IdSequencesTable, next)
+    val stateT = genName(PackStateTable, next)
+    val stages = Seq(
+      Stage("train_next") { _ =>
+        import spark.implicits._
+        val budget = if (numMerges > 0) numMerges
+          else spark.table(genName(BpeMergesTable, gen)).count().toInt
+        val clean = spark.table(CleanTierTable)
+        val merges = Bpe.trainBatched(clean, budget, domain = domain)
+        Catalog.overwriteTable(
+          merges.map(m => (m.rank, m.leftSym, m.rightSym, m.pairCount))
+            .toDF("rank", "left_sym", "right_sym", "pair_count"), mergesT)
+        Catalog.overwriteTable(Bpe.vocabTable(clean, merges, domain = domain), vocabT)
+        Catalog.overwriteTable(Seq(Bpe.domainName(domain)).toDF("domain"), metaT)
+        Map("next_generation" -> next, "bpe_merges" -> merges.size.toLong)
+      },
+      Stage("retokenize_tier") { _ =>
+        Catalog.overwriteTable(
+          Bpe.tokenizeIds(spark.table(CleanTierTable), loadMergesFrom(spark, mergesT),
+            spark.table(vocabT), domain = domain),
+          idsT)
+        val stats = spark.table(idsT).agg(
+          count(lit(1)),
+          coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"),
+          coalesce(sum(size(filter(col("token_ids"), i => i === lit(Bpe.UnkId)))),
+            lit(0)).cast("long")).head()
+        // REPORTED, not required: the tier snapshot here can already
+        // contain docs an interleaved ingestBatch appended after
+        // train_next's read — their unseen seeds are legitimate UNKs
+        // (the single-writer deployment sees zero; the spec pins that)
+        Map("tier_tokenized_docs" -> stats.getLong(0),
+          "tier_token_ids" -> stats.getLong(1), "tier_unk_ids" -> stats.getLong(2))
+      }) ++
+      (if (packSeqLen <= 0) Seq.empty[Stage] else Seq(
+        Stage("repack_tier") { _ =>
+          val packed = Bpe.packIdSequences(
+            spark.table(idsT).select("doc_id", "token_ids"), seqLen = packSeqLen)
+          val full = packed.filter(size(col("token_ids")) === packSeqLen)
+          Catalog.overwriteTable(full, seqT)
+          val tail = packed.filter(size(col("token_ids")) < packSeqLen)
+            .collect() // ≤ 1 partial row — k-sized by construction
+          Catalog.releasePin(packed)
+          val n = spark.table(seqT).count()
+          writePackState(spark, stateT, n,
+            tail.headOption.map(_.getSeq[Long](1)).getOrElse(Seq.empty))
+          Map("repacked_sequences" -> n)
+        })) ++
+      Seq(
+      Stage("publish_generation") { _ =>
+        // test seam: the spec injects an ingestBatch here to prove the
+        // delta pass repairs the retokenize→flip window
+        afterRetokenize()
+        // close the interleave window: docs an interleaved ingestBatch
+        // appended after the retokenize snapshot are missing from the
+        // staged ids — tokenize exactly that delta (normally zero rows)
+        // and continue the staged pack stream over it, so the
+        // generation about to be published covers the tier doc-for-doc.
+        // Idempotent under the stage's own retry: both appends are
+        // insertAppendOnce and the pack state flips last.
+        val staged = spark.table(idsT).select(col("doc_id"))
+        val late = spark.table(CleanTierTable)
+          .join(staged, Seq("doc_id"), "left_anti").localCheckpoint(true)
+        val lateN = late.count()
+        if (lateN > 0) {
+          // pinned: the delta ids feed the append AND the pack input
+          val lateIds = Bpe.tokenizeIds(late, loadMergesFrom(spark, mergesT),
+            spark.table(vocabT), domain = domain).localCheckpoint(true)
+          Catalog.insertAppendOnce(spark, idsT, lateIds, "doc_id")
+          if (packSeqLen > 0) {
+            import spark.implicits._
+            val st = readPackState(spark, stateT)
+            val carryDf =
+              if (st.carry.isEmpty)
+                spark.emptyDataset[(Long, Seq[Long])].toDF("doc_id", "token_ids")
+              else Seq((Long.MinValue, st.carry)).toDF("doc_id", "token_ids")
+            val packed = Bpe.packIdSequences(
+                carryDf.unionByName(lateIds.select("doc_id", "token_ids")),
+                seqLen = packSeqLen)
+              .select((col("seq_no") + st.nextSeqNo).as("seq_no"), col("token_ids"))
+            val full = packed.filter(size(col("token_ids")) === packSeqLen)
+            Catalog.insertAppendOnce(spark, seqT, full, "seq_no")
+            val tail = packed.filter(size(col("token_ids")) < packSeqLen).collect()
+            writePackState(spark, stateT, st.nextSeqNo + full.count(),
+              tail.headOption.map(_.getSeq[Long](1)).getOrElse(Seq.empty))
+            Catalog.releasePin(packed) // packIdSequences' internal input pin
+          }
+          Catalog.releasePin(lateIds)
+        }
+        Catalog.releasePin(late)
+        // THE atomic step: one versioned flip of the pointer
+        import spark.implicits._
+        Catalog.ctasOverwrite(
+          spark.range(1).select(lit(next).as("generation")), TokenizerGenPointerTable)
+        // prune generations no in-flight reader can still hold
+        (0L to next - 1 - keepGenerations).foreach { g =>
+          Seq(BpeMergesTable, VocabTable, TokenizerMetaTable, TokenIdsTable,
+            IdSequencesTable, PackStateTable, TokenizerStatsTable)
+            .foreach(b => Catalog.dropIfExists(spark, genName(b, g)))
+        }
+        Map("generation" -> next, "late_tokenized" -> lateN)
+      })
+    new Runner(stages, RetryPolicy(retries = 1), notify).run()
+  }
+
+  /** The WHEN-TO-RETRAIN signal: cumulative (token_ids, unk_ids) the
+    * CURRENT generation's tokenized batches reported since the
+    * generation was born — the drift ledger [[ingestBatch]] appends one
+    * k-sized row per batch to. The decision read is one tiny aggregate;
+    * the id tier is never rescanned. A fresh generation starts with an
+    * empty ledger (its own retokenize pass has zero UNKs against the
+    * vocab it was trained with), so the drift window resets at each
+    * rollover. */
+  def tokenizerDrift(spark: SparkSession): (Long, Long) = {
+    val statsT = genName(TokenizerStatsTable, currentTokenizerGeneration(spark))
+    if (!Catalog.tableExists(spark, statsT)) (0L, 0L)
+    else {
+      val r = spark.table(statsT).agg(
+        coalesce(sum("token_ids"), lit(0L)), coalesce(sum("unk_ids"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+  }
+
+  /** Drift-TRIGGERED tokenizer rollover — the operational closure of
+    * [[tokenizerDrift]]: measure, decide, roll. Retrains when at least
+    * `minIds` ids have been tokenized this generation AND their UNK
+    * share exceeds `maxUnkShare` (the vocabulary no longer covers what
+    * the treadmill is ingesting — under-segmentation made a number).
+    * Returns the rollover report when one ran, None while the
+    * generation is still healthy. A scheduler calls this after each
+    * ingest wave instead of guessing when to retrain. */
+  def maybeRetrainTokenizer(spark: SparkSession,
+                            maxUnkShare: Double = 0.01, minIds: Long = 1L,
+                            packSeqLen: Int = 0, numMerges: Int = -1,
+                            keepGenerations: Int = 2,
+                            notify: PipelineReport => Unit = _ => ())
+      : Option[PipelineReport] = {
+    val (ids, unks) = tokenizerDrift(spark)
+    if (ids >= minIds && ids > 0 && unks.toDouble / ids > maxUnkShare)
+      Some(retrainTokenizer(spark, packSeqLen, numMerges, keepGenerations, notify))
+    else None
+  }
+
+  /** The UNATTENDED deployment shape for the tokenizing treadmill:
+    * drain everything landed ([[streamIngest]] with tokenize on), then
+    * run the drift check and roll the tokenizer generation if it fires
+    * ([[maybeRetrainTokenizer]]) — the
+    * [[VectorPipeline.streamIngestAndMaintain]] discipline applied to
+    * the tokenizer artifact. The check runs AFTER `awaitTermination`,
+    * never inside foreachBatch — a rollover interleaved with a
+    * draining batch is exactly the retokenize→flip window the delta
+    * pass exists to repair; sequencing them keeps that pass a no-op.
+    * A scheduler loops this one call — ingest cadence and retrain
+    * cadence stop being separate jobs an operator must keep
+    * consistent. */
+  def streamIngestAndMaintain(spark: SparkSession, landingDir: String,
+                              checkpointDir: String,
+                              jaccardThreshold: Double = 0.8,
+                              maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
+                              packSeqLen: Int = 0,
+                              maxUnkShare: Double = 0.01, minIds: Long = 1L,
+                              keepGenerations: Int = 2,
+                              notify: PipelineReport => Unit = _ => ())
+      : Option[PipelineReport] = {
+    streamIngest(spark, landingDir, checkpointDir, jaccardThreshold,
+      maxBucketSize, tokenize = true, packSeqLen = packSeqLen)
+      .awaitTermination()
+    maybeRetrainTokenizer(spark, maxUnkShare, minIds, packSeqLen,
+      keepGenerations = keepGenerations, notify = notify)
+  }
+
   /** The domain the published tokenizer was trained under — stored
-    * next to the merges ([[TokenizerMetaTable]]); encode under any
-    * other domain silently mis-tokenizes. Missing marker (artifacts
+    * next to the merges (the generation's meta table); encode under
+    * any other domain silently mis-tokenizes. Missing marker (artifacts
     * published before the marker existed) = the default domain. */
-  private def readTokenizerDomain(spark: SparkSession): Bpe.Domain =
-    if (!Catalog.tableExists(spark, TokenizerMetaTable)) Bpe.LetterWords
-    else Bpe.domainOf(spark.table(TokenizerMetaTable).head().getString(0))
+  private def readTokenizerDomain(spark: SparkSession,
+                                  metaTable: String = TokenizerMetaTable): Bpe.Domain =
+    if (!Catalog.tableExists(spark, metaTable)) Bpe.LetterWords
+    else Bpe.domainOf(spark.table(metaTable).head().getString(0))
 
   /** The incremental-pack cursor: the next sequence number and the
     * partial tail (< seqLen ids) the next batch continues. ONE row,
     * ≤ seqLen ids — driver-k-sized by construction. */
   private case class PackState(nextSeqNo: Long, carry: Seq[Long])
 
-  private def readPackState(spark: SparkSession): PackState =
-    if (!Catalog.tableExists(spark, PackStateTable)) PackState(0L, Seq.empty)
+  private def readPackState(spark: SparkSession,
+                            table: String = PackStateTable): PackState =
+    if (!Catalog.tableExists(spark, table)) PackState(0L, Seq.empty)
     else {
-      val r = spark.table(PackStateTable).head()
+      val r = spark.table(table).head()
       PackState(r.getLong(0), Option(r.getSeq[Long](1)).getOrElse(Seq.empty))
     }
 
-  private def writePackState(spark: SparkSession, nextSeqNo: Long,
-                             carry: Seq[Long]): Unit = {
+  private def writePackState(spark: SparkSession, table: String,
+                             nextSeqNo: Long, carry: Seq[Long]): Unit = {
     import spark.implicits._
     Catalog.overwriteTable(
-      Seq((nextSeqNo, carry)).toDF("next_seq_no", "carry_ids"), PackStateTable)
+      Seq((nextSeqNo, carry)).toDF("next_seq_no", "carry_ids"), table)
   }
+
+  /** The published merge list of ONE generation's table, rank-ordered —
+    * k-sized by definition. */
+  private def loadMergesFrom(spark: SparkSession, table: String): Seq[Bpe.Merge] =
+    spark.table(table).orderBy("rank").collect()
+      .map(r => Bpe.Merge(r.getAs[Int]("rank"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("pair_count"))).toSeq
 }

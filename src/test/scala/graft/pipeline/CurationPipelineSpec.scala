@@ -668,4 +668,153 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     assert(r.metrics("batch_token_ids") > 0L, r.metrics.toString)
     assert(r.metrics("batch_unk_ids") == 0L, r.metrics.toString)
   }
+
+  private def tokLetters(n: Long) = n.toString.map(c => ('a' + (c - '0')).toChar).mkString
+  private def tokWords(id: Long) =
+    (0 until 8).map(j => s"w${tokLetters(id)}x${tokLetters(j)}").mkString(" ")
+
+  test("maybeRetrainTokenizer: UNK drift rolls the generation; retokenized tier is twin-exact; healthy → None") {
+    import graft.operators.Bpe
+    import graft.plans.Catalog
+    CurationPipeline.resetTreadmill(spark)
+    val batch1 = Seq((1L, tokWords(1)), (2L, tokWords(2)), (3L, tokWords(3)))
+      .toDF("doc_id", "text")
+    // every batch-2 doc carries the unseen 'é' seed — UNK share is high
+    val batch2 = Seq((4L, tokWords(4) + " éé"), (5L, tokWords(5) + " éé"))
+      .toDF("doc_id", "text")
+    CurationPipeline.publishTokenizer(spark, batch1, numMerges = 4)
+    assert(CurationPipeline.currentTokenizerGeneration(spark) == 0L)
+    val r1 = CurationPipeline.ingestBatch(spark, batch1, tokenize = true)
+    assert(r1.ok && r1.metrics("batch_unk_ids") == 0L, r1.metrics.toString)
+    // zero UNKs so far: the generation is healthy, no rollover
+    assert(CurationPipeline.maybeRetrainTokenizer(spark, maxUnkShare = 0.001).isEmpty)
+    assert(CurationPipeline.currentTokenizerGeneration(spark) == 0L)
+    val r2 = CurationPipeline.ingestBatch(spark, batch2, tokenize = true)
+    assert(r2.ok && r2.metrics("batch_unk_ids") == 4L, r2.metrics.toString)
+    // the drift ledger accumulated both batches' counts
+    val (ids, unks) = CurationPipeline.tokenizerDrift(spark)
+    assert(unks == 4L && ids == r1.metrics("batch_token_ids") + r2.metrics("batch_token_ids"))
+    // drift fires: retrain on the clean tier, generation flips to 1
+    val roll = CurationPipeline.maybeRetrainTokenizer(spark, maxUnkShare = 0.001)
+    assert(roll.nonEmpty && roll.get.ok, roll.toString)
+    assert(CurationPipeline.currentTokenizerGeneration(spark) == 1L)
+    assert(roll.get.metrics("tier_unk_ids") == 0L, roll.get.metrics.toString)
+    // the new generation's ids are twin-exact vs a from-scratch replay:
+    // train on the clean tier at the budget the retrain derived (the
+    // gen-0 merge COUNT — what actually published, early stop included)
+    val budget = spark.table(CurationPipeline.BpeMergesTable).count().toInt
+    val merges = Bpe.trainBatched(
+      spark.table(CurationPipeline.CleanTierTable), numMerges = budget)
+    val vocab = Bpe.vocabTable(spark.table(CurationPipeline.CleanTierTable), merges)
+    val want = Bpe.tokenizeIds(spark.table(CurationPipeline.CleanTierTable), merges, vocab)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val got = spark.table(CurationPipeline.tokenIdsTable(spark))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
+    assert(got == want, s"$got vs $want")
+    // the é seeds are in the new vocab: zero UNKs anywhere
+    assert(got.values.forall(!_.contains(Bpe.UnkId)))
+    // fresh generation, fresh drift window: no immediate re-roll
+    assert(CurationPipeline.maybeRetrainTokenizer(spark, maxUnkShare = 0.001).isEmpty)
+    assert(CurationPipeline.currentTokenizerGeneration(spark) == 1L)
+    // a post-rollover batch tokenizes against the NEW vocab and its
+    // stats land in the NEW generation's ledger
+    val batch3 = Seq((6L, tokWords(6) + " éé")).toDF("doc_id", "text")
+    val r3 = CurationPipeline.ingestBatch(spark, batch3, tokenize = true)
+    assert(r3.ok && r3.metrics("batch_unk_ids") == 0L, r3.metrics.toString)
+    val (ids1, unks1) = CurationPipeline.tokenizerDrift(spark)
+    assert(ids1 == r3.metrics("batch_token_ids") && unks1 == 0L)
+    // retrain without a published tokenizer refuses up front
+    CurationPipeline.resetTreadmill(spark)
+    intercept[IllegalArgumentException] {
+      CurationPipeline.retrainTokenizer(spark)
+    }
+  }
+
+  test("retrainTokenizer repacks the sequence stream; post-rollover batches continue it (carry + cursor)") {
+    import graft.operators.Bpe
+    CurationPipeline.resetTreadmill(spark)
+    val batch1 = Seq((1L, tokWords(1)), (2L, tokWords(2))).toDF("doc_id", "text")
+    val batch2 = Seq((3L, tokWords(3) + " éé"), (4L, tokWords(4) + " éé"))
+      .toDF("doc_id", "text")
+    CurationPipeline.publishTokenizer(spark, batch1, numMerges = 3)
+    CurationPipeline.ingestBatch(spark, batch1, tokenize = true, packSeqLen = 7)
+    CurationPipeline.ingestBatch(spark, batch2, tokenize = true, packSeqLen = 7)
+    val roll = CurationPipeline.maybeRetrainTokenizer(spark,
+      maxUnkShare = 0.001, packSeqLen = 7)
+    assert(roll.nonEmpty && roll.get.ok, roll.toString)
+    assert(roll.get.metrics.contains("repacked_sequences"), roll.get.metrics.toString)
+    // a batch AFTER the rollover continues the generation-1 stream
+    val batch3 = Seq((5L, tokWords(5))).toDF("doc_id", "text")
+    val r3 = CurationPipeline.ingestBatch(spark, batch3, tokenize = true, packSeqLen = 7)
+    assert(r3.ok, r3.stages.toString)
+    // published gen-1 sequences ++ carry == the batch-global pack over
+    // the gen-1 id table (repacked tier + appended batch, id-for-id)
+    val seqT = CurationPipeline.idSequencesTable(spark)
+    val published = spark.table(seqT)
+      .collect().map(r => r.getAs[Long]("seq_no") -> r.getSeq[Long](1)).sortBy(_._1)
+    assert(published.forall(_._2.length == 7))
+    val st = spark.table(CurationPipeline.PackStateTable + "_g1").head()
+    assert(st.getLong(0) == published.length.toLong, "cursor equals the published count")
+    val carry = Option(st.getSeq[Long](1)).getOrElse(Seq.empty[Long])
+    val globalPack = Bpe.packIdSequences(
+        spark.table(CurationPipeline.tokenIdsTable(spark)), seqLen = 7)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
+    val incremental = published ++
+      (if (carry.isEmpty) Seq.empty else Seq(st.getLong(0) -> carry))
+    assert(incremental.map(_._1).toSeq == globalPack.map(_._1).toSeq)
+    assert(incremental.map(_._2.toSeq).toSeq == globalPack.map(_._2.toSeq).toSeq)
+    // gen-0 artifacts were pruned at keepGenerations=2? No — gen 0 is
+    // within the keep window (next=1, keep=2): the old stream must
+    // still read for in-flight consumers
+    assert(graft.plans.Catalog.tableExists(spark, CurationPipeline.IdSequencesTable))
+  }
+
+  test("retrainTokenizer: the retokenize→flip window is repaired by the delta pass (interleaved ingest)") {
+    import graft.operators.Bpe
+    CurationPipeline.resetTreadmill(spark)
+    val batch1 = Seq((1L, tokWords(1)), (2L, tokWords(2))).toDF("doc_id", "text")
+    val batch2 = Seq((3L, tokWords(3) + " éé")).toDF("doc_id", "text")
+    CurationPipeline.publishTokenizer(spark, batch1, numMerges = 3)
+    CurationPipeline.ingestBatch(spark, batch1, tokenize = true, packSeqLen = 7)
+    CurationPipeline.ingestBatch(spark, batch2, tokenize = true, packSeqLen = 7)
+    // inject a REAL ingestBatch between the retokenize snapshot and the
+    // pointer flip — the delta pass must tokenize exactly those docs
+    // into the staged generation before it publishes
+    val batch3 = Seq((6L, tokWords(6)), (7L, tokWords(7))).toDF("doc_id", "text")
+    val r = CurationPipeline.retrainTokenizer(spark, packSeqLen = 7,
+      afterRetokenize = () =>
+        CurationPipeline.ingestBatch(spark, batch3, tokenize = true, packSeqLen = 7))
+    assert(r.ok, r.stages.toString)
+    assert(r.metrics("late_tokenized") == 2L, r.metrics.toString)
+    assert(CurationPipeline.currentTokenizerGeneration(spark) == 1L)
+    // the published generation covers the tier doc-for-doc
+    val tierIds = spark.table(CurationPipeline.TierTable).select("doc_id")
+    val tokIds = spark.table(CurationPipeline.tokenIdsTable(spark)).select("doc_id")
+    assert(tierIds.exceptAll(tokIds).isEmpty && tokIds.exceptAll(tierIds).isEmpty)
+    // and the id content equals the from-scratch gen-1 replay over the
+    // FULL clean tier (snapshot docs AND the interleaved batch — the
+    // delta docs tokenize under the new vocab, possibly with UNKs for
+    // seeds the snapshot lacked)
+    val merges = spark.table(CurationPipeline.BpeMergesTable + "_g1").orderBy("rank")
+      .collect().map(row => Bpe.Merge(row.getAs[Int]("rank"), row.getAs[String]("left_sym"),
+        row.getAs[String]("right_sym"), row.getAs[Long]("pair_count"))).toSeq
+    val want = Bpe.tokenizeIds(spark.table(CurationPipeline.CleanTierTable), merges,
+        spark.table(CurationPipeline.VocabTable + "_g1"))
+      .collect().map(row => row.getLong(0) -> row.getSeq[Long](1)).toMap
+    val got = spark.table(CurationPipeline.tokenIdsTable(spark))
+      .collect().map(row => row.getAs[Long]("doc_id") -> row.getSeq[Long](1)).toMap
+    assert(got == want, s"$got vs $want")
+    // the staged pack stream continued over the delta: published ++
+    // carry equals the global pack of the gen-1 id table
+    val published = spark.table(CurationPipeline.idSequencesTable(spark))
+      .collect().map(row => row.getAs[Long]("seq_no") -> row.getSeq[Long](1)).sortBy(_._1)
+    val st = spark.table(CurationPipeline.PackStateTable + "_g1").head()
+    val carry = Option(st.getSeq[Long](1)).getOrElse(Seq.empty[Long])
+    val globalPack = Bpe.packIdSequences(
+        spark.table(CurationPipeline.tokenIdsTable(spark)), seqLen = 7)
+      .collect().map(row => row.getLong(0) -> row.getSeq[Long](1)).sortBy(_._1)
+    val incremental = published ++
+      (if (carry.isEmpty) Seq.empty else Seq(st.getLong(0) -> carry))
+    assert(incremental.map(_._2.toSeq).toSeq == globalPack.map(_._2.toSeq).toSeq)
+  }
 }
