@@ -2855,6 +2855,32 @@ object SparkEntry {
         .orderBy("seq_no")
     }),
 
+    // INTERLEAVED MULTIMODAL PACKING: the vision-language training
+    // batches — each curated asset's caption ids prefixed with the
+    // media sentinel (-2, outside the vocab id space), blocks packed
+    // media_id-ascending into exact-seqLen windows, and every sequence
+    // carrying its (pos, ref_id) alignment so a loader can splice the
+    // media embeddings back in. One two-level prefix frame feeds both
+    // the id stream and the refs. The oracle replays training →
+    // tokenize → sentinel prepend → offset/slice algebra → the
+    // sentinel-position arithmetic, all from first principles.
+    "mm_pack_captions" -> ((s, dir) => {
+      val caps = docs(s, dir).select(col("doc_id").as("media_id"), col("text"))
+      val merges = Bpe.train(caps, numMerges = 6)
+      Bpe.packInterleaved(
+          Bpe.tokenizeIds(caps, merges, Bpe.vocabTable(caps, merges),
+            idCol = "media_id"),
+          seqLen = 256, idCol = "media_id")
+        .select(col("seq_no"),
+          array_join(col("token_ids"), ",").as("token_ids_csv"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          array_join(transform(col("refs"),
+            r => concat_ws(":", r.getField("pos"), r.getField("ref_id"))),
+            ",").as("refs_csv"),
+          size(col("refs")).cast("long").as("n_refs"))
+        .orderBy("seq_no")
+    }),
+
     // Unigram-LM quality signal: mean corpus frequency of each doc's
     // tokens (BIGINT sums; the mean is the single double op).
     // CCNet-style head/middle/tail per language by LM-score percentile
@@ -3617,6 +3643,49 @@ object SparkEntry {
           |       string_agg(array_to_string(part, ','), ',' ORDER BY doc_id) AS token_ids_csv,
           |       sum(len(part))::BIGINT AS n_tokens
           |FROM segs GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // doc_pack_ids' algebra with the sentinel prepended per block and
+    // the refs read off the same offsets: a block starting at global
+    // offset strt puts its sentinel at (strt // L, strt % L)
+    "mm_pack_captions" ->
+      ("WITH " + bpeChainSql(6) + ",\n" + bpeVocabCtes(6) + ",\n" +
+        bpeTokenizeCtes(6) +
+        """,
+          |wlist AS (
+          |  SELECT s.w, list(v.id ORDER BY s.ord) AS idl
+          |  FROM wsyms s JOIN vocab v ON v.symbol = s.sym GROUP BY 1),
+          |dids AS (
+          |  SELECT d.doc_id, list_prepend(CAST(-2 AS BIGINT),
+          |           flatten(list(wl.idl ORDER BY d.ord))) AS ids
+          |  FROM dw d JOIN wlist wl USING (w) GROUP BY 1),
+          |off AS (
+          |  SELECT doc_id, ids, len(ids)::BIGINT AS n,
+          |         coalesce(sum(len(ids)) OVER (ORDER BY doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS strt
+          |  FROM dids),
+          |segs AS (
+          |  SELECT u.seq_no AS seq_no, o.doc_id,
+          |         list_slice(o.ids,
+          |           CAST(greatest(o.strt, u.seq_no * 256) - o.strt + 1 AS INT),
+          |           CAST(least(o.strt + o.n, (u.seq_no + 1) * 256) - o.strt AS INT)) AS part
+          |  FROM off o, unnest(range(o.strt // 256, (o.strt + o.n - 1) // 256 + 1)) AS u(seq_no)
+          |  WHERE o.n > 0),
+          |seqs AS (
+          |  SELECT CAST(seq_no AS BIGINT) AS seq_no,
+          |         string_agg(array_to_string(part, ','), ',' ORDER BY doc_id) AS token_ids_csv,
+          |         sum(len(part))::BIGINT AS n_tokens
+          |  FROM segs GROUP BY 1),
+          |refs AS (
+          |  SELECT CAST(strt // 256 AS BIGINT) AS seq_no,
+          |         string_agg((strt % 256)::VARCHAR || ':' || doc_id::VARCHAR,
+          |                    ',' ORDER BY strt % 256) AS refs_csv,
+          |         count(*)::BIGINT AS n_refs
+          |  FROM off GROUP BY 1)
+          |SELECT s.seq_no, s.token_ids_csv, s.n_tokens,
+          |       coalesce(r.refs_csv, '') AS refs_csv,
+          |       coalesce(r.n_refs, 0)::BIGINT AS n_refs
+          |FROM seqs s LEFT JOIN refs r USING (seq_no)
+          |ORDER BY 1""".stripMargin),
 
     // CASTs on the sums: DuckDB sum(BIGINT) widens to HUGEINT, which
     // the gate's hasher rejects even at identical values.

@@ -74,6 +74,7 @@ object CurationPipeline {
   val MediaRefTable = "documents_media_referenced"
   val MediaTable = "documents_media_curated"
   val MediaCaptionsTable = "documents_media_captions"
+  val MediaSequencesTable = "documents_media_sequences"
 
   /** The FULL training-data flow: quality gate → benchmark
     * decontamination → near-dup dedup → boilerplate strip → duplicate-
@@ -377,7 +378,32 @@ object CurationPipeline {
               "tokenized_docs" -> stats.getLong(0),
               "token_ids_total" -> stats.getLong(1),
               "id_sequences" -> spark.table(IdSequencesTable).count())
-          }))) ++
+          }) ++
+          (if (captions.isEmpty) Seq.empty[Stage] else Seq(
+            Stage("pack_captions") { _ =>
+              // the MULTIMODAL training batches: each curated asset's
+              // best caption tokenizes against the just-published vocab
+              // and packs sentinel-interleaved (Bpe.packInterleaved) —
+              // the id stream a vision-language loader consumes, refs
+              // aligning every media splice point. Caption UNKs are
+              // REPORTED (captions are not the vocab's train corpus),
+              // never failed.
+              val caps = spark.table(MediaCaptionsTable)
+                .select(col("media_id"), col("kept_caption").as("text"))
+              val ids = Bpe.tokenizeIds(caps, loadBpeMerges(spark, bpeMerges),
+                spark.table(VocabTable), idCol = "media_id", domain = bpeDomain)
+                .localCheckpoint(true)
+              Catalog.ctasOverwrite(
+                Bpe.packInterleaved(ids, seqLen = seqLen, idCol = "media_id"),
+                MediaSequencesTable)
+              val unks = ids.agg(coalesce(sum(size(filter(col("token_ids"),
+                i => i === lit(Bpe.UnkId)))), lit(0)).cast("long")).head().getLong(0)
+              Catalog.releasePin(ids)
+              val agg = spark.table(MediaSequencesTable).agg(
+                count(lit(1)), coalesce(sum(size(col("refs"))), lit(0)).cast("long")).head()
+              Map("media_sequences" -> agg.getLong(0),
+                "media_refs" -> agg.getLong(1), "caption_unk_ids" -> unks)
+            })))) ++
       (if (mixBudgetTokens <= 0L) Seq.empty[Stage] else Seq(
         Stage("epoch_mix") { _ =>
           // the training recipe over the TRAIN split: token counts come

@@ -523,6 +523,61 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
       .select("media_id").as[Long].collect().toSet == Set(10L, 12L))
   }
 
+  test("runFull pack_captions: interleaved media sequences with refs, twin-exact vs the operator") {
+    import graft.operators.Bpe
+    def payload(seed: Int): Array[Byte] =
+      Array.tabulate(96)(i => (33 + (seed * 31 + i * 7) % 90).toByte)
+    def body(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val planted = Seq(
+      (1L, body("alpha", 60)), (2L, body("beta", 60))).toDF("doc_id", "text")
+    val mediaDf = Seq((1L, 10L, payload(1)), (2L, 12L, payload(2)))
+      .toDF("doc_id", "media_id", "bytes")
+      .select($"doc_id", $"media_id", lit("image").as("kind"),
+        lit("raw").as("format"), $"bytes")
+    val caps = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta", 0.8),
+      (12L, "beta beta beta", 0.5)).toDF("media_id", "caption", "score")
+    val report = CurationPipeline.runFull(spark, planted,
+      spark.emptyDataFrame.withColumn("text", lit("")).select("text"),
+      jaccardThreshold = 0.5, minTokens = 10, maxPunctRatio = 1.0,
+      minStopwordRatio = 0.0, seqLen = 8,
+      bpeMerges = 4, materializeTokenIds = true,
+      media = Some(mediaDf), captions = Some(caps))
+    assert(report.ok, report.stages.toString)
+    assert(report.stages.exists(_.stage == "pack_captions"), report.stages.toString)
+    // every kept caption contributes exactly one sentinel ref
+    assert(report.metrics("media_refs") == report.metrics("caption_kept"),
+      report.metrics.toString)
+    assert(report.metrics("media_sequences") > 0L, report.metrics.toString)
+    // twin-exact vs the operator over the published artifacts
+    val merges = spark.table(CurationPipeline.BpeMergesTable).orderBy("rank").collect()
+      .map(r => Bpe.Merge(r.getAs[Int]("rank"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("pair_count"))).toSeq
+    val want = Bpe.packInterleaved(
+        Bpe.tokenizeIds(spark.table(CurationPipeline.MediaCaptionsTable)
+            .select($"media_id", $"kept_caption".as("text")),
+          merges, spark.table(CurationPipeline.VocabTable), idCol = "media_id"),
+        seqLen = 8, idCol = "media_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    val got = spark.table(CurationPipeline.MediaSequencesTable)
+      .collect().map(r => (r.getAs[Long]("seq_no"), r.getSeq[Long](1))).sortBy(_._1)
+    assert(got.map(t => (t._1, t._2.toSeq)).toSeq ==
+      want.map(t => (t._1, t._2.toSeq)).toSeq, s"$got vs $want")
+    // refs point at sentinel positions in the shipped sequences
+    spark.table(CurationPipeline.MediaSequencesTable).collect().foreach { r =>
+      val ids = r.getSeq[Long](1)
+      r.getSeq[org.apache.spark.sql.Row](2).foreach(ref =>
+        assert(ids(ref.getInt(0)) == Bpe.MediaId, r.toString))
+    }
+    // without captions the stage is absent
+    val off = CurationPipeline.runFull(spark, planted,
+      spark.emptyDataFrame.withColumn("text", lit("")).select("text"),
+      jaccardThreshold = 0.5, minTokens = 10, maxPunctRatio = 1.0,
+      minStopwordRatio = 0.0, seqLen = 8,
+      bpeMerges = 4, materializeTokenIds = true, media = Some(mediaDf))
+    assert(off.ok && !off.stages.exists(_.stage == "pack_captions"))
+  }
+
   test("runFull tokenize_ids stage publishes vocab, id sequences, and id-exact packs (zero UNKs)") {
     // pure-letter words: the default LetterWords domain keeps ^\p{L}+$
     // only, so a digit suffix would zero out the whole corpus
