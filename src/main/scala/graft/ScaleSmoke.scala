@@ -443,6 +443,90 @@ object ScaleSmoke {
         s"${idTotals.getLong(1)} ids, ${pub.getLong(0)} sequences, carry $carry")
       idTotals.getLong(0)
     }
+    timed("tokenizer_retrain_50k") {
+      // the DRIFT-TRIGGERED tokenizer rollover at corpus scale: train
+      // on slice 1, ingest both slices — slice 2's %7 docs arrive
+      // vowel-translated to Greek (the realistic drift: a new-language
+      // crawl slice lands, textually novel so it SURVIVES dedup, its
+      // seeds unseen so every one UNKs) — then ONE maintain decision
+      // retrains on the clean tier, re-tokenizes it, re-packs the
+      // sequence stream, and flips the generation pointer. The timed
+      // cost is the full rollover: |vocab|-bounded training + one tier
+      // tokenize through the kernel + one pack pass — the
+      // regenerate-shaped one-full-tier-pass class.
+      val cp = graft.pipeline.CurationPipeline
+      cp.resetTreadmill(spark)
+      val half = (mult / 2).toLong * 1000000L
+      val slice1 = docs.filter(col("doc_id") < half)
+      val slice2 = docs.filter(col("doc_id") >= half)
+        .select(col("doc_id"), when(col("doc_id") % 7 === 0,
+          translate(col("text"), "aeiou", "αεϊοϋ")).otherwise(col("text")).as("text"))
+      cp.publishTokenizer(spark, slice1, numMerges = 32)
+      val r1 = cp.ingestBatch(spark, slice1, tokenize = true, packSeqLen = 2048)
+      require(r1.ok && r1.metrics("batch_unk_ids") == 0L, r1.metrics.toString)
+      val r2 = cp.ingestBatch(spark, slice2, tokenize = true, packSeqLen = 2048)
+      require(r2.ok && r2.metrics("batch_unk_ids") > 0L,
+        s"slice 2 must carry the planted UNK seeds: ${r2.metrics}")
+      val roll = cp.maybeRetrainTokenizer(spark, maxUnkShare = 1e-9,
+        packSeqLen = 2048)
+      require(roll.nonEmpty && roll.get.ok, s"drift must roll: $roll")
+      require(cp.currentTokenizerGeneration(spark) == 1L)
+      // generation-1 ids cover the tier doc-for-doc and are UNK-free
+      // (trained on exactly the tier the retokenize read)
+      val idsT = cp.tokenIdsTable(spark)
+      val cov = spark.table(cp.TierTable).select("doc_id")
+        .join(spark.table(idsT).select("doc_id"), Seq("doc_id"), "left_anti").count()
+      require(cov == 0L, s"gen-1 ids must cover the tier ($cov missing)")
+      require(roll.get.metrics("tier_unk_ids") == 0L, roll.get.metrics.toString)
+      // the re-packed stream conserves the gen-1 id total
+      val ids = spark.table(idsT).agg(
+        coalesce(sum(size(col("token_ids"))), lit(0)).cast("long")).head().getLong(0)
+      val pub = spark.table(cp.idSequencesTable(spark)).agg(
+        count(lit(1)).cast("long"),
+        coalesce(sum(size(col("token_ids"))), lit(0)).cast("long")).head()
+      val st = spark.table(cp.PackStateTable + "_g1").head()
+      val carry = Option(st.getSeq[Long](1)).map(_.size.toLong).getOrElse(0L)
+      require(st.getLong(0) == pub.getLong(0), "cursor must equal published count")
+      require(pub.getLong(1) + carry == ids,
+        s"repacked + carry (${pub.getLong(1)} + $carry) must conserve the gen-1 stream ($ids)")
+      System.err.println(s"[scale] tokenizer_retrain gen 1: " +
+        s"${roll.get.metrics("tier_tokenized_docs")} docs retokenized, " +
+        s"${roll.get.metrics("bpe_merges")} merges, ${pub.getLong(0)} sequences")
+      roll.get.metrics("tier_tokenized_docs")
+    }
+    timed("pack_interleaved_50k") {
+      // interleaved multimodal packing at corpus scale: every doc plays
+      // a captioned asset. Structural assertions: the sentinel count in
+      // the shipped stream equals the block count, refs reconcile
+      // one-per-block, every ref position holds the sentinel, and the
+      // stream conserves ids + sentinels exactly.
+      val merges = operators.Bpe.trainBatched(docs, numMerges = 16)
+      val vocab = operators.Bpe.vocabTable(docs, merges)
+      val caps = docs.select(col("doc_id").as("media_id"), col("text"))
+      val ids = operators.Bpe.tokenizeIds(caps, merges, vocab, idCol = "media_id")
+        .localCheckpoint(true)
+      val idAgg = ids.agg(count(lit(1)).cast("long"),
+        coalesce(sum(size(col("token_ids"))), lit(0)).cast("long")).head()
+      val seqs = operators.Bpe.packInterleaved(ids, seqLen = 2048,
+        idCol = "media_id").localCheckpoint(true)
+      val agg = seqs.agg(
+        coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"),
+        coalesce(sum(size(filter(col("token_ids"),
+          i => i === lit(operators.Bpe.MediaId)))), lit(0)).cast("long"),
+        coalesce(sum(size(col("refs"))), lit(0)).cast("long")).head()
+      require(agg.getLong(1) == idAgg.getLong(0) && agg.getLong(2) == idAgg.getLong(0),
+        s"sentinels ${agg.getLong(1)} and refs ${agg.getLong(2)} must equal blocks ${idAgg.getLong(0)}")
+      require(agg.getLong(0) == idAgg.getLong(1) + idAgg.getLong(0),
+        "the stream must conserve ids plus one sentinel per block")
+      val misaligned = seqs.select(col("token_ids"), explode(col("refs")).as("r"))
+        .filter(element_at(col("token_ids"), col("r.pos") + 1) =!=
+          lit(operators.Bpe.MediaId)).count()
+      require(misaligned == 0L, s"$misaligned refs point at non-sentinel positions")
+      val n = seqs.count()
+      System.err.println(s"[scale] pack_interleaved ${idAgg.getLong(0)} blocks, " +
+        s"${agg.getLong(0)} ids in $n sequences")
+      n
+    }
     timed("ivfpq_refine_8k") {
       // the production ANN read path end-to-end: train coarse cells +
       // PQ books, propose in the compressed domain, re-rank exact.
