@@ -2881,6 +2881,23 @@ object SparkEntry {
         .orderBy("seq_no")
     }),
 
+    // ...and its audit inverse: the same interleaved stream decoded —
+    // vocab ids back to symbols, sentinels to self-describing
+    // <media:REF_ID> markers resolved from the refs. The oracle runs
+    // the identical offset/slice algebra over SYMBOL lists instead of
+    // id lists, marker prepended per block.
+    "mm_decode_interleaved" -> ((s, dir) => {
+      val caps = docs(s, dir).select(col("doc_id").as("media_id"), col("text"))
+      val merges = Bpe.train(caps, numMerges = 6)
+      val vocab = Bpe.vocabTable(caps, merges)
+      Bpe.decodeInterleaved(
+          Bpe.packInterleaved(
+            Bpe.tokenizeIds(caps, merges, vocab, idCol = "media_id"),
+            seqLen = 256, idCol = "media_id"),
+          vocab)
+        .orderBy("seq_no")
+    }),
+
     // Unigram-LM quality signal: mean corpus frequency of each doc's
     // tokens (BIGINT sums; the mean is the single double op).
     // CCNet-style head/middle/tail per language by LM-score percentile
@@ -3686,6 +3703,35 @@ object SparkEntry {
           |       coalesce(r.n_refs, 0)::BIGINT AS n_refs
           |FROM seqs s LEFT JOIN refs r USING (seq_no)
           |ORDER BY 1""".stripMargin),
+
+    // the pack algebra over SYMBOL lists: marker-prepended per block,
+    // the same offsets and slices, per-sequence boundary-free concat
+    "mm_decode_interleaved" ->
+      ("WITH " + bpeChainSql(6) + ",\n" + bpeVocabCtes(6) + ",\n" +
+        bpeTokenizeCtes(6) +
+        """,
+          |wsym2 AS (
+          |  SELECT s.w, list(s.sym ORDER BY s.ord) AS syml
+          |  FROM wsyms s GROUP BY 1),
+          |dsym AS (
+          |  SELECT d.doc_id, list_prepend('<media:' || d.doc_id::VARCHAR || '>',
+          |           flatten(list(ws.syml ORDER BY d.ord))) AS syms
+          |  FROM dw d JOIN wsym2 ws USING (w) GROUP BY 1),
+          |off AS (
+          |  SELECT doc_id, syms, len(syms)::BIGINT AS n,
+          |         coalesce(sum(len(syms)) OVER (ORDER BY doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS strt
+          |  FROM dsym),
+          |segs AS (
+          |  SELECT u.seq_no AS seq_no, o.doc_id,
+          |         list_slice(o.syms,
+          |           CAST(greatest(o.strt, u.seq_no * 256) - o.strt + 1 AS INT),
+          |           CAST(least(o.strt + o.n, (u.seq_no + 1) * 256) - o.strt AS INT)) AS part
+          |  FROM off o, unnest(range(o.strt // 256, (o.strt + o.n - 1) // 256 + 1)) AS u(seq_no)
+          |  WHERE o.n > 0)
+          |SELECT CAST(seq_no AS BIGINT) AS seq_no,
+          |       string_agg(array_to_string(part, ''), '' ORDER BY doc_id) AS text
+          |FROM segs GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // CASTs on the sums: DuckDB sum(BIGINT) widens to HUGEINT, which
     // the gate's hasher rejects even at identical values.

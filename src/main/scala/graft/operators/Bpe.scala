@@ -552,6 +552,37 @@ object Bpe {
         .select(col("position"), col("token_ids")),
       seqLen, chunkPositions, idCol = "position")
 
+  /** Decode INTERLEAVED sequences back to inspectable text — the
+    * [[decodeIds]] twin for [[packInterleaved]]'s output: vocab ids
+    * render as their symbols, and each sentinel renders as an ASCII
+    * `<media:REF_ID>` marker resolved from the sequence's refs (the
+    * marker is pure ASCII, so it survives the Bytes domain's unseed
+    * re-read unchanged; REF_ID makes the audit line self-describing —
+    * WHICH asset sits at the splice point, not just that one does).
+    * Refs explode to (pos, ref_id) and join the positional id stream
+    * on (seq_no, pos) — both sides are the same sequence partitioning,
+    * and the vocab side broadcasts. A sentinel with no matching ref
+    * (or any unknown id) renders U+FFFD, same as [[decodeIds]]. */
+  def decodeInterleaved(seqs: DataFrame, vocab: DataFrame,
+                        sentinel: Long = MediaId,
+                        domain: Domain = LetterWords): DataFrame = {
+    val toks = seqs
+      .select(col("seq_no"), posexplode(col("token_ids")).as(Seq("pos", "id")))
+    val refs = seqs
+      .select(col("seq_no"), explode(col("refs")).as("r"))
+      .select(col("seq_no"), col("r.pos").as("pos"),
+        concat(lit("<media:"), col("r.ref_id"), lit(">")).as("__marker"))
+    toks
+      .join(broadcast(vocab.select(col("id"), col("symbol"))), Seq("id"), "left")
+      .join(refs, Seq("seq_no", "pos"), "left")
+      .groupBy("seq_no")
+      .agg(domain.unseed(array_join(transform(
+        array_sort(collect_list(struct(col("pos"),
+          when(col("id") === sentinel, coalesce(col("__marker"), lit("�")))
+            .otherwise(coalesce(col("symbol"), lit("�"))).as("symbol")))),
+        s => s.getField("symbol")), "")).as("text"))
+  }
+
   /** Decode id sequences back to text — the inspection/debug inverse
     * of [[tokenizeIds]] a curation run wants when auditing what a
     * packed sequence actually says. Ids map to vocab symbols

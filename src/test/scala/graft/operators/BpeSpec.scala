@@ -367,6 +367,33 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("decodeInterleaved: the audit inverse renders vocab symbols and <media:id> markers in stream order") {
+    val caps = Seq((10L, "aa bb"), (20L, "bb aa bb"), (30L, "aa"))
+      .toDF("media_id", "text")
+    val merges = Bpe.train(caps, numMerges = 1)
+    val vocab = Bpe.vocabTable(caps, merges)
+    val tokenized = Bpe.tokenizeIds(caps, merges, vocab, idCol = "media_id")
+    for (seqLen <- Seq(3, 5)) {
+      val seqs = Bpe.packInterleaved(tokenized, seqLen = seqLen, chunkDocs = 2)
+      val decoded = Bpe.decodeInterleaved(seqs, vocab)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+      // the seq_no-ordered concatenation equals marker + boundary-free
+      // kept words per block, media_id-ascending — the full roundtrip
+      val want = Seq(10L -> "aabb", 20L -> "bbaabb", 30L -> "aa")
+        .map { case (id, t) => s"<media:$id>$t" }.mkString
+      assert(decoded.map(_._2).mkString == want,
+        s"${decoded.map(_._2).mkString} vs $want (seqLen=$seqLen)")
+    }
+    // an id with no vocab row (UNK) and a sentinel with no ref both
+    // render U+FFFD
+    val weird = Seq((0L, Seq(Bpe.UnkId, 0L, Bpe.MediaId)))
+      .toDF("seq_no", "token_ids")
+      .withColumn("refs",
+        expr("array()").cast("array<struct<pos:int,ref_id:bigint>>"))
+    val txt = Bpe.decodeInterleaved(weird, vocab).head().getString(1)
+    assert(txt.startsWith("�") && txt.endsWith("�"), txt)
+  }
+
   // ---- Bytes domain: UTF-8 byte seeds via the latin-1 rendition ----
 
   /** The reference side of Domain.seed for Bytes: one latin-1 char per
