@@ -2898,6 +2898,18 @@ object SparkEntry {
         .orderBy("seq_no")
     }),
 
+    // ONE deterministic training order over BOTH sequence streams
+    // (text + multimodal): the bucketed-md5 global shuffle keyed by
+    // the compound modality:seq_no id — a trainer mounts one manifest.
+    // The oracle replays the md5 rank directly.
+    "mm_train_order" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.trainOrderMixed(
+          d.filter(col("doc_id") % 2 === 0).select(col("doc_id").as("seq_no")),
+          d.filter(col("doc_id") % 3 === 0).select(col("doc_id").as("seq_no")))
+        .orderBy("position")
+    }),
+
     // Unigram-LM quality signal: mean corpus frequency of each doc's
     // tokens (BIGINT sums; the mean is the single double op).
     // CCNet-style head/middle/tail per language by LM-score percentile
@@ -3732,6 +3744,17 @@ object SparkEntry {
           |SELECT CAST(seq_no AS BIGINT) AS seq_no,
           |       string_agg(array_to_string(part, ''), '' ORDER BY doc_id) AS text
           |FROM segs GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "mm_train_order" ->
+      """WITH u AS (
+        |  SELECT 'text' AS modality, doc_id AS seq_no FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'multimodal' AS modality, doc_id AS seq_no FROM documents WHERE doc_id % 3 = 0)
+        |SELECT CAST(row_number() OVER (
+        |         ORDER BY md5('42:' || modality || ':' || seq_no::VARCHAR),
+        |                  modality || ':' || seq_no::VARCHAR) - 1 AS BIGINT) AS position,
+        |       modality, seq_no
+        |FROM u ORDER BY position""".stripMargin,
 
     // CASTs on the sums: DuckDB sum(BIGINT) widens to HUGEINT, which
     // the gate's hasher rejects even at identical values.

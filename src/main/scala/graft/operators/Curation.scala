@@ -918,6 +918,27 @@ object Curation {
       .drop("__h", "__bucket", "__rank", "__off", "__n")
   }
 
+  /** ONE deterministic training order over BOTH sequence artifacts —
+    * the text id-sequence stream and the interleaved multimodal stream
+    * — so a trainer mounts a single (position, modality, seq_no)
+    * manifest instead of hand-interleaving two files. The same
+    * [[globalShuffle]] machinery (bucketed md5 rank, no global window)
+    * over the union, keyed by the compound "modality:seq_no" string
+    * (unique by construction: seq_nos are dense per stream, modalities
+    * disjoint). Same seed → same order on any cluster; mixing is
+    * proportional in expectation (each row's position is an
+    * independent uniform hash), which is exactly the i.i.d.-batch
+    * property training wants. */
+  def trainOrderMixed(textSeqs: DataFrame, multimodalSeqs: DataFrame,
+                      seed: Long = 42L): DataFrame = {
+    val u = textSeqs.select(lit("text").as("modality"), col("seq_no"))
+      .unionByName(
+        multimodalSeqs.select(lit("multimodal").as("modality"), col("seq_no")))
+      .withColumn("__sid", concat_ws(":", col("modality"), col("seq_no")))
+    globalShuffle(u, seed, idCol = "__sid")
+      .select(col("position"), col("modality"), col("seq_no"))
+  }
+
   // ------------------------------------------------------------------
   // Corpus vocabulary
   // ------------------------------------------------------------------

@@ -75,6 +75,7 @@ object CurationPipeline {
   val MediaTable = "documents_media_curated"
   val MediaCaptionsTable = "documents_media_captions"
   val MediaSequencesTable = "documents_media_sequences"
+  val TrainOrderMixedTable = "documents_train_order_mixed"
 
   /** The FULL training-data flow: quality gate → benchmark
     * decontamination → near-dup dedup → boilerplate strip → duplicate-
@@ -403,6 +404,24 @@ object CurationPipeline {
                 count(lit(1)), coalesce(sum(size(col("refs"))), lit(0)).cast("long")).head()
               Map("media_sequences" -> agg.getLong(0),
                 "media_refs" -> agg.getLong(1), "caption_unk_ids" -> unks)
+            },
+            Stage("train_order_mixed") { _ =>
+              // ONE manifest over BOTH sequence artifacts: the trainer
+              // mounts (position, modality, seq_no) instead of
+              // hand-interleaving the text and multimodal streams
+              Catalog.ctasOverwrite(
+                Curation.trainOrderMixed(
+                  spark.table(IdSequencesTable).select("seq_no"),
+                  spark.table(MediaSequencesTable).select("seq_no"),
+                  seed = shuffleSeed),
+                TrainOrderMixedTable)
+              val agg = spark.table(TrainOrderMixedTable)
+                .agg(count(lit(1)).as("n"),
+                  coalesce(max(col("position")) + 1, lit(0L)).as("p")).head()
+              require(agg.getLong(0) == agg.getLong(1),
+                s"mixed training order must be a dense permutation: " +
+                  s"${agg.getLong(0)} rows, max+1=${agg.getLong(1)}")
+              Map("train_order_mixed_rows" -> agg.getLong(0))
             })))) ++
       (if (mixBudgetTokens <= 0L) Seq.empty[Stage] else Seq(
         Stage("epoch_mix") { _ =>

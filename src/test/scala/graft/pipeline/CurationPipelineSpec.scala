@@ -569,6 +569,16 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
       r.getSeq[org.apache.spark.sql.Row](2).foreach(ref =>
         assert(ids(ref.getInt(0)) == Bpe.MediaId, r.toString))
     }
+    // the mixed manifest covers BOTH streams exactly once, densely
+    val mixed = spark.table(CurationPipeline.TrainOrderMixedTable).collect()
+      .map(r => (r.getAs[String]("modality"), r.getAs[Long]("seq_no"))).toSet
+    val wantMixed =
+      spark.table(CurationPipeline.IdSequencesTable).select("seq_no")
+        .collect().map(r => ("text", r.getLong(0))).toSet ++
+      spark.table(CurationPipeline.MediaSequencesTable).select("seq_no")
+        .collect().map(r => ("multimodal", r.getLong(0))).toSet
+    assert(mixed == wantMixed, s"$mixed vs $wantMixed")
+    assert(report.metrics("train_order_mixed_rows") == mixed.size.toLong)
     // without captions the stage is absent
     val off = CurationPipeline.runFull(spark, planted,
       spark.emptyDataFrame.withColumn("text", lit("")).select("text"),
