@@ -304,6 +304,7 @@ object VectorPipeline {
           Catalog.insertAppendOnce(spark, indexTableG(nextGen),
             Similarity.pqIndex(late, loadCents(spark, nextGen), loadBooks(spark, nextGen)),
             "vec_id")
+        Catalog.releasePin(late) // the delta pin must not outlive the rollover
         // THE atomic step: one versioned view flip of the pointer
         Catalog.ctasOverwrite(
           spark.range(1).select(lit(nextGen).as("generation")), GenPointerTable)
