@@ -1935,6 +1935,50 @@ object SparkEntry {
       tier.select("media_id").orderBy("media_id")
     }),
 
+    // The CAPTION treadmill riding the media stream: the landing rows
+    // carry (caption, score) next to the bytes, each drain splits them
+    // off, attributes every candidate to its asset's component
+    // canonical via the SAME reconcile closure the dedup used, folds
+    // against the STORED winners (touched canonicals only), and MERGEs
+    // through the atomic flip. Keep-best is an associative min and
+    // dropped_count adds, so the running artifact must equal
+    // batch-global captionKeepBest over every asset + caption of both
+    // slices — which the oracle replays from first principles (grid →
+    // dHash bits → hamming → recursive closure → per-component argmax).
+    // Slice 2 is a checkpoint RESTART; its re-encodes of TIER assets
+    // carry fresh captions that must fold into slice-1 winners.
+    "stream_media_captions" -> ((s, dir) => {
+      import graft.pipeline.MediaPipeline
+      MediaPipeline.resetTreadmill(s)
+      val land = tempDir("graft_cap_land")
+      val cp = tempDir("graft_cap_cp")
+      val base = docs(s, dir).filter(col("text").isNotNull)
+      val capsDf = base.select(col("doc_id").as("media_id"), col("text").as("caption"))
+        .unionByName(base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("media_id"),
+            concat(col("text"), lit(" crisp studio photograph")).as("caption")))
+        .unionByName(base.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 200000L).as("media_id"),
+            concat(col("text"), lit(" blurry snapshot")).as("caption")))
+      val landed = phashMedia(s, dir).join(capsDf, Seq("media_id"), "left")
+        .withColumn("score", (col("media_id") % 997).cast("double"))
+      landed.filter(col("media_id") < 250).coalesce(1).write.mode("append").parquet(land)
+      val q1 = MediaPipeline.streamIngest(s, land, cp, captioned = true)
+      require(q1.awaitTermination(300000), "stream_media_captions: slice 1 drain timed out")
+      landed.filter(col("media_id") >= 250).coalesce(1).write.mode("append").parquet(land)
+      val q2 = MediaPipeline.streamIngest(s, land, cp, captioned = true)
+      require(q2.awaitTermination(300000), "stream_media_captions: slice 2 drain timed out")
+      // every caption canonical is a tier asset and every tier asset
+      // (all captioned in this fixture) has a winner row
+      val tierIds = s.table(MediaPipeline.TierTable).select("media_id")
+      val capIds = s.table(MediaPipeline.CaptionsTable).select("media_id")
+      require(capIds.exceptAll(tierIds).isEmpty && tierIds.exceptAll(capIds).isEmpty,
+        "stream_media_captions: winner rows must cover the tier id-for-id")
+      s.table(MediaPipeline.CaptionsTable)
+        .select("media_id", "kept_caption", "kept_from", "dropped_count")
+        .orderBy("media_id")
+    }),
+
     // The VIDEO ingest treadmill — the fourth incremental modality:
     // slice 1 (the original videos) lands as parquet FRAMES and drains
     // through the checkpointed file source (bootstrap = in-batch video
@@ -5626,6 +5670,45 @@ object SparkEntry {
          |         COALESCE(cm.cluster_id, c.media_id) AS component
          |  FROM caps c LEFT JOIN agg a USING (media_id)
          |  LEFT JOIN comp cm USING (media_id)),
+         |ranked AS (
+         |  SELECT component, media_id, caption,
+         |         row_number() OVER (PARTITION BY component
+         |           ORDER BY score DESC, media_id, caption) AS rk,
+         |         count(*) OVER (PARTITION BY component) AS n
+         |  FROM scored)
+         |SELECT component AS media_id, caption AS kept_caption,
+         |       media_id AS kept_from, CAST(n - 1 AS BIGINT) AS dropped_count
+         |FROM ranked WHERE rk = 1 ORDER BY 1""".stripMargin,
+
+    // the caption treadmill converges to batch-global keep-best over
+    // both slices: mm_caption_keep_best's closure + argmax replay with
+    // the gate's deterministic integer-double scores
+    "stream_media_captions" ->
+      s"""WITH RECURSIVE $phashSigsSql,
+         |$phashEdgesSql,
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT id AS media_id, MIN(lbl) AS cluster_id FROM (
+         |    SELECT src AS id, dst AS lbl FROM reach
+         |    UNION SELECT src, src FROM edges)
+         |  GROUP BY 1),
+         |caps AS (
+         |  SELECT doc_id AS media_id, text AS caption
+         |  FROM documents WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text || ' crisp studio photograph'
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text || ' blurry snapshot'
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 3),
+         |scored AS (
+         |  SELECT c.media_id, c.caption,
+         |         CAST(c.media_id % 997 AS DOUBLE) AS score,
+         |         COALESCE(cm.cluster_id, c.media_id) AS component
+         |  FROM caps c LEFT JOIN comp cm USING (media_id)),
          |ranked AS (
          |  SELECT component, media_id, caption,
          |         row_number() OVER (PARTITION BY component

@@ -519,11 +519,26 @@ object Multimodal {
                    grid: GridExtractor = StubGrid,
                    maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
                    batchIndex: Option[DataFrame] = None): DataFrame = {
-    require(maxHamming < 4, s"4-chunk pigeonhole covers hamming <= 3, got $maxHamming")
     // a caller that already built the batch index (e.g. to publish it,
     // or for skippedPhashBucketsAgainst) passes it in so the batch
     // decodes exactly once across reconcile + publish + metric
     val bIdx = batchIndex.getOrElse(phashIndex(batch, grid).localCheckpoint(true))
+    phashAgainstFromComponents(batch,
+      phashReconcileComponents(bIdx, tierIndex, maxHamming, maxBucketSize), tierIndex)
+  }
+
+  /** The RECONCILE CLOSURE shared by [[phashAgainst]] and the caption
+    * treadmill: hamming components over cross (batch×tier, combined
+    * bucket cap) ∪ internal (batch×batch, capped) pairs, labeled by
+    * their minimum member id — which is the component's CANONICAL
+    * asset under monotone ids (tier ids precede batch ids, and every
+    * tier asset is already its component's survivor). Assets touching
+    * no pair are absent (their canonical is themselves — callers
+    * coalesce). k-sized output: only assets in candidate pairs. */
+  def phashReconcileComponents(bIdx: DataFrame, tierIndex: DataFrame,
+                               maxHamming: Int = 3,
+                               maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
+    require(maxHamming < 4, s"4-chunk pigeonhole covers hamming <= 3, got $maxHamming")
     val tCnt = tierIndex.groupBy("chunk", "key").agg(count(lit(1)).as("__tc"))
     val bCnt = bIdx.groupBy("chunk", "key").agg(count(lit(1)).as("__bc"))
     val okBuckets = bCnt.join(tCnt, Seq("chunk", "key"))
@@ -543,7 +558,15 @@ object Multimodal {
         bit_count(col("p.a.phash").bitwiseXOR(col("p.b.phash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id").distinct()
-    val comps = Components.connectedComponents(cross.unionByName(internal))
+    Components.connectedComponents(cross.unionByName(internal))
+  }
+
+  /** The batch-survivor derivation over an already-computed closure
+    * ([[phashReconcileComponents]]) — a batch asset drops iff its
+    * component contains any tier asset, or it is a non-minimum member
+    * of a batch-only component. */
+  def phashAgainstFromComponents(batch: DataFrame, comps: DataFrame,
+                                 tierIndex: DataFrame): DataFrame = {
     val tierIds = tierIndex.select(col("media_id").as("id")).distinct()
     val tierComps = comps.join(tierIds, Seq("id"), "left_semi")
       .select("component").distinct()
@@ -815,6 +838,59 @@ object Multimodal {
       .select(col("component").as("media_id"),
         col("best.caption").as("kept_caption"),
         col("best.media_id").as("kept_from"),
+        col("dropped_count"))
+  }
+
+  /** INCREMENTAL cross-modal caption curation — the keep-best fold the
+    * media treadmill applies per batch, against the STORED winners
+    * instead of re-reading every caption ever ingested. Keep-best is a
+    * commutative, associative MIN under the total order
+    * (−score, contributor, caption) and dropped_count is additive, so
+    * folding each component's stored winner row with the batch's new
+    * candidates equals batch-global [[captionKeepBest]] over all
+    * captions so far — exactly, any batch split (the nearDupAgainst
+    * convergence-contract class). `comps` is the batch's reconcile
+    * closure ([[phashReconcileComponents]]): a caption attributes to
+    * its asset's component canonical, or to the asset itself when it
+    * touched no pair. `stored` is the running artifact
+    * (media_id = canonical, kept_caption, kept_from, kept_score,
+    * dropped_count); only TOUCHED canonicals are read (semi-join — the
+    * artifact is never scanned whole into the fold).
+    *
+    * CAVEAT (reported, never silent): a batch asset whose component
+    * contains ≥ 2 stored canonicals (a BRIDGE — the batch asset links
+    * two previously-independent tier components) attributes to the
+    * minimum; the other canonical's stored row goes stale, where
+    * batch-global replay would merge them. The caller counts bridges
+    * from the same closure ([[MediaPipeline]]'s `bridged_components`
+    * metric). */
+  def captionKeepBestAgainst(comps: DataFrame, stored: DataFrame,
+                             captions: DataFrame): DataFrame = {
+    val fresh = captions
+      .join(comps.withColumnRenamed("id", "media_id"), Seq("media_id"), "left")
+      .select(coalesce(col("component"), col("media_id")).as("canonical"),
+        col("caption"), col("score"), col("media_id").as("contributor"),
+        lit(0L).as("prior_dropped"))
+    val prior = stored
+      .join(fresh.select(col("canonical").as("media_id")).distinct(),
+        Seq("media_id"), "left_semi")
+      .select(col("media_id").as("canonical"), col("kept_caption").as("caption"),
+        col("kept_score").as("score"), col("kept_from").as("contributor"),
+        col("dropped_count").as("prior_dropped"))
+    // the id-safe argmax idiom shared with captionKeepBest: negate only
+    // the double, never ids; null score -> -inf = worst
+    val key = struct(
+      negate(coalesce(col("score"), lit(Double.NegativeInfinity))),
+      col("contributor"), col("caption"))
+    fresh.unionByName(prior)
+      .groupBy("canonical")
+      .agg(
+        min_by(struct(col("caption"), col("contributor"), col("score")), key).as("best"),
+        (sum(col("prior_dropped")) + count(lit(1)) - 1).cast("long").as("dropped_count"))
+      .select(col("canonical").as("media_id"),
+        col("best.caption").as("kept_caption"),
+        col("best.contributor").as("kept_from"),
+        col("best.score").as("kept_score"),
         col("dropped_count"))
   }
 

@@ -144,4 +144,91 @@ class MediaPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     assert(r2.metrics("skipped_cross_buckets") > 0L, r2.metrics.toString)
     assert(r2.metrics("skipped_batch_buckets") > 0L, r2.metrics.toString)
   }
+
+  private def caps(rows: (Long, String, Double)*) =
+    rows.toSeq.toDF("media_id", "caption", "score")
+
+  test("caption treadmill: a later better caption replaces the stored winner; worse never displaces") {
+    val r1 = MediaPipeline.ingestBatch(spark,
+      media(1L -> payload(1), 2L -> payload(2)),
+      captions = Some(caps((1L, "plain photo", 0.2), (2L, "the bench", 0.5))))
+    assert(r1.ok, r1.stages.toString)
+    assert(r1.metrics("caption_components_touched") == 2L, r1.metrics.toString)
+    // slice 2: a dropped re-encode of asset 1 carries a BETTER caption
+    // (must replace), a dropped re-encode of 2 a WORSE one (must not),
+    // and a fresh asset brings its own
+    val r2 = MediaPipeline.ingestBatch(spark,
+      media(10L -> reencode(1), 11L -> reencode(2), 12L -> payload(7)),
+      captions = Some(caps((10L, "crisp studio shot", 0.9),
+        (11L, "meh", 0.1), (12L, "a new thing", 0.7))))
+    assert(r2.ok, r2.stages.toString)
+    assert(r2.metrics("bridged_components") == 0L, r2.metrics.toString)
+    val got = spark.table(MediaPipeline.CaptionsTable)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[String]("kept_caption"), r.getAs[Long]("kept_from"),
+          r.getAs[Long]("dropped_count")))).toMap
+    assert(got(1L) == (("crisp studio shot", 10L, 1L)), got.toString)
+    assert(got(2L) == (("the bench", 2L, 1L)), got.toString)
+    assert(got(12L) == (("a new thing", 12L, 0L)), got.toString)
+    // convergence: the running artifact equals batch-global
+    // captionKeepBest over every asset + caption ingested so far
+    val allAssets = media(1L -> payload(1), 2L -> payload(2),
+      10L -> reencode(1), 11L -> reencode(2), 12L -> payload(7))
+    val allCaps = caps((1L, "plain photo", 0.2), (2L, "the bench", 0.5),
+      (10L, "crisp studio shot", 0.9), (11L, "meh", 0.1), (12L, "a new thing", 0.7))
+    val want = Multimodal.captionKeepBest(allAssets, allCaps)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[String]("kept_caption"), r.getAs[Long]("kept_from"),
+          r.getAs[Long]("dropped_count")))).toMap
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("caption treadmill: a bridging asset is REPORTED; null scores lose; idempotent republish") {
+    // flat grids make exact hamming control possible: base = all-50s
+    // (hash 0); changing a row's LAST grid cell (column 8) flips
+    // exactly one dHash bit. t2 flips 4 bits (rows 0-3) -> t1,t2 are
+    // hamming 4 apart (both survive at maxHamming 3); b flips rows 0-1
+    // only -> hamming 2 from BOTH: a bridge.
+    def flat(flipRows: Int*): Array[Byte] = {
+      val p = Array.fill[Byte](96)(50)
+      flipRows.foreach(r => p(r * 9 + 8) = 70)
+      p
+    }
+    val r1 = MediaPipeline.ingestBatch(spark,
+      media(1L -> flat(), 2L -> flat(0, 1, 2, 3)),
+      captions = Some(caps((1L, "t one", 0.5), (2L, "t two", 0.6))))
+    assert(r1.ok && r1.metrics("batch_kept") == 2L, r1.metrics.toString)
+    val r2 = MediaPipeline.ingestBatch(spark,
+      media(10L -> flat(0, 1)),
+      captions = Some(caps((10L, "bridge wording", 0.9))))
+    assert(r2.ok, r2.stages.toString)
+    assert(r2.metrics("bridged_components") == 1L, r2.metrics.toString)
+    assert(r2.metrics("batch_kept") == 0L, r2.metrics.toString)
+    // attribution goes to the component minimum; the other stored row
+    // stays (the documented bridge divergence — counted, never silent)
+    val got = spark.table(MediaPipeline.CaptionsTable)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        r.getAs[String]("kept_caption")).toMap
+    assert(got(1L) == "bridge wording" && got(2L) == "t two", got.toString)
+    // a null score is the worst candidate, never a winner
+    // all 8 rows flipped: hamming 4 from t2, 8 from t1 — a fresh asset
+    val r3 = MediaPipeline.ingestBatch(spark,
+      media(20L -> flat(0, 1, 2, 3, 4, 5, 6, 7)),
+      captions = Some(spark.sql(
+        "SELECT 20L AS media_id, 'null scored' AS caption, CAST(NULL AS DOUBLE) AS score")))
+    assert(r3.ok)
+    val r4 = MediaPipeline.ingestBatch(spark,
+      media(21L -> { val p = flat(0, 1, 2, 3, 4, 5, 6, 7); p(80) = 99; p }),
+      captions = Some(caps((21L, "scored", 0.01))))
+    assert(r4.ok)
+    val after = spark.table(MediaPipeline.CaptionsTable)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        r.getAs[String]("kept_caption")).toMap
+    assert(after(20L) == "scored", after.toString)
+    // retry idempotence: merging the same winner rows again is a no-op
+    val before = spark.table(MediaPipeline.CaptionsTable).collect().toSet
+    graft.plans.Catalog.mergeInto(spark, MediaPipeline.CaptionsTable,
+      spark.table(MediaPipeline.BatchCaptionsTable), Seq("media_id"))
+    assert(spark.table(MediaPipeline.CaptionsTable).collect().toSet == before)
+  }
 }
