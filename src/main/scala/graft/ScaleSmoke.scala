@@ -245,6 +245,45 @@ object ScaleSmoke {
       MediaPipeline.resetTreadmill(spark)
       tier
     }
+    timed("caption_ingest_50k") {
+      // the CAPTION treadmill at corpus scale: the media_ingest fixture
+      // (mult-member exact-dup families straddling the slice cut) with
+      // one deterministic-scored caption per asset. The running
+      // keep-best artifact must equal batch-global captionKeepBest over
+      // ALL assets + captions — the incremental fold's convergence
+      // contract, asserted row-for-row — and no family may bridge.
+      import graft.pipeline.MediaPipeline
+      MediaPipeline.resetTreadmill(spark)
+      val payload = concat(md5(col("text")),
+        md5(concat(col("text"), lit(":1"))), md5(concat(col("text"), lit(":2"))))
+      val media = docs.filter(col("text").isNotNull).select(
+          col("doc_id").as("media_id"), lit("image").as("kind"), lit("raw").as("format"),
+          lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms"), payload.cast("binary").as("bytes"))
+        .localCheckpoint(true)
+      val capsAll = media.select(col("media_id"),
+        concat(lit("caption "), col("media_id")).as("caption"),
+        (col("media_id") % 997).cast("double").as("score"))
+      val cut = (mult / 2).max(1) * 1000000L
+      val r1 = MediaPipeline.ingestBatch(spark, media.filter(col("media_id") < cut),
+        captions = Some(capsAll.filter(col("media_id") < cut)))
+      require(r1.ok, r1.stages.toString)
+      val r2 = MediaPipeline.ingestBatch(spark, media.filter(col("media_id") >= cut),
+        captions = Some(capsAll.filter(col("media_id") >= cut)))
+      require(r2.ok, r2.stages.toString)
+      require(r1.metrics("bridged_components") == 0L &&
+        r2.metrics("bridged_components") == 0L,
+        s"clone families must not bridge: ${r2.metrics}")
+      val got = spark.table(MediaPipeline.CaptionsTable)
+        .select("media_id", "kept_caption", "kept_from", "dropped_count")
+      val want = operators.Multimodal.captionKeepBest(media, capsAll)
+        .select("media_id", "kept_caption", "kept_from", "dropped_count")
+      require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "running caption artifact must equal batch-global captionKeepBest")
+      val n = got.count()
+      MediaPipeline.resetTreadmill(spark)
+      n
+    }
     timed("caption_keep_best_50k") {
       // cross-modal keep-best at corpus scale: clone families (every
       // replica shares its base doc's payload, hence phash) collapse to
