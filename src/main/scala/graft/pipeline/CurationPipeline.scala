@@ -1002,7 +1002,6 @@ object CurationPipeline {
         }
         Catalog.releasePin(late)
         // THE atomic step: one versioned flip of the pointer
-        import spark.implicits._
         Catalog.ctasOverwrite(
           spark.range(1).select(lit(next).as("generation")), TokenizerGenPointerTable)
         // prune generations no in-flight reader can still hold
