@@ -48,7 +48,7 @@ object Bench {
       "emb_pq_regenerate", "stream_vec_ingest",
       "stream_doc_ingest", "stream_media_ingest", "stream_video_ingest",
       "stream_tokenize_ingest", "stream_pack_ingest",
-      "stream_tokenize_retrain", "stream_media_captions",
+      "stream_tokenize_retrain", "stream_media_captions", "stream_video_captions",
       "ref_curation_clean", "ref_curation_mix",
       // round-12 cross-context movers with UNTOUCHED code paths
       // (1.5-1.9x close-to-close, ~1x driver-run): same cold-first-rep

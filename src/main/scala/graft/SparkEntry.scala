@@ -1979,6 +1979,49 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // The caption treadmill one level up: captions riding the VIDEO
+    // frame landing (frame 0 carries the video's caption), folded into
+    // the stored winners via the video reconcile closure — the media
+    // caption fold applied to the fourth modality. Slice 2 is a
+    // checkpoint RESTART whose re-muxes AND trims of tier videos carry
+    // fresh captions; the running artifact must equal batch-global
+    // keep-best over both slices, which the oracle replays (per-frame
+    // grid → dHash bits → set overlap → recursive closure → argmax).
+    "stream_video_captions" -> ((s, dir) => {
+      import graft.pipeline.VideoPipeline
+      VideoPipeline.resetTreadmill(s)
+      val land = tempDir("graft_vcap_land")
+      val cp = tempDir("graft_vcap_cp")
+      val base = docs(s, dir).filter(col("text").isNotNull)
+      val capsDf = base.select(col("doc_id").as("video_id"), col("text").as("caption"))
+        .unionByName(base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("video_id"),
+            concat(col("text"), lit(" remux cut")).as("caption")))
+        .unionByName(base.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 200000L).as("video_id"),
+            concat(col("text"), lit(" trimmed edit")).as("caption")))
+      val landed = videoFrames(s, dir).join(capsDf, Seq("video_id"), "left")
+        .select(col("video_id"), col("frame_no"), col("kind"), col("format"),
+          col("bytes"),
+          when(col("frame_no") === 0, col("caption"))
+            .otherwise(lit(null).cast("string")).as("caption"),
+          when(col("frame_no") === 0, (col("video_id") % 997).cast("double"))
+            .otherwise(lit(null).cast("double")).as("score"))
+      landed.filter(col("video_id") < 100000).coalesce(1).write.mode("append").parquet(land)
+      val q1 = VideoPipeline.streamIngest(s, land, cp, captioned = true)
+      require(q1.awaitTermination(300000), "stream_video_captions: slice 1 drain timed out")
+      landed.filter(col("video_id") >= 100000).coalesce(1).write.mode("append").parquet(land)
+      val q2 = VideoPipeline.streamIngest(s, land, cp, captioned = true)
+      require(q2.awaitTermination(300000), "stream_video_captions: slice 2 drain timed out")
+      val tierIds = s.table(VideoPipeline.TierTable).select("video_id")
+      val capIds = s.table(VideoPipeline.CaptionsTable).select("video_id")
+      require(capIds.exceptAll(tierIds).isEmpty && tierIds.exceptAll(capIds).isEmpty,
+        "stream_video_captions: winner rows must cover the tier id-for-id")
+      s.table(VideoPipeline.CaptionsTable)
+        .select("video_id", "kept_caption", "kept_from", "dropped_count")
+        .orderBy("video_id")
+    }),
+
     // The VIDEO ingest treadmill — the fourth incremental modality:
     // slice 1 (the original videos) lands as parquet FRAMES and drains
     // through the checkpointed file source (bootstrap = in-batch video
@@ -5717,6 +5760,50 @@ object SparkEntry {
          |  FROM scored)
          |SELECT component AS media_id, caption AS kept_caption,
          |       media_id AS kept_from, CAST(n - 1 AS BIGINT) AS dropped_count
+         |FROM ranked WHERE rk = 1 ORDER BY 1""".stripMargin,
+
+    // the video caption treadmill converges to batch-global keep-best:
+    // the video closure replay + the per-component argmax with the
+    // gate's deterministic integer-double scores
+    "stream_video_captions" ->
+      s"""WITH RECURSIVE $videoSigsSql,
+         |qpairs AS (
+         |  SELECT a_id, b_id FROM vpairs
+         |  WHERE jaccard >= 0.9 OR containment >= 0.9),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM qpairs
+         |  UNION SELECT b_id, a_id FROM qpairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT id AS video_id, MIN(lbl) AS cluster_id FROM (
+         |    SELECT src AS id, dst AS lbl FROM reach
+         |    UNION SELECT src, src FROM edges)
+         |  GROUP BY 1),
+         |caps AS (
+         |  SELECT doc_id AS video_id, text AS caption
+         |  FROM documents WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text || ' remux cut'
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text || ' trimmed edit'
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 3),
+         |scored AS (
+         |  SELECT c.video_id, c.caption,
+         |         CAST(c.video_id % 997 AS DOUBLE) AS score,
+         |         COALESCE(cm.cluster_id, c.video_id) AS component
+         |  FROM caps c LEFT JOIN comp cm USING (video_id)),
+         |ranked AS (
+         |  SELECT component, video_id, caption,
+         |         row_number() OVER (PARTITION BY component
+         |           ORDER BY score DESC, video_id, caption) AS rk,
+         |         count(*) OVER (PARTITION BY component) AS n
+         |  FROM scored)
+         |SELECT component AS video_id, caption AS kept_caption,
+         |       video_id AS kept_from, CAST(n - 1 AS BIGINT) AS dropped_count
          |FROM ranked WHERE rk = 1 ORDER BY 1""".stripMargin,
 
     // Per-frame dHash replay (StubGrid wraps the 32-byte md5 payload

@@ -723,6 +723,24 @@ object Multimodal {
     // a caller that already built the batch index (to publish it, or
     // for the skip metric) passes it in — built once, read three times
     val bIdx = batchIndex.getOrElse(videoIndex(batch).localCheckpoint(true))
+    videoAgainstFromComponents(batch,
+      videoReconcileComponents(batch, bIdx, tierIndex,
+        jaccardThreshold, containThreshold, maxBucketSize),
+      tierIndex)
+  }
+
+  /** The video RECONCILE CLOSURE shared by [[videoAgainst]] and the
+    * caption treadmill — [[phashReconcileComponents]] one level up the
+    * media hierarchy: components over cross (batch×tier set-kernel
+    * verify over frame-hash-bucket candidates, combined cap) ∪
+    * internal (batch-global [[videoNearDupPairs]]) pairs, labeled by
+    * minimum member id = the component's CANONICAL video under
+    * monotone ids. Videos touching no pair are absent. */
+  def videoReconcileComponents(batch: DataFrame, bIdx: DataFrame,
+                               tierIndex: DataFrame,
+                               jaccardThreshold: Double = 0.9,
+                               containThreshold: Double = 0.9,
+                               maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame = {
     val tCnt = tierIndex.groupBy("frame_hash").agg(count(lit(1)).as("__tc"))
     val bCnt = bIdx.groupBy("frame_hash").agg(count(lit(1)).as("__bc"))
     val okBuckets = bCnt.join(tCnt, Seq("frame_hash"))
@@ -752,7 +770,13 @@ object Multimodal {
     val internal = videoNearDupPairs(batch, jaccardThreshold, containThreshold,
         maxBucketSize)
       .select("a_id", "b_id")
-    val comps = Components.connectedComponents(cross.unionByName(internal))
+    Components.connectedComponents(cross.unionByName(internal))
+  }
+
+  /** The batch-survivor derivation over an already-computed video
+    * closure — [[phashAgainstFromComponents]] on video ids. */
+  def videoAgainstFromComponents(batch: DataFrame, comps: DataFrame,
+                                 tierIndex: DataFrame): DataFrame = {
     val tierIds = tierIndex.select(col("video_id").as("id")).distinct()
     val tierComps = comps.join(tierIds, Seq("id"), "left_semi")
       .select("component").distinct()

@@ -40,18 +40,34 @@ object VideoPipeline {
 
   val TierTable = "video_tier"                 // (video_id, frame_hashes)
   val FrameIndexTable = "video_frame_index"    // (video_id, frame_hash)
+  val CaptionsTable = "video_captions"
   val BatchSurvivorsTable = "video_batch_survivors"
   val BatchIndexTable = "video_batch_index"
+  val BatchComponentsTable = "video_batch_components"
+  val BatchCaptionsTable = "video_batch_captions"
 
   /** Ingest one slice of sampled frames: decode once, reconcile against
     * the stored frame-hash index, publish surviving videos + their
     * index rows. Returns the stage report with batch_frames/batch_in/
     * batch_kept/batch_dropped/skipped_cross_buckets/
-    * skipped_batch_buckets/tier_videos_after metrics. */
+    * skipped_batch_buckets/tier_videos_after metrics.
+    *
+    * With `captions` (video_id, caption, score) the treadmill also
+    * maintains the RUNNING keep-best caption artifact
+    * ([[CaptionsTable]]) — the [[MediaPipeline]] caption fold on the
+    * video closure: each candidate attributes to its video's component
+    * canonical via the SAME reconcile closure the dedup used,
+    * [[Multimodal.captionKeepBestAgainst]] folds it with the stored
+    * winners (touched canonicals only; keep-best is an associative
+    * min, so the artifact equals batch-global keep-best over every
+    * caption ever ingested), and the publish MERGEs through the atomic
+    * flip. Bridges are counted in `bridged_components`, never
+    * silent. */
   def ingestBatch(spark: SparkSession, frames: DataFrame,
                   jaccardThreshold: Double = 0.9, containThreshold: Double = 0.9,
                   grid: Multimodal.GridExtractor = Multimodal.StubGrid,
                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
+                  captions: Option[DataFrame] = None,
                   notify: PipelineReport => Unit = _ => ()): PipelineReport = {
     val stages = Seq(
       Stage("probe_tier") { _ =>
@@ -67,10 +83,15 @@ object VideoPipeline {
             val tierIdx =
               if (m("tier_videos") > 0L) spark.table(FrameIndexTable)
               else bIdx.limit(0) // empty tier: reconcile = in-batch dedup
-            val survivors = Multimodal.videoAgainst(bVids, tierIdx,
-              jaccardThreshold, containThreshold, maxBucketSize,
-              batchIndex = Some(bIdx))
-            Catalog.overwriteTable(survivors, BatchSurvivorsTable)
+            // ONE closure feeds the survivor derivation, the caption
+            // attribution, and the bridge metric
+            val comps = Multimodal.videoReconcileComponents(bVids, bIdx, tierIdx,
+              jaccardThreshold, containThreshold, maxBucketSize)
+            Catalog.overwriteTable(comps, BatchComponentsTable)
+            Catalog.overwriteTable(
+              Multimodal.videoAgainstFromComponents(bVids,
+                spark.table(BatchComponentsTable), tierIdx),
+              BatchSurvivorsTable)
             // survivor index rows come from the PIN, never a re-decode
             Catalog.overwriteTable(
               bIdx.join(spark.table(BatchSurvivorsTable).select("video_id"),
@@ -78,8 +99,14 @@ object VideoPipeline {
               BatchIndexTable)
             val in = bVids.count()
             val kept = spark.table(BatchSurvivorsTable).count()
+            val bridged = spark.table(BatchComponentsTable)
+              .join(tierIdx.select(col("video_id").as("id")).distinct(),
+                Seq("id"), "left_semi")
+              .groupBy("component").agg(count(lit(1)).as("__n"))
+              .filter(col("__n") >= 2).count()
             Map("batch_in" -> in, "batch_kept" -> kept,
               "batch_dropped" -> (in - kept),
+              "bridged_components" -> bridged,
               "skipped_cross_buckets" ->
                 Multimodal.skippedVideoBucketsAgainst(bIdx, tierIdx, maxBucketSize).count(),
               "skipped_batch_buckets" ->
@@ -89,7 +116,31 @@ object VideoPipeline {
         // both pins release HERE — everything reading them (scratch
         // tables, counts, skip metrics) materialized above, so a
         // long-lived treadmill session never accumulates per-batch pins
-      },
+      }) ++
+      (captions match {
+        case None => Seq.empty[Stage]
+        case Some(caps) => Seq(
+          Stage("caption_reconcile") { _ =>
+            import spark.implicits._
+            // the media fold verbatim, on the video id space (rename
+            // in, rename out — ONE keep-best implementation)
+            val stored =
+              if (Catalog.tableExists(spark, CaptionsTable))
+                spark.table(CaptionsTable).withColumnRenamed("video_id", "media_id")
+              else Seq.empty[(Long, String, Long, Option[Double], Long)]
+                .toDF("media_id", "kept_caption", "kept_from", "kept_score", "dropped_count")
+            Catalog.overwriteTable(
+              Multimodal.captionKeepBestAgainst(
+                spark.table(BatchComponentsTable), stored,
+                caps.filter(col("caption").isNotNull)
+                  .withColumnRenamed("video_id", "media_id"))
+                .withColumnRenamed("media_id", "video_id"),
+              BatchCaptionsTable)
+            Map("caption_components_touched" -> spark.table(BatchCaptionsTable).count(),
+              "caption_candidates" -> caps.filter(col("caption").isNotNull).count())
+          })
+      }) ++
+      Seq(
       Stage("publish_batch") { _ =>
         val survivors = spark.table(BatchSurvivorsTable)
         val idx = spark.table(BatchIndexTable)
@@ -100,6 +151,12 @@ object VideoPipeline {
         // idempotent multi-table publish under a retrying Runner
         Catalog.insertAppendOnce(spark, TierTable, survivors, "video_id")
         Catalog.insertAppendOnce(spark, FrameIndexTable, idx, "video_id")
+        if (captions.nonEmpty) {
+          val winners = spark.table(BatchCaptionsTable)
+          if (!Catalog.tableExists(spark, CaptionsTable))
+            Catalog.ctasOverwrite(winners, CaptionsTable)
+          else Catalog.mergeInto(spark, CaptionsTable, winners, Seq("video_id"))
+        }
         Map("tier_videos_after" -> spark.table(TierTable).count())
       })
     new Runner(stages, RetryPolicy(retries = 1), notify)
@@ -117,13 +174,26 @@ object VideoPipeline {
     * everything landed and stops — the scheduled-batch deployment
     * shape. Frame files must respect the whole-video landing
     * discipline (see the object doc). */
+  /** With `captioned = true` the frame landing rows carry two extra
+    * nullable columns (caption STRING, score DOUBLE); the video's
+    * caption rides its FIRST frame row (frame_no = 0) — one landing
+    * stream feeds both artifacts, the [[MediaPipeline.streamIngest]]
+    * convention one level up. */
   def streamIngest(spark: SparkSession, landingDir: String, checkpointDir: String,
                    jaccardThreshold: Double = 0.9, containThreshold: Double = 0.9,
                    grid: Multimodal.GridExtractor = Multimodal.StubGrid,
-                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
+                   captioned: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema =
+      if (!captioned) Multimodal.VideoFrameSchema
+      else org.apache.spark.sql.types.StructType(Multimodal.VideoFrameSchema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("caption",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType)))
     spark.readStream
-      .schema(Multimodal.VideoFrameSchema)
+      .schema(schema)
       .parquet(landingDir)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -133,22 +203,31 @@ object VideoPipeline {
         // stages' several actions, and the OUTER session refreshes its
         // cached listings of the published tables afterwards.
         val pinned = batch.toDF().persist()
-        val r = try ingestBatch(batch.sparkSession, pinned, jaccardThreshold,
-          containThreshold, grid, maxBucketSize)
-        finally pinned.unpersist(blocking = false)
+        val r = try {
+          val frames =
+            if (captioned) pinned.drop("caption", "score") else pinned
+          val caps =
+            if (captioned) Some(pinned.filter(col("frame_no") === 0)
+              .select("video_id", "caption", "score"))
+            else None
+          ingestBatch(batch.sparkSession, frames, jaccardThreshold,
+            containThreshold, grid, maxBucketSize, caps)
+        } finally pinned.unpersist(blocking = false)
         require(r.ok, s"video ingestBatch failed in micro-batch $id: " +
           r.stages.filterNot(_.ok).map(s => s"${s.stage}: ${s.error.getOrElse("?")}").mkString("; "))
-        Seq(TierTable, FrameIndexTable)
+        Seq(TierTable, FrameIndexTable, CaptionsTable)
           .foreach(t => if (Catalog.tableExists(spark, t)) spark.catalog.refreshTable(t))
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   /** Drop every treadmill table — a fresh-tier reset for self-contained
     * runs (the stream gate query and specs). */
   def resetTreadmill(spark: SparkSession): Unit =
-    Seq(TierTable, FrameIndexTable, BatchSurvivorsTable, BatchIndexTable)
+    Seq(TierTable, FrameIndexTable, CaptionsTable, BatchSurvivorsTable,
+      BatchIndexTable, BatchComponentsTable, BatchCaptionsTable)
       .foreach(Catalog.dropIfExists(spark, _))
 }

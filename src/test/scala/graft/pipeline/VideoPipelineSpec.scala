@@ -120,4 +120,76 @@ class VideoPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     assert(VideoPipeline.streamIngest(spark, land, cp).awaitTermination(120000))
     assert(spark.table(VideoPipeline.TierTable).count() == 3L)
   }
+
+  private def caps(rows: (Long, String, Double)*) =
+    rows.toSeq.toDF("video_id", "caption", "score")
+
+  test("video caption treadmill: a later better caption on a dropped trim replaces; convergence to batch-global") {
+    val r1 = VideoPipeline.ingestBatch(spark,
+      frames(video(1L, seed = 1) ++ video(2L, seed = 2)),
+      captions = Some(caps((1L, "some clip", 0.3), (2L, "b roll", 0.5))))
+    assert(r1.ok && r1.metrics("caption_components_touched") == 2L, r1.metrics.toString)
+    // slice 2: a TRIM of tier video 1 (dropped by containment) carries
+    // the better caption — it must replace; a RE-MUX of 2 carries a
+    // worse one — it must not; a fresh video brings its own
+    val r2 = VideoPipeline.ingestBatch(spark,
+      frames(video(10L, seed = 1, from = 2, n = 6) ++ video(11L, seed = 2) ++
+        video(12L, seed = 7)),
+      captions = Some(caps((10L, "the director's cut", 0.9),
+        (11L, "shaky remux", 0.1), (12L, "fresh footage", 0.6))))
+    assert(r2.ok && r2.metrics("bridged_components") == 0L, r2.metrics.toString)
+    val got = spark.table(VideoPipeline.CaptionsTable)
+      .collect().map(r => r.getAs[Long]("video_id") ->
+        ((r.getAs[String]("kept_caption"), r.getAs[Long]("kept_from"),
+          r.getAs[Long]("dropped_count")))).toMap
+    assert(got(1L) == (("the director's cut", 10L, 1L)), got.toString)
+    assert(got(2L) == (("b roll", 2L, 1L)), got.toString)
+    assert(got(12L) == (("fresh footage", 12L, 0L)), got.toString)
+    // convergence: equals batch-global captionKeepBest over the video
+    // closure of ALL videos + captions (keep-best is an associative
+    // min — the media treadmill's contract on the video id space)
+    val allVids = Multimodal.frameHashes(frames(
+      video(1L, 1) ++ video(2L, 2) ++ video(10L, 1, from = 2, n = 6) ++
+        video(11L, 2) ++ video(12L, 7)))
+    val comps = graft.operators.Components.connectedComponents(
+      Multimodal.videoNearDupPairs(allVids).select("a_id", "b_id"))
+    val allCaps = caps((1L, "some clip", 0.3), (2L, "b roll", 0.5),
+      (10L, "the director's cut", 0.9), (11L, "shaky remux", 0.1),
+      (12L, "fresh footage", 0.6))
+    val emptyStored = Seq.empty[(Long, String, Long, Option[Double], Long)]
+      .toDF("media_id", "kept_caption", "kept_from", "kept_score", "dropped_count")
+    val want = Multimodal.captionKeepBestAgainst(comps, emptyStored,
+        allCaps.withColumnRenamed("video_id", "media_id"))
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[String]("kept_caption"), r.getAs[Long]("kept_from"),
+          r.getAs[Long]("dropped_count")))).toMap
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("captioned streamIngest: the caption rides frame 0; restart drains fold into stored winners") {
+    val land = java.nio.file.Files.createTempDirectory("vpc_land").toString
+    val cp = java.nio.file.Files.createTempDirectory("vpc_cp").toString
+    def capFrames(rows: Seq[(Long, Int, Array[Byte])], cs: Map[Long, (String, Double)]) =
+      frames(rows).withColumn("caption",
+          when($"frame_no" === 0, element_at(
+            typedLit(cs.map { case (k, v) => k -> v._1 }), $"video_id"))
+            .otherwise(lit(null).cast("string")))
+        .withColumn("score",
+          when($"frame_no" === 0, element_at(
+            typedLit(cs.map { case (k, v) => k -> v._2 }), $"video_id"))
+            .otherwise(lit(null).cast("double")))
+    capFrames(video(1L, 1) ++ video(2L, 2),
+        Map(1L -> ("first", 0.4), 2L -> ("second", 0.5)))
+      .coalesce(1).write.mode("append").parquet(land)
+    assert(VideoPipeline.streamIngest(spark, land, cp, captioned = true)
+      .awaitTermination(120000))
+    capFrames(video(10L, 1), Map(10L -> ("better first", 0.9)))
+      .coalesce(1).write.mode("append").parquet(land)
+    assert(VideoPipeline.streamIngest(spark, land, cp, captioned = true)
+      .awaitTermination(120000))
+    val got = spark.table(VideoPipeline.CaptionsTable)
+      .collect().map(r => r.getAs[Long]("video_id") ->
+        r.getAs[String]("kept_caption")).toMap
+    assert(got == Map(1L -> "better first", 2L -> "second"), got.toString)
+  }
 }
