@@ -61,7 +61,12 @@ object MediaPipeline {
     * over every asset + caption ingested so far — EXCEPT when a batch
     * asset BRIDGES two previously-independent tier components, which
     * batch-global replay would merge; bridges are counted in the
-    * `bridged_components` metric, never silent. */
+    * `bridged_components` metric, never silent. The fold is also
+    * REPLAY-SAFE under foreachBatch's at-least-once redelivery: winner
+    * rows carry a `folded_max_id` stamp (max candidate id folded, on
+    * the same atomic merge), and a batch whose candidate ids sit at or
+    * below the global stamp folds as a no-op (`caption_replay_skipped`
+    * metric) instead of double-counting into dropped_count. */
   def ingestBatch(spark: SparkSession, batch: DataFrame, maxHamming: Int = 3,
                   grid: Multimodal.GridExtractor = Multimodal.StubGrid,
                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
@@ -119,16 +124,35 @@ object MediaPipeline {
             import spark.implicits._
             val stored =
               if (Catalog.tableExists(spark, CaptionsTable)) spark.table(CaptionsTable)
-              else Seq.empty[(Long, String, Long, Option[Double], Long)]
-                .toDF("media_id", "kept_caption", "kept_from", "kept_score", "dropped_count")
+              else Seq.empty[(Long, String, Long, Option[Double], Long, Long)]
+                .toDF("media_id", "kept_caption", "kept_from", "kept_score",
+                  "dropped_count", "folded_max_id")
+            // REPLAY GUARD: the fold is exact under stage retry (the
+            // publish re-merges the same winner rows) but foreachBatch
+            // is at-least-once — a redelivered batch would fold its
+            // candidates a SECOND time against the already-merged
+            // winners, inflating dropped_count. Ids are fresh+monotone
+            // across batches, so each fold stamps its touched rows with
+            // the batch's max candidate id (`folded_max_id`, riding the
+            // SAME atomic merge — no commit window between artifact and
+            // ledger), and candidates at or below the global stamp are
+            // a redelivery: excluded, the fold degenerates to a no-op.
+            val watermark = stored
+              .agg(coalesce(max("folded_max_id"), lit(Long.MinValue)))
+              .head().getLong(0)
+            val named = caps.filter(col("caption").isNotNull)
+            val cands = named.filter(col("media_id") > watermark)
+            val batchMax = cands.agg(max("media_id")).head()
             Catalog.overwriteTable(
               Multimodal.captionKeepBestAgainst(
-                spark.table(BatchComponentsTable), stored,
-                caps.filter(col("caption").isNotNull)),
+                spark.table(BatchComponentsTable), stored.drop("folded_max_id"), cands)
+                .withColumn("folded_max_id",
+                  lit(if (batchMax.isNullAt(0)) Long.MinValue else batchMax.getLong(0))),
               BatchCaptionsTable)
             val touched = spark.table(BatchCaptionsTable).count()
             Map("caption_components_touched" -> touched,
-              "caption_candidates" -> caps.filter(col("caption").isNotNull).count())
+              "caption_candidates" -> named.count(),
+              "caption_replay_skipped" -> (named.count() - cands.count()))
           })
       }) ++
       Seq(

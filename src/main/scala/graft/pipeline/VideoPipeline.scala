@@ -61,8 +61,10 @@ object VideoPipeline {
     * winners (touched canonicals only; keep-best is an associative
     * min, so the artifact equals batch-global keep-best over every
     * caption ever ingested), and the publish MERGEs through the atomic
-    * flip. Bridges are counted in `bridged_components`, never
-    * silent. */
+    * flip. Bridges are counted in `bridged_components`, never silent;
+    * redelivered batches fold as a no-op via the `folded_max_id`
+    * watermark stamp ([[MediaPipeline.ingestBatch]]'s replay guard
+    * verbatim, `caption_replay_skipped` metric). */
   def ingestBatch(spark: SparkSession, frames: DataFrame,
                   jaccardThreshold: Double = 0.9, containThreshold: Double = 0.9,
                   grid: Multimodal.GridExtractor = Multimodal.StubGrid,
@@ -127,17 +129,31 @@ object VideoPipeline {
             val stored =
               if (Catalog.tableExists(spark, CaptionsTable))
                 spark.table(CaptionsTable).withColumnRenamed("video_id", "media_id")
-              else Seq.empty[(Long, String, Long, Option[Double], Long)]
-                .toDF("media_id", "kept_caption", "kept_from", "kept_score", "dropped_count")
+              else Seq.empty[(Long, String, Long, Option[Double], Long, Long)]
+                .toDF("media_id", "kept_caption", "kept_from", "kept_score",
+                  "dropped_count", "folded_max_id")
+            // REPLAY GUARD (the MediaPipeline watermark verbatim): ids
+            // are fresh+monotone, each fold stamps its touched rows with
+            // the batch's max candidate id riding the SAME atomic merge,
+            // and candidates at or below the global stamp are a
+            // foreachBatch redelivery — excluded, the fold is a no-op.
+            val watermark = stored
+              .agg(coalesce(max("folded_max_id"), lit(Long.MinValue)))
+              .head().getLong(0)
+            val named = caps.filter(col("caption").isNotNull)
+            val cands = named.filter(col("video_id") > watermark)
+            val batchMax = cands.agg(max("video_id")).head()
             Catalog.overwriteTable(
               Multimodal.captionKeepBestAgainst(
-                spark.table(BatchComponentsTable), stored,
-                caps.filter(col("caption").isNotNull)
-                  .withColumnRenamed("video_id", "media_id"))
+                spark.table(BatchComponentsTable), stored.drop("folded_max_id"),
+                cands.withColumnRenamed("video_id", "media_id"))
+                .withColumn("folded_max_id",
+                  lit(if (batchMax.isNullAt(0)) Long.MinValue else batchMax.getLong(0)))
                 .withColumnRenamed("media_id", "video_id"),
               BatchCaptionsTable)
             Map("caption_components_touched" -> spark.table(BatchCaptionsTable).count(),
-              "caption_candidates" -> caps.filter(col("caption").isNotNull).count())
+              "caption_candidates" -> named.count(),
+              "caption_replay_skipped" -> (named.count() - cands.count()))
           })
       }) ++
       Seq(

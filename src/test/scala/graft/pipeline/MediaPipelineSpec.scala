@@ -231,4 +231,38 @@ class MediaPipelineSpec extends SparkSpec with BeforeAndAfterEach {
       spark.table(MediaPipeline.BatchCaptionsTable), Seq("media_id"))
     assert(spark.table(MediaPipeline.CaptionsTable).collect().toSet == before)
   }
+
+  test("caption treadmill: a REDELIVERED batch folds as a no-op (at-least-once replay safety)") {
+    // foreachBatch is at-least-once: a crash after the caption merge
+    // but before the checkpoint commit redelivers the whole batch.
+    // Without the folded_max_id watermark the redelivered candidates
+    // would fold a SECOND time against the already-merged winners and
+    // dropped_count would inflate (prior_dropped already counts them).
+    val r1 = MediaPipeline.ingestBatch(spark,
+      media(1L -> payload(1), 2L -> payload(2)),
+      captions = Some(caps((1L, "plain photo", 0.2), (2L, "the bench", 0.5))))
+    assert(r1.ok, r1.stages.toString)
+    val slice2 = media(10L -> reencode(1), 11L -> payload(7))
+    val caps2 = caps((10L, "crisp studio shot", 0.9), (11L, "fresh thing", 0.7))
+    val r2 = MediaPipeline.ingestBatch(spark, slice2, captions = Some(caps2))
+    assert(r2.ok, r2.stages.toString)
+    assert(r2.metrics("caption_replay_skipped") == 0L, r2.metrics.toString)
+    val before = spark.table(MediaPipeline.CaptionsTable).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[String]("kept_caption"),
+        r.getAs[Long]("kept_from"), r.getAs[Long]("dropped_count"))).toSet
+    // REDELIVERY: the exact same slice + captions again — assets dedup
+    // against their own tier copies (content dedup), and the caption
+    // fold must skip every candidate via the watermark
+    val r3 = MediaPipeline.ingestBatch(spark, slice2, captions = Some(caps2))
+    assert(r3.ok, r3.stages.toString)
+    // the redelivered asset ids dedup at the APPEND (insertAppendOnce);
+    // the caption fold must skip them BEFORE the merge via the watermark
+    assert(r3.metrics("tier_media_after") == 3L, r3.metrics.toString)
+    assert(r3.metrics("caption_replay_skipped") == 2L, r3.metrics.toString)
+    assert(r3.metrics("caption_components_touched") == 0L, r3.metrics.toString)
+    val after = spark.table(MediaPipeline.CaptionsTable).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[String]("kept_caption"),
+        r.getAs[Long]("kept_from"), r.getAs[Long]("dropped_count"))).toSet
+    assert(after == before, s"$after vs $before")
+  }
 }

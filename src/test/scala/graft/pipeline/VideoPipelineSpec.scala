@@ -192,4 +192,32 @@ class VideoPipelineSpec extends SparkSpec with BeforeAndAfterEach {
         r.getAs[String]("kept_caption")).toMap
     assert(got == Map(1L -> "better first", 2L -> "second"), got.toString)
   }
+
+  test("video caption treadmill: a REDELIVERED batch folds as a no-op (at-least-once replay safety)") {
+    // the MediaPipeline watermark contract on the video id space: a
+    // foreachBatch redelivery (crash after merge, before checkpoint
+    // commit) must not fold the same candidates a second time
+    val r1 = VideoPipeline.ingestBatch(spark,
+      frames(video(1L, seed = 1) ++ video(2L, seed = 2)),
+      captions = Some(caps((1L, "some clip", 0.3), (2L, "b roll", 0.5))))
+    assert(r1.ok, r1.stages.toString)
+    val slice2 = frames(video(10L, seed = 1) ++ video(11L, seed = 7))
+    val caps2 = caps((10L, "remux take", 0.9), (11L, "fresh footage", 0.6))
+    val r2 = VideoPipeline.ingestBatch(spark, slice2, captions = Some(caps2))
+    assert(r2.ok && r2.metrics("caption_replay_skipped") == 0L, r2.metrics.toString)
+    val before = spark.table(VideoPipeline.CaptionsTable).collect()
+      .map(r => (r.getAs[Long]("video_id"), r.getAs[String]("kept_caption"),
+        r.getAs[Long]("kept_from"), r.getAs[Long]("dropped_count"))).toSet
+    val r3 = VideoPipeline.ingestBatch(spark, slice2, captions = Some(caps2))
+    assert(r3.ok, r3.stages.toString)
+    // the redelivered video ids dedup at the APPEND (insertAppendOnce);
+    // the caption fold must skip them BEFORE the merge via the watermark
+    assert(r3.metrics("tier_videos_after") == 3L, r3.metrics.toString)
+    assert(r3.metrics("caption_replay_skipped") == 2L, r3.metrics.toString)
+    assert(r3.metrics("caption_components_touched") == 0L, r3.metrics.toString)
+    val after = spark.table(VideoPipeline.CaptionsTable).collect()
+      .map(r => (r.getAs[Long]("video_id"), r.getAs[String]("kept_caption"),
+        r.getAs[Long]("kept_from"), r.getAs[Long]("dropped_count"))).toSet
+    assert(after == before, s"$after vs $before")
+  }
 }
