@@ -129,6 +129,23 @@ object Bpe {
       s"unknown BPE domain '$other' (expected letter_words | all_tokens | bytes)")
   }
 
+  /** Total SEED SYMBOLS of a text's trainable words — one row-local
+    * expression, no extra corpus pass. Under [[Bytes]] this is the
+    * word bytes; under the code-point domains the word chars. It is
+    * the denominator of the COMPRESSION drift signal: ids/seed_chars
+    * is 1.0 for a vocabulary that never merges and falls as merges
+    * cover the corpus, so a drifted corpus (new language, code influx)
+    * shows up as the ratio rising back toward 1 even when the UNK
+    * share stays exactly zero — the failure mode byte-level seeds make
+    * structurally invisible to UNK counting (encode under [[Bytes]]
+    * can only UNK on a byte value the training corpus never saw). */
+  def seedCharCount(text: Column, domain: Domain = LetterWords): Column =
+    aggregate(
+      transform(
+        filter(split(TextDedup.normalize(text), " "), w => domain.keep(w)),
+        w => length(domain.seed(w)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
   /** The ONE corpus-sized job: normalized-token word counts over the
     * trainable domain. (word, freq), |vocab|-bounded. */
   def wordCounts(docs: DataFrame, textCol: String = "text",
@@ -237,18 +254,28 @@ object Bpe {
     *     symbol-disjoint pairs (no pair consumes or produces a symbol
     *     another accepted pair touches), stopping at the FIRST
     *     conflict — a skipped conflicting pair has an unknown
-    *     post-merge count, so nothing past it can be trusted;
+    *     post-merge count, so nothing past it can be trusted. A
+    *     SELF-PAIR (L,L) additionally ends its batch as the last
+    *     accepted pair: its created pairs are bounded by C(L,L)
+    *     itself (see below), which no conflict bound can cap;
     *  2. truncate the prefix to pairs whose count STRICTLY exceeds
     *     `bound` = the count of the first non-accepted pair (the
-    *     conflict, or the last collected row when none conflicted).
+    *     conflict, the row after an accepted self-pair, or the last
+    *     collected row when none conflicted).
     *
     * Why 2 makes batched ≡ sequential EXACTLY: a merge (L,R) only
     * changes counts of pairs touching L or R, and every pair it
     * CREATES — (X, LR), (LR, Y), (LR, LR) — is count-bounded by an old
     * pair adjacent to L or R ((X,L), (R,Y), (R,L) respectively: each
-    * new occurrence maps injectively to an old one). All such pairs
-    * conflict with the accepted pair, so they rank at or below the
-    * first conflict — i.e. count ≤ `bound`. Accepted pairs are
+    * new occurrence maps injectively to an old one). With L ≠ R all
+    * such generators conflict with the accepted pair, so they rank at
+    * or below the first conflict — i.e. count ≤ `bound`. With L = R
+    * the generator of every created pair is the ACCEPTED pair itself
+    * (in an L-run, (LL,L)/(LL,LL) occurrences map to the very (L,L)
+    * occurrences being merged), so created counts can reach C(L,L) and
+    * outrank everything later in the batch — which is why a self-pair
+    * closes its batch (rule 1) instead of trusting the conflict
+    * bound. Accepted pairs are
     * symbol-disjoint, so their counts are invariant under the batch's
     * earlier merges, and with every accepted count > bound the
     * sequential argmax at each inner step is exactly the next accepted
@@ -282,12 +309,28 @@ object Bpe {
         val prefix = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
         var bound = top.last._3 // uncollected pairs all rank at or below the last row
         var walking = true
-        for (p @ (l, r, c) <- top if walking) {
+        var i = 0
+        while (walking && i < top.length) {
+          val p @ (l, r, c) = top(i)
           if (c < minPairCount || touched(l) || touched(r) || touched(l + r)) {
             bound = c; walking = false // first non-accepted pair caps everything below
           } else {
             prefix += p; touched += l; touched += r; touched += (l + r)
+            if (l == r) {
+              // SELF-PAIR: merging (L,L) creates (LL,L)/(L,LL)/(LL,LL)
+              // whose counts are bounded by C(L,L) ITSELF — the one
+              // generator the first-conflict bound cannot cap (it is
+              // the accepted pair, not a conflict; "ababab…" runs make
+              // the created pairs outrank every later candidate).
+              // Sequential equivalence survives only if nothing in the
+              // batch ranks after it: accept it as the batch's LAST
+              // pair, with the next collected row capping the unapplied
+              // remainder.
+              if (i + 1 < top.length) bound = top(i + 1)._3
+              walking = false
+            }
           }
+          i += 1
         }
         val batch = prefix.filter(_._3 > bound)
           .take(numMerges - out.size)

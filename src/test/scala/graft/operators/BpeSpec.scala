@@ -154,6 +154,25 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("trainBatched == train when a SELF-PAIR dominates (ababab… runs)") {
+    // the adversarial case for the conflict-bound argument: merging the
+    // self-pair (ab,ab) CREATES (abab,ab)/(abab,abab) whose counts are
+    // bounded by the accepted pair itself — far above the first
+    // conflict — so a batch that accepts anything after the self-pair
+    // diverges from the sequential loop (caught by the Bytes-drift
+    // gate's patterned fixture; a self-pair must close its batch)
+    def suffix(i: Int, j: Int) = f"${(i * 31 + j * 7) % 100000}%05d"
+      .map(c => ('a' + (c - '0') % 10).toChar).mkString
+    val texts = (0 until 20).map(i =>
+      (0 until 6).map(j => "ababababab" + suffix(i, j)).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val seq = Bpe.train(df, numMerges = 8)
+    for (b <- Seq(2, 8, 64)) {
+      val bat = Bpe.trainBatched(df, numMerges = 8, batchSize = b)
+      assert(bat == seq, s"batchSize=$b diverges:\n bat=$bat\n seq=$seq")
+    }
+  }
+
   test("trainBatched actually batches: disjoint-pair corpus learns all merges in one round") {
     // frequencies strictly separate xy > qr > vw and the pairs share no
     // symbols — one round must accept 2 of them (the last collected row
