@@ -1265,6 +1265,19 @@ object SparkEntry {
       translate(substr(md5(concat(idCol.cast("string"), lit(":" + j))), lit(1), lit(8)),
         "0123456789", "qwertzuiop")): _*)
 
+  /** The Bytes-drift fixture's TRAIN text: each of the 12 words is a
+    * highly-compressible "ababababab" prefix plus the doc's unique
+    * md5-letter suffix (the [[tokText]] word) — the learned merges
+    * collapse over half of every train word, while the drift slice's
+    * pure-md5 words barely merge: compression inflation with ZERO
+    * unseen bytes (every drift letter already seeds the train
+    * alphabet), the exact drift mode UNK counting cannot see. */
+  private def patText(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws(" ", (0 until 12).map(j =>
+      concat(lit("ababababab"),
+        translate(substr(md5(concat(idCol.cast("string"), lit(":" + j))), lit(1), lit(8)),
+          "0123456789", "qwertzuiop"))): _*)
+
   /** Caption variants for the cross-modal gate — one caption per
     * [[phashMedia]] asset (same id plants: re-encodes %10, corrupted
     * %7==3), wording varied per variant so the per-component argmax
@@ -1782,19 +1795,149 @@ object SparkEntry {
         jaccardThreshold = 0.5, maxUnkShare = 1e-9)
       require(roll2.nonEmpty && roll2.get.ok,
         "stream_tokenize_retrain: slice-2 UNK drift must trigger the rollover")
-      require(CurationPipeline.currentTokenizerGeneration(s) == 1L,
+      // ids + vocab together: the multi-artifact read goes through ONE
+      // pointer read (TokenizerTables), never two resolver calls that
+      // could straddle a concurrent rollover
+      val tt = CurationPipeline.tokenizerTables(s)
+      require(tt.generation == 1L,
         "stream_tokenize_retrain: the pointer must name generation 1")
       // the published generation covers the tier doc-for-doc
       val tierIds = s.table(CurationPipeline.TierTable).select("doc_id")
-      val tokIds = s.table(CurationPipeline.tokenIdsTable(s)).select("doc_id")
+      val tokIds = s.table(tt.tokenIds).select("doc_id")
       require(tierIds.exceptAll(tokIds).isEmpty && tokIds.exceptAll(tierIds).isEmpty,
         "stream_tokenize_retrain: generation-1 ids must cover the tier")
-      s.table(CurationPipeline.tokenIdsTable(s))
+      // the decode-side audit a production rollover runs before
+      // flipping traffic: the gen-1 artifact must DECODE back to the
+      // tier text (boundary-free word concat — decodeIds' contract)
+      val decoded = Bpe.decodeIds(s.table(tt.tokenIds), s.table(tt.vocab))
+        .withColumnRenamed("text", "decoded_text")
+      s.table(tt.tokenIds)
+        .join(decoded, Seq("doc_id"))
         .select(col("doc_id"),
           array_join(col("token_ids"), ",").as("token_ids_csv"),
           size(col("token_ids")).cast("long").as("n_tokens"),
           size(filter(col("token_ids"), i => i === lit(Bpe.UnkId)))
-            .cast("long").as("n_unks"))
+            .cast("long").as("n_unks"),
+          col("decoded_text"))
+        .orderBy("doc_id")
+    }),
+
+    // THE ROLLOVER'S MULTIMODAL CLOSURE: the interleaved caption
+    // sequences are a generation artifact too — a drift rollover that
+    // left them on the dead vocab's id space would strand the
+    // vision-language training batches (exactly the id-space mixing
+    // the per-batch generation pin prevents). Scenario: caption
+    // winners publish and pack at gen 0, slice 1 drains healthy,
+    // slice 2 plants the 'éé' drift and the SAME maintain call rolls
+    // the generation — the published caption sequences must carry
+    // generation-1 ids at the seqLen the artifact's meta recorded.
+    // The oracle replays gen-1 training on the full tier, tokenizes
+    // the winners, and runs the interleaved offset/slice algebra.
+    "stream_caption_rollover" -> ((s, dir) => {
+      import graft.pipeline.CurationPipeline
+      CurationPipeline.resetTreadmill(s)
+      graft.plans.Catalog.dropIfExists(s, CurationPipeline.MediaCaptionsTable)
+      val land = tempDir("graft_caproll_land")
+      val cp = tempDir("graft_caproll_cp")
+      val d = docs(s, dir).select("doc_id")
+      val slice1 = d.filter(col("doc_id") < 250)
+        .select(col("doc_id"), tokText(col("doc_id")).as("text"))
+      val slice2 = d.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), when(col("doc_id") % 7 === 0,
+            concat(tokText(col("doc_id")), lit(" éé")))
+          .otherwise(tokText(col("doc_id"))).as("text"))
+      CurationPipeline.publishTokenizer(s, slice1, numMerges = 8)
+      // caption winners: a deterministic subset of the corpus text, so
+      // the gen-1 vocab (trained on the full tier) covers every word
+      val winners = d.filter(col("doc_id") < 250 && col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("media_id"),
+          tokText(col("doc_id")).as("kept_caption"))
+      graft.plans.Catalog.overwriteTable(winners, CurationPipeline.MediaCaptionsTable)
+      CurationPipeline.packCaptionSequences(s, seqLen = 64)
+      slice1.coalesce(1).write.mode("append").json(land)
+      val roll1 = CurationPipeline.streamIngestAndMaintain(s, land, cp,
+        jaccardThreshold = 0.5, maxUnkShare = 1e-9)
+      require(roll1.isEmpty, "stream_caption_rollover: a healthy generation must not roll")
+      slice2.coalesce(1).write.mode("append").json(land)
+      val roll2 = CurationPipeline.streamIngestAndMaintain(s, land, cp,
+        jaccardThreshold = 0.5, maxUnkShare = 1e-9)
+      require(roll2.nonEmpty && roll2.get.ok,
+        "stream_caption_rollover: slice-2 UNK drift must trigger the rollover")
+      require(roll2.get.metrics("caption_unk_ids") == 0L,
+        "stream_caption_rollover: regenerated captions must carry zero UNKs")
+      val tt = CurationPipeline.tokenizerTables(s)
+      require(tt.generation == 1L,
+        "stream_caption_rollover: the pointer must name generation 1")
+      s.table(tt.mediaSequences)
+        .select(col("seq_no"),
+          array_join(col("token_ids"), ",").as("token_ids_csv"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          array_join(transform(col("refs"),
+            r => concat_ws(":", r.getField("pos"), r.getField("ref_id"))),
+            ",").as("refs_csv"),
+          size(col("refs")).cast("long").as("n_refs"))
+        .orderBy("seq_no")
+    }),
+
+    // THE DRIFT SIGNAL THAT WORKS WHERE UNK-SHARE IS BLIND: under
+    // byte-level seeds, encode only UNKs on a byte value the train
+    // corpus never contained — a drifted corpus of already-seen bytes
+    // (new language, code influx) re-tokenizes at collapsing
+    // compression while the UNK share stays exactly zero. The train
+    // slice's words carry a merge-compressible "ababababab" prefix
+    // (ids/byte ≈ 0.5 at generation birth); the drift slice is pure
+    // md5-letter words of the SAME alphabet (barely merge → ids/byte
+    // ≈ 0.95). The maintain loop must NOT roll on the train slice
+    // (inflation 1.0) and MUST roll on the drift slice via the
+    // ids-per-seed-char inflation trigger — with the gen-0 ledger
+    // holding zero UNKs, proving the UNK trigger alone would never
+    // have fired. Oracle: gen-1 replay (train on the full tier under
+    // byte seeds ≡ code points for this all-ASCII corpus) + tokenize
+    // + the decode-roundtrip concat.
+    "stream_bytes_drift_retrain" -> ((s, dir) => {
+      import graft.pipeline.CurationPipeline
+      CurationPipeline.resetTreadmill(s)
+      val land = tempDir("graft_bytes_land")
+      val cp = tempDir("graft_bytes_cp")
+      val d = docs(s, dir).select("doc_id")
+      val slice1 = d.filter(col("doc_id") < 125)
+        .select(col("doc_id"), patText(col("doc_id")).as("text"))
+      val slice2 = d.filter(col("doc_id") >= 125)
+        .select(col("doc_id"), tokText(col("doc_id")).as("text"))
+      CurationPipeline.publishTokenizer(s, slice1, numMerges = 8,
+        domain = Bpe.Bytes)
+      slice1.coalesce(1).write.mode("append").json(land)
+      val roll1 = CurationPipeline.streamIngestAndMaintain(s, land, cp,
+        jaccardThreshold = 0.5, maxUnkShare = 0.5,
+        maxCompressionInflation = 1.2)
+      require(roll1.isEmpty && CurationPipeline.currentTokenizerGeneration(s) == 0L,
+        "stream_bytes_drift_retrain: the train slice must not inflate its own baseline")
+      slice2.coalesce(1).write.mode("append").json(land)
+      val roll2 = CurationPipeline.streamIngestAndMaintain(s, land, cp,
+        jaccardThreshold = 0.5, maxUnkShare = 0.5,
+        maxCompressionInflation = 1.2)
+      require(roll2.nonEmpty && roll2.get.ok,
+        "stream_bytes_drift_retrain: compression collapse must roll the generation")
+      // the blindness being closed: the generation-0 ledger saw ZERO
+      // UNKs across both drains — the UNK trigger could never fire
+      val unks0 = s.table(CurationPipeline.TokenizerStatsTable)
+        .agg(coalesce(sum("unk_ids"), lit(0L))).head().getLong(0)
+      require(unks0 == 0L,
+        "stream_bytes_drift_retrain: the drift must be invisible to UNK counting")
+      val tt = CurationPipeline.tokenizerTables(s)
+      require(tt.generation == 1L,
+        "stream_bytes_drift_retrain: the pointer must name generation 1")
+      val decoded = Bpe.decodeIds(s.table(tt.tokenIds), s.table(tt.vocab),
+          domain = Bpe.Bytes)
+        .withColumnRenamed("text", "decoded_text")
+      s.table(tt.tokenIds)
+        .join(decoded, Seq("doc_id"))
+        .select(col("doc_id"),
+          array_join(col("token_ids"), ",").as("token_ids_csv"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          size(filter(col("token_ids"), i => i === lit(Bpe.UnkId)))
+            .cast("long").as("n_unks"),
+          col("decoded_text"))
         .orderBy("doc_id")
     }),
 
@@ -5519,6 +5662,8 @@ object SparkEntry {
     // (exact copies dropped by construction, spans a no-op) — so the
     // replay is train-on-full + vocab + tokenize, train corpus = apply
     // corpus (no apply CTEs needed), and every é seed resolves
+    // the decoded_text column is the decode-roundtrip audit: with zero
+    // UNKs the decode is the boundary-free concat of the kept words
     "stream_tokenize_retrain" ->
       ("WITH " + bpeChainSql(8, TokFullCorpusSql) + ",\n" +
         bpeVocabCtes(8) + ",\n" +
@@ -5530,9 +5675,75 @@ object SparkEntry {
           |         sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END)::BIGINT AS nunk
           |  FROM wsyms s LEFT JOIN vocab v ON v.symbol = s.sym GROUP BY 1)
           |SELECT d.doc_id, string_agg(wi.idcsv, ',' ORDER BY d.ord) AS token_ids_csv,
-          |       sum(wi.nsym)::BIGINT AS n_tokens, sum(wi.nunk)::BIGINT AS n_unks
+          |       sum(wi.nsym)::BIGINT AS n_tokens, sum(wi.nunk)::BIGINT AS n_unks,
+          |       string_agg(d.w, '' ORDER BY d.ord) AS decoded_text
           |FROM dw d JOIN wids wi USING (w)
           |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // gen-1 replay under byte seeds: the all-ASCII corpus makes the
+    // latin-1 rendition the identity, so the chain runs on plain code
+    // points with the AllTokens keep rule; train corpus = apply corpus
+    // (the full tier), zero UNKs, decode = boundary-free word concat
+    "stream_bytes_drift_retrain" ->
+      ("WITH " + bpeChainSql(8, BytesFullCorpusSql, AllTokensDomainSql) + ",\n" +
+        bpeVocabCtes(8) + ",\n" +
+        bpeTokenizeCtes(8, AllTokensDomainSql, BytesFullCorpusSql) +
+        """,
+          |wids AS (
+          |  SELECT s.w, string_agg(coalesce(v.id, -1)::VARCHAR, ',' ORDER BY s.ord) AS idcsv,
+          |         count(*)::BIGINT AS nsym,
+          |         sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END)::BIGINT AS nunk
+          |  FROM wsyms s LEFT JOIN vocab v ON v.symbol = s.sym GROUP BY 1)
+          |SELECT d.doc_id, string_agg(wi.idcsv, ',' ORDER BY d.ord) AS token_ids_csv,
+          |       sum(wi.nsym)::BIGINT AS n_tokens, sum(wi.nunk)::BIGINT AS n_unks,
+          |       string_agg(d.w, '' ORDER BY d.ord) AS decoded_text
+          |FROM dw d JOIN wids wi USING (w)
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // gen-1 train on the full tier (the retrain oracle's argument),
+    // tokenize the caption winners (their words are a subset of the
+    // tier corpus — inner joins, zero UNKs), then the interleaved
+    // sentinel pack algebra of mm_pack_captions at seqLen 64
+    "stream_caption_rollover" ->
+      ("WITH " + bpeChainSql(8, TokFullCorpusSql) + ",\n" +
+        bpeVocabCtes(8) + ",\n" +
+        bpeTokenizeCtes(8, LetterWordsDomainSql, CapWinnersSql) +
+        """,
+          |wlist AS (
+          |  SELECT s.w, list(v.id ORDER BY s.ord) AS idl
+          |  FROM wsyms s JOIN vocab v ON v.symbol = s.sym GROUP BY 1),
+          |dids AS (
+          |  SELECT d.doc_id, list_prepend(CAST(-2 AS BIGINT),
+          |           flatten(list(wl.idl ORDER BY d.ord))) AS ids
+          |  FROM dw d JOIN wlist wl USING (w) GROUP BY 1),
+          |off AS (
+          |  SELECT doc_id, ids, len(ids)::BIGINT AS n,
+          |         coalesce(sum(len(ids)) OVER (ORDER BY doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS strt
+          |  FROM dids),
+          |segs AS (
+          |  SELECT u.seq_no AS seq_no, o.doc_id,
+          |         list_slice(o.ids,
+          |           CAST(greatest(o.strt, u.seq_no * 64) - o.strt + 1 AS INT),
+          |           CAST(least(o.strt + o.n, (u.seq_no + 1) * 64) - o.strt AS INT)) AS part
+          |  FROM off o, unnest(range(o.strt // 64, (o.strt + o.n - 1) // 64 + 1)) AS u(seq_no)
+          |  WHERE o.n > 0),
+          |seqs AS (
+          |  SELECT CAST(seq_no AS BIGINT) AS seq_no,
+          |         string_agg(array_to_string(part, ','), ',' ORDER BY doc_id) AS token_ids_csv,
+          |         sum(len(part))::BIGINT AS n_tokens
+          |  FROM segs GROUP BY 1),
+          |refs AS (
+          |  SELECT CAST(strt // 64 AS BIGINT) AS seq_no,
+          |         string_agg((strt % 64)::VARCHAR || ':' || doc_id::VARCHAR,
+          |                    ',' ORDER BY strt % 64) AS refs_csv,
+          |         count(*)::BIGINT AS n_refs
+          |  FROM off GROUP BY 1)
+          |SELECT s.seq_no, s.token_ids_csv, s.n_tokens,
+          |       coalesce(r.refs_csv, '') AS refs_csv,
+          |       coalesce(r.n_refs, 0)::BIGINT AS n_refs
+          |FROM seqs s LEFT JOIN refs r USING (seq_no)
+          |ORDER BY 1""".stripMargin),
 
     "doc_simhash_sig" ->
       s"""WITH sigs AS ($simhashSigs)
@@ -6926,6 +7137,28 @@ object SparkEntry {
       s"UNION ALL SELECT doc_id, $TokTextSql || " +
       "CASE WHEN doc_id % 7 = 0 THEN ' \u00e9\u00e9' ELSE '' END AS text " +
       "FROM documents WHERE doc_id >= 250)"
+
+  /** The caption-rollover gate's winner corpus: a deterministic subset
+    * of the tier text (media_id = doc_id), so the gen-1 vocab covers
+    * every caption word. */
+  private val CapWinnersSql =
+    s"(SELECT doc_id, $TokTextSql AS text FROM documents " +
+      "WHERE doc_id < 250 AND doc_id % 3 = 0)"
+
+  /** SQL twin of [[patText]], and the Bytes-drift gate's FULL tier
+    * corpus (patterned train slice + pure-md5 drift slice; disjoint
+    * word sets — survivorship is the fixture's construction). The
+    * corpus is all-ASCII, so the Bytes domain's latin-1 byte rendition
+    * is the identity and the replay runs on plain code points with the
+    * AllTokens keep rule (length >= 1 — byte seeds ≡ char seeds
+    * here). */
+  private val PatTextSql =
+    "array_to_string(list_transform(range(0, 12), j -> " +
+      "'ababababab' || translate(substr(md5(doc_id::VARCHAR || ':' || j::VARCHAR), 1, 8), " +
+      "'0123456789', 'qwertzuiop')), ' ')"
+  private val BytesFullCorpusSql =
+    s"(SELECT doc_id, $PatTextSql AS text FROM documents WHERE doc_id < 125 " +
+      s"UNION ALL SELECT doc_id, $TokTextSql AS text FROM documents WHERE doc_id >= 125)"
 
   /** Apply an already-learned chain (the p1..pN CTEs of
     * [[bpeChainSql]]) to a FRESH corpus's distinct words \u2014 the

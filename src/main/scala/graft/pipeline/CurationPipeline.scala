@@ -75,6 +75,7 @@ object CurationPipeline {
   val MediaTable = "documents_media_curated"
   val MediaCaptionsTable = "documents_media_captions"
   val MediaSequencesTable = "documents_media_sequences"
+  val MediaSeqMetaTable = "documents_media_sequences_meta"
   val TrainOrderMixedTable = "documents_train_order_mixed"
 
   /** The FULL training-data flow: quality gate → benchmark
@@ -375,6 +376,17 @@ object CurationPipeline {
             // vocab and the tokenizer drifted apart; fail loudly
             require(stats.getLong(2) == 0L,
               s"train-corpus tokenization produced ${stats.getLong(2)} UNK ids")
+            // generation-birth compression baseline — free here (the
+            // ids total is already aggregated; chars is one row-local
+            // expression over the train text)
+            import spark.implicits._
+            val chars = train.agg(coalesce(
+              sum(Bpe.seedCharCount(col("text"), bpeDomain)), lit(0L)))
+              .head().getLong(0)
+            Catalog.overwriteTable(
+              Seq((stats.getLong(1), chars))
+                .toDF("baseline_ids", "baseline_seed_chars"),
+              TokenizerBaselineTable)
             Map("vocab_size" -> spark.table(VocabTable).count(),
               "tokenized_docs" -> stats.getLong(0),
               "token_ids_total" -> stats.getLong(1),
@@ -388,22 +400,14 @@ object CurationPipeline {
               // the id stream a vision-language loader consumes, refs
               // aligning every media splice point. Caption UNKs are
               // REPORTED (captions are not the vocab's train corpus),
-              // never failed.
-              val caps = spark.table(MediaCaptionsTable)
-                .select(col("media_id"), col("kept_caption").as("text"))
-              val ids = Bpe.tokenizeIds(caps, loadBpeMerges(spark, bpeMerges),
-                spark.table(VocabTable), idCol = "media_id", domain = bpeDomain)
-                .localCheckpoint(true)
-              Catalog.ctasOverwrite(
-                Bpe.packInterleaved(ids, seqLen = seqLen, idCol = "media_id"),
-                MediaSequencesTable)
-              val unks = ids.agg(coalesce(sum(size(filter(col("token_ids"),
-                i => i === lit(Bpe.UnkId)))), lit(0)).cast("long")).head().getLong(0)
-              Catalog.releasePin(ids)
-              val agg = spark.table(MediaSequencesTable).agg(
-                count(lit(1)), coalesce(sum(size(col("refs"))), lit(0)).cast("long")).head()
-              Map("media_sequences" -> agg.getLong(0),
-                "media_refs" -> agg.getLong(1), "caption_unk_ids" -> unks)
+              // never failed. ONE implementation shared with the
+              // rollover's repack ([[packCaptionSequences]]) — the
+              // interleaved artifact can never be produced two ways.
+              val (nSeq, nRefs, unks) = packCaptionSequencesAt(spark, seqLen,
+                BpeMergesTable, VocabTable, TokenizerMetaTable,
+                MediaSequencesTable, MediaSeqMetaTable)
+              Map("media_sequences" -> nSeq,
+                "media_refs" -> nRefs, "caption_unk_ids" -> unks)
             },
             Stage("train_order_mixed") { _ =>
               // ONE manifest over BOTH sequence artifacts: the trainer
@@ -507,6 +511,43 @@ object CurationPipeline {
     if (bpeMerges <= 0 || !Catalog.tableExists(spark, BpeMergesTable)) Nil
     else loadMergesFrom(spark, BpeMergesTable)
 
+  /** Tokenize the stored caption winners ([[MediaCaptionsTable]])
+    * against the CURRENT generation's tokenizer and publish the
+    * interleaved multimodal sequences plus their pack meta (seq_len)
+    * as that generation's artifact — runFull's pack_captions body,
+    * shared with [[retrainTokenizer]]'s repack so the interleaved
+    * artifact can never be produced two ways. Returns
+    * (sequences, refs, caption UNK ids). */
+  def packCaptionSequences(spark: SparkSession, seqLen: Int): (Long, Long, Long) = {
+    val tt = tokenizerTables(spark)
+    packCaptionSequencesAt(spark, seqLen, tt.merges, tt.vocab, tt.meta,
+      tt.mediaSequences, genName(MediaSeqMetaTable, tt.generation))
+  }
+
+  private def packCaptionSequencesAt(spark: SparkSession, seqLen: Int,
+                                     mergesT: String, vocabT: String,
+                                     metaT: String, seqOutT: String,
+                                     metaOutT: String): (Long, Long, Long) = {
+    import spark.implicits._
+    val caps = spark.table(MediaCaptionsTable)
+      .select(col("media_id"), col("kept_caption").as("text"))
+    val ids = Bpe.tokenizeIds(caps, loadMergesFrom(spark, mergesT),
+      spark.table(vocabT), idCol = "media_id",
+      domain = readTokenizerDomain(spark, metaT))
+      .localCheckpoint(true)
+    Catalog.ctasOverwrite(
+      Bpe.packInterleaved(ids, seqLen = seqLen, idCol = "media_id"), seqOutT)
+    val unks = ids.agg(coalesce(sum(size(filter(col("token_ids"),
+      i => i === lit(Bpe.UnkId)))), lit(0)).cast("long")).head().getLong(0)
+    Catalog.releasePin(ids)
+    // the pack meta travels with the artifact so a rollover can repack
+    // at the SAME seqLen without the caller re-supplying config
+    Catalog.overwriteTable(Seq(seqLen.toLong).toDF("seq_len"), metaOutT)
+    val agg = spark.table(seqOutT).agg(
+      count(lit(1)), coalesce(sum(size(col("refs"))), lit(0)).cast("long")).head()
+    (agg.getLong(0), agg.getLong(1), unks)
+  }
+
   val BpeMergesTable = "documents_bpe_merges"
   val VocabTable = "documents_bpe_vocab"
   val TokenizerMetaTable = "documents_bpe_tokenizer_meta"
@@ -515,6 +556,8 @@ object CurationPipeline {
   val IdSequencesTable = "documents_id_sequences"
   val PackStateTable = "documents_pack_state"
   val BatchPackTable = "documents_batch_pack"
+  val DeltaTokenIdsTable = "documents_delta_token_ids"
+  val DeltaPackTable = "documents_delta_pack"
   val TrainOrderTable = "documents_train_order"
   val MixPlanTable = "documents_mix_plan"
   val EpochTable = "documents_epoch"
@@ -532,6 +575,7 @@ object CurationPipeline {
 
   val TokenizerGenPointerTable = "documents_tokenizer_gen"
   val TokenizerStatsTable = "documents_tokenizer_stats"
+  val TokenizerBaselineTable = "documents_tokenizer_baseline"
 
   /** Per-generation physical names for the tokenizer artifacts — the
     * VectorPipeline rollover layout applied to the tokenizer: the next
@@ -550,16 +594,36 @@ object CurationPipeline {
       spark.table(TokenizerGenPointerTable).head().getLong(0)
     else 0L
 
-  /** Current-generation artifact table names — resolve the pointer ONCE
-    * per read and take every artifact from that generation, so a read
-    * stays generation-consistent even if a rollover lands mid-query
-    * (ids are only meaningful against ONE vocab). */
-  def tokenIdsTable(spark: SparkSession): String =
-    genName(TokenIdsTable, currentTokenizerGeneration(spark))
+  /** ALL current-generation tokenizer artifact names, resolved from ONE
+    * pointer read — the multi-artifact read contract: a reader that
+    * combines two artifacts (ids + vocab to decode, sequences + merges
+    * to audit) MUST take both names from one [[tokenizerTables]] value;
+    * two separate per-table resolver calls can straddle a concurrent
+    * rollover and mix id spaces across generations (ids are only
+    * meaningful against ONE vocab). */
+  case class TokenizerTables(generation: Long, merges: String, vocab: String,
+                             meta: String, tokenIds: String,
+                             idSequences: String, packState: String,
+                             stats: String, mediaSequences: String)
+
+  def tokenizerTables(spark: SparkSession): TokenizerTables = {
+    val g = currentTokenizerGeneration(spark)
+    TokenizerTables(g, genName(BpeMergesTable, g), genName(VocabTable, g),
+      genName(TokenizerMetaTable, g), genName(TokenIdsTable, g),
+      genName(IdSequencesTable, g), genName(PackStateTable, g),
+      genName(TokenizerStatsTable, g), genName(MediaSequencesTable, g))
+  }
+
+  /** SINGLE-artifact conveniences over [[tokenizerTables]] — each call
+    * is its own pointer read, so they are only rollover-safe for a
+    * reader touching ONE artifact; any multi-artifact read goes through
+    * [[tokenizerTables]]. */
+  def tokenIdsTable(spark: SparkSession): String = tokenizerTables(spark).tokenIds
   def idSequencesTable(spark: SparkSession): String =
-    genName(IdSequencesTable, currentTokenizerGeneration(spark))
-  def vocabTableName(spark: SparkSession): String =
-    genName(VocabTable, currentTokenizerGeneration(spark))
+    tokenizerTables(spark).idSequences
+  def vocabTableName(spark: SparkSession): String = tokenizerTables(spark).vocab
+  def mediaSequencesTable(spark: SparkSession): String =
+    tokenizerTables(spark).mediaSequences
 
   /** Incremental ingest — the 100 TB operating mode, where "dedup the
     * corpus" is not an event but a treadmill: each new crawl slice is
@@ -596,14 +660,14 @@ object CurationPipeline {
     // artifact this batch touches (merges, vocab, meta, ids, sequences,
     // pack state, drift stats) comes from the same generation, so a
     // rollover landing mid-batch can never mix id spaces
-    val tokGen = currentTokenizerGeneration(spark)
-    val mergesT = genName(BpeMergesTable, tokGen)
-    val vocabT = genName(VocabTable, tokGen)
-    val metaT = genName(TokenizerMetaTable, tokGen)
-    val idsT = genName(TokenIdsTable, tokGen)
-    val seqT = genName(IdSequencesTable, tokGen)
-    val stateT = genName(PackStateTable, tokGen)
-    val statsT = genName(TokenizerStatsTable, tokGen)
+    val tt = tokenizerTables(spark)
+    val mergesT = tt.merges
+    val vocabT = tt.vocab
+    val metaT = tt.meta
+    val idsT = tt.tokenIds
+    val seqT = tt.idSequences
+    val stateT = tt.packState
+    val statsT = tt.stats
     require(!tokenize || (Catalog.tableExists(spark, mergesT) &&
         Catalog.tableExists(spark, vocabT)),
       "tokenize needs a published tokenizer (merges + vocab) — train one first " +
@@ -671,8 +735,16 @@ object CurationPipeline {
             coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"),
             coalesce(sum(size(filter(col("token_ids"),
               i => i === lit(Bpe.UnkId)))), lit(0)).cast("long")).head()
+          // the compression-drift denominator: seed symbols (bytes
+          // under the Bytes domain) of the batch's trainable words —
+          // one row-local expression over the clean text, no second
+          // tokenize pass
+          val chars = spark.table(BatchCleanTable).agg(
+            coalesce(sum(Bpe.seedCharCount(col("text"), domain)), lit(0L)))
+            .head().getLong(0)
           Map("batch_token_ids" -> stats.getLong(0),
-            "batch_unk_ids" -> stats.getLong(1))
+            "batch_unk_ids" -> stats.getLong(1),
+            "batch_seed_chars" -> chars)
         })) ++
       (if (packSeqLen <= 0) Seq.empty[Stage] else Seq(
         Stage("pack_batch") { _ =>
@@ -740,8 +812,9 @@ object CurationPipeline {
           val key = ids.agg(min(col("doc_id"))).head()
           if (!key.isNullAt(0)) {
             import spark.implicits._
-            val stat = Seq((key.getLong(0), m("batch_token_ids"), m("batch_unk_ids")))
-              .toDF("batch_key", "token_ids", "unk_ids")
+            val stat = Seq((key.getLong(0), m("batch_token_ids"),
+                m("batch_unk_ids"), m("batch_seed_chars")))
+              .toDF("batch_key", "token_ids", "unk_ids", "seed_chars")
             Catalog.ensureTable(spark, statsT, stat.schema)
             Catalog.insertAppendOnce(spark, statsT, stat, "batch_key")
           }
@@ -755,11 +828,16 @@ object CurationPipeline {
             .filter(size(col("token_ids")) === packSeqLen)
           Catalog.ensureTable(spark, seqT, full.schema)
           Catalog.insertAppendOnce(spark, seqT, full, "seq_no")
-          val st = readPackState(spark, stateT)
+          // the cursor derives from the PUBLISHED table (seq_nos are
+          // dense per generation, so max+1 == published count), not
+          // from cursor + full.count(): a retry that already wrote the
+          // state once converges instead of double-advancing
+          val nextSeq = spark.table(seqT)
+            .agg(coalesce(max(col("seq_no")) + 1, lit(0L))).head().getLong(0)
           val tail = spark.table(BatchPackTable)
             .filter(size(col("token_ids")) < packSeqLen)
             .collect() // ≤ 1 row of < seqLen ids — k-sized by construction
-          writePackState(spark, stateT, st.nextSeqNo + full.count(),
+          writePackState(spark, stateT, nextSeq,
             tail.headOption.map(_.getSeq[Long](1)).getOrElse(Seq.empty))
         }
         Map("tier_docs_after" -> spark.table(TierTable).count())
@@ -829,11 +907,13 @@ object CurationPipeline {
   def resetTreadmill(spark: SparkSession): Unit = {
     val genTables = spark.catalog.listTables().collect().map(_.name)
       .filter(n => Seq(BpeMergesTable, VocabTable, TokenizerMetaTable,
-        TokenIdsTable, IdSequencesTable, PackStateTable, TokenizerStatsTable)
+        TokenIdsTable, IdSequencesTable, PackStateTable, TokenizerStatsTable,
+        TokenizerBaselineTable, MediaSequencesTable, MediaSeqMetaTable)
         .exists(b => n == b || n.startsWith(b + "_g")))
     (Seq(TierTable, BandIndexTable, SpanIndexTable, CleanTierTable,
       BatchSurvivorsTable, BatchCleanTable, BatchSpanIndexTable,
-      BatchTokenIdsTable, BatchPackTable, TokenizerGenPointerTable) ++ genTables)
+      BatchTokenIdsTable, BatchPackTable, DeltaTokenIdsTable, DeltaPackTable,
+      TokenizerGenPointerTable) ++ genTables)
       .foreach(Catalog.dropIfExists(spark, _))
   }
 
@@ -852,6 +932,28 @@ object CurationPipeline {
       Bpe.vocabTable(train, merges, domain = domain), VocabTable)
     Catalog.overwriteTable(
       Seq(Bpe.domainName(domain)).toDF("domain"), TokenizerMetaTable)
+    // the generation-birth COMPRESSION BASELINE (ids / seed chars of
+    // the artifact's own train corpus) — what the drift check compares
+    // the treadmill's running ratio against. One tokenize pass, paid
+    // here because the Bytes domain makes UNK counting structurally
+    // blind to corpus drift (every byte is usually in-alphabet).
+    writeBaseline(spark, train, merges, VocabTable, domain, TokenizerBaselineTable)
+  }
+
+  /** Tokenize `corpus` against the given artifact and persist the
+    * (ids, seed_chars) compression baseline row for its generation. */
+  private def writeBaseline(spark: SparkSession, corpus: DataFrame,
+                            merges: Seq[Bpe.Merge], vocabT: String,
+                            domain: Bpe.Domain, outT: String): Unit = {
+    import spark.implicits._
+    val ids = Bpe.tokenizeIds(corpus, merges, spark.table(vocabT), domain = domain)
+      .agg(coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"))
+      .head().getLong(0)
+    val chars = corpus.agg(
+      coalesce(sum(Bpe.seedCharCount(col("text"), domain)), lit(0L)))
+      .head().getLong(0)
+    Catalog.overwriteTable(
+      Seq((ids, chars)).toDF("baseline_ids", "baseline_seed_chars"), outT)
   }
 
   /** A fresh tokenizer bootstrap is a GENERATION RESET: publishing new
@@ -865,9 +967,11 @@ object CurationPipeline {
   private def resetTokenizerGenerations(spark: SparkSession): Unit = {
     val suffixed = spark.catalog.listTables().collect().map(_.name)
       .filter(n => Seq(BpeMergesTable, VocabTable, TokenizerMetaTable,
-        TokenIdsTable, IdSequencesTable, PackStateTable, TokenizerStatsTable)
+        TokenIdsTable, IdSequencesTable, PackStateTable, TokenizerStatsTable,
+        TokenizerBaselineTable, MediaSequencesTable, MediaSeqMetaTable)
         .exists(b => n.startsWith(b + "_g")))
-    (suffixed.toSeq :+ TokenizerGenPointerTable :+ TokenizerStatsTable)
+    (suffixed.toSeq :+ TokenizerGenPointerTable :+ TokenizerStatsTable
+      :+ TokenizerBaselineTable)
       .foreach(Catalog.dropIfExists(spark, _))
   }
 
@@ -938,6 +1042,17 @@ object CurationPipeline {
           coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"),
           coalesce(sum(size(filter(col("token_ids"), i => i === lit(Bpe.UnkId)))),
             lit(0)).cast("long")).head()
+        // the NEW generation's compression baseline: the tier's ratio
+        // under the vocab just trained on it — free (ids already
+        // aggregated; chars is one row-local expression)
+        import spark.implicits._
+        val chars = spark.table(CleanTierTable).agg(coalesce(
+          sum(Bpe.seedCharCount(col("text"), domain)), lit(0L)))
+          .head().getLong(0)
+        Catalog.overwriteTable(
+          Seq((stats.getLong(1), chars))
+            .toDF("baseline_ids", "baseline_seed_chars"),
+          genName(TokenizerBaselineTable, next))
         // REPORTED, not required: the tier snapshot here can already
         // contain docs an interleaved ingestBatch appended after
         // train_next's read — their unseen seeds are legitimate UNKs
@@ -959,8 +1074,30 @@ object CurationPipeline {
             tail.headOption.map(_.getSeq[Long](1)).getOrElse(Seq.empty))
           Map("repacked_sequences" -> n)
         })) ++
+      // the INTERLEAVED caption sequences are a generation artifact too
+      // — their ids are meaningless under the new vocab, so leaving
+      // them out of the regeneration set would strand the multimodal
+      // training batches on the dead id space until the next full
+      // runFull (exactly the id-space mixing the per-batch generation
+      // pin exists to prevent). Re-tokenize the stored winners against
+      // the new vocab and repack at the seqLen the artifact's meta
+      // recorded; skipped when no caption artifact was ever packed.
+      (if (!Catalog.tableExists(spark, MediaCaptionsTable) ||
+           !Catalog.tableExists(spark, genName(MediaSeqMetaTable, gen)))
+        Seq.empty[Stage]
+      else Seq(
+        Stage("repack_captions") { _ =>
+          val capLen = spark.table(genName(MediaSeqMetaTable, gen))
+            .head().getLong(0).toInt
+          val (nSeq, nRefs, unks) = packCaptionSequencesAt(spark, capLen,
+            mergesT, vocabT, metaT,
+            genName(MediaSequencesTable, next), genName(MediaSeqMetaTable, next))
+          Map("media_sequences" -> nSeq, "media_refs" -> nRefs,
+            "caption_unk_ids" -> unks)
+        })) ++
       Seq(
-      Stage("publish_generation") { _ =>
+      Stage("stage_delta") { _ =>
+        import spark.implicits._
         // test seam: the spec injects an ingestBatch here to prove the
         // delta pass repairs the retokenize→flip window
         afterRetokenize()
@@ -969,48 +1106,84 @@ object CurationPipeline {
         // staged ids — tokenize exactly that delta (normally zero rows)
         // and continue the staged pack stream over it, so the
         // generation about to be published covers the tier doc-for-doc.
-        // Idempotent under the stage's own retry: both appends are
-        // insertAppendOnce and the pack state flips last.
+        // COMPUTE-ONLY (the tokenize_batch/pack_batch discipline): the
+        // delta ids AND the delta pack stage to scratch tables here,
+        // and publish_generation only appends — deriving the delta
+        // from the tier-vs-idsT anti-join INSIDE the publish would let
+        // a retry that crashed between the id append and the sequence
+        // append see an empty anti-join, skip the pack, and flip a
+        // generation permanently missing the late docs' sequences.
+        // Both scratch overwrites are idempotent under this stage's own
+        // retry (idsT/seqT/state are untouched until publish).
         val staged = spark.table(idsT).select(col("doc_id"))
         val late = spark.table(CleanTierTable)
           .join(staged, Seq("doc_id"), "left_anti").localCheckpoint(true)
         val lateN = late.count()
-        if (lateN > 0) {
-          // pinned: the delta ids feed the append AND the pack input
-          val lateIds = Bpe.tokenizeIds(late, loadMergesFrom(spark, mergesT),
-            spark.table(vocabT), domain = domain).localCheckpoint(true)
-          Catalog.insertAppendOnce(spark, idsT, lateIds, "doc_id")
-          if (packSeqLen > 0) {
-            import spark.implicits._
+        if (lateN > 0)
+          Catalog.overwriteTable(
+            Bpe.tokenizeIds(late, loadMergesFrom(spark, mergesT),
+              spark.table(vocabT), domain = domain),
+            DeltaTokenIdsTable)
+        else
+          Catalog.overwriteTable(
+            spark.emptyDataset[(Long, Seq[Long])].toDF("doc_id", "token_ids"),
+            DeltaTokenIdsTable)
+        Catalog.releasePin(late)
+        if (packSeqLen > 0) {
+          if (lateN > 0) {
             val st = readPackState(spark, stateT)
             val carryDf =
               if (st.carry.isEmpty)
                 spark.emptyDataset[(Long, Seq[Long])].toDF("doc_id", "token_ids")
               else Seq((Long.MinValue, st.carry)).toDF("doc_id", "token_ids")
             val packed = Bpe.packIdSequences(
-                carryDf.unionByName(lateIds.select("doc_id", "token_ids")),
+                carryDf.unionByName(
+                  spark.table(DeltaTokenIdsTable).select("doc_id", "token_ids")),
                 seqLen = packSeqLen)
               .select((col("seq_no") + st.nextSeqNo).as("seq_no"), col("token_ids"))
-            val full = packed.filter(size(col("token_ids")) === packSeqLen)
-            Catalog.insertAppendOnce(spark, seqT, full, "seq_no")
-            val tail = packed.filter(size(col("token_ids")) < packSeqLen).collect()
-            writePackState(spark, stateT, st.nextSeqNo + full.count(),
-              tail.headOption.map(_.getSeq[Long](1)).getOrElse(Seq.empty))
+            Catalog.overwriteTable(packed, DeltaPackTable)
             Catalog.releasePin(packed) // packIdSequences' internal input pin
-          }
-          Catalog.releasePin(lateIds)
+          } else
+            Catalog.overwriteTable(
+              spark.emptyDataset[(Long, Seq[Long])].toDF("seq_no", "token_ids"),
+              DeltaPackTable)
         }
-        Catalog.releasePin(late)
+        Map("late_tokenized" -> lateN)
+      },
+      Stage("publish_generation") { m =>
+        // append-only + retry-stable: the delta comes from the SCRATCH
+        // tables (never re-derived), both appends dedup through
+        // insertAppendOnce, and the pack cursor derives from the
+        // PUBLISHED sequence table (max seq_no + 1 — dense per
+        // generation), so any retry interleaving converges on the same
+        // state instead of skipping or double-advancing.
+        if (m("late_tokenized") > 0) {
+          Catalog.insertAppendOnce(spark, idsT,
+            spark.table(DeltaTokenIdsTable), "doc_id")
+          if (packSeqLen > 0) {
+            val full = spark.table(DeltaPackTable)
+              .filter(size(col("token_ids")) === packSeqLen)
+            Catalog.insertAppendOnce(spark, seqT, full, "seq_no")
+            val nextSeq = spark.table(seqT)
+              .agg(coalesce(max(col("seq_no")) + 1, lit(0L))).head().getLong(0)
+            val tail = spark.table(DeltaPackTable)
+              .filter(size(col("token_ids")) < packSeqLen)
+              .collect() // ≤ 1 partial row — k-sized by construction
+            writePackState(spark, stateT, nextSeq,
+              tail.headOption.map(_.getSeq[Long](1)).getOrElse(Seq.empty))
+          }
+        }
         // THE atomic step: one versioned flip of the pointer
         Catalog.ctasOverwrite(
           spark.range(1).select(lit(next).as("generation")), TokenizerGenPointerTable)
         // prune generations no in-flight reader can still hold
         (0L to next - 1 - keepGenerations).foreach { g =>
           Seq(BpeMergesTable, VocabTable, TokenizerMetaTable, TokenIdsTable,
-            IdSequencesTable, PackStateTable, TokenizerStatsTable)
+            IdSequencesTable, PackStateTable, TokenizerStatsTable,
+            TokenizerBaselineTable, MediaSequencesTable, MediaSeqMetaTable)
             .foreach(b => Catalog.dropIfExists(spark, genName(b, g)))
         }
-        Map("generation" -> next, "late_tokenized" -> lateN)
+        Map("generation" -> next)
       })
     new Runner(stages, RetryPolicy(retries = 1), notify).run()
   }
@@ -1033,22 +1206,65 @@ object CurationPipeline {
     }
   }
 
+  /** The COMPRESSION drift signal — the trigger that still works where
+    * UNK-share is structurally blind: under [[Bpe.Bytes]] seeds, encode
+    * only UNKs on a byte value the train corpus never contained, so a
+    * drifted corpus (new language, code influx) re-tokenizes at
+    * terrible compression while the UNK share stays ~0. `inflation` is
+    * the generation's cumulative ids-per-seed-char over the ledger
+    * batches, relative to the generation-birth baseline (the artifact's
+    * own train corpus) — 1.0 = healthy, rising toward the no-merge
+    * ceiling as the vocabulary stops covering the ingest. */
+  case class CompressionDrift(ids: Long, seedChars: Long,
+                              baselineIds: Long, baselineSeedChars: Long) {
+    def inflation: Double =
+      if (ids == 0 || seedChars == 0 || baselineIds == 0 || baselineSeedChars == 0) 1.0
+      else (ids.toDouble / seedChars) / (baselineIds.toDouble / baselineSeedChars)
+  }
+
+  /** None when the generation has no baseline or its ledger predates
+    * compression tracking — the drift check then degrades to
+    * UNK-share-only (the pre-round-14 behavior). */
+  def tokenizerCompression(spark: SparkSession): Option[CompressionDrift] = {
+    val g = currentTokenizerGeneration(spark)
+    val baseT = genName(TokenizerBaselineTable, g)
+    val statsT = genName(TokenizerStatsTable, g)
+    if (!Catalog.tableExists(spark, baseT) || !Catalog.tableExists(spark, statsT) ||
+        !spark.table(statsT).columns.contains("seed_chars")) None
+    else {
+      val b = spark.table(baseT).head()
+      val s = spark.table(statsT).agg(
+        coalesce(sum("token_ids"), lit(0L)),
+        coalesce(sum("seed_chars"), lit(0L))).head()
+      Some(CompressionDrift(s.getLong(0), s.getLong(1), b.getLong(0), b.getLong(1)))
+    }
+  }
+
   /** Drift-TRIGGERED tokenizer rollover — the operational closure of
-    * [[tokenizerDrift]]: measure, decide, roll. Retrains when at least
-    * `minIds` ids have been tokenized this generation AND their UNK
-    * share exceeds `maxUnkShare` (the vocabulary no longer covers what
-    * the treadmill is ingesting — under-segmentation made a number).
-    * Returns the rollover report when one ran, None while the
-    * generation is still healthy. A scheduler calls this after each
-    * ingest wave instead of guessing when to retrain. */
+    * [[tokenizerDrift]] and [[tokenizerCompression]]: measure, decide,
+    * roll. Retrains when at least `minIds` ids have been tokenized
+    * this generation AND either (a) their UNK share exceeds
+    * `maxUnkShare` (the vocabulary no longer covers what the treadmill
+    * ingests — under-segmentation made a number), or (b) the
+    * compression inflation exceeds `maxCompressionInflation` (the
+    * Bytes-domain signal: drift that never UNKs still re-tokenizes at
+    * collapsing compression). Returns the rollover report when one
+    * ran, None while the generation is still healthy. A scheduler
+    * calls this after each ingest wave instead of guessing when to
+    * retrain. */
   def maybeRetrainTokenizer(spark: SparkSession,
                             maxUnkShare: Double = 0.01, minIds: Long = 1L,
                             packSeqLen: Int = 0, numMerges: Int = -1,
                             keepGenerations: Int = 2,
+                            maxCompressionInflation: Double = Double.PositiveInfinity,
                             notify: PipelineReport => Unit = _ => ())
       : Option[PipelineReport] = {
     val (ids, unks) = tokenizerDrift(spark)
-    if (ids >= minIds && ids > 0 && unks.toDouble / ids > maxUnkShare)
+    val enough = ids >= minIds && ids > 0
+    val unkFire = enough && unks.toDouble / ids > maxUnkShare
+    val compFire = enough && !maxCompressionInflation.isInfinite &&
+      tokenizerCompression(spark).exists(_.inflation > maxCompressionInflation)
+    if (unkFire || compFire)
       Some(retrainTokenizer(spark, packSeqLen, numMerges, keepGenerations, notify))
     else None
   }
@@ -1072,13 +1288,15 @@ object CurationPipeline {
                               packSeqLen: Int = 0,
                               maxUnkShare: Double = 0.01, minIds: Long = 1L,
                               keepGenerations: Int = 2,
+                              maxCompressionInflation: Double = Double.PositiveInfinity,
                               notify: PipelineReport => Unit = _ => ())
       : Option[PipelineReport] = {
     streamIngest(spark, landingDir, checkpointDir, jaccardThreshold,
       maxBucketSize, tokenize = true, packSeqLen = packSeqLen)
       .awaitTermination()
     maybeRetrainTokenizer(spark, maxUnkShare, minIds, packSeqLen,
-      keepGenerations = keepGenerations, notify = notify)
+      keepGenerations = keepGenerations,
+      maxCompressionInflation = maxCompressionInflation, notify = notify)
   }
 
   /** The domain the published tokenizer was trained under — stored

@@ -882,4 +882,88 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
       (if (carry.isEmpty) Seq.empty else Seq(st.getLong(0) -> carry))
     assert(incremental.map(_._2.toSeq).toSeq == globalPack.map(_._2.toSeq).toSeq)
   }
+
+  test("retrainTokenizer regenerates the interleaved caption sequences at the recorded seqLen") {
+    import graft.operators.Bpe
+    import graft.plans.Catalog
+    CurationPipeline.resetTreadmill(spark)
+    Catalog.dropIfExists(spark, CurationPipeline.MediaCaptionsTable)
+    val batch1 = Seq((1L, tokWords(1)), (2L, tokWords(2))).toDF("doc_id", "text")
+    val batch2 = Seq((3L, tokWords(3) + " éé")).toDF("doc_id", "text")
+    CurationPipeline.publishTokenizer(spark, batch1, numMerges = 3)
+    CurationPipeline.ingestBatch(spark, batch1, tokenize = true)
+    // the caption winners artifact + its gen-0 interleaved pack (the
+    // runFull pack_captions body, via the shared helper)
+    val winners = Seq((1L, tokWords(1)), (2L, tokWords(2)))
+      .toDF("media_id", "kept_caption")
+    Catalog.overwriteTable(winners, CurationPipeline.MediaCaptionsTable)
+    val (n0, _, _) = CurationPipeline.packCaptionSequences(spark, seqLen = 7)
+    assert(n0 > 0L)
+    // drift fires; the rollover must regenerate the caption sequences
+    // under the NEW vocab — leaving them on the dead generation's id
+    // space is exactly the gap this stage closes
+    CurationPipeline.ingestBatch(spark, batch2, tokenize = true)
+    val roll = CurationPipeline.maybeRetrainTokenizer(spark, maxUnkShare = 0.001)
+    assert(roll.nonEmpty && roll.get.ok, roll.toString)
+    assert(roll.get.metrics.contains("media_sequences"), roll.get.metrics.toString)
+    assert(roll.get.metrics("caption_unk_ids") == 0L, roll.get.metrics.toString)
+    assert(CurationPipeline.currentTokenizerGeneration(spark) == 1L)
+    // twin-exact: the published gen-1 artifact equals packInterleaved
+    // of the winners tokenized under the gen-1 vocab at the SAME
+    // seqLen the gen-0 artifact's meta recorded
+    val merges = spark.table(CurationPipeline.BpeMergesTable + "_g1").orderBy("rank")
+      .collect().map(row => Bpe.Merge(row.getAs[Int]("rank"),
+        row.getAs[String]("left_sym"), row.getAs[String]("right_sym"),
+        row.getAs[Long]("pair_count"))).toSeq
+    def dump(df: org.apache.spark.sql.DataFrame) = df.select(col("seq_no"),
+        array_join(col("token_ids"), ",").as("ids"),
+        array_join(transform(col("refs"),
+          r => concat_ws(":", r.getField("pos"), r.getField("ref_id"))), ",").as("refs"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val want = dump(Bpe.packInterleaved(
+      Bpe.tokenizeIds(winners.select($"media_id", $"kept_caption".as("text")),
+        merges, spark.table(CurationPipeline.VocabTable + "_g1"), idCol = "media_id"),
+      seqLen = 7, idCol = "media_id"))
+    val got = dump(spark.table(CurationPipeline.mediaSequencesTable(spark)))
+    assert(got == want, s"$got vs $want")
+    // the pack meta carried to the new generation
+    assert(spark.table(CurationPipeline.MediaSeqMetaTable + "_g1").head().getLong(0) == 7L)
+  }
+
+  test("maybeRetrainTokenizer: Bytes-domain compression collapse rolls with ZERO UNKs") {
+    import graft.operators.Bpe
+    CurationPipeline.resetTreadmill(spark)
+    // train words carry a merge-compressible "ababababab" prefix plus a
+    // unique digit-letter suffix, and one shared all-letters word pins
+    // the full seed alphabet; the drift words are pure digit-letter
+    // strings of the SAME alphabet — every byte already seeded, so the
+    // UNK share stays exactly 0 while ids-per-byte collapses
+    def pat(id: Long) = ((0 until 8)
+      .map(j => "ababababab" + tokLetters(id * 100 + j)) :+ "abcdefghij").mkString(" ")
+    def rnd(id: Long) = (0 until 8).map(j => tokLetters(id * 1000L + j * 37L)).mkString(" ")
+    val batch1 = Seq((1L, pat(1)), (2L, pat(2))).toDF("doc_id", "text")
+    val batch2 = Seq((3L, rnd(3)), (4L, rnd(4))).toDF("doc_id", "text")
+    CurationPipeline.publishTokenizer(spark, batch1, numMerges = 6, domain = Bpe.Bytes)
+    val r1 = CurationPipeline.ingestBatch(spark, batch1, tokenize = true)
+    assert(r1.ok && r1.metrics("batch_unk_ids") == 0L, r1.metrics.toString)
+    // the train slice cannot inflate its own baseline
+    assert(CurationPipeline.maybeRetrainTokenizer(spark,
+      maxUnkShare = 0.5, maxCompressionInflation = 1.2).isEmpty)
+    assert(CurationPipeline.currentTokenizerGeneration(spark) == 0L)
+    val r2 = CurationPipeline.ingestBatch(spark, batch2, tokenize = true)
+    assert(r2.ok && r2.metrics("batch_unk_ids") == 0L, r2.metrics.toString)
+    val comp = CurationPipeline.tokenizerCompression(spark).get
+    assert(comp.inflation > 1.2, comp.toString)
+    // the UNK trigger alone would never fire; the compression trigger must
+    assert(CurationPipeline.maybeRetrainTokenizer(spark, maxUnkShare = 0.5).isEmpty)
+    val roll = CurationPipeline.maybeRetrainTokenizer(spark,
+      maxUnkShare = 0.5, maxCompressionInflation = 1.2)
+    assert(roll.nonEmpty && roll.get.ok, roll.toString)
+    assert(CurationPipeline.currentTokenizerGeneration(spark) == 1L)
+    assert(roll.get.metrics("tier_unk_ids") == 0L, roll.get.metrics.toString)
+    // fresh generation: empty ledger + its own tier baseline → healthy
+    assert(CurationPipeline.maybeRetrainTokenizer(spark,
+      maxUnkShare = 0.5, maxCompressionInflation = 1.2).isEmpty)
+    assert(CurationPipeline.currentTokenizerGeneration(spark) == 1L)
+  }
 }
