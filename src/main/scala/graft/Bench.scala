@@ -49,6 +49,7 @@ object Bench {
       "stream_doc_ingest", "stream_media_ingest", "stream_video_ingest",
       "stream_tokenize_ingest", "stream_pack_ingest",
       "stream_tokenize_retrain", "stream_media_captions", "stream_video_captions",
+      "stream_caption_rollover", "stream_bytes_drift_retrain",
       "ref_curation_clean", "ref_curation_mix",
       // round-12 cross-context movers with UNTOUCHED code paths
       // (1.5-1.9x close-to-close, ~1x driver-run): same cold-first-rep
@@ -56,7 +57,11 @@ object Bench {
       // the 3 s adaptive-median cutoff, so a slow first rep skips the
       // median path exactly when it is most needed; pin them
       // unconditionally (A/B spread: PLANS.md round 13)
-      "doc_dedup_contained", "doc_winnowed_spans")
+      "doc_dedup_contained", "doc_winnowed_spans",
+      // round-13 mover with a BYTE-IDENTICAL code path vs r12 (verified
+      // by function-body diff, PLANS.md round 14): cold first reps at
+      // 4-6 s skip the adaptive median exactly when it matters
+      "mm_video_dedup", "mm_video_dedup_keep")
     val medianUnderSec = 3.0
     // local-iteration filter (unset in driver runs): comma-separated
     // query names

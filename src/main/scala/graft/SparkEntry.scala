@@ -1863,7 +1863,7 @@ object SparkEntry {
         jaccardThreshold = 0.5, maxUnkShare = 1e-9)
       require(roll2.nonEmpty && roll2.get.ok,
         "stream_caption_rollover: slice-2 UNK drift must trigger the rollover")
-      require(roll2.get.metrics("caption_unk_ids") == 0L,
+      require(roll2.get.metrics("media_caption_unk_ids") == 0L,
         "stream_caption_rollover: regenerated captions must carry zero UNKs")
       val tt = CurationPipeline.tokenizerTables(s)
       require(tt.generation == 1L,

@@ -76,6 +76,11 @@ object CurationPipeline {
   val MediaCaptionsTable = "documents_media_captions"
   val MediaSequencesTable = "documents_media_sequences"
   val MediaSeqMetaTable = "documents_media_sequences_meta"
+  val VideoRefTable = "documents_video_referenced"
+  val VideoTable = "documents_video_curated"
+  val VideoCaptionsTable = "documents_video_captions"
+  val VideoSequencesTable = "documents_video_sequences"
+  val VideoSeqMetaTable = "documents_video_sequences_meta"
   val TrainOrderMixedTable = "documents_train_order_mixed"
 
   /** The FULL training-data flow: quality gate → benchmark
@@ -136,6 +141,20 @@ object CurationPipeline {
     * argmax, and the skip metric all read ONE phash-index pin, so the
     * stage decodes each asset exactly once. Requires `media`.
     *
+    * `videoFrames` (sampled frame rows carrying a `doc_id` reference
+    * to the owning document plus [[graft.operators.Multimodal.VideoFrameSchema]]'s
+    * columns) adds the VIDEO-DEDUP stage — the FOURTH modality: frames
+    * of dropped docs are cut, the referenced set decodes once into
+    * frame-hash sets, re-muxes (Jaccard ≥ `videoJaccard`) and trims
+    * (containment ≥ `videoContain`) collapse per component, survivors
+    * publish to [[VideoTable]]. `videoCaptions` (video_id, caption,
+    * score) adds keep-best caption curation over the SAME reconcile
+    * closure ([[VideoCaptionsTable]]), and with `materializeTokenIds`
+    * the winners pack into their OWN interleaved sequence artifact
+    * ([[VideoSequencesTable]] — per-modality streams keep ref_id
+    * spaces unambiguous), which the tokenizer rollover regenerates
+    * alongside the media sequences ([[CaptionArtifacts]]).
+    *
     * `bpeMerges` > 0 trains the tokenizer on the train split
     * (`bpeDomain` picks the trainable-token domain — [[Bpe.AllTokens]]
     * for code-heavy/CJK corpora — and the epoch stages inherit it, so
@@ -165,9 +184,14 @@ object CurationPipeline {
               mediaGrid: graft.operators.Multimodal.GridExtractor =
                 graft.operators.Multimodal.StubGrid,
               mediaMaxHamming: Int = 3,
+              videoFrames: Option[DataFrame] = None,
+              videoCaptions: Option[DataFrame] = None,
+              videoJaccard: Double = 0.9, videoContain: Double = 0.9,
               notify: PipelineReport => Unit = _ => ()): PipelineReport = {
     require(captions.isEmpty || media.nonEmpty,
       "captions curate against the media assets' perceptual components — pass media too")
+    require(videoCaptions.isEmpty || videoFrames.nonEmpty,
+      "video captions curate against the videos' frame-hash components — pass videoFrames too")
     require(!materializeTokenIds || bpeMerges > 0,
       "token-id materialization consumes the trained tokenizer — set bpeMerges > 0")
     val stages = Seq[Stage](
@@ -318,6 +342,74 @@ object CurationPipeline {
                   refIdx, maxBucketSize).count()) ++ captionMetrics
           } finally Catalog.releasePin(refIdx)
         })) ++
+      (if (videoFrames.isEmpty) Seq.empty[Stage] else Seq(
+        Stage("video_dedup") { _ =>
+          // the FOURTH modality in the one-call pipeline — the media
+          // stage's discipline on the video closure: frames carry a
+          // doc_id reference to their owning document, videos of
+          // dropped docs are cut first (no orphan decode), the
+          // referenced set decodes EXACTLY ONCE into frame-hash sets,
+          // and ONE reconcile closure (empty tier — the treadmill
+          // bootstrap path, so the dedup and the caption attribution
+          // can never disagree) feeds the survivor derivation, the
+          // caption keep-best, and the metric map.
+          import graft.operators.Multimodal
+          val vf = videoFrames.get
+          val videosIn = vf.select("video_id").distinct().count()
+          val surviving = spark.table(SplitTable).select("doc_id")
+          Catalog.overwriteTable(
+            vf.join(surviving, Seq("doc_id"), "left_semi"), VideoRefTable)
+          val refFrames = spark.table(VideoRefTable)
+          val refCount = refFrames.select("video_id").distinct().count()
+          // the ONE decode pass of the whole stage
+          val vids = Multimodal.frameHashes(refFrames.drop("doc_id"), mediaGrid)
+            .localCheckpoint(true)
+          try {
+            val bIdx = Multimodal.videoIndex(vids).localCheckpoint(true)
+            try {
+              val comps = Multimodal.videoReconcileComponents(vids, bIdx,
+                bIdx.limit(0), videoJaccard, videoContain, maxBucketSize)
+                .localCheckpoint(true)
+              try {
+                Catalog.overwriteTable(
+                  Multimodal.videoAgainstFromComponents(vids, comps, bIdx.limit(0)),
+                  VideoTable)
+                val kept = spark.table(VideoTable).count()
+                val capMetrics = videoCaptions match {
+                  case None => Map.empty[String, Long]
+                  case Some(caps) =>
+                    import spark.implicits._
+                    // batch-global keep-best = the incremental fold
+                    // against an EMPTY stored artifact (the proven
+                    // equivalence), on the same closure the dedup read
+                    val stored = Seq.empty[(Long, String, Long, Option[Double], Long)]
+                      .toDF("media_id", "kept_caption", "kept_from",
+                        "kept_score", "dropped_count")
+                    Catalog.overwriteTable(
+                      Multimodal.captionKeepBestAgainst(comps, stored,
+                        caps.filter(col("caption").isNotNull)
+                          .join(refFrames.select("video_id").distinct(),
+                            Seq("video_id"), "left_semi")
+                          .withColumnRenamed("video_id", "media_id"))
+                        .withColumnRenamed("media_id", "video_id"),
+                      VideoCaptionsTable)
+                    val capsKept = spark.table(VideoCaptionsTable).count()
+                    val capsDropped = spark.table(VideoCaptionsTable)
+                      .agg(coalesce(sum("dropped_count"), lit(0L))).head().getLong(0)
+                    Map("video_caption_kept" -> capsKept,
+                      "video_caption_dropped" -> capsDropped)
+                }
+                Map("video_in" -> videosIn,
+                  "video_unreferenced_dropped" -> (videosIn - refCount),
+                  "video_neardup_dropped" -> (refCount - kept),
+                  "video_kept" -> kept,
+                  "skipped_video_buckets" ->
+                    Multimodal.skippedVideoBucketsFromIndex(bIdx, maxBucketSize)
+                      .count()) ++ capMetrics
+              } finally Catalog.releasePin(comps)
+            } finally Catalog.releasePin(bIdx)
+          } finally Catalog.releasePin(vids)
+        })) ++
       (if (bpeMerges <= 0) Seq.empty[Stage] else Seq(
         Stage("tokenizer_train") { _ =>
           // the tokenizer artifact over what training will actually
@@ -426,6 +518,19 @@ object CurationPipeline {
                 s"mixed training order must be a dense permutation: " +
                   s"${agg.getLong(0)} rows, max+1=${agg.getLong(1)}")
               Map("train_order_mixed_rows" -> agg.getLong(0))
+            })) ++
+          (if (videoCaptions.isEmpty) Seq.empty[Stage] else Seq(
+            Stage("pack_video_captions") { _ =>
+              // the video winners' interleaved stream — its OWN
+              // sequence artifact (mixing ref_id spaces in one stream
+              // would make refs ambiguous), via the same shared pack
+              // body; independent of the media-caption stages
+              val (nSeq, nRefs, unks) = packCaptionSequencesAt(spark, seqLen,
+                BpeMergesTable, VocabTable, TokenizerMetaTable,
+                VideoSequencesTable, VideoSeqMetaTable,
+                capsTable = VideoCaptionsTable, idCol = "video_id")
+              Map("video_sequences" -> nSeq,
+                "video_refs" -> nRefs, "video_caption_unk_ids" -> unks)
             })))) ++
       (if (mixBudgetTokens <= 0L) Seq.empty[Stage] else Seq(
         Stage("epoch_mix") { _ =>
@@ -518,25 +623,35 @@ object CurationPipeline {
     * shared with [[retrainTokenizer]]'s repack so the interleaved
     * artifact can never be produced two ways. Returns
     * (sequences, refs, caption UNK ids). */
-  def packCaptionSequences(spark: SparkSession, seqLen: Int): (Long, Long, Long) = {
+  def packCaptionSequences(spark: SparkSession, seqLen: Int,
+                           capsTable: String = MediaCaptionsTable,
+                           idCol: String = "media_id"): (Long, Long, Long) = {
     val tt = tokenizerTables(spark)
+    val (_, seqBase, metaBase, _) = CaptionArtifacts
+      .find(_._1 == capsTable)
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown caption artifact table '$capsTable' — expected one of " +
+          CaptionArtifacts.map(_._1).mkString(", ")))
     packCaptionSequencesAt(spark, seqLen, tt.merges, tt.vocab, tt.meta,
-      tt.mediaSequences, genName(MediaSeqMetaTable, tt.generation))
+      genName(seqBase, tt.generation), genName(metaBase, tt.generation),
+      capsTable = capsTable, idCol = idCol)
   }
 
   private def packCaptionSequencesAt(spark: SparkSession, seqLen: Int,
                                      mergesT: String, vocabT: String,
                                      metaT: String, seqOutT: String,
-                                     metaOutT: String): (Long, Long, Long) = {
+                                     metaOutT: String,
+                                     capsTable: String = MediaCaptionsTable,
+                                     idCol: String = "media_id"): (Long, Long, Long) = {
     import spark.implicits._
-    val caps = spark.table(MediaCaptionsTable)
-      .select(col("media_id"), col("kept_caption").as("text"))
+    val caps = spark.table(capsTable)
+      .select(col(idCol), col("kept_caption").as("text"))
     val ids = Bpe.tokenizeIds(caps, loadMergesFrom(spark, mergesT),
-      spark.table(vocabT), idCol = "media_id",
+      spark.table(vocabT), idCol = idCol,
       domain = readTokenizerDomain(spark, metaT))
       .localCheckpoint(true)
     Catalog.ctasOverwrite(
-      Bpe.packInterleaved(ids, seqLen = seqLen, idCol = "media_id"), seqOutT)
+      Bpe.packInterleaved(ids, seqLen = seqLen, idCol = idCol), seqOutT)
     val unks = ids.agg(coalesce(sum(size(filter(col("token_ids"),
       i => i === lit(Bpe.UnkId)))), lit(0)).cast("long")).head().getLong(0)
     Catalog.releasePin(ids)
@@ -547,6 +662,17 @@ object CurationPipeline {
       count(lit(1)), coalesce(sum(size(col("refs"))), lit(0)).cast("long")).head()
     (agg.getLong(0), agg.getLong(1), unks)
   }
+
+  /** The interleaved-caption GENERATION SET: one row per caption-bearing
+    * modality — (winners table, sequence artifact, pack meta, id
+    * column). runFull's pack stages and [[retrainTokenizer]]'s repack
+    * iterate the SAME list, so adding a modality here is the ONLY step
+    * to make its interleaved artifact rollover-safe. Sequence streams
+    * stay per-modality (ref_id spaces must not collide in one
+    * interleaved stream). */
+  private val CaptionArtifacts = Seq(
+    (MediaCaptionsTable, MediaSequencesTable, MediaSeqMetaTable, "media_id"),
+    (VideoCaptionsTable, VideoSequencesTable, VideoSeqMetaTable, "video_id"))
 
   val BpeMergesTable = "documents_bpe_merges"
   val VocabTable = "documents_bpe_vocab"
@@ -604,14 +730,16 @@ object CurationPipeline {
   case class TokenizerTables(generation: Long, merges: String, vocab: String,
                              meta: String, tokenIds: String,
                              idSequences: String, packState: String,
-                             stats: String, mediaSequences: String)
+                             stats: String, mediaSequences: String,
+                             videoSequences: String)
 
   def tokenizerTables(spark: SparkSession): TokenizerTables = {
     val g = currentTokenizerGeneration(spark)
     TokenizerTables(g, genName(BpeMergesTable, g), genName(VocabTable, g),
       genName(TokenizerMetaTable, g), genName(TokenIdsTable, g),
       genName(IdSequencesTable, g), genName(PackStateTable, g),
-      genName(TokenizerStatsTable, g), genName(MediaSequencesTable, g))
+      genName(TokenizerStatsTable, g), genName(MediaSequencesTable, g),
+      genName(VideoSequencesTable, g))
   }
 
   /** SINGLE-artifact conveniences over [[tokenizerTables]] — each call
@@ -908,7 +1036,8 @@ object CurationPipeline {
     val genTables = spark.catalog.listTables().collect().map(_.name)
       .filter(n => Seq(BpeMergesTable, VocabTable, TokenizerMetaTable,
         TokenIdsTable, IdSequencesTable, PackStateTable, TokenizerStatsTable,
-        TokenizerBaselineTable, MediaSequencesTable, MediaSeqMetaTable)
+        TokenizerBaselineTable, MediaSequencesTable, MediaSeqMetaTable,
+        VideoSequencesTable, VideoSeqMetaTable)
         .exists(b => n == b || n.startsWith(b + "_g")))
     (Seq(TierTable, BandIndexTable, SpanIndexTable, CleanTierTable,
       BatchSurvivorsTable, BatchCleanTable, BatchSpanIndexTable,
@@ -968,7 +1097,8 @@ object CurationPipeline {
     val suffixed = spark.catalog.listTables().collect().map(_.name)
       .filter(n => Seq(BpeMergesTable, VocabTable, TokenizerMetaTable,
         TokenIdsTable, IdSequencesTable, PackStateTable, TokenizerStatsTable,
-        TokenizerBaselineTable, MediaSequencesTable, MediaSeqMetaTable)
+        TokenizerBaselineTable, MediaSequencesTable, MediaSeqMetaTable,
+        VideoSequencesTable, VideoSeqMetaTable)
         .exists(b => n.startsWith(b + "_g")))
     (suffixed.toSeq :+ TokenizerGenPointerTable :+ TokenizerStatsTable
       :+ TokenizerBaselineTable)
@@ -1082,19 +1212,23 @@ object CurationPipeline {
       // pin exists to prevent). Re-tokenize the stored winners against
       // the new vocab and repack at the seqLen the artifact's meta
       // recorded; skipped when no caption artifact was ever packed.
-      (if (!Catalog.tableExists(spark, MediaCaptionsTable) ||
-           !Catalog.tableExists(spark, genName(MediaSeqMetaTable, gen)))
-        Seq.empty[Stage]
-      else Seq(
-        Stage("repack_captions") { _ =>
-          val capLen = spark.table(genName(MediaSeqMetaTable, gen))
-            .head().getLong(0).toInt
-          val (nSeq, nRefs, unks) = packCaptionSequencesAt(spark, capLen,
-            mergesT, vocabT, metaT,
-            genName(MediaSequencesTable, next), genName(MediaSeqMetaTable, next))
-          Map("media_sequences" -> nSeq, "media_refs" -> nRefs,
-            "caption_unk_ids" -> unks)
-        })) ++
+      CaptionArtifacts.flatMap { case (capsT, seqBase, metaBase, idCol) =>
+        val modality = idCol.stripSuffix("_id")
+        if (!Catalog.tableExists(spark, capsT) ||
+            !Catalog.tableExists(spark, genName(metaBase, gen)))
+          Seq.empty[Stage]
+        else Seq(
+          Stage(s"repack_${modality}_captions") { _ =>
+            val capLen = spark.table(genName(metaBase, gen))
+              .head().getLong(0).toInt
+            val (nSeq, nRefs, unks) = packCaptionSequencesAt(spark, capLen,
+              mergesT, vocabT, metaT,
+              genName(seqBase, next), genName(metaBase, next),
+              capsTable = capsT, idCol = idCol)
+            Map(s"${modality}_sequences" -> nSeq, s"${modality}_refs" -> nRefs,
+              s"${modality}_caption_unk_ids" -> unks)
+          })
+      } ++
       Seq(
       Stage("stage_delta") { _ =>
         import spark.implicits._
@@ -1180,7 +1314,8 @@ object CurationPipeline {
         (0L to next - 1 - keepGenerations).foreach { g =>
           Seq(BpeMergesTable, VocabTable, TokenizerMetaTable, TokenIdsTable,
             IdSequencesTable, PackStateTable, TokenizerStatsTable,
-            TokenizerBaselineTable, MediaSequencesTable, MediaSeqMetaTable)
+            TokenizerBaselineTable, MediaSequencesTable, MediaSeqMetaTable,
+            VideoSequencesTable, VideoSeqMetaTable)
             .foreach(b => Catalog.dropIfExists(spark, genName(b, g)))
         }
         Map("generation" -> next)

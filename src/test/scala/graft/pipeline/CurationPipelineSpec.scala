@@ -523,6 +523,80 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
       .select("media_id").as[Long].collect().toSet == Set(10L, 12L))
   }
 
+  test("runFull video stage: unreferenced/re-mux/trim videos cut, captions curated, sequences packed") {
+    import graft.operators.Bpe
+    // per-(video seed, frame no) deterministic 40-byte payloads — the
+    // VideoPipelineSpec fixture: a re-mux reuses the seed (identical
+    // hash set), a trim takes a frame suffix (containment 1, Jaccard
+    // 0.75)
+    def fp(seed: Int, k: Int): Array[Byte] =
+      Array.tabulate(40)(i => (33 + (seed * 31 + k * 17 + i * 7) % 90).toByte)
+    def video(doc: Long, id: Long, seed: Int, from: Int = 0, n: Int = 8) =
+      (from until from + n).map(k => (doc, id, k - from, fp(seed, k)))
+    def body(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val planted = Seq(
+      (1L, body("alpha", 60)),
+      (2L, body("beta", 60)),
+      (3L, "tiny")).toDF("doc_id", "text")
+    val framesDf = (video(1L, 10L, seed = 1) ++
+      video(1L, 11L, seed = 1) ++              // re-mux of 10 -> dropped
+      video(2L, 12L, seed = 2) ++              // survives
+      video(2L, 13L, seed = 1, from = 2, n = 6) ++ // trim of 10 -> dropped (containment)
+      video(3L, 14L, seed = 3))                // owner dies -> unreferenced
+      .toDF("doc_id", "video_id", "frame_no", "bytes")
+      .select($"doc_id", $"video_id", $"frame_no", lit("image").as("kind"),
+        lit("raw").as("format"), $"bytes")
+    // the dropped TRIM carries the best caption — it must still win for
+    // the canonical; the unreferenced video's caption must not leak
+    val vcaps = Seq(
+      (10L, "some clip", 0.1),
+      (11L, "shaky remux", 0.2),
+      (13L, "the director's cut", 0.9),
+      (12L, "b roll", 0.5),
+      (14L, "orphan wording", 1.0)).toDF("video_id", "caption", "score")
+    val report = CurationPipeline.runFull(spark, planted,
+      spark.emptyDataFrame.withColumn("text", lit("")).select("text"),
+      jaccardThreshold = 0.5, minTokens = 10, maxPunctRatio = 1.0,
+      minStopwordRatio = 0.0, seqLen = 7, bpeMerges = 4,
+      materializeTokenIds = true,
+      videoFrames = Some(framesDf), videoCaptions = Some(vcaps))
+    assert(report.ok, report.stages.toString)
+    assert(report.metrics("video_in") == 5L, report.metrics.toString)
+    assert(report.metrics("video_unreferenced_dropped") == 1L, report.metrics.toString)
+    assert(report.metrics("video_neardup_dropped") == 2L, report.metrics.toString)
+    assert(report.metrics("video_kept") == 2L, report.metrics.toString)
+    assert(spark.table(CurationPipeline.VideoTable)
+      .select("video_id").as[Long].collect().toSet == Set(10L, 12L))
+    assert(report.metrics("video_caption_kept") == 2L, report.metrics.toString)
+    assert(report.metrics("video_caption_dropped") == 2L, report.metrics.toString)
+    val byId = spark.table(CurationPipeline.VideoCaptionsTable)
+      .collect().map(r => r.getAs[Long]("video_id") ->
+        ((r.getAs[String]("kept_caption"), r.getAs[Long]("kept_from")))).toMap
+    assert(byId.keySet == Set(10L, 12L), byId.toString)
+    assert(byId(10L) == (("the director's cut", 13L)),
+      s"the dropped trim's better caption must win: $byId")
+    // the interleaved video sequences published, twin-exact vs the
+    // operator over the stored winners and the published tokenizer
+    assert(report.metrics("video_sequences") > 0L, report.metrics.toString)
+    val merges = spark.table(CurationPipeline.BpeMergesTable).orderBy("rank")
+      .collect().map(row => Bpe.Merge(row.getAs[Int]("rank"),
+        row.getAs[String]("left_sym"), row.getAs[String]("right_sym"),
+        row.getAs[Long]("pair_count"))).toSeq
+    val want = Bpe.packInterleaved(
+        Bpe.tokenizeIds(
+          spark.table(CurationPipeline.VideoCaptionsTable)
+            .select($"video_id", $"kept_caption".as("text")),
+          merges, spark.table(CurationPipeline.VocabTable), idCol = "video_id"),
+        seqLen = 7, idCol = "video_id")
+      .select($"seq_no", array_join($"token_ids", ",").as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = spark.table(CurationPipeline.VideoSequencesTable)
+      .select($"seq_no", array_join($"token_ids", ",").as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want, s"$got vs $want")
+    assert(spark.table(CurationPipeline.VideoSeqMetaTable).head().getLong(0) == 7L)
+  }
+
   test("runFull pack_captions: interleaved media sequences with refs, twin-exact vs the operator") {
     import graft.operators.Bpe
     def payload(seed: Int): Array[Byte] =
@@ -899,6 +973,13 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     Catalog.overwriteTable(winners, CurationPipeline.MediaCaptionsTable)
     val (n0, _, _) = CurationPipeline.packCaptionSequences(spark, seqLen = 7)
     assert(n0 > 0L)
+    // ...and the VIDEO artifact at its own seqLen — the rollover must
+    // regenerate EVERY caption-bearing modality's sequence stream
+    val vWinners = Seq((1L, tokWords(1))).toDF("video_id", "kept_caption")
+    Catalog.overwriteTable(vWinners, CurationPipeline.VideoCaptionsTable)
+    val (vn0, _, _) = CurationPipeline.packCaptionSequences(spark, seqLen = 5,
+      capsTable = CurationPipeline.VideoCaptionsTable, idCol = "video_id")
+    assert(vn0 > 0L)
     // drift fires; the rollover must regenerate the caption sequences
     // under the NEW vocab — leaving them on the dead generation's id
     // space is exactly the gap this stage closes
@@ -906,7 +987,7 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     val roll = CurationPipeline.maybeRetrainTokenizer(spark, maxUnkShare = 0.001)
     assert(roll.nonEmpty && roll.get.ok, roll.toString)
     assert(roll.get.metrics.contains("media_sequences"), roll.get.metrics.toString)
-    assert(roll.get.metrics("caption_unk_ids") == 0L, roll.get.metrics.toString)
+    assert(roll.get.metrics("media_caption_unk_ids") == 0L, roll.get.metrics.toString)
     assert(CurationPipeline.currentTokenizerGeneration(spark) == 1L)
     // twin-exact: the published gen-1 artifact equals packInterleaved
     // of the winners tokenized under the gen-1 vocab at the SAME
@@ -928,6 +1009,15 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     assert(got == want, s"$got vs $want")
     // the pack meta carried to the new generation
     assert(spark.table(CurationPipeline.MediaSeqMetaTable + "_g1").head().getLong(0) == 7L)
+    // the video artifact regenerated too, at ITS recorded seqLen
+    assert(roll.get.metrics.contains("video_sequences"), roll.get.metrics.toString)
+    assert(spark.table(CurationPipeline.VideoSeqMetaTable + "_g1").head().getLong(0) == 5L)
+    val vWant = dump(Bpe.packInterleaved(
+      Bpe.tokenizeIds(vWinners.select($"video_id", $"kept_caption".as("text")),
+        merges, spark.table(CurationPipeline.VocabTable + "_g1"), idCol = "video_id"),
+      seqLen = 5, idCol = "video_id"))
+    val vGot = dump(spark.table(CurationPipeline.tokenizerTables(spark).videoSequences))
+    assert(vGot == vWant, s"$vGot vs $vWant")
   }
 
   test("maybeRetrainTokenizer: Bytes-domain compression collapse rolls with ZERO UNKs") {
