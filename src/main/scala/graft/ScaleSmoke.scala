@@ -414,6 +414,87 @@ object ScaleSmoke {
       VideoPipeline.resetTreadmill(spark)
       tier
     }
+    timed("video_caption_ingest_50k") {
+      // the VIDEO-CAPTION treadmill at corpus scale: the video_ingest
+      // fixture (clone families = re-muxes straddling the slice cut)
+      // plus a planted TRIM per base doc (frames 2..7, landing in
+      // slice 2 with the family's best-scored caption) — the running
+      // keep-best artifact must equal batch-global keep-best over ALL
+      // videos + captions row-for-row, every trim's caption must win
+      // its family, no family may bridge, and the cross-bucket skip
+      // reporter must actually fire at a cap the clone families
+      // overflow.
+      import graft.pipeline.VideoPipeline
+      VideoPipeline.resetTreadmill(spark)
+      def mkFrames(ids: org.apache.spark.sql.DataFrame, from: Int, n: Int) = ids
+        .select(col("video_id"), col("text"),
+          explode(sequence(lit(from), lit(from + n - 1))).as("fno"))
+        .select(col("video_id"), (col("fno") - from).as("frame_no"),
+          lit("image").as("kind"), lit("raw").as("format"),
+          md5(concat(col("text"), lit(":f"), col("fno").cast("string")))
+            .cast("binary").as("bytes"))
+      val base = docs.filter(col("text").isNotNull)
+        .select(col("doc_id").as("video_id"), col("text"))
+      val trimBase = 500000000L
+      val trims = base.filter(col("video_id") < 1000000L)
+        .select((col("video_id") + trimBase).as("video_id"), col("text"))
+      val frames = mkFrames(base, 0, 8).unionByName(mkFrames(trims, 2, 6))
+        .localCheckpoint(true)
+      val capsAll = base.select(col("video_id")).unionByName(trims.select(col("video_id")))
+        .select(col("video_id"), concat(lit("cap "), col("video_id")).as("caption"),
+          when(col("video_id") >= trimBase, lit(2000.0))
+            .otherwise(pmod(col("video_id"), lit(997)).cast("double")).as("score"))
+        .localCheckpoint(true)
+      val cut = (mult / 2).max(1) * 1000000L
+      val r1 = VideoPipeline.ingestBatch(spark, frames.filter(col("video_id") < cut),
+        captions = Some(capsAll.filter(col("video_id") < cut)))
+      require(r1.ok, r1.stages.toString)
+      val r2 = VideoPipeline.ingestBatch(spark, frames.filter(col("video_id") >= cut),
+        captions = Some(capsAll.filter(col("video_id") >= cut)))
+      require(r2.ok, r2.stages.toString)
+      require(r1.metrics("bridged_components") == 0L &&
+        r2.metrics("bridged_components") == 0L,
+        s"clone families must not bridge: ${r2.metrics}")
+      require(r1.metrics("skipped_cross_buckets") == 0L &&
+        r2.metrics("skipped_cross_buckets") == 0L,
+        s"no bucket may skip at the default cap: ${r2.metrics}")
+      // batch-global equality row-for-row: the incremental fold against
+      // an empty store IS batch-global keep-best (the proven
+      // equivalence), over ONE closure of all videos
+      val allVids = operators.Multimodal.frameHashes(frames).localCheckpoint(true)
+      val comps = operators.Components.connectedComponents(
+        operators.Multimodal.videoNearDupPairs(allVids).select("a_id", "b_id"))
+      val emptyStored = spark.range(0).select(col("id").as("media_id"),
+        lit(null).cast("string").as("kept_caption"), col("id").as("kept_from"),
+        lit(null).cast("double").as("kept_score"), col("id").as("dropped_count"))
+      val want = operators.Multimodal.captionKeepBestAgainst(comps, emptyStored,
+          capsAll.withColumnRenamed("video_id", "media_id"))
+        .select(col("media_id").as("video_id"), col("kept_caption"),
+          col("kept_from"), col("dropped_count"))
+      val got = spark.table(VideoPipeline.CaptionsTable)
+        .select("video_id", "kept_caption", "kept_from", "dropped_count")
+      require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "running video-caption artifact must equal batch-global keep-best")
+      // every trim family keeps a trim's caption (score 2000 beats
+      // every re-mux's < 997); families count by TEXT CLASS — base
+      // docs sharing a text share every frame payload and merge
+      val trimWins = got.filter(col("kept_from") >= trimBase).count()
+      val trimClasses = trims.select("text").distinct().count()
+      require(trimWins == trimClasses,
+        s"every planted trim caption must win its family: $trimWins vs $trimClasses")
+      // the cross-bucket skip reporter fires at tier scale when the cap
+      // is below the clone-family size (cap-never-silent, measured)
+      val tinyCap = (mult / 2).max(2)
+      val skips = operators.Multimodal.skippedVideoBucketsAgainst(
+        operators.Multimodal.videoIndex(
+          allVids.join(frames.select(col("video_id")).distinct()
+            .filter(col("video_id") >= cut), Seq("video_id"), "left_semi")),
+        spark.table(VideoPipeline.FrameIndexTable), tinyCap).count()
+      require(skips > 0L, s"cap $tinyCap must skip the mult-sized clone families")
+      val n = got.count()
+      VideoPipeline.resetTreadmill(spark)
+      n
+    }
     timed("stream_ingest_50k") {
       // the STREAMING treadmill at corpus scale: clone replicas split
       // into two landed slices, two checkpointed drains (the second a

@@ -1,0 +1,245 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.Multimodal
+import graft.plans.Catalog
+
+/** The shared INGEST-TREADMILL skeleton behind the perceptual-media
+  * modalities ([[MediaPipeline]], [[VideoPipeline]]): each pipeline
+  * supplies a [[Treadmill.Modality]] closure — how to decode a batch
+  * once, how to reconcile it against the stored index, which tables
+  * and metric names are its own — and the skeleton owns everything the
+  * round-13 verdict observed being copied per modality: the stage
+  * scaffolding, the pin lifecycle (decode-once, release in finally),
+  * the empty-tier bootstrap (reconcile degenerates to in-batch dedup),
+  * the caption keep-best fold with its replay watermark, the
+  * idempotent multi-table publish, the foreachBatch session-clone
+  * discipline, and the reset. A FIFTH modality is a Modality closure,
+  * not a fourth copy of the pipeline.
+  *
+  * Contracts inherited by every modality: batch ids are fresh and
+  * monotone across slices (insertAppendOnce's idempotence class and
+  * the caption watermark's replay guard both ride on it), and under
+  * that discipline the running tier equals batch-global dedup over all
+  * slices so far (the reconcile operators' convergence contract). */
+object Treadmill {
+
+  /** Everything one batch derives from its SINGLE decode pass: the
+    * entity rows the tier stores, the index rows that bucket and
+    * verify reconciliation, and the eager pins to release once every
+    * consumer has materialized. */
+  final case class BatchState(entities: DataFrame, index: DataFrame,
+                              pins: Seq[DataFrame])
+
+  /** One modality's closure over the skeleton. Table names, metric
+    * names, and the reconcile operators differ; the stage structure
+    * never does. */
+  trait Modality {
+    def idCol: String
+    def tierTable: String
+    def indexTable: String
+    def captionsTable: String
+    def batchSurvivorsTable: String
+    def batchIndexTable: String
+    def batchComponentsTable: String
+    def batchCaptionsTable: String
+    /** probe metric ("tier_media"), publish metric ("tier_media_after"),
+      * and the initial metric the run seeds ("batch_in"/"batch_frames"). */
+    def probeMetric: String
+    def afterMetric: String
+    def initialMetric: String
+    def dedupStageName: String
+    /** The ONE decode pass of the whole batch lifecycle. */
+    def prepare(batch: DataFrame): BatchState
+    /** The reconcile closure: components over cross ∪ internal pairs,
+      * labeled by minimum member id. */
+    def reconcile(st: BatchState, tierIdx: DataFrame): DataFrame
+    /** Batch survivors from an already-computed closure. */
+    def survivorsFromComponents(st: BatchState, comps: DataFrame,
+                                tierIdx: DataFrame): DataFrame
+    /** (skipped cross buckets, skipped in-batch buckets) — the
+      * cap-never-silent metrics, read from the pins. */
+    def skippedCross(st: BatchState, tierIdx: DataFrame): Long
+    def skippedBatch(st: BatchState): Long
+    /** Streaming landing: schema without caption columns, and the
+      * split of a captioned micro-batch into (entity rows, caption
+      * candidates (idCol, caption, score)). */
+    def landingSchema: StructType
+    def splitCaptions(batch: DataFrame): (DataFrame, DataFrame)
+  }
+
+  /** Ingest one slice: reconcile against the stored index, optionally
+    * fold the slice's caption candidates into the running keep-best
+    * artifact, publish survivors + their index rows idempotently. */
+  def ingestBatch(spark: SparkSession, batch: DataFrame, m: Modality,
+                  captions: Option[DataFrame],
+                  notify: PipelineReport => Unit): PipelineReport = {
+    val idCol = m.idCol
+    val stages = Seq(
+      Stage("probe_tier") { _ =>
+        Map(m.probeMetric -> (if (Catalog.tableExists(spark, m.tierTable))
+          spark.table(m.tierTable).count() else 0L))
+      },
+      Stage(m.dedupStageName) { mm =>
+        val st = m.prepare(batch)
+        try {
+          val tierIdx =
+            if (mm(m.probeMetric) > 0L) spark.table(m.indexTable)
+            else st.index.limit(0) // empty tier: reconcile = in-batch dedup
+          // ONE closure feeds the survivor derivation, the caption
+          // attribution, and the bridge metric
+          Catalog.overwriteTable(m.reconcile(st, tierIdx), m.batchComponentsTable)
+          Catalog.overwriteTable(
+            m.survivorsFromComponents(st, spark.table(m.batchComponentsTable), tierIdx),
+            m.batchSurvivorsTable)
+          // survivor index rows come from the PIN, never a second decode
+          Catalog.overwriteTable(
+            st.index.join(spark.table(m.batchSurvivorsTable).select(idCol),
+              Seq(idCol), "left_semi"),
+            m.batchIndexTable)
+          val in = st.entities.count()
+          val kept = spark.table(m.batchSurvivorsTable).count()
+          val bridged = spark.table(m.batchComponentsTable)
+            .join(tierIdx.select(col(idCol).as("id")).distinct(), Seq("id"), "left_semi")
+            .groupBy("component").agg(count(lit(1)).as("__n"))
+            .filter(col("__n") >= 2).count()
+          Map("batch_in" -> in, "batch_kept" -> kept,
+            "batch_dropped" -> (in - kept),
+            "bridged_components" -> bridged,
+            "skipped_cross_buckets" -> m.skippedCross(st, tierIdx),
+            "skipped_batch_buckets" -> m.skippedBatch(st))
+        } finally
+          // everything reading the pins (scratch tables, counts, skip
+          // metrics) has materialized above — release NOW, or a
+          // long-lived treadmill session accumulates per-batch pins
+          st.pins.foreach(Catalog.releasePin)
+      }) ++
+      (captions match {
+        case None => Seq.empty[Stage]
+        case Some(caps) => Seq(
+          Stage("caption_reconcile") { _ =>
+            import spark.implicits._
+            val stored =
+              if (Catalog.tableExists(spark, m.captionsTable))
+                spark.table(m.captionsTable).withColumnRenamed(idCol, "media_id")
+              else Seq.empty[(Long, String, Long, Option[Double], Long, Long)]
+                .toDF("media_id", "kept_caption", "kept_from", "kept_score",
+                  "dropped_count", "folded_max_id")
+            // REPLAY GUARD: the fold is exact under stage retry (the
+            // publish re-merges the same winner rows) but foreachBatch
+            // is at-least-once — a redelivered batch would fold its
+            // candidates a SECOND time against the already-merged
+            // winners, inflating dropped_count. Ids are fresh+monotone
+            // across batches, so each fold stamps its touched rows
+            // with the batch's max candidate id (`folded_max_id`,
+            // riding the SAME atomic merge — no commit window between
+            // artifact and ledger), and candidates at or below the
+            // global stamp are a redelivery: excluded, the fold
+            // degenerates to a no-op.
+            val watermark = stored
+              .agg(coalesce(max("folded_max_id"), lit(Long.MinValue)))
+              .head().getLong(0)
+            val named = caps.filter(col("caption").isNotNull)
+            val cands = named.filter(col(idCol) > watermark)
+            val batchMax = cands.agg(max(idCol)).head()
+            Catalog.overwriteTable(
+              Multimodal.captionKeepBestAgainst(
+                spark.table(m.batchComponentsTable), stored.drop("folded_max_id"),
+                cands.withColumnRenamed(idCol, "media_id"))
+                .withColumn("folded_max_id",
+                  lit(if (batchMax.isNullAt(0)) Long.MinValue else batchMax.getLong(0)))
+                .withColumnRenamed("media_id", idCol),
+              m.batchCaptionsTable)
+            Map("caption_components_touched" -> spark.table(m.batchCaptionsTable).count(),
+              "caption_candidates" -> named.count(),
+              "caption_replay_skipped" -> (named.count() - cands.count()))
+          })
+      }) ++
+      Seq(
+      Stage("publish_batch") { _ =>
+        val survivors = spark.table(m.batchSurvivorsTable)
+        val idx = spark.table(m.batchIndexTable)
+        if (!Catalog.tableExists(spark, m.tierTable)) {
+          Catalog.ensureTable(spark, m.tierTable, survivors.schema)
+          Catalog.ensureTable(spark, m.indexTable, idx.schema)
+        }
+        // idempotent multi-table publish under a retrying Runner
+        Catalog.insertAppendOnce(spark, m.tierTable, survivors, idCol)
+        Catalog.insertAppendOnce(spark, m.indexTable, idx, idCol)
+        if (captions.nonEmpty) {
+          // MERGE through the atomic view flip — idempotent under
+          // retry (the same winner rows upsert to the same state)
+          val winners = spark.table(m.batchCaptionsTable)
+          if (!Catalog.tableExists(spark, m.captionsTable))
+            Catalog.ctasOverwrite(winners, m.captionsTable)
+          else Catalog.mergeInto(spark, m.captionsTable, winners, Seq(idCol))
+        }
+        Map(m.afterMetric -> spark.table(m.tierTable).count())
+      })
+    new Runner(stages, RetryPolicy(retries = 1), notify)
+      .run(Map(m.initialMetric -> batch.count()))
+  }
+
+  /** The treadmill as a STREAM: a checkpointed file source over a
+    * PARQUET landing drives [[ingestBatch]] once per micro-batch via
+    * foreachBatch. The checkpoint dedups FILES (a restart resumes at
+    * the first undiscovered slice); the stored index dedups CONTENT,
+    * so a redelivered asset cannot re-enter the tier either way.
+    * Trigger.AvailableNow drains everything landed and stops — the
+    * scheduled-batch deployment shape. With `captioned` the landing
+    * rows carry two extra nullable columns (caption STRING, score
+    * DOUBLE) and each micro-batch splits via the modality's
+    * convention — one landing stream feeds both artifacts. */
+  def streamIngest(spark: SparkSession, landingDir: String, checkpointDir: String,
+                   m: Modality, captioned: Boolean)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val schema =
+      if (!captioned) m.landingSchema
+      else StructType(m.landingSchema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("caption",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType)))
+    spark.readStream
+      .schema(schema)
+      .parquet(landingDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // the CurationPipeline.streamIngest cache-coherence discipline:
+        // run the WHOLE treadmill on the micro-batch's session clone
+        // (scratch overwrites refresh the WRITING session's relation
+        // cache; mixing sessions in one plan splits it), and pin the
+        // batch — the stages fire several actions over it and an
+        // unpersisted micro-batch re-reads the landing files for each.
+        val pinned = batch.toDF().persist()
+        val r = try {
+          val (entities, caps) =
+            if (captioned) {
+              val (e, c) = m.splitCaptions(pinned)
+              (e, Some(c))
+            } else (pinned, None)
+          ingestBatch(batch.sparkSession, entities, m, caps, _ => ())
+        } finally pinned.unpersist(blocking = false)
+        require(r.ok, s"${m.idCol} treadmill ingestBatch failed in micro-batch $id: " +
+          r.stages.filterNot(_.ok).map(s => s"${s.stage}: ${s.error.getOrElse("?")}").mkString("; "))
+        // ...and the OUTER session must drop ITS cached listings of the
+        // published tables (the clone's refreshes don't reach it).
+        Seq(m.tierTable, m.indexTable, m.captionsTable)
+          .foreach(t => if (Catalog.tableExists(spark, t)) spark.catalog.refreshTable(t))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Drop every treadmill table — a fresh-tier reset for
+    * self-contained runs (the stream gate queries and specs). */
+  def resetTreadmill(spark: SparkSession, m: Modality): Unit =
+    Seq(m.tierTable, m.indexTable, m.captionsTable, m.batchSurvivorsTable,
+      m.batchIndexTable, m.batchComponentsTable, m.batchCaptionsTable)
+      .foreach(Catalog.dropIfExists(spark, _))
+}
