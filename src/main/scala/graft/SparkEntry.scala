@@ -3140,6 +3140,18 @@ object SparkEntry {
         .orderBy("position")
     }),
 
+    // the N-stream manifest: THREE modalities through the same
+    // bucketed-md5 shuffle (the shape runFull emits once video caption
+    // sequences exist next to the text and still-media streams)
+    "mm_train_order_streams" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Curation.trainOrderStreams(Seq(
+          "text" -> d.filter(col("doc_id") % 2 === 0).select(col("doc_id").as("seq_no")),
+          "multimodal" -> d.filter(col("doc_id") % 3 === 0).select(col("doc_id").as("seq_no")),
+          "video" -> d.filter(col("doc_id") % 5 === 0).select(col("doc_id").as("seq_no"))))
+        .orderBy("position")
+    }),
+
     // Unigram-LM quality signal: mean corpus frequency of each doc's
     // tokens (BIGINT sums; the mean is the single double op).
     // CCNet-style head/middle/tail per language by LM-score percentile
@@ -3980,6 +3992,21 @@ object SparkEntry {
         |  SELECT 'text' AS modality, doc_id AS seq_no FROM documents WHERE doc_id % 2 = 0
         |  UNION ALL
         |  SELECT 'multimodal' AS modality, doc_id AS seq_no FROM documents WHERE doc_id % 3 = 0)
+        |SELECT CAST(row_number() OVER (
+        |         ORDER BY md5('42:' || modality || ':' || seq_no::VARCHAR),
+        |                  modality || ':' || seq_no::VARCHAR) - 1 AS BIGINT) AS position,
+        |       modality, seq_no
+        |FROM u ORDER BY position""".stripMargin,
+
+    // the same md5-rank replay over THREE tagged streams — the
+    // trainOrderStreams generalization (video joins the manifest)
+    "mm_train_order_streams" ->
+      """WITH u AS (
+        |  SELECT 'text' AS modality, doc_id AS seq_no FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'multimodal' AS modality, doc_id AS seq_no FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'video' AS modality, doc_id AS seq_no FROM documents WHERE doc_id % 5 = 0)
         |SELECT CAST(row_number() OVER (
         |         ORDER BY md5('42:' || modality || ':' || seq_no::VARCHAR),
         |                  modality || ':' || seq_no::VARCHAR) - 1 AS BIGINT) AS position,

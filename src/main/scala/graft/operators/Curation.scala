@@ -930,10 +930,24 @@ object Curation {
     * independent uniform hash), which is exactly the i.i.d.-batch
     * property training wants. */
   def trainOrderMixed(textSeqs: DataFrame, multimodalSeqs: DataFrame,
-                      seed: Long = 42L): DataFrame = {
-    val u = textSeqs.select(lit("text").as("modality"), col("seq_no"))
-      .unionByName(
-        multimodalSeqs.select(lit("multimodal").as("modality"), col("seq_no")))
+                      seed: Long = 42L): DataFrame =
+    trainOrderStreams(Seq("text" -> textSeqs, "multimodal" -> multimodalSeqs),
+      seed)
+
+  /** [[trainOrderMixed]] generalized to ANY number of sequence streams
+    * — the three-modality reality once the video caption sequences
+    * exist next to the text and still-media streams. Same machinery:
+    * one tagged union, md5 rank on the compound "modality:seq_no" key,
+    * no global window; modality names must be distinct (they namespace
+    * the seq_no spaces). */
+  def trainOrderStreams(streams: Seq[(String, DataFrame)],
+                        seed: Long = 42L): DataFrame = {
+    require(streams.nonEmpty, "trainOrderStreams needs at least one stream")
+    require(streams.map(_._1).distinct.size == streams.size,
+      s"modality names must be distinct: ${streams.map(_._1).mkString(", ")}")
+    val u = streams.map { case (m, df) =>
+        df.select(lit(m).as("modality"), col("seq_no"))
+      }.reduce(_ unionByName _)
       .withColumn("__sid", concat_ws(":", col("modality"), col("seq_no")))
     globalShuffle(u, seed, idCol = "__sid")
       .select(col("position"), col("modality"), col("seq_no"))

@@ -500,15 +500,33 @@ object CurationPipeline {
                 MediaSequencesTable, MediaSeqMetaTable)
               Map("media_sequences" -> nSeq,
                 "media_refs" -> nRefs, "caption_unk_ids" -> unks)
-            },
+            })) ++
+          (if (videoCaptions.isEmpty) Seq.empty[Stage] else Seq(
+            Stage("pack_video_captions") { _ =>
+              // the video winners' interleaved stream — its OWN
+              // sequence artifact (mixing ref_id spaces in one stream
+              // would make refs ambiguous), via the same shared pack
+              // body; independent of the media-caption stages, and
+              // BEFORE the mixed manifest so the manifest can cover it
+              val (nSeq, nRefs, unks) = packCaptionSequencesAt(spark, seqLen,
+                BpeMergesTable, VocabTable, TokenizerMetaTable,
+                VideoSequencesTable, VideoSeqMetaTable,
+                capsTable = VideoCaptionsTable, idCol = "video_id")
+              Map("video_sequences" -> nSeq,
+                "video_refs" -> nRefs, "video_caption_unk_ids" -> unks)
+            })) ++
+          (if (captions.isEmpty) Seq.empty[Stage] else Seq(
             Stage("train_order_mixed") { _ =>
-              // ONE manifest over BOTH sequence artifacts: the trainer
+              // ONE manifest over EVERY sequence artifact: the trainer
               // mounts (position, modality, seq_no) instead of
-              // hand-interleaving the text and multimodal streams
+              // hand-interleaving the per-modality streams (the video
+              // stream joins when its captions packed)
               Catalog.ctasOverwrite(
-                Curation.trainOrderMixed(
-                  spark.table(IdSequencesTable).select("seq_no"),
-                  spark.table(MediaSequencesTable).select("seq_no"),
+                Curation.trainOrderStreams(
+                  Seq("text" -> spark.table(IdSequencesTable).select("seq_no"),
+                    "multimodal" -> spark.table(MediaSequencesTable).select("seq_no")) ++
+                  (if (videoCaptions.isEmpty) Nil
+                   else Seq("video" -> spark.table(VideoSequencesTable).select("seq_no"))),
                   seed = shuffleSeed),
                 TrainOrderMixedTable)
               val agg = spark.table(TrainOrderMixedTable)
@@ -518,19 +536,6 @@ object CurationPipeline {
                 s"mixed training order must be a dense permutation: " +
                   s"${agg.getLong(0)} rows, max+1=${agg.getLong(1)}")
               Map("train_order_mixed_rows" -> agg.getLong(0))
-            })) ++
-          (if (videoCaptions.isEmpty) Seq.empty[Stage] else Seq(
-            Stage("pack_video_captions") { _ =>
-              // the video winners' interleaved stream — its OWN
-              // sequence artifact (mixing ref_id spaces in one stream
-              // would make refs ambiguous), via the same shared pack
-              // body; independent of the media-caption stages
-              val (nSeq, nRefs, unks) = packCaptionSequencesAt(spark, seqLen,
-                BpeMergesTable, VocabTable, TokenizerMetaTable,
-                VideoSequencesTable, VideoSeqMetaTable,
-                capsTable = VideoCaptionsTable, idCol = "video_id")
-              Map("video_sequences" -> nSeq,
-                "video_refs" -> nRefs, "video_caption_unk_ids" -> unks)
             })))) ++
       (if (mixBudgetTokens <= 0L) Seq.empty[Stage] else Seq(
         Stage("epoch_mix") { _ =>

@@ -611,12 +611,23 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     val caps = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta", 0.8),
       (12L, "beta beta beta", 0.5)).toDF("media_id", "caption", "score")
+    // a small video alongside: its caption sequences must join the
+    // mixed manifest as the THIRD stream
+    def vfp(seed: Int, k: Int): Array[Byte] =
+      Array.tabulate(40)(i => (33 + (seed * 31 + k * 17 + i * 7) % 90).toByte)
+    val framesDf = (0 until 8).map(k => (1L, 20L, k, vfp(1, k)))
+      .toDF("doc_id", "video_id", "frame_no", "bytes")
+      .select($"doc_id", $"video_id", $"frame_no", lit("image").as("kind"),
+        lit("raw").as("format"), $"bytes")
+    val vcaps = Seq((20L, "short clip of the prototype", 0.7))
+      .toDF("video_id", "caption", "score")
     val report = CurationPipeline.runFull(spark, planted,
       spark.emptyDataFrame.withColumn("text", lit("")).select("text"),
       jaccardThreshold = 0.5, minTokens = 10, maxPunctRatio = 1.0,
       minStopwordRatio = 0.0, seqLen = 8,
       bpeMerges = 4, materializeTokenIds = true,
-      media = Some(mediaDf), captions = Some(caps))
+      media = Some(mediaDf), captions = Some(caps),
+      videoFrames = Some(framesDf), videoCaptions = Some(vcaps))
     assert(report.ok, report.stages.toString)
     assert(report.stages.exists(_.stage == "pack_captions"), report.stages.toString)
     // every kept caption contributes exactly one sentinel ref
@@ -643,14 +654,17 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
       r.getSeq[org.apache.spark.sql.Row](2).foreach(ref =>
         assert(ids(ref.getInt(0)) == Bpe.MediaId, r.toString))
     }
-    // the mixed manifest covers BOTH streams exactly once, densely
+    // the mixed manifest covers ALL THREE streams exactly once, densely
     val mixed = spark.table(CurationPipeline.TrainOrderMixedTable).collect()
       .map(r => (r.getAs[String]("modality"), r.getAs[Long]("seq_no"))).toSet
     val wantMixed =
       spark.table(CurationPipeline.IdSequencesTable).select("seq_no")
         .collect().map(r => ("text", r.getLong(0))).toSet ++
       spark.table(CurationPipeline.MediaSequencesTable).select("seq_no")
-        .collect().map(r => ("multimodal", r.getLong(0))).toSet
+        .collect().map(r => ("multimodal", r.getLong(0))).toSet ++
+      spark.table(CurationPipeline.VideoSequencesTable).select("seq_no")
+        .collect().map(r => ("video", r.getLong(0))).toSet
+    assert(mixed.exists(_._1 == "video"), s"video stream missing: $mixed")
     assert(mixed == wantMixed, s"$mixed vs $wantMixed")
     assert(report.metrics("train_order_mixed_rows") == mixed.size.toLong)
     // without captions the stage is absent
