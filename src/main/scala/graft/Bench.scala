@@ -61,7 +61,10 @@ object Bench {
       // round-13 mover with a BYTE-IDENTICAL code path vs r12 (verified
       // by function-body diff, PLANS.md round 14): cold first reps at
       // 4-6 s skip the adaptive median exactly when it matters
-      "mm_video_dedup", "mm_video_dedup_keep")
+      "mm_video_dedup", "mm_video_dedup_keep",
+      // round-14 borderline mover (1.51x, +0.85 s) on an untouched
+      // path — the same cold-first-rep class; pinned
+      "doc_tokenize_ids_alltext")
     val medianUnderSec = 3.0
     // local-iteration filter (unset in driver runs): comma-separated
     // query names
