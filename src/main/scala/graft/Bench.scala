@@ -47,6 +47,7 @@ object Bench {
       "emb_triplet_mining", "emb_ingest_incremental",
       "emb_pq_regenerate", "stream_vec_ingest",
       "stream_doc_ingest", "stream_media_ingest", "stream_video_ingest",
+      "stream_audio_ingest", "stream_audio_captions",
       "stream_tokenize_ingest", "stream_pack_ingest",
       "stream_tokenize_retrain", "stream_media_captions", "stream_video_captions",
       "stream_caption_rollover", "stream_bytes_drift_retrain",

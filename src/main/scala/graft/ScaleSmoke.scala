@@ -495,6 +495,80 @@ object ScaleSmoke {
       VideoPipeline.resetTreadmill(spark)
       n
     }
+    timed("audio_caption_ingest_50k") {
+      // the AUDIO treadmill at corpus scale — the fifth modality's
+      // decade row, and the Treadmill skeleton's scale proof: clone
+      // families (re-encodes sharing every window) straddle the slice
+      // cut, a hop-aligned CLIP per base doc lands in slice 2 with the
+      // family's best-scored transcript. Asserted: the running
+      // keep-best artifact equals batch-global keep-best row-for-row,
+      // every clip's transcript wins its family (per TEXT class), no
+      // bridges, and the skip reporter fires at a cap the clone
+      // families overflow.
+      import graft.pipeline.AudioPipeline
+      AudioPipeline.resetTreadmill(spark)
+      val payload = concat((0 until 8).map(j =>
+        md5(concat(col("text"), lit(":sa" + j)))): _*)
+      val base = docs.filter(col("text").isNotNull)
+        .select(col("doc_id").as("audio_id"), col("text"), payload.as("p"))
+      val clipBase = 500000000L
+      val clips = base.filter(col("audio_id") < 1000000L)
+        .select((col("audio_id") + clipBase).as("audio_id"), col("text"),
+          substring(col("p"), 97, 160).as("p"))
+      def toAudio(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("audio_id"), lit("audio").as("kind"),
+          lit("raw").as("format"), col("p").cast("binary").as("bytes"))
+      val all = toAudio(base.select("audio_id", "p")
+        .unionByName(clips.select("audio_id", "p"))).localCheckpoint(true)
+      val capsAll = base.select(col("audio_id")).unionByName(clips.select(col("audio_id")))
+        .select(col("audio_id"), concat(lit("transcript "), col("audio_id")).as("caption"),
+          when(col("audio_id") >= clipBase, lit(2000.0))
+            .otherwise(pmod(col("audio_id"), lit(997)).cast("double")).as("score"))
+        .localCheckpoint(true)
+      val cut = (mult / 2).max(1) * 1000000L
+      val r1 = AudioPipeline.ingestBatch(spark, all.filter(col("audio_id") < cut),
+        captions = Some(capsAll.filter(col("audio_id") < cut)))
+      require(r1.ok, r1.stages.toString)
+      val r2 = AudioPipeline.ingestBatch(spark, all.filter(col("audio_id") >= cut),
+        captions = Some(capsAll.filter(col("audio_id") >= cut)))
+      require(r2.ok, r2.stages.toString)
+      require(r1.metrics("bridged_components") == 0L &&
+        r2.metrics("bridged_components") == 0L,
+        s"clone families must not bridge: ${r2.metrics}")
+      require(r1.metrics("skipped_cross_buckets") == 0L &&
+        r2.metrics("skipped_cross_buckets") == 0L,
+        s"no bucket may skip at the default cap: ${r2.metrics}")
+      // batch-global equality row-for-row over ONE closure of all clips
+      val allSets = operators.Multimodal.audioHashes(all).localCheckpoint(true)
+      val comps = operators.Components.connectedComponents(
+        operators.Multimodal.audioNearDupPairs(allSets).select("a_id", "b_id"))
+      val emptyStored = spark.range(0).select(col("id").as("media_id"),
+        lit(null).cast("string").as("kept_caption"), col("id").as("kept_from"),
+        lit(null).cast("double").as("kept_score"), col("id").as("dropped_count"))
+      val want = operators.Multimodal.captionKeepBestAgainst(comps, emptyStored,
+          capsAll.withColumnRenamed("audio_id", "media_id"))
+        .select(col("media_id").as("audio_id"), col("kept_caption"),
+          col("kept_from"), col("dropped_count"))
+      val got = spark.table(AudioPipeline.CaptionsTable)
+        .select("audio_id", "kept_caption", "kept_from", "dropped_count")
+      require(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "running transcript artifact must equal batch-global keep-best")
+      val clipWins = got.filter(col("kept_from") >= clipBase).count()
+      val clipClasses = clips.select("text").distinct().count()
+      require(clipWins == clipClasses,
+        s"every planted clip transcript must win its family: $clipWins vs $clipClasses")
+      // the cross-bucket skip reporter fires below the clone-family size
+      val tinyCap = (mult / 2).max(2)
+      val skips = operators.Multimodal.skippedAudioBucketsAgainst(
+        operators.Multimodal.audioIndex(
+          allSets.join(all.select(col("audio_id")).distinct()
+            .filter(col("audio_id") >= cut), Seq("audio_id"), "left_semi")),
+        spark.table(AudioPipeline.WindowIndexTable), tinyCap).count()
+      require(skips > 0L, s"cap $tinyCap must skip the mult-sized clone families")
+      val n = got.count()
+      AudioPipeline.resetTreadmill(spark)
+      n
+    }
     timed("stream_ingest_50k") {
       // the STREAMING treadmill at corpus scale: clone replicas split
       // into two landed slices, two checkpointed drains (the second a

@@ -1315,6 +1315,26 @@ object SparkEntry {
         lit("raw").as("format"), col("p").cast("binary").as("bytes"))
   }
 
+  /** Audio payloads for the fifth modality's gates: 8 concatenated md5
+    * blocks per doc (256 ASCII bytes → four 96-byte windows at hop
+    * 48). Plants: %10 → a RE-ENCODE (same payload, fresh id — jaccard
+    * 1), %7==3 → a hop-aligned CLIP dropping the first 96 bytes (its
+    * 2 windows ⊂ the source's 4 — containment 1, jaccard 0.5). */
+  private def audioClips(s: SparkSession, dir: String): DataFrame = {
+    val payload = concat((0 until 8).map(j =>
+      md5(concat(col("text"), lit(":a" + j)))): _*)
+    val base = docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), payload.as("p"))
+    base.select(col("doc_id").as("audio_id"), col("p"))
+      .unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("audio_id"), col("p")))
+      .unionByName(base.filter(col("doc_id") % 7 === 3)
+        .select((col("doc_id") + 200000L).as("audio_id"),
+          substring(col("p"), 97, 160).as("p")))
+      .select(col("audio_id"), lit("audio").as("kind"), lit("raw").as("format"),
+        col("p").cast("binary").as("bytes"))
+  }
+
   private def docDupFixture(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).select("doc_id", "text")
     d.unionByName(d.filter(col("doc_id") % 5 === 0)
@@ -2165,6 +2185,74 @@ object SparkEntry {
         .orderBy("video_id")
     }),
 
+    // The AUDIO ingest treadmill — the FIFTH incremental modality, and
+    // the skeleton's proof: the whole pipeline is a Treadmill.Modality
+    // closure. Slice 1 (originals) drains through the checkpointed
+    // parquet source; slice 2 (re-encodes — identical payloads — and
+    // hop-aligned CLIPS whose window sets are subsets) lands and a
+    // RESTARTED query reconciles against the STORED window index
+    // (tier payloads never re-fingerprinted). Final tier must equal
+    // batch-global audioDedup over both slices, which the oracle
+    // replays: payload → 96-byte windows at hop 48 → per-window dHash
+    // over the byte grid → set overlap → recursive closure → keep-min.
+    "stream_audio_ingest" -> ((s, dir) => {
+      import graft.pipeline.AudioPipeline
+      AudioPipeline.resetTreadmill(s)
+      val land = tempDir("graft_aud_land")
+      val cp = tempDir("graft_aud_cp")
+      val clips = audioClips(s, dir)
+      clips.filter(col("audio_id") < 100000).coalesce(1).write.mode("append").parquet(land)
+      val q1 = AudioPipeline.streamIngest(s, land, cp)
+      require(q1.awaitTermination(300000), "stream_audio_ingest: slice 1 drain timed out")
+      clips.filter(col("audio_id") >= 100000).coalesce(1).write.mode("append").parquet(land)
+      val q2 = AudioPipeline.streamIngest(s, land, cp)
+      require(q2.awaitTermination(300000), "stream_audio_ingest: slice 2 drain timed out")
+      // the stored index equals a fresh re-derivation from the tier
+      val fresh = Multimodal.audioIndex(s.table(AudioPipeline.TierTable))
+      val stored = s.table(AudioPipeline.WindowIndexTable)
+        .select("audio_id", "window_hash")
+      require(stored.exceptAll(fresh).isEmpty && fresh.exceptAll(stored).isEmpty,
+        "stream_audio_ingest: stored index must cover the tier set-for-set")
+      s.table(AudioPipeline.TierTable).select("audio_id").orderBy("audio_id")
+    }),
+
+    // Transcript curation on the audio treadmill: each slice's
+    // transcript candidates attribute to their clip's component via
+    // the SAME reconcile closure the dedup used and fold into the
+    // stored winners — slice 2 is a checkpoint RESTART whose
+    // re-encodes AND clips of tier audio carry fresh transcripts; the
+    // running artifact must equal batch-global keep-best over both
+    // slices (oracle: window replay → closure → per-component argmax).
+    "stream_audio_captions" -> ((s, dir) => {
+      import graft.pipeline.AudioPipeline
+      AudioPipeline.resetTreadmill(s)
+      val land = tempDir("graft_acap_land")
+      val cp = tempDir("graft_acap_cp")
+      val base = docs(s, dir).filter(col("text").isNotNull)
+      val capsDf = base.select(col("doc_id").as("audio_id"), col("text").as("caption"))
+        .unionByName(base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("audio_id"),
+            concat(col("text"), lit(" studio master")).as("caption")))
+        .unionByName(base.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 200000L).as("audio_id"),
+            concat(col("text"), lit(" rough cut")).as("caption")))
+      val landed = audioClips(s, dir).join(capsDf, Seq("audio_id"), "left")
+        .withColumn("score", (col("audio_id") % 997).cast("double"))
+      landed.filter(col("audio_id") < 100000).coalesce(1).write.mode("append").parquet(land)
+      val q1 = AudioPipeline.streamIngest(s, land, cp, captioned = true)
+      require(q1.awaitTermination(300000), "stream_audio_captions: slice 1 drain timed out")
+      landed.filter(col("audio_id") >= 100000).coalesce(1).write.mode("append").parquet(land)
+      val q2 = AudioPipeline.streamIngest(s, land, cp, captioned = true)
+      require(q2.awaitTermination(300000), "stream_audio_captions: slice 2 drain timed out")
+      val tierIds = s.table(AudioPipeline.TierTable).select("audio_id")
+      val capIds = s.table(AudioPipeline.CaptionsTable).select("audio_id")
+      require(capIds.exceptAll(tierIds).isEmpty && tierIds.exceptAll(capIds).isEmpty,
+        "stream_audio_captions: winner rows must cover the tier id-for-id")
+      s.table(AudioPipeline.CaptionsTable)
+        .select("audio_id", "kept_caption", "kept_from", "dropped_count")
+        .orderBy("audio_id")
+    }),
+
     // The VIDEO ingest treadmill — the fourth incremental modality:
     // slice 1 (the original videos) lands as parquet FRAMES and drains
     // through the checkpointed file source (bootstrap = in-batch video
@@ -2237,6 +2325,17 @@ object SparkEntry {
     "mm_video_dedup_keep" -> ((s, dir) =>
       Multimodal.videoDedup(Multimodal.frameHashes(videoFrames(s, dir)))
         .select("video_id").orderBy("video_id")),
+
+    // AUDIO-level dedup over windowed fingerprint sets — the fifth
+    // modality's operator gate: re-encodes (identical payloads) match
+    // on Jaccard 1; hop-aligned clips on directional containment 1
+    // where Jaccard (0.5) would miss them. Candidates bucket on shared
+    // exact window hashes (capped), verification is the native
+    // long-set kernels; the oracle replays payload → windows →
+    // per-window byte-grid dHash → set overlap.
+    "mm_audio_dedup" -> ((s, dir) =>
+      Multimodal.audioNearDupPairs(Multimodal.audioHashes(audioClips(s, dir)))
+        .orderBy("a_id", "b_id")),
 
     // Video frame-sampling plan (pure plan-side explode; the decoder
     // would fetch only sampled frames).
@@ -4596,6 +4695,47 @@ object SparkEntry {
 
   // The video gates' fixture + per-frame dHash sigs + all-pairs set
   // overlap, as one reusable CTE chain (videoFrames' SQL twin).
+  /** The audio gates' window-signature replay: payload = 8 md5 blocks
+    * (256 ASCII chars; the clip plant drops the first 96), windows of
+    * 96 bytes at hop 48, per-window dHash over the byte grid (window
+    * char c IS grid cell c for c < 72 — no wrap at this window size),
+    * then the distinct-signature set per clip and the overlap pair
+    * algebra shared with the video replay. */
+  private val audioSigsSql = {
+    val pay = (0 until 8).map(j => s"md5(d.text || ':a$j')").mkString(" || ")
+    s"""auds AS (
+       |  SELECT doc_id AS audio_id, doc_id AS src_doc, 0 AS cut
+       |  FROM documents WHERE text IS NOT NULL
+       |  UNION ALL
+       |  SELECT doc_id + 100000, doc_id, 0 FROM documents
+       |  WHERE text IS NOT NULL AND doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 200000, doc_id, 96 FROM documents
+       |  WHERE text IS NOT NULL AND doc_id % 7 = 3),
+       |apay AS (
+       |  SELECT a.audio_id, substr($pay, a.cut + 1) AS p
+       |  FROM auds a JOIN documents d ON d.doc_id = a.src_doc),
+       |awin AS (
+       |  SELECT audio_id, substr(p, CAST(t.k * 48 + 1 AS INT), 96) AS w
+       |  FROM apay, unnest(range(0, (len(p) - 96) // 48 + 1)) AS t(k)),
+       |asig AS (
+       |  SELECT audio_id, array_to_string(list_transform(range(0, 64),
+       |    k -> CASE WHEN ascii(substr(w, CAST(k + k // 8 + 1 AS INT), 1))
+       |               < ascii(substr(w, CAST(k + k // 8 + 2 AS INT), 1))
+       |         THEN '1' ELSE '0' END), '') AS sig
+       |  FROM awin),
+       |asets AS (
+       |  SELECT audio_id, list_distinct(list(sig)) AS hs FROM asig GROUP BY 1),
+       |apairs AS (
+       |  SELECT a.audio_id AS a_id, b.audio_id AS b_id,
+       |         len(list_intersect(a.hs, b.hs))::DOUBLE
+       |           / len(list_distinct(list_concat(a.hs, b.hs))) AS jaccard,
+       |         greatest(
+       |           len(list_intersect(a.hs, b.hs))::DOUBLE / len(a.hs),
+       |           len(list_intersect(a.hs, b.hs))::DOUBLE / len(b.hs)) AS containment
+       |  FROM asets a, asets b WHERE a.audio_id < b.audio_id)""".stripMargin
+  }
+
   private val videoSigsSql =
     """vids AS (
       |  SELECT doc_id AS video_id, doc_id AS src_doc, 0 AS off, 8 AS nf
@@ -6043,6 +6183,83 @@ object SparkEntry {
          |SELECT component AS video_id, caption AS kept_caption,
          |       video_id AS kept_from, CAST(n - 1 AS BIGINT) AS dropped_count
          |FROM ranked WHERE rk = 1 ORDER BY 1""".stripMargin,
+
+    // The audio treadmill converges to batch-global audio dedup: the
+    // window-signature replay closed into components, keep-min, plus
+    // the pass-through singletons.
+    "stream_audio_ingest" ->
+      s"""WITH RECURSIVE $audioSigsSql,
+         |qpairs AS (
+         |  SELECT a_id, b_id FROM apairs
+         |  WHERE jaccard >= 0.9 OR containment >= 0.9),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM qpairs
+         |  UNION SELECT b_id, a_id FROM qpairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT id AS audio_id, MIN(lbl) AS cluster_id FROM (
+         |    SELECT src AS id, dst AS lbl FROM reach
+         |    UNION SELECT src, src FROM edges)
+         |  GROUP BY 1)
+         |SELECT a.audio_id FROM asets a
+         |LEFT JOIN comp c USING (audio_id)
+         |WHERE c.audio_id IS NULL OR c.cluster_id = a.audio_id
+         |ORDER BY 1""".stripMargin,
+
+    // the transcript treadmill converges to batch-global keep-best:
+    // the audio closure replay + the per-component argmax with the
+    // gate's deterministic integer-double scores
+    "stream_audio_captions" ->
+      s"""WITH RECURSIVE $audioSigsSql,
+         |qpairs AS (
+         |  SELECT a_id, b_id FROM apairs
+         |  WHERE jaccard >= 0.9 OR containment >= 0.9),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM qpairs
+         |  UNION SELECT b_id, a_id FROM qpairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT id AS audio_id, MIN(lbl) AS cluster_id FROM (
+         |    SELECT src AS id, dst AS lbl FROM reach
+         |    UNION SELECT src, src FROM edges)
+         |  GROUP BY 1),
+         |caps AS (
+         |  SELECT doc_id AS audio_id, text AS caption
+         |  FROM documents WHERE text IS NOT NULL
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text || ' studio master'
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text || ' rough cut'
+         |  FROM documents WHERE text IS NOT NULL AND doc_id % 7 = 3),
+         |scored AS (
+         |  SELECT c.audio_id, c.caption,
+         |         CAST(c.audio_id % 997 AS DOUBLE) AS score,
+         |         COALESCE(cm.cluster_id, c.audio_id) AS component
+         |  FROM caps c LEFT JOIN comp cm USING (audio_id)),
+         |ranked AS (
+         |  SELECT component, audio_id, caption,
+         |         row_number() OVER (PARTITION BY component
+         |           ORDER BY score DESC, audio_id, caption) AS rk,
+         |         count(*) OVER (PARTITION BY component) AS n
+         |  FROM scored)
+         |SELECT component AS audio_id, caption AS kept_caption,
+         |       audio_id AS kept_from, CAST(n - 1 AS BIGINT) AS dropped_count
+         |FROM ranked WHERE rk = 1 ORDER BY 1""".stripMargin,
+
+    // Per-window dHash replay over the byte windows, then set overlap
+    // over the distinct window-sig lists.
+    "mm_audio_dedup" ->
+      s"""WITH $audioSigsSql
+         |SELECT a_id, b_id, jaccard, containment FROM apairs
+         |WHERE jaccard >= 0.9 OR containment >= 0.9
+         |ORDER BY 1, 2""".stripMargin,
 
     // Per-frame dHash replay (StubGrid wraps the 32-byte md5 payload
     // over the 72-cell grid: byte index = cell % 32), then set overlap

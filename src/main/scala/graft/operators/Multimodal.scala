@@ -316,44 +316,77 @@ object Multimodal {
         val bits = f.getSampleSizeInBits
         val signed = f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
         if (bits != 16 && bits != 8) return null
-        val ch = f.getChannels
-        val frameBytes = f.getFrameSize
-        val data = in.readAllBytes()
-        val frames = data.length / frameBytes
-        if (frames == 0) return null
-        val amp = new Array[Double](frames)
-        var peak = 0.0
-        var fr = 0
-        while (fr < frames) {
-          var c = 0
-          var acc = 0.0
-          while (c < ch) {
-            val off = fr * frameBytes + c * (bits / 8)
-            acc += pcmSample(data, off, bits, signed, f.isBigEndian)
-            c += 1
-          }
-          val a = math.abs(acc / ch)
-          amp(fr) = a
-          if (a > peak) peak = a
-          fr += 1
-        }
-        val n = rows * cols
-        val out = new Array[Int](n)
-        if (peak > 0) {
-          var i = 0
-          while (i < n) {
-            val x0 = (i.toLong * frames / n).toInt
-            val x1 = math.max(x0 + 1, ((i + 1).toLong * frames / n).toInt)
-            var s = 0.0
-            var x = x0
-            while (x < x1) { s += amp(x); x += 1 }
-            out(i) = (s / (x1 - x0) / peak * 255).toInt
-            i += 1
-          }
-        }
-        out
+        envelopeGrid(in.readAllBytes(), f.getFrameSize, f.getChannels,
+          bits, signed, f.isBigEndian, rows, cols)
       } catch { case scala.util.control.NonFatal(_) => null }
       finally in.close()
+    }
+  }
+
+  /** The peak-normalized |amplitude| envelope over rows×cols frame
+    * blocks — the energy-shape fingerprint [[WavGrid]] and
+    * [[PcmWindowGrid]] share (ONE implementation; a volume change
+    * scales every cell ratio identically, so the dHash comparisons
+    * survive it). */
+  private def envelopeGrid(data: Array[Byte], frameBytes: Int, ch: Int,
+                           bits: Int, signed: Boolean, bigEndian: Boolean,
+                           rows: Int, cols: Int): Array[Int] = {
+    val frames = data.length / frameBytes
+    if (frames == 0) return null
+    val amp = new Array[Double](frames)
+    var peak = 0.0
+    var fr = 0
+    while (fr < frames) {
+      var c = 0
+      var acc = 0.0
+      while (c < ch) {
+        val off = fr * frameBytes + c * (bits / 8)
+        acc += pcmSample(data, off, bits, signed, bigEndian)
+        c += 1
+      }
+      val a = math.abs(acc / ch)
+      amp(fr) = a
+      if (a > peak) peak = a
+      fr += 1
+    }
+    val n = rows * cols
+    val out = new Array[Int](n)
+    if (peak > 0) {
+      var i = 0
+      while (i < n) {
+        val x0 = (i.toLong * frames / n).toInt
+        val x1 = math.max(x0 + 1, ((i + 1).toLong * frames / n).toInt)
+        var s = 0.0
+        var x = x0
+        while (x < x1) { s += amp(x); x += 1 }
+        out(i) = (s / (x1 - x0) / peak * 255).toInt
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Sample-true grid over RAW PCM WINDOW BYTES (no container header)
+    * — the per-window extractor [[audioHashes]] composes with for the
+    * real-audio path: [[WavGrid]] needs the RIFF header, so it
+    * fingerprints whole clips, while the window slicer hands each
+    * extractor a headerless byte slice. A deployment strips the
+    * container once (or lands raw PCM) and declares the sample layout
+    * here; each window then fingerprints by the SAME peak-normalized
+    * energy envelope as [[WavGrid]] — volume-shift invariant per
+    * window. Non-audio kinds fall through; a window shorter than one
+    * frame yields null. */
+  final class PcmWindowGrid(bits: Int = 16, signed: Boolean = true,
+                            bigEndian: Boolean = false, channels: Int = 1,
+                            fallback: GridExtractor = StubGrid) extends GridExtractor {
+    require(bits == 8 || bits == 16, s"PCM bits must be 8 or 16, got $bits")
+    require(channels >= 1, s"channels must be >= 1, got $channels")
+    def grid(kind: String, format: String, bytes: Array[Byte],
+             rows: Int, cols: Int): Array[Int] = {
+      if (kind != "audio") return fallback.grid(kind, format, bytes, rows, cols)
+      if (bytes == null || bytes.isEmpty) return null
+      envelopeGrid(bytes, channels * (bits / 8), channels, bits, signed,
+        bigEndian, rows, cols)
     }
   }
 
@@ -631,9 +664,16 @@ object Multimodal {
     * decode pass — the |frames|-sized mapPartitions — then every
     * downstream consumer rides the slim (video_id, array<long>) frame. */
   def frameHashes(frames: DataFrame, grid: GridExtractor = StubGrid): DataFrame =
-    withPhash(frames, grid).filter(col("phash").isNotNull)
+    withPhash(frames, grid)
       .groupBy("video_id")
-      .agg(transform(array_sort(collect_list(struct(col("frame_no"), col("phash")))),
+      // nulls drop INSIDE the collect (collect_list skips them), never
+      // the whole video: a fully-undecodable video keeps an EMPTY hash
+      // set — no index rows, no candidate pairs, passes through as a
+      // singleton — instead of silently vanishing from the tier (the
+      // media pipeline's "a corrupt byte must not delete an asset"
+      // discipline, which the pre-round-14 filter violated here)
+      .agg(transform(array_sort(collect_list(
+          when(col("phash").isNotNull, struct(col("frame_no"), col("phash"))))),
         f => f.getField("phash")).as("frame_hashes"))
 
   /** VIDEO near-dup pairs over frame-hash SETS: candidates share at
@@ -806,6 +846,118 @@ object Multimodal {
       .filter(col("__tc") + col("__bc") > maxBucketSize)
       .select(col("frame_hash"),
         (col("__tc") + col("__bc")).as("member_count"))
+
+  // ------------------------------------------------------------------
+  // Audio — the FIFTH modality: windowed fingerprints over one payload
+  // ------------------------------------------------------------------
+
+  /** One audio asset — the landing shape [[audioHashes]] consumes. */
+  val AudioSchema: StructType = StructType(Seq(
+    StructField("audio_id", LongType, nullable = false),
+    StructField("kind", StringType),
+    StructField("format", StringType),
+    StructField("bytes", BinaryType)))
+
+  /** Overlapping byte WINDOWS of each audio payload — the
+    * frame-sampling analog for a modality whose payload is ONE blob:
+    * window w covers bytes [w·hop, w·hop + windowBytes). Row-local
+    * (one explode + substr, no decode here); a null or short payload
+    * still emits its window-0 row, so an undecodable clip passes
+    * through downstream as a singleton instead of vanishing. */
+  def audioWindows(audio: DataFrame, windowBytes: Int = 96,
+                   hopBytes: Int = 48): DataFrame = {
+    require(windowBytes >= 1 && hopBytes >= 1,
+      s"windowBytes/hopBytes must be >= 1, got $windowBytes/$hopBytes")
+    audio.select(col("audio_id"), col("kind"), col("format"), col("bytes"),
+        explode(sequence(lit(0L),
+          greatest(lit(0L), coalesce(
+            floor((length(col("bytes")) - windowBytes).cast("double") / hopBytes)
+              .cast("long"), lit(0L))))).as("window_no"))
+      .select(col("audio_id"), col("window_no").cast("int").as("window_no"),
+        col("kind"), col("format"),
+        col("bytes").substr(col("window_no").cast("int") * hopBytes + lit(1),
+          lit(windowBytes)).as("bytes"))
+  }
+
+  /** AUDIO fingerprinting: each payload's overlapping windows hash
+    * through the perceptual grid and the clip becomes its SET of
+    * window signatures — the chromaprint-shaped profile (Haitsma &
+    * Kalker's sub-fingerprint blocks), structurally the video
+    * frame-hash profile with byte windows standing in for sampled
+    * frames. Re-encodes of the same source share their window
+    * signatures (same decoded content), a CLIP is a hop-aligned
+    * window subset (containment catches it where Jaccard alone would
+    * not) — exactly the video operators' semantics, so the whole
+    * set-overlap machinery applies via rename (ONE implementation
+    * across the time-media modalities). [[StubGrid]] reads window
+    * bytes directly (the oracle-replayable stand-in);
+    * [[PcmWindowGrid]] is the sample-true path over raw PCM payloads
+    * (the caller strips the container once — [[WavGrid]] needs the
+    * header, so it fingerprints whole clips, not windows). Returns
+    * (audio_id, window_hashes). */
+  def audioHashes(audio: DataFrame, grid: GridExtractor = StubGrid,
+                  windowBytes: Int = 96, hopBytes: Int = 48): DataFrame =
+    asAudio(frameHashes(
+      asVideo(audioWindows(audio, windowBytes, hopBytes)
+        .withColumnRenamed("window_no", "frame_no")), grid))
+
+  /** The audio↔video column rename (no-ops on absent columns), the
+    * caption fold's rename discipline applied to the operator set:
+    * audio reuses the video set-overlap machinery verbatim. */
+  private def asVideo(df: DataFrame): DataFrame = df
+    .withColumnRenamed("audio_id", "video_id")
+    .withColumnRenamed("window_hashes", "frame_hashes")
+    .withColumnRenamed("window_hash", "frame_hash")
+  private def asAudio(df: DataFrame): DataFrame = df
+    .withColumnRenamed("video_id", "audio_id")
+    .withColumnRenamed("frame_hashes", "window_hashes")
+    .withColumnRenamed("frame_hash", "window_hash")
+
+  /** The persistable AUDIO index — [[videoIndex]] on the window
+    * profile: (audio_id, window_hash), both the candidate bucketing
+    * structure and the verification payload. */
+  def audioIndex(audios: DataFrame): DataFrame =
+    asAudio(videoIndex(asVideo(audios)))
+
+  /** Audio near-dup pairs over window-signature SETS — Jaccard for
+    * re-encodes, max-directional containment for clips; (a_id, b_id,
+    * jaccard, containment). */
+  def audioNearDupPairs(audios: DataFrame, jaccardThreshold: Double = 0.9,
+                        containThreshold: Double = 0.9,
+                        maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
+    videoNearDupPairs(asVideo(audios), jaccardThreshold, containThreshold,
+      maxBucketSize)
+
+  /** Batch audio dedup end-to-end — [[videoDedup]] on the window
+    * profile (components collapse to the smallest audio_id). */
+  def audioDedup(audios: DataFrame, jaccardThreshold: Double = 0.9,
+                 containThreshold: Double = 0.9,
+                 maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
+    asAudio(videoDedup(asVideo(audios), jaccardThreshold, containThreshold,
+      maxBucketSize))
+
+  /** The audio reconcile closure / survivor derivation / skip metrics —
+    * the video operators via the rename (ONE implementation). */
+  def audioReconcileComponents(audios: DataFrame, aIdx: DataFrame,
+                               tierIndex: DataFrame,
+                               jaccardThreshold: Double = 0.9,
+                               containThreshold: Double = 0.9,
+                               maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
+    videoReconcileComponents(asVideo(audios), asVideo(aIdx), asVideo(tierIndex),
+      jaccardThreshold, containThreshold, maxBucketSize)
+
+  def audioAgainstFromComponents(audios: DataFrame, comps: DataFrame,
+                                 tierIndex: DataFrame): DataFrame =
+    asAudio(videoAgainstFromComponents(asVideo(audios), comps, asVideo(tierIndex)))
+
+  def skippedAudioBucketsAgainst(batchIndex: DataFrame, tierIndex: DataFrame,
+                                 maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
+    asAudio(skippedVideoBucketsAgainst(asVideo(batchIndex), asVideo(tierIndex),
+      maxBucketSize))
+
+  def skippedAudioBucketsFromIndex(index: DataFrame,
+                                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize): DataFrame =
+    asAudio(skippedVideoBucketsFromIndex(asVideo(index), maxBucketSize))
 
   /** CROSS-MODAL pair curation: caption↔image pairs where the IMAGE is
     * a perceptual near-dup (same hamming component) but the captions

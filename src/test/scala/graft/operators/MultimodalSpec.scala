@@ -496,6 +496,87 @@ class MultimodalSpec extends SparkSpec {
     assert(kept.contains(105L))
   }
 
+  test("a fully-undecodable video keeps an EMPTY hash set and survives as a singleton") {
+    // the media discipline ("a corrupt byte must not delete an asset")
+    // on the video profile: before round 14, frameHashes silently
+    // dropped a video whose every frame failed to decode
+    val frames = Seq(
+        (1L, 0, Array.tabulate[Byte](40)(i => (40 + i).toByte)),
+        (1L, 1, Array.tabulate[Byte](40)(i => (50 + i).toByte)),
+        (2L, 0, Array.empty[Byte]),
+        (2L, 1, null.asInstanceOf[Array[Byte]]))
+      .toDF("video_id", "frame_no", "bytes")
+      .select($"video_id", $"frame_no", lit("image").as("kind"),
+        lit("raw").as("format"), $"bytes")
+    val vids = Multimodal.frameHashes(frames)
+    val byId = vids.collect().map(r => r.getAs[Long]("video_id") ->
+      Option(r.getSeq[Long](1)).getOrElse(Seq.empty).size).toMap
+    assert(byId == Map(1L -> 2, 2L -> 0), byId.toString)
+    // no index rows, no pairs, still in the dedup output
+    assert(Multimodal.videoIndex(vids).filter($"video_id" === 2L).count() == 0L)
+    val kept = Multimodal.videoDedup(vids).select("video_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L), kept.toString)
+  }
+
+  test("audioWindows/audioHashes: hop-aligned windows; a clip's set is a subset; null passes through") {
+    def pay(seed: Int, halves: Int) =
+      Array.tabulate[Byte](48 * halves)(i => (33 + (seed * 31 + i * 7) % 90).toByte)
+    val clips = Seq(
+        (1L, pay(1, 6)),                    // 5 windows
+        (2L, pay(1, 6).drop(96)),           // hop-aligned clip: 3 windows, all in 1's set
+        (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("audio_id", "bytes")
+      .select($"audio_id", lit("audio").as("kind"), lit("raw").as("format"), $"bytes")
+    // window accounting: (len - 96)/48 + 1
+    val wins = Multimodal.audioWindows(clips)
+      .groupBy("audio_id").count().collect()
+      .map(r => r.getAs[Long]("audio_id") -> r.getAs[Long]("count")).toMap
+    assert(wins == Map(1L -> 5L, 2L -> 3L, 3L -> 1L), wins.toString)
+    val sets = Multimodal.audioHashes(clips).collect()
+      .map(r => r.getAs[Long]("audio_id") ->
+        Option(r.getSeq[Long](1)).getOrElse(Seq.empty).toSet).toMap
+    assert(sets(2L).subsetOf(sets(1L)) && sets(2L).size == 3, sets.toString)
+    assert(sets(3L).isEmpty, "null payload keeps an empty set (pass-through)")
+    // the clip collapses on containment; the corrupt clip survives
+    val kept = Multimodal.audioDedup(Multimodal.audioHashes(clips))
+      .select("audio_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), kept.toString)
+  }
+
+  test("PcmWindowGrid through audioHashes: volume-shifted PCM re-encode matches; clip windows subset (sample-true path)") {
+    // 16-bit little-endian mono PCM: a deterministic "melody" of
+    // per-sample amplitudes; the half-volume rendition scales every
+    // sample by 0.5 exactly (no rounding drift for even amplitudes),
+    // so each window's peak-normalized envelope — hence each window
+    // hash — is IDENTICAL
+    def pcm(scale: Int, nSamples: Int): Array[Byte] = {
+      val out = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val v = ((i * 37 + (i % 13) * 101) % 256 - 128) * 2 * scale
+        out(2 * i) = (v & 0xFF).toByte
+        out(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+        i += 1
+      }
+      out
+    }
+    val grid = new Multimodal.PcmWindowGrid(bits = 16, signed = true,
+      bigEndian = false, channels = 1)
+    // 96-byte windows = 48 samples per window; 288 bytes = 5 windows
+    val clips = Seq(
+        (1L, pcm(2, 144)), (2L, pcm(1, 144)),   // volume-shifted twin
+        (3L, pcm(2, 144).drop(96)))             // hop-aligned clip
+      .toDF("audio_id", "bytes")
+      .select($"audio_id", lit("audio").as("kind"), lit("pcm").as("format"), $"bytes")
+    val sets = Multimodal.audioHashes(clips, grid).collect()
+      .map(r => r.getAs[Long]("audio_id") -> r.getSeq[Long](1).toSet).toMap
+    assert(sets(1L) == sets(2L), "a pure volume change must not move any window hash")
+    assert(sets(3L).subsetOf(sets(1L)), s"clip windows must subset: $sets")
+    val kept = Multimodal.audioDedup(Multimodal.audioHashes(clips, grid))
+      .select("audio_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"re-encode (jaccard) and clip (containment) both collapse: $kept")
+  }
+
   test("phash bucket cap: a degenerate hash family is skipped and REPORTED, never exploded") {
     val same = Array.tabulate[Byte](96)(k => (k * 3 % 91).toByte)
     val media = mediaDf((0L until 30L).map(i => mediaRow(i, same.clone())))
