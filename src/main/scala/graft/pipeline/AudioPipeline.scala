@@ -42,7 +42,7 @@ object AudioPipeline {
   val BatchComponentsTable = "audio_batch_components"
   val BatchCaptionsTable = "audio_batch_captions"
 
-  private def modality(jaccardThreshold: Double, containThreshold: Double,
+  private[pipeline] def modality(jaccardThreshold: Double, containThreshold: Double,
                        grid: Multimodal.GridExtractor, maxBucketSize: Int,
                        windowBytes: Int, hopBytes: Int): Treadmill.Modality =
     new Treadmill.Modality {

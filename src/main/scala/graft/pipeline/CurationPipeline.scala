@@ -81,6 +81,11 @@ object CurationPipeline {
   val VideoCaptionsTable = "documents_video_captions"
   val VideoSequencesTable = "documents_video_sequences"
   val VideoSeqMetaTable = "documents_video_sequences_meta"
+  val AudioRefTable = "documents_audio_referenced"
+  val AudioTable = "documents_audio_curated"
+  val AudioCaptionsTable = "documents_audio_transcripts"
+  val AudioSequencesTable = "documents_audio_sequences"
+  val AudioSeqMetaTable = "documents_audio_sequences_meta"
   val TrainOrderMixedTable = "documents_train_order_mixed"
 
   /** The FULL training-data flow: quality gate → benchmark
@@ -155,6 +160,15 @@ object CurationPipeline {
     * spaces unambiguous), which the tokenizer rollover regenerates
     * alongside the media sequences ([[CaptionArtifacts]]).
     *
+    * `audioClips`/`audioTranscripts` add the FIFTH modality through
+    * the SAME shared stage body ([[perceptualStageBody]], driven by
+    * the audio treadmill's own closure): windowed-fingerprint dedup
+    * (re-encodes on Jaccard, hop-aligned clips on containment),
+    * keep-best TRANSCRIPT curation ([[AudioCaptionsTable]]), and with
+    * `materializeTokenIds` the winners' own interleaved stream
+    * ([[AudioSequencesTable]]) joins the mixed manifest and the
+    * rollover's regeneration set.
+    *
     * `bpeMerges` > 0 trains the tokenizer on the train split
     * (`bpeDomain` picks the trainable-token domain — [[Bpe.AllTokens]]
     * for code-heavy/CJK corpora — and the epoch stages inherit it, so
@@ -187,11 +201,17 @@ object CurationPipeline {
               videoFrames: Option[DataFrame] = None,
               videoCaptions: Option[DataFrame] = None,
               videoJaccard: Double = 0.9, videoContain: Double = 0.9,
+              audioClips: Option[DataFrame] = None,
+              audioTranscripts: Option[DataFrame] = None,
+              audioJaccard: Double = 0.9, audioContain: Double = 0.9,
+              audioWindowBytes: Int = 96, audioHopBytes: Int = 48,
               notify: PipelineReport => Unit = _ => ()): PipelineReport = {
     require(captions.isEmpty || media.nonEmpty,
       "captions curate against the media assets' perceptual components — pass media too")
     require(videoCaptions.isEmpty || videoFrames.nonEmpty,
       "video captions curate against the videos' frame-hash components — pass videoFrames too")
+    require(audioTranscripts.isEmpty || audioClips.nonEmpty,
+      "transcripts curate against the clips' window-hash components — pass audioClips too")
     require(!materializeTokenIds || bpeMerges > 0,
       "token-id materialization consumes the trained tokenizer — set bpeMerges > 0")
     val stages = Seq[Stage](
@@ -344,71 +364,27 @@ object CurationPipeline {
         })) ++
       (if (videoFrames.isEmpty) Seq.empty[Stage] else Seq(
         Stage("video_dedup") { _ =>
-          // the FOURTH modality in the one-call pipeline — the media
-          // stage's discipline on the video closure: frames carry a
-          // doc_id reference to their owning document, videos of
-          // dropped docs are cut first (no orphan decode), the
-          // referenced set decodes EXACTLY ONCE into frame-hash sets,
-          // and ONE reconcile closure (empty tier — the treadmill
-          // bootstrap path, so the dedup and the caption attribution
-          // can never disagree) feeds the survivor derivation, the
-          // caption keep-best, and the metric map.
-          import graft.operators.Multimodal
-          val vf = videoFrames.get
-          val videosIn = vf.select("video_id").distinct().count()
-          val surviving = spark.table(SplitTable).select("doc_id")
-          Catalog.overwriteTable(
-            vf.join(surviving, Seq("doc_id"), "left_semi"), VideoRefTable)
-          val refFrames = spark.table(VideoRefTable)
-          val refCount = refFrames.select("video_id").distinct().count()
-          // the ONE decode pass of the whole stage
-          val vids = Multimodal.frameHashes(refFrames.drop("doc_id"), mediaGrid)
-            .localCheckpoint(true)
-          try {
-            val bIdx = Multimodal.videoIndex(vids).localCheckpoint(true)
-            try {
-              val comps = Multimodal.videoReconcileComponents(vids, bIdx,
-                bIdx.limit(0), videoJaccard, videoContain, maxBucketSize)
-                .localCheckpoint(true)
-              try {
-                Catalog.overwriteTable(
-                  Multimodal.videoAgainstFromComponents(vids, comps, bIdx.limit(0)),
-                  VideoTable)
-                val kept = spark.table(VideoTable).count()
-                val capMetrics = videoCaptions match {
-                  case None => Map.empty[String, Long]
-                  case Some(caps) =>
-                    import spark.implicits._
-                    // batch-global keep-best = the incremental fold
-                    // against an EMPTY stored artifact (the proven
-                    // equivalence), on the same closure the dedup read
-                    val stored = Seq.empty[(Long, String, Long, Option[Double], Long)]
-                      .toDF("media_id", "kept_caption", "kept_from",
-                        "kept_score", "dropped_count")
-                    Catalog.overwriteTable(
-                      Multimodal.captionKeepBestAgainst(comps, stored,
-                        caps.filter(col("caption").isNotNull)
-                          .join(refFrames.select("video_id").distinct(),
-                            Seq("video_id"), "left_semi")
-                          .withColumnRenamed("video_id", "media_id"))
-                        .withColumnRenamed("media_id", "video_id"),
-                      VideoCaptionsTable)
-                    val capsKept = spark.table(VideoCaptionsTable).count()
-                    val capsDropped = spark.table(VideoCaptionsTable)
-                      .agg(coalesce(sum("dropped_count"), lit(0L))).head().getLong(0)
-                    Map("video_caption_kept" -> capsKept,
-                      "video_caption_dropped" -> capsDropped)
-                }
-                Map("video_in" -> videosIn,
-                  "video_unreferenced_dropped" -> (videosIn - refCount),
-                  "video_neardup_dropped" -> (refCount - kept),
-                  "video_kept" -> kept,
-                  "skipped_video_buckets" ->
-                    Multimodal.skippedVideoBucketsFromIndex(bIdx, maxBucketSize)
-                      .count()) ++ capMetrics
-              } finally Catalog.releasePin(comps)
-            } finally Catalog.releasePin(bIdx)
-          } finally Catalog.releasePin(vids)
+          // the FOURTH modality in the one-call pipeline — the shared
+          // perceptual stage body over the SAME Treadmill.Modality
+          // closure the video treadmill runs, so runFull and the
+          // treadmill can never disagree on re-mux/trim semantics
+          perceptualStageBody(spark, videoFrames.get,
+            VideoPipeline.modality(videoJaccard, videoContain, mediaGrid,
+              maxBucketSize),
+            videoCaptions, "video", VideoRefTable, VideoTable,
+            VideoCaptionsTable)
+        })) ++
+      (if (audioClips.isEmpty) Seq.empty[Stage] else Seq(
+        Stage("audio_dedup") { _ =>
+          // the FIFTH modality — the same shared body over the audio
+          // closure: windowed fingerprints, re-encodes on Jaccard,
+          // hop-aligned clips on containment, keep-best TRANSCRIPT
+          // curation per perceptual component
+          perceptualStageBody(spark, audioClips.get,
+            AudioPipeline.modality(audioJaccard, audioContain, mediaGrid,
+              maxBucketSize, audioWindowBytes, audioHopBytes),
+            audioTranscripts, "audio", AudioRefTable, AudioTable,
+            AudioCaptionsTable)
         })) ++
       (if (bpeMerges <= 0) Seq.empty[Stage] else Seq(
         Stage("tokenizer_train") { _ =>
@@ -515,6 +491,18 @@ object CurationPipeline {
               Map("video_sequences" -> nSeq,
                 "video_refs" -> nRefs, "video_caption_unk_ids" -> unks)
             })) ++
+          (if (audioTranscripts.isEmpty) Seq.empty[Stage] else Seq(
+            Stage("pack_audio_captions") { _ =>
+              // the audio winners' interleaved stream — the speech
+              // corpus's (clip, transcript) training batches, packed
+              // by the same shared body into its own artifact
+              val (nSeq, nRefs, unks) = packCaptionSequencesAt(spark, seqLen,
+                BpeMergesTable, VocabTable, TokenizerMetaTable,
+                AudioSequencesTable, AudioSeqMetaTable,
+                capsTable = AudioCaptionsTable, idCol = "audio_id")
+              Map("audio_sequences" -> nSeq,
+                "audio_refs" -> nRefs, "audio_caption_unk_ids" -> unks)
+            })) ++
           (if (captions.isEmpty) Seq.empty[Stage] else Seq(
             Stage("train_order_mixed") { _ =>
               // ONE manifest over EVERY sequence artifact: the trainer
@@ -526,7 +514,9 @@ object CurationPipeline {
                   Seq("text" -> spark.table(IdSequencesTable).select("seq_no"),
                     "multimodal" -> spark.table(MediaSequencesTable).select("seq_no")) ++
                   (if (videoCaptions.isEmpty) Nil
-                   else Seq("video" -> spark.table(VideoSequencesTable).select("seq_no"))),
+                   else Seq("video" -> spark.table(VideoSequencesTable).select("seq_no"))) ++
+                  (if (audioTranscripts.isEmpty) Nil
+                   else Seq("audio" -> spark.table(AudioSequencesTable).select("seq_no"))),
                   seed = shuffleSeed),
                 TrainOrderMixedTable)
               val agg = spark.table(TrainOrderMixedTable)
@@ -668,6 +658,67 @@ object CurationPipeline {
     (agg.getLong(0), agg.getLong(1), unks)
   }
 
+  /** The runFull PERCEPTUAL-MODALITY stage body shared by the video and
+    * audio stages, driven by the SAME [[Treadmill.Modality]] closure
+    * the modality's treadmill runs — runFull and the treadmill can
+    * never disagree on dedup semantics. Input rows carry a `doc_id`
+    * reference to the owning document: assets of dropped docs cut
+    * first (no orphan decode), the referenced set fingerprints EXACTLY
+    * ONCE (the closure's prepare), and ONE empty-tier reconcile (the
+    * treadmill bootstrap path) feeds the survivor derivation, the
+    * keep-best caption/transcript fold (batch-global = the incremental
+    * fold against an empty store — the proven equivalence), and the
+    * metric map. */
+  private def perceptualStageBody(spark: SparkSession, input: DataFrame,
+                                  m: Treadmill.Modality,
+                                  captions: Option[DataFrame], prefix: String,
+                                  refT: String, outT: String,
+                                  capsOutT: String): Map[String, Long] = {
+    import graft.operators.Multimodal
+    val idCol = m.idCol
+    val in = input.select(idCol).distinct().count()
+    val surviving = spark.table(SplitTable).select("doc_id")
+    Catalog.overwriteTable(
+      input.join(surviving, Seq("doc_id"), "left_semi"), refT)
+    val ref = spark.table(refT)
+    val refCount = ref.select(idCol).distinct().count()
+    val st = m.prepare(ref.drop("doc_id"))
+    try {
+      val emptyTier = st.index.limit(0)
+      val comps = m.reconcile(st, emptyTier).localCheckpoint(true)
+      try {
+        Catalog.overwriteTable(
+          m.survivorsFromComponents(st, comps, emptyTier), outT)
+        val kept = spark.table(outT).count()
+        val capMetrics = captions match {
+          case None => Map.empty[String, Long]
+          case Some(caps) =>
+            import spark.implicits._
+            val stored = Seq.empty[(Long, String, Long, Option[Double], Long)]
+              .toDF("media_id", "kept_caption", "kept_from",
+                "kept_score", "dropped_count")
+            Catalog.overwriteTable(
+              Multimodal.captionKeepBestAgainst(comps, stored,
+                caps.filter(col("caption").isNotNull)
+                  .join(ref.select(idCol).distinct(), Seq(idCol), "left_semi")
+                  .withColumnRenamed(idCol, "media_id"))
+                .withColumnRenamed("media_id", idCol),
+              capsOutT)
+            val capsKept = spark.table(capsOutT).count()
+            val capsDropped = spark.table(capsOutT)
+              .agg(coalesce(sum("dropped_count"), lit(0L))).head().getLong(0)
+            Map(s"${prefix}_caption_kept" -> capsKept,
+              s"${prefix}_caption_dropped" -> capsDropped)
+        }
+        Map(s"${prefix}_in" -> in,
+          s"${prefix}_unreferenced_dropped" -> (in - refCount),
+          s"${prefix}_neardup_dropped" -> (refCount - kept),
+          s"${prefix}_kept" -> kept,
+          s"skipped_${prefix}_buckets" -> m.skippedBatch(st)) ++ capMetrics
+      } finally Catalog.releasePin(comps)
+    } finally st.pins.foreach(Catalog.releasePin)
+  }
+
   /** The interleaved-caption GENERATION SET: one row per caption-bearing
     * modality — (winners table, sequence artifact, pack meta, id
     * column). runFull's pack stages and [[retrainTokenizer]]'s repack
@@ -677,7 +728,8 @@ object CurationPipeline {
     * interleaved stream). */
   private val CaptionArtifacts = Seq(
     (MediaCaptionsTable, MediaSequencesTable, MediaSeqMetaTable, "media_id"),
-    (VideoCaptionsTable, VideoSequencesTable, VideoSeqMetaTable, "video_id"))
+    (VideoCaptionsTable, VideoSequencesTable, VideoSeqMetaTable, "video_id"),
+    (AudioCaptionsTable, AudioSequencesTable, AudioSeqMetaTable, "audio_id"))
 
   val BpeMergesTable = "documents_bpe_merges"
   val VocabTable = "documents_bpe_vocab"
@@ -1042,7 +1094,8 @@ object CurationPipeline {
       .filter(n => Seq(BpeMergesTable, VocabTable, TokenizerMetaTable,
         TokenIdsTable, IdSequencesTable, PackStateTable, TokenizerStatsTable,
         TokenizerBaselineTable, MediaSequencesTable, MediaSeqMetaTable,
-        VideoSequencesTable, VideoSeqMetaTable)
+        VideoSequencesTable, VideoSeqMetaTable,
+        AudioSequencesTable, AudioSeqMetaTable)
         .exists(b => n == b || n.startsWith(b + "_g")))
     (Seq(TierTable, BandIndexTable, SpanIndexTable, CleanTierTable,
       BatchSurvivorsTable, BatchCleanTable, BatchSpanIndexTable,
@@ -1103,7 +1156,8 @@ object CurationPipeline {
       .filter(n => Seq(BpeMergesTable, VocabTable, TokenizerMetaTable,
         TokenIdsTable, IdSequencesTable, PackStateTable, TokenizerStatsTable,
         TokenizerBaselineTable, MediaSequencesTable, MediaSeqMetaTable,
-        VideoSequencesTable, VideoSeqMetaTable)
+        VideoSequencesTable, VideoSeqMetaTable,
+        AudioSequencesTable, AudioSeqMetaTable)
         .exists(b => n.startsWith(b + "_g")))
     (suffixed.toSeq :+ TokenizerGenPointerTable :+ TokenizerStatsTable
       :+ TokenizerBaselineTable)
@@ -1320,7 +1374,8 @@ object CurationPipeline {
           Seq(BpeMergesTable, VocabTable, TokenizerMetaTable, TokenIdsTable,
             IdSequencesTable, PackStateTable, TokenizerStatsTable,
             TokenizerBaselineTable, MediaSequencesTable, MediaSeqMetaTable,
-            VideoSequencesTable, VideoSeqMetaTable)
+            VideoSequencesTable, VideoSeqMetaTable,
+            AudioSequencesTable, AudioSeqMetaTable)
             .foreach(b => Catalog.dropIfExists(spark, genName(b, g)))
         }
         Map("generation" -> next)

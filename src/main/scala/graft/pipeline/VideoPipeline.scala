@@ -41,7 +41,7 @@ object VideoPipeline {
   val BatchComponentsTable = "video_batch_components"
   val BatchCaptionsTable = "video_batch_captions"
 
-  private def modality(jaccardThreshold: Double, containThreshold: Double,
+  private[pipeline] def modality(jaccardThreshold: Double, containThreshold: Double,
                        grid: Multimodal.GridExtractor,
                        maxBucketSize: Int): Treadmill.Modality =
     new Treadmill.Modality {

@@ -597,6 +597,77 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     assert(spark.table(CurationPipeline.VideoSeqMetaTable).head().getLong(0) == 7L)
   }
 
+  test("runFull audio stage: unreferenced/re-encode/clip audio cut, transcripts curated, sequences packed") {
+    import graft.operators.Bpe
+    // 256-byte payloads (four 96-byte windows at hop 48): a re-encode
+    // reuses the payload, a CLIP drops the first 96 bytes (2-of-4
+    // window subset — containment 1, jaccard 0.5)
+    def pay(seed: Int): Array[Byte] =
+      Array.tabulate(256)(i => (33 + (seed * 31 + i * 7) % 90).toByte)
+    def body(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val planted = Seq(
+      (1L, body("alpha", 60)),
+      (2L, body("beta", 60)),
+      (3L, "tiny")).toDF("doc_id", "text")
+    val clipsDf = Seq(
+      (1L, 10L, pay(1)),           // survives
+      (1L, 11L, pay(1)),           // re-encode of 10 -> dropped
+      (2L, 12L, pay(2)),           // survives
+      (2L, 13L, pay(1).drop(96)),  // clip of 10 -> dropped (containment)
+      (3L, 14L, pay(3))            // owner dies -> unreferenced
+    ).toDF("doc_id", "audio_id", "bytes")
+      .select($"doc_id", $"audio_id", lit("audio").as("kind"),
+        lit("raw").as("format"), $"bytes")
+    // the dropped CLIP carries the best transcript — it must win; the
+    // unreferenced clip's transcript must not leak
+    val trans = Seq(
+      (10L, "rough notes", 0.1),
+      (11L, "auto sub", 0.2),
+      (13L, "clean studio transcript", 0.9),
+      (12L, "b roll audio", 0.5),
+      (14L, "orphan wording", 1.0)).toDF("audio_id", "caption", "score")
+    val report = CurationPipeline.runFull(spark, planted,
+      spark.emptyDataFrame.withColumn("text", lit("")).select("text"),
+      jaccardThreshold = 0.5, minTokens = 10, maxPunctRatio = 1.0,
+      minStopwordRatio = 0.0, seqLen = 7, bpeMerges = 4,
+      materializeTokenIds = true,
+      audioClips = Some(clipsDf), audioTranscripts = Some(trans))
+    assert(report.ok, report.stages.toString)
+    assert(report.metrics("audio_in") == 5L, report.metrics.toString)
+    assert(report.metrics("audio_unreferenced_dropped") == 1L, report.metrics.toString)
+    assert(report.metrics("audio_neardup_dropped") == 2L, report.metrics.toString)
+    assert(report.metrics("audio_kept") == 2L, report.metrics.toString)
+    assert(spark.table(CurationPipeline.AudioTable)
+      .select("audio_id").as[Long].collect().toSet == Set(10L, 12L))
+    assert(report.metrics("audio_caption_kept") == 2L, report.metrics.toString)
+    assert(report.metrics("audio_caption_dropped") == 2L, report.metrics.toString)
+    val byId = spark.table(CurationPipeline.AudioCaptionsTable)
+      .collect().map(r => r.getAs[Long]("audio_id") ->
+        ((r.getAs[String]("kept_caption"), r.getAs[Long]("kept_from")))).toMap
+    assert(byId.keySet == Set(10L, 12L), byId.toString)
+    assert(byId(10L) == (("clean studio transcript", 13L)),
+      s"the dropped clip's better transcript must win: $byId")
+    // the interleaved audio sequences published, twin-exact
+    assert(report.metrics("audio_sequences") > 0L, report.metrics.toString)
+    val merges = spark.table(CurationPipeline.BpeMergesTable).orderBy("rank")
+      .collect().map(row => Bpe.Merge(row.getAs[Int]("rank"),
+        row.getAs[String]("left_sym"), row.getAs[String]("right_sym"),
+        row.getAs[Long]("pair_count"))).toSeq
+    val want = Bpe.packInterleaved(
+        Bpe.tokenizeIds(
+          spark.table(CurationPipeline.AudioCaptionsTable)
+            .select($"audio_id", $"kept_caption".as("text")),
+          merges, spark.table(CurationPipeline.VocabTable), idCol = "audio_id"),
+        seqLen = 7, idCol = "audio_id")
+      .select($"seq_no", array_join($"token_ids", ",").as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = spark.table(CurationPipeline.AudioSequencesTable)
+      .select($"seq_no", array_join($"token_ids", ",").as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want, s"$got vs $want")
+    assert(spark.table(CurationPipeline.AudioSeqMetaTable).head().getLong(0) == 7L)
+  }
+
   test("runFull pack_captions: interleaved media sequences with refs, twin-exact vs the operator") {
     import graft.operators.Bpe
     def payload(seed: Int): Array[Byte] =
@@ -621,13 +692,23 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
         lit("raw").as("format"), $"bytes")
     val vcaps = Seq((20L, "short clip of the prototype", 0.7))
       .toDF("video_id", "caption", "score")
+    // ...and a small audio clip: its transcript sequences must join the
+    // mixed manifest as the FOURTH stream
+    val clipsDf = Seq((1L, 30L,
+        Array.tabulate[Byte](256)(i => (33 + (7 * 31 + i * 7) % 90).toByte)))
+      .toDF("doc_id", "audio_id", "bytes")
+      .select($"doc_id", $"audio_id", lit("audio").as("kind"),
+        lit("raw").as("format"), $"bytes")
+    val trans = Seq((30L, "spoken description of the prototype", 0.6))
+      .toDF("audio_id", "caption", "score")
     val report = CurationPipeline.runFull(spark, planted,
       spark.emptyDataFrame.withColumn("text", lit("")).select("text"),
       jaccardThreshold = 0.5, minTokens = 10, maxPunctRatio = 1.0,
       minStopwordRatio = 0.0, seqLen = 8,
       bpeMerges = 4, materializeTokenIds = true,
       media = Some(mediaDf), captions = Some(caps),
-      videoFrames = Some(framesDf), videoCaptions = Some(vcaps))
+      videoFrames = Some(framesDf), videoCaptions = Some(vcaps),
+      audioClips = Some(clipsDf), audioTranscripts = Some(trans))
     assert(report.ok, report.stages.toString)
     assert(report.stages.exists(_.stage == "pack_captions"), report.stages.toString)
     // every kept caption contributes exactly one sentinel ref
@@ -663,8 +744,11 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
       spark.table(CurationPipeline.MediaSequencesTable).select("seq_no")
         .collect().map(r => ("multimodal", r.getLong(0))).toSet ++
       spark.table(CurationPipeline.VideoSequencesTable).select("seq_no")
-        .collect().map(r => ("video", r.getLong(0))).toSet
-    assert(mixed.exists(_._1 == "video"), s"video stream missing: $mixed")
+        .collect().map(r => ("video", r.getLong(0))).toSet ++
+      spark.table(CurationPipeline.AudioSequencesTable).select("seq_no")
+        .collect().map(r => ("audio", r.getLong(0))).toSet
+    assert(mixed.exists(_._1 == "video") && mixed.exists(_._1 == "audio"),
+      s"video/audio streams missing: $mixed")
     assert(mixed == wantMixed, s"$mixed vs $wantMixed")
     assert(report.metrics("train_order_mixed_rows") == mixed.size.toLong)
     // without captions the stage is absent
