@@ -304,63 +304,16 @@ object CurationPipeline {
       }) ++
       (if (media.isEmpty) Seq.empty[Stage] else Seq(
         Stage("media_dedup") { _ =>
-          // the THIRD modality in the one-call pipeline: media assets
-          // carry a doc_id reference to their owning document (the
-          // crawl reality — images embedded in pages). Assets whose
-          // document did not survive curation are dropped first (no
-          // orphan decode cost), then the referenced set perceptually
-          // dedups (phash hamming components, keep-min) — both cuts
-          // land in the metric map; at 100 TB a silent media drop is
-          // exactly as bad as a silent text drop.
-          //
-          // ONE decode pass for the whole stage: the referenced set's
-          // phash index pins once, and the dedup, the caption curation,
-          // AND the skip metric all read the pin (the treadmills'
-          // decode-once discipline carried into runFull).
-          val md = media.get
-          val mediaIn = md.count()
-          val surviving = spark.table(SplitTable).select("doc_id")
-          Catalog.overwriteTable(
-            md.join(surviving, Seq("doc_id"), "left_semi"), MediaRefTable)
-          val refCount = spark.table(MediaRefTable).count()
-          val refIdx = graft.operators.Multimodal
-            .phashIndex(spark.table(MediaRefTable), mediaGrid).localCheckpoint(true)
-          try {
-            Catalog.overwriteTable(
-              graft.operators.Multimodal.phashDedupFromIndex(
-                spark.table(MediaRefTable), refIdx, mediaMaxHamming, maxBucketSize),
-              MediaTable)
-            val kept = spark.table(MediaTable).count()
-            // training-set emission wants (curated asset, best caption)
-            // in one call: keep the best-scored caption per perceptual
-            // component over the REFERENCED set — the winning wording
-            // may ride a re-encode the dedup drops
-            val captionMetrics = captions match {
-              case None => Map.empty[String, Long]
-              case Some(caps) =>
-                Catalog.overwriteTable(
-                  graft.operators.Multimodal.captionKeepBestFromIndex(refIdx,
-                    caps.join(spark.table(MediaRefTable).select("media_id"),
-                      Seq("media_id"), "left_semi"),
-                    mediaMaxHamming, maxBucketSize),
-                  MediaCaptionsTable)
-                val capsKept = spark.table(MediaCaptionsTable).count()
-                val capsDropped = spark.table(MediaCaptionsTable)
-                  .agg(coalesce(sum("dropped_count"), lit(0L))).head().getLong(0)
-                Map("caption_kept" -> capsKept, "caption_dropped" -> capsDropped)
-            }
-            Map("media_in" -> mediaIn,
-              "media_unreferenced_dropped" -> (mediaIn - refCount),
-              "media_neardup_dropped" -> (refCount - kept),
-              "media_kept" -> kept,
-              // the module's "the cap must never truncate silently"
-              // rule: oversized (chunk, key) buckets drop from the
-              // pair stream, so the run report must say how many —
-              // like the text stage's skipped_buckets_minhash
-              "skipped_media_buckets" ->
-                graft.operators.Multimodal.skippedPhashBucketsFromIndex(
-                  refIdx, maxBucketSize).count()) ++ captionMetrics
-          } finally Catalog.releasePin(refIdx)
+          // the THIRD modality in the one-call pipeline — the shared
+          // perceptual stage body over the SAME Treadmill.Modality
+          // closure the media treadmill runs: assets of dropped docs
+          // cut first (no orphan decode), ONE decode pass, the
+          // empty-tier reconcile closure feeding dedup + keep-best
+          // caption curation + the skip metric. At 100 TB a silent
+          // media drop is exactly as bad as a silent text drop.
+          perceptualStageBody(spark, media.get,
+            MediaPipeline.modality(mediaMaxHamming, mediaGrid, maxBucketSize),
+            captions, "media", MediaRefTable, MediaTable, MediaCaptionsTable)
         })) ++
       (if (videoFrames.isEmpty) Seq.empty[Stage] else Seq(
         Stage("video_dedup") { _ =>
@@ -503,16 +456,20 @@ object CurationPipeline {
               Map("audio_sequences" -> nSeq,
                 "audio_refs" -> nRefs, "audio_caption_unk_ids" -> unks)
             })) ++
-          (if (captions.isEmpty) Seq.empty[Stage] else Seq(
+          (if (captions.isEmpty && videoCaptions.isEmpty && audioTranscripts.isEmpty)
+            Seq.empty[Stage]
+          else Seq(
             Stage("train_order_mixed") { _ =>
-              // ONE manifest over EVERY sequence artifact: the trainer
-              // mounts (position, modality, seq_no) instead of
-              // hand-interleaving the per-modality streams (the video
-              // stream joins when its captions packed)
+              // ONE manifest over EVERY sequence artifact that packed:
+              // the trainer mounts (position, modality, seq_no) instead
+              // of hand-interleaving the per-modality streams — built
+              // whenever ANY non-text stream exists, not only when the
+              // still-media one does
               Catalog.ctasOverwrite(
                 Curation.trainOrderStreams(
-                  Seq("text" -> spark.table(IdSequencesTable).select("seq_no"),
-                    "multimodal" -> spark.table(MediaSequencesTable).select("seq_no")) ++
+                  Seq("text" -> spark.table(IdSequencesTable).select("seq_no")) ++
+                  (if (captions.isEmpty) Nil
+                   else Seq("multimodal" -> spark.table(MediaSequencesTable).select("seq_no"))) ++
                   (if (videoCaptions.isEmpty) Nil
                    else Seq("video" -> spark.table(VideoSequencesTable).select("seq_no"))) ++
                   (if (audioTranscripts.isEmpty) Nil
@@ -619,10 +576,11 @@ object CurationPipeline {
     * artifact can never be produced two ways. Returns
     * (sequences, refs, caption UNK ids). */
   def packCaptionSequences(spark: SparkSession, seqLen: Int,
-                           capsTable: String = MediaCaptionsTable,
-                           idCol: String = "media_id"): (Long, Long, Long) = {
+                           capsTable: String = MediaCaptionsTable): (Long, Long, Long) = {
     val tt = tokenizerTables(spark)
-    val (_, seqBase, metaBase, _) = CaptionArtifacts
+    // the registry records the id column — resolving it here removes
+    // the capsTable/idCol mismatch class entirely
+    val (_, seqBase, metaBase, idCol) = CaptionArtifacts
       .find(_._1 == capsTable)
       .getOrElse(throw new IllegalArgumentException(
         s"unknown caption artifact table '$capsTable' — expected one of " +
@@ -788,7 +746,7 @@ object CurationPipeline {
                              meta: String, tokenIds: String,
                              idSequences: String, packState: String,
                              stats: String, mediaSequences: String,
-                             videoSequences: String)
+                             videoSequences: String, audioSequences: String)
 
   def tokenizerTables(spark: SparkSession): TokenizerTables = {
     val g = currentTokenizerGeneration(spark)
@@ -796,7 +754,7 @@ object CurationPipeline {
       genName(TokenizerMetaTable, g), genName(TokenIdsTable, g),
       genName(IdSequencesTable, g), genName(PackStateTable, g),
       genName(TokenizerStatsTable, g), genName(MediaSequencesTable, g),
-      genName(VideoSequencesTable, g))
+      genName(VideoSequencesTable, g), genName(AudioSequencesTable, g))
   }
 
   /** SINGLE-artifact conveniences over [[tokenizerTables]] — each call
@@ -1000,6 +958,21 @@ object CurationPipeline {
             val stat = Seq((key.getLong(0), m("batch_token_ids"),
                 m("batch_unk_ids"), m("batch_seed_chars")))
               .toDF("batch_key", "token_ids", "unk_ids", "seed_chars")
+            // one-time migration for a ledger written before the
+            // compression column existed: widen the legacy rows with
+            // seed_chars = 0 (tokenizerCompression already treats a
+            // zero denominator as no-signal) so the append never
+            // crashes a running treadmill on a column-count mismatch.
+            // The ledger stays an APPEND TABLE (never a ctasOverwrite
+            // view); the pin breaks the read-while-overwrite cycle —
+            // k-sized by construction (one row per batch).
+            if (Catalog.tableExists(spark, statsT) &&
+                !spark.table(statsT).columns.contains("seed_chars")) {
+              val migrated = spark.table(statsT)
+                .withColumn("seed_chars", lit(0L)).localCheckpoint(true)
+              Catalog.overwriteTable(migrated, statsT)
+              Catalog.releasePin(migrated)
+            }
             Catalog.ensureTable(spark, statsT, stat.schema)
             Catalog.insertAppendOnce(spark, statsT, stat, "batch_key")
           }
@@ -1391,8 +1364,11 @@ object CurationPipeline {
     * empty ledger (its own retokenize pass has zero UNKs against the
     * vocab it was trained with), so the drift window resets at each
     * rollover. */
-  def tokenizerDrift(spark: SparkSession): (Long, Long) = {
-    val statsT = genName(TokenizerStatsTable, currentTokenizerGeneration(spark))
+  def tokenizerDrift(spark: SparkSession): (Long, Long) =
+    tokenizerDriftAt(spark, currentTokenizerGeneration(spark))
+
+  private def tokenizerDriftAt(spark: SparkSession, g: Long): (Long, Long) = {
+    val statsT = genName(TokenizerStatsTable, g)
     if (!Catalog.tableExists(spark, statsT)) (0L, 0L)
     else {
       val r = spark.table(statsT).agg(
@@ -1420,8 +1396,11 @@ object CurationPipeline {
   /** None when the generation has no baseline or its ledger predates
     * compression tracking — the drift check then degrades to
     * UNK-share-only (the pre-round-14 behavior). */
-  def tokenizerCompression(spark: SparkSession): Option[CompressionDrift] = {
-    val g = currentTokenizerGeneration(spark)
+  def tokenizerCompression(spark: SparkSession): Option[CompressionDrift] =
+    tokenizerCompressionAt(spark, currentTokenizerGeneration(spark))
+
+  private def tokenizerCompressionAt(spark: SparkSession,
+                                     g: Long): Option[CompressionDrift] = {
     val baseT = genName(TokenizerBaselineTable, g)
     val statsT = genName(TokenizerStatsTable, g)
     if (!Catalog.tableExists(spark, baseT) || !Catalog.tableExists(spark, statsT) ||
@@ -1454,11 +1433,14 @@ object CurationPipeline {
                             maxCompressionInflation: Double = Double.PositiveInfinity,
                             notify: PipelineReport => Unit = _ => ())
       : Option[PipelineReport] = {
-    val (ids, unks) = tokenizerDrift(spark)
+    // ONE pointer read for the whole decision: both signals must
+    // describe the SAME generation (the multi-artifact read contract)
+    val g = currentTokenizerGeneration(spark)
+    val (ids, unks) = tokenizerDriftAt(spark, g)
     val enough = ids >= minIds && ids > 0
     val unkFire = enough && unks.toDouble / ids > maxUnkShare
     val compFire = enough && !maxCompressionInflation.isInfinite &&
-      tokenizerCompression(spark).exists(_.inflation > maxCompressionInflation)
+      tokenizerCompressionAt(spark, g).exists(_.inflation > maxCompressionInflation)
     if (unkFire || compFire)
       Some(retrainTokenizer(spark, packSeqLen, numMerges, keepGenerations, notify))
     else None

@@ -38,7 +38,7 @@ object MediaPipeline {
   val BatchComponentsTable = "media_batch_components"
   val BatchCaptionsTable = "media_batch_captions"
 
-  private def modality(maxHamming: Int, grid: Multimodal.GridExtractor,
+  private[pipeline] def modality(maxHamming: Int, grid: Multimodal.GridExtractor,
                        maxBucketSize: Int): Treadmill.Modality =
     new Treadmill.Modality {
       val idCol = "media_id"

@@ -100,7 +100,13 @@ object Treadmill {
             st.index.join(spark.table(m.batchSurvivorsTable).select(idCol),
               Seq(idCol), "left_semi"),
             m.batchIndexTable)
-          val in = st.entities.count()
+          // media/audio already seeded this exact count as batch_in
+          // (one entity row per batch row) — recounting would re-scan
+          // the caller's unpinned batch including payload bytes; only
+          // the frame-landing modalities (entities ≠ input rows) pay
+          // the count, and theirs reads the checkpointed pin
+          val in = if (m.initialMetric == "batch_in") mm("batch_in")
+            else st.entities.count()
           val kept = spark.table(m.batchSurvivorsTable).count()
           val bridged = spark.table(m.batchComponentsTable)
             .join(tierIdx.select(col(idCol).as("id")).distinct(), Seq("id"), "left_semi")
@@ -122,6 +128,17 @@ object Treadmill {
         case Some(caps) => Seq(
           Stage("caption_reconcile") { _ =>
             import spark.implicits._
+            // one-time migration for a winners table published before
+            // the watermark existed: stamp every legacy row MinValue
+            // (all past batches are by definition already folded)
+            // through the atomic flip, so the upgrade never crashes a
+            // running treadmill on an unresolved column
+            if (Catalog.tableExists(spark, m.captionsTable) &&
+                !spark.table(m.captionsTable).columns.contains("folded_max_id"))
+              Catalog.ctasOverwrite(
+                spark.table(m.captionsTable)
+                  .withColumn("folded_max_id", lit(Long.MinValue)),
+                m.captionsTable)
             val stored =
               if (Catalog.tableExists(spark, m.captionsTable))
                 spark.table(m.captionsTable).withColumnRenamed(idCol, "media_id")
@@ -143,19 +160,26 @@ object Treadmill {
               .agg(coalesce(max("folded_max_id"), lit(Long.MinValue)))
               .head().getLong(0)
             val named = caps.filter(col("caption").isNotNull)
+            // ONE aggregate over the candidates: total, fresh count,
+            // and the new stamp (the caller's caps plan is unpinned —
+            // four separate actions would re-evaluate it four times)
+            val agg = named.agg(
+              count(lit(1)).as("n"),
+              count(when(col(idCol) > watermark, lit(1))).as("fresh"),
+              max(when(col(idCol) > watermark, col(idCol))).as("mx")).head()
+            val (total, fresh) = (agg.getLong(0), agg.getLong(1))
             val cands = named.filter(col(idCol) > watermark)
-            val batchMax = cands.agg(max(idCol)).head()
             Catalog.overwriteTable(
               Multimodal.captionKeepBestAgainst(
                 spark.table(m.batchComponentsTable), stored.drop("folded_max_id"),
                 cands.withColumnRenamed(idCol, "media_id"))
                 .withColumn("folded_max_id",
-                  lit(if (batchMax.isNullAt(0)) Long.MinValue else batchMax.getLong(0)))
+                  lit(if (agg.isNullAt(2)) Long.MinValue else agg.getLong(2)))
                 .withColumnRenamed("media_id", idCol),
               m.batchCaptionsTable)
             Map("caption_components_touched" -> spark.table(m.batchCaptionsTable).count(),
-              "caption_candidates" -> named.count(),
-              "caption_replay_skipped" -> (named.count() - cands.count()))
+              "caption_candidates" -> total,
+              "caption_replay_skipped" -> (total - fresh))
           })
       }) ++
       Seq(

@@ -509,8 +509,8 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
       jaccardThreshold = 0.5, minTokens = 10, maxPunctRatio = 1.0,
       minStopwordRatio = 0.0, media = Some(mediaDf), captions = Some(caps))
     assert(report.ok, report.stages.toString)
-    assert(report.metrics("caption_kept") == 2L, report.metrics.toString)
-    assert(report.metrics("caption_dropped") == 1L, report.metrics.toString)
+    assert(report.metrics("media_caption_kept") == 2L, report.metrics.toString)
+    assert(report.metrics("media_caption_dropped") == 1L, report.metrics.toString)
     val byId = spark.table(CurationPipeline.MediaCaptionsTable)
       .collect().map(r => r.getAs[Long]("media_id") ->
         (r.getAs[String]("kept_caption"), r.getAs[Long]("kept_from"))).toMap
@@ -712,7 +712,7 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     assert(report.ok, report.stages.toString)
     assert(report.stages.exists(_.stage == "pack_captions"), report.stages.toString)
     // every kept caption contributes exactly one sentinel ref
-    assert(report.metrics("media_refs") == report.metrics("caption_kept"),
+    assert(report.metrics("media_refs") == report.metrics("media_caption_kept"),
       report.metrics.toString)
     assert(report.metrics("media_sequences") > 0L, report.metrics.toString)
     // twin-exact vs the operator over the published artifacts
@@ -1076,7 +1076,7 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     val vWinners = Seq((1L, tokWords(1))).toDF("video_id", "kept_caption")
     Catalog.overwriteTable(vWinners, CurationPipeline.VideoCaptionsTable)
     val (vn0, _, _) = CurationPipeline.packCaptionSequences(spark, seqLen = 5,
-      capsTable = CurationPipeline.VideoCaptionsTable, idCol = "video_id")
+      capsTable = CurationPipeline.VideoCaptionsTable)
     assert(vn0 > 0L)
     // drift fires; the rollover must regenerate the caption sequences
     // under the NEW vocab — leaving them on the dead generation's id
