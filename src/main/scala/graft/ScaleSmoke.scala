@@ -667,7 +667,10 @@ object ScaleSmoke {
       require(cp.currentTokenizerGeneration(spark) == 1L)
       // generation-1 ids cover the tier doc-for-doc and are UNK-free
       // (trained on exactly the tier the retokenize read)
-      val idsT = cp.tokenIdsTable(spark)
+      // ids + sequences together: ONE pointer read (the multi-artifact
+      // read contract)
+      val tt = cp.tokenizerTables(spark)
+      val idsT = tt.tokenIds
       val cov = spark.table(cp.TierTable).select("doc_id")
         .join(spark.table(idsT).select("doc_id"), Seq("doc_id"), "left_anti").count()
       require(cov == 0L, s"gen-1 ids must cover the tier ($cov missing)")
@@ -675,7 +678,7 @@ object ScaleSmoke {
       // the re-packed stream conserves the gen-1 id total
       val ids = spark.table(idsT).agg(
         coalesce(sum(size(col("token_ids"))), lit(0)).cast("long")).head().getLong(0)
-      val pub = spark.table(cp.idSequencesTable(spark)).agg(
+      val pub = spark.table(tt.idSequences).agg(
         count(lit(1)).cast("long"),
         coalesce(sum(size(col("token_ids"))), lit(0)).cast("long")).head()
       val st = spark.table(cp.PackStateTable + "_g1").head()

@@ -167,7 +167,10 @@ object CurationPipeline {
     * keep-best TRANSCRIPT curation ([[AudioCaptionsTable]]), and with
     * `materializeTokenIds` the winners' own interleaved stream
     * ([[AudioSequencesTable]]) joins the mixed manifest and the
-    * rollover's regeneration set.
+    * rollover's regeneration set. `audioGrid` is the WINDOW extractor
+    * (windows are headerless byte slices —
+    * [[graft.operators.Multimodal.PcmWindowGrid]] is the sample-true
+    * path; `mediaGrid`'s whole-payload chain would null every window).
     *
     * `bpeMerges` > 0 trains the tokenizer on the train split
     * (`bpeDomain` picks the trainable-token domain — [[Bpe.AllTokens]]
@@ -205,6 +208,8 @@ object CurationPipeline {
               audioTranscripts: Option[DataFrame] = None,
               audioJaccard: Double = 0.9, audioContain: Double = 0.9,
               audioWindowBytes: Int = 96, audioHopBytes: Int = 48,
+              audioGrid: graft.operators.Multimodal.GridExtractor =
+                graft.operators.Multimodal.StubGrid,
               notify: PipelineReport => Unit = _ => ()): PipelineReport = {
     require(captions.isEmpty || media.nonEmpty,
       "captions curate against the media assets' perceptual components — pass media too")
@@ -332,9 +337,15 @@ object CurationPipeline {
           // the FIFTH modality — the same shared body over the audio
           // closure: windowed fingerprints, re-encodes on Jaccard,
           // hop-aligned clips on containment, keep-best TRANSCRIPT
-          // curation per perceptual component
+          // curation per perceptual component. Audio gets its OWN grid
+          // parameter: windows are HEADERLESS byte slices, so the
+          // whole-clip chain (realGrid's WavGrid needs the RIFF header)
+          // would hash every window null and silently degrade dedup to
+          // pass-through — the real path here is PcmWindowGrid over the
+          // declared sample layout, StubGrid the oracle-replayable
+          // default.
           perceptualStageBody(spark, audioClips.get,
-            AudioPipeline.modality(audioJaccard, audioContain, mediaGrid,
+            AudioPipeline.modality(audioJaccard, audioContain, audioGrid,
               maxBucketSize, audioWindowBytes, audioHopBytes),
             audioTranscripts, "audio", AudioRefTable, AudioTable,
             AudioCaptionsTable)
@@ -428,7 +439,7 @@ object CurationPipeline {
                 BpeMergesTable, VocabTable, TokenizerMetaTable,
                 MediaSequencesTable, MediaSeqMetaTable)
               Map("media_sequences" -> nSeq,
-                "media_refs" -> nRefs, "caption_unk_ids" -> unks)
+                "media_refs" -> nRefs, "media_caption_unk_ids" -> unks)
             })) ++
           (if (videoCaptions.isEmpty) Seq.empty[Stage] else Seq(
             Stage("pack_video_captions") { _ =>
@@ -756,17 +767,6 @@ object CurationPipeline {
       genName(TokenizerStatsTable, g), genName(MediaSequencesTable, g),
       genName(VideoSequencesTable, g), genName(AudioSequencesTable, g))
   }
-
-  /** SINGLE-artifact conveniences over [[tokenizerTables]] — each call
-    * is its own pointer read, so they are only rollover-safe for a
-    * reader touching ONE artifact; any multi-artifact read goes through
-    * [[tokenizerTables]]. */
-  def tokenIdsTable(spark: SparkSession): String = tokenizerTables(spark).tokenIds
-  def idSequencesTable(spark: SparkSession): String =
-    tokenizerTables(spark).idSequences
-  def vocabTableName(spark: SparkSession): String = tokenizerTables(spark).vocab
-  def mediaSequencesTable(spark: SparkSession): String =
-    tokenizerTables(spark).mediaSequences
 
   /** Incremental ingest — the 100 TB operating mode, where "dedup the
     * corpus" is not an event but a treadmill: each new crawl slice is
@@ -1388,9 +1388,17 @@ object CurationPipeline {
     * ceiling as the vocabulary stops covering the ingest. */
   case class CompressionDrift(ids: Long, seedChars: Long,
                               baselineIds: Long, baselineSeedChars: Long) {
-    def inflation: Double =
-      if (ids == 0 || seedChars == 0 || baselineIds == 0 || baselineSeedChars == 0) 1.0
-      else (ids.toDouble / seedChars) / (baselineIds.toDouble / baselineSeedChars)
+    /** False when any leg is zero — a degenerate baseline (empty train
+      * corpus) or a zero-char ledger leaves the trigger INERT, which is
+      * a monitorable state of its own, not "healthy": a caller that
+      * treated it as 1.0 would never learn its compression watch is
+      * blind (ADVICE r14). */
+    def hasSignal: Boolean =
+      ids > 0 && seedChars > 0 && baselineIds > 0 && baselineSeedChars > 0
+    /** None = no signal; Some(1.0) = measured healthy. */
+    def inflation: Option[Double] =
+      if (!hasSignal) None
+      else Some((ids.toDouble / seedChars) / (baselineIds.toDouble / baselineSeedChars))
   }
 
   /** None when the generation has no baseline or its ledger predates
@@ -1414,6 +1422,19 @@ object CurationPipeline {
     }
   }
 
+  /** Default `maxCompressionInflation`: the Bytes-domain trigger fires
+    * OUT OF THE BOX instead of being opt-in (the round-14 blindness —
+    * an Infinity default meant a caller using the defaults kept the
+    * exact UNK-only gap the trigger exists to close). 1.5 sits between
+    * the measured bands: a generation re-tokenizing its own train
+    * distribution holds inflation ≈ 1.0 (the ledger ratio IS the
+    * baseline ratio), while the drift gate's uncovered-corpus slice
+    * lands ≈ 1.7–1.9 (near the no-merge ceiling) — so healthy ingest
+    * never grazes it and real coverage collapse clears it with margin.
+    * `minIds` floors both triggers against tiny-ledger noise; pass
+    * Infinity to opt back out. */
+  val DefaultMaxCompressionInflation = 1.5
+
   /** Drift-TRIGGERED tokenizer rollover — the operational closure of
     * [[tokenizerDrift]] and [[tokenizerCompression]]: measure, decide,
     * roll. Retrains when at least `minIds` ids have been tokenized
@@ -1422,15 +1443,16 @@ object CurationPipeline {
     * ingests — under-segmentation made a number), or (b) the
     * compression inflation exceeds `maxCompressionInflation` (the
     * Bytes-domain signal: drift that never UNKs still re-tokenizes at
-    * collapsing compression). Returns the rollover report when one
-    * ran, None while the generation is still healthy. A scheduler
-    * calls this after each ingest wave instead of guessing when to
-    * retrain. */
+    * collapsing compression; a no-signal drift read —
+    * [[CompressionDrift.hasSignal]] false — never fires). Returns the
+    * rollover report when one ran, None while the generation is still
+    * healthy. A scheduler calls this after each ingest wave instead of
+    * guessing when to retrain. */
   def maybeRetrainTokenizer(spark: SparkSession,
                             maxUnkShare: Double = 0.01, minIds: Long = 1L,
                             packSeqLen: Int = 0, numMerges: Int = -1,
                             keepGenerations: Int = 2,
-                            maxCompressionInflation: Double = Double.PositiveInfinity,
+                            maxCompressionInflation: Double = DefaultMaxCompressionInflation,
                             notify: PipelineReport => Unit = _ => ())
       : Option[PipelineReport] = {
     // ONE pointer read for the whole decision: both signals must
@@ -1440,7 +1462,8 @@ object CurationPipeline {
     val enough = ids >= minIds && ids > 0
     val unkFire = enough && unks.toDouble / ids > maxUnkShare
     val compFire = enough && !maxCompressionInflation.isInfinite &&
-      tokenizerCompressionAt(spark, g).exists(_.inflation > maxCompressionInflation)
+      tokenizerCompressionAt(spark, g)
+        .flatMap(_.inflation).exists(_ > maxCompressionInflation)
     if (unkFire || compFire)
       Some(retrainTokenizer(spark, packSeqLen, numMerges, keepGenerations, notify))
     else None
@@ -1465,7 +1488,7 @@ object CurationPipeline {
                               packSeqLen: Int = 0,
                               maxUnkShare: Double = 0.01, minIds: Long = 1L,
                               keepGenerations: Int = 2,
-                              maxCompressionInflation: Double = Double.PositiveInfinity,
+                              maxCompressionInflation: Double = DefaultMaxCompressionInflation,
                               notify: PipelineReport => Unit = _ => ())
       : Option[PipelineReport] = {
     streamIngest(spark, landingDir, checkpointDir, jaccardThreshold,

@@ -945,7 +945,7 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     val vocab = Bpe.vocabTable(spark.table(CurationPipeline.CleanTierTable), merges)
     val want = Bpe.tokenizeIds(spark.table(CurationPipeline.CleanTierTable), merges, vocab)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    val got = spark.table(CurationPipeline.tokenIdsTable(spark))
+    val got = spark.table(CurationPipeline.tokenizerTables(spark).tokenIds)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[Long](1)).toMap
     assert(got == want, s"$got vs $want")
     // the é seeds are in the new vocab: zero UNKs anywhere
@@ -986,15 +986,17 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     assert(r3.ok, r3.stages.toString)
     // published gen-1 sequences ++ carry == the batch-global pack over
     // the gen-1 id table (repacked tier + appended batch, id-for-id)
-    val seqT = CurationPipeline.idSequencesTable(spark)
-    val published = spark.table(seqT)
+    // ids + sequences together: ONE pointer read (the multi-artifact
+    // read contract — two resolver calls could straddle a rollover)
+    val tt = CurationPipeline.tokenizerTables(spark)
+    val published = spark.table(tt.idSequences)
       .collect().map(r => r.getAs[Long]("seq_no") -> r.getSeq[Long](1)).sortBy(_._1)
     assert(published.forall(_._2.length == 7))
     val st = spark.table(CurationPipeline.PackStateTable + "_g1").head()
     assert(st.getLong(0) == published.length.toLong, "cursor equals the published count")
     val carry = Option(st.getSeq[Long](1)).getOrElse(Seq.empty[Long])
     val globalPack = Bpe.packIdSequences(
-        spark.table(CurationPipeline.tokenIdsTable(spark)), seqLen = 7)
+        spark.table(tt.tokenIds), seqLen = 7)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).sortBy(_._1)
     val incremental = published ++
       (if (carry.isEmpty) Seq.empty else Seq(st.getLong(0) -> carry))
@@ -1024,9 +1026,11 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     assert(r.ok, r.stages.toString)
     assert(r.metrics("late_tokenized") == 2L, r.metrics.toString)
     assert(CurationPipeline.currentTokenizerGeneration(spark) == 1L)
-    // the published generation covers the tier doc-for-doc
+    // the published generation covers the tier doc-for-doc (ids +
+    // sequences below read from ONE tokenizerTables resolution)
+    val tt = CurationPipeline.tokenizerTables(spark)
     val tierIds = spark.table(CurationPipeline.TierTable).select("doc_id")
-    val tokIds = spark.table(CurationPipeline.tokenIdsTable(spark)).select("doc_id")
+    val tokIds = spark.table(tt.tokenIds).select("doc_id")
     assert(tierIds.exceptAll(tokIds).isEmpty && tokIds.exceptAll(tierIds).isEmpty)
     // and the id content equals the from-scratch gen-1 replay over the
     // FULL clean tier (snapshot docs AND the interleaved batch — the
@@ -1038,17 +1042,17 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     val want = Bpe.tokenizeIds(spark.table(CurationPipeline.CleanTierTable), merges,
         spark.table(CurationPipeline.VocabTable + "_g1"))
       .collect().map(row => row.getLong(0) -> row.getSeq[Long](1)).toMap
-    val got = spark.table(CurationPipeline.tokenIdsTable(spark))
+    val got = spark.table(tt.tokenIds)
       .collect().map(row => row.getAs[Long]("doc_id") -> row.getSeq[Long](1)).toMap
     assert(got == want, s"$got vs $want")
     // the staged pack stream continued over the delta: published ++
     // carry equals the global pack of the gen-1 id table
-    val published = spark.table(CurationPipeline.idSequencesTable(spark))
+    val published = spark.table(tt.idSequences)
       .collect().map(row => row.getAs[Long]("seq_no") -> row.getSeq[Long](1)).sortBy(_._1)
     val st = spark.table(CurationPipeline.PackStateTable + "_g1").head()
     val carry = Option(st.getSeq[Long](1)).getOrElse(Seq.empty[Long])
     val globalPack = Bpe.packIdSequences(
-        spark.table(CurationPipeline.tokenIdsTable(spark)), seqLen = 7)
+        spark.table(tt.tokenIds), seqLen = 7)
       .collect().map(row => row.getLong(0) -> row.getSeq[Long](1)).sortBy(_._1)
     val incremental = published ++
       (if (carry.isEmpty) Seq.empty else Seq(st.getLong(0) -> carry))
@@ -1103,7 +1107,7 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
       Bpe.tokenizeIds(winners.select($"media_id", $"kept_caption".as("text")),
         merges, spark.table(CurationPipeline.VocabTable + "_g1"), idCol = "media_id"),
       seqLen = 7, idCol = "media_id"))
-    val got = dump(spark.table(CurationPipeline.mediaSequencesTable(spark)))
+    val got = dump(spark.table(CurationPipeline.tokenizerTables(spark).mediaSequences))
     assert(got == want, s"$got vs $want")
     // the pack meta carried to the new generation
     assert(spark.table(CurationPipeline.MediaSeqMetaTable + "_g1").head().getLong(0) == 7L)
@@ -1141,9 +1145,11 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     val r2 = CurationPipeline.ingestBatch(spark, batch2, tokenize = true)
     assert(r2.ok && r2.metrics("batch_unk_ids") == 0L, r2.metrics.toString)
     val comp = CurationPipeline.tokenizerCompression(spark).get
-    assert(comp.inflation > 1.2, comp.toString)
-    // the UNK trigger alone would never fire; the compression trigger must
-    assert(CurationPipeline.maybeRetrainTokenizer(spark, maxUnkShare = 0.5).isEmpty)
+    assert(comp.hasSignal && comp.inflation.get > 1.2, comp.toString)
+    // the UNK trigger alone would never fire (compression opted out
+    // via Infinity); the compression trigger must
+    assert(CurationPipeline.maybeRetrainTokenizer(spark, maxUnkShare = 0.5,
+      maxCompressionInflation = Double.PositiveInfinity).isEmpty)
     val roll = CurationPipeline.maybeRetrainTokenizer(spark,
       maxUnkShare = 0.5, maxCompressionInflation = 1.2)
     assert(roll.nonEmpty && roll.get.ok, roll.toString)
