@@ -1266,15 +1266,17 @@ object SparkEntry {
         "0123456789", "qwertzuiop")): _*)
 
   /** The Bytes-drift fixture's TRAIN text: each of the 12 words is a
-    * highly-compressible "ababababab" prefix plus the doc's unique
+    * highly-compressible 20-char "abab…" prefix plus the doc's unique
     * md5-letter suffix (the [[tokText]] word) — the learned merges
-    * collapse over half of every train word, while the drift slice's
-    * pure-md5 words barely merge: compression inflation with ZERO
-    * unseen bytes (every drift letter already seeds the train
-    * alphabet), the exact drift mode UNK counting cannot see. */
+    * collapse over two thirds of every train word, while the drift
+    * slice's pure-md5 words barely merge: compression inflation with
+    * ZERO unseen bytes (every drift letter already seeds the train
+    * alphabet), the exact drift mode UNK counting cannot see. The long
+    * prefix keeps the baseline ratio LOW so the three drift drains
+    * land with margin on both sides of the DEFAULT 1.5 trigger. */
   private def patText(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     concat_ws(" ", (0 until 12).map(j =>
-      concat(lit("ababababab"),
+      concat(lit("abababababababababab"),
         translate(substr(md5(concat(idCol.cast("string"), lit(":" + j))), lit(1), lit(8)),
           "0123456789", "qwertzuiop"))): _*)
 
@@ -1695,7 +1697,7 @@ object SparkEntry {
       val d = docs(s, dir).select("doc_id")
       val slice1 = d.filter(col("doc_id") < 250)
         .select(col("doc_id"), tokText(col("doc_id")).as("text"))
-      val slice2 = d.filter(col("doc_id") >= 250)
+      val slice2 = d.filter(col("doc_id") >= 250 && col("doc_id") < 500)
         .select(col("doc_id"), when(col("doc_id") % 7 === 0,
             concat(tokText(col("doc_id")), lit(" éé")))
           .otherwise(tokText(col("doc_id"))).as("text"))
@@ -1743,7 +1745,7 @@ object SparkEntry {
       val d = docs(s, dir).select("doc_id")
       val slice1 = d.filter(col("doc_id") < 250)
         .select(col("doc_id"), tokText(col("doc_id")).as("text"))
-      val slice2 = d.filter(col("doc_id") >= 250)
+      val slice2 = d.filter(col("doc_id") >= 250 && col("doc_id") < 500)
         .select(col("doc_id"), when(col("doc_id") % 7 === 0,
             concat(tokText(col("doc_id")), lit(" éé")))
           .otherwise(tokText(col("doc_id"))).as("text"))
@@ -1797,7 +1799,7 @@ object SparkEntry {
       val d = docs(s, dir).select("doc_id")
       val slice1 = d.filter(col("doc_id") < 250)
         .select(col("doc_id"), tokText(col("doc_id")).as("text"))
-      val slice2 = d.filter(col("doc_id") >= 250)
+      val slice2 = d.filter(col("doc_id") >= 250 && col("doc_id") < 500)
         .select(col("doc_id"), when(col("doc_id") % 7 === 0,
             concat(tokText(col("doc_id")), lit(" éé")))
           .otherwise(tokText(col("doc_id"))).as("text"))
@@ -1862,7 +1864,7 @@ object SparkEntry {
       val d = docs(s, dir).select("doc_id")
       val slice1 = d.filter(col("doc_id") < 250)
         .select(col("doc_id"), tokText(col("doc_id")).as("text"))
-      val slice2 = d.filter(col("doc_id") >= 250)
+      val slice2 = d.filter(col("doc_id") >= 250 && col("doc_id") < 500)
         .select(col("doc_id"), when(col("doc_id") % 7 === 0,
             concat(tokText(col("doc_id")), lit(" éé")))
           .otherwise(tokText(col("doc_id"))).as("text"))
@@ -1904,42 +1906,55 @@ object SparkEntry {
     // corpus never contained — a drifted corpus of already-seen bytes
     // (new language, code influx) re-tokenizes at collapsing
     // compression while the UNK share stays exactly zero. The train
-    // slice's words carry a merge-compressible "ababababab" prefix
-    // (ids/byte ≈ 0.5 at generation birth); the drift slice is pure
+    // slice's words carry a merge-compressible 20-char "abab…" prefix
+    // (low ids/byte at generation birth); the drift slices are pure
     // md5-letter words of the SAME alphabet (barely merge → ids/byte
-    // ≈ 0.95). The maintain loop must NOT roll on the train slice
-    // (inflation 1.0) and MUST roll on the drift slice via the
-    // ids-per-seed-char inflation trigger — with the gen-0 ledger
-    // holding zero UNKs, proving the UNK trigger alone would never
-    // have fired. Oracle: gen-1 replay (train on the full tier under
-    // byte seeds ≡ code points for this all-ASCII corpus) + tokenize
-    // + the decode-roundtrip concat.
+    // near 1). The maintain loop runs WITH THE DEFAULT knobs — the
+    // round-14 ask: a caller who doesn't know about the trigger is
+    // still protected. Three drains bracket the 1.5 default: the train
+    // slice must not inflate its own baseline (inflation 1.0), a SMALL
+    // md5 slice lands near-threshold and must NOT roll, and the wide
+    // md5 slice collapses cumulative compression past the default and
+    // MUST roll — with the gen-0 ledger holding zero UNKs throughout,
+    // proving the UNK trigger alone would never have fired. Oracle:
+    // gen-1 replay (train on the full tier under byte seeds ≡ code
+    // points for this all-ASCII corpus) + tokenize + the
+    // decode-roundtrip concat.
     "stream_bytes_drift_retrain" -> ((s, dir) => {
       import graft.pipeline.CurationPipeline
       CurationPipeline.resetTreadmill(s)
       val land = tempDir("graft_bytes_land")
       val cp = tempDir("graft_bytes_cp")
       val d = docs(s, dir).select("doc_id")
-      val slice1 = d.filter(col("doc_id") < 125)
+      val slice1 = d.filter(col("doc_id") < 50)
         .select(col("doc_id"), patText(col("doc_id")).as("text"))
-      val slice2 = d.filter(col("doc_id") >= 125)
+      val slice2 = d.filter(col("doc_id") >= 50 && col("doc_id") < 75)
+        .select(col("doc_id"), tokText(col("doc_id")).as("text"))
+      val slice3 = d.filter(col("doc_id") >= 75 && col("doc_id") < 450)
         .select(col("doc_id"), tokText(col("doc_id")).as("text"))
       CurationPipeline.publishTokenizer(s, slice1, numMerges = 8,
         domain = Bpe.Bytes)
+      def drain(): Option[graft.pipeline.PipelineReport] =
+        CurationPipeline.streamIngestAndMaintain(s, land, cp,
+          jaccardThreshold = 0.5) // DEFAULT drift knobs — the whole point
+      def inflation: String =
+        CurationPipeline.tokenizerCompression(s).flatMap(_.inflation).toString
       slice1.coalesce(1).write.mode("append").json(land)
-      val roll1 = CurationPipeline.streamIngestAndMaintain(s, land, cp,
-        jaccardThreshold = 0.5, maxUnkShare = 0.5,
-        maxCompressionInflation = 1.2)
+      val roll1 = drain()
       require(roll1.isEmpty && CurationPipeline.currentTokenizerGeneration(s) == 0L,
-        "stream_bytes_drift_retrain: the train slice must not inflate its own baseline")
+        s"stream_bytes_drift_retrain: the train slice must not inflate its own " +
+          s"baseline (inflation=$inflation)")
       slice2.coalesce(1).write.mode("append").json(land)
-      val roll2 = CurationPipeline.streamIngestAndMaintain(s, land, cp,
-        jaccardThreshold = 0.5, maxUnkShare = 0.5,
-        maxCompressionInflation = 1.2)
-      require(roll2.nonEmpty && roll2.get.ok,
+      val roll2 = drain()
+      require(roll2.isEmpty && CurationPipeline.currentTokenizerGeneration(s) == 0L,
+        s"stream_bytes_drift_retrain: the near-threshold slice must NOT roll " +
+          s"(inflation=$inflation)")
+      slice3.coalesce(1).write.mode("append").json(land)
+      val roll3 = drain()
+      require(roll3.nonEmpty && roll3.get.ok,
         "stream_bytes_drift_retrain: compression collapse must roll the generation")
       // the blindness being closed: the generation-0 ledger saw ZERO
-      // UNKs across both drains — the UNK trigger could never fire
+      // UNKs across all three drains — the UNK trigger could never fire
       val unks0 = s.table(CurationPipeline.TokenizerStatsTable)
         .agg(coalesce(sum("unk_ids"), lit(0L))).head().getLong(0)
       require(unks0 == 0L,
@@ -7373,14 +7388,18 @@ object SparkEntry {
     * already-tiered doc (jaccard 1 \u2014 dropped), and no other pair
     * shares a single shingle (per-doc-unique md5 words), so
     * survivorship needs no dedup replay here (that machinery has its
-    * own gates). */
+    * own gates). The drift slice is CAPPED at doc_id < 500 (fixed-size
+    * at every SF): these gates price a deployment scenario \u2014 drains,
+    * restarts, a rollover \u2014 and the contract is structural, so corpus
+    * width past a few hundred docs only buys bench-wall noise (the
+    * round-14 observability ask). */
   private val TokTrainCorpusSql =
     s"(SELECT doc_id, $TokTextSql AS text FROM documents WHERE doc_id < 250)"
   private val TokFullCorpusSql =
     s"(SELECT doc_id, $TokTextSql AS text FROM documents WHERE doc_id < 250 " +
       s"UNION ALL SELECT doc_id, $TokTextSql || " +
       "CASE WHEN doc_id % 7 = 0 THEN ' \u00e9\u00e9' ELSE '' END AS text " +
-      "FROM documents WHERE doc_id >= 250)"
+      "FROM documents WHERE doc_id >= 250 AND doc_id < 500)"
 
   /** The caption-rollover gate's winner corpus: a deterministic subset
     * of the tier text (media_id = doc_id), so the gen-1 vocab covers
@@ -7398,11 +7417,12 @@ object SparkEntry {
     * here). */
   private val PatTextSql =
     "array_to_string(list_transform(range(0, 12), j -> " +
-      "'ababababab' || translate(substr(md5(doc_id::VARCHAR || ':' || j::VARCHAR), 1, 8), " +
+      "'abababababababababab' || translate(substr(md5(doc_id::VARCHAR || ':' || j::VARCHAR), 1, 8), " +
       "'0123456789', 'qwertzuiop')), ' ')"
   private val BytesFullCorpusSql =
-    s"(SELECT doc_id, $PatTextSql AS text FROM documents WHERE doc_id < 125 " +
-      s"UNION ALL SELECT doc_id, $TokTextSql AS text FROM documents WHERE doc_id >= 125)"
+    s"(SELECT doc_id, $PatTextSql AS text FROM documents WHERE doc_id < 50 " +
+      s"UNION ALL SELECT doc_id, $TokTextSql AS text FROM documents " +
+      "WHERE doc_id >= 50 AND doc_id < 450)"
 
   /** Apply an already-learned chain (the p1..pN CTEs of
     * [[bpeChainSql]]) to a FRESH corpus's distinct words \u2014 the
