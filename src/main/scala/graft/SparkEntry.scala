@@ -1280,6 +1280,13 @@ object SparkEntry {
         translate(substr(md5(concat(idCol.cast("string"), lit(":" + j))), lit(1), lit(8)),
           "0123456789", "qwertzuiop"))): _*)
 
+  /** The planted eval text for the caption-decontamination gate: 13
+    * fixed lowercase words, so any caption containing it shares its
+    * 8-grams with the benchmark while the md5-word captions share
+    * none. */
+  private val EvalPassage =
+    "the aquila benchmark answer keys must never leak into model training corpora verbatim"
+
   /** Caption variants for the cross-modal gate — one caption per
     * [[phashMedia]] asset (same id plants: re-encodes %10, corrupted
     * %7==3), wording varied per variant so the per-component argmax
@@ -1853,8 +1860,9 @@ object SparkEntry {
     // slice 2 plants the 'éé' drift and the SAME maintain call rolls
     // the generation — the published caption sequences must carry
     // generation-1 ids at the seqLen the artifact's meta recorded.
-    // The oracle replays gen-1 training on the full tier, tokenizes
-    // the winners, and runs the interleaved offset/slice algebra.
+    // The oracle replays gen-1 training on the tier ∪ winners (the
+    // retrain-corpus union), tokenizes the winners, and runs the
+    // interleaved offset/slice algebra.
     "stream_caption_rollover" -> ((s, dir) => {
       import graft.pipeline.CurationPipeline
       CurationPipeline.resetTreadmill(s)
@@ -1890,6 +1898,98 @@ object SparkEntry {
       val tt = CurationPipeline.tokenizerTables(s)
       require(tt.generation == 1L,
         "stream_caption_rollover: the pointer must name generation 1")
+      s.table(tt.mediaSequences)
+        .select(col("seq_no"),
+          array_join(col("token_ids"), ",").as("token_ids_csv"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          array_join(transform(col("refs"),
+            r => concat_ws(":", r.getField("pos"), r.getField("ref_id"))),
+            ",").as("refs_csv"),
+          size(col("refs")).cast("long").as("n_refs"))
+        .orderBy("seq_no")
+    }),
+
+    // THE CAPTION SIDE DOOR, CLOSED: an eval 13-gram arriving inside a
+    // WINNING caption must not reach the packed training sequences —
+    // runFull's decontaminate stage gates documents only, so the
+    // caption packs run the SAME n-gram battery against the persisted
+    // benchmark snapshot. Winners are a %3 subset of the tier text;
+    // the %9 winners carry the eval passage inside their caption and
+    // must be EXCLUDED (counted, never silently), the rest pack
+    // exactly as if the plant never happened. Oracle: gen-0 train
+    // replay + tokenize of the FILTERED winner set + the interleaved
+    // offset/slice algebra.
+    "mm_caption_decontaminate" -> ((s, dir) => {
+      import graft.pipeline.CurationPipeline
+      import s.implicits._
+      CurationPipeline.resetTreadmill(s)
+      val d = docs(s, dir).select("doc_id")
+      val train = d.filter(col("doc_id") < 250)
+        .select(col("doc_id"), tokText(col("doc_id")).as("text"))
+      CurationPipeline.publishTokenizer(s, train, numMerges = 8)
+      CurationPipeline.publishBenchmark(s, Seq(EvalPassage).toDF("text"))
+      val winners = d.filter(col("doc_id") < 250 && col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("media_id"),
+          when(col("doc_id") % 9 === 0,
+            concat(tokText(col("doc_id")), lit(" " + EvalPassage)))
+          .otherwise(tokText(col("doc_id"))).as("kept_caption"))
+      graft.plans.Catalog.overwriteTable(winners, CurationPipeline.MediaCaptionsTable)
+      val (_, _, _, cont) = CurationPipeline.packCaptionSequences(s, seqLen = 64)
+      require(cont > 0L,
+        "mm_caption_decontaminate: the planted eval leak must be caught")
+      s.table(CurationPipeline.MediaSequencesTable)
+        .select(col("seq_no"),
+          array_join(col("token_ids"), ",").as("token_ids_csv"),
+          size(col("token_ids")).cast("long").as("n_tokens"),
+          array_join(transform(col("refs"),
+            r => concat_ws(":", r.getField("pos"), r.getField("ref_id"))),
+            ",").as("refs_csv"),
+          size(col("refs")).cast("long").as("n_refs"))
+        .orderBy("seq_no")
+    }),
+
+    // CAPTION-ONLY DRIFT ROLLS THE GENERATION: the docs drain healthy
+    // (zero UNKs — the doc ledger alone would never fire), then the
+    // stored winners arrive with the unseen 'éé' seed planted on the
+    // %6 winners and their PACK feeds the drift ledger — the same
+    // maybeRetrainTokenizer trigger the doc batches feed. The roll
+    // must fire off the caption signal alone, retrain on the tier ∪
+    // winners (a doc-only retrain would leave the caption UNKs in
+    // place and loop), and the regenerated gen-1 caption sequences
+    // must be UNK-free. Oracle: gen-1 replay over the union corpus,
+    // tokenize the winners, interleaved pack algebra at 64.
+    "stream_caption_drift_retrain" -> ((s, dir) => {
+      import graft.pipeline.CurationPipeline
+      CurationPipeline.resetTreadmill(s)
+      val land = tempDir("graft_capdrift_land")
+      val cp = tempDir("graft_capdrift_cp")
+      val d = docs(s, dir).select("doc_id")
+      val slice1 = d.filter(col("doc_id") < 250)
+        .select(col("doc_id"), tokText(col("doc_id")).as("text"))
+      CurationPipeline.publishTokenizer(s, slice1, numMerges = 8)
+      slice1.coalesce(1).write.mode("append").json(land)
+      val roll1 = CurationPipeline.streamIngestAndMaintain(s, land, cp,
+        jaccardThreshold = 0.5, maxUnkShare = 1e-9)
+      require(roll1.isEmpty && CurationPipeline.currentTokenizerGeneration(s) == 0L,
+        "stream_caption_drift_retrain: healthy docs must not roll")
+      val winners = d.filter(col("doc_id") < 250 && col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("media_id"),
+          when(col("doc_id") % 6 === 0,
+            concat(tokText(col("doc_id")), lit(" éé")))
+          .otherwise(tokText(col("doc_id"))).as("kept_caption"))
+      graft.plans.Catalog.overwriteTable(winners, CurationPipeline.MediaCaptionsTable)
+      val (_, _, unks0, _) = CurationPipeline.packCaptionSequences(s, seqLen = 64)
+      require(unks0 > 0L,
+        "stream_caption_drift_retrain: the planted caption drift must UNK at gen 0")
+      val roll2 = CurationPipeline.maybeRetrainTokenizer(s, maxUnkShare = 1e-9)
+      require(roll2.nonEmpty && roll2.get.ok,
+        "stream_caption_drift_retrain: caption-only drift must roll the generation")
+      require(roll2.get.metrics("media_caption_unk_ids") == 0L,
+        "stream_caption_drift_retrain: the retrain corpus includes the winners — " +
+          "regenerated captions must be UNK-free")
+      val tt = CurationPipeline.tokenizerTables(s)
+      require(tt.generation == 1L,
+        "stream_caption_drift_retrain: the pointer must name generation 1")
       s.table(tt.mediaSequences)
         .select(col("seq_no"),
           array_join(col("token_ids"), ",").as("token_ids_csv"),
@@ -5882,14 +5982,105 @@ object SparkEntry {
           |FROM dw d JOIN wids wi USING (w)
           |GROUP BY 1 ORDER BY 1""".stripMargin),
 
-    // gen-1 train on the full tier (the retrain oracle's argument),
-    // tokenize the caption winners (their words are a subset of the
-    // tier corpus — inner joins, zero UNKs), then the interleaved
+    // gen-1 train on the tier ∪ winners (the pipeline's retrain-corpus
+    // union), tokenize the caption winners (in the corpus by
+    // construction — inner joins, zero UNKs), then the interleaved
     // sentinel pack algebra of mm_pack_captions at seqLen 64
     "stream_caption_rollover" ->
-      ("WITH " + bpeChainSql(8, TokFullCorpusSql) + ",\n" +
+      ("WITH " + bpeChainSql(8, CapRollCorpusSql) + ",\n" +
         bpeVocabCtes(8) + ",\n" +
         bpeTokenizeCtes(8, LetterWordsDomainSql, CapWinnersSql) +
+        """,
+          |wlist AS (
+          |  SELECT s.w, list(v.id ORDER BY s.ord) AS idl
+          |  FROM wsyms s JOIN vocab v ON v.symbol = s.sym GROUP BY 1),
+          |dids AS (
+          |  SELECT d.doc_id, list_prepend(CAST(-2 AS BIGINT),
+          |           flatten(list(wl.idl ORDER BY d.ord))) AS ids
+          |  FROM dw d JOIN wlist wl USING (w) GROUP BY 1),
+          |off AS (
+          |  SELECT doc_id, ids, len(ids)::BIGINT AS n,
+          |         coalesce(sum(len(ids)) OVER (ORDER BY doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS strt
+          |  FROM dids),
+          |segs AS (
+          |  SELECT u.seq_no AS seq_no, o.doc_id,
+          |         list_slice(o.ids,
+          |           CAST(greatest(o.strt, u.seq_no * 64) - o.strt + 1 AS INT),
+          |           CAST(least(o.strt + o.n, (u.seq_no + 1) * 64) - o.strt AS INT)) AS part
+          |  FROM off o, unnest(range(o.strt // 64, (o.strt + o.n - 1) // 64 + 1)) AS u(seq_no)
+          |  WHERE o.n > 0),
+          |seqs AS (
+          |  SELECT CAST(seq_no AS BIGINT) AS seq_no,
+          |         string_agg(array_to_string(part, ','), ',' ORDER BY doc_id) AS token_ids_csv,
+          |         sum(len(part))::BIGINT AS n_tokens
+          |  FROM segs GROUP BY 1),
+          |refs AS (
+          |  SELECT CAST(strt // 64 AS BIGINT) AS seq_no,
+          |         string_agg((strt % 64)::VARCHAR || ':' || doc_id::VARCHAR,
+          |                    ',' ORDER BY strt % 64) AS refs_csv,
+          |         count(*)::BIGINT AS n_refs
+          |  FROM off GROUP BY 1)
+          |SELECT s.seq_no, s.token_ids_csv, s.n_tokens,
+          |       coalesce(r.refs_csv, '') AS refs_csv,
+          |       coalesce(r.n_refs, 0)::BIGINT AS n_refs
+          |FROM seqs s LEFT JOIN refs r USING (seq_no)
+          |ORDER BY 1""".stripMargin),
+
+    // gen-1 replay over the tier ∪ drifted winners (the retrain-corpus
+    // union — the 'éé' seeds are IN the corpus, so the winners
+    // tokenize UNK-free under the new vocab), then the interleaved
+    // pack algebra at 64
+    "stream_caption_drift_retrain" ->
+      ("WITH " + bpeChainSql(8, CapDriftCorpusSql) + ",\n" +
+        bpeVocabCtes(8) + ",\n" +
+        bpeTokenizeCtes(8, LetterWordsDomainSql, CapDriftWinnersSql) +
+        """,
+          |wlist AS (
+          |  SELECT s.w, list(v.id ORDER BY s.ord) AS idl
+          |  FROM wsyms s JOIN vocab v ON v.symbol = s.sym GROUP BY 1),
+          |dids AS (
+          |  SELECT d.doc_id, list_prepend(CAST(-2 AS BIGINT),
+          |           flatten(list(wl.idl ORDER BY d.ord))) AS ids
+          |  FROM dw d JOIN wlist wl USING (w) GROUP BY 1),
+          |off AS (
+          |  SELECT doc_id, ids, len(ids)::BIGINT AS n,
+          |         coalesce(sum(len(ids)) OVER (ORDER BY doc_id
+          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS strt
+          |  FROM dids),
+          |segs AS (
+          |  SELECT u.seq_no AS seq_no, o.doc_id,
+          |         list_slice(o.ids,
+          |           CAST(greatest(o.strt, u.seq_no * 64) - o.strt + 1 AS INT),
+          |           CAST(least(o.strt + o.n, (u.seq_no + 1) * 64) - o.strt AS INT)) AS part
+          |  FROM off o, unnest(range(o.strt // 64, (o.strt + o.n - 1) // 64 + 1)) AS u(seq_no)
+          |  WHERE o.n > 0),
+          |seqs AS (
+          |  SELECT CAST(seq_no AS BIGINT) AS seq_no,
+          |         string_agg(array_to_string(part, ','), ',' ORDER BY doc_id) AS token_ids_csv,
+          |         sum(len(part))::BIGINT AS n_tokens
+          |  FROM segs GROUP BY 1),
+          |refs AS (
+          |  SELECT CAST(strt // 64 AS BIGINT) AS seq_no,
+          |         string_agg((strt % 64)::VARCHAR || ':' || doc_id::VARCHAR,
+          |                    ',' ORDER BY strt % 64) AS refs_csv,
+          |         count(*)::BIGINT AS n_refs
+          |  FROM off GROUP BY 1)
+          |SELECT s.seq_no, s.token_ids_csv, s.n_tokens,
+          |       coalesce(r.refs_csv, '') AS refs_csv,
+          |       coalesce(r.n_refs, 0)::BIGINT AS n_refs
+          |FROM seqs s LEFT JOIN refs r USING (seq_no)
+          |ORDER BY 1""".stripMargin),
+
+    // gen-0 train replay (slice 1), tokenize the winners MINUS the %9
+    // contaminated plants (their captions carry the eval passage and
+    // the caption battery excludes them), then the same interleaved
+    // sentinel pack algebra at seqLen 64 — the plant never reaches
+    // the replay, which is exactly the contract under test
+    "mm_caption_decontaminate" ->
+      ("WITH " + bpeChainSql(8, TokTrainCorpusSql) + ",\n" +
+        bpeVocabCtes(8) + ",\n" +
+        bpeTokenizeCtes(8, LetterWordsDomainSql, CapCleanWinnersSql) +
         """,
           |wlist AS (
           |  SELECT s.w, list(v.id ORDER BY s.ord) AS idl
@@ -7407,6 +7598,36 @@ object SparkEntry {
   private val CapWinnersSql =
     s"(SELECT doc_id, $TokTextSql AS text FROM documents " +
       "WHERE doc_id < 250 AND doc_id % 3 = 0)"
+
+  /** The decontamination gate's SURVIVING winner set: the %9 winners
+    * carry the planted eval passage and are excluded by the caption
+    * battery, so the replay tokenizes exactly the others (whose
+    * captions are pure tier text — the plant never reaches the
+    * oracle). */
+  private val CapCleanWinnersSql =
+    s"(SELECT doc_id, $TokTextSql AS text FROM documents " +
+      "WHERE doc_id < 250 AND doc_id % 3 = 0 AND doc_id % 9 <> 0)"
+
+  /** The caption-rollover gate's gen-1 TRAIN corpus: the tier PLUS the
+    * stored winners — the pipeline's retrain-corpus union (the
+    * tokenizer serves every text stream it tokenizes). Winner ids
+    * offset out of the doc range, mirroring the union in
+    * retrainTokenizer (word counts are id-blind; the offset keeps the
+    * union a well-formed corpus). */
+  private val CapRollCorpusSql =
+    s"(SELECT doc_id, text FROM $TokFullCorpusSql " +
+      s"UNION ALL SELECT doc_id + 1000000000, text FROM $CapWinnersSql)"
+
+  /** The caption-drift gate's fixtures: winners over the slice-1 tier
+    * with the unseen 'éé' seed planted on the %6 winners (drift ONLY
+    * in the caption channel), and the gen-1 train corpus = tier ∪
+    * those winners. */
+  private val CapDriftWinnersSql =
+    s"(SELECT doc_id, $TokTextSql || CASE WHEN doc_id % 6 = 0 THEN ' éé' ELSE '' END AS text " +
+      "FROM documents WHERE doc_id < 250 AND doc_id % 3 = 0)"
+  private val CapDriftCorpusSql =
+    s"(SELECT doc_id, $TokTextSql AS text FROM documents WHERE doc_id < 250 " +
+      s"UNION ALL SELECT doc_id + 1000000000, text FROM $CapDriftWinnersSql)"
 
   /** SQL twin of [[patText]], and the Bytes-drift gate's FULL tier
     * corpus (patterned train slice + pure-md5 drift slice; disjoint

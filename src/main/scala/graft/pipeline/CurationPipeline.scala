@@ -241,8 +241,15 @@ object CurationPipeline {
         reasons ++ Map("quality_kept" -> kept, "quality_dropped" -> (m("docs_in") - kept))
       },
       Stage("decontaminate") { m =>
+        // the benchmark snapshot PERSISTS ([[BenchmarkTable]]): the
+        // caption/transcript packs — here, in the rollover's repack,
+        // and in any later manual pack — run the SAME n-gram battery
+        // against it, so eval text cannot reach the training batches
+        // through the caption side door after this stage has gated the
+        // documents (the round-14 verdict's top curation gap)
+        publishBenchmark(spark, benchmark)
         val quality = spark.table(QualityTable)
-        val hits = Curation.contaminatedIds(quality, benchmark)
+        val hits = Curation.contaminatedIds(quality, spark.table(BenchmarkTable))
         val clean = quality.join(hits, Seq("doc_id"), "left_anti")
         Catalog.overwriteTable(clean, QualityTable + "_clean")
         val kept = spark.table(QualityTable + "_clean").count()
@@ -432,14 +439,18 @@ object CurationPipeline {
               // the id stream a vision-language loader consumes, refs
               // aligning every media splice point. Caption UNKs are
               // REPORTED (captions are not the vocab's train corpus),
-              // never failed. ONE implementation shared with the
-              // rollover's repack ([[packCaptionSequences]]) — the
-              // interleaved artifact can never be produced two ways.
-              val (nSeq, nRefs, unks) = packCaptionSequencesAt(spark, seqLen,
+              // never failed; contaminated winners (the persisted
+              // benchmark's n-gram battery) are EXCLUDED and counted.
+              // ONE implementation shared with the rollover's repack
+              // ([[packCaptionSequences]]) — the interleaved artifact
+              // can never be produced two ways.
+              val (nSeq, nRefs, unks, cont) = packCaptionSequencesAt(spark, seqLen,
                 BpeMergesTable, VocabTable, TokenizerMetaTable,
-                MediaSequencesTable, MediaSeqMetaTable)
-              Map("media_sequences" -> nSeq,
-                "media_refs" -> nRefs, "media_caption_unk_ids" -> unks)
+                MediaSequencesTable, MediaSeqMetaTable,
+                statsT = Some(TokenizerStatsTable))
+              Map("media_sequences" -> nSeq, "media_refs" -> nRefs,
+                "media_caption_unk_ids" -> unks,
+                "media_caption_contaminated" -> cont)
             })) ++
           (if (videoCaptions.isEmpty) Seq.empty[Stage] else Seq(
             Stage("pack_video_captions") { _ =>
@@ -448,24 +459,28 @@ object CurationPipeline {
               // would make refs ambiguous), via the same shared pack
               // body; independent of the media-caption stages, and
               // BEFORE the mixed manifest so the manifest can cover it
-              val (nSeq, nRefs, unks) = packCaptionSequencesAt(spark, seqLen,
+              val (nSeq, nRefs, unks, cont) = packCaptionSequencesAt(spark, seqLen,
                 BpeMergesTable, VocabTable, TokenizerMetaTable,
                 VideoSequencesTable, VideoSeqMetaTable,
-                capsTable = VideoCaptionsTable, idCol = "video_id")
-              Map("video_sequences" -> nSeq,
-                "video_refs" -> nRefs, "video_caption_unk_ids" -> unks)
+                capsTable = VideoCaptionsTable, idCol = "video_id",
+                statsT = Some(TokenizerStatsTable))
+              Map("video_sequences" -> nSeq, "video_refs" -> nRefs,
+                "video_caption_unk_ids" -> unks,
+                "video_caption_contaminated" -> cont)
             })) ++
           (if (audioTranscripts.isEmpty) Seq.empty[Stage] else Seq(
             Stage("pack_audio_captions") { _ =>
               // the audio winners' interleaved stream — the speech
               // corpus's (clip, transcript) training batches, packed
               // by the same shared body into its own artifact
-              val (nSeq, nRefs, unks) = packCaptionSequencesAt(spark, seqLen,
+              val (nSeq, nRefs, unks, cont) = packCaptionSequencesAt(spark, seqLen,
                 BpeMergesTable, VocabTable, TokenizerMetaTable,
                 AudioSequencesTable, AudioSeqMetaTable,
-                capsTable = AudioCaptionsTable, idCol = "audio_id")
-              Map("audio_sequences" -> nSeq,
-                "audio_refs" -> nRefs, "audio_caption_unk_ids" -> unks)
+                capsTable = AudioCaptionsTable, idCol = "audio_id",
+                statsT = Some(TokenizerStatsTable))
+              Map("audio_sequences" -> nSeq, "audio_refs" -> nRefs,
+                "audio_caption_unk_ids" -> unks,
+                "audio_caption_contaminated" -> cont)
             })) ++
           (if (captions.isEmpty && videoCaptions.isEmpty && audioTranscripts.isEmpty)
             Seq.empty[Stage]
@@ -579,15 +594,24 @@ object CurationPipeline {
     if (bpeMerges <= 0 || !Catalog.tableExists(spark, BpeMergesTable)) Nil
     else loadMergesFrom(spark, BpeMergesTable)
 
+  /** Persist the benchmark snapshot the caption channel decontaminates
+    * against ([[BenchmarkTable]]) — written by runFull's decontaminate
+    * stage, or directly by a deployment that packs captions without a
+    * full run. One normalized `text` column; an empty frame publishes
+    * an empty table (the packs then filter nothing, deterministically). */
+  def publishBenchmark(spark: SparkSession, benchmark: DataFrame): Unit =
+    Catalog.overwriteTable(benchmark.select(col("text")), BenchmarkTable)
+
   /** Tokenize the stored caption winners ([[MediaCaptionsTable]])
     * against the CURRENT generation's tokenizer and publish the
     * interleaved multimodal sequences plus their pack meta (seq_len)
     * as that generation's artifact — runFull's pack_captions body,
     * shared with [[retrainTokenizer]]'s repack so the interleaved
     * artifact can never be produced two ways. Returns
-    * (sequences, refs, caption UNK ids). */
+    * (sequences, refs, caption UNK ids, contaminated winners). */
   def packCaptionSequences(spark: SparkSession, seqLen: Int,
-                           capsTable: String = MediaCaptionsTable): (Long, Long, Long) = {
+                           capsTable: String = MediaCaptionsTable)
+      : (Long, Long, Long, Long) = {
     val tt = tokenizerTables(spark)
     // the registry records the id column — resolving it here removes
     // the capsTable/idCol mismatch class entirely
@@ -598,7 +622,7 @@ object CurationPipeline {
           CaptionArtifacts.map(_._1).mkString(", ")))
     packCaptionSequencesAt(spark, seqLen, tt.merges, tt.vocab, tt.meta,
       genName(seqBase, tt.generation), genName(metaBase, tt.generation),
-      capsTable = capsTable, idCol = idCol)
+      capsTable = capsTable, idCol = idCol, statsT = Some(tt.stats))
   }
 
   private def packCaptionSequencesAt(spark: SparkSession, seqLen: Int,
@@ -606,25 +630,74 @@ object CurationPipeline {
                                      metaT: String, seqOutT: String,
                                      metaOutT: String,
                                      capsTable: String = MediaCaptionsTable,
-                                     idCol: String = "media_id"): (Long, Long, Long) = {
+                                     idCol: String = "media_id",
+                                     statsT: Option[String] = None)
+      : (Long, Long, Long, Long) = {
     import spark.implicits._
-    val caps = spark.table(capsTable)
+    val winners = spark.table(capsTable)
       .select(col(idCol), col("kept_caption").as("text"))
+    // the caption channel runs the SAME benchmark n-gram battery the
+    // document flow runs: an eval 13-gram arriving as a winning
+    // caption/transcript must not reach the packed training sequences
+    // through the side door. The hit list is |contaminated|-sized (the
+    // one extra count below reads it, never the winners), and every
+    // producer of the artifact — runFull, manual pack, rollover
+    // repack — funnels through here, so the filter cannot be bypassed.
+    val (caps, contaminated, hitsPin) =
+      if (!Catalog.tableExists(spark, BenchmarkTable)) (winners, 0L, None)
+      else {
+        val hits = Curation.contaminatedIds(
+          winners.withColumnRenamed(idCol, "doc_id"),
+          spark.table(BenchmarkTable)).localCheckpoint(true)
+        val n = hits.count()
+        val clean =
+          if (n == 0L) winners
+          else winners.join(hits.withColumnRenamed("doc_id", idCol),
+            Seq(idCol), "left_anti")
+        (clean, n, Some(hits))
+      }
+    val domain = readTokenizerDomain(spark, metaT)
     val ids = Bpe.tokenizeIds(caps, loadMergesFrom(spark, mergesT),
-      spark.table(vocabT), idCol = idCol,
-      domain = readTokenizerDomain(spark, metaT))
+      spark.table(vocabT), idCol = idCol, domain = domain)
       .localCheckpoint(true)
     Catalog.ctasOverwrite(
       Bpe.packInterleaved(ids, seqLen = seqLen, idCol = idCol), seqOutT)
-    val unks = ids.agg(coalesce(sum(size(filter(col("token_ids"),
-      i => i === lit(Bpe.UnkId)))), lit(0)).cast("long")).head().getLong(0)
+    val stats = ids.agg(
+      coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"),
+      coalesce(sum(size(filter(col("token_ids"),
+        i => i === lit(Bpe.UnkId)))), lit(0)).cast("long")).head()
+    val unks = stats.getLong(1)
+    // ingest-side packs feed the drift ledger (statsT = the CURRENT
+    // generation's stats table): caption UNKs and caption compression
+    // reach the SAME maybeRetrainTokenizer trigger document batches
+    // feed — drift concentrated in the transcript stream can roll the
+    // generation on its own. The rollover's repack passes None: it is
+    // generation BIRTH (the winners just joined the retrain corpus),
+    // not served ingest, and the fresh-window contract keeps the new
+    // ledger empty. Keyed by a content hash of the CLEAN winner set in
+    // the NEGATIVE keyspace — idempotent under stage retry (same
+    // content, same key → insertAppendOnce dedups), fresh on any
+    // winner change, never colliding with doc batch keys (min doc_ids,
+    // non-negative by the ingest contract).
+    statsT.foreach { st =>
+      // bit_xor, not sum: ANSI mode makes a summed hash an overflow
+      // crash; XOR is content-sensitive, order-free, and cannot overflow
+      val agg = caps.agg(
+        coalesce(sum(Bpe.seedCharCount(col("text"), domain)), lit(0L)),
+        coalesce(bit_xor(xxhash64(lit(idCol), col(idCol), col("text"))), lit(0L))).head()
+      val key = -math.abs(agg.getLong(1) % (Long.MaxValue - 1L)) - 1L
+      appendTokenizerStat(spark, st, key, stats.getLong(0), unks, agg.getLong(0))
+    }
+    // release LAST: the ledger aggregate above re-reads the caps plan,
+    // which references the hits checkpoint
+    hitsPin.foreach(Catalog.releasePin)
     Catalog.releasePin(ids)
     // the pack meta travels with the artifact so a rollover can repack
     // at the SAME seqLen without the caller re-supplying config
     Catalog.overwriteTable(Seq(seqLen.toLong).toDF("seq_len"), metaOutT)
     val agg = spark.table(seqOutT).agg(
       count(lit(1)), coalesce(sum(size(col("refs"))), lit(0)).cast("long")).head()
-    (agg.getLong(0), agg.getLong(1), unks)
+    (agg.getLong(0), agg.getLong(1), unks, contaminated)
   }
 
   /** The runFull PERCEPTUAL-MODALITY stage body shared by the video and
@@ -728,6 +801,12 @@ object CurationPipeline {
   val TokenizerGenPointerTable = "documents_tokenizer_gen"
   val TokenizerStatsTable = "documents_tokenizer_stats"
   val TokenizerBaselineTable = "documents_tokenizer_baseline"
+
+  /** The persisted benchmark snapshot ([[publishBenchmark]]) every
+    * caption/transcript pack decontaminates against — one table, so the
+    * document gate and the caption side door answer to the SAME eval
+    * set. */
+  val BenchmarkTable = "documents_benchmark"
 
   /** Per-generation physical names for the tokenizer artifacts — the
     * VectorPipeline rollover layout applied to the tokenizer: the next
@@ -953,29 +1032,9 @@ object CurationPipeline {
           // generation's cumulative UNK share from this table — the
           // decision read never rescans the id tier.
           val key = ids.agg(min(col("doc_id"))).head()
-          if (!key.isNullAt(0)) {
-            import spark.implicits._
-            val stat = Seq((key.getLong(0), m("batch_token_ids"),
-                m("batch_unk_ids"), m("batch_seed_chars")))
-              .toDF("batch_key", "token_ids", "unk_ids", "seed_chars")
-            // one-time migration for a ledger written before the
-            // compression column existed: widen the legacy rows with
-            // seed_chars = 0 (tokenizerCompression already treats a
-            // zero denominator as no-signal) so the append never
-            // crashes a running treadmill on a column-count mismatch.
-            // The ledger stays an APPEND TABLE (never a ctasOverwrite
-            // view); the pin breaks the read-while-overwrite cycle —
-            // k-sized by construction (one row per batch).
-            if (Catalog.tableExists(spark, statsT) &&
-                !spark.table(statsT).columns.contains("seed_chars")) {
-              val migrated = spark.table(statsT)
-                .withColumn("seed_chars", lit(0L)).localCheckpoint(true)
-              Catalog.overwriteTable(migrated, statsT)
-              Catalog.releasePin(migrated)
-            }
-            Catalog.ensureTable(spark, statsT, stat.schema)
-            Catalog.insertAppendOnce(spark, statsT, stat, "batch_key")
-          }
+          if (!key.isNullAt(0))
+            appendTokenizerStat(spark, statsT, key.getLong(0),
+              m("batch_token_ids"), m("batch_unk_ids"), m("batch_seed_chars"))
         }
         if (packSeqLen > 0) {
           // full sequences append (seq_no fresh + monotone — the same
@@ -1061,7 +1120,9 @@ object CurationPipeline {
   /** Drop every treadmill table — a fresh-tier reset for
     * self-contained runs (the stream gate query and specs). Tokenizer
     * artifacts drop across ALL generations (suffixed names enumerate
-    * through the catalog, the VectorPipeline reset discipline). */
+    * through the catalog, the VectorPipeline reset discipline), and so
+    * do the caption winners stores and the benchmark snapshot — a
+    * lingering benchmark would silently filter the next run's packs. */
   def resetTreadmill(spark: SparkSession): Unit = {
     val genTables = spark.catalog.listTables().collect().map(_.name)
       .filter(n => Seq(BpeMergesTable, VocabTable, TokenizerMetaTable,
@@ -1073,7 +1134,8 @@ object CurationPipeline {
     (Seq(TierTable, BandIndexTable, SpanIndexTable, CleanTierTable,
       BatchSurvivorsTable, BatchCleanTable, BatchSpanIndexTable,
       BatchTokenIdsTable, BatchPackTable, DeltaTokenIdsTable, DeltaPackTable,
-      TokenizerGenPointerTable) ++ genTables)
+      TokenizerGenPointerTable, BenchmarkTable,
+      MediaCaptionsTable, VideoCaptionsTable, AudioCaptionsTable) ++ genTables)
       .foreach(Catalog.dropIfExists(spark, _))
   }
 
@@ -1137,8 +1199,12 @@ object CurationPipeline {
       .foreach(Catalog.dropIfExists(spark, _))
   }
 
-  /** Retrain the tokenizer on the current CLEAN TIER and roll the
-    * generation — the [[VectorPipeline.regenerate]] discipline applied
+  /** Retrain the tokenizer on the current CLEAN TIER — plus the
+    * caption/transcript winners of every artifact in the regeneration
+    * set, because the tokenizer serves every text stream it tokenizes
+    * and a doc-only retrain could never close caption-concentrated
+    * drift — and roll the generation: the
+    * [[VectorPipeline.regenerate]] discipline applied
     * to the tokenizer artifact. Token ids are only meaningful against
     * ONE vocab, so a retrain is never an in-place vocab edit: the next
     * generation (merges, vocab, domain marker, the re-tokenized tier's
@@ -1180,17 +1246,41 @@ object CurationPipeline {
     val idsT = genName(TokenIdsTable, next)
     val seqT = genName(IdSequencesTable, next)
     val stateT = genName(PackStateTable, next)
+    // the artifacts in the REGENERATION SET (winners stored AND a pack
+    // meta from the outgoing generation): their winners join the
+    // retrain corpus below, and their sequence streams repack after
+    // the retokenize — one membership rule for both
+    val regen = CaptionArtifacts.filter { case (capsT, _, metaBase, _) =>
+      Catalog.tableExists(spark, capsT) &&
+        Catalog.tableExists(spark, genName(metaBase, gen))
+    }
     val stages = Seq(
       Stage("train_next") { _ =>
         import spark.implicits._
         val budget = if (numMerges > 0) numMerges
           else spark.table(genName(BpeMergesTable, gen)).count().toInt
-        val clean = spark.table(CleanTierTable)
-        val merges = Bpe.trainBatched(clean, budget, domain = domain)
+        // the retrain corpus is EVERYTHING the artifact tokenizes: the
+        // clean tier PLUS the caption/transcript winners of every
+        // artifact in the regeneration set. A tokenizer retrained on
+        // documents alone cannot close caption-only drift — the very
+        // UNKs that fired the trigger would survive the rollover and
+        // fire it again (a roll loop); with the winners in the corpus,
+        // the repack below is UNK-free by construction and the fresh
+        // ledger window starts genuinely healthy. Winner ids offset
+        // out of the doc_id range (word counts are id-blind; the
+        // offset just keeps the union a well-formed corpus).
+        val clean = spark.table(CleanTierTable).select("doc_id", "text")
+        val corpus = regen.zipWithIndex.foldLeft(clean) {
+          case (acc, ((capsT, _, _, idCol), i)) =>
+            acc.unionByName(spark.table(capsT).select(
+              (col(idCol).cast("long") + lit(1000000000L * (i + 1))).as("doc_id"),
+              col("kept_caption").as("text")))
+        }
+        val merges = Bpe.trainBatched(corpus, budget, domain = domain)
         Catalog.overwriteTable(
           merges.map(m => (m.rank, m.leftSym, m.rightSym, m.pairCount))
             .toDF("rank", "left_sym", "right_sym", "pair_count"), mergesT)
-        Catalog.overwriteTable(Bpe.vocabTable(clean, merges, domain = domain), vocabT)
+        Catalog.overwriteTable(Bpe.vocabTable(corpus, merges, domain = domain), vocabT)
         Catalog.overwriteTable(Seq(Bpe.domainName(domain)).toDF("domain"), metaT)
         Map("next_generation" -> next, "bpe_merges" -> merges.size.toLong)
       },
@@ -1244,21 +1334,19 @@ object CurationPipeline {
       // pin exists to prevent). Re-tokenize the stored winners against
       // the new vocab and repack at the seqLen the artifact's meta
       // recorded; skipped when no caption artifact was ever packed.
-      CaptionArtifacts.flatMap { case (capsT, seqBase, metaBase, idCol) =>
+      regen.flatMap { case (capsT, seqBase, metaBase, idCol) =>
         val modality = idCol.stripSuffix("_id")
-        if (!Catalog.tableExists(spark, capsT) ||
-            !Catalog.tableExists(spark, genName(metaBase, gen)))
-          Seq.empty[Stage]
-        else Seq(
+        Seq(
           Stage(s"repack_${modality}_captions") { _ =>
             val capLen = spark.table(genName(metaBase, gen))
               .head().getLong(0).toInt
-            val (nSeq, nRefs, unks) = packCaptionSequencesAt(spark, capLen,
+            val (nSeq, nRefs, unks, cont) = packCaptionSequencesAt(spark, capLen,
               mergesT, vocabT, metaT,
               genName(seqBase, next), genName(metaBase, next),
               capsTable = capsT, idCol = idCol)
             Map(s"${modality}_sequences" -> nSeq, s"${modality}_refs" -> nRefs,
-              s"${modality}_caption_unk_ids" -> unks)
+              s"${modality}_caption_unk_ids" -> unks,
+              s"${modality}_caption_contaminated" -> cont)
           })
       } ++
       Seq(
@@ -1356,14 +1444,45 @@ object CurationPipeline {
     new Runner(stages, RetryPolicy(retries = 1), notify).run()
   }
 
+  /** One k-sized drift-ledger row, appended idempotently: the one-time
+    * seed_chars migration for a ledger written before the compression
+    * column existed (widen legacy rows with 0 — the compression read
+    * already treats a zero denominator as no-signal), ensure, append.
+    * The ledger stays an APPEND TABLE (never a ctasOverwrite view);
+    * the migration pin breaks the read-while-overwrite cycle. Doc
+    * batches key by their min doc_id (fresh + monotone); caption packs
+    * key by a content hash in the NEGATIVE keyspace, so the two
+    * producers cannot collide (the ingest contract keeps doc ids
+    * non-negative). */
+  private def appendTokenizerStat(spark: SparkSession, statsT: String,
+                                  key: Long, ids: Long, unks: Long,
+                                  seedChars: Long): Unit = {
+    import spark.implicits._
+    val stat = Seq((key, ids, unks, seedChars))
+      .toDF("batch_key", "token_ids", "unk_ids", "seed_chars")
+    if (Catalog.tableExists(spark, statsT) &&
+        !spark.table(statsT).columns.contains("seed_chars")) {
+      val migrated = spark.table(statsT)
+        .withColumn("seed_chars", lit(0L)).localCheckpoint(true)
+      Catalog.overwriteTable(migrated, statsT)
+      Catalog.releasePin(migrated)
+    }
+    Catalog.ensureTable(spark, statsT, stat.schema)
+    Catalog.insertAppendOnce(spark, statsT, stat, "batch_key")
+  }
+
   /** The WHEN-TO-RETRAIN signal: cumulative (token_ids, unk_ids) the
     * CURRENT generation's tokenized batches reported since the
     * generation was born — the drift ledger [[ingestBatch]] appends one
-    * k-sized row per batch to. The decision read is one tiny aggregate;
-    * the id tier is never rescanned. A fresh generation starts with an
-    * empty ledger (its own retokenize pass has zero UNKs against the
-    * vocab it was trained with), so the drift window resets at each
-    * rollover. */
+    * k-sized row per batch to, and every ingest-side caption pack
+    * ([[packCaptionSequences]], runFull's pack stages) appends one row
+    * per pack, so drift concentrated in the caption/transcript stream
+    * reaches the SAME trigger as document drift. The decision read is
+    * one tiny aggregate; the id tier is never rescanned. A fresh
+    * generation starts with an empty ledger (its own retokenize pass
+    * and the rollover's caption repack are generation BIRTH, not
+    * served ingest — zero UNKs against the vocab they were trained
+    * with), so the drift window resets at each rollover. */
   def tokenizerDrift(spark: SparkSession): (Long, Long) =
     tokenizerDriftAt(spark, currentTokenizerGeneration(spark))
 

@@ -1073,13 +1073,13 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     val winners = Seq((1L, tokWords(1)), (2L, tokWords(2)))
       .toDF("media_id", "kept_caption")
     Catalog.overwriteTable(winners, CurationPipeline.MediaCaptionsTable)
-    val (n0, _, _) = CurationPipeline.packCaptionSequences(spark, seqLen = 7)
+    val (n0, _, _, _) = CurationPipeline.packCaptionSequences(spark, seqLen = 7)
     assert(n0 > 0L)
     // ...and the VIDEO artifact at its own seqLen — the rollover must
     // regenerate EVERY caption-bearing modality's sequence stream
     val vWinners = Seq((1L, tokWords(1))).toDF("video_id", "kept_caption")
     Catalog.overwriteTable(vWinners, CurationPipeline.VideoCaptionsTable)
-    val (vn0, _, _) = CurationPipeline.packCaptionSequences(spark, seqLen = 5,
+    val (vn0, _, _, _) = CurationPipeline.packCaptionSequences(spark, seqLen = 5,
       capsTable = CurationPipeline.VideoCaptionsTable)
     assert(vn0 > 0L)
     // drift fires; the rollover must regenerate the caption sequences
@@ -1120,6 +1120,67 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
       seqLen = 5, idCol = "video_id"))
     val vGot = dump(spark.table(CurationPipeline.tokenizerTables(spark).videoSequences))
     assert(vGot == vWant, s"$vGot vs $vWant")
+  }
+
+  test("caption packs run the benchmark battery and feed the drift ledger (content-keyed, idempotent)") {
+    import graft.operators.Bpe
+    import graft.plans.Catalog
+    CurationPipeline.resetTreadmill(spark)
+    val batch1 = Seq((1L, tokWords(1)), (2L, tokWords(2))).toDF("doc_id", "text")
+    CurationPipeline.publishTokenizer(spark, batch1, numMerges = 3)
+    CurationPipeline.ingestBatch(spark, batch1, tokenize = true)
+    val (idsBefore, _) = CurationPipeline.tokenizerDrift(spark)
+    val passage = "the benchmark answer keys must never leak into training corpora"
+    CurationPipeline.publishBenchmark(spark, Seq(passage).toDF("text"))
+    val winners = Seq((1L, tokWords(1)), (2L, tokWords(2) + " " + passage))
+      .toDF("media_id", "kept_caption")
+    Catalog.overwriteTable(winners, CurationPipeline.MediaCaptionsTable)
+    val (_, _, _, cont) = CurationPipeline.packCaptionSequences(spark, seqLen = 7)
+    assert(cont == 1L, "the contaminated winner must be excluded AND counted")
+    // the packed stream holds ONLY the clean winner's ids — twin-exact
+    val tt = CurationPipeline.tokenizerTables(spark)
+    val merges = spark.table(tt.merges).orderBy("rank")
+      .collect().map(r => Bpe.Merge(r.getAs[Int]("rank"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("pair_count"))).toSeq
+    def dump(df: org.apache.spark.sql.DataFrame) = df.select(col("seq_no"),
+        array_join(col("token_ids"), ",").as("ids"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = dump(Bpe.packInterleaved(
+      Bpe.tokenizeIds(Seq((1L, tokWords(1))).toDF("media_id", "text"),
+        merges, spark.table(tt.vocab), idCol = "media_id"),
+      seqLen = 7, idCol = "media_id"))
+    assert(dump(spark.table(tt.mediaSequences)) == want)
+    // the ledger gained the pack's row (the caption drift signal)...
+    val (idsAfter, _) = CurationPipeline.tokenizerDrift(spark)
+    assert(idsAfter > idsBefore, s"$idsAfter vs $idsBefore")
+    // ...and an identical re-pack dedups on the content key (no
+    // double-count under retry/replay)
+    CurationPipeline.packCaptionSequences(spark, seqLen = 7)
+    assert(CurationPipeline.tokenizerDrift(spark)._1 == idsAfter)
+  }
+
+  test("maybeRetrainTokenizer: caption-only drift rolls; the retrain corpus covers the winners") {
+    import graft.plans.Catalog
+    CurationPipeline.resetTreadmill(spark)
+    val batch1 = Seq((1L, tokWords(1)), (2L, tokWords(2))).toDF("doc_id", "text")
+    CurationPipeline.publishTokenizer(spark, batch1, numMerges = 3)
+    val r1 = CurationPipeline.ingestBatch(spark, batch1, tokenize = true)
+    assert(r1.ok && r1.metrics("batch_unk_ids") == 0L)
+    // docs healthy: no roll off the doc ledger alone
+    assert(CurationPipeline.maybeRetrainTokenizer(spark, maxUnkShare = 0.001).isEmpty)
+    val winners = Seq((1L, tokWords(1) + " éé")).toDF("media_id", "kept_caption")
+    Catalog.overwriteTable(winners, CurationPipeline.MediaCaptionsTable)
+    val (_, _, unks, _) = CurationPipeline.packCaptionSequences(spark, seqLen = 7)
+    assert(unks > 0L, "the planted caption drift must UNK at gen 0")
+    // the caption pack's ledger row fires the SAME trigger the doc
+    // batches feed — and the retrain corpus includes the winners, so
+    // the regenerated sequences are UNK-free (no roll loop)
+    val roll = CurationPipeline.maybeRetrainTokenizer(spark, maxUnkShare = 0.001)
+    assert(roll.nonEmpty && roll.get.ok, roll.toString)
+    assert(roll.get.metrics("media_caption_unk_ids") == 0L, roll.get.metrics.toString)
+    assert(CurationPipeline.currentTokenizerGeneration(spark) == 1L)
+    // fresh generation, fresh window: healthy again immediately
+    assert(CurationPipeline.maybeRetrainTokenizer(spark, maxUnkShare = 0.001).isEmpty)
   }
 
   test("maybeRetrainTokenizer: Bytes-domain compression collapse rolls with ZERO UNKs") {
