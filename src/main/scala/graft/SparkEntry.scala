@@ -3354,6 +3354,68 @@ object SparkEntry {
         .orderBy("position")
     }),
 
+    // THE FULL FOUR-STREAM TRAINING MANIFEST OUT OF ONE runFull: docs
+    // with planted exact copies, media re-encodes, duplicate videos,
+    // and duplicate audio clips all collapse in their own stages, each
+    // surviving component's caption/transcript packs into its own
+    // interleaved stream at the shared seqLen, and ONE deterministic
+    // md5-rank manifest covers text + multimodal + video + audio. The
+    // fixture keys every caption to ITS OWNING DOC'S TEXT, so one BPE
+    // chain replay prices all four streams: per-doc id totals give the
+    // text pack's length directly and each caption block is (doc ids +
+    // 1 sentinel) — stream sizes are closed-form, and the oracle
+    // re-ranks the (modality, seq_no) union by the same seeded md5.
+    "mm_train_order_full" -> ((s, dir) => {
+      import graft.pipeline.CurationPipeline
+      CurationPipeline.resetTreadmill(s)
+      val d = docs(s, dir).select("doc_id").filter(col("doc_id") < 200)
+      val base = d.select(col("doc_id"), tokText(col("doc_id")).as("text"))
+      val planted = base.unionByName(base.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      def assets(m: Int) = d.filter(col("doc_id") % 4 === m)
+      val mediaBase = assets(0).select(col("doc_id"),
+        (col("doc_id") * 10).as("media_id"), lit("image").as("kind"),
+        lit("raw").as("format"), md5(tokText(col("doc_id"))).cast("binary").as("bytes"))
+      val mediaDf = mediaBase.unionByName(
+        mediaBase.withColumn("media_id", col("media_id") + 1))
+      val caps = assets(0).select((col("doc_id") * 10).as("media_id"),
+        tokText(col("doc_id")).as("caption"), lit(1.0).as("score"))
+      val framesBase = assets(1).select(col("doc_id"),
+          (col("doc_id") * 10).as("video_id"),
+          explode(sequence(lit(0), lit(5))).as("frame_no"))
+        .select(col("doc_id"), col("video_id"),
+          col("frame_no").cast("int").as("frame_no"),
+          lit("image").as("kind"), lit("raw").as("format"),
+          md5(concat(col("doc_id"), lit(":f:"), col("frame_no")))
+            .cast("binary").as("bytes"))
+      val framesDf = framesBase.unionByName(
+        framesBase.withColumn("video_id", col("video_id") + 1))
+      val vcaps = assets(1).select((col("doc_id") * 10).as("video_id"),
+        tokText(col("doc_id")).as("caption"), lit(1.0).as("score"))
+      val clipsBase = assets(2).select(col("doc_id"),
+        (col("doc_id") * 10).as("audio_id"), lit("audio").as("kind"),
+        lit("raw").as("format"),
+        md5(concat(col("doc_id"), lit(":a"))).cast("binary").as("bytes"))
+      val clipsDf = clipsBase.unionByName(
+        clipsBase.withColumn("audio_id", col("audio_id") + 1))
+      val trans = assets(2).select((col("doc_id") * 10).as("audio_id"),
+        tokText(col("doc_id")).as("caption"), lit(1.0).as("score"))
+      val report = CurationPipeline.runFull(s, planted,
+        s.emptyDataFrame.withColumn("text", lit("")).select("text"),
+        seqLen = 64, minTokens = 0, maxPunctRatio = 1.0, minStopwordRatio = 0.0,
+        bpeMerges = 8, materializeTokenIds = true,
+        media = Some(mediaDf), captions = Some(caps), mediaMaxHamming = 0,
+        videoFrames = Some(framesDf), videoCaptions = Some(vcaps),
+        audioClips = Some(clipsDf), audioTranscripts = Some(trans))
+      require(report.ok, s"mm_train_order_full: ${report.stages}")
+      // every modality's dup plant collapsed to its canonical half
+      Seq("media", "video", "audio").foreach { p =>
+        require(report.metrics(s"${p}_neardup_dropped") == report.metrics(s"${p}_kept"),
+          s"mm_train_order_full: $p dups must collapse pairwise: ${report.metrics}")
+      }
+      s.table(CurationPipeline.TrainOrderMixedTable).orderBy("position")
+    }),
+
     // the N-stream manifest: THREE modalities through the same
     // bucketed-md5 shuffle (the shape runFull emits once video caption
     // sequences exist next to the text and still-media streams)
@@ -4211,6 +4273,38 @@ object SparkEntry {
         |                  modality || ':' || seq_no::VARCHAR) - 1 AS BIGINT) AS position,
         |       modality, seq_no
         |FROM u ORDER BY position""".stripMargin,
+
+    // the four-stream manifest from first principles: ONE chain replay
+    // gives per-doc id totals; text stream length = ceil(sum/64),
+    // each caption stream = ceil(sum over its %4 residue of (ids +
+    // 1 sentinel) / 64) — streams are dense from 0, so the manifest is
+    // the md5-rank over the (modality, seq_no) union at seed 42
+    "mm_train_order_full" ->
+      ("WITH " + bpeChainSql(8, Tok200CorpusSql) + s""",
+        |fin AS MATERIALIZED (
+        |  SELECT w, len(string_split(trim(seg), '  '))::BIGINT AS nsym FROM w8),
+        |docw AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+        |  FROM $Tok200CorpusSql),
+        |dw AS (SELECT doc_id, w FROM docw WHERE $LetterWordsDomainSql),
+        |dtot AS (
+        |  SELECT d.doc_id, sum(f.nsym)::BIGINT AS tot
+        |  FROM dw d JOIN fin f USING (w) GROUP BY 1),
+        |ns AS (
+        |  SELECT 'text' AS modality,
+        |         CAST(((SELECT sum(tot) FROM dtot) + 63) // 64 AS BIGINT) AS n
+        |  UNION ALL SELECT 'multimodal',
+        |         CAST(((SELECT sum(tot + 1) FROM dtot WHERE doc_id % 4 = 0) + 63) // 64 AS BIGINT)
+        |  UNION ALL SELECT 'video',
+        |         CAST(((SELECT sum(tot + 1) FROM dtot WHERE doc_id % 4 = 1) + 63) // 64 AS BIGINT)
+        |  UNION ALL SELECT 'audio',
+        |         CAST(((SELECT sum(tot + 1) FROM dtot WHERE doc_id % 4 = 2) + 63) // 64 AS BIGINT)),
+        |u AS (SELECT modality, unnest(range(0, n)) AS seq_no FROM ns)
+        |SELECT CAST(row_number() OVER (
+        |         ORDER BY md5('42:' || modality || ':' || seq_no::VARCHAR),
+        |                  modality || ':' || seq_no::VARCHAR) - 1 AS BIGINT) AS position,
+        |       modality, CAST(seq_no AS BIGINT) AS seq_no
+        |FROM u ORDER BY position""".stripMargin),
 
     // the same md5-rank replay over THREE tagged streams — the
     // trainOrderStreams generalization (video joins the manifest)
@@ -7628,6 +7722,12 @@ object SparkEntry {
   private val CapDriftCorpusSql =
     s"(SELECT doc_id, $TokTextSql AS text FROM documents WHERE doc_id < 250 " +
       s"UNION ALL SELECT doc_id + 1000000000, text FROM $CapDriftWinnersSql)"
+
+  /** The four-stream manifest gate's surviving corpus (the planted
+    * exact copies collapse; every caption is its owning doc's text, so
+    * this ONE corpus prices all four streams). */
+  private val Tok200CorpusSql =
+    s"(SELECT doc_id, $TokTextSql AS text FROM documents WHERE doc_id < 200)"
 
   /** SQL twin of [[patText]], and the Bytes-drift gate's FULL tier
     * corpus (patterned train slice + pure-md5 drift slice; disjoint
