@@ -896,26 +896,25 @@ object CurationPipeline {
         "(runFull bpeMerges/materializeTokenIds, or publishTokenizer)")
     require(packSeqLen <= 0 || tokenize,
       "incremental packing consumes the batch's token ids — set tokenize = true")
-    val stages = Seq(
-      Stage("probe_tier") { _ =>
-        Map("tier_docs" -> (if (Catalog.tableExists(spark, TierTable))
-          spark.table(TierTable).count() else 0L))
-      },
-      Stage("incremental_neardup") { m =>
-        val survivors =
-          if (m("tier_docs") == 0L)
-            TextDedup.dedupNearMinhash(batch,
-              jaccardThreshold = jaccardThreshold, maxBucketSize = maxBucketSize)
-          else
-            TextDedup.nearDupAgainst(spark.table(TierTable), batch,
-              jaccardThreshold = jaccardThreshold, maxBucketSize = maxBucketSize,
-              tierIndex = Some(spark.table(BandIndexTable)))
-        // scratch staging (sequential reads only): the publish stage
-        // appends it to the tier AND derives its band keys
-        Catalog.overwriteTable(survivors, BatchSurvivorsTable)
-        val kept = spark.table(BatchSurvivorsTable).count()
-        Map("batch_kept" -> kept, "batch_dropped" -> (m("batch_in") - kept))
-      },
+    // the document TIER FLAVOR over the shared treadmill skeleton:
+    // probe → reconcile → (span strip / tokenize / pack) → publish,
+    // with the stage scaffolding, kept/dropped accounting, and the
+    // retrying Runner owned by Treadmill.ingestTier — this pipeline
+    // contributes only the operators and the publish body
+    val flavor = new Treadmill.TierFlavor {
+      val tierTable = TierTable
+      val probeMetric = "tier_docs"
+      val survivorsTable = BatchSurvivorsTable
+      def dedupe(spark: SparkSession, batch: DataFrame,
+                 bootstrap: Boolean): DataFrame =
+        if (bootstrap)
+          TextDedup.dedupNearMinhash(batch,
+            jaccardThreshold = jaccardThreshold, maxBucketSize = maxBucketSize)
+        else
+          TextDedup.nearDupAgainst(spark.table(TierTable), batch,
+            jaccardThreshold = jaccardThreshold, maxBucketSize = maxBucketSize,
+            tierIndex = Some(spark.table(BandIndexTable)))
+      override def middleStages: Seq[Stage] = Seq(
       Stage("incremental_strip_spans") { _ =>
         // span treadmill: survivors strip against the STORED fingerprint
         // index (plus earlier-in-batch material); bootstrap = winnowed
@@ -999,9 +998,8 @@ object CurationPipeline {
             .filter(size(col("token_ids")) < packSeqLen)
             .agg(coalesce(sum(size(col("token_ids"))), lit(0)).cast("long")).head().getLong(0)
           Map("batch_full_sequences" -> full, "pack_carry_ids" -> carryIds)
-        })) ++
-      Seq(
-      Stage("publish_batch") { m =>
+        }))
+      def publish(spark: SparkSession, m: Map[String, Long]): Map[String, Long] = {
         val survivors = spark.table(BatchSurvivorsTable)
         val keys = TextDedup.bandIndex(survivors)
         val clean = spark.table(BatchCleanTable)
@@ -1058,14 +1056,15 @@ object CurationPipeline {
             tail.headOption.map(_.getSeq[Long](1)).getOrElse(Seq.empty))
         }
         Map("tier_docs_after" -> spark.table(TierTable).count())
-      })
-    new Runner(stages, RetryPolicy(retries = 1), notify).run(Map("batch_in" -> batch.count()))
+      }
+    }
+    Treadmill.ingestTier(spark, batch, flavor, notify)
   }
 
   /** The ingest treadmill as a STREAM: a checkpointed file source over
     * the document landing layout drives [[ingestBatch]] once per
-    * micro-batch via foreachBatch — the same composition StreamingPipeline
-    * runs for the event tables, applied to the corpus treadmill. The
+    * micro-batch — [[Treadmill.foreachBatchStream]] owns the
+    * session-clone, batch-pin, and outer-refresh disciplines. The
     * checkpoint dedups FILES (a restart resumes at the first
     * undiscovered slice); the treadmill's own band/span indexes dedup
     * CONTENT, so redelivered text cannot re-enter the tier either way.
@@ -1078,44 +1077,20 @@ object CurationPipeline {
                    tokenize: Boolean = false,
                    packSeqLen: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream
-      .schema("doc_id LONG, text STRING")
-      .json(landingDir)
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        // Run the WHOLE treadmill on the micro-batch's session clone,
-        // not the outer session: the scratch-table overwrites refresh
-        // the relation cache of the session that wrote them, and a
-        // plan mixing the clone's batch with outer-session tables
-        // splits that cache — batch 2 then reads batch-1 file listings
-        // of the survivors scratch table (observed as FAILED_READ_FILE
-        // FILE_NOT_EXIST). Each micro-batch clone starts with a fresh
-        // cache over the SHARED external catalog, so per-batch reads
-        // are coherent and later outer-session reads list fresh.
-        // pin the batch: the treadmill's stages fire ~5 actions over it,
-        // and an unpersisted micro-batch re-reads the landing files for
-        // each (observed as numInputRows = 5x the file rows)
-        val pinned = batch.toDF().persist()
-        val r = try ingestBatch(batch.sparkSession, pinned, jaccardThreshold,
-          maxBucketSize, tokenize, packSeqLen)
-        finally pinned.unpersist(blocking = false)
-        require(r.ok, s"ingestBatch failed in micro-batch $id: " +
-          r.stages.filterNot(_.ok).map(s => s"${s.stage}: ${s.error.getOrElse("?")}").mkString("; "))
-        // ...and the OUTER session (the one that started the stream and
-        // will read the tier afterwards) must drop ITS cached file
-        // listings of the published tables — the clone's refreshes
-        // don't reach it, and a pre-stream read would otherwise pin a
-        // stale listing (same split, opposite direction).
-        val g = currentTokenizerGeneration(batch.sparkSession)
-        (Seq(TierTable, BandIndexTable, SpanIndexTable, CleanTierTable) ++
+    Treadmill.foreachBatchStream(spark, landingDir, checkpointDir,
+      org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, text STRING"),
+      "json",
+      run = (sess, pinned) => ingestBatch(sess, pinned, jaccardThreshold,
+        maxBucketSize, tokenize, packSeqLen),
+      refreshTables = { sess =>
+        // generation resolved on the CLONE (it read/advanced the
+        // pointer); the refresh applies to the outer session
+        val g = currentTokenizerGeneration(sess)
+        Seq(TierTable, BandIndexTable, SpanIndexTable, CleanTierTable) ++
           Seq(TokenIdsTable, IdSequencesTable, PackStateTable, TokenizerStatsTable)
-            .map(genName(_, g)))
-          .foreach(t => if (Catalog.tableExists(spark, t)) spark.catalog.refreshTable(t))
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+            .map(genName(_, g))
+      },
+      label = "document treadmill")
 
   /** Drop every treadmill table — a fresh-tier reset for
     * self-contained runs (the stream gate query and specs). Tokenizer

@@ -71,6 +71,110 @@ object Treadmill {
     def splitCaptions(batch: DataFrame): (DataFrame, DataFrame)
   }
 
+  /** The SECOND closure flavor — the tier treadmills
+    * ([[CurationPipeline.ingestBatch]] documents,
+    * [[VectorPipeline.ingestBatch]] vectors), whose reconcile is
+    * bootstrap-vs-against over one stored tier + band index rather
+    * than the perceptual decode-once shape. The skeleton owns what the
+    * two pipelines had been copying: the probe stage, the
+    * reconcile-to-scratch stage with its kept/dropped accounting, the
+    * stage ordering, and the retrying Runner; the closure owns table
+    * names, the dedup operators, any mid-pipeline stages (the doc
+    * flavor's span strip / tokenize / pack), and the multi-table
+    * idempotent publish body. */
+  trait TierFlavor {
+    def tierTable: String
+    def probeMetric: String
+    def inMetric: String = "batch_in"
+    def dedupStageName: String = "incremental_neardup"
+    def survivorsTable: String
+    /** Probe-time validation (the vector flavor's frozen-params check
+      * — a batch banded with foreign planes must fail LOUDLY here). */
+    def validateOnProbe(spark: SparkSession, tierCount: Long): Unit = ()
+    /** The reconcile: bootstrap (empty tier) self-dedups batch-globally,
+      * else against the stored index — never re-hashing the tier. */
+    def dedupe(spark: SparkSession, batch: DataFrame, bootstrap: Boolean): DataFrame
+    /** Stages between the reconcile and the publish. */
+    def middleStages: Seq[Stage] = Seq.empty
+    /** The idempotent multi-table publish; sees the full metric map. */
+    def publish(spark: SparkSession, metrics: Map[String, Long]): Map[String, Long]
+  }
+
+  /** One tier-treadmill slice through the shared stage machine:
+    * probe → reconcile-to-scratch → flavor stages → publish, under the
+    * same retrying Runner the perceptual flavor runs. */
+  def ingestTier(spark: SparkSession, batch: DataFrame, f: TierFlavor,
+                 notify: PipelineReport => Unit): PipelineReport = {
+    val stages = Seq(
+      Stage("probe_tier") { _ =>
+        val n = if (Catalog.tableExists(spark, f.tierTable))
+          spark.table(f.tierTable).count() else 0L
+        f.validateOnProbe(spark, n)
+        Map(f.probeMetric -> n)
+      },
+      Stage(f.dedupStageName) { m =>
+        // scratch staging (sequential reads only): the publish stage
+        // appends the survivors and derives their index rows
+        val survivors = f.dedupe(spark, batch, m(f.probeMetric) == 0L)
+        Catalog.overwriteTable(survivors, f.survivorsTable)
+        val kept = spark.table(f.survivorsTable).count()
+        Map("batch_kept" -> kept, "batch_dropped" -> (m(f.inMetric) - kept))
+      }) ++ f.middleStages ++ Seq(
+      Stage("publish_batch")(m => f.publish(spark, m)))
+    new Runner(stages, RetryPolicy(retries = 1), notify)
+      .run(Map(f.inMetric -> batch.count()))
+  }
+
+  /** The foreachBatch scaffolding EVERY treadmill stream shares — one
+    * implementation of the two disciplines the per-pipeline copies
+    * kept re-stating:
+    *  - run the WHOLE treadmill on the micro-batch's session clone
+    *    (scratch overwrites refresh the WRITING session's relation
+    *    cache; a plan mixing the clone's batch with outer-session
+    *    tables splits that cache — observed as FAILED_READ_FILE on
+    *    stale survivor listings), and PIN the batch: the stages fire
+    *    several actions over it and an unpersisted micro-batch
+    *    re-reads the landing files for each;
+    *  - after the batch, the OUTER session (which started the stream
+    *    and will read the tier afterwards) drops ITS cached listings
+    *    of the published tables — the clone's refreshes don't reach
+    *    it. `refreshTables` resolves on the CLONE (generation pointers
+    *    read current there); the refresh applies to the outer session.
+    * The checkpoint dedups FILES (a restart resumes at the first
+    * undiscovered slice); the treadmill's own stored index dedups
+    * CONTENT, so redelivered rows cannot re-enter the tier either way.
+    * Trigger.AvailableNow drains everything landed and stops — the
+    * scheduled-batch deployment shape. */
+  def foreachBatchStream(spark: SparkSession, landingDir: String,
+                         checkpointDir: String, schema: StructType,
+                         format: String,
+                         run: (SparkSession, DataFrame) => PipelineReport,
+                         refreshTables: SparkSession => Seq[String],
+                         label: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val source = format match {
+      case "json" => reader.json(landingDir)
+      case "parquet" => reader.parquet(landingDir)
+      case other => throw new IllegalArgumentException(
+        s"unsupported landing format '$other' — json or parquet")
+    }
+    source.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val pinned = batch.toDF().persist()
+        val r = try run(batch.sparkSession, pinned)
+        finally pinned.unpersist(blocking = false)
+        require(r.ok, s"$label ingestBatch failed in micro-batch $id: " +
+          r.stages.filterNot(_.ok).map(s => s"${s.stage}: ${s.error.getOrElse("?")}").mkString("; "))
+        refreshTables(batch.sparkSession)
+          .foreach(t => if (Catalog.tableExists(spark, t)) spark.catalog.refreshTable(t))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
+
   /** Ingest one slice: reconcile against the stored index, optionally
     * fold the slice's caption candidates into the running keep-best
     * artifact, publish survivors + their index rows idempotently. */
@@ -207,16 +311,12 @@ object Treadmill {
       .run(Map(m.initialMetric -> batch.count()))
   }
 
-  /** The treadmill as a STREAM: a checkpointed file source over a
-    * PARQUET landing drives [[ingestBatch]] once per micro-batch via
-    * foreachBatch. The checkpoint dedups FILES (a restart resumes at
-    * the first undiscovered slice); the stored index dedups CONTENT,
-    * so a redelivered asset cannot re-enter the tier either way.
-    * Trigger.AvailableNow drains everything landed and stops — the
-    * scheduled-batch deployment shape. With `captioned` the landing
-    * rows carry two extra nullable columns (caption STRING, score
-    * DOUBLE) and each micro-batch splits via the modality's
-    * convention — one landing stream feeds both artifacts. */
+  /** The treadmill as a STREAM over a parquet landing —
+    * [[foreachBatchStream]] around [[ingestBatch]]. With `captioned`
+    * the landing rows carry two extra nullable columns (caption
+    * STRING, score DOUBLE) and each micro-batch splits via the
+    * modality's convention — one landing stream feeds both
+    * artifacts. */
   def streamIngest(spark: SparkSession, landingDir: String, checkpointDir: String,
                    m: Modality, captioned: Boolean)
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -227,37 +327,17 @@ object Treadmill {
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("score",
           org.apache.spark.sql.types.DoubleType)))
-    spark.readStream
-      .schema(schema)
-      .parquet(landingDir)
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        // the CurationPipeline.streamIngest cache-coherence discipline:
-        // run the WHOLE treadmill on the micro-batch's session clone
-        // (scratch overwrites refresh the WRITING session's relation
-        // cache; mixing sessions in one plan splits it), and pin the
-        // batch — the stages fire several actions over it and an
-        // unpersisted micro-batch re-reads the landing files for each.
-        val pinned = batch.toDF().persist()
-        val r = try {
-          val (entities, caps) =
-            if (captioned) {
-              val (e, c) = m.splitCaptions(pinned)
-              (e, Some(c))
-            } else (pinned, None)
-          ingestBatch(batch.sparkSession, entities, m, caps, _ => ())
-        } finally pinned.unpersist(blocking = false)
-        require(r.ok, s"${m.idCol} treadmill ingestBatch failed in micro-batch $id: " +
-          r.stages.filterNot(_.ok).map(s => s"${s.stage}: ${s.error.getOrElse("?")}").mkString("; "))
-        // ...and the OUTER session must drop ITS cached listings of the
-        // published tables (the clone's refreshes don't reach it).
-        Seq(m.tierTable, m.indexTable, m.captionsTable)
-          .foreach(t => if (Catalog.tableExists(spark, t)) spark.catalog.refreshTable(t))
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    foreachBatchStream(spark, landingDir, checkpointDir, schema, "parquet",
+      run = { (sess, pinned) =>
+        val (entities, caps) =
+          if (captioned) {
+            val (e, c) = m.splitCaptions(pinned)
+            (e, Some(c))
+          } else (pinned, None)
+        ingestBatch(sess, entities, m, caps, _ => ())
+      },
+      refreshTables = _ => Seq(m.tierTable, m.indexTable, m.captionsTable),
+      label = s"${m.idCol} treadmill")
   }
 
   /** Drop every treadmill table — a fresh-tier reset for

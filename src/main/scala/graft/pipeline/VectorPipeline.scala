@@ -161,27 +161,26 @@ object VectorPipeline {
                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
                   pqM: Int = 16, pqKsub: Int = 256, coarseK: Int = 16,
                   notify: PipelineReport => Unit = _ => ()): PipelineReport = {
-    val stages = Seq(
-      Stage("probe_tier") { _ =>
-        val tierVecs =
-          if (Catalog.tableExists(spark, TierTable)) spark.table(TierTable).count() else 0L
-        if (tierVecs > 0L) validateGenParams(spark, bands, planesPerBand, seed, threshold)
-        Map("tier_vecs" -> tierVecs)
-      },
-      Stage("incremental_neardup") { m =>
-        val survivors =
-          if (m("tier_vecs") == 0L)
-            Similarity.dedupNearCosine(batch, threshold,
-              bands, planesPerBand, seed, maxBucketSize)
-          else
-            Similarity.nearDupAgainstCosine(spark.table(TierTable), batch, threshold,
-              bands, planesPerBand, seed, maxBucketSize,
-              tierIndex = Some(spark.table(BandIndexTable)))
-        Catalog.overwriteTable(survivors, BatchSurvivorsTable)
-        val kept = spark.table(BatchSurvivorsTable).count()
-        Map("batch_kept" -> kept, "batch_dropped" -> (m("batch_in") - kept))
-      },
-      Stage("publish_batch") { m =>
+    // the vector TIER FLAVOR over the shared treadmill skeleton
+    // (Treadmill.ingestTier owns the probe/reconcile scaffolding and
+    // the retrying Runner); this pipeline contributes the cosine
+    // operators, the frozen-params probe check, and the publish body
+    val flavor = new Treadmill.TierFlavor {
+      val tierTable = TierTable
+      val probeMetric = "tier_vecs"
+      val survivorsTable = BatchSurvivorsTable
+      override def validateOnProbe(spark: SparkSession, tierCount: Long): Unit =
+        if (tierCount > 0L) validateGenParams(spark, bands, planesPerBand, seed, threshold)
+      def dedupe(spark: SparkSession, batch: DataFrame,
+                 bootstrap: Boolean): DataFrame =
+        if (bootstrap)
+          Similarity.dedupNearCosine(batch, threshold,
+            bands, planesPerBand, seed, maxBucketSize)
+        else
+          Similarity.nearDupAgainstCosine(spark.table(TierTable), batch, threshold,
+            bands, planesPerBand, seed, maxBucketSize,
+            tierIndex = Some(spark.table(BandIndexTable)))
+      def publish(spark: SparkSession, m: Map[String, Long]): Map[String, Long] = {
         val survivors = spark.table(BatchSurvivorsTable)
         val bootstrap = m("tier_vecs") == 0L
         if (bootstrap) {
@@ -217,9 +216,9 @@ object VectorPipeline {
         Map("tier_vecs_after" -> spark.table(TierTable).count(),
           "pq_rows_after" -> spark.table(indexTableG(gen)).count(),
           "generation" -> gen)
-      })
-    new Runner(stages, RetryPolicy(retries = 1), notify)
-      .run(Map("batch_in" -> batch.count()))
+      }
+    }
+    Treadmill.ingestTier(spark, batch, flavor, notify)
   }
 
   /** GENERATION ROLLOVER — the maintenance event a growing corpus is
@@ -433,34 +432,15 @@ object VectorPipeline {
                    maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
                    pqM: Int = 16, pqKsub: Int = 256, coarseK: Int = 16)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream
-      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
-      .json(landingDir)
-      .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        // Run the WHOLE treadmill on the micro-batch's session clone
-        // (the CurationPipeline.streamIngest cache-coherence
-        // discipline: scratch overwrites refresh the WRITING session's
-        // relation cache; mixing sessions in one plan splits it), and
-        // pin the batch — the treadmill fires several actions over it
-        // and an unpersisted micro-batch re-reads the landing files
-        // for each.
-        val pinned = batch.toDF().persist()
-        val r = try ingestBatch(batch.sparkSession, pinned, threshold,
-          bands, planesPerBand, seed, maxBucketSize, pqM, pqKsub, coarseK)
-        finally pinned.unpersist(blocking = false)
-        require(r.ok, s"ingestBatch failed in micro-batch $id: " +
-          r.stages.filterNot(_.ok).map(s => s"${s.stage}: ${s.error.getOrElse("?")}").mkString("; "))
-        // ...and the OUTER session must drop ITS cached listings of the
-        // published tables (the clone's refreshes don't reach it)
-        (Seq(TierTable, BandIndexTable, GenParamsTable) :+
-          indexTableG(currentGeneration(batch.sparkSession)))
-          .foreach(t => if (Catalog.tableExists(spark, t)) spark.catalog.refreshTable(t))
-        ()
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
+    Treadmill.foreachBatchStream(spark, landingDir, checkpointDir,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id LONG, embedding ARRAY<FLOAT>"),
+      "json",
+      run = (sess, pinned) => ingestBatch(sess, pinned, threshold,
+        bands, planesPerBand, seed, maxBucketSize, pqM, pqKsub, coarseK),
+      refreshTables = sess => Seq(TierTable, BandIndexTable, GenParamsTable) :+
+        indexTableG(currentGeneration(sess)),
+      label = "vector treadmill")
 
   /** The UNATTENDED deployment shape: drain everything landed
     * ([[streamIngest]], Trigger.AvailableNow), then run the drift
