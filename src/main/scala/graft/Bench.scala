@@ -65,8 +65,39 @@ object Bench {
       "mm_video_dedup", "mm_video_dedup_keep",
       // round-14 borderline mover (1.51x, +0.85 s) on an untouched
       // path — the same cold-first-rep class; pinned
-      "doc_tokenize_ids_alltext")
+      "doc_tokenize_ids_alltext",
+      // round-15 scenario additions: stream drains + runFull fixtures
+      "stream_caption_drift_retrain", "mm_caption_decontaminate",
+      "mm_train_order_full")
     val medianUnderSec = 3.0
+
+    // LOAD EVIDENCE (round-14 verdict #1): the driver's r14 run
+    // measured byte-identical code 1.38x above the same-day builder
+    // close — uniform, machine-shaped inflation. Recording the 1-min
+    // loadavg and the concurrent-JVM count at run start/end makes a
+    // loaded run SELF-IDENTIFYING in the artifact, so a future reader
+    // can adjudicate ambient load without re-running anything.
+    def loadAvg1m(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable =>
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .getSystemLoadAverage }
+    def javaProcs(): Int =
+      try {
+        val procs = new java.io.File("/proc").listFiles()
+        if (procs == null) -1
+        else procs.count { f =>
+          f.getName.forall(_.isDigit) && {
+            try java.nio.file.Files.readString(
+              java.nio.file.Paths.get(f.getPath, "comm")).trim == "java"
+            catch { case _: Throwable => false }
+          }
+        }
+      } catch { case _: Throwable => -1 }
+    val loadStart = loadAvg1m()
+    val procsStart = javaProcs()
+
     // local-iteration filter (unset in driver runs): comma-separated
     // query names
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
@@ -125,8 +156,13 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = fmt(results.map(_._2).sum)
+    // loadavg ~ cpus means a saturated machine: timings from such a
+    // run measure the NEIGHBORS, not the engine (the r14 1.38x lesson)
+    val load = s"""{"start_1m":${fmt(loadStart)},"end_1m":${fmt(loadAvg1m())},""" +
+      s""""java_procs_start":$procsStart,"java_procs_end":${javaProcs()},""" +
+      s""""cpus":${Runtime.getRuntime.availableProcessors()}}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"load":$load,"sf":"$sfDir"}"""
     println(json)
     // sbt prefixes stdout with "[info] ", which defeats the driver's
     // line parser — also write the bare line to a file it can read

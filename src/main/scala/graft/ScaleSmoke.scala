@@ -691,6 +691,49 @@ object ScaleSmoke {
         s"${roll.get.metrics("bpe_merges")} merges, ${pub.getLong(0)} sequences")
       roll.get.metrics("tier_tokenized_docs")
     }
+    timed("caption_drift_rollover_50k") {
+      // CAPTION-CHANNEL PARITY at corpus scale (round 15): the docs
+      // drain healthy, winners (one per %3 doc) arrive with
+      // Greek-translated drift on the %7 winners and a planted eval
+      // passage on the %11 winners, and ONE pack + ONE maintain
+      // decision must (a) EXCLUDE the contaminated winners via the
+      // persisted-benchmark battery, (b) feed the clean winners' UNKs
+      // into the drift ledger, (c) roll the generation off the caption
+      // signal alone, and (d) regenerate the interleaved stream
+      // UNK-free — the retrain corpus unions the winners, so the roll
+      // actually closes the drift that fired it.
+      val cp = graft.pipeline.CurationPipeline
+      cp.resetTreadmill(spark)
+      cp.publishTokenizer(spark, docs, numMerges = 32)
+      val r1 = cp.ingestBatch(spark, docs, tokenize = true)
+      require(r1.ok && r1.metrics("batch_unk_ids") == 0L, r1.metrics.toString)
+      require(cp.maybeRetrainTokenizer(spark, maxUnkShare = 1e-9).isEmpty,
+        "healthy docs must not roll")
+      val passage = "the held out benchmark answer keys must never leak into training"
+      cp.publishBenchmark(spark, spark.range(1).select(lit(passage).as("text")))
+      val winners = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("media_id"),
+          when(col("doc_id") % 7 === 0,
+            translate(col("text"), "aeiou", "αεϊοϋ"))
+          .when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" " + passage)))
+          .otherwise(col("text")).as("kept_caption"))
+      graft.plans.Catalog.overwriteTable(winners, cp.MediaCaptionsTable)
+      val (nSeq, _, unks, cont) = cp.packCaptionSequences(spark, seqLen = 2048)
+      require(cont > 0L, "the planted eval captions must be excluded and counted")
+      require(unks > 0L, "the planted caption drift must UNK at generation 0")
+      val roll = cp.maybeRetrainTokenizer(spark, maxUnkShare = 1e-9)
+      require(roll.nonEmpty && roll.get.ok, s"caption-only drift must roll: $roll")
+      require(roll.get.metrics("media_caption_unk_ids") == 0L,
+        s"regenerated captions must be UNK-free: ${roll.get.metrics}")
+      require(roll.get.metrics("media_caption_contaminated") > 0L,
+        s"the repack must keep excluding the eval plants: ${roll.get.metrics}")
+      require(cp.currentTokenizerGeneration(spark) == 1L)
+      System.err.println(s"[scale] caption_drift_rollover: $nSeq gen-0 sequences, " +
+        s"$cont contaminated excluded, $unks drift UNKs, " +
+        s"${roll.get.metrics("media_sequences")} gen-1 sequences")
+      nSeq
+    }
     timed("pack_interleaved_50k") {
       // interleaved multimodal packing at corpus scale: every doc plays
       // a captioned asset. Structural assertions: the sentinel count in
