@@ -367,6 +367,12 @@ object CurationPipeline {
           // like every other pipeline artifact, and the epoch stages
           // below read it back so their token accounting is in BPE
           // units — the unit the trained model will actually consume.
+          // DELIBERATE asymmetry vs retrainTokenizer's union corpus:
+          // generation 0 is the DOCUMENT bootstrap — caption UNKs are
+          // reported by the pack stages and feed the drift ledger, and
+          // whether caption text warrants vocabulary space is decided
+          // by the drift trigger (whose retrain then unions the
+          // winners), not presumed here.
           val train = spark.table(SplitTable)
             .filter(col("split") === "train").select("doc_id", "text")
           import spark.implicits._
@@ -857,9 +863,12 @@ object CurationPipeline {
     *
     * First call bootstraps: the batch self-dedups batch-globally and
     * becomes the tier. Batch doc_ids must be fresh (monotone ingest
-    * discipline — ids never reused across slices); under that
-    * discipline the running tier equals what batch-global dedup over
-    * all slices so far would keep (see nearDupAgainst's contract).
+    * discipline — ids never reused across slices) and NON-NEGATIVE
+    * (the drift ledger keys doc batches by min doc_id and caption
+    * packs by content hashes in the negative keyspace — a negative
+    * doc id could collide a ledger row away); under that discipline
+    * the running tier equals what batch-global dedup over all slices
+    * so far would keep (see nearDupAgainst's contract).
     *
     * Alongside the doc-level tier, the treadmill maintains the SPAN
     * tier: each batch's survivors are span-stripped against the stored
