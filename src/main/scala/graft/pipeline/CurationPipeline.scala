@@ -685,7 +685,10 @@ object CurationPipeline {
     // content, same key → insertAppendOnce dedups), fresh on any
     // winner change, never colliding with doc batch keys (min doc_ids,
     // non-negative by the ingest contract).
-    statsT.foreach { st =>
+    // an empty (or fully-contaminated) pack carries no drift signal —
+    // appending its zero row would only share the degenerate key
+    // across modalities
+    statsT.filter(_ => stats.getLong(0) > 0L).foreach { st =>
       // bit_xor, not sum: ANSI mode makes a summed hash an overflow
       // crash; XOR is content-sensitive, order-free, and cannot overflow
       val agg = caps.agg(
