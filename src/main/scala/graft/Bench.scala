@@ -101,27 +101,48 @@ object Bench {
     // local-iteration filter (unset in driver runs): comma-separated
     // query names
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+
+    // The PREVIOUS recorded run's per-query times, read BEFORE this run
+    // overwrites the file — the reference the in-suite mover
+    // adjudication below compares against (round-15 Next #4). The file
+    // is this program's own output, so the flat regex parse is exact.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_OUT.json")
+    val prevQueries: Map[String, Double] =
+      try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(outPath))
+        val i = txt.indexOf("\"queries\":{")
+        if (i < 0) Map.empty
+        else {
+          val body = txt.substring(i + 11, txt.indexOf('}', i))
+          """"([A-Za-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+
+    // ONE timed evaluation with the clean-storage discipline: several
+    // operators localCheckpoint(eager) intermediates; across 200+
+    // queries x up-to-3 reps those blocks accumulate and later
+    // queries' timings become a function of storage-memory pressure
+    // (round 7: same commit, 0.8 s builder-run vs 12 s driver-run on
+    // doc_neardup_minhash). Dropping all persisted RDDs + the DF cache
+    // after every rep makes each timing start from the same state.
+    def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String)
+        => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sharedState.cacheManager.clearCache()
+      System.err.println(f"[bench] $name rep ${dt}%.3f")
+      dt
+    }
+
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .flatMap { case (name, fn) =>
       try {
-        def rep(): Double = {
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          val dt = (System.nanoTime() - t0) / 1e9
-          // Several operators localCheckpoint(eager) intermediates;
-          // across 122 queries x up-to-3 reps those blocks accumulate
-          // and later queries' timings become a function of storage-
-          // memory pressure (round 7: same commit, 0.8 s builder-run vs
-          // 12 s driver-run on doc_neardup_minhash). Dropping all
-          // persisted RDDs + the DF cache after every rep makes each
-          // timing start from the same clean storage state.
-          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-          spark.sharedState.cacheManager.clearCache()
-          System.err.println(f"[bench] $name rep ${dt}%.3f")
-          dt
-        }
+        def rep(): Double = timeOnce(name, fn)
         val first = rep()
         val t =
           if (fixtureHeavy(name) || first < medianUnderSec) {
@@ -149,10 +170,33 @@ object Bench {
           None
       }
     }
+    // IN-SUITE MOVER ADJUDICATION (round-15 Next #4): per-QUERY
+    // storage/GC pressure from scenario-gate neighbors can inflate
+    // tiny queries 2-18x in-suite even on a quiet machine (the load
+    // block only identifies a loaded RUN). Any query whose in-suite
+    // time exceeds 2x its previously-recorded value re-measures HERE,
+    // after the whole suite has drained (quiet JVM, storage reset,
+    // explicit GC) — the automated form of the manual
+    // SPARK_GRAFT_BENCH_ONLY re-runs PLANS.md used to record. Both
+    // numbers land in the JSON ("queries" = in-suite, "isolated" = the
+    // re-measurement), so a reader adjudicates without re-running. The
+    // 0.3 s absolute floor skips pure timer noise on sub-100 ms
+    // queries; at close, in-suite ≈ recorded and this loop is empty.
+    val movers = results.filter { case (n, t) =>
+      prevQueries.get(n).exists(p => t > 2.0 * p && t - p > 0.3) }
+    val isolated = movers.map { case (n, _) =>
+      System.gc()
+      val fn = SparkEntry.queries(n)
+      val times = Seq(timeOnce(n, fn), timeOnce(n, fn), timeOnce(n, fn)).sorted
+      n -> times(1)
+    }
+
     // Locale.ROOT: the default-locale f"" interpolator would print
     // comma decimal separators on non-English JVMs → invalid JSON
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val iso = isolated.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = fmt(results.map(_._2).sum)
@@ -162,13 +206,12 @@ object Bench {
       s""""java_procs_start":$procsStart,"java_procs_end":${javaProcs()},""" +
       s""""cpus":${Runtime.getRuntime.availableProcessors()}}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"load":$load,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"isolated":$iso,"errors":$errs,"load":$load,"sf":"$sfDir"}"""
     println(json)
     // sbt prefixes stdout with "[info] ", which defeats the driver's
     // line parser — also write the bare line to a file it can read
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_OUT.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] write $out: ${e.getMessage}") }
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outPath: ${e.getMessage}") }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

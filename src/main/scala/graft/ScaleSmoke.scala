@@ -1070,6 +1070,52 @@ object ScaleSmoke {
         s"global prefix must equal the token sum: ${agg.getLong(0)} vs ${agg.getLong(1)}")
       n
     }
+    timed("epoch_budget_mixed_50k") {
+      // the BUDGET-WEIGHTED four-stream manifest at tier scale
+      // (round-16 Next #6): 500k text sequences + three caption-stream
+      // tiers through trainOrderBudgeted — the fill's two-level bucket
+      // cut and the bucketed-rank shuffle are the structures that must
+      // hold at 10x, not the pack machinery (its own rows above). Per
+      // stream: emitted tokens land in [B, B + maxTc) (the fill meets
+      // the target and overshoots by less than one boundary sequence),
+      // text copies are exactly the 2-or-3 of 2.5 passes, and the
+      // manifest is a dense global permutation.
+      val ids = (0 until mult).map(i =>
+        Tables.load(spark, sfDir, "documents")
+          .select((col("doc_id") + lit(i * 1000000L)).as("seq_no")))
+        .reduce(_ unionByName _)
+      def stream(m: Int, base: Long) = ids.filter(col("seq_no") % 4 === m)
+        .select(col("seq_no"), (lit(base) + col("seq_no") % 7).as("n_tokens"))
+      val text = ids.select(col("seq_no"), lit(64L).as("n_tokens"))
+      val streams = Seq("text" -> text, "multimodal" -> stream(0, 60L),
+        "video" -> stream(1, 60L), "audio" -> stream(2, 60L))
+      val sums = streams.map { case (m, df) =>
+        m -> df.agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0) }.toMap
+      val budgets = Map("text" -> (2L * sums("text") + sums("text") / 2L),
+        "multimodal" -> (sums("multimodal") / 3L),
+        "video" -> (sums("video") / 2L), "audio" -> (sums("audio") / 4L))
+      val out = operators.Curation.trainOrderBudgeted(streams, budgets)
+        .localCheckpoint(true)
+      val agg = out.agg(count(lit(1)), max("position")).head()
+      require(agg.getLong(0) == agg.getLong(1) + 1,
+        s"manifest must be a dense permutation: ${agg.getLong(0)} rows, " +
+          s"max=${agg.getLong(1)}")
+      // |streams|-bounded collect: per-stream emitted tokens
+      val toks = out.groupBy("modality")
+        .agg(coalesce(sum("n_tokens"), lit(0L)).as("t")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      budgets.foreach { case (m, b) =>
+        require(toks(m) >= b && toks(m) < b + 67L,
+          s"$m emitted ${toks(m)} for budget $b — must meet the target " +
+            "within one boundary sequence") }
+      // 2.5 passes of text → every sequence exactly 2 or 3 copies
+      val spread = out.filter(col("modality") === "text")
+        .groupBy("seq_no").agg(count(lit(1)).as("c"))
+        .agg(min("c"), max("c")).head()
+      require(spread.getLong(0) == 2L && spread.getLong(1) == 3L,
+        s"text copies must be the 2-or-3 of 2.5 passes: $spread")
+      agg.getLong(0)
+    }
     timed("curation_full_50k") {
       // the FLAGSHIP end-to-end at corpus scale: quality gate →
       // decontaminate → minhash near-dup (clone families must

@@ -2001,6 +2001,40 @@ object SparkEntry {
         .orderBy("seq_no")
     }),
 
+    // THE LEDGER IS PER-CHANNEL AND DELTA-CORRECT: the doc batches own
+    // the "doc" channel; caption packs own their modality's channel —
+    // and because packs re-tokenize the FULL winner set every wave,
+    // the ledger records the DELTA per pack, so a channel's cumulative
+    // equals the LATEST winner set tokenized ONCE (the same unit as
+    // the doc channel's each-doc-once), never once-per-pack (ADVICE
+    // r15). The fixture packs the %3 winners, then the GROWN %3∪%5
+    // set: a full-totals ledger would read T(%3) + T(%3∪%5); the
+    // oracle tokenizes ONLY the final set. tokenizerDriftByChannel is
+    // the self-describing monitoring read (verdict Next #3).
+    "stream_drift_channels" -> ((s, dir) => {
+      import graft.pipeline.CurationPipeline
+      CurationPipeline.resetTreadmill(s)
+      val d = docs(s, dir).select("doc_id")
+      val tier = d.filter(col("doc_id") < 120)
+        .select(col("doc_id"), tokText(col("doc_id")).as("text"))
+      CurationPipeline.publishTokenizer(s, tier, numMerges = 8)
+      CurationPipeline.ingestBatch(s, tier, tokenize = true)
+      def winners(p: org.apache.spark.sql.Column) =
+        d.filter(col("doc_id") < 120 && p)
+          .select(col("doc_id").as("media_id"),
+            tokText(col("doc_id")).as("kept_caption"))
+      graft.plans.Catalog.overwriteTable(
+        winners(col("doc_id") % 3 === 0), CurationPipeline.MediaCaptionsTable)
+      CurationPipeline.packCaptionSequences(s, seqLen = 64)
+      graft.plans.Catalog.overwriteTable(
+        winners(col("doc_id") % 3 === 0 || col("doc_id") % 5 === 0),
+        CurationPipeline.MediaCaptionsTable)
+      CurationPipeline.packCaptionSequences(s, seqLen = 64)
+      CurationPipeline.tokenizerDriftByChannel(s)
+        .select(col("channel"), col("token_ids"), col("unk_ids"))
+        .orderBy("channel")
+    }),
+
     // THE DRIFT SIGNAL THAT WORKS WHERE UNK-SHARE IS BLIND: under
     // byte-level seeds, encode only UNKs on a byte value the train
     // corpus never contained — a drifted corpus of already-seen bytes
@@ -2422,6 +2456,43 @@ object SparkEntry {
         .select(col("doc_id").as("media_id"), col("score"))
       Multimodal.captionKeepBest(phashMedia(s, dir),
           caps.join(scored, Seq("media_id")))
+        .orderBy("media_id")
+    }),
+
+    // THE CAPTION QUALITY FLOOR (verdict r15 Next #2): keep-best alone
+    // keeps the max-scored caption even when the max is garbage — with
+    // a floor, a below-floor candidate never enters the fold, so a
+    // component whose ONLY caption is garbage gets NO caption while a
+    // same-component good caption still wins. Every asset is a
+    // singleton component (distinct md5 payloads, hamming cap 0); two
+    // captions per asset with deterministic scores (d%10)/10 and
+    // (d%7)/10, floor 0.45 — the oracle replays the argmax over the
+    // floor survivors and drops the assets whose BEST is below floor.
+    "mm_caption_floor" -> ((s, dir) => {
+      import graft.pipeline.CurationPipeline
+      CurationPipeline.resetTreadmill(s)
+      val d = docs(s, dir).select("doc_id").filter(col("doc_id") < 200)
+      val planted = d.select(col("doc_id"), tokText(col("doc_id")).as("text"))
+      val mediaDf = d.select(col("doc_id"), (col("doc_id") * 10).as("media_id"),
+        lit("image").as("kind"), lit("raw").as("format"),
+        md5(tokText(col("doc_id"))).cast("binary").as("bytes"))
+      val caps = d.select((col("doc_id") * 10).as("media_id"),
+          concat(lit("plain "), tokText(col("doc_id"))).as("caption"),
+          (col("doc_id") % 10).cast("double")./(lit(10.0)).as("score"))
+        .unionByName(d.select((col("doc_id") * 10).as("media_id"),
+          concat(lit("alt "), tokText(col("doc_id"))).as("caption"),
+          (col("doc_id") % 7).cast("double")./(lit(10.0)).as("score")))
+      val report = CurationPipeline.runFull(s, planted,
+        s.emptyDataFrame.withColumn("text", lit("")).select("text"),
+        minTokens = 0, maxPunctRatio = 1.0, minStopwordRatio = 0.0,
+        media = Some(mediaDf), captions = Some(caps), mediaMaxHamming = 0,
+        captionMinScore = 0.45)
+      require(report.ok, s"mm_caption_floor: ${report.stages}")
+      require(report.metrics("media_caption_floor_dropped") > 0L,
+        s"mm_caption_floor: the floor must cut: ${report.metrics}")
+      s.table(CurationPipeline.MediaCaptionsTable)
+        .select(col("media_id"), col("kept_caption"), col("kept_from"),
+          col("kept_score"), col("dropped_count"))
         .orderBy("media_id")
     }),
 
@@ -3368,7 +3439,7 @@ object SparkEntry {
     "mm_train_order_full" -> ((s, dir) => {
       import graft.pipeline.CurationPipeline
       CurationPipeline.resetTreadmill(s)
-      val d = docs(s, dir).select("doc_id").filter(col("doc_id") < 200)
+      val d = docs(s, dir).select("doc_id").filter(col("doc_id") < 100)
       val base = d.select(col("doc_id"), tokText(col("doc_id")).as("text"))
       val planted = base.unionByName(base.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
@@ -3382,7 +3453,7 @@ object SparkEntry {
         tokText(col("doc_id")).as("caption"), lit(1.0).as("score"))
       val framesBase = assets(1).select(col("doc_id"),
           (col("doc_id") * 10).as("video_id"),
-          explode(sequence(lit(0), lit(5))).as("frame_no"))
+          explode(sequence(lit(0), lit(3))).as("frame_no"))
         .select(col("doc_id"), col("video_id"),
           col("frame_no").cast("int").as("frame_no"),
           lit("image").as("kind"), lit("raw").as("format"),
@@ -3416,6 +3487,134 @@ object SparkEntry {
       s.table(CurationPipeline.TrainOrderMixedTable).orderBy("position")
     }),
 
+    // THE TOKEN-BUDGETED TRAINING RECIPE END TO END (verdict r16 Next
+    // #1): one runFull over all four streams with a 2:1:1:1 token
+    // budget — the manifest weights by the plan (⌊B/T⌋ passes +
+    // hash-order fill per stream), the per-stream emitted tokens land
+    // in the metric map, and each stream's total can overshoot its
+    // budget by at most one boundary sequence. No dup plants (the
+    // collapse asserts live in mm_train_order_full): the oracle
+    // re-derives every stream's sequence-level token counts from the
+    // pack arithmetic and replays the budget fill.
+    "mm_epoch_budget" -> ((s, dir) => {
+      import graft.pipeline.CurationPipeline
+      CurationPipeline.resetTreadmill(s)
+      val d = docs(s, dir).select("doc_id").filter(col("doc_id") < 100)
+      val planted = d.select(col("doc_id"), tokText(col("doc_id")).as("text"))
+      def assets(m: Int) = d.filter(col("doc_id") % 4 === m)
+      val mediaDf = assets(0).select(col("doc_id"),
+        (col("doc_id") * 10).as("media_id"), lit("image").as("kind"),
+        lit("raw").as("format"), md5(tokText(col("doc_id"))).cast("binary").as("bytes"))
+      val caps = assets(0).select((col("doc_id") * 10).as("media_id"),
+        tokText(col("doc_id")).as("caption"), lit(1.0).as("score"))
+      val framesDf = assets(1).select(col("doc_id"),
+          (col("doc_id") * 10).as("video_id"),
+          explode(sequence(lit(0), lit(3))).as("frame_no"))
+        .select(col("doc_id"), col("video_id"),
+          col("frame_no").cast("int").as("frame_no"),
+          lit("image").as("kind"), lit("raw").as("format"),
+          md5(concat(col("doc_id"), lit(":f:"), col("frame_no")))
+            .cast("binary").as("bytes"))
+      val vcaps = assets(1).select((col("doc_id") * 10).as("video_id"),
+        tokText(col("doc_id")).as("caption"), lit(1.0).as("score"))
+      val clipsDf = assets(2).select(col("doc_id"),
+        (col("doc_id") * 10).as("audio_id"), lit("audio").as("kind"),
+        lit("raw").as("format"),
+        md5(concat(col("doc_id"), lit(":a"))).cast("binary").as("bytes"))
+      val trans = assets(2).select((col("doc_id") * 10).as("audio_id"),
+        tokText(col("doc_id")).as("caption"), lit(1.0).as("score"))
+      val budgets = Map("text" -> 4096L, "multimodal" -> 2048L,
+        "video" -> 2048L, "audio" -> 2048L)
+      val report = CurationPipeline.runFull(s, planted,
+        s.emptyDataFrame.withColumn("text", lit("")).select("text"),
+        seqLen = 64, minTokens = 0, maxPunctRatio = 1.0, minStopwordRatio = 0.0,
+        bpeMerges = 8, materializeTokenIds = true,
+        media = Some(mediaDf), captions = Some(caps), mediaMaxHamming = 0,
+        videoFrames = Some(framesDf), videoCaptions = Some(vcaps),
+        audioClips = Some(clipsDf), audioTranscripts = Some(trans),
+        streamBudgetTokens = budgets)
+      require(report.ok, s"mm_epoch_budget: ${report.stages}")
+      budgets.foreach { case (m, b) =>
+        val got = report.metrics.getOrElse(s"epoch_tokens_$m",
+          sys.error(s"mm_epoch_budget: missing epoch_tokens_$m: ${report.metrics}"))
+        require(got >= b && got < b + 64,
+          s"mm_epoch_budget: $m emitted $got tokens for budget $b — " +
+            "must meet the target within one boundary sequence")
+      }
+      s.table(CurationPipeline.TrainOrderMixedTable)
+        .groupBy("modality")
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum("n_tokens"), lit(0L)).cast("long").as("epoch_tokens"))
+        .orderBy("modality")
+    }),
+
+    // CROSS-CHANNEL DECONTAMINATION AUDIT (verdict r16 Next #7): ONE
+    // planted eval passage arrives through all four doors of one
+    // runFull — as a document's text and as a winning caption in every
+    // caption modality — and must reach NONE of the four packed
+    // sequence artifacts. The doc gate and the three per-pack caption
+    // batteries answer to the SAME persisted benchmark; the oracle
+    // prices every stream from the CLEAN corpus only, so any leak
+    // breaks the token totals.
+    "mm_decontaminate_all" -> ((s, dir) => {
+      import graft.pipeline.CurationPipeline
+      import s.implicits._
+      CurationPipeline.resetTreadmill(s)
+      val d = docs(s, dir).select("doc_id").filter(col("doc_id") < 100)
+      val clean = d.select(col("doc_id"), tokText(col("doc_id")).as("text"))
+      // the doc-channel plant: one extra doc carrying the passage
+      val planted = clean.unionByName(
+        s.range(1).select(lit(100000L).as("doc_id"),
+          concat(tokText(lit(100000L)), lit(" " + EvalPassage)).as("text")))
+      def assets(m: Int) = d.filter(col("doc_id") % 4 === m)
+      def capsOf(m: Int, idName: String) = assets(m)
+        .select((col("doc_id") * 10).as(idName),
+          when(col("doc_id") % 9 === 0,
+            concat(tokText(col("doc_id")), lit(" " + EvalPassage)))
+            .otherwise(tokText(col("doc_id"))).as("caption"),
+          lit(1.0).as("score"))
+      val mediaDf = assets(0).select(col("doc_id"),
+        (col("doc_id") * 10).as("media_id"), lit("image").as("kind"),
+        lit("raw").as("format"), md5(tokText(col("doc_id"))).cast("binary").as("bytes"))
+      val framesDf = assets(1).select(col("doc_id"),
+          (col("doc_id") * 10).as("video_id"),
+          explode(sequence(lit(0), lit(3))).as("frame_no"))
+        .select(col("doc_id"), col("video_id"),
+          col("frame_no").cast("int").as("frame_no"),
+          lit("image").as("kind"), lit("raw").as("format"),
+          md5(concat(col("doc_id"), lit(":f:"), col("frame_no")))
+            .cast("binary").as("bytes"))
+      val clipsDf = assets(2).select(col("doc_id"),
+        (col("doc_id") * 10).as("audio_id"), lit("audio").as("kind"),
+        lit("raw").as("format"),
+        md5(concat(col("doc_id"), lit(":a"))).cast("binary").as("bytes"))
+      val report = CurationPipeline.runFull(s, planted,
+        Seq(EvalPassage).toDF("text"),
+        seqLen = 64, minTokens = 0, maxPunctRatio = 1.0, minStopwordRatio = 0.0,
+        bpeMerges = 8, materializeTokenIds = true,
+        media = Some(mediaDf), captions = Some(capsOf(0, "media_id")),
+        mediaMaxHamming = 0,
+        videoFrames = Some(framesDf), videoCaptions = Some(capsOf(1, "video_id")),
+        audioClips = Some(clipsDf), audioTranscripts = Some(capsOf(2, "audio_id")))
+      require(report.ok, s"mm_decontaminate_all: ${report.stages}")
+      require(report.metrics("contaminated") == 1L,
+        s"mm_decontaminate_all: the planted doc must be caught: ${report.metrics}")
+      Seq("media", "video", "audio").foreach { p =>
+        require(report.metrics(s"${p}_caption_contaminated") > 0L,
+          s"mm_decontaminate_all: the planted $p caption must be caught: ${report.metrics}")
+      }
+      val rows = Seq(
+        ("audio", CurationPipeline.AudioSequencesTable),
+        ("multimodal", CurationPipeline.MediaSequencesTable),
+        ("text", CurationPipeline.IdSequencesTable),
+        ("video", CurationPipeline.VideoSequencesTable)).map { case (m, tb) =>
+        val a = s.table(tb).agg(count(lit(1)),
+          coalesce(sum(size(col("token_ids"))), lit(0)).cast("long")).head()
+        (m, a.getLong(0), a.getLong(1))
+      }
+      rows.toDF("modality", "n_seqs", "n_tokens").orderBy("modality")
+    }),
+
     // the N-stream manifest: THREE modalities through the same
     // bucketed-md5 shuffle (the shape runFull emits once video caption
     // sequences exist next to the text and still-media streams)
@@ -3425,6 +3624,31 @@ object SparkEntry {
           "text" -> d.filter(col("doc_id") % 2 === 0).select(col("doc_id").as("seq_no")),
           "multimodal" -> d.filter(col("doc_id") % 3 === 0).select(col("doc_id").as("seq_no")),
           "video" -> d.filter(col("doc_id") % 5 === 0).select(col("doc_id").as("seq_no"))))
+        .orderBy("position")
+    }),
+
+    // the BUDGET-WEIGHTED manifest operator in isolation: two streams
+    // with arithmetic-friendly token counts; the text budget buys 2
+    // full passes plus a half-stream hash-order fill, the multimodal
+    // budget a third-stream fill only — the oracle replays the plan
+    // arithmetic, the (id-hash, id) fill cut with the boundary
+    // sequence included, the copy expansion, and the md5-rank shuffle
+    // of every emitted copy
+    "doc_train_order_budgeted" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val text = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("seq_no"),
+          (lit(10L) + col("doc_id") % 7).cast("long").as("n_tokens"))
+      val mm = d.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("seq_no"),
+          (lit(5L) + col("doc_id") % 11).cast("long").as("n_tokens"))
+      // exact integer sums drive the budgets so the oracle can
+      // re-derive them from the data at any scale factor
+      val ta = text.agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
+      val tb = mm.agg(coalesce(sum("n_tokens"), lit(0L))).head().getLong(0)
+      Curation.trainOrderBudgeted(
+          Seq("text" -> text, "multimodal" -> mm),
+          Map("text" -> (2L * ta + ta / 2L), "multimodal" -> (tb / 3L)))
         .orderBy("position")
     }),
 
@@ -4280,12 +4504,12 @@ object SparkEntry {
     // 1 sentinel) / 64) — streams are dense from 0, so the manifest is
     // the md5-rank over the (modality, seq_no) union at seed 42
     "mm_train_order_full" ->
-      ("WITH " + bpeChainSql(8, Tok200CorpusSql) + s""",
+      ("WITH " + bpeChainSql(8, Tok100CorpusSql) + s""",
         |fin AS MATERIALIZED (
         |  SELECT w, len(string_split(trim(seg), '  '))::BIGINT AS nsym FROM w8),
         |docw AS (
         |  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
-        |  FROM $Tok200CorpusSql),
+        |  FROM $Tok100CorpusSql),
         |dw AS (SELECT doc_id, w FROM docw WHERE $LetterWordsDomainSql),
         |dtot AS (
         |  SELECT d.doc_id, sum(f.nsym)::BIGINT AS tot
@@ -4306,6 +4530,84 @@ object SparkEntry {
         |       modality, CAST(seq_no AS BIGINT) AS seq_no
         |FROM u ORDER BY position""".stripMargin),
 
+    // the budgeted four-stream recipe replayed from first principles:
+    // per-stream token sums off the pack arithmetic (the doc stream's
+    // ids, each caption stream's ids + one sentinel per winner),
+    // sequence-level token counts (64 each, trailing partial), the
+    // ⌊B/T⌋ + hash-order fill cut, and the per-stream (rows, tokens)
+    // aggregate of the emitted copies
+    "mm_epoch_budget" ->
+      ("WITH " + bpeChainSql(8, Tok100CorpusSql) + s""",
+        |fin AS MATERIALIZED (
+        |  SELECT w, len(string_split(trim(seg), '  '))::BIGINT AS nsym FROM w8),
+        |docw AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+        |  FROM $Tok100CorpusSql),
+        |dw AS (SELECT doc_id, w FROM docw WHERE $LetterWordsDomainSql),
+        |dtot AS (
+        |  SELECT d.doc_id, sum(f.nsym)::BIGINT AS tot
+        |  FROM dw d JOIN fin f USING (w) GROUP BY 1),
+        |ts AS (
+        |  SELECT 'text' AS modality, CAST(sum(tot) AS BIGINT) AS t, 4096 AS b FROM dtot
+        |  UNION ALL SELECT 'multimodal', CAST(sum(tot + 1) AS BIGINT), 2048
+        |    FROM dtot WHERE doc_id % 4 = 0
+        |  UNION ALL SELECT 'video', CAST(sum(tot + 1) AS BIGINT), 2048
+        |    FROM dtot WHERE doc_id % 4 = 1
+        |  UNION ALL SELECT 'audio', CAST(sum(tot + 1) AS BIGINT), 2048
+        |    FROM dtot WHERE doc_id % 4 = 2),
+        |plan AS (
+        |  SELECT modality, t, b // t AS nfull,
+        |         CAST(b - (b // t) * t AS DOUBLE) AS rem
+        |  FROM ts),
+        |sq AS (
+        |  SELECT modality, u.seq_no AS seq_no,
+        |         CASE WHEN (u.seq_no + 1) * 64 <= t THEN 64
+        |              ELSE t - u.seq_no * 64 END AS tc,
+        |         modality || ':' || u.seq_no::VARCHAR AS sid
+        |  FROM ts, unnest(range(0, (t + 63) // 64)) AS u(seq_no)),
+        |c AS (
+        |  SELECT modality, seq_no, tc, sid,
+        |         coalesce(sum(tc) OVER (PARTITION BY modality
+        |             ORDER BY CAST('0x' || substr(md5(sid), 1, 8) AS BIGINT), sid
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM sq),
+        |sel AS (
+        |  SELECT c.modality, c.tc, p.nfull,
+        |         CASE WHEN c.before < p.rem THEN 1 ELSE 0 END AS extra
+        |  FROM c JOIN plan p USING (modality))
+        |SELECT modality,
+        |       CAST(sum(nfull + extra) AS BIGINT) AS n_rows,
+        |       CAST(sum((nfull + extra) * tc) AS BIGINT) AS epoch_tokens
+        |FROM sel GROUP BY modality ORDER BY modality""").stripMargin,
+
+    // the cross-channel audit replay: every stream priced from the
+    // CLEAN corpus only — the planted doc never enters the text
+    // stream's totals, the %9 contaminated winners never enter the
+    // caption streams' — so any leak through any of the four doors
+    // breaks a token total
+    "mm_decontaminate_all" ->
+      ("WITH " + bpeChainSql(8, Tok100CorpusSql) + s""",
+        |fin AS MATERIALIZED (
+        |  SELECT w, len(string_split(trim(seg), '  '))::BIGINT AS nsym FROM w8),
+        |docw AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+        |  FROM $Tok100CorpusSql),
+        |dw AS (SELECT doc_id, w FROM docw WHERE $LetterWordsDomainSql),
+        |dtot AS (
+        |  SELECT d.doc_id, sum(f.nsym)::BIGINT AS tot
+        |  FROM dw d JOIN fin f USING (w) GROUP BY 1),
+        |ts AS (
+        |  SELECT 'text' AS modality, CAST(sum(tot) AS BIGINT) AS t FROM dtot
+        |  UNION ALL SELECT 'multimodal', CAST(coalesce(sum(tot + 1), 0) AS BIGINT)
+        |    FROM dtot WHERE doc_id % 4 = 0 AND doc_id % 9 <> 0
+        |  UNION ALL SELECT 'video', CAST(coalesce(sum(tot + 1), 0) AS BIGINT)
+        |    FROM dtot WHERE doc_id % 4 = 1 AND doc_id % 9 <> 0
+        |  UNION ALL SELECT 'audio', CAST(coalesce(sum(tot + 1), 0) AS BIGINT)
+        |    FROM dtot WHERE doc_id % 4 = 2 AND doc_id % 9 <> 0)
+        |SELECT modality, CAST((t + 63) // 64 AS BIGINT) AS n_seqs,
+        |       t AS n_tokens
+        |FROM ts ORDER BY modality""").stripMargin,
+
     // the same md5-rank replay over THREE tagged streams — the
     // trainOrderStreams generalization (video joins the manifest)
     "mm_train_order_streams" ->
@@ -4320,6 +4622,50 @@ object SparkEntry {
         |                  modality || ':' || seq_no::VARCHAR) - 1 AS BIGINT) AS position,
         |       modality, seq_no
         |FROM u ORDER BY position""".stripMargin,
+
+    // first-principles budget replay: stream sums → ⌊B/T⌋ + remainder,
+    // the (id-hash, id) fill cut with the boundary row kept (the
+    // doc_sample_budget window form), copy expansion, md5-rank shuffle
+    "doc_train_order_budgeted" ->
+      """WITH streams AS (
+        |  SELECT 'text' AS modality, doc_id AS seq_no, 10 + doc_id % 7 AS tc
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'multimodal', doc_id, 5 + doc_id % 11
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |sums AS (SELECT modality, CAST(sum(tc) AS BIGINT) AS ts FROM streams GROUP BY 1),
+        |plan AS (
+        |  SELECT modality, ts,
+        |         CASE modality WHEN 'text' THEN 2 * ts + ts // 2
+        |                       ELSE ts // 3 END AS b
+        |  FROM sums),
+        |plan2 AS (
+        |  SELECT modality, b // ts AS nfull,
+        |         CAST(b - (b // ts) * ts AS DOUBLE) AS rem
+        |  FROM plan),
+        |h AS (
+        |  SELECT modality, seq_no, tc,
+        |         modality || ':' || seq_no::VARCHAR AS sid,
+        |         CAST('0x' || substr(md5(modality || ':' || seq_no::VARCHAR), 1, 8) AS BIGINT) AS hh
+        |  FROM streams),
+        |c AS (
+        |  SELECT modality, seq_no, tc, sid,
+        |         coalesce(sum(tc) OVER (PARTITION BY modality ORDER BY hh, sid
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM h),
+        |sel AS (
+        |  SELECT c.modality, c.seq_no, c.tc, c.sid, p.nfull,
+        |         CASE WHEN c.before < p.rem THEN 1 ELSE 0 END AS extra
+        |  FROM c JOIN plan2 p USING (modality)),
+        |copies AS (
+        |  SELECT modality, seq_no, tc, sid, unnest(range(0, nfull + extra)) AS copy
+        |  FROM sel WHERE nfull + extra > 0)
+        |SELECT CAST(row_number() OVER (
+        |         ORDER BY md5('42:' || sid || '#' || copy::VARCHAR),
+        |                  sid || '#' || copy::VARCHAR) - 1 AS BIGINT) AS position,
+        |       modality, CAST(seq_no AS BIGINT) AS seq_no,
+        |       CAST(copy AS BIGINT) AS copy, CAST(tc AS BIGINT) AS n_tokens
+        |FROM copies ORDER BY position""".stripMargin,
 
     // CASTs on the sums: DuckDB sum(BIGINT) widens to HUGEINT, which
     // the gate's hasher rejects even at identical values.
@@ -6166,6 +6512,32 @@ object SparkEntry {
           |FROM seqs s LEFT JOIN refs r USING (seq_no)
           |ORDER BY 1""".stripMargin),
 
+    // the per-channel ledger replay: doc channel = the tier tokenized
+    // once under its own 8-merge chain; media channel = the FINAL
+    // (%3 ∪ %5) winner set tokenized once — a once-per-pack ledger
+    // would have read T(%3) + T(%3∪%5) and failed this hash
+    "stream_drift_channels" ->
+      ("WITH " + bpeChainSql(8, DriftChanCorpusSql) + s""",
+        |fin AS MATERIALIZED (
+        |  SELECT w, len(string_split(trim(seg), '  '))::BIGINT AS nsym FROM w8),
+        |docw AS (
+        |  SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS w
+        |  FROM $DriftChanCorpusSql),
+        |dw AS (SELECT doc_id, w FROM docw WHERE $LetterWordsDomainSql),
+        |dtot AS (
+        |  SELECT d.doc_id, sum(f.nsym)::BIGINT AS tot
+        |  FROM dw d JOIN fin f USING (w) GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 'doc' AS channel,
+        |         CAST((SELECT sum(tot) FROM dtot) AS BIGINT) AS token_ids,
+        |         0::BIGINT AS unk_ids
+        |  UNION ALL
+        |  SELECT 'media',
+        |         CAST((SELECT sum(tot) FROM dtot
+        |               WHERE doc_id % 3 = 0 OR doc_id % 5 = 0) AS BIGINT),
+        |         0::BIGINT)
+        |ORDER BY channel""").stripMargin,
+
     // gen-0 train replay (slice 1), tokenize the winners MINUS the %9
     // contaminated plants (their captions carry the eval passage and
     // the caption battery excludes them), then the same interleaved
@@ -6400,6 +6772,30 @@ object SparkEntry {
          |SELECT component AS media_id, caption AS kept_caption,
          |       media_id AS kept_from, CAST(n - 1 AS BIGINT) AS dropped_count
          |FROM ranked WHERE rk = 1 ORDER BY 1""".stripMargin,
+
+    // the floor replay: candidates below 0.45 never enter the argmax,
+    // and an asset whose best is below floor emits NO row at all —
+    // keep-best alone would have kept its least-garbage caption
+    "mm_caption_floor" ->
+      s"""WITH cands AS (
+         |  SELECT doc_id * 10 AS media_id, 'plain ' || $TokTextSql AS caption,
+         |         CAST(doc_id % 10 AS DOUBLE) / 10.0 AS score
+         |  FROM documents WHERE doc_id < 200
+         |  UNION ALL
+         |  SELECT doc_id * 10, 'alt ' || $TokTextSql,
+         |         CAST(doc_id % 7 AS DOUBLE) / 10.0
+         |  FROM documents WHERE doc_id < 200),
+         |pass AS (SELECT * FROM cands WHERE score >= 0.45),
+         |ranked AS (
+         |  SELECT media_id, caption, score,
+         |         row_number() OVER (PARTITION BY media_id
+         |           ORDER BY score DESC, media_id, caption) AS rk,
+         |         count(*) OVER (PARTITION BY media_id) AS n
+         |  FROM pass)
+         |SELECT media_id, caption AS kept_caption, media_id AS kept_from,
+         |       CAST(score AS DOUBLE) AS kept_score,
+         |       CAST(n - 1 AS BIGINT) AS dropped_count
+         |FROM ranked WHERE rk = 1 ORDER BY media_id""".stripMargin,
 
     // the caption treadmill converges to batch-global keep-best over
     // both slices: mm_caption_keep_best's closure + argmax replay with
@@ -7723,11 +8119,21 @@ object SparkEntry {
     s"(SELECT doc_id, $TokTextSql AS text FROM documents WHERE doc_id < 250 " +
       s"UNION ALL SELECT doc_id + 1000000000, text FROM $CapDriftWinnersSql)"
 
-  /** The four-stream manifest gate's surviving corpus (the planted
-    * exact copies collapse; every caption is its owning doc's text, so
-    * this ONE corpus prices all four streams). */
-  private val Tok200CorpusSql =
-    s"(SELECT doc_id, $TokTextSql AS text FROM documents WHERE doc_id < 200)"
+  /** The four-stream gates' surviving corpus (the planted exact copies
+    * collapse; every caption is its owning doc's text, so this ONE
+    * corpus prices all four streams) — 100 docs: the gates assert
+    * STRUCTURE (pairwise collapse, manifest determinism, budget
+    * arithmetic, cross-channel exclusion), so width is bench noise
+    * (the round-15 fixed-corpus discipline; trimmed from 200 per
+    * verdict r16 Next #5). */
+  private val Tok100CorpusSql =
+    s"(SELECT doc_id, $TokTextSql AS text FROM documents WHERE doc_id < 100)"
+
+  /** The per-channel ledger gate's tier corpus — doc channel = this
+    * tier tokenized once; media channel = the FINAL (%3 ∪ %5) winner
+    * set tokenized once (the delta contract: never once per pack). */
+  private val DriftChanCorpusSql =
+    s"(SELECT doc_id, $TokTextSql AS text FROM documents WHERE doc_id < 120)"
 
   /** SQL twin of [[patText]], and the Bytes-drift gate's FULL tier
     * corpus (patterned train slice + pure-md5 drift slice; disjoint

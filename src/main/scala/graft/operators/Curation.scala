@@ -953,6 +953,88 @@ object Curation {
       .select(col("position"), col("modality"), col("seq_no"))
   }
 
+  /** [[trainOrderStreams]] with per-stream TOKEN BUDGETS — the knob a
+    * mixed-modality training run tunes first: the unweighted manifest
+    * mixes streams proportionally to their SIZE (every sequence
+    * appears exactly once), while a production recipe fixes how many
+    * tokens of each stream one epoch consumes. Each stream supplies
+    * (seq_no, n_tokens) rows; per stream with budget B and token sum
+    * T, every sequence repeats ⌊B/T⌋ times (integer full passes —
+    * upsampling with repetition) and the fractional remainder
+    * B − ⌊B/T⌋·T fills with one more copy of the sequences that come
+    * first in (id-hash, id) order, boundary sequence included — the
+    * EXACT [[epochMaterialize]] per-source contract applied at the
+    * sequence level, engine-replayable end to end. Every emitted copy
+    * then takes a [[globalShuffle]] position keyed on
+    * "modality:seq_no#copy", so repeats scatter across the epoch.
+    *
+    * Output: (position, modality, seq_no, copy, n_tokens) — a dense
+    * global permutation; per-stream emitted tokens are one aggregate
+    * over it (the `epoch_tokens_<stream>` metrics).
+    *
+    * Scale shape: the slim (modality, seq_no, n_tokens, hash, bucket)
+    * frame is pinned and every consumer reads IT (sums, bucket counts,
+    * the fill's two arms, the expansion); the fill is the two-level
+    * bucket cut ([[fillCore]] — never a per-stream global sort); the
+    * expansion is a row-local bounded explode (factor = the epoch's
+    * oversampling, known from the plan); positions come from the
+    * bucketed-rank shuffle. The plan itself is |streams|-row driver
+    * arithmetic over exact integer sums. The returned plan references
+    * the pin — the caller releases it (Catalog.releasePin) after
+    * materializing. */
+  def trainOrderBudgeted(streams: Seq[(String, DataFrame)],
+                         budgets: Map[String, Long],
+                         seed: Long = 42L): DataFrame = {
+    require(streams.nonEmpty, "trainOrderBudgeted needs at least one stream")
+    require(streams.map(_._1).distinct.size == streams.size,
+      s"modality names must be distinct: ${streams.map(_._1).mkString(", ")}")
+    require(streams.forall(s => budgets.contains(s._1)),
+      "every stream needs a budget — missing: " +
+        streams.map(_._1).filterNot(budgets.contains).mkString(", "))
+    require(budgets.values.forall(_ >= 0L),
+      s"budgets must be non-negative: $budgets")
+    val spark = streams.head._2.sparkSession
+    import spark.implicits._
+    val u = streams.map { case (m, df) =>
+        df.select(lit(m).as("modality"), col("seq_no"),
+          col("n_tokens").cast("long").as("__tc"))
+      }.reduce(_ unionByName _)
+      .withColumn("__sid", concat_ws(":", col("modality"), col("seq_no")))
+      .withColumn("__sk", struct(col("modality")))
+      .withColumn("__h", hashU32(col("__sid")))
+      .withColumn("__b", floor(col("__h") / 65536L))
+      .localCheckpoint(true)
+    // |streams|-bounded collect: the plan is driver arithmetic over
+    // exact integer sums — a handful of rows regardless of corpus size
+    val sums = u.groupBy(col("modality")).agg(sum(col("__tc")).as("__ts"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plan = streams.map { case (m, _) =>
+      val ts = sums.getOrElse(m, 0L)
+      val nfull = if (ts > 0L) budgets(m) / ts else 0L
+      (m, nfull, (budgets(m) - nfull * ts).toDouble)
+    }
+    val counts = u.groupBy(col("__sk"), col("__b")).agg(sum(col("__tc")).as("__bt"))
+    val budgetsDf = plan.map { case (m, _, rem) => (m, rem) }
+      .toDF("modality", "__budget")
+      .select(struct(col("modality")).as("__sk"), col("__budget"))
+    val extra = fillCore(u, counts, budgetsDf, "__sid")
+      .select(col("__sid"), lit(1L).as("__extra"))
+    val nfullDf = plan.map { case (m, nf, _) => (m, nf) }.toDF("modality", "__nfull")
+    val expanded = u
+      .join(broadcast(nfullDf), Seq("modality"))
+      .join(extra, Seq("__sid"), "left")
+      .withColumn("__copies",
+        col("__nfull") + coalesce(col("__extra"), lit(0L)))
+      .filter(col("__copies") > 0)
+      .select(col("modality"), col("seq_no"), col("__tc").as("n_tokens"),
+        col("__sid"), explode(sequence(lit(0L), col("__copies") - 1)).as("copy"))
+    val replicas = expanded.withColumn("__rid",
+      concat_ws("#", col("__sid"), col("copy").cast("string")))
+    globalShuffle(replicas, seed, idCol = "__rid")
+      .select(col("position"), col("modality"), col("seq_no"), col("copy"),
+        col("n_tokens"))
+  }
+
   // ------------------------------------------------------------------
   // Corpus vocabulary
   // ------------------------------------------------------------------

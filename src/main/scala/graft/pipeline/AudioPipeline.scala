@@ -92,11 +92,12 @@ object AudioPipeline {
                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
                   windowBytes: Int = 96, hopBytes: Int = 48,
                   captions: Option[DataFrame] = None,
+                  captionMinScore: Double = Double.NegativeInfinity,
                   notify: PipelineReport => Unit = _ => ()): PipelineReport =
     Treadmill.ingestBatch(spark, batch,
       modality(jaccardThreshold, containThreshold, grid, maxBucketSize,
         windowBytes, hopBytes),
-      captions, notify)
+      captions, notify, captionMinScore)
 
   /** The audio treadmill as a STREAM over a parquet landing —
     * [[Treadmill.streamIngest]] with the audio closure. With
@@ -108,12 +109,13 @@ object AudioPipeline {
                    grid: Multimodal.GridExtractor = Multimodal.StubGrid,
                    maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
                    windowBytes: Int = 96, hopBytes: Int = 48,
-                   captioned: Boolean = false)
+                   captioned: Boolean = false,
+                   captionMinScore: Double = Double.NegativeInfinity)
       : org.apache.spark.sql.streaming.StreamingQuery =
     Treadmill.streamIngest(spark, landingDir, checkpointDir,
       modality(jaccardThreshold, containThreshold, grid, maxBucketSize,
         windowBytes, hopBytes),
-      captioned)
+      captioned, captionMinScore)
 
   /** Drop every treadmill table — a fresh-tier reset for self-contained
     * runs (the stream gate queries and specs). */

@@ -145,6 +145,13 @@ object CurationPipeline {
     * kept/dropped counts in the metric map; the dedup, the caption
     * argmax, and the skip metric all read ONE phash-index pin, so the
     * stage decodes each asset exactly once. Requires `media`.
+    * `captionMinScore` is the QUALITY FLOOR shared by all three
+    * caption stages (and the caption treadmills): a candidate scoring
+    * below it never enters keep-best — a component whose best caption
+    * is garbage gets NO caption rather than the least-garbage one —
+    * with the cut reported as `<modality>_caption_floor_dropped`.
+    * NULL scores fail a finite floor; the −∞ default applies no
+    * filter.
     *
     * `videoFrames` (sampled frame rows carrying a `doc_id` reference
     * to the owning document plus [[graft.operators.Multimodal.VideoFrameSchema]]'s
@@ -171,6 +178,16 @@ object CurationPipeline {
     * (windows are headerless byte slices —
     * [[graft.operators.Multimodal.PcmWindowGrid]] is the sample-true
     * path; `mediaGrid`'s whole-payload chain would null every window).
+    *
+    * `streamBudgetTokens` (requires `materializeTokenIds`) turns the
+    * mixed manifest into a TOKEN-BUDGETED recipe: one target per
+    * packed stream ("text" plus each caption modality present —
+    * budgeting a missing stream, or missing a packed one, fails
+    * loudly), realized as ⌊B/T⌋ full passes + a deterministic
+    * hash-order fractional fill per stream
+    * ([[Curation.trainOrderBudgeted]]), with every stream's emitted
+    * token count reported as `epoch_tokens_<stream>` in the metric
+    * map. Empty (the default) keeps size-proportional mixing.
     *
     * `bpeMerges` > 0 trains the tokenizer on the train split
     * (`bpeDomain` picks the trainable-token domain — [[Bpe.AllTokens]]
@@ -210,6 +227,8 @@ object CurationPipeline {
               audioWindowBytes: Int = 96, audioHopBytes: Int = 48,
               audioGrid: graft.operators.Multimodal.GridExtractor =
                 graft.operators.Multimodal.StubGrid,
+              captionMinScore: Double = Double.NegativeInfinity,
+              streamBudgetTokens: Map[String, Long] = Map.empty,
               notify: PipelineReport => Unit = _ => ()): PipelineReport = {
     require(captions.isEmpty || media.nonEmpty,
       "captions curate against the media assets' perceptual components — pass media too")
@@ -219,6 +238,9 @@ object CurationPipeline {
       "transcripts curate against the clips' window-hash components — pass audioClips too")
     require(!materializeTokenIds || bpeMerges > 0,
       "token-id materialization consumes the trained tokenizer — set bpeMerges > 0")
+    require(streamBudgetTokens.isEmpty || materializeTokenIds,
+      "stream token budgets weight the PACKED sequence artifacts — " +
+        "set materializeTokenIds = true")
     val stages = Seq[Stage](
       Stage("quality_gate") { m =>
         // ONE qualityFilter evaluation: the (doc_id, keep, drop_reason)
@@ -325,7 +347,8 @@ object CurationPipeline {
           // media drop is exactly as bad as a silent text drop.
           perceptualStageBody(spark, media.get,
             MediaPipeline.modality(mediaMaxHamming, mediaGrid, maxBucketSize),
-            captions, "media", MediaRefTable, MediaTable, MediaCaptionsTable)
+            captions, "media", MediaRefTable, MediaTable, MediaCaptionsTable,
+            captionMinScore)
         })) ++
       (if (videoFrames.isEmpty) Seq.empty[Stage] else Seq(
         Stage("video_dedup") { _ =>
@@ -337,7 +360,7 @@ object CurationPipeline {
             VideoPipeline.modality(videoJaccard, videoContain, mediaGrid,
               maxBucketSize),
             videoCaptions, "video", VideoRefTable, VideoTable,
-            VideoCaptionsTable)
+            VideoCaptionsTable, captionMinScore)
         })) ++
       (if (audioClips.isEmpty) Seq.empty[Stage] else Seq(
         Stage("audio_dedup") { _ =>
@@ -355,7 +378,7 @@ object CurationPipeline {
             AudioPipeline.modality(audioJaccard, audioContain, audioGrid,
               maxBucketSize, audioWindowBytes, audioHopBytes),
             audioTranscripts, "audio", AudioRefTable, AudioTable,
-            AudioCaptionsTable)
+            AudioCaptionsTable, captionMinScore)
         })) ++
       (if (bpeMerges <= 0) Seq.empty[Stage] else Seq(
         Stage("tokenizer_train") { _ =>
@@ -488,7 +511,8 @@ object CurationPipeline {
                 "audio_caption_unk_ids" -> unks,
                 "audio_caption_contaminated" -> cont)
             })) ++
-          (if (captions.isEmpty && videoCaptions.isEmpty && audioTranscripts.isEmpty)
+          (if (captions.isEmpty && videoCaptions.isEmpty && audioTranscripts.isEmpty
+              && streamBudgetTokens.isEmpty)
             Seq.empty[Stage]
           else Seq(
             Stage("train_order_mixed") { _ =>
@@ -497,24 +521,61 @@ object CurationPipeline {
               // of hand-interleaving the per-modality streams — built
               // whenever ANY non-text stream exists, not only when the
               // still-media one does
-              Catalog.ctasOverwrite(
-                Curation.trainOrderStreams(
-                  Seq("text" -> spark.table(IdSequencesTable).select("seq_no")) ++
-                  (if (captions.isEmpty) Nil
-                   else Seq("multimodal" -> spark.table(MediaSequencesTable).select("seq_no"))) ++
-                  (if (videoCaptions.isEmpty) Nil
-                   else Seq("video" -> spark.table(VideoSequencesTable).select("seq_no"))) ++
-                  (if (audioTranscripts.isEmpty) Nil
-                   else Seq("audio" -> spark.table(AudioSequencesTable).select("seq_no"))),
-                  seed = shuffleSeed),
-                TrainOrderMixedTable)
+              val streamTables =
+                Seq("text" -> IdSequencesTable) ++
+                (if (captions.isEmpty) Nil
+                 else Seq("multimodal" -> MediaSequencesTable)) ++
+                (if (videoCaptions.isEmpty) Nil
+                 else Seq("video" -> VideoSequencesTable)) ++
+                (if (audioTranscripts.isEmpty) Nil
+                 else Seq("audio" -> AudioSequencesTable))
+              val budgetMetrics =
+                if (streamBudgetTokens.isEmpty) {
+                  // size-proportional mixing: every sequence once
+                  Catalog.ctasOverwrite(
+                    Curation.trainOrderStreams(
+                      streamTables.map { case (m, t) =>
+                        m -> spark.table(t).select("seq_no") },
+                      seed = shuffleSeed),
+                    TrainOrderMixedTable)
+                  Map.empty[String, Long]
+                } else {
+                  // BUDGET-WEIGHTED mixing (the training recipe): the
+                  // md5-rank manifest weighted by per-stream token
+                  // targets — ⌊B/T⌋ full passes + hash-order fractional
+                  // fill per stream (Curation.trainOrderBudgeted), with
+                  // each stream's emitted tokens in the metric map. An
+                  // absent stream with a budget (or a budgeted run
+                  // missing a stream's budget) fails loudly: a recipe
+                  // that silently ignores a stream is the exact failure
+                  // this knob exists to prevent.
+                  require(streamBudgetTokens.keySet == streamTables.map(_._1).toSet,
+                    s"streamBudgetTokens must budget exactly the packed streams " +
+                      s"${streamTables.map(_._1).mkString(", ")} — got " +
+                      streamBudgetTokens.keySet.mkString(", "))
+                  val manifest = Curation.trainOrderBudgeted(
+                    streamTables.map { case (m, t) =>
+                      m -> spark.table(t).select(col("seq_no"),
+                        size(col("token_ids")).cast("long").as("n_tokens")) },
+                    streamBudgetTokens, seed = shuffleSeed)
+                  Catalog.ctasOverwrite(manifest, TrainOrderMixedTable)
+                  Catalog.releasePin(manifest)
+                  // |streams|-bounded collect: the per-stream emitted
+                  // token counts ARE the run report — a mix that
+                  // silently starves a stream must be visible in it
+                  spark.table(TrainOrderMixedTable)
+                    .groupBy("modality")
+                    .agg(coalesce(sum("n_tokens"), lit(0L)).as("toks")).collect()
+                    .map(r => s"epoch_tokens_${r.getString(0)}" -> r.getLong(1))
+                    .toMap
+                }
               val agg = spark.table(TrainOrderMixedTable)
                 .agg(count(lit(1)).as("n"),
                   coalesce(max(col("position")) + 1, lit(0L)).as("p")).head()
               require(agg.getLong(0) == agg.getLong(1),
                 s"mixed training order must be a dense permutation: " +
                   s"${agg.getLong(0)} rows, max+1=${agg.getLong(1)}")
-              Map("train_order_mixed_rows" -> agg.getLong(0))
+              budgetMetrics ++ Map("train_order_mixed_rows" -> agg.getLong(0))
             })))) ++
       (if (mixBudgetTokens <= 0L) Seq.empty[Stage] else Seq(
         Stage("epoch_mix") { _ =>
@@ -604,9 +665,14 @@ object CurationPipeline {
     * against ([[BenchmarkTable]]) — written by runFull's decontaminate
     * stage, or directly by a deployment that packs captions without a
     * full run. One normalized `text` column; an empty frame publishes
-    * an empty table (the packs then filter nothing, deterministically). */
+    * an empty table (the packs then filter nothing, deterministically).
+    * Published through the ATOMIC versioned flip (ctasOverwrite), not
+    * the scratch-table overwrite: this table is CROSS-RUN state a
+    * caption pack may read concurrently with a runFull republish — a
+    * reader must resolve the pre- or post-publish snapshot, never a
+    * dropped/half-written table (ADVICE r15). */
   def publishBenchmark(spark: SparkSession, benchmark: DataFrame): Unit =
-    Catalog.overwriteTable(benchmark.select(col("text")), BenchmarkTable)
+    Catalog.ctasOverwrite(benchmark.select(col("text")), BenchmarkTable)
 
   /** Tokenize the stored caption winners ([[MediaCaptionsTable]])
     * against the CURRENT generation's tokenizer and publish the
@@ -680,22 +746,62 @@ object CurationPipeline {
     // generation on its own. The rollover's repack passes None: it is
     // generation BIRTH (the winners just joined the retrain corpus),
     // not served ingest, and the fresh-window contract keeps the new
-    // ledger empty. Keyed by a content hash of the CLEAN winner set in
-    // the NEGATIVE keyspace — idempotent under stage retry (same
-    // content, same key → insertAppendOnce dedups), fresh on any
-    // winner change, never colliding with doc batch keys (min doc_ids,
-    // non-negative by the ingest contract).
+    // ledger empty. Keyed by a content hash of the CLEAN winner set
+    // (plus the seqLen, so distinct packing configs never share a key
+    // — ADVICE r15) in the NEGATIVE keyspace — idempotent under stage
+    // retry (same content, same key → insertAppendOnce dedups), fresh
+    // on any winner change, never colliding with doc batch keys (min
+    // doc_ids, non-negative by the ingest contract).
     // an empty (or fully-contaminated) pack carries no drift signal —
     // appending its zero row would only share the degenerate key
     // across modalities
     statsT.filter(_ => stats.getLong(0) > 0L).foreach { st =>
+      val channel = idCol.stripSuffix("_id")
       // bit_xor, not sum: ANSI mode makes a summed hash an overflow
       // crash; XOR is content-sensitive, order-free, and cannot overflow
       val agg = caps.agg(
         coalesce(sum(Bpe.seedCharCount(col("text"), domain)), lit(0L)),
-        coalesce(bit_xor(xxhash64(lit(idCol), col(idCol), col("text"))), lit(0L))).head()
-      val key = -math.abs(agg.getLong(1) % (Long.MaxValue - 1L)) - 1L
-      appendTokenizerStat(spark, st, key, stats.getLong(0), unks, agg.getLong(0))
+        coalesce(bit_xor(xxhash64(lit(idCol), lit(seqLen), col(idCol), col("text"))),
+          lit(0L))).head()
+      // DELTA vs the channel's prior rows, not full totals (ADVICE
+      // r15): each pack re-tokenizes the FULL winner set, so appending
+      // full totals once per pack would weight the caption stream once
+      // per PACK in the drift blend — healthy re-packs would dilute
+      // the doc UNK share (masking a doc-drift roll) and over-weight
+      // caption drift. With deltas, the channel's ledger sum equals
+      // the LATEST winner set's totals — "the current winner set
+      // tokenized once", the same unit as the doc channel's "each doc
+      // tokenized once". The delta read migrates the schema first, so
+      // legacy rows attribute by key sign before the channel filter.
+      migrateStatsSchema(spark, st)
+      val prev =
+        if (!Catalog.tableExists(spark, st)) (0L, 0L, 0L)
+        else {
+          val r = spark.table(st).filter(col("channel") === channel).agg(
+            coalesce(sum("token_ids"), lit(0L)),
+            coalesce(sum("unk_ids"), lit(0L)),
+            coalesce(sum("seed_chars"), lit(0L))).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+      val (dIds, dUnks, dChars) =
+        (stats.getLong(0) - prev._1, unks - prev._2, agg.getLong(0) - prev._3)
+      // the key folds the PRIOR channel totals into the content hash:
+      // content alone would make an oscillating winner set (W1→W2→W1)
+      // collide its second W1 delta into the first W1 row and silently
+      // drop it through insertAppendOnce. Retry-stability rides on the
+      // ZERO-DELTA SKIP instead — a retry after the append landed
+      // recomputes delta 0 and appends nothing; one before it landed
+      // recomputes the same prior totals, the same key, the same row.
+      // A shrinking winner set yields negative delta legs (sums exact).
+      val mixed = agg.getLong(1) ^
+        java.lang.Long.rotateLeft(prev._1, 17) ^
+        java.lang.Long.rotateLeft(prev._2, 31) ^
+        java.lang.Long.rotateLeft(prev._3, 47)
+      val key = -math.abs(mixed % (Long.MaxValue - 1L)) - 1L
+      // an all-zero delta (same winners re-packed, e.g. at another
+      // seqLen — tokenization is seqLen-invariant) carries no signal
+      if (dIds != 0L || dUnks != 0L || dChars != 0L)
+        appendTokenizerStat(spark, st, key, dIds, dUnks, dChars, channel)
     }
     // release LAST: the ledger aggregate above re-reads the caps plan,
     // which references the hits checkpoint
@@ -724,7 +830,9 @@ object CurationPipeline {
                                   m: Treadmill.Modality,
                                   captions: Option[DataFrame], prefix: String,
                                   refT: String, outT: String,
-                                  capsOutT: String): Map[String, Long] = {
+                                  capsOutT: String,
+                                  captionMinScore: Double = Double.NegativeInfinity)
+      : Map[String, Long] = {
     import graft.operators.Multimodal
     val idCol = m.idCol
     val in = input.select(idCol).distinct().count()
@@ -748,18 +856,30 @@ object CurationPipeline {
             val stored = Seq.empty[(Long, String, Long, Option[Double], Long)]
               .toDF("media_id", "kept_caption", "kept_from",
                 "kept_score", "dropped_count")
+            val named = caps.filter(col("caption").isNotNull)
+              .join(ref.select(idCol).distinct(), Seq(idCol), "left_semi")
+            // the quality FLOOR (the Treadmill fold's contract): a
+            // below-floor candidate never enters keep-best, so a
+            // component whose best is garbage gets NO caption; NULL
+            // scores fail a finite floor, −∞ applies no filter
+            val (passed, floorDropped) =
+              if (captionMinScore.isNegInfinity) (named, 0L)
+              else {
+                val p = named.filter(
+                  col("score").isNotNull && col("score") >= lit(captionMinScore))
+                (p, named.count() - p.count())
+              }
             Catalog.overwriteTable(
               Multimodal.captionKeepBestAgainst(comps, stored,
-                caps.filter(col("caption").isNotNull)
-                  .join(ref.select(idCol).distinct(), Seq(idCol), "left_semi")
-                  .withColumnRenamed(idCol, "media_id"))
+                passed.withColumnRenamed(idCol, "media_id"))
                 .withColumnRenamed("media_id", idCol),
               capsOutT)
             val capsKept = spark.table(capsOutT).count()
             val capsDropped = spark.table(capsOutT)
               .agg(coalesce(sum("dropped_count"), lit(0L))).head().getLong(0)
             Map(s"${prefix}_caption_kept" -> capsKept,
-              s"${prefix}_caption_dropped" -> capsDropped)
+              s"${prefix}_caption_dropped" -> capsDropped,
+              s"${prefix}_caption_floor_dropped" -> floorDropped)
         }
         Map(s"${prefix}_in" -> in,
           s"${prefix}_unreferenced_dropped" -> (in - refCount),
@@ -1044,7 +1164,8 @@ object CurationPipeline {
           val key = ids.agg(min(col("doc_id"))).head()
           if (!key.isNullAt(0))
             appendTokenizerStat(spark, statsT, key.getLong(0),
-              m("batch_token_ids"), m("batch_unk_ids"), m("batch_seed_chars"))
+              m("batch_token_ids"), m("batch_unk_ids"), m("batch_seed_chars"),
+              channel = "doc")
         }
         if (packSeqLen > 0) {
           // full sequences append (seq_no fresh + monotone — the same
@@ -1256,12 +1377,35 @@ object CurationPipeline {
         // ledger window starts genuinely healthy. Winner ids offset
         // out of the doc_id range (word counts are id-blind; the
         // offset just keeps the union a well-formed corpus).
+        //
+        // Winners run the SAME benchmark n-gram battery the packs run
+        // (ADVICE r15): packCaptionSequencesAt excludes contaminated
+        // winners from the packed sequences, but training merges/vocab
+        // on them would let an eval passage become vocabulary tokens —
+        // the side door half-reopened one level down. The repack stays
+        // UNK-free: it excludes exactly the same rows, so every caption
+        // the new generation packs was in its train corpus.
         val clean = spark.table(CleanTierTable).select("doc_id", "text")
+        val benchExists = Catalog.tableExists(spark, BenchmarkTable)
+        var contaminatedWinners = 0L
+        var hitsPins = List.empty[DataFrame]
         val corpus = regen.zipWithIndex.foldLeft(clean) {
           case (acc, ((capsT, _, _, idCol), i)) =>
-            acc.unionByName(spark.table(capsT).select(
+            val winners = spark.table(capsT).select(
               (col(idCol).cast("long") + lit(1000000000L * (i + 1))).as("doc_id"),
-              col("kept_caption").as("text")))
+              col("kept_caption").as("text"))
+            val cleanW =
+              if (!benchExists) winners
+              else {
+                // |contaminated|-sized hit list, pinned: the count and
+                // the anti-join both read it, never the winners twice
+                val hits = Curation.contaminatedIds(
+                  winners, spark.table(BenchmarkTable)).localCheckpoint(true)
+                hitsPins ::= hits
+                contaminatedWinners += hits.count()
+                winners.join(hits, Seq("doc_id"), "left_anti")
+              }
+            acc.unionByName(cleanW)
         }
         val merges = Bpe.trainBatched(corpus, budget, domain = domain)
         Catalog.overwriteTable(
@@ -1269,7 +1413,11 @@ object CurationPipeline {
             .toDF("rank", "left_sym", "right_sym", "pair_count"), mergesT)
         Catalog.overwriteTable(Bpe.vocabTable(corpus, merges, domain = domain), vocabT)
         Catalog.overwriteTable(Seq(Bpe.domainName(domain)).toDF("domain"), metaT)
-        Map("next_generation" -> next, "bpe_merges" -> merges.size.toLong)
+        // release AFTER the vocab write — the corpus plan (and through
+        // it the hit-list checkpoints) has fully materialized by then
+        hitsPins.foreach(Catalog.releasePin)
+        Map("next_generation" -> next, "bpe_merges" -> merges.size.toLong,
+          "retrain_contaminated_winners" -> contaminatedWinners)
       },
       Stage("retokenize_tier") { _ =>
         Catalog.overwriteTable(
@@ -1431,31 +1579,52 @@ object CurationPipeline {
     new Runner(stages, RetryPolicy(retries = 1), notify).run()
   }
 
-  /** One k-sized drift-ledger row, appended idempotently: the one-time
-    * seed_chars migration for a ledger written before the compression
-    * column existed (widen legacy rows with 0 — the compression read
-    * already treats a zero denominator as no-signal), ensure, append.
-    * The ledger stays an APPEND TABLE (never a ctasOverwrite view);
-    * the migration pin breaks the read-while-overwrite cycle. Doc
-    * batches key by their min doc_id (fresh + monotone); caption packs
-    * key by a content hash in the NEGATIVE keyspace, so the two
+  /** One k-sized drift-ledger row, appended idempotently: run the
+    * one-time schema migrations ([[migrateStatsSchema]]), ensure,
+    * append. The ledger stays an APPEND TABLE (never a ctasOverwrite
+    * view); the migration pin breaks the read-while-overwrite cycle.
+    * Doc batches key by their min doc_id (fresh + monotone); caption
+    * packs key by a content hash in the NEGATIVE keyspace, so the two
     * producers cannot collide (the ingest contract keeps doc ids
-    * non-negative). */
+    * non-negative). `channel` names the producing stream ("doc", or
+    * the caption modality) — self-describing where the key sign was
+    * only recoverable (ADVICE r15 / verdict Next #3). */
   private def appendTokenizerStat(spark: SparkSession, statsT: String,
                                   key: Long, ids: Long, unks: Long,
-                                  seedChars: Long): Unit = {
+                                  seedChars: Long, channel: String): Unit = {
     import spark.implicits._
-    val stat = Seq((key, ids, unks, seedChars))
-      .toDF("batch_key", "token_ids", "unk_ids", "seed_chars")
-    if (Catalog.tableExists(spark, statsT) &&
-        !spark.table(statsT).columns.contains("seed_chars")) {
-      val migrated = spark.table(statsT)
-        .withColumn("seed_chars", lit(0L)).localCheckpoint(true)
+    val stat = Seq((key, ids, unks, seedChars, channel))
+      .toDF("batch_key", "token_ids", "unk_ids", "seed_chars", "channel")
+    migrateStatsSchema(spark, statsT)
+    Catalog.ensureTable(spark, statsT, stat.schema)
+    Catalog.insertAppendOnce(spark, statsT, stat, "batch_key")
+  }
+
+  /** The ledger's one-time column migrations, shared by the append and
+    * by any read that must attribute rows per channel BEFORE appending
+    * (the caption delta read): a ledger written before compression
+    * tracking widens with seed_chars = 0 (the compression read treats
+    * a zero denominator as no-signal), and one written before channel
+    * tracking widens with the key-sign attribution that was the
+    * implicit contract — non-negative keys are doc batches, negative
+    * keys caption packs (per-MODALITY attribution of legacy caption
+    * rows is unrecoverable; they migrate as the umbrella "caption",
+    * and the first post-migration pack of each modality re-baselines
+    * its channel — a bounded upgrade-boundary fuzz that the next
+    * rollover's fresh ledger window clears). */
+  private def migrateStatsSchema(spark: SparkSession, statsT: String): Unit = {
+    if (!Catalog.tableExists(spark, statsT)) return
+    val cols = spark.table(statsT).columns
+    if (!cols.contains("seed_chars") || !cols.contains("channel")) {
+      var t = spark.table(statsT)
+      if (!cols.contains("seed_chars")) t = t.withColumn("seed_chars", lit(0L))
+      if (!cols.contains("channel"))
+        t = t.withColumn("channel",
+          when(col("batch_key") >= 0, lit("doc")).otherwise(lit("caption")))
+      val migrated = t.localCheckpoint(true)
       Catalog.overwriteTable(migrated, statsT)
       Catalog.releasePin(migrated)
     }
-    Catalog.ensureTable(spark, statsT, stat.schema)
-    Catalog.insertAppendOnce(spark, statsT, stat, "batch_key")
   }
 
   /** The WHEN-TO-RETRAIN signal: cumulative (token_ids, unk_ids) the
@@ -1480,6 +1649,35 @@ object CurationPipeline {
       val r = spark.table(statsT).agg(
         coalesce(sum("token_ids"), lit(0L)), coalesce(sum("unk_ids"), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
+    }
+  }
+
+  /** The drift signal SPLIT BY PRODUCING STREAM — "which stream is
+    * drifting" without key archaeology (verdict r15 Next #3): one
+    * (channel, token_ids, unk_ids, seed_chars) row per channel of the
+    * current generation's ledger ("doc" for document batches, the
+    * modality name for caption packs, "caption" for pre-migration
+    * rows). READ-ONLY: a ledger written before the channel/seed_chars
+    * columns derives them in the plan (key sign / 0) instead of
+    * rewriting the table from a monitoring path. The roll DECISION is
+    * unchanged — [[maybeRetrainTokenizer]] still blends all channels;
+    * this read is the operator-facing attribution next to it. */
+  def tokenizerDriftByChannel(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val statsT = genName(TokenizerStatsTable, currentTokenizerGeneration(spark))
+    if (!Catalog.tableExists(spark, statsT))
+      Seq.empty[(String, Long, Long, Long)]
+        .toDF("channel", "token_ids", "unk_ids", "seed_chars")
+    else {
+      var t = spark.table(statsT)
+      if (!t.columns.contains("seed_chars")) t = t.withColumn("seed_chars", lit(0L))
+      if (!t.columns.contains("channel"))
+        t = t.withColumn("channel",
+          when(col("batch_key") >= 0, lit("doc")).otherwise(lit("caption")))
+      t.groupBy("channel").agg(
+        coalesce(sum("token_ids"), lit(0L)).as("token_ids"),
+        coalesce(sum("unk_ids"), lit(0L)).as("unk_ids"),
+        coalesce(sum("seed_chars"), lit(0L)).as("seed_chars"))
     }
   }
 

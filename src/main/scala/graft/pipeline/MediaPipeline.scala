@@ -88,9 +88,11 @@ object MediaPipeline {
                   grid: Multimodal.GridExtractor = Multimodal.StubGrid,
                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
                   captions: Option[DataFrame] = None,
+                  captionMinScore: Double = Double.NegativeInfinity,
                   notify: PipelineReport => Unit = _ => ()): PipelineReport =
     Treadmill.ingestBatch(spark, batch,
-      modality(maxHamming, grid, maxBucketSize), captions, notify)
+      modality(maxHamming, grid, maxBucketSize), captions, notify,
+      captionMinScore)
 
   /** The media treadmill as a STREAM over a parquet landing (binary
     * payloads make parquet the natural landing format where docs and
@@ -103,10 +105,11 @@ object MediaPipeline {
                    maxHamming: Int = 3,
                    grid: Multimodal.GridExtractor = Multimodal.StubGrid,
                    maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
-                   captioned: Boolean = false)
+                   captioned: Boolean = false,
+                   captionMinScore: Double = Double.NegativeInfinity)
       : org.apache.spark.sql.streaming.StreamingQuery =
     Treadmill.streamIngest(spark, landingDir, checkpointDir,
-      modality(maxHamming, grid, maxBucketSize), captioned)
+      modality(maxHamming, grid, maxBucketSize), captioned, captionMinScore)
 
   /** Drop every treadmill table — a fresh-tier reset for self-contained
     * runs (the stream gate query and specs). */

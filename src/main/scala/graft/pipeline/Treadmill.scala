@@ -184,10 +184,23 @@ object Treadmill {
 
   /** Ingest one slice: reconcile against the stored index, optionally
     * fold the slice's caption candidates into the running keep-best
-    * artifact, publish survivors + their index rows idempotently. */
+    * artifact, publish survivors + their index rows idempotently.
+    *
+    * `captionMinScore` is the QUALITY FLOOR on the keep-best fold
+    * (verdict r15 Next #2): candidates scoring below it never enter
+    * the fold, so a component whose BEST caption is garbage gets NO
+    * caption at all instead of the least-garbage one — keep-best
+    * alone keeps the max even when the max is junk. A finite floor
+    * requires scores: a NULL score cannot certify quality and fails
+    * the floor; the default (−∞) applies no filter, so score-less
+    * deployments are untouched. Floored candidates still advance the
+    * replay watermark (they were seen and DECIDED — a redelivery must
+    * not re-present them), and the per-batch `caption_floor_dropped`
+    * metric makes the cut observable. */
   def ingestBatch(spark: SparkSession, batch: DataFrame, m: Modality,
                   captions: Option[DataFrame],
-                  notify: PipelineReport => Unit): PipelineReport = {
+                  notify: PipelineReport => Unit,
+                  captionMinScore: Double = Double.NegativeInfinity): PipelineReport = {
     val idCol = m.idCol
     val stages = Seq(
       Stage("probe_tier") { _ =>
@@ -271,15 +284,26 @@ object Treadmill {
               .agg(coalesce(max("folded_max_id"), lit(Long.MinValue)))
               .head().getLong(0)
             val named = caps.filter(col("caption").isNotNull)
+            // the quality floor: below-floor candidates never enter
+            // the fold (NULL scores fail a finite floor — they cannot
+            // certify quality); −∞ keeps score-less deployments exact
+            val floorPass =
+              if (captionMinScore.isNegInfinity) lit(true)
+              else col("score").isNotNull && col("score") >= lit(captionMinScore)
             // ONE aggregate over the candidates: total, fresh count,
-            // and the new stamp (the caller's caps plan is unpinned —
-            // four separate actions would re-evaluate it four times)
+            // the new stamp, and the floor survivors (the caller's
+            // caps plan is unpinned — separate actions would
+            // re-evaluate it once each)
             val agg = named.agg(
               count(lit(1)).as("n"),
               count(when(col(idCol) > watermark, lit(1))).as("fresh"),
-              max(when(col(idCol) > watermark, col(idCol))).as("mx")).head()
+              max(when(col(idCol) > watermark, col(idCol))).as("mx"),
+              count(when(col(idCol) > watermark && floorPass, lit(1))).as("pass")).head()
             val (total, fresh) = (agg.getLong(0), agg.getLong(1))
-            val cands = named.filter(col(idCol) > watermark)
+            // the watermark advances over ALL fresh candidates (floored
+            // ones were seen and decided — a redelivery must not
+            // re-present them); only floor survivors enter the fold
+            val cands = named.filter(col(idCol) > watermark && floorPass)
             Catalog.overwriteTable(
               Multimodal.captionKeepBestAgainst(
                 spark.table(m.batchComponentsTable), stored.drop("folded_max_id"),
@@ -290,7 +314,8 @@ object Treadmill {
               m.batchCaptionsTable)
             Map("caption_components_touched" -> spark.table(m.batchCaptionsTable).count(),
               "caption_candidates" -> total,
-              "caption_replay_skipped" -> (total - fresh))
+              "caption_replay_skipped" -> (total - fresh),
+              "caption_floor_dropped" -> (fresh - agg.getLong(3)))
           })
       }) ++
       Seq(
@@ -325,7 +350,8 @@ object Treadmill {
     * modality's convention — one landing stream feeds both
     * artifacts. */
   def streamIngest(spark: SparkSession, landingDir: String, checkpointDir: String,
-                   m: Modality, captioned: Boolean)
+                   m: Modality, captioned: Boolean,
+                   captionMinScore: Double = Double.NegativeInfinity)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val schema =
       if (!captioned) m.landingSchema
@@ -341,7 +367,7 @@ object Treadmill {
             val (e, c) = m.splitCaptions(pinned)
             (e, Some(c))
           } else (pinned, None)
-        ingestBatch(sess, entities, m, caps, _ => ())
+        ingestBatch(sess, entities, m, caps, _ => (), captionMinScore)
       },
       refreshTables = _ => Seq(m.tierTable, m.indexTable, m.captionsTable),
       label = s"${m.idCol} treadmill")

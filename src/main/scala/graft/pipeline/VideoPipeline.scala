@@ -98,10 +98,11 @@ object VideoPipeline {
                   grid: Multimodal.GridExtractor = Multimodal.StubGrid,
                   maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
                   captions: Option[DataFrame] = None,
+                  captionMinScore: Double = Double.NegativeInfinity,
                   notify: PipelineReport => Unit = _ => ()): PipelineReport =
     Treadmill.ingestBatch(spark, frames,
       modality(jaccardThreshold, containThreshold, grid, maxBucketSize),
-      captions, notify)
+      captions, notify, captionMinScore)
 
   /** The video treadmill as a STREAM over a parquet frame landing
     * ([[Multimodal.VideoFrameSchema]]) — [[Treadmill.streamIngest]]
@@ -114,11 +115,12 @@ object VideoPipeline {
                    jaccardThreshold: Double = 0.9, containThreshold: Double = 0.9,
                    grid: Multimodal.GridExtractor = Multimodal.StubGrid,
                    maxBucketSize: Int = TextDedup.DefaultMaxBucketSize,
-                   captioned: Boolean = false)
+                   captioned: Boolean = false,
+                   captionMinScore: Double = Double.NegativeInfinity)
       : org.apache.spark.sql.streaming.StreamingQuery =
     Treadmill.streamIngest(spark, landingDir, checkpointDir,
       modality(jaccardThreshold, containThreshold, grid, maxBucketSize),
-      captioned)
+      captioned, captionMinScore)
 
   /** Drop every treadmill table — a fresh-tier reset for self-contained
     * runs (the stream gate query and specs). */

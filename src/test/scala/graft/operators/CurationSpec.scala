@@ -518,6 +518,51 @@ class CurationSpec extends SparkSpec {
     assert(other.sortBy(_._1).map(_._2).toSeq != out.sortBy(_._1).map(_._2).toSeq)
   }
 
+  test("trainOrderBudgeted: ⌊B/T⌋ full passes + hash-order fill per stream; dense permutation; zero budget empties a stream") {
+    val a = (0L until 40L).toDF("seq_no")
+      .withColumn("n_tokens", lit(10L) + $"seq_no" % 7)
+    val b = (0L until 30L).toDF("seq_no")
+      .withColumn("n_tokens", lit(5L) + $"seq_no" % 11)
+    val ta = a.agg(sum("n_tokens")).head().getLong(0)
+    val tb = b.agg(sum("n_tokens")).head().getLong(0)
+    val budgets = Map("text" -> (2L * ta + ta / 2L), "mm" -> (tb / 3L))
+    val out = Curation.trainOrderBudgeted(
+      Seq("text" -> a, "mm" -> b), budgets, seed = 7L).collect()
+    // dense global permutation over every emitted copy
+    assert(out.map(_.getAs[Long]("position")).sorted.toSeq ==
+      (0L until out.length.toLong))
+    // per-stream emitted tokens meet the budget, overshooting by less
+    // than the boundary sequence (max tc: text 16, mm 15)
+    val toks = out.groupBy(_.getAs[String]("modality"))
+      .map { case (m, rs) => m -> rs.map(_.getAs[Long]("n_tokens")).sum }
+    assert(toks("text") >= budgets("text") && toks("text") < budgets("text") + 16L,
+      toks.toString)
+    assert(toks("mm") >= budgets("mm") && toks("mm") < budgets("mm") + 15L,
+      toks.toString)
+    // 2.5 passes of text: every sequence 2 or 3 copies, both present
+    val textCopies = out.filter(_.getAs[String]("modality") == "text")
+      .groupBy(_.getAs[Long]("seq_no")).map(_._2.length).toSet
+    assert(textCopies == Set(2, 3), textCopies.toString)
+    // a third of mm: fill-only, each selected sequence exactly once
+    val mmCopies = out.filter(_.getAs[String]("modality") == "mm")
+      .groupBy(_.getAs[Long]("seq_no")).map(_._2.length).toSet
+    assert(mmCopies == Set(1), mmCopies.toString)
+    // deterministic end to end
+    val again = Curation.trainOrderBudgeted(
+      Seq("text" -> a, "mm" -> b), budgets, seed = 7L).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+    // a zero budget removes the stream from the epoch entirely
+    val z = Curation.trainOrderBudgeted(
+      Seq("text" -> a, "mm" -> b), Map("text" -> 0L, "mm" -> (tb / 3L)), 7L)
+    assert(z.filter($"modality" === "text").count() == 0L)
+    assert(z.filter($"modality" === "mm").count() > 0L)
+    // a missing budget is a loud error, not a silently-starved stream
+    intercept[IllegalArgumentException] {
+      Curation.trainOrderBudgeted(Seq("text" -> a, "mm" -> b),
+        Map("text" -> 10L), 7L)
+    }
+  }
+
   test("vocabTopK orders by count desc then term, and drops empty tokens") {
     val d = Seq((1L, "b b b a a c"), (2L, "a   c "), (3L, "")).toDF("doc_id", "text")
     val v = Curation.vocabTopK(d, topK = 2).as[(String, Long)].collect()

@@ -1221,4 +1221,156 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
       maxUnkShare = 0.5, maxCompressionInflation = 1.2).isEmpty)
     assert(CurationPipeline.currentTokenizerGeneration(spark) == 1L)
   }
+
+  private def channelSums: Map[String, (Long, Long, Long)] =
+    CurationPipeline.tokenizerDriftByChannel(spark).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+  test("caption ledger is per-channel DELTA: re-packs never inflate; oscillating winner sets re-baseline") {
+    import graft.operators.Bpe
+    import graft.plans.Catalog
+    CurationPipeline.resetTreadmill(spark)
+    val batch1 = Seq((1L, tokWords(1)), (2L, tokWords(2))).toDF("doc_id", "text")
+    CurationPipeline.publishTokenizer(spark, batch1, numMerges = 3)
+    CurationPipeline.ingestBatch(spark, batch1, tokenize = true)
+    val docTotals = channelSums("doc")
+    val w1 = Seq((1L, tokWords(1))).toDF("media_id", "kept_caption")
+    val w2 = Seq((1L, tokWords(1)), (2L, tokWords(2)))
+      .toDF("media_id", "kept_caption")
+    def packWith(w: org.apache.spark.sql.DataFrame): Unit = {
+      Catalog.overwriteTable(w, CurationPipeline.MediaCaptionsTable)
+      CurationPipeline.packCaptionSequences(spark, seqLen = 7)
+    }
+    def tokensOf(w: org.apache.spark.sql.DataFrame): Long = {
+      val tt = CurationPipeline.tokenizerTables(spark)
+      val merges = spark.table(tt.merges).orderBy("rank").collect()
+        .map(r => Bpe.Merge(r.getAs[Int]("rank"), r.getAs[String]("left_sym"),
+          r.getAs[String]("right_sym"), r.getAs[Long]("pair_count"))).toSeq
+      Bpe.tokenizeIds(w.withColumnRenamed("kept_caption", "text"), merges,
+          spark.table(tt.vocab), idCol = "media_id")
+        .agg(coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"))
+        .head().getLong(0)
+    }
+    packWith(w1)
+    val t1 = tokensOf(w1)
+    assert(channelSums("media")._1 == t1 && t1 > 0L, channelSums.toString)
+    // the winner set GROWS and re-packs (a healthy treadmill wave): the
+    // channel's cumulative must equal the LATEST set tokenized once,
+    // never first-pack + second-pack full totals
+    packWith(w2)
+    val t2 = tokensOf(w2)
+    assert(channelSums("media")._1 == t2, channelSums.toString)
+    assert(t2 < t1 + t2, "sanity: full totals would have inflated")
+    // ...and OSCILLATES back: the delta row must land (the key folds
+    // the prior totals — pure content keying would dedup it away) and
+    // the cumulative must re-baseline to w1's totals
+    packWith(w1)
+    assert(channelSums("media")._1 == t1, channelSums.toString)
+    // the doc channel never moved
+    assert(channelSums("doc") == docTotals, channelSums.toString)
+    // the blended trigger read equals the channel sums' blend
+    val (ids, _) = CurationPipeline.tokenizerDrift(spark)
+    assert(ids == docTotals._1 + t1, s"$ids vs ${docTotals._1} + $t1")
+  }
+
+  test("retrainTokenizer decontaminates the winners: eval seeds never become vocabulary") {
+    import graft.plans.Catalog
+    CurationPipeline.resetTreadmill(spark)
+    val batch1 = Seq((1L, tokWords(1)), (2L, tokWords(2))).toDF("doc_id", "text")
+    CurationPipeline.publishTokenizer(spark, batch1, numMerges = 3)
+    CurationPipeline.ingestBatch(spark, batch1, tokenize = true)
+    val passage = "the benchmark answer keys must never leak into training corpora"
+    CurationPipeline.publishBenchmark(spark, Seq(passage).toDF("text"))
+    // winner 1 drifts (forces the roll); winner 2 carries the eval
+    // passage — its seeds ('k', 'y', …) exist NOWHERE else
+    val winners = Seq((1L, tokWords(1) + " éé"), (2L, tokWords(2) + " " + passage))
+      .toDF("media_id", "kept_caption")
+    Catalog.overwriteTable(winners, CurationPipeline.MediaCaptionsTable)
+    val (_, _, unks, cont) = CurationPipeline.packCaptionSequences(spark, seqLen = 7)
+    assert(unks > 0L && cont == 1L, s"unks=$unks cont=$cont")
+    val roll = CurationPipeline.maybeRetrainTokenizer(spark, maxUnkShare = 0.001)
+    assert(roll.nonEmpty && roll.get.ok, roll.toString)
+    assert(roll.get.metrics("retrain_contaminated_winners") == 1L,
+      roll.get.metrics.toString)
+    // the repack excluded the same contaminated winner and is UNK-free
+    // (the clean winner WAS in the retrain corpus)
+    assert(roll.get.metrics("media_caption_contaminated") == 1L, roll.get.metrics.toString)
+    assert(roll.get.metrics("media_caption_unk_ids") == 0L, roll.get.metrics.toString)
+    // gen-1 vocabulary: the clean winner's drift seed made it in; the
+    // eval passage's unique seeds did NOT (the ADVICE r15 side door)
+    val tt = CurationPipeline.tokenizerTables(spark)
+    assert(tt.generation == 1L)
+    val symbols = spark.table(tt.vocab).select("symbol").as[String].collect().toSet
+    assert(symbols.exists(_.contains("é")), "the drift seed must be closed by the roll")
+    assert(!symbols.exists(s => s.contains("k") || s.contains("y")),
+      s"eval-only seeds leaked into the vocabulary: ${symbols.filter(s => s.contains("k") || s.contains("y"))}")
+  }
+
+  test("runFull after a rollover re-bootstraps generation 0: caption drift rows land in the LIVE ledger") {
+    import graft.plans.Catalog
+    CurationPipeline.resetTreadmill(spark)
+    val batch1 = Seq((1L, tokWords(1)), (2L, tokWords(2))).toDF("doc_id", "text")
+    CurationPipeline.publishTokenizer(spark, batch1, numMerges = 3)
+    CurationPipeline.ingestBatch(spark, batch1, tokenize = true)
+    Catalog.overwriteTable(Seq((1L, tokWords(1) + " éé")).toDF("media_id", "kept_caption"),
+      CurationPipeline.MediaCaptionsTable)
+    CurationPipeline.packCaptionSequences(spark, seqLen = 7)
+    assert(CurationPipeline.maybeRetrainTokenizer(spark, maxUnkShare = 0.001).nonEmpty)
+    assert(CurationPipeline.currentTokenizerGeneration(spark) == 1L)
+    // a BATCH runFull over the rolled warehouse: tokenizer_train's
+    // generation reset makes its artifacts generation 0 again, so the
+    // bare stats table its pack stages feed IS the current ledger —
+    // the rows reach maybeRetrainTokenizer, not a dead generation
+    // (ADVICE r15 regression)
+    def body(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val planted = Seq((1L, body("alpha", 60)), (2L, body("beta", 60)))
+      .toDF("doc_id", "text")
+    def payload(seed: Int): Array[Byte] =
+      Array.tabulate(96)(i => (33 + (seed * 31 + i * 7) % 90).toByte)
+    val mediaDf = Seq((1L, 10L, payload(1)), (2L, 12L, payload(2)))
+      .toDF("doc_id", "media_id", "bytes")
+      .select($"doc_id", $"media_id", lit("image").as("kind"),
+        lit("raw").as("format"), $"bytes")
+    val caps = Seq((10L, "an alpha photo", 0.5), (12L, "the beta bench", 0.5))
+      .toDF("media_id", "caption", "score")
+    val report = CurationPipeline.runFull(spark, planted,
+      spark.emptyDataFrame.withColumn("text", lit("")).select("text"),
+      jaccardThreshold = 0.5, minTokens = 10, maxPunctRatio = 1.0,
+      minStopwordRatio = 0.0, bpeMerges = 3, materializeTokenIds = true,
+      media = Some(mediaDf), captions = Some(caps))
+    assert(report.ok, report.stages.toString)
+    assert(CurationPipeline.currentTokenizerGeneration(spark) == 0L)
+    val byChan = channelSums
+    assert(byChan.contains("media") && byChan("media")._1 > 0L, byChan.toString)
+    // the blended trigger read sees the caption rows
+    assert(CurationPipeline.tokenizerDrift(spark)._1 >= byChan("media")._1)
+  }
+
+  test("ledger schema migration: legacy rows widen with key-sign channel attribution") {
+    import graft.plans.Catalog
+    CurationPipeline.resetTreadmill(spark)
+    val batch1 = Seq((1L, tokWords(1)), (2L, tokWords(2))).toDF("doc_id", "text")
+    CurationPipeline.publishTokenizer(spark, batch1, numMerges = 3)
+    CurationPipeline.ingestBatch(spark, batch1, tokenize = true)
+    val statsT = CurationPipeline.tokenizerTables(spark).stats
+    val fresh = spark.table(statsT)
+      .select("batch_key", "token_ids", "unk_ids").as[(Long, Long, Long)].collect()
+    // simulate a pre-channel (and pre-seed_chars) ledger with one doc
+    // row and one caption-keyed row
+    Catalog.overwriteTable(
+      (fresh.toSeq :+ ((-7L, 5L, 2L))).toDF("batch_key", "token_ids", "unk_ids"),
+      statsT)
+    // a read BEFORE any migration attributes by key sign, read-only
+    val before = channelSums
+    assert(before("doc")._1 == fresh.map(_._2).sum, before.toString)
+    assert(before("caption") == ((5L, 2L, 0L)), before.toString)
+    // the next doc batch's append migrates the table in place
+    val batch2 = Seq((3L, tokWords(3))).toDF("doc_id", "text")
+    CurationPipeline.ingestBatch(spark, batch2, tokenize = true)
+    val cols = spark.table(statsT).columns.toSet
+    assert(cols.contains("channel") && cols.contains("seed_chars"), cols.toString)
+    val after = channelSums
+    assert(after("caption") == ((5L, 2L, 0L)), after.toString)
+    assert(after("doc")._1 > before("doc")._1, after.toString)
+  }
 }

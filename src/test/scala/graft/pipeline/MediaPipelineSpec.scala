@@ -232,6 +232,47 @@ class MediaPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     assert(spark.table(MediaPipeline.CaptionsTable).collect().toSet == before)
   }
 
+  test("caption treadmill: the quality floor drops garbage-only components; floored candidates still advance the watermark") {
+    // asset 1's ONLY caption is garbage — keep-best alone would keep
+    // it; with the floor the component gets NO caption. Asset 2 has
+    // garbage + good — good wins as usual.
+    val r1 = MediaPipeline.ingestBatch(spark,
+      media(1L -> payload(1), 2L -> payload(2)),
+      captions = Some(caps((1L, "asdf jkl", 0.1), (2L, "junk", 0.2),
+        (2L, "a fine bench photo", 0.8))),
+      captionMinScore = 0.5)
+    assert(r1.ok, r1.stages.toString)
+    assert(r1.metrics("caption_floor_dropped") == 2L, r1.metrics.toString)
+    val got = spark.table(MediaPipeline.CaptionsTable)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        r.getAs[String]("kept_caption")).toMap
+    assert(got == Map(2L -> "a fine bench photo"), got.toString)
+    // the floored candidates advanced the watermark: redelivering them
+    // is a REPLAY skip, not a second floor decision — and a fresh
+    // below-floor candidate for asset 2 never displaces the winner
+    val r2 = MediaPipeline.ingestBatch(spark,
+      media(3L -> payload(3)),
+      captions = Some(caps((1L, "asdf jkl", 0.1), (3L, "a crisp new thing", 0.9))),
+      captionMinScore = 0.5)
+    assert(r2.ok, r2.stages.toString)
+    assert(r2.metrics("caption_replay_skipped") == 1L, r2.metrics.toString)
+    assert(r2.metrics("caption_floor_dropped") == 0L, r2.metrics.toString)
+    val after = spark.table(MediaPipeline.CaptionsTable)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        r.getAs[String]("kept_caption")).toMap
+    assert(after == Map(2L -> "a fine bench photo", 3L -> "a crisp new thing"),
+      after.toString)
+    // a NULL score cannot certify quality: it fails a finite floor
+    val r3 = MediaPipeline.ingestBatch(spark,
+      media(4L -> payload(4)),
+      captions = Some(spark.sql(
+        "SELECT 4L AS media_id, 'unscored' AS caption, CAST(NULL AS DOUBLE) AS score")),
+      captionMinScore = 0.5)
+    assert(r3.ok && r3.metrics("caption_floor_dropped") == 1L, r3.metrics.toString)
+    assert(!spark.table(MediaPipeline.CaptionsTable)
+      .collect().exists(_.getAs[Long]("media_id") == 4L))
+  }
+
   test("caption treadmill: a REDELIVERED batch folds as a no-op (at-least-once replay safety)") {
     // foreachBatch is at-least-once: a crash after the caption merge
     // but before the checkpoint commit redelivers the whole batch.
