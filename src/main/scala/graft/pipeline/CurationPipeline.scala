@@ -562,7 +562,11 @@ object CurationPipeline {
                   Catalog.releasePin(manifest)
                   // |streams|-bounded collect: the per-stream emitted
                   // token counts ARE the run report — a mix that
-                  // silently starves a stream must be visible in it
+                  // silently starves a stream must be visible in it,
+                  // so every budgeted stream gets a row (explicit 0
+                  // when its packed table was empty, never absent)
+                  streamBudgetTokens.map { case (m, _) =>
+                    s"epoch_tokens_$m" -> 0L } ++
                   spark.table(TrainOrderMixedTable)
                     .groupBy("modality")
                     .agg(coalesce(sum("n_tokens"), lit(0L)).as("toks")).collect()
