@@ -484,7 +484,7 @@ object Bpe {
     * arrays instead of token counts). Emits (seq_no, token_ids);
     * every sequence except the final one carries exactly `seqLen` ids.
     *
-    * Scale shape: the global offset is [[Curation.twoLevelPrefix]]
+    * Scale shape: the global offset is [[Curation.chunkedPrefix]]
     * (never an unpartitioned window), the straddle explode is
     * row-local and bounded by ceil(doc_tokens/seqLen)+1, and the
     * per-sequence reassembly is one hash-partitioned aggregate whose
@@ -492,7 +492,7 @@ object Bpe {
   def packIdSequences(tokenized: DataFrame, seqLen: Int = 2048,
                       chunkDocs: Int = 1024, idCol: String = "doc_id"): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
-    // pinned (the packEpoch discipline): the two-level prefix reads its
+    // pinned (the packEpoch discipline): the chunked prefix reads its
     // input twice (per-chunk window + chunk totals), and when
     // `tokenized` is a LIVE tokenizeIds plan re-evaluating it doubles
     // the whole segment/join materialization. At 100 TB the caller
@@ -501,7 +501,7 @@ object Bpe {
     val counted = tokenized.select(col(idCol), col("token_ids"),
       size(col("token_ids")).cast("long").as("token_count"))
       .localCheckpoint(true)
-    sliceToSequences(Curation.twoLevelPrefix(counted, idCol, chunkDocs),
+    sliceToSequences(Curation.chunkedPrefix(counted, idCol, chunkDocs),
       seqLen, idCol)
   }
 
@@ -548,7 +548,7 @@ object Bpe {
     *
     * The refs need NO second pack pass: a block's sentinel sits at the
     * block's global start offset, so (seq_no, pos) = (start / seqLen,
-    * start % seqLen) read straight off the SAME two-level prefix frame
+    * start % seqLen) read straight off the SAME chunked prefix frame
     * the slicing consumes — one pinned pass over the caption table,
     * two cheap derivations. The trailing partial sequence is emitted
     * (callers keep or carry it — the packIdSequences contract). */
@@ -561,7 +561,7 @@ object Bpe {
       .select(col(idCol), col("token_ids"),
         size(col("token_ids")).cast("long").as("token_count"))
       .localCheckpoint(true)
-    val packed = Curation.twoLevelPrefix(counted, idCol, chunkDocs)
+    val packed = Curation.chunkedPrefix(counted, idCol, chunkDocs)
     val seqs = sliceToSequences(packed, seqLen, idCol)
     val refs = packed
       .select(floor(col("__start") / seqLen).cast("long").as("seq_no"),

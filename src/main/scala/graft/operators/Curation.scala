@@ -768,16 +768,17 @@ object Curation {
     * start offset and the sequence (`start / seqLen`) its first token
     * lands in — the deterministic concat-then-slice batching model.
     *
-    * The global prefix sum is TWO-LEVEL, not a global window (an
-    * unpartitioned window funnels the corpus through one task): docs
-    * prefix-sum within doc_id chunks of `chunkDocs` (a partitioned
-    * window), chunk totals prefix-sum on the driver-sized chunk list
-    * (one row per ~1k docs — 10⁷ rows at a 10¹⁰-doc corpus, the only
-    * unpartitioned step), and the broadcast-joined chunk offsets add
-    * up to the exact global prefix. */
+    * The global prefix sum is CHUNKED (three-level), not a global
+    * window (an unpartitioned window funnels the corpus through one
+    * task): docs prefix-sum within doc_id chunks of `chunkDocs` (a
+    * partitioned window), chunk totals within superchunks of
+    * `chunkDocs` chunks (another partitioned window), and only the
+    * superchunk totals — one row per `chunkDocs`² docs, ~10⁴ at a
+    * 10¹⁰-doc corpus — take the one unpartitioned step; the
+    * broadcast-joined offsets add up to the exact global prefix. */
   def packSequences(docs: DataFrame, seqLen: Int = 2048, chunkDocs: Int = 1024,
                     textCol: String = "text"): DataFrame =
-    twoLevelPrefix(
+    chunkedPrefix(
       docs.select(col("doc_id"),
         TextStats.tokenCount(col(textCol)).cast("long").as("token_count")),
       "doc_id", chunkDocs)
@@ -795,7 +796,7 @@ object Curation {
     * construction. */
   def packEpoch(epoch: DataFrame, seqLen: Int = 2048,
                 chunkPositions: Int = 1024): DataFrame =
-    twoLevelPrefix(
+    chunkedPrefix(
       // pin the slim projection: the prefix sum reads its input twice
       // (per-chunk window + chunk totals), and when `epoch` is a LIVE
       // epochMaterialize plan rather than a stored table, re-evaluating
@@ -807,28 +808,62 @@ object Curation {
         col("__start").as("start_offset"),
         floor(col("__start") / seqLen).cast("long").as("seq_no"))
 
-  /** The TWO-LEVEL global prefix sum shared by [[packSequences]] and
-    * [[packEpoch]] — never a global window (an unpartitioned window
-    * funnels the corpus through one task): rows prefix-sum of
-    * `token_count` within `orderCol` chunks of `chunkSize` (a
-    * partitioned window), chunk totals prefix-sum on the driver-sized
-    * chunk list (one row per ~1k rows — the only unpartitioned step),
-    * and the broadcast-joined chunk offsets add up to the exact global
-    * prefix, emitted as `__start`. */
-  private[operators] def twoLevelPrefix(df: DataFrame, orderCol: String,
+  /** The THREE-LEVEL global prefix sum shared by [[packSequences]] and
+    * [[packEpoch]] — never an unbounded single-task window (an
+    * unpartitioned window funnels the corpus through one task): rows
+    * prefix-sum of `token_count` within `orderCol` chunks of
+    * `chunkSize` (a partitioned window), the chunk totals get the SAME
+    * treatment one level up ([[chunkOffsets]] — superchunks of
+    * `chunkSize` chunks, another partitioned window), and only the
+    * superchunk totals — one row per `chunkSize`² input rows, ~10⁴ at
+    * a 10¹⁰-row corpus — pass through the single unpartitioned window.
+    * The broadcast-joined offsets add up to the exact global prefix,
+    * emitted as `__start`. */
+  private[operators] def chunkedPrefix(df: DataFrame, orderCol: String,
                                         chunkSize: Int): DataFrame = {
     val t = df.withColumn("__chunk", floor(col(orderCol) / chunkSize))
     val win = Window.partitionBy(col("__chunk")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val inChunk = t.withColumn("__prev", coalesce(sum(col("token_count")).over(win), lit(0L)))
-    val wChunks = Window.orderBy(col("__chunk"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = t.groupBy("__chunk").agg(sum(col("token_count")).as("__ct"))
-      .withColumn("__off", coalesce(sum(col("__ct")).over(wChunks), lit(0L)))
-      .select("__chunk", "__off")
-    inChunk.join(broadcast(offsets), Seq("__chunk"))
+    val totals = t.groupBy("__chunk").agg(sum(col("token_count")).as("__ct"))
+    inChunk.join(broadcast(chunkOffsets(totals, chunkSize)), Seq("__chunk"))
       .withColumn("__start", col("__prev") + col("__off"))
       .drop("__chunk", "__prev", "__off")
+  }
+
+  /** Prefix-sum the chunk totals `(__chunk, __ct)` in `__chunk` order
+    * WITHOUT an unbounded single-partition window: totals prefix-sum
+    * within superchunks of `chunkSize` chunks (a partitioned window),
+    * and only the superchunk totals go through the unpartitioned
+    * window — that frame is 1/chunkSize² of the original row count,
+    * so the one serial sort the whole prefix pays is over ≤10⁴ rows
+    * even at a 10¹⁰-doc corpus (the old two-level form put the full
+    * 10⁷-row chunk list through it). Returns `(__chunk, __off)` with
+    * `__off` = sum of all `__ct` strictly before `__chunk`.
+    *
+    * Measured cost of the extra level: both arms here re-derive the
+    * totals aggregate lazily, so the whole prefix reads its input
+    * three times instead of two (plan-audited; exchange reuse does not
+    * fire across the arms — a pushed null-filter makes the subtrees
+    * non-canonical). The extra pass is column-pruned to (orderCol,
+    * token_count) and fully parallel — at the 500k-doc tier it costs
+    * ~1-3 s inside the pack ops (within their run-to-run band, A/B in
+    * PLANS.md) — which is the right trade against the serial step
+    * that GROWS with the corpus: parallel slim scans survive a 1000×
+    * scale-up, single-task sorts do not. */
+  private def chunkOffsets(totals: DataFrame, chunkSize: Int): DataFrame = {
+    val t = totals.withColumn("__super", floor(col("__chunk") / chunkSize))
+    val win = Window.partitionBy(col("__super")).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inSuper = t.withColumn("__p", coalesce(sum(col("__ct")).over(win), lit(0L)))
+    val wSupers = Window.orderBy(col("__super"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val superOffsets = t.groupBy("__super").agg(sum(col("__ct")).as("__st"))
+      .withColumn("__soff", coalesce(sum(col("__st")).over(wSupers), lit(0L)))
+      .select("__super", "__soff")
+    inSuper.join(broadcast(superOffsets), Seq("__super"))
+      .withColumn("__off", col("__p") + col("__soff"))
+      .select("__chunk", "__off")
   }
 
   /** The per-sequence slices behind [[packSequences]] — the actual
@@ -838,7 +873,7 @@ object Curation {
     * [max(0, k·L − start), …) for min(start+tc, (k+1)·L) −
     * max(start, k·L) tokens. Empty docs contribute nothing.
     *
-    * Same two-level prefix sum as packSequences (no global window);
+    * Same chunked prefix sum as packSequences (no global window);
     * the only new work is a bounded `sequence()` explode — a doc spans
     * ceil(tc/L)+1 sequences at most, so the expansion factor is
     * ~avg_doc_tokens/L + 1 (≈2 for 2048-token sequences over web

@@ -344,6 +344,42 @@ class CurationSpec extends SparkSpec {
     assert(out.toSeq == (0L until 7L).map(i => (i, i * 4, i * 4 / 10)).toSeq, out.mkString(","))
   }
 
+  test("chunked prefix sum is exact across superchunk boundaries and doc_id gaps") {
+    // chunkDocs=2 over sparse ids spread to 60: ~|ids|/2 chunks and
+    // ~|ids|/4 superchunks, so the three-level recursion (in-chunk
+    // window -> in-superchunk window -> supers window) is exercised
+    // with UNEVEN chunks (id gaps leave some chunks half-full) — the
+    // offsets must still reproduce the brute-force running sum
+    val ids = (0L until 60L).filter(i => i % 7 != 3)
+    val docs = ids.map(i => (i, Seq.fill((i % 5 + 1).toInt)("w").mkString(" ")))
+    val d = docs.toDF("doc_id", "text")
+    val out = Curation.packSequences(d, seqLen = 10, chunkDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_offset")))
+    // brute-force running sum in doc_id order
+    var acc = 0L
+    val brute = docs.map { case (id, _) =>
+      val r = (id, acc); acc += id % 5 + 1; r }
+    assert(out.toSeq == brute, out.take(10).mkString(","))
+  }
+
+  test("chunked prefix plan census: exactly one unpartitioned window, over the supers frame only") {
+    // the scale contract of the three-level prefix: the in-chunk and
+    // in-superchunk prefix windows are PARTITIONED (parallel), and the
+    // single unpartitioned window runs only over the superchunk totals
+    // (1/chunkSize^2 of the corpus) — this guard fails if a global
+    // window over a corpus-sized frame ever sneaks back in
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val d = (0L until 30L).map(i => (i, "w w w")).toDF("doc_id", "text")
+    val plan = Curation.packSequences(d, seqLen = 10, chunkDocs = 2)
+      .queryExecution.optimizedPlan
+    val wins = plan.collect { case w: LogicalWindow => w }
+    assert(wins.size == 3, s"expected 3 prefix windows, got ${wins.size}")
+    assert(wins.count(_.partitionSpec.isEmpty) == 1,
+      s"expected exactly 1 unpartitioned (supers) window: " +
+        wins.map(_.partitionSpec).mkString(" | "))
+  }
+
   test("packSegments slices straddling docs into per-sequence segments") {
     // capacity 10: doc 0 fills [0,8), doc 1 straddles [8,15) across
     // seqs 0 and 1, doc 2 is empty (no segments), doc 3 spans [15,40)
