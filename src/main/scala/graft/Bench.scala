@@ -68,7 +68,10 @@ object Bench {
       "doc_tokenize_ids_alltext",
       // round-15 scenario additions: stream drains + runFull fixtures
       "stream_caption_drift_retrain", "mm_caption_decontaminate",
-      "mm_train_order_full")
+      "mm_train_order_full",
+      // round-16 scenario addition: the same drain-class shape (two
+      // ingest waves + two caption packs + three manifest refreshes)
+      "stream_mix_refresh")
     val medianUnderSec = 3.0
 
     // LOAD EVIDENCE (round-14 verdict #1): the driver's r14 run

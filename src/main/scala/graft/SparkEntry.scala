@@ -2035,6 +2035,89 @@ object SparkEntry {
         .orderBy("channel")
     }),
 
+    // PER-EPOCH MANIFEST REFRESH (the serving loop): the treadmill
+    // grows the packed sequence streams wave by wave, and a trainer
+    // regenerates the budget-weighted (position, modality, seq_no)
+    // manifest from the CURRENT warehouse snapshot without a runFull —
+    // CurationPipeline.refreshMixedManifest, resolving every artifact
+    // from ONE tokenizer-generation pointer read. Two waves of text
+    // ingest (pack-state carry across the wave boundary) + a growing
+    // caption winner set; budgets are DATA-DERIVED (text 1.5×its token
+    // sum → every text sequence appears ≥ once, multimodal a half-sum
+    // fractional fill), so the refresh-after-growth manifest must
+    // cover the wave-2 sequences. In-gate: budget bounds on both
+    // refreshes, wave-2 coverage, refresh determinism (two refreshes
+    // of the same state are row-identical), and the manifest landing
+    // at the pointer-resolved name. Oracle: train wave-1 BPE, tokenize
+    // both waves, re-derive both packed streams from the pack
+    // arithmetic, then replay plan + fill cut + copy expansion +
+    // md5-rank positions row-for-row over the FINAL state.
+    "stream_mix_refresh" -> ((s, dir) => {
+      import graft.pipeline.CurationPipeline
+      CurationPipeline.resetTreadmill(s)
+      val d = docs(s, dir).select("doc_id")
+      def slice(p: org.apache.spark.sql.Column) = d.filter(p)
+        .select(col("doc_id"), tokText(col("doc_id")).as("text"))
+      CurationPipeline.publishTokenizer(s, slice(col("doc_id") < 120), numMerges = 8)
+      CurationPipeline.ingestBatch(s, slice(col("doc_id") < 120),
+        tokenize = true, packSeqLen = 64)
+      def winners(hi: Long) =
+        d.filter(col("doc_id") < hi && col("doc_id") % 3 === 0)
+          .select(col("doc_id").as("media_id"),
+            tokText(col("doc_id")).as("kept_caption"))
+      graft.plans.Catalog.overwriteTable(winners(120L),
+        CurationPipeline.MediaCaptionsTable)
+      CurationPipeline.packCaptionSequences(s, seqLen = 64)
+      def budgets: Map[String, Long] = {
+        val ts = s.table(CurationPipeline.IdSequencesTable)
+          .agg(coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"))
+          .head().getLong(0)
+        val tm = s.table(CurationPipeline.MediaSequencesTable)
+          .agg(coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"))
+          .head().getLong(0)
+        Map("text" -> (ts + ts / 2L), "multimodal" -> (tm / 2L))
+      }
+      def checkBounds(m: Map[String, Long], b: Map[String, Long]): Unit =
+        b.foreach { case (mo, bud) =>
+          val got = m(s"epoch_tokens_$mo")
+          require(got >= bud && got < bud + 64L,
+            s"stream_mix_refresh: $mo emitted $got for budget $bud")
+        }
+      val b1 = budgets
+      checkBounds(CurationPipeline.refreshMixedManifest(s, b1), b1)
+      // wave 2: the text stream grows through the pack-state carry and
+      // the caption winner set widens; the refreshed manifest must
+      // reflect the grown snapshot
+      CurationPipeline.ingestBatch(s,
+        slice(col("doc_id") >= 120 && col("doc_id") < 200),
+        tokenize = true, packSeqLen = 64)
+      graft.plans.Catalog.overwriteTable(winners(200L),
+        CurationPipeline.MediaCaptionsTable)
+      CurationPipeline.packCaptionSequences(s, seqLen = 64)
+      val b2 = budgets
+      require(b2("text") > b1("text") && b2("multimodal") > b1("multimodal"),
+        s"stream_mix_refresh: wave 2 must grow both streams: $b1 -> $b2")
+      checkBounds(CurationPipeline.refreshMixedManifest(s, b2), b2)
+      val tt = CurationPipeline.tokenizerTables(s)
+      require(tt.trainOrderMixed == CurationPipeline.TrainOrderMixedTable,
+        "stream_mix_refresh: gen 0 must serve the bare manifest name")
+      val manifest = s.table(tt.trainOrderMixed)
+      // wave-2 coverage: nfull >= 1 for text, so the newest sequence
+      // must be in the refreshed manifest
+      val maxSeq = s.table(CurationPipeline.IdSequencesTable)
+        .agg(max("seq_no")).head().getLong(0)
+      require(!manifest.filter(col("modality") === "text" &&
+          col("seq_no") === maxSeq).isEmpty,
+        s"stream_mix_refresh: refreshed manifest must cover wave-2 seq $maxSeq")
+      // refresh determinism: same snapshot, same seed -> same manifest
+      CurationPipeline.refreshMixedManifest(s, b2)
+      val rerun = s.table(tt.trainOrderMixed)
+      require(manifest.exceptAll(rerun).isEmpty && rerun.exceptAll(manifest).isEmpty,
+        "stream_mix_refresh: refresh must be deterministic")
+      manifest.select(col("position"), col("modality"), col("seq_no"),
+        col("copy"), col("n_tokens")).orderBy("position")
+    }),
+
     // THE DRIFT SIGNAL THAT WORKS WHERE UNK-SHARE IS BLIND: under
     // byte-level seeds, encode only UNKs on a byte value the train
     // corpus never contained — a drifted corpus of already-seen bytes
@@ -6379,6 +6462,83 @@ object SparkEntry {
           |       sum(len(part))::BIGINT AS n_tokens
           |FROM segs GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // the refreshed budget-weighted manifest over the FINAL two-wave
+    // state: ONE tokenize replay (train on wave 1, apply over both
+    // waves) prices both packed streams by COUNT arithmetic alone —
+    // the text stream is the full sequences of the concatenated id
+    // stream (total // 64, every tc = 64; the carry never publishes),
+    // the multimodal stream is the %3 winners' blocks (ids + 1
+    // sentinel each) packed with the trailing partial emitted — then
+    // the budget plan (text 1.5×sum → one full pass + half fill,
+    // multimodal half-sum fill), the hash-order fill cut, the copy
+    // expansion, and the md5-rank positions replay row-for-row
+    "stream_mix_refresh" ->
+      ("WITH " + bpeChainSql(8, DriftChanCorpusSql) + ",\n" +
+        bpeApplyCtes(8, MixFullCorpusSql) +
+        s""",
+          |wsyms AS (
+          |  SELECT w, u.ord AS ord, u.sym AS sym FROM (
+          |    SELECT w, unnest(list_transform(range(1, len(syms) + 1),
+          |        i -> struct_pack(ord := i, sym := syms[i]))) AS u
+          |    FROM (SELECT w, string_split(trim(seg), '  ') AS syms FROM a8))),
+          |docw AS (
+          |  SELECT doc_id, u.ord AS ord, u.w AS w FROM (
+          |    SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+          |        i -> struct_pack(ord := i, w := toks[i]))) AS u
+          |    FROM (SELECT doc_id,
+          |                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+          |          FROM $MixFullCorpusSql))),
+          |dw AS (SELECT doc_id, ord, w FROM docw WHERE $LetterWordsDomainSql),
+          |wn AS (SELECT w, count(*)::BIGINT AS n FROM wsyms GROUP BY 1),
+          |dtok AS (
+          |  SELECT d.doc_id, CAST(sum(wn.n) AS BIGINT) AS n
+          |  FROM dw d JOIN wn USING (w) GROUP BY 1),
+          |ttot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS tot FROM dtok),
+          |mtot AS (SELECT CAST(coalesce(sum(n + 1), 0) AS BIGINT) AS tot
+          |         FROM dtok WHERE doc_id % 3 = 0),
+          |streams AS (
+          |  SELECT 'text' AS modality, CAST(u.s AS BIGINT) AS seq_no,
+          |         CAST(64 AS BIGINT) AS tc
+          |  FROM ttot t, unnest(range(0, t.tot // 64)) AS u(s)
+          |  UNION ALL
+          |  SELECT 'multimodal', CAST(u.s AS BIGINT),
+          |         CAST(CASE WHEN u.s = (t.tot + 63) // 64 - 1 AND t.tot % 64 <> 0
+          |              THEN t.tot % 64 ELSE 64 END AS BIGINT)
+          |  FROM mtot t, unnest(range(0, (t.tot + 63) // 64)) AS u(s)),
+          |sums AS (SELECT modality, CAST(sum(tc) AS BIGINT) AS ts FROM streams GROUP BY 1),
+          |plan AS (
+          |  SELECT modality, ts,
+          |         CASE modality WHEN 'text' THEN ts + ts // 2
+          |                       ELSE ts // 2 END AS b
+          |  FROM sums),
+          |plan2 AS (
+          |  SELECT modality, b // ts AS nfull,
+          |         CAST(b - (b // ts) * ts AS DOUBLE) AS rem
+          |  FROM plan),
+          |h AS (
+          |  SELECT modality, seq_no, tc,
+          |         modality || ':' || seq_no::VARCHAR AS sid,
+          |         CAST('0x' || substr(md5(modality || ':' || seq_no::VARCHAR), 1, 8) AS BIGINT) AS hh
+          |  FROM streams),
+          |c AS (
+          |  SELECT modality, seq_no, tc, sid,
+          |         coalesce(sum(tc) OVER (PARTITION BY modality ORDER BY hh, sid
+          |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+          |  FROM h),
+          |sel AS (
+          |  SELECT c.modality, c.seq_no, c.tc, c.sid, p.nfull,
+          |         CASE WHEN c.before < p.rem THEN 1 ELSE 0 END AS extra
+          |  FROM c JOIN plan2 p USING (modality)),
+          |copies AS (
+          |  SELECT modality, seq_no, tc, sid, unnest(range(0, nfull + extra)) AS copy
+          |  FROM sel WHERE nfull + extra > 0)
+          |SELECT CAST(row_number() OVER (
+          |         ORDER BY md5('42:' || sid || '#' || copy::VARCHAR),
+          |                  sid || '#' || copy::VARCHAR) - 1 AS BIGINT) AS position,
+          |       modality, CAST(seq_no AS BIGINT) AS seq_no,
+          |       CAST(copy AS BIGINT) AS copy, CAST(tc AS BIGINT) AS n_tokens
+          |FROM copies ORDER BY position""".stripMargin),
+
     // the SECOND generation from first principles: the rollover trains
     // on the clean tier — which IS the full surviving corpus here
     // (exact copies dropped by construction, spans a no-op) — so the
@@ -8134,6 +8294,13 @@ object SparkEntry {
     * set tokenized once (the delta contract: never once per pack). */
   private val DriftChanCorpusSql =
     s"(SELECT doc_id, $TokTextSql AS text FROM documents WHERE doc_id < 120)"
+
+  /** The manifest-refresh gate's FULL two-wave corpus (tokenizer
+    * trains on wave 1 = [[DriftChanCorpusSql]]; both waves tokenize
+    * under it). Captions are the %3 docs' own text, so ONE tokenize
+    * replay prices both packed streams. */
+  private val MixFullCorpusSql =
+    s"(SELECT doc_id, $TokTextSql AS text FROM documents WHERE doc_id < 200)"
 
   /** SQL twin of [[patText]], and the Bytes-drift gate's FULL tier
     * corpus (patterned train slice + pure-md5 drift slice; disjoint

@@ -520,7 +520,10 @@ object CurationPipeline {
               // the trainer mounts (position, modality, seq_no) instead
               // of hand-interleaving the per-modality streams — built
               // whenever ANY non-text stream exists, not only when the
-              // still-media one does
+              // still-media one does. runFull's tokenizer_train reset
+              // generations, so the bare (gen-0) names ARE the live
+              // artifact — the shared body is the same one
+              // [[refreshMixedManifest]] runs against the pointer.
               val streamTables =
                 Seq("text" -> IdSequencesTable) ++
                 (if (captions.isEmpty) Nil
@@ -529,57 +532,8 @@ object CurationPipeline {
                  else Seq("video" -> VideoSequencesTable)) ++
                 (if (audioTranscripts.isEmpty) Nil
                  else Seq("audio" -> AudioSequencesTable))
-              val budgetMetrics =
-                if (streamBudgetTokens.isEmpty) {
-                  // size-proportional mixing: every sequence once
-                  Catalog.ctasOverwrite(
-                    Curation.trainOrderStreams(
-                      streamTables.map { case (m, t) =>
-                        m -> spark.table(t).select("seq_no") },
-                      seed = shuffleSeed),
-                    TrainOrderMixedTable)
-                  Map.empty[String, Long]
-                } else {
-                  // BUDGET-WEIGHTED mixing (the training recipe): the
-                  // md5-rank manifest weighted by per-stream token
-                  // targets — ⌊B/T⌋ full passes + hash-order fractional
-                  // fill per stream (Curation.trainOrderBudgeted), with
-                  // each stream's emitted tokens in the metric map. An
-                  // absent stream with a budget (or a budgeted run
-                  // missing a stream's budget) fails loudly: a recipe
-                  // that silently ignores a stream is the exact failure
-                  // this knob exists to prevent.
-                  require(streamBudgetTokens.keySet == streamTables.map(_._1).toSet,
-                    s"streamBudgetTokens must budget exactly the packed streams " +
-                      s"${streamTables.map(_._1).mkString(", ")} — got " +
-                      streamBudgetTokens.keySet.mkString(", "))
-                  val manifest = Curation.trainOrderBudgeted(
-                    streamTables.map { case (m, t) =>
-                      m -> spark.table(t).select(col("seq_no"),
-                        size(col("token_ids")).cast("long").as("n_tokens")) },
-                    streamBudgetTokens, seed = shuffleSeed)
-                  Catalog.ctasOverwrite(manifest, TrainOrderMixedTable)
-                  Catalog.releasePin(manifest)
-                  // |streams|-bounded collect: the per-stream emitted
-                  // token counts ARE the run report — a mix that
-                  // silently starves a stream must be visible in it,
-                  // so every budgeted stream gets a row (explicit 0
-                  // when its packed table was empty, never absent)
-                  streamBudgetTokens.map { case (m, _) =>
-                    s"epoch_tokens_$m" -> 0L } ++
-                  spark.table(TrainOrderMixedTable)
-                    .groupBy("modality")
-                    .agg(coalesce(sum("n_tokens"), lit(0L)).as("toks")).collect()
-                    .map(r => s"epoch_tokens_${r.getString(0)}" -> r.getLong(1))
-                    .toMap
-                }
-              val agg = spark.table(TrainOrderMixedTable)
-                .agg(count(lit(1)).as("n"),
-                  coalesce(max(col("position")) + 1, lit(0L)).as("p")).head()
-              require(agg.getLong(0) == agg.getLong(1),
-                s"mixed training order must be a dense permutation: " +
-                  s"${agg.getLong(0)} rows, max+1=${agg.getLong(1)}")
-              budgetMetrics ++ Map("train_order_mixed_rows" -> agg.getLong(0))
+              mixedManifestAt(spark, streamTables, streamBudgetTokens,
+                shuffleSeed, TrainOrderMixedTable)
             })))) ++
       (if (mixBudgetTokens <= 0L) Seq.empty[Stage] else Seq(
         Stage("epoch_mix") { _ =>
@@ -699,6 +653,105 @@ object CurationPipeline {
     packCaptionSequencesAt(spark, seqLen, tt.merges, tt.vocab, tt.meta,
       genName(seqBase, tt.generation), genName(metaBase, tt.generation),
       capsTable = capsTable, idCol = idCol, statsT = Some(tt.stats))
+  }
+
+  /** The ONE body that builds the mixed training-order manifest —
+    * shared by runFull's train_order_mixed stage and
+    * [[refreshMixedManifest]] so the serving artifact can never be
+    * produced two ways. Empty budgets → size-proportional mixing
+    * (every sequence once, [[Curation.trainOrderStreams]]); budgets →
+    * [[Curation.trainOrderBudgeted]] under the budget-exactly-the-
+    * packed-streams loud-failure contract. Emits
+    * `epoch_tokens_<stream>` per budgeted stream (explicit 0 when its
+    * packed table is empty — starvation must be visible) and requires
+    * the published manifest be a dense permutation. */
+  private def mixedManifestAt(spark: SparkSession,
+                              streamTables: Seq[(String, String)],
+                              streamBudgetTokens: Map[String, Long],
+                              shuffleSeed: Long,
+                              manifestTable: String): Map[String, Long] = {
+    val budgetMetrics =
+      if (streamBudgetTokens.isEmpty) {
+        // size-proportional mixing: every sequence once
+        Catalog.ctasOverwrite(
+          Curation.trainOrderStreams(
+            streamTables.map { case (m, t) =>
+              m -> spark.table(t).select("seq_no") },
+            seed = shuffleSeed),
+          manifestTable)
+        Map.empty[String, Long]
+      } else {
+        // BUDGET-WEIGHTED mixing (the training recipe): the md5-rank
+        // manifest weighted by per-stream token targets — ⌊B/T⌋ full
+        // passes + hash-order fractional fill per stream, with each
+        // stream's emitted tokens in the metric map. An absent stream
+        // with a budget (or a budgeted run missing a stream's budget)
+        // fails loudly: a recipe that silently ignores a stream is the
+        // exact failure this knob exists to prevent.
+        require(streamBudgetTokens.keySet == streamTables.map(_._1).toSet,
+          s"streamBudgetTokens must budget exactly the packed streams " +
+            s"${streamTables.map(_._1).mkString(", ")} — got " +
+            streamBudgetTokens.keySet.mkString(", "))
+        val manifest = Curation.trainOrderBudgeted(
+          streamTables.map { case (m, t) =>
+            m -> spark.table(t).select(col("seq_no"),
+              size(col("token_ids")).cast("long").as("n_tokens")) },
+          streamBudgetTokens, seed = shuffleSeed)
+        Catalog.ctasOverwrite(manifest, manifestTable)
+        Catalog.releasePin(manifest)
+        // |streams|-bounded collect: the per-stream emitted token
+        // counts ARE the run report — a mix that silently starves a
+        // stream must be visible in it, so every budgeted stream gets
+        // a row (explicit 0 when its packed table was empty, never
+        // absent)
+        streamBudgetTokens.map { case (m, _) =>
+          s"epoch_tokens_$m" -> 0L } ++
+        spark.table(manifestTable)
+          .groupBy("modality")
+          .agg(coalesce(sum("n_tokens"), lit(0L)).as("toks")).collect()
+          .map(r => s"epoch_tokens_${r.getString(0)}" -> r.getLong(1))
+          .toMap
+      }
+    val agg = spark.table(manifestTable)
+      .agg(count(lit(1)).as("n"),
+        coalesce(max(col("position")) + 1, lit(0L)).as("p")).head()
+    require(agg.getLong(0) == agg.getLong(1),
+      s"mixed training order must be a dense permutation: " +
+        s"${agg.getLong(0)} rows, max+1=${agg.getLong(1)}")
+    budgetMetrics ++ Map("train_order_mixed_rows" -> agg.getLong(0))
+  }
+
+  /** Rebuild the mixed training-order manifest from the CURRENT
+    * generation's packed sequence artifacts — the per-epoch refresh a
+    * trainer runs against the live treadmill warehouse without a full
+    * batch deployment. Sequence streams grow wave by wave (ingest
+    * pack deltas, caption re-packs); the (position, modality, seq_no)
+    * manifest is an EPOCH artifact regenerated from the current
+    * snapshot — positions are one global md5-rank permutation, and
+    * deterministically EXTENDING a permutation under growth is not
+    * meaningful (new rows shift in-bucket ranks by construction), so
+    * refresh ≡ recompute, priced at the slim per-sequence frame, not
+    * the corpus. Every artifact name resolves from ONE pointer read
+    * ([[tokenizerTables]] — the multi-artifact straddle contract) and
+    * the manifest lands under that generation's name
+    * ([[TokenizerTables.trainOrderMixed]]), so a trainer mounting
+    * manifest + sequence tables from one resolve can never mix id
+    * spaces across a concurrent rollover. Streams = the sequence
+    * artifacts that EXIST at this generation; `streamBudgetTokens`,
+    * when given, must budget exactly those (the runFull contract). */
+  def refreshMixedManifest(spark: SparkSession,
+                           streamBudgetTokens: Map[String, Long] = Map.empty,
+                           shuffleSeed: Long = 42L): Map[String, Long] = {
+    val tt = tokenizerTables(spark)
+    val streamTables =
+      Seq("text" -> tt.idSequences, "multimodal" -> tt.mediaSequences,
+        "video" -> tt.videoSequences, "audio" -> tt.audioSequences)
+        .filter { case (_, t) => Catalog.tableExists(spark, t) }
+    require(streamTables.nonEmpty,
+      "refreshMixedManifest: no packed sequence artifact exists — run an " +
+        "ingest with packSeqLen > 0 or a caption pack first")
+    mixedManifestAt(spark, streamTables, streamBudgetTokens, shuffleSeed,
+      tt.trainOrderMixed)
   }
 
   private def packCaptionSequencesAt(spark: SparkSession, seqLen: Int,
@@ -969,7 +1022,8 @@ object CurationPipeline {
                              meta: String, tokenIds: String,
                              idSequences: String, packState: String,
                              stats: String, mediaSequences: String,
-                             videoSequences: String, audioSequences: String)
+                             videoSequences: String, audioSequences: String,
+                             trainOrderMixed: String)
 
   def tokenizerTables(spark: SparkSession): TokenizerTables = {
     val g = currentTokenizerGeneration(spark)
@@ -977,7 +1031,8 @@ object CurationPipeline {
       genName(TokenizerMetaTable, g), genName(TokenIdsTable, g),
       genName(IdSequencesTable, g), genName(PackStateTable, g),
       genName(TokenizerStatsTable, g), genName(MediaSequencesTable, g),
-      genName(VideoSequencesTable, g), genName(AudioSequencesTable, g))
+      genName(VideoSequencesTable, g), genName(AudioSequencesTable, g),
+      genName(TrainOrderMixedTable, g))
   }
 
   /** Incremental ingest — the 100 TB operating mode, where "dedup the
@@ -1241,7 +1296,7 @@ object CurationPipeline {
         TokenIdsTable, IdSequencesTable, PackStateTable, TokenizerStatsTable,
         TokenizerBaselineTable, MediaSequencesTable, MediaSeqMetaTable,
         VideoSequencesTable, VideoSeqMetaTable,
-        AudioSequencesTable, AudioSeqMetaTable)
+        AudioSequencesTable, AudioSeqMetaTable, TrainOrderMixedTable)
         .exists(b => n == b || n.startsWith(b + "_g")))
     (Seq(TierTable, BandIndexTable, SpanIndexTable, CleanTierTable,
       BatchSurvivorsTable, BatchCleanTable, BatchSpanIndexTable,
@@ -1575,7 +1630,7 @@ object CurationPipeline {
             IdSequencesTable, PackStateTable, TokenizerStatsTable,
             TokenizerBaselineTable, MediaSequencesTable, MediaSeqMetaTable,
             VideoSequencesTable, VideoSeqMetaTable,
-            AudioSequencesTable, AudioSeqMetaTable)
+            AudioSequencesTable, AudioSeqMetaTable, TrainOrderMixedTable)
             .foreach(b => Catalog.dropIfExists(spark, genName(b, g)))
         }
         Map("generation" -> next)

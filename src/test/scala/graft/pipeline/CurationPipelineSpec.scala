@@ -1373,4 +1373,51 @@ class CurationPipelineSpec extends SparkSpec with BeforeAndAfterEach {
     assert(after("caption") == ((5L, 2L, 0L)), after.toString)
     assert(after("doc")._1 > before("doc")._1, after.toString)
   }
+
+  test("refreshMixedManifest: pointer-resolved streams, budget contract, determinism, generation scoping") {
+    import graft.plans.Catalog
+    CurationPipeline.resetTreadmill(spark)
+    // no packed artifact anywhere -> loud failure, not an empty manifest
+    intercept[IllegalArgumentException] {
+      CurationPipeline.refreshMixedManifest(spark)
+    }
+    val batch = (1L to 6L).map(i => (i, tokWords(i))).toDF("doc_id", "text")
+    CurationPipeline.publishTokenizer(spark, batch, numMerges = 3)
+    CurationPipeline.ingestBatch(spark, batch, tokenize = true, packSeqLen = 16)
+    // size-proportional refresh (no budgets): every sequence exactly once
+    val m0 = CurationPipeline.refreshMixedManifest(spark)
+    assert(m0("train_order_mixed_rows") ==
+      spark.table(CurationPipeline.IdSequencesTable).count(), m0.toString)
+    // budgeted: 2x the exact token sum = two full passes, no fill
+    // boundary, so the emitted count is EXACT
+    val ts = spark.table(CurationPipeline.IdSequencesTable)
+      .agg(sum(size($"token_ids"))).head().getLong(0)
+    val m1 = CurationPipeline.refreshMixedManifest(spark, Map("text" -> 2L * ts))
+    assert(m1("epoch_tokens_text") == 2L * ts, m1.toString)
+    // budgeting a stream that never packed fails loudly (the runFull
+    // contract: a recipe must name exactly the packed streams)
+    intercept[IllegalArgumentException] {
+      CurationPipeline.refreshMixedManifest(spark,
+        Map("text" -> ts, "multimodal" -> 1L))
+    }
+    // determinism: same snapshot + seed -> row-identical manifest
+    val v1 = spark.table(CurationPipeline.TrainOrderMixedTable).collect().toSet
+    CurationPipeline.refreshMixedManifest(spark, Map("text" -> 2L * ts))
+    val v2 = spark.table(CurationPipeline.TrainOrderMixedTable).collect().toSet
+    assert(v1 == v2)
+    // generation scoping: after a rollover the SAME call serves the
+    // new generation's artifact names from the one pointer read (the
+    // staged-gen layout a real retrainTokenizer publishes)
+    Catalog.ctasOverwrite(
+      spark.table(CurationPipeline.IdSequencesTable).limit(2),
+      CurationPipeline.IdSequencesTable + "_g1")
+    Catalog.ctasOverwrite(
+      spark.range(1).select(lit(1L).as("generation")),
+      CurationPipeline.TokenizerGenPointerTable)
+    val tt = CurationPipeline.tokenizerTables(spark)
+    assert(tt.trainOrderMixed == CurationPipeline.TrainOrderMixedTable + "_g1")
+    val mg = CurationPipeline.refreshMixedManifest(spark)
+    assert(mg("train_order_mixed_rows") == 2L, mg.toString)
+    assert(spark.table(tt.trainOrderMixed).count() == 2L)
+  }
 }
