@@ -39,12 +39,13 @@ object CurationPipeline {
       // not re-hash the corpus
       val (pairs, skippedBuckets) = TextDedup.nearDupPairsAndSkipsMinhash(source(),
         jaccardThreshold = jaccardThreshold, maxBucketSize = maxBucketSize)
-      Catalog.overwriteTable(pairs, PairsTable)
+      // the pair count rides the staging write (guide §1.4)
+      val nPairs = Catalog.overwriteTableCounted(pairs, PairsTable)
       val skipped = skippedBuckets
         .agg(count(lit(1)).as("buckets"),
           coalesce(sum("member_count"), lit(0L)).as("members")).head()
       Map(
-        "near_dup_pairs" -> spark.table(PairsTable).count(),
+        "near_dup_pairs" -> nPairs,
         "skipped_buckets_minhash" -> skipped.getLong(0),
         "skipped_bucket_members_minhash" -> skipped.getLong(1))
     },
@@ -242,12 +243,17 @@ object CurationPipeline {
       "stream token budgets weight the PACKED sequence artifacts — " +
         "set materializeTokenIds = true")
     val stages = Seq[Stage](
-      Stage("quality_gate") { m =>
+      Stage("quality_gate") { _ =>
         // ONE qualityFilter evaluation: the (doc_id, keep, drop_reason)
         // flags land in a staging table, and both the gated corpus and
         // the per-reason drop counts derive from it — profiling the
         // raw corpus (token/punct/stopword regexes) is the expensive
-        // part and must not run twice
+        // part and must not run twice. docs_in, the kept count, AND the
+        // per-reason drops all come from ONE bounded-cardinality
+        // aggregate over the staged flags (one row per doc): the
+        // previous shape paid a docs.count() full pass over the raw
+        // corpus plus a second count of the gated table (guide §1.2 —
+        // at 100 TB each was a whole corpus pass).
         Catalog.overwriteTable(Curation.qualityFilter(docs,
           minTokens = minTokens, maxTokens = maxTokens,
           maxPunctRatio = maxPunctRatio, minStopwordRatio = minStopwordRatio),
@@ -255,12 +261,13 @@ object CurationPipeline {
         val flags = spark.table(QualityFlagsTable)
         Catalog.overwriteTable(
           docs.join(flags.filter(col("keep")).select("doc_id"), Seq("doc_id")), QualityTable)
-        // per-reason drop counts: bounded cardinality (one row per rule)
-        val reasons = flags.filter(!col("keep"))
-          .groupBy("drop_reason").count().collect()
-          .map(r => s"quality_dropped_${r.getString(0)}" -> r.getLong(1)).toMap
-        val kept = spark.table(QualityTable).count()
-        reasons ++ Map("quality_kept" -> kept, "quality_dropped" -> (m("docs_in") - kept))
+        val rows = flags.groupBy("keep", "drop_reason").count().collect()
+        val docsIn = rows.map(_.getLong(2)).sum
+        val kept = rows.filter(_.getBoolean(0)).map(_.getLong(2)).sum
+        val reasons = rows.filterNot(_.getBoolean(0))
+          .map(r => s"quality_dropped_${r.getString(1)}" -> r.getLong(2)).toMap
+        reasons ++ Map("docs_in" -> docsIn,
+          "quality_kept" -> kept, "quality_dropped" -> (docsIn - kept))
       },
       Stage("decontaminate") { m =>
         // the benchmark snapshot PERSISTS ([[BenchmarkTable]]): the
@@ -273,8 +280,8 @@ object CurationPipeline {
         val quality = spark.table(QualityTable)
         val hits = Curation.contaminatedIds(quality, spark.table(BenchmarkTable))
         val clean = quality.join(hits, Seq("doc_id"), "left_anti")
-        Catalog.overwriteTable(clean, QualityTable + "_clean")
-        val kept = spark.table(QualityTable + "_clean").count()
+        // the kept count rides the staging write (guide §1.4)
+        val kept = Catalog.overwriteTableCounted(clean, QualityTable + "_clean")
         Map("contaminated" -> (m("quality_kept") - kept), "decontaminated_kept" -> kept)
       }) ++
       dedupStages(spark, () => spark.table(QualityTable + "_clean"),
@@ -300,31 +307,35 @@ object CurationPipeline {
         // CCNet segment removal over the deduped tier: a segment in
         // >= boilerMinDocs docs disappears from EVERY occurrence. The
         // staged output carries the clean text forward plus the per-doc
-        // removal counts the metrics read — one evaluation, no recompute.
+        // removal counts the metrics read — one evaluation, no recompute;
+        // BOTH metrics (segments removed, and the post-strip token total
+        // the next stage's delta needs) ride the write as observed
+        // aggregates, so the staged text is never re-scanned (guide §1.4)
         val curated = spark.table(CuratedTable).select("doc_id", "text")
-        Catalog.overwriteTable(
+        val obs = Catalog.overwriteTableObserved(
           TextDedup.stripCommonSegments(curated, segTokens = segTokens,
               minDocs = boilerMinDocs)
             .select(col("doc_id"), col("text_clean").as("text"),
               col("removed_segments")),
-          BoilerTable)
-        val agg = spark.table(BoilerTable)
-          .agg(coalesce(sum("removed_segments"), lit(0L))).head()
-        Map("boilerplate_segments_removed" -> agg.getLong(0))
+          BoilerTable,
+          Seq(coalesce(sum("removed_segments"), lit(0L)),
+            coalesce(sum(size(graft.operators.TextStats.tokens(col("text")))), lit(0L))))
+        Map("boilerplate_segments_removed" -> obs.getLong(0),
+          "boilerplate_tokens_after" -> obs.getLong(1))
       },
-      Stage("strip_spans") { _ =>
+      Stage("strip_spans") { m =>
         // Lee-et-al duplicate-span strip (keep-first) on the
-        // boilerplate-free text; the token delta is read from the two
-        // staged tables, never by re-running the strip.
+        // boilerplate-free text; the token delta reads the PRE-strip
+        // total from the metric map (observed during the boilerplate
+        // write) and the post-strip total from this write's own observed
+        // aggregate — neither staged table is re-scanned.
         val boiled = spark.table(BoilerTable).select("doc_id", "text")
-        Catalog.overwriteTable(
+        val obs = Catalog.overwriteTableObserved(
           TextDedup.stripDuplicateSpans(boiled, k = spanK)
             .select(col("doc_id"), col("clean_text").as("text")),
-          CleanTable)
-        def toks(t: String) = spark.table(t)
-          .agg(coalesce(sum(size(graft.operators.TextStats.tokens(col("text")))), lit(0L)))
-          .head().getLong(0)
-        Map("span_tokens_removed" -> (toks(BoilerTable) - toks(CleanTable)))
+          CleanTable,
+          Seq(coalesce(sum(size(graft.operators.TextStats.tokens(col("text")))), lit(0L))))
+        Map("span_tokens_removed" -> (m("boilerplate_tokens_after") - obs.getLong(0)))
       },
       Stage("split_assign") { _ =>
         // leakage-safe id-hash split AFTER dedup (assigning before
@@ -402,16 +413,18 @@ object CurationPipeline {
           // a fresh bootstrap resets any prior rollover state — the new
           // artifact is generation 0 and the pointer must say so
           resetTokenizerGenerations(spark)
-          val merges = Bpe.trainBatched(train, bpeMerges, domain = bpeDomain)
-            .map(m => (m.rank, m.leftSym, m.rightSym, m.pairCount))
-            .toDF("rank", "left_sym", "right_sym", "pair_count")
-          Catalog.overwriteTable(merges, BpeMergesTable)
+          val learned = Bpe.trainBatched(train, bpeMerges, domain = bpeDomain)
+          Catalog.overwriteTable(
+            learned.map(m => (m.rank, m.leftSym, m.rightSym, m.pairCount))
+              .toDF("rank", "left_sym", "right_sym", "pair_count"), BpeMergesTable)
           // the artifact must say WHICH domain trained it: an encode
           // under a different domain silently mis-tokenizes, and the
           // ingest treadmill's tokenize stage resolves this back
           Catalog.overwriteTable(
             Seq(Bpe.domainName(bpeDomain)).toDF("domain"), TokenizerMetaTable)
-          Map("bpe_merges" -> spark.table(BpeMergesTable).count())
+          // the merge list is k-sized DRIVER state — its length needs no
+          // read-back job (retrainTokenizer already reports merges.size)
+          Map("bpe_merges" -> learned.size.toLong)
         }) ++
         (if (!materializeTokenIds) Seq.empty[Stage] else Seq(
           Stage("tokenize_ids") { _ =>
@@ -425,20 +438,22 @@ object CurationPipeline {
             val train = spark.table(SplitTable)
               .filter(col("split") === "train").select("doc_id", "text")
             val merges = loadBpeMerges(spark, bpeMerges)
-            Catalog.overwriteTable(
+            // vocab size and the (docs, ids, unks) stats ride their own
+            // writes as observed aggregates — the id tier is written
+            // once and never re-scanned for metrics (guide §1.4)
+            val vocabSize = Catalog.overwriteTableCounted(
               Bpe.vocabTable(train, merges, domain = bpeDomain), VocabTable)
-            Catalog.overwriteTable(
+            val stats = Catalog.overwriteTableObserved(
               Bpe.tokenizeIds(train, merges, spark.table(VocabTable),
                 domain = bpeDomain),
-              TokenIdsTable)
+              TokenIdsTable,
+              Seq(count(lit(1)),
+                coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"),
+                coalesce(sum(size(filter(col("token_ids"), i => i === Bpe.UnkId))),
+                  lit(0)).cast("long")))
             val tokenized = spark.table(TokenIdsTable)
-            Catalog.overwriteTable(
+            val nSeqs = Catalog.overwriteTableCounted(
               Bpe.packIdSequences(tokenized, seqLen = seqLen), IdSequencesTable)
-            val stats = tokenized.agg(
-              count(lit(1)).as("docs"),
-              coalesce(sum(size(col("token_ids"))), lit(0)).cast("long").as("ids"),
-              coalesce(sum(size(filter(col("token_ids"), i => i === Bpe.UnkId))),
-                lit(0)).cast("long").as("unks")).head()
             // tokenizing the corpus the vocab was built FROM can never
             // miss a seed symbol — a non-zero UNK count here means the
             // vocab and the tokenizer drifted apart; fail loudly
@@ -455,10 +470,10 @@ object CurationPipeline {
               Seq((stats.getLong(1), chars))
                 .toDF("baseline_ids", "baseline_seed_chars"),
               TokenizerBaselineTable)
-            Map("vocab_size" -> spark.table(VocabTable).count(),
+            Map("vocab_size" -> vocabSize,
               "tokenized_docs" -> stats.getLong(0),
               "token_ids_total" -> stats.getLong(1),
-              "id_sequences" -> spark.table(IdSequencesTable).count())
+              "id_sequences" -> nSeqs)
           }) ++
           (if (captions.isEmpty) Seq.empty[Stage] else Seq(
             Stage("pack_captions") { _ =>
@@ -608,7 +623,10 @@ object CurationPipeline {
           s"training order must be a dense permutation: ${agg.getLong(0)} rows, max+1=${agg.getLong(1)}")
         Map("train_order_rows" -> agg.getLong(0))
       })
-    new Runner(stages, RetryPolicy(retries = 1), notify).run(Map("docs_in" -> docs.count()))
+    // docs_in is emitted by the quality gate's flags aggregate (one row
+    // per doc, same value) — seeding it here would cost a FULL extra
+    // pass over the raw input corpus before any stage runs (guide §1.2)
+    new Runner(stages, RetryPolicy(retries = 1), notify).run()
   }
 
   /** The published tokenizer artifact read back as a merge list —
@@ -670,7 +688,7 @@ object CurationPipeline {
                               streamBudgetTokens: Map[String, Long],
                               shuffleSeed: Long,
                               manifestTable: String): Map[String, Long] = {
-    val budgetMetrics =
+    val budgetMetrics: Option[Map[String, Long]] =
       if (streamBudgetTokens.isEmpty) {
         // size-proportional mixing: every sequence once
         Catalog.ctasOverwrite(
@@ -679,8 +697,8 @@ object CurationPipeline {
               m -> spark.table(t).select("seq_no") },
             seed = shuffleSeed),
           manifestTable)
-        Map.empty[String, Long]
-      } else {
+        None
+      } else Some {
         // BUDGET-WEIGHTED mixing (the training recipe): the md5-rank
         // manifest weighted by per-stream token targets — ⌊B/T⌋ full
         // passes + hash-order fractional fill per stream, with each
@@ -703,23 +721,37 @@ object CurationPipeline {
         // counts ARE the run report — a mix that silently starves a
         // stream must be visible in it, so every budgeted stream gets
         // a row (explicit 0 when its packed table was empty, never
-        // absent)
+        // absent). ONE grouped pass also carries the row count and max
+        // position the dense-permutation check below needs — the
+        // published manifest is scanned once, not twice (guide §1.2).
+        val rows = spark.table(manifestTable)
+          .groupBy("modality")
+          .agg(coalesce(sum("n_tokens"), lit(0L)).as("toks"),
+            count(lit(1)).as("n"), max(col("position")).as("p")).collect()
+        requireDense(
+          rows.map(_.getLong(2)).sum,
+          if (rows.isEmpty) 0L else rows.map(_.getLong(3)).max + 1)
         streamBudgetTokens.map { case (m, _) =>
           s"epoch_tokens_$m" -> 0L } ++
-        spark.table(manifestTable)
-          .groupBy("modality")
-          .agg(coalesce(sum("n_tokens"), lit(0L)).as("toks")).collect()
-          .map(r => s"epoch_tokens_${r.getString(0)}" -> r.getLong(1))
-          .toMap
+        rows.map(r => s"epoch_tokens_${r.getString(0)}" -> r.getLong(1)).toMap ++
+        Map("train_order_mixed_rows" -> rows.map(_.getLong(2)).sum)
       }
-    val agg = spark.table(manifestTable)
-      .agg(count(lit(1)).as("n"),
-        coalesce(max(col("position")) + 1, lit(0L)).as("p")).head()
-    require(agg.getLong(0) == agg.getLong(1),
-      s"mixed training order must be a dense permutation: " +
-        s"${agg.getLong(0)} rows, max+1=${agg.getLong(1)}")
-    budgetMetrics ++ Map("train_order_mixed_rows" -> agg.getLong(0))
+    budgetMetrics match {
+      case Some(m) => m
+      case None =>
+        // size-proportional path: the manifest carries no n_tokens —
+        // one whole-table aggregate covers the permutation check
+        val agg = spark.table(manifestTable)
+          .agg(count(lit(1)).as("n"),
+            coalesce(max(col("position")) + 1, lit(0L)).as("p")).head()
+        requireDense(agg.getLong(0), agg.getLong(1))
+        Map("train_order_mixed_rows" -> agg.getLong(0))
+    }
   }
+
+  private def requireDense(n: Long, maxPlus1: Long): Unit =
+    require(n == maxPlus1,
+      s"mixed training order must be a dense permutation: $n rows, max+1=$maxPlus1")
 
   /** Rebuild the mixed training-order manifest from the CURRENT
     * generation's packed sequence artifacts — the per-epoch refresh a
@@ -903,9 +935,9 @@ object CurationPipeline {
       val emptyTier = st.index.limit(0)
       val comps = m.reconcile(st, emptyTier).localCheckpoint(true)
       try {
-        Catalog.overwriteTable(
+        // the kept count rides the survivors write (guide §1.4)
+        val kept = Catalog.overwriteTableCounted(
           m.survivorsFromComponents(st, comps, emptyTier), outT)
-        val kept = spark.table(outT).count()
         val capMetrics = captions match {
           case None => Map.empty[String, Long]
           case Some(caps) =>
@@ -918,24 +950,28 @@ object CurationPipeline {
             // the quality FLOOR (the Treadmill fold's contract): a
             // below-floor candidate never enters keep-best, so a
             // component whose best is garbage gets NO caption; NULL
-            // scores fail a finite floor, −∞ applies no filter
+            // scores fail a finite floor, −∞ applies no filter. ONE
+            // aggregate prices the floor (total vs passing) — the
+            // caller's caps plan is unpinned, so the previous two
+            // counts evaluated it twice (guide §1.2)
+            val floorCond =
+              col("score").isNotNull && col("score") >= lit(captionMinScore)
             val (passed, floorDropped) =
               if (captionMinScore.isNegInfinity) (named, 0L)
               else {
-                val p = named.filter(
-                  col("score").isNotNull && col("score") >= lit(captionMinScore))
-                (p, named.count() - p.count())
+                val fc = named.agg(count(lit(1)),
+                  count(when(floorCond, lit(1)))).head()
+                (named.filter(floorCond), fc.getLong(0) - fc.getLong(1))
               }
-            Catalog.overwriteTable(
+            // kept count and dropped_count total ride the winners write
+            val capObs = Catalog.overwriteTableObserved(
               Multimodal.captionKeepBestAgainst(comps, stored,
                 passed.withColumnRenamed(idCol, "media_id"))
                 .withColumnRenamed("media_id", idCol),
-              capsOutT)
-            val capsKept = spark.table(capsOutT).count()
-            val capsDropped = spark.table(capsOutT)
-              .agg(coalesce(sum("dropped_count"), lit(0L))).head().getLong(0)
-            Map(s"${prefix}_caption_kept" -> capsKept,
-              s"${prefix}_caption_dropped" -> capsDropped,
+              capsOutT,
+              Seq(count(lit(1)), coalesce(sum("dropped_count"), lit(0L))))
+            Map(s"${prefix}_caption_kept" -> capObs.getLong(0),
+              s"${prefix}_caption_dropped" -> capObs.getLong(1),
               s"${prefix}_caption_floor_dropped" -> floorDropped)
         }
         Map(s"${prefix}_in" -> in,
@@ -1117,15 +1153,19 @@ object CurationPipeline {
           if (Catalog.tableExists(spark, SpanIndexTable))
             TextDedup.duplicateSpansAgainst(spark.table(SpanIndexTable), survivors)
           else TextDedup.winnowedSpans(survivors)
-        Catalog.overwriteTable(
+        // the post-strip token total rides the write (guide §1.4) — only
+        // the pre-strip total pays its own (batch-sized) aggregate
+        val cleanToks = Catalog.overwriteTableObserved(
           TextDedup.stripSpansWith(survivors, spans)
             .select(col("doc_id"), col("clean_text").as("text")),
-          BatchCleanTable)
+          BatchCleanTable,
+          Seq(coalesce(sum(size(graft.operators.TextStats.tokens(col("text")))), lit(0L))))
+          .getLong(0)
         Catalog.overwriteTable(TextDedup.spanIndex(survivors), BatchSpanIndexTable)
-        def toks(t: String) = spark.table(t)
+        val survToks = spark.table(BatchSurvivorsTable)
           .agg(coalesce(sum(size(graft.operators.TextStats.tokens(col("text")))), lit(0L)))
           .head().getLong(0)
-        Map("span_tokens_removed" -> (toks(BatchSurvivorsTable) - toks(BatchCleanTable)))
+        Map("span_tokens_removed" -> (survToks - cleanToks))
       }) ++
       (if (!tokenize) Seq.empty[Stage] else Seq(
         Stage("tokenize_batch") { _ =>
@@ -1139,14 +1179,15 @@ object CurationPipeline {
           // to the tokenizer artifact).
           val merges = loadMergesFrom(spark, mergesT)
           val domain = readTokenizerDomain(spark, metaT)
-          Catalog.overwriteTable(
+          // the (ids, unks) stats ride the staging write as observed
+          // aggregates — the batch id table is never re-scanned (§1.4)
+          val stats = Catalog.overwriteTableObserved(
             Bpe.tokenizeIds(spark.table(BatchCleanTable), merges,
               spark.table(vocabT), domain = domain),
-            BatchTokenIdsTable)
-          val stats = spark.table(BatchTokenIdsTable).agg(
-            coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"),
-            coalesce(sum(size(filter(col("token_ids"),
-              i => i === lit(Bpe.UnkId)))), lit(0)).cast("long")).head()
+            BatchTokenIdsTable,
+            Seq(coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"),
+              coalesce(sum(size(filter(col("token_ids"),
+                i => i === lit(Bpe.UnkId)))), lit(0)).cast("long")))
           // the compression-drift denominator: seed symbols (bytes
           // under the Bytes domain) of the batch's trainable words —
           // one row-local expression over the clean text, no second
@@ -1181,14 +1222,16 @@ object CurationPipeline {
                 spark.table(BatchTokenIdsTable).select("doc_id", "token_ids")),
               seqLen = packSeqLen)
             .select((col("seq_no") + st.nextSeqNo).as("seq_no"), col("token_ids"))
-          Catalog.overwriteTable(packed, BatchPackTable)
+          // both pack metrics (full-sequence count, carry-tail ids) ride
+          // the staging write as observed aggregates — previously two
+          // extra read-back jobs per micro-batch (guide §1.4)
+          val obs = Catalog.overwriteTableObserved(packed, BatchPackTable,
+            Seq(count(when(size(col("token_ids")) === packSeqLen, lit(1))),
+              coalesce(sum(when(size(col("token_ids")) < packSeqLen,
+                size(col("token_ids")))), lit(0)).cast("long")))
           Catalog.releasePin(packed) // packIdSequences' internal input pin
-          val full = spark.table(BatchPackTable)
-            .filter(size(col("token_ids")) === packSeqLen).count()
-          val carryIds = spark.table(BatchPackTable)
-            .filter(size(col("token_ids")) < packSeqLen)
-            .agg(coalesce(sum(size(col("token_ids"))), lit(0)).cast("long")).head().getLong(0)
-          Map("batch_full_sequences" -> full, "pack_carry_ids" -> carryIds)
+          Map("batch_full_sequences" -> obs.getLong(0),
+            "pack_carry_ids" -> obs.getLong(1))
         }))
       def publish(spark: SparkSession, m: Map[String, Long]): Map[String, Long] = {
         val survivors = spark.table(BatchSurvivorsTable)
@@ -1205,24 +1248,30 @@ object CurationPipeline {
         // and writes FOUR tables — a transient failure between them
         // must converge on retry, not double-append the tables that
         // already committed (batch doc_ids are fresh+monotone, so each
-        // probe prunes to the newest appends — Catalog.insertAppendOnce)
-        Catalog.insertAppendOnce(spark, TierTable, survivors, "doc_id")
-        Catalog.insertAppendOnce(spark, BandIndexTable, keys, "doc_id")
-        Catalog.insertAppendOnce(spark, CleanTierTable, clean, "doc_id")
-        Catalog.insertAppendOnce(spark, SpanIndexTable, fps, "doc_id")
+        // probe prunes to the newest appends — Catalog.insertAppendOnce).
+        // Every appended frame derives from the SAME survivor doc set
+        // (clean/fps/ids are per-survivor projections), so ONE min-id
+        // aggregate serves every probe instead of one per table (§1.2)
+        val minId = survivors.agg(min(col("doc_id"))).head().get(0)
+        Catalog.insertAppendOnceFrom(spark, TierTable, survivors, "doc_id", minId)
+        Catalog.insertAppendOnceFrom(spark, BandIndexTable, keys, "doc_id", minId)
+        Catalog.insertAppendOnceFrom(spark, CleanTierTable, clean, "doc_id", minId)
+        Catalog.insertAppendOnceFrom(spark, SpanIndexTable, fps, "doc_id", minId)
         if (tokenize) {
           val ids = spark.table(BatchTokenIdsTable)
           Catalog.ensureTable(spark, idsT, ids.schema)
-          Catalog.insertAppendOnce(spark, idsT, ids, "doc_id")
+          Catalog.insertAppendOnceFrom(spark, idsT, ids, "doc_id", minId)
           // the drift ledger: ONE k-sized row per tokenized batch
           // (keyed by the batch's min doc_id — fresh+monotone, so a
           // publish retry dedups through insertAppendOnce like every
           // other artifact). maybeRetrainTokenizer reads the CURRENT
           // generation's cumulative UNK share from this table — the
-          // decision read never rescans the id tier.
-          val key = ids.agg(min(col("doc_id"))).head()
-          if (!key.isNullAt(0))
-            appendTokenizerStat(spark, statsT, key.getLong(0),
+          // decision read never rescans the id tier. The key reuses the
+          // publish's one min-id aggregate (survivors' min bounds the
+          // tokenized doc set); an id-less batch (zero trainable
+          // occurrences ⇒ zero token ids) appends nothing, as before.
+          if (minId != null && m("batch_token_ids") > 0L)
+            appendTokenizerStat(spark, statsT, minId.asInstanceOf[Long],
               m("batch_token_ids"), m("batch_unk_ids"), m("batch_seed_chars"),
               channel = "doc")
         }
@@ -1479,15 +1528,18 @@ object CurationPipeline {
           "retrain_contaminated_winners" -> contaminatedWinners)
       },
       Stage("retokenize_tier") { _ =>
-        Catalog.overwriteTable(
+        // the (docs, ids, unks) stats ride the retokenize write as
+        // observed aggregates — the full-tier id table is written once
+        // and never re-scanned for metrics (guide §1.4: at 100 TB the
+        // read-back was a whole tier pass)
+        val stats = Catalog.overwriteTableObserved(
           Bpe.tokenizeIds(spark.table(CleanTierTable), loadMergesFrom(spark, mergesT),
             spark.table(vocabT), domain = domain),
-          idsT)
-        val stats = spark.table(idsT).agg(
-          count(lit(1)),
-          coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"),
-          coalesce(sum(size(filter(col("token_ids"), i => i === lit(Bpe.UnkId)))),
-            lit(0)).cast("long")).head()
+          idsT,
+          Seq(count(lit(1)),
+            coalesce(sum(size(col("token_ids"))), lit(0)).cast("long"),
+            coalesce(sum(size(filter(col("token_ids"), i => i === lit(Bpe.UnkId)))),
+              lit(0)).cast("long")))
         // the NEW generation's compression baseline: the tier's ratio
         // under the vocab just trained on it — free (ids already
         // aggregated; chars is one row-local expression)
@@ -1511,11 +1563,11 @@ object CurationPipeline {
           val packed = Bpe.packIdSequences(
             spark.table(idsT).select("doc_id", "token_ids"), seqLen = packSeqLen)
           val full = packed.filter(size(col("token_ids")) === packSeqLen)
-          Catalog.overwriteTable(full, seqT)
+          // the published-sequence count rides the write (guide §1.4)
+          val n = Catalog.overwriteTableCounted(full, seqT)
           val tail = packed.filter(size(col("token_ids")) < packSeqLen)
             .collect() // ≤ 1 partial row — k-sized by construction
           Catalog.releasePin(packed)
-          val n = spark.table(seqT).count()
           writePackState(spark, stateT, n,
             tail.headOption.map(_.getSeq[Long](1)).getOrElse(Seq.empty))
           Map("repacked_sequences" -> n)

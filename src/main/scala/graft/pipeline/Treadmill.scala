@@ -121,10 +121,11 @@ object Treadmill {
       },
       Stage(f.dedupStageName) { m =>
         // scratch staging (sequential reads only): the publish stage
-        // appends the survivors and derives their index rows
+        // appends the survivors and derives their index rows; the kept
+        // count is observed during the staging write — never a second
+        // scan of the survivors (guide §1.4)
         val survivors = f.dedupe(spark, batch, m(f.probeMetric) == 0L)
-        Catalog.overwriteTable(survivors, f.survivorsTable)
-        val kept = spark.table(f.survivorsTable).count()
+        val kept = Catalog.overwriteTableCounted(survivors, f.survivorsTable)
         Map("batch_kept" -> kept, "batch_dropped" -> (m(f.inMetric) - kept))
       }) ++ f.middleStages ++ Seq(
       Stage("publish_batch")(m => f.publish(spark, m)))
@@ -216,7 +217,9 @@ object Treadmill {
           // ONE closure feeds the survivor derivation, the caption
           // attribution, and the bridge metric
           Catalog.overwriteTable(m.reconcile(st, tierIdx), m.batchComponentsTable)
-          Catalog.overwriteTable(
+          // the kept count rides the staging write (guide §1.4 — no
+          // second scan of the survivors)
+          val kept = Catalog.overwriteTableCounted(
             m.survivorsFromComponents(st, spark.table(m.batchComponentsTable), tierIdx),
             m.batchSurvivorsTable)
           // survivor index rows come from the PIN, never a second decode
@@ -231,7 +234,6 @@ object Treadmill {
           // the count, and theirs reads the checkpointed pin
           val in = if (m.initialMetric == "batch_in") mm("batch_in")
             else st.entities.count()
-          val kept = spark.table(m.batchSurvivorsTable).count()
           val bridged = spark.table(m.batchComponentsTable)
             .join(tierIdx.select(col(idCol).as("id")).distinct(), Seq("id"), "left_semi")
             .groupBy("component").agg(count(lit(1)).as("__n"))
@@ -304,7 +306,7 @@ object Treadmill {
             // ones were seen and decided — a redelivery must not
             // re-present them); only floor survivors enter the fold
             val cands = named.filter(col(idCol) > watermark && floorPass)
-            Catalog.overwriteTable(
+            val touched = Catalog.overwriteTableCounted(
               Multimodal.captionKeepBestAgainst(
                 spark.table(m.batchComponentsTable), stored.drop("folded_max_id"),
                 cands.withColumnRenamed(idCol, "media_id"))
@@ -312,7 +314,7 @@ object Treadmill {
                   lit(if (agg.isNullAt(2)) Long.MinValue else agg.getLong(2)))
                 .withColumnRenamed("media_id", idCol),
               m.batchCaptionsTable)
-            Map("caption_components_touched" -> spark.table(m.batchCaptionsTable).count(),
+            Map("caption_components_touched" -> touched,
               "caption_candidates" -> total,
               "caption_replay_skipped" -> (total - fresh),
               "caption_floor_dropped" -> (fresh - agg.getLong(3)))
@@ -326,9 +328,13 @@ object Treadmill {
           Catalog.ensureTable(spark, m.tierTable, survivors.schema)
           Catalog.ensureTable(spark, m.indexTable, idx.schema)
         }
-        // idempotent multi-table publish under a retrying Runner
-        Catalog.insertAppendOnce(spark, m.tierTable, survivors, idCol)
-        Catalog.insertAppendOnce(spark, m.indexTable, idx, idCol)
+        // idempotent multi-table publish under a retrying Runner; the
+        // index rows derive from the survivors (same id set), so ONE
+        // min-id aggregate serves both probes (guide §1.2: one pass
+        // where one pass suffices)
+        val minId = survivors.agg(min(col(idCol))).head().get(0)
+        Catalog.insertAppendOnceFrom(spark, m.tierTable, survivors, idCol, minId)
+        Catalog.insertAppendOnceFrom(spark, m.indexTable, idx, idCol, minId)
         if (captions.nonEmpty) {
           // MERGE through the atomic view flip — idempotent under
           // retry (the same winner rows upsert to the same state)

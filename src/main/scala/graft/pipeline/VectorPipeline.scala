@@ -204,10 +204,13 @@ object VectorPipeline {
         // idempotent appends: batch ids are fresh+monotone, so each
         // table is probed for this batch's presence (row-group-pruned
         // to the newest appends) before writing — a retry after a
-        // failure between appends completes the missing tables only
-        Catalog.insertAppendOnce(spark, TierTable, survivors, "vec_id")
-        Catalog.insertAppendOnce(spark, BandIndexTable, keys, "vec_id")
-        Catalog.insertAppendOnce(spark, indexTableG(gen), pq, "vec_id")
+        // failure between appends completes the missing tables only.
+        // keys and pq derive from the survivors (same vec_id set), so
+        // ONE min-id aggregate serves all three probes (guide §1.2)
+        val minId = survivors.agg(min(col("vec_id"))).head().get(0)
+        Catalog.insertAppendOnceFrom(spark, TierTable, survivors, "vec_id", minId)
+        Catalog.insertAppendOnceFrom(spark, BandIndexTable, keys, "vec_id", minId)
+        Catalog.insertAppendOnceFrom(spark, indexTableG(gen), pq, "vec_id", minId)
         if (bootstrap) {
           saveCellHist(spark, 1L) // drift baseline = generation-1 birth
           Catalog.ctasOverwrite(
@@ -279,10 +282,12 @@ object VectorPipeline {
         val nextGen = m("next_generation")
         val cents = loadCents(spark, nextGen)
         val books = loadBooks(spark, nextGen)
-        Catalog.overwriteTable(
+        // the encoded-row count rides the one full-tier encode write
+        // (guide §1.4 — the read-back was a second index scan)
+        val encoded = Catalog.overwriteTableCounted(
           Similarity.pqIndex(spark.table(TierTable), cents, books), indexTableG(nextGen))
         saveCellHist(spark, nextGen) // drift baseline = rollover time
-        Map("tier_encoded" -> spark.table(indexTableG(nextGen)).count())
+        Map("tier_encoded" -> encoded)
       },
       Stage("publish_generation") { m =>
         val nextGen = m("next_generation")

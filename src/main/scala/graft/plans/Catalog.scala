@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.hadoop.fs.Path
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, lit, min}
+import org.apache.spark.sql.{DataFrame, Observation, Row, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, count, lit, min}
 import org.apache.spark.sql.types.StructType
 
 /** DDL surface (SURVEY §2 S8/S9/S10/S11) over the session catalog.
@@ -184,6 +184,32 @@ object Catalog {
     df.sparkSession.catalog.refreshTable(name)
   }
 
+  /** [[overwriteTable]] with metrics OBSERVED during the write (guide
+    * §1.4/§2.3: a metric the write already computes must not cost a
+    * second pass): the given aggregate expressions ride the write job
+    * as CollectMetrics accumulators and come back as one Row — the
+    * write-then-rescan pattern (write, `spark.table(t).count()`/agg)
+    * pays one extra full read of the staged data per metric batch,
+    * which at 100 TB is a whole pass and in a drain of driver-
+    * sequential micro-batch jobs is a whole job per stage. */
+  def overwriteTableObserved(df: DataFrame, name: String,
+                             metrics: Seq[org.apache.spark.sql.Column]): Row = {
+    dropOrphanLocation(df.sparkSession, name)
+    val obs = Observation()
+    // positional aliases: Observation.get is a by-name map — re-alias
+    // so the returned Row is ordered like the caller's metric list
+    val named = metrics.zipWithIndex.map { case (c, i) => c.as(s"__m$i") }
+    df.observe(obs, named.head, named.tail: _*)
+      .write.mode("overwrite").option("overwriteSchema", "true").saveAsTable(name)
+    df.sparkSession.catalog.refreshTable(name)
+    val got = obs.get
+    Row.fromSeq(metrics.indices.map(i => got(s"__m$i")))
+  }
+
+  /** [[overwriteTableObserved]] for the ubiquitous write-then-count. */
+  def overwriteTableCounted(df: DataFrame, name: String): Long =
+    overwriteTableObserved(df, name, Seq(count(lit(1)).as("n"))).getLong(0)
+
   /** DROP for a name that may be a table or a view (ctasOverwrite
     * publishes views; ensureTable/insertAppend make tables). Also
     * removes the versioned snapshot tree — a later re-creation of the
@@ -206,21 +232,24 @@ object Catalog {
     * column list are by-name too). Returns rows appended. */
   def insertAppend(spark: SparkSession, name: String, df: DataFrame): Long = {
     val cols = spark.table(name).columns
-    // cache across the count + write so the input plan (often a dedup
-    // anti-join) executes once, not twice
-    val aligned = df.select(cols.map(df.col): _*).persist()
-    try {
-      val n = aligned.count()
-      // insertInto (positional — the select above pins table order), not
-      // saveAsTable: saveAsTable append refuses partitioned targets
-      // unless the writer re-declares the table's partitioning
-      aligned.write.mode("append").insertInto(name)
-      // The write may run on a DIFFERENT session than readers (foreachBatch
-      // hands out a micro-batch session clone): drop `spark`'s cached
-      // relation so its next read sees the new files.
-      spark.catalog.refreshTable(name)
-      n
-    } finally aligned.unpersist()
+    // the appended-row count is OBSERVED during the write (CollectMetrics
+    // accumulators), so the input plan (often a dedup anti-join) executes
+    // exactly once with no cache pin — the previous persist+count+write
+    // shape paid a second job and held the batch in storage memory for
+    // the write's duration (guide §1.4: don't re-compute what the action
+    // already computes)
+    val obs = Observation()
+    val aligned = df.select(cols.map(df.col): _*)
+      .observe(obs, count(lit(1)).as("n"))
+    // insertInto (positional — the select above pins table order), not
+    // saveAsTable: saveAsTable append refuses partitioned targets
+    // unless the writer re-declares the table's partitioning
+    aligned.write.mode("append").insertInto(name)
+    // The write may run on a DIFFERENT session than readers (foreachBatch
+    // hands out a micro-batch session clone): drop `spark`'s cached
+    // relation so its next read sees the new files.
+    spark.catalog.refreshTable(name)
+    obs.get("n").asInstanceOf[Long]
   }
 
   /** Idempotent [[insertAppend]] for RETRY-EXPOSED multi-table
@@ -251,8 +280,20 @@ object Catalog {
     * a forced broadcast would OOM the driver where a shuffled anti-join
     * merely degrades. */
   def insertAppendOnce(spark: SparkSession, name: String, df: DataFrame,
-                       idCol: String): Long = {
-    val minId = df.agg(min(col(idCol))).head().get(0)
+                       idCol: String): Long =
+    insertAppendOnceFrom(spark, name, df,
+      idCol, df.agg(min(col(idCol))).head().get(0))
+
+  /** [[insertAppendOnce]] with the probe's min id supplied by the
+    * caller — for multi-table publishes whose frames all derive from
+    * ONE survivor set (tier rows, their band/span/PQ index rows, their
+    * token ids): the min id over the survivors bounds every derived
+    * frame's ids from below, so one aggregate serves N probes instead
+    * of N aggregates (a smaller-than-true min only prunes less — the
+    * anti-join stays exact). `minId == null` means the publish is
+    * empty: nothing appends. */
+  def insertAppendOnceFrom(spark: SparkSession, name: String, df: DataFrame,
+                           idCol: String, minId: Any): Long = {
     if (minId == null) 0L // nothing to publish (also: no probe key)
     else {
       val existing = spark.table(name)
