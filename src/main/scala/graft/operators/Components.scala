@@ -56,13 +56,16 @@ object Components {
       .distinct()
 
     // the pair graph is orders of magnitude smaller than the corpus it
-    // came from; right-size the iteration partitioning to the EDGE
-    // count (one partition per ~100k edges) so each round costs work
-    // proportional to the graph, not the session's shuffle width
-    var edgeCount = initial.count()
-    val parts = math.max(1, (edgeCount / 100000L).toInt)
-
-    var edges = initial.repartition(parts, col("big")).localCheckpoint(true)
+    // came from. Checkpoint the oriented edge list ONCE and count the
+    // cached blocks: the previous shape counted the un-checkpointed
+    // distinct and then repartitioned it into a keyed exchange before
+    // checkpointing — TWO full evaluations of the distinct plus one
+    // shuffle whose partitioning no round reused (every round's
+    // groupBys shuffle on their own keys, and AQE coalescing already
+    // right-sizes those to the edge count — guide §2.4: remove
+    // exchanges nothing downstream consumes).
+    var edges = initial.localCheckpoint(true)
+    var edgeCount = edges.count()
     var rounds = 0
     var converged = edgeCount == 0L
     while (!converged) {
