@@ -861,12 +861,27 @@ object Similarity {
         .headOption.map(_.getInt(0)).getOrElse(0)
       require(dim > 0 && dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
       val dsub = dim / m
-      (0 until m).map { j =>
-        val sub = q.select(col(idCol).as("vec_id"),
-          transform(slice(col("codes"), j * dsub + 1, dsub), c => c.cast("float")).as("embedding"))
-        trainCentroids(sub, ksub, iters, seed + j)
-          .map(_.map(v => math.min(255, math.max(0, math.round(v)))).toSeq).toSeq
+      // the m subspace trainings are INDEPENDENT (disjoint code slices,
+      // per-subspace seeds) — submit them from a driver thread pool so
+      // their Lloyd-round jobs overlap instead of serializing
+      // m·(1+iters) tiny driver-coordinated jobs end to end (guide
+      // §2.6: overlap independent jobs; actions are only sequential
+      // because the driver calls them sequentially). Each subspace's
+      // own computation — init order, assignment, means — is unchanged,
+      // so the returned codebooks are bit-identical to the sequential
+      // loop; results assemble in subspace order.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val trained = (0 until m).map { j =>
+        Future {
+          val sub = q.select(col(idCol).as("vec_id"),
+            transform(slice(col("codes"), j * dsub + 1, dsub), c => c.cast("float")).as("embedding"))
+          trainCentroids(sub, ksub, iters, seed + j)
+            .map(_.map(v => math.min(255, math.max(0, math.round(v)))).toSeq).toSeq
+        }
       }
+      Await.result(Future.sequence(trained), Duration.Inf).toIndexedSeq
     } finally q.unpersist(blocking = false)
   }
 
