@@ -129,14 +129,32 @@ object Bench {
     // (round 7: same commit, 0.8 s builder-run vs 12 s driver-run on
     // doc_neardup_minhash). Dropping all persisted RDDs + the DF cache
     // after every rep makes each timing start from the same state.
+    // Optional per-rep Spark JOB counter (SPARK_GRAFT_JOB_COUNTS=1): the
+    // job count is DETERMINISTIC for a given code version, so it is the
+    // noise-free signal the optimization rounds A/B against when
+    // ambient machine variance swamps wall time (the r14 lesson).
+    val jobCounter: Option[java.util.concurrent.atomic.AtomicLong] =
+      if (!sys.env.get("SPARK_GRAFT_JOB_COUNTS").contains("1")) None
+      else {
+        val counter = new java.util.concurrent.atomic.AtomicLong(0L)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onJobStart(
+                job: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+              counter.incrementAndGet()
+          })
+        Some(counter)
+      }
     def timeOnce(name: String, fn: (org.apache.spark.sql.SparkSession, String)
         => org.apache.spark.sql.DataFrame): Double = {
+      val j0 = jobCounter.map(_.get()).getOrElse(0L)
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       spark.sharedState.cacheManager.clearCache()
-      System.err.println(f"[bench] $name rep ${dt}%.3f")
+      val jobs = jobCounter.map(c => s" jobs ${c.get() - j0}").getOrElse("")
+      System.err.println(f"[bench] $name rep ${dt}%.3f$jobs")
       dt
     }
 

@@ -44,6 +44,10 @@ final class Runner(
     * [[PipelineFailedException]] if a stage exhausts its retries. The
     * notifier fires exactly once with the terminal report. */
   def run(initial: Map[String, Long] = Map.empty): PipelineReport = {
+    // Profiling aid (set SPARK_GRAFT_STAGE_TIMING=1): per-stage wall
+    // times to stderr — the measurement hook the optimization rounds
+    // use to attribute a pipeline's cost to its stages.
+    val timing = sys.env.get("SPARK_GRAFT_STAGE_TIMING").contains("1")
     var metrics = initial
     val runs = mutable.ArrayBuffer.empty[StageRun]
     for (stage <- stages) {
@@ -53,7 +57,10 @@ final class Runner(
       while (!done && attempt <= retry.retries) {
         attempt += 1
         try {
+          val t0 = if (timing) System.nanoTime() else 0L
           metrics = metrics ++ stage.body(metrics)
+          if (timing) System.err.println(
+            f"[stage-timing] ${stage.name} ${(System.nanoTime() - t0) / 1e9}%.3f")
           done = true
         } catch {
           // fatal JVM errors (OOM, linkage) and interrupts must NOT be
